@@ -1,0 +1,61 @@
+"""Spark-vs-DuckDB comparison mirroring the verify driver's check:
+row count, schema (column names), and order-insensitive values.
+
+Deliberately strict: floats must match EXACTLY (bit-for-bit after the
+queries' own rounding), because the driver hashes values. Any query that
+needs tolerance here would fail the driver's hash gate — fix the query,
+not the test.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            if getattr(s.dt, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = s.astype("datetime64[us]")
+        elif pd.api.types.is_extension_array_dtype(s):
+            df[c] = s.to_numpy()
+        elif s.dtype == object:
+            # dates / decimals → canonical string
+            df[c] = s.map(lambda v: None if v is None else str(v))
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")
+        elif pd.api.types.is_bool_dtype(s):
+            df[c] = s.astype("bool")
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
+    a, b = normalize(spark_pdf), normalize(oracle_pdf)
+    assert list(a.columns) == list(b.columns), (
+        f"{name}: column mismatch {list(a.columns)} vs {list(b.columns)}"
+    )
+    assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            an = pd.isna(av.astype("float64"))
+            bn = pd.isna(bv.astype("float64"))
+            assert (an == bn).all(), f"{name}.{c}: null placement differs"
+            ok = av[~an].astype("float64") == bv[~bn].astype("float64")
+            if not ok.all():
+                bad = np.where(~ok)[0][:5]
+                raise AssertionError(
+                    f"{name}.{c}: {len(ok) - ok.sum()} float mismatches, "
+                    f"e.g. {av[~an][bad]} vs {bv[~bn][bad]}"
+                )
+        else:
+            same = pd.Series(av).fillna("␀").eq(pd.Series(bv).fillna("␀"))
+            assert same.all(), (
+                f"{name}.{c}: {(~same).sum()} mismatches, e.g. "
+                f"{pd.Series(av)[~same].head(3).tolist()} vs "
+                f"{pd.Series(bv)[~same].head(3).tolist()}"
+            )

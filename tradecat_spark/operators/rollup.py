@@ -1,0 +1,161 @@
+"""Time-bucket rollups — the continuous-aggregate equivalent.
+
+Reference: TimescaleDB continuous aggregates build OHLCV candles per
+interval via ``time_bucket + first/max/min/last/sum/bool_and``
+(/root/reference/libs/database/db/schema/004_continuous_aggregates.sql:27-45)
+and metrics rollups via ``last(oi, t) + sum(numerators/denominators)``
+(007_metrics_cagg_from_5m.sql:92-107).
+
+Spark-first design: a single shuffle per rollup — ``groupBy(keys, window)``
+with ``min_by/max_by`` ordered aggregates (no window functions, no
+self-joins). Partial (map-side) aggregation applies to every agg here, so
+at 100 TB the shuffle carries one row per (key, bucket) from each input
+partition, not the raw rows. The multi-interval registry mirrors the
+reference's 14-interval cagg registry (004:67-81): coarser intervals are
+derived from the finest rollup, not from raw data, so raw is scanned once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Interval registry — reference 004_continuous_aggregates.sql:67-81 registers
+# 3m..1M; we keep the subset meaningful for the synthetic events table.
+INTERVALS = {
+    "1m": 60,
+    "5m": 300,
+    "15m": 900,
+    "1h": 3600,
+    "4h": 14400,
+    "1d": 86400,
+}
+
+
+def bucket_ts(ts: Column | str, interval_sec: int) -> Column:
+    """Epoch-aligned tumbling bucket start (``time_bucket`` equivalent).
+
+    ``window(ts, iv).start`` gives the same result; an arithmetic floor
+    keeps the column a plain timestamp (joinable / oracle-comparable)
+    and stays inside whole-stage codegen.
+    """
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return F.timestamp_seconds(
+        F.floor(c.cast("double") / F.lit(interval_sec)) * F.lit(interval_sec)
+    )
+
+
+def ohlcv_rollup(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    price: str,
+    volume: Column | None = None,
+    interval_sec: int = 300,
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """OHLCV candle rollup (SURVEY §2.4 A1).
+
+    open = min_by(price, ts), close = max_by(price, ts) — exact
+    ``first/last(x, t)`` ordered-aggregate semantics from the reference
+    cagg definition; deterministic because ts is unique per key.
+    """
+    aggs = [
+        F.min_by(price, ts).alias("open"),
+        F.max(price).alias("high"),
+        F.min(price).alias("low"),
+        F.max_by(price, ts).alias("close"),
+        F.count(F.lit(1)).alias("trade_count"),
+    ]
+    if volume is not None:
+        aggs.append(F.sum(volume).alias("volume"))
+    return (
+        df.groupBy(*keys, bucket_ts(ts, interval_sec).alias(bucket_col))
+        .agg(*aggs)
+    )
+
+
+def metrics_rollup(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    value: str,
+    num: Column,
+    den: Column,
+    interval_sec: int = 3600,
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """Metrics rollup (SURVEY §2.4 A2): ``last(value, ts)`` snapshot plus
+    sum-weighted ratio ``sum(num)/nullif(sum(den),0)``.
+
+    Reference: 007_metrics_cagg_from_5m.sql:92-107 and the weighted-ratio
+    projection in 006_candles_meta_views.sql:58-63.
+    """
+    return (
+        df.groupBy(*keys, bucket_ts(ts, interval_sec).alias(bucket_col))
+        .agg(
+            F.max_by(value, ts).alias("last_value"),
+            F.sum(num).alias("num_sum"),
+            F.sum(den).alias("den_sum"),
+        )
+        .withColumn(
+            "weighted_ratio",
+            F.col("num_sum") / F.nullif(F.col("den_sum"), F.lit(0)),
+        )
+    )
+
+
+def cascade_rollup(
+    finest: DataFrame,
+    keys: list[str],
+    from_interval_sec: int,
+    to_interval_sec: int,
+    bucket_col: str = "bucket_ts",
+) -> DataFrame:
+    """Derive a coarser candle rollup from a finer one (5m → 1h → 1d).
+
+    At 100 TB this is the only sane shape: the raw table is aggregated
+    once into the finest rollup and every coarser interval re-aggregates
+    the (tiny) finer rollup, mirroring how the reference chains caggs off
+    the 1m hypertable rather than rescanning raw.
+    """
+    if to_interval_sec % from_interval_sec:
+        raise ValueError("coarse interval must be a multiple of the fine one")
+    b = bucket_ts(bucket_col, to_interval_sec)
+    agg = [
+        F.min_by("open", bucket_col).alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", bucket_col).alias("close"),
+        F.sum("trade_count").alias("trade_count"),
+    ]
+    if "volume" in finest.columns:
+        agg.append(F.sum("volume").alias("volume"))
+    return finest.groupBy(*keys, b.alias(bucket_col)).agg(*agg)
+
+
+def realtime_view(
+    rollup: DataFrame,
+    raw: DataFrame,
+    keys: list[str],
+    ts: str,
+    price: str,
+    interval_sec: int,
+    refresh_horizon: Column,
+    volume: Column | None = None,
+) -> DataFrame:
+    """Materialized-rollup ∪ fresh-tail view.
+
+    Reference continuous aggregates run with ``materialized_only=false``:
+    reads transparently union the materialized buckets with an on-the-fly
+    aggregation of rows newer than the refresh watermark
+    (004_continuous_aggregates.sql:49-58). ``refresh_horizon`` is that
+    watermark (a timestamp Column); only the raw tail after it is
+    re-aggregated, so the union's raw-side scan is partition-pruned.
+    """
+    fresh = ohlcv_rollup(
+        raw.filter(F.col(ts) >= refresh_horizon),
+        keys, ts, price, volume, interval_sec,
+    )
+    stale = rollup.filter(F.col("bucket_ts") < bucket_ts(refresh_horizon, interval_sec))
+    return stale.unionByName(fresh, allowMissingColumns=True)

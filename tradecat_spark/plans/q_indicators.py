@@ -1,0 +1,427 @@
+"""Indicator queries (SURVEY.md §2.5 window families + §2.9 samples).
+
+Each query computes a reference indicator's math over the events series
+(event_type ≈ symbol, value ≈ price). Native window expressions wherever
+the recurrence is closed-form; the EWM family uses an ordered fold
+(``aggregate`` over a sorted ``collect_list``) that runs entirely
+JVM-side — the same sequential recurrence the reference's pandas
+``ewm`` evaluates, so results are bit-identical to a sequential oracle
+fold (no rounding needed).
+
+Scale notes: ROWS-frame windows per (key) need one shuffle+sort per
+distinct partitioning — all queries here share (event_type ORDER BY ts),
+so Catalyst plans exactly one exchange per query. The EWM fold holds one
+(ts,value) array per key in memory: the reference's own compute contract
+is a ≤500-bar tail per key (db/cache.py:33), which caps the array; for
+unbounded histories use the streaming/stateful form instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tradecat_spark.catalog import load_table
+from tradecat_spark.plans.registry import query
+
+DEC = "decimal(18,8)"
+
+
+def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    )
+
+
+def _w(*, rows: tuple[int, int] | None = None) -> Window:
+    w = Window.partitionBy("event_type").orderBy("ts")
+    if rows is not None:
+        w = w.rowsBetween(*rows)
+    return w
+
+
+@query(
+    "ind_bollinger",
+    survey="§2.5 W4 / §2.9 Bollinger (batch/bollinger.py:10-47)",
+    description="SMA20 ± 2σ bands, bandwidth, %b per event_type",
+    bench=True,
+    oracle="""
+SELECT
+  event_type, ts, value,
+  ROUND(AVG(value) OVER w, 6) AS sma20,
+  ROUND(STDDEV_SAMP(value) OVER w, 6) AS sd20,
+  ROUND(AVG(value) OVER w + 2 * STDDEV_SAMP(value) OVER w, 6) AS upper_band,
+  ROUND(AVG(value) OVER w - 2 * STDDEV_SAMP(value) OVER w, 6) AS lower_band,
+  ROUND((value - (AVG(value) OVER w - 2 * STDDEV_SAMP(value) OVER w))
+        / NULLIF(4 * STDDEV_SAMP(value) OVER w, 0), 6) AS pct_b
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+""",
+)
+def ind_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _series(spark, sf_dir)
+    w = _w(rows=(-19, 0))
+    sma = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    return e.select(
+        "event_type", "ts", "value",
+        F.round(sma, 6).alias("sma20"),
+        F.round(sd, 6).alias("sd20"),
+        F.round(sma + 2 * sd, 6).alias("upper_band"),
+        F.round(sma - 2 * sd, 6).alias("lower_band"),
+        F.round((F.col("value") - (sma - 2 * sd)) / F.nullif(4 * sd, F.lit(0)), 6)
+        .alias("pct_b"),
+    )
+
+
+@query(
+    "ind_donchian_williams",
+    survey="§2.5 W3 / §2.9 Donchian + WilliamsR (lean_indicators.py:163-204)",
+    description="20-bar Donchian channel and Williams %R 14",
+    oracle="""
+SELECT
+  event_type, ts,
+  MAX(value) OVER w20 AS don_high,
+  MIN(value) OVER w20 AS don_low,
+  ROUND((MAX(value) OVER w20 + MIN(value) OVER w20) / 2, 6) AS don_mid,
+  ROUND((MAX(value) OVER w14 - value)
+        / NULLIF(MAX(value) OVER w14 - MIN(value) OVER w14, 0) * -100, 6)
+    AS williams_r
+FROM events
+WINDOW
+  w20 AS (PARTITION BY event_type ORDER BY ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+  w14 AS (PARTITION BY event_type ORDER BY ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+""",
+)
+def ind_donchian_williams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _series(spark, sf_dir)
+    w20, w14 = _w(rows=(-19, 0)), _w(rows=(-13, 0))
+    hi20, lo20 = F.max("value").over(w20), F.min("value").over(w20)
+    hi14, lo14 = F.max("value").over(w14), F.min("value").over(w14)
+    return e.select(
+        "event_type", "ts",
+        hi20.alias("don_high"),
+        lo20.alias("don_low"),
+        F.round((hi20 + lo20) / 2, 6).alias("don_mid"),
+        F.round((hi14 - F.col("value")) / F.nullif(hi14 - lo14, F.lit(0)) * -100, 6)
+        .alias("williams_r"),
+    )
+
+
+@query(
+    "ind_obv_cvd",
+    survey="§2.5 W6 cumulative sums / §2.9 OBV+CVD (incremental/obv.py, cvd.py)",
+    description="On-balance volume and cumulative delta (exact decimal cumsum)",
+    oracle="""
+WITH lagged AS (
+  SELECT
+    event_type, ts, value,
+    LAG(value) OVER (PARTITION BY event_type ORDER BY ts) AS prev
+  FROM events
+), signed AS (
+  SELECT
+    event_type, ts,
+    CASE WHEN value > prev THEN CAST(value AS DECIMAL(18,8))
+         WHEN value < prev THEN -CAST(value AS DECIMAL(18,8))
+         ELSE CAST(0 AS DECIMAL(18,8)) END AS s_obv,
+    CASE WHEN value >= prev THEN CAST(value AS DECIMAL(18,8))
+         ELSE -CAST(value AS DECIMAL(18,8)) END AS s_cvd
+  FROM lagged
+)
+SELECT
+  event_type, ts,
+  ROUND(CAST(SUM(s_obv) OVER (PARTITION BY event_type ORDER BY ts
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS obv,
+  ROUND(CAST(SUM(s_cvd) OVER (PARTITION BY event_type ORDER BY ts
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS cvd
+FROM signed
+""",
+)
+def ind_obv_cvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sums run on DECIMAL so the running totals are exact and
+    order-independent — Spark's window matches DuckDB's segment-tree
+    evaluation bit-for-bit."""
+    e = _series(spark, sf_dir)
+    prev = F.lag("value").over(_w())
+    vdec = F.col("value").cast(DEC)
+    signed_obv = (
+        F.when(F.col("value") > prev, vdec)
+        .when(F.col("value") < prev, -vdec)
+        .otherwise(F.lit(0).cast(DEC))
+    )
+    signed_cvd = F.when(F.col("value") >= prev, vdec).otherwise(-vdec)
+    cum = _w(rows=(Window.unboundedPreceding, Window.currentRow))
+    return e.select(
+        "event_type", "ts",
+        F.round(F.sum(signed_obv).over(cum).cast("double"), 6).alias("obv"),
+        F.round(F.sum(signed_cvd).over(cum).cast("double"), 6).alias("cvd"),
+    )
+
+
+@query(
+    "ind_vwap_bands",
+    survey="§2.5 W6 / §2.9 VWAP (batch/vwap.py:9-53)",
+    description="Running VWAP (size-weighted) with deviation per event_type",
+    oracle="""
+SELECT
+  event_type, ts,
+  ROUND(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))
+            * CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE) AS DECIMAL(18,2)))
+        OVER cum AS DOUBLE), 6)
+      / NULLIF(ROUND(CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE)
+                 AS DECIMAL(18,2))) OVER cum AS DOUBLE), 6), 0), 6) AS vwap,
+  ROUND(value - ROUND(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))
+            * CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE) AS DECIMAL(18,2)))
+        OVER cum AS DOUBLE), 6)
+      / NULLIF(ROUND(CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE)
+                 AS DECIMAL(18,2))) OVER cum AS DOUBLE), 6), 0), 6), 6) AS vwap_dev
+FROM events
+WINDOW cum AS (PARTITION BY event_type ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def ind_vwap_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    cum = _w(rows=(Window.unboundedPreceding, Window.currentRow))
+    num = F.round(
+        F.sum(F.col("value").cast("decimal(18,4)") * k.cast("decimal(18,2)"))
+        .over(cum).cast("double"), 6,
+    )
+    den = F.round(F.sum(k.cast("decimal(18,2)")).over(cum).cast("double"), 6)
+    vwap = F.round(num / F.nullif(den, F.lit(0)), 6)
+    return e.select(
+        "event_type", "ts",
+        vwap.alias("vwap"),
+        F.round(F.col("value") - vwap, 6).alias("vwap_dev"),
+    )
+
+
+@query(
+    "ind_sma_cross_signals",
+    survey="§2.5 W7 lag crossovers / §2.10 CROSS_UP condition "
+    "(rules/base.py:13-25, incremental/macd.py:15-28)",
+    description="SMA5/SMA20 golden & death crosses (prev vs curr lag compare)",
+    oracle="""
+WITH sma AS (
+  SELECT
+    event_type, ts,
+    AVG(value) OVER (PARTITION BY event_type ORDER BY ts
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sma5,
+    AVG(value) OVER (PARTITION BY event_type ORDER BY ts
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sma20,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts) AS rn
+  FROM events
+), flagged AS (
+  SELECT
+    event_type, ts, sma5, sma20,
+    LAG(sma5) OVER (PARTITION BY event_type ORDER BY ts) AS p5,
+    LAG(sma20) OVER (PARTITION BY event_type ORDER BY ts) AS p20
+  FROM sma WHERE rn >= 20
+)
+SELECT
+  event_type, ts,
+  ROUND(sma5, 6) AS sma5,
+  ROUND(sma20, 6) AS sma20,
+  CASE WHEN p5 <= p20 AND sma5 > sma20 THEN 'golden_cross'
+       ELSE 'death_cross' END AS signal
+FROM flagged
+WHERE (p5 <= p20 AND sma5 > sma20) OR (p5 >= p20 AND sma5 < sma20)
+""",
+)
+def ind_sma_cross_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _series(spark, sf_dir)
+    sma5 = F.avg("value").over(_w(rows=(-4, 0)))
+    sma20 = F.avg("value").over(_w(rows=(-19, 0)))
+    rn = F.row_number().over(_w())
+    base = e.select(
+        "event_type", "ts",
+        sma5.alias("sma5"), sma20.alias("sma20"), rn.alias("rn"),
+    ).filter(F.col("rn") >= 20)
+    p5 = F.lag("sma5").over(_w())
+    p20 = F.lag("sma20").over(_w())
+    flagged = base.select(
+        "event_type", "ts", "sma5", "sma20",
+        p5.alias("p5"), p20.alias("p20"),
+    )
+    golden = (F.col("p5") <= F.col("p20")) & (F.col("sma5") > F.col("sma20"))
+    death = (F.col("p5") >= F.col("p20")) & (F.col("sma5") < F.col("sma20"))
+    return flagged.filter(golden | death).select(
+        "event_type", "ts",
+        F.round("sma5", 6).alias("sma5"),
+        F.round("sma20", 6).alias("sma20"),
+        F.when(golden, "golden_cross").otherwise("death_cross").alias("signal"),
+    )
+
+
+@query(
+    "ind_pivot_points",
+    survey="§2.5 W8 pivot detection (batch/tv_rsi.py:28-54, trend_line.py:5-40)",
+    description="5-bar centered pivot highs/lows per event_type",
+    oracle="""
+SELECT event_type, ts, value, is_pivot_high, is_pivot_low
+FROM (
+  SELECT
+    event_type, ts, value,
+    value = MAX(value) OVER c AND COUNT(*) OVER c = 5 AS is_pivot_high,
+    value = MIN(value) OVER c AND COUNT(*) OVER c = 5 AS is_pivot_low
+  FROM events
+  WINDOW c AS (PARTITION BY event_type ORDER BY ts
+               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+)
+WHERE is_pivot_high OR is_pivot_low
+""",
+)
+def ind_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _series(spark, sf_dir)
+    c = _w(rows=(-2, 2))
+    hi = (F.col("value") == F.max("value").over(c)) & (F.count(F.lit(1)).over(c) == 5)
+    lo = (F.col("value") == F.min("value").over(c)) & (F.count(F.lit(1)).over(c) == 5)
+    return (
+        e.select(
+            "event_type", "ts", "value",
+            hi.alias("is_pivot_high"), lo.alias("is_pivot_low"),
+        )
+        .filter(F.col("is_pivot_high") | F.col("is_pivot_low"))
+    )
+
+
+@query(
+    "ind_zscore_percentile",
+    survey="§2.5 W9 / §2.9 futures_aggregate z-score+percentile "
+    "(batch/futures_aggregate.py:52-65,176-196)",
+    description="Latest value's z-score and percentile rank vs full history, per event_type",
+    oracle="""
+WITH ranked AS (
+  SELECT
+    event_type, ts, value,
+    PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value) AS pctl,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts DESC) AS rn
+  FROM events
+), stats AS (
+  SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT
+  r.event_type,
+  r.value AS latest_value,
+  ROUND((r.value - s.mu) / NULLIF(s.sigma, 0), 6) AS zscore,
+  ROUND(r.pctl, 6) AS percentile_rank
+FROM ranked r JOIN stats s ON r.event_type = s.event_type
+WHERE r.rn = 1
+""",
+)
+def ind_zscore_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _series(spark, sf_dir)
+    ranked = e.select(
+        "event_type", "ts", "value",
+        F.percent_rank().over(Window.partitionBy("event_type").orderBy("value"))
+        .alias("pctl"),
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.desc("ts"))
+        ).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    return ranked.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        F.col("value").alias("latest_value"),
+        F.round((F.col("value") - F.col("mu")) / F.nullif("sigma", F.lit(0)), 6)
+        .alias("zscore"),
+        F.round("pctl", 6).alias("percentile_rank"),
+    )
+
+
+@query(
+    "ind_regr_slope",
+    survey="§2.4 A8 linreg slope (batch/futures_aggregate.py:18-42) + "
+    "liquidity Kyle λ (batch/liquidity.py:12-154)",
+    description="7-day OLS slope of value vs hours-elapsed, per event_type",
+    oracle="""
+WITH mx AS (SELECT MAX(ts) AS mx_ts FROM events),
+tail AS (
+  SELECT
+    event_type, value,
+    (epoch(ts) - epoch(mx.mx_ts - INTERVAL 7 DAY)) / 3600.0 AS hrs
+  FROM events, mx
+  WHERE ts > mx.mx_ts - INTERVAL 7 DAY
+)
+SELECT
+  event_type,
+  ROUND(REGR_SLOPE(value, hrs), 6) AS slope_per_hr,
+  ROUND(CORR(value, hrs), 6) AS corr_vs_time,
+  COUNT(*) AS n_obs
+FROM tail
+GROUP BY event_type
+""",
+)
+def ind_regr_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _series(spark, sf_dir)
+    mx = e.agg(F.max("ts").alias("mx_ts"))
+    j = e.join(F.broadcast(mx))
+    anchor = F.col("mx_ts") - F.expr("INTERVAL 7 DAYS")
+    tail = j.filter(F.col("ts") > anchor).select(
+        "event_type",
+        "value",
+        ((F.col("ts").cast("double") - anchor.cast("double")) / 3600.0).alias("hrs"),
+    )
+    return tail.groupBy("event_type").agg(
+        F.round(F.regr_slope("value", "hrs"), 6).alias("slope_per_hr"),
+        F.round(F.corr("value", "hrs"), 6).alias("corr_vs_time"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5: the EWM family — ordered fold, JVM-side
+# ---------------------------------------------------------------------------
+def ema_fold(values_by_ts: Column, alpha: float) -> Column:
+    """Final EMA value of a time-ordered series, as a JVM-side fold.
+
+    ``aggregate(tail, head, acc·(1-α) + x·α)`` evaluates the exact
+    ``ewm(adjust=False)`` recurrence the reference uses
+    (incremental/macd.py:6-12); sequential order makes it bit-identical
+    to any single-threaded oracle evaluating the same doubles.
+    """
+    return F.aggregate(
+        F.slice(values_by_ts, 2, F.greatest(F.size(values_by_ts) - 1, F.lit(0))),
+        F.element_at(values_by_ts, 1).cast("double"),
+        lambda acc, x: acc * F.lit(1.0 - alpha) + x * F.lit(alpha),
+    )
+
+
+_EMA_ORACLE = """
+WITH series AS (
+  SELECT event_type, list(value ORDER BY ts) AS vals
+  FROM events GROUP BY event_type
+)
+SELECT
+  event_type,
+  ROUND(list_reduce(vals, (acc, x) -> acc * (1.0::DOUBLE - {a}::DOUBLE) + x * {a}::DOUBLE), 6) AS ema{n},
+  len(vals) AS n_obs
+FROM series
+"""
+
+
+@query(
+    "ind_ema20_fold",
+    survey="§2.5 W5 EWM recurrence (incremental/macd.py:6-12, ema_gc.py:9-59) "
+    "— no native Spark EWM; JVM-side ordered fold",
+    description="EMA(20) latest value per event_type via higher-order aggregate",
+    oracle=(
+        _EMA_ORACLE.replace("{a}", f"{2.0 / 21.0!r}").replace("{n}", "20")
+    ),
+)
+def ind_ema20_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _series(spark, sf_dir)
+    alpha = 2.0 / 21.0
+    series = e.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "value"))).alias("pairs")
+    )
+    vals = F.transform(F.col("pairs"), lambda p: p["value"])
+    return series.select(
+        "event_type",
+        F.round(ema_fold(vals, alpha), 6).alias("ema20"),
+        F.size("pairs").cast("long").alias("n_obs"),
+    )

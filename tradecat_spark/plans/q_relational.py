@@ -1,0 +1,368 @@
+"""Relational core queries (joins / aggregations / set ops / top-K).
+
+These exercise the reference's relational surface (SURVEY.md §2.3/2.4/
+2.6/2.7) on the TPC-H-ish tables. Numeric policy: money sums are cast to
+DECIMAL before aggregation so the sum is exact and order-independent —
+Spark's parallel partial aggregation then matches the DuckDB oracle
+bit-for-bit after a deterministic cast back to double. (A double sum
+would differ in the last ulps depending on partition order.)
+
+Scale notes are per-query in docstrings; the common themes: dimension
+joins are broadcast, aggregations are partial (map-side combine), and
+filters sit directly on the scan so they push into parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tradecat_spark.catalog import load_table
+from tradecat_spark.plans.exact import cents, cents_sql, ratio6, ratio6_sql
+from tradecat_spark.plans.registry import query
+
+# Exact-money decimal: 2dp source data, products get 4-6dp; scale 12 is
+# generous and keeps precision*3 within both engines' DECIMAL(38) cap.
+DEC = "decimal(18,6)"
+RATE = "decimal(8,6)"
+
+
+def _money(c) -> Column:
+    return (F.col(c) if isinstance(c, str) else c).cast(DEC)
+
+
+def _rate(c) -> Column:
+    """Discount/tax fractions: narrow decimal so triple products stay
+    inside DECIMAL(38) without precision-loss rounding on either engine."""
+    return (F.col(c) if isinstance(c, str) else c).cast(RATE)
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    survey="§2.4 A1/A5 aggregation shape",
+    description="TPC-H Q1-style pricing summary over lineitem",
+    bench=True,
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_base_price,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+        * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE), 6) AS sum_disc_price,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+        * (1 - CAST(l_discount AS DECIMAL(8,6)))
+        * (1 + CAST(l_tax AS DECIMAL(8,6)))) AS DOUBLE), 6) AS sum_charge,
+  ROUND(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6) / COUNT(*), 6) AS avg_qty,
+  ROUND(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 6) / COUNT(*), 6) AS avg_price,
+  ROUND(ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(8,6))) AS DOUBLE), 6) / COUNT(*), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One wide hash-aggregate over the fact table. The shipdate filter
+    and 7-column projection push into the parquet scan; partial
+    aggregation means the shuffle carries |groups| rows per partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _money("l_extendedprice") * (1 - _rate("l_discount"))
+    charge = disc_price * (1 + _rate("l_tax"))
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_money("l_quantity")).cast("double"), 6).alias("sum_qty"),
+            F.round(F.sum(_money("l_extendedprice")).cast("double"), 6).alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 6).alias("sum_disc_price"),
+            F.round(F.sum(charge).cast("double"), 6).alias("sum_charge"),
+            F.round(F.round(F.sum(_money("l_quantity")).cast("double"), 6) / cnt, 6).alias("avg_qty"),
+            F.round(F.round(F.sum(_money("l_extendedprice")).cast("double"), 6) / cnt, 6).alias("avg_price"),
+            F.round(F.round(F.sum(_rate("l_discount")).cast("double"), 6) / cnt, 6).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    survey="§2.3 J3 + §2.6 top-K",
+    description="Revenue top-10 unshipped-style orders (3-way join + topK)",
+    bench=True,
+    oracle="""
+SELECT
+  o.o_orderkey,
+  CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+  o.o_orderpriority,
+  ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+        * (1 - CAST(l.l_discount AS DECIMAL(8,6)))) AS DOUBLE), 6) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+""",
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer is the small side → broadcast; lineitem⋈orders shuffles on
+    orderkey (bucket both by orderkey at scale to co-locate). Top-K is
+    TakeOrderedAndProject — no global sort. Tie-broken by orderkey so the
+    LIMIT cutoff is deterministic."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("2000-03-15 00:00:00").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp")
+    )
+    revenue = F.sum(_money("l_extendedprice") * (1 - _rate("l_discount")))
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(revenue.cast("double"), 6).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_region_revenue",
+    survey="§2.3 multi-way dimension joins",
+    description="Revenue per (region, nation): 6-way star join",
+    bench=True,
+    oracle="""
+SELECT
+  r.r_name,
+  n.n_name,
+  ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+        * (1 - CAST(l.l_discount AS DECIMAL(8,6)))) AS DOUBLE), 6) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY r.r_name, n.n_name
+""",
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join shape: every dimension (customer/supplier/nation/region)
+    broadcasts; the only shuffle is lineitem⋈orders on orderkey plus the
+    final small aggregation. This is the 100 TB-safe plan — the fact
+    table is touched once, everything else rides along map-side."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(_money("l_extendedprice") * (1 - _rate("l_discount"))).cast("double"),
+                6,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "top_customers_by_spend",
+    survey="§2.6 W10 global top-K",
+    description="Top-10 customers by total order value (global top-K + broadcast dim)",
+    oracle="""
+SELECT
+  c.c_custkey,
+  c.c_name,
+  n.n_name,
+  ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_spend,
+  COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY total_spend DESC, c_custkey ASC
+LIMIT 10
+""",
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum(_money("o_totalprice")).cast("double"), 6).alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select("c_custkey", "c_name", "n_name", "total_spend", "n_orders")
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(10)
+    )
+    # Aggregate-then-join: the heavy agg runs on (custkey) before touching
+    # dimension columns, so the shuffle payload is 2 numeric columns.
+
+
+@query(
+    "orders_with_discounted_lines",
+    survey="§2.3 semi-join (reference has only Python set-ops; first-class here)",
+    description="Order counts per priority where a deep-discount line exists",
+    oracle="""
+SELECT o.o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.08
+)
+GROUP BY o.o_orderpriority
+""",
+)
+def orders_discounted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_discount") >= 0.08)
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "customers_without_orders",
+    survey="§2.3 anti-join (reference expresses as Python set difference)",
+    description="Customers that never ordered, per market segment",
+    oracle="""
+SELECT c.c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_mktsegment
+""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "priority_symbol_union",
+    survey="§2.7 set ops — priority-selector UNION of ranked CTEs "
+    "(reference async_full_engine.py:84-106)",
+    description="UNION-distinct of three top-5 customer dimensions",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey AS c_custkey FROM orders
+  GROUP BY o_custkey
+  ORDER BY ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) DESC, o_custkey ASC
+  LIMIT 5
+), freq AS (
+  SELECT o_custkey AS c_custkey FROM orders
+  GROUP BY o_custkey
+  ORDER BY COUNT(*) DESC, o_custkey ASC
+  LIMIT 5
+), big AS (
+  SELECT o_custkey AS c_custkey FROM orders
+  GROUP BY o_custkey
+  ORDER BY CAST(MAX(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) DESC, o_custkey ASC
+  LIMIT 5
+)
+SELECT c_custkey FROM spend
+UNION
+SELECT c_custkey FROM freq
+UNION
+SELECT c_custkey FROM big
+""",
+)
+def priority_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's hot-symbol selector: three ranked dimensions
+    UNIONed. Each branch is an agg + top-K over the same shuffled
+    grouping; Catalyst reuses the exchange across branches."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy("o_custkey").agg(
+        F.sum(_money("o_totalprice")).cast("double").alias("spend"),
+        F.count(F.lit(1)).alias("freq"),
+        F.max(_money("o_totalprice")).cast("double").alias("big"),
+    )
+    def top(col: str) -> DataFrame:
+        return (
+            g.orderBy(F.desc(col), F.asc("o_custkey"))
+            .limit(5)
+            .select(F.col("o_custkey").alias("c_custkey"))
+        )
+    return top("spend").union(top("freq")).union(top("big")).distinct()
+
+
+@query(
+    "nation_revenue_share",
+    survey="§2.3 J6 market-share window (reference engine.py:282-332 does "
+    "this as a cross-DB UPDATE; here it is one window expression)",
+    description="Each nation's share of its region's revenue",
+    oracle="""
+WITH rev AS (
+  SELECT
+    r.r_name, n.n_name,
+    ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT
+  r_name, n_name, revenue,
+  SHARE_EXPR AS region_share
+FROM rev
+""".replace(
+        "SHARE_EXPR",
+        ratio6_sql(
+            cents_sql("revenue"),
+            f"SUM({cents_sql('revenue')}) OVER (PARTITION BY r_name)",
+        ),
+    ),
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(_money("o_totalprice")).cast("double"), 6).alias("revenue"))
+    )
+    w = Window.partitionBy("r_name")
+    return rev.select(
+        "r_name",
+        "n_name",
+        "revenue",
+        ratio6(cents(F.col("revenue")), F.sum(cents(F.col("revenue"))).over(w))
+        .alias("region_share"),
+    )

@@ -1,0 +1,506 @@
+"""Text-analysis and deduplication queries over ``documents``.
+
+The training-data-pipeline surface: exact dedup, MinHash+LSH banding,
+SimHash fingerprints, n-gram Jaccard, language-ID heuristics, quality
+scoring, token counting, and document fingerprinting.
+
+Design for 100 TB: everything here is shingle/token explosion →
+hash-partitioned aggregation — no pairwise O(n²) step ever touches the
+full corpus. Candidate pairs only materialize inside an LSH band/bucket,
+which is the standard scale path (band size tunes the candidate volume).
+Hashes are md5-based so the DuckDB oracle is bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tradecat_spark.catalog import load_table
+from tradecat_spark.plans.registry import query
+
+N_SEEDS = 8          # minhash permutations
+BAND_ROWS = 2        # rows per LSH band → 4 bands
+SHINGLE_WORDS = 5    # word-shingle width
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _words(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact_groups",
+    survey="north-star dedup: exact (hash-groupBy)",
+    description="md5 content groups with canonical doc and duplicate count",
+    oracle="""
+SELECT
+  md5(text) AS content_hash,
+  MIN(doc_id) AS canonical_doc_id,
+  COUNT(*) AS n_docs,
+  COUNT(*) > 1 AS has_duplicates
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hash-aggregate over the corpus; at 100 TB the md5 is computed
+    map-side and only (hash, id) pairs shuffle."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) > 1).alias("has_duplicates"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def _shingles(d: DataFrame) -> DataFrame:
+    """Word 5-gram shingles per doc (docs shorter than 5 words drop out)."""
+    w = _words()
+    n = F.size(w)
+    idx = F.sequence(F.lit(0), n - SHINGLE_WORDS)
+    return (
+        d.filter(n >= SHINGLE_WORDS)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, SHINGLE_WORDS)))
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = f"""
+  SELECT DISTINCT doc_id, concat_ws(' ',
+      w[i+1], w[i+2], w[i+3], w[i+4], w[i+5]) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       LATERAL (SELECT unnest(range(0, len(w) - {SHINGLE_WORDS - 1})) AS i) t
+  WHERE len(w) >= {SHINGLE_WORDS}
+"""
+
+
+@query(
+    "dedup_minhash_bands",
+    survey="north-star dedup: MinHash+LSH (shingle→minhash→band)",
+    description="4-band × 2-row MinHash LSH signature per document",
+    bench=True,
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+mh AS (
+  SELECT doc_id, seed, MIN(md5(concat(CAST(seed AS VARCHAR), '|', shingle))) AS mh
+  FROM sh, (SELECT unnest(range(0, {N_SEEDS})) AS seed) s
+  GROUP BY doc_id, seed
+),
+sig AS (
+  SELECT doc_id,
+    CAST(seed // {BAND_ROWS} AS INTEGER) AS band,
+    md5(string_agg(mh, '' ORDER BY seed)) AS band_sig
+  FROM mh
+  GROUP BY doc_id, band
+)
+SELECT doc_id, band, band_sig FROM sig
+""",
+)
+def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash per (doc, seed) is a single min-aggregate over the
+    shingle×seed explosion; banding re-hashes pairs of minhashes. The
+    hash is min(md5(seed|shingle)) compared lexicographically, identical
+    in both engines. Candidate pairs come from equi-joining band_sig —
+    see dedup_minhash_pairs."""
+    sh = _shingles(_docs(spark, sf_dir))
+    seeds = F.array([F.lit(i) for i in range(N_SEEDS)])
+    mh = (
+        sh.select("doc_id", "shingle", F.explode(seeds).alias("seed"))
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(
+                F.md5(
+                    F.concat(
+                        F.col("seed").cast("string"), F.lit("|"), F.col("shingle")
+                    ).cast("binary")
+                )
+            ).alias("mh")
+        )
+    )
+    return (
+        mh.withColumn("band", (F.col("seed") / BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "", F.transform(F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                                    lambda p: p["mh"])
+                ).cast("binary")
+            ).alias("band_sig")
+        )
+    )
+
+
+@query(
+    "dedup_minhash_pairs",
+    survey="north-star dedup: MinHash+LSH candidate pairs (band bucket join)",
+    description="Distinct candidate near-dup pairs sharing any LSH band",
+    oracle=f"""
+WITH sh AS ({_SHINGLES_SQL}),
+mh AS (
+  SELECT doc_id, seed, MIN(md5(concat(CAST(seed AS VARCHAR), '|', shingle))) AS mh
+  FROM sh, (SELECT unnest(range(0, {N_SEEDS})) AS seed) s
+  GROUP BY doc_id, seed
+),
+sig AS (
+  SELECT doc_id,
+    CAST(seed // {BAND_ROWS} AS INTEGER) AS band,
+    md5(string_agg(mh, '' ORDER BY seed)) AS band_sig
+  FROM mh GROUP BY doc_id, band
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sig a JOIN sig b
+  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+""",
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dedup_minhash_bands(spark, sf_dir)
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_ngram_jaccard",
+    survey="north-star dedup: n-gram Jaccard similarity",
+    description="Top-20 doc pairs by exact word-3-gram Jaccard (bucketed by shared shingle)",
+    oracle="""
+WITH sh AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', w[i+1], w[i+2], w[i+3]) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       LATERAL (SELECT unnest(range(0, len(w) - 2)) AS i) t
+  WHERE len(w) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT
+  i.doc_a, i.doc_b,
+  ROUND(CAST(i.n_common AS DOUBLE)
+        / (sa.n_sh + sb.n_sh - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
+LIMIT 20
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|A∩B| via a shingle-bucket self-join (only co-bucketed pairs
+    materialize), |A∪B| = |A|+|B|−|A∩B| from per-doc counts. The join is
+    the scale-sensitive step: hot shingles explode quadratically, so at
+    100 TB drop top-frequency shingles first (a standard stopword-shingle
+    cut); the test corpus doesn't need it."""
+    d = _docs(spark, sf_dir)
+    w = _words()
+    n = F.size(w)
+    sh = (
+        d.filter(n >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n - 3),
+                    lambda i: F.concat_ws(" ", F.slice(w, i + 1, 3)),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_simhash",
+    survey="north-star dedup: SimHash fingerprint",
+    description="60-bit SimHash per document (bit-majority over token md5s)",
+    oracle="""
+WITH hexmap(ch, v) AS (
+  VALUES ('0',0),('1',1),('2',2),('3',3),('4',4),('5',5),('6',6),('7',7),
+         ('8',8),('9',9),('a',10),('b',11),('c',12),('d',13),('e',14),('f',15)
+),
+tok AS (
+  SELECT doc_id, md5(tk) AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)
+),
+bits AS (
+  SELECT
+    t.doc_id, b.bit,
+    CASE WHEN ((m.v >> (3 - (b.bit % 4))) & 1) = 1 THEN 1 ELSE -1 END AS w
+  FROM tok t,
+       (SELECT unnest(range(0, 60)) AS bit) b
+  JOIN hexmap m ON m.ch = substr(t.h, CAST(b.bit // 4 AS INTEGER) + 1, 1)
+),
+maj AS (
+  SELECT doc_id, bit, CAST(SUM(w) AS BIGINT) AS weight
+  FROM bits GROUP BY doc_id, bit
+)
+SELECT
+  doc_id,
+  CAST(SUM(CASE WHEN weight > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+    AS simhash
+FROM maj
+GROUP BY doc_id
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure column algebra: token md5 → hex-nibble bit extraction →
+    per-bit majority vote → 60-bit integer. Two hash aggregations, no
+    Python. 60 bits keeps the value in signed-int64 range on both
+    engines (md5 gives 15 usable hex chars here)."""
+    d = _docs(spark, sf_dir)
+    hexmap = F.create_map(
+        *[x for i, c in enumerate("0123456789abcdef") for x in (F.lit(c), F.lit(i))]
+    )
+    tok = d.select("doc_id", F.explode(_words()).alias("tk")).select(
+        "doc_id", F.md5(F.col("tk").cast("binary")).alias("h")
+    )
+    hex_char = F.substring(
+        F.col("h"), (F.col("bit") / 4).cast("int") + 1, F.lit(1)
+    )
+    nibble = F.element_at(hexmap, hex_char)
+    # mask for bit (3 - b%4) of the nibble: [8, 4, 2, 1][b % 4]
+    mask = F.element_at(
+        F.array(F.lit(8), F.lit(4), F.lit(2), F.lit(1)),
+        (F.col("bit") % 4).cast("int") + 1,
+    )
+    bit_set = nibble.bitwiseAND(mask) != 0
+    bits = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
+        "h",
+    ).select("doc_id", "bit", F.when(bit_set, 1).otherwise(-1).alias("w"))
+    maj = bits.groupBy("doc_id", "bit").agg(F.sum("w").alias("weight"))
+    bit_value = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
+    return maj.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("weight") > 0, bit_value).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@query(
+    "text_token_stats",
+    survey="north-star text analysis: token counting",
+    description="Whitespace + regex token counts and char stats per doc",
+    oracle="""
+SELECT
+  doc_id,
+  len(string_split(text, ' ')) AS n_ws_tokens,
+  len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens,
+  len(regexp_extract_all(text, '[0-9]+')) AS n_num_tokens,
+  length(text) AS n_chars_actual,
+  ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        / len(string_split(text, ' ')), 6) AS mean_token_len
+FROM documents
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    ws = _words()
+    return d.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).cast("long")
+        .alias("n_alpha_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).cast("long")
+        .alias("n_num_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / F.size(ws), 6
+        ).alias("mean_token_len"),
+    )
+
+
+_STOPWORDS = ("the", "a", "data", "row")
+_LANG_MARKERS = {
+    "en": ("the", "a"),
+    "de": ("der", "die"),
+    "es": ("el", "la"),
+}
+
+
+def _count_word_sql(word: str) -> str:
+    return f"len(list_filter(string_split(text, ' '), x -> x = '{word}'))"
+
+
+def _count_word(word: str) -> Column:
+    return F.size(F.filter(_words(), lambda x: x == F.lit(word)))
+
+
+@query(
+    "text_lang_id",
+    survey="north-star text analysis: language-ID (marker-word heuristic)",
+    description="Deterministic marker-word language scores + argmax label",
+    oracle=f"""
+SELECT
+  doc_id,
+  {_count_word_sql('the')} + {_count_word_sql('a')} AS score_en,
+  {_count_word_sql('der')} + {_count_word_sql('die')} AS score_de,
+  {_count_word_sql('el')} + {_count_word_sql('la')} AS score_es,
+  CASE
+    WHEN {_count_word_sql('the')} + {_count_word_sql('a')} >=
+         {_count_word_sql('der')} + {_count_word_sql('die')}
+     AND {_count_word_sql('the')} + {_count_word_sql('a')} >=
+         {_count_word_sql('el')} + {_count_word_sql('la')} THEN 'en'
+    WHEN {_count_word_sql('der')} + {_count_word_sql('die')} >=
+         {_count_word_sql('el')} + {_count_word_sql('la')} THEN 'de'
+    ELSE 'es'
+  END AS lang_pred
+FROM documents
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    scores = {
+        lang: sum((_count_word(w) for w in ws), F.lit(0)).cast("long")
+        for lang, ws in _LANG_MARKERS.items()
+    }
+    pred = (
+        F.when(
+            (scores["en"] >= scores["de"]) & (scores["en"] >= scores["es"]), "en"
+        )
+        .when(scores["de"] >= scores["es"], "de")
+        .otherwise("es")
+    )
+    return d.select(
+        "doc_id",
+        scores["en"].alias("score_en"),
+        scores["de"].alias("score_de"),
+        scores["es"].alias("score_es"),
+        pred.alias("lang_pred"),
+    )
+
+
+@query(
+    "text_quality_score",
+    survey="north-star text analysis: quality scoring",
+    description="Length/stopword/diversity features + logistic quality score",
+    oracle=f"""
+WITH feats AS (
+  SELECT
+    doc_id,
+    len(string_split(text, ' ')) AS n_words,
+    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+    {' + '.join(_count_word_sql(w) for w in _STOPWORDS)} AS n_stop,
+    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      / len(string_split(text, ' ')) AS mean_wlen
+  FROM documents
+)
+SELECT
+  doc_id, n_words, n_distinct,
+  ROUND(CAST(n_distinct AS DOUBLE) / n_words, 6) AS distinct_ratio,
+  ROUND(CAST(n_stop AS DOUBLE) / n_words, 6) AS stopword_ratio,
+  ROUND(1.0 / (1.0 + exp(-(0.2 * mean_wlen
+        + 2.0 * CAST(n_distinct AS DOUBLE) / n_words
+        - 3.0 * CAST(n_stop AS DOUBLE) / n_words))), 6) AS quality_score
+FROM feats
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    ws = _words()
+    n_words = F.size(ws)
+    n_distinct = F.size(F.array_distinct(ws))
+    n_stop = sum((_count_word(w) for w in _STOPWORDS), F.lit(0))
+    mean_wlen = F.length(F.regexp_replace("text", " ", "")).cast("double") / n_words
+    distinct_ratio = n_distinct.cast("double") / n_words
+    stop_ratio = n_stop.cast("double") / n_words
+    score = 1.0 / (
+        1.0 + F.exp(-(0.2 * mean_wlen + 2.0 * distinct_ratio - 3.0 * stop_ratio))
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_distinct.cast("long").alias("n_distinct"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    survey="north-star text analysis: document fingerprinting",
+    description="Order-insensitive vocabulary fingerprint (sorted-distinct-words md5)",
+    oracle="""
+SELECT
+  doc_id,
+  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+    AS vocab_fingerprint,
+  len(list_distinct(string_split(text, ' '))) AS vocab_size
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    vocab = F.array_sort(F.array_distinct(_words()))
+    return d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", vocab).cast("binary")).alias("vocab_fingerprint"),
+        F.size(F.array_distinct(_words())).cast("long").alias("vocab_size"),
+    )

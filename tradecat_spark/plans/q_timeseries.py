@@ -1,0 +1,509 @@
+"""Time-series queries over the ``events`` table.
+
+``events(event_id, ts, user_id, event_type, value, props)`` plays the
+role of the reference's tick/candle stream: ``event_type`` ≈ symbol
+(5 distinct), ``user_id`` ≈ account, ``value`` ≈ price, and the JSON
+``props.k`` ≈ trade size. Every query here maps 1:1 to a SURVEY.md §2
+operator; citations are to /root/reference/.
+
+Determinism: ``ts`` is unique per key in the test data, so
+``min_by/max_by(x, ts)`` are deterministic; sums that feed comparisons
+are either exact (decimal/int) or rounded on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tradecat_spark.catalog import load_table
+from tradecat_spark.operators.asof import asof_join
+from tradecat_spark.operators.gaps import calendar_gaps, lead_gaps
+from tradecat_spark.operators.latest import latest_per_group, topn_per_group
+from tradecat_spark.operators.merge import merge_candles
+from tradecat_spark.operators.rollup import (
+    bucket_ts,
+    cascade_rollup,
+    ohlcv_rollup,
+)
+from tradecat_spark.plans.exact import cents, cents_sql, ratio6, ratio6_sql
+from tradecat_spark.plans.registry import query
+
+DEC = "decimal(18,8)"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _k(col: str = "props"):
+    """props is ``{"k": <int>}`` — extract the size field."""
+    return F.get_json_object(F.col(col), "$.k").cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: 24h ranking with %change (reference J2+A5+§2.6 — the
+# priority-symbol / ranking-card core, async_full_engine.py:54-131)
+# ---------------------------------------------------------------------------
+@query(
+    "flagship_rank_24h_change",
+    survey="§2.3 J2 + §2.4 A5 + §2.6 top-K",
+    description="Rank event types by trailing-24h flow with %change vs prior 24h",
+    bench=True,
+    oracle="""
+WITH mx AS (SELECT MAX(ts) AS mx_ts FROM events),
+agg AS (
+  SELECT
+    e.event_type,
+    ROUND(CAST(SUM(CASE WHEN e.ts > mx.mx_ts - INTERVAL 24 HOUR
+             THEN CAST(e.value AS DECIMAL(18,8)) END) AS DOUBLE), 6) AS cur_flow,
+    ROUND(CAST(SUM(CASE WHEN e.ts <= mx.mx_ts - INTERVAL 24 HOUR
+              AND e.ts >  mx.mx_ts - INTERVAL 48 HOUR
+             THEN CAST(e.value AS DECIMAL(18,8)) END) AS DOUBLE), 6) AS prev_flow,
+    COUNT(CASE WHEN e.ts > mx.mx_ts - INTERVAL 24 HOUR THEN 1 END) AS cur_events
+  FROM events e, mx
+  GROUP BY e.event_type
+)
+SELECT
+  event_type, cur_flow, prev_flow, cur_events,
+  PCT_CHANGE_EXPR AS pct_change
+FROM agg
+ORDER BY cur_flow DESC, event_type ASC
+LIMIT 10
+""".replace(
+        "PCT_CHANGE_EXPR",
+        ratio6_sql(
+            f"({cents_sql('cur_flow')} - {cents_sql('prev_flow')}) * 100",
+            cents_sql("prev_flow"),
+        ),
+    ),
+)
+def flagship_rank_24h_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two time-sliced conditional aggregates in ONE scan + one tiny
+    scalar subquery for the anchor — no self-join (the reference does a
+    DISTINCT ON self-join; conditional aggregation is the single-pass
+    form that survives 100× data)."""
+    e = _events(spark, sf_dir)
+    mx = e.agg(F.max("ts").alias("mx_ts"))
+    j = e.join(F.broadcast(mx))
+    cur = F.col("ts") > F.col("mx_ts") - F.expr("INTERVAL 24 HOURS")
+    prev = (F.col("ts") <= F.col("mx_ts") - F.expr("INTERVAL 24 HOURS")) & (
+        F.col("ts") > F.col("mx_ts") - F.expr("INTERVAL 48 HOURS")
+    )
+    agg = j.groupBy("event_type").agg(
+        F.round(F.sum(F.when(cur, F.col("value").cast(DEC))).cast("double"), 6).alias("cur_flow"),
+        F.round(F.sum(F.when(prev, F.col("value").cast(DEC))).cast("double"), 6).alias("prev_flow"),
+        F.count(F.when(cur, 1)).alias("cur_events"),
+    )
+    return (
+        agg.withColumn(
+            "pct_change",
+            ratio6(
+                (cents(F.col("cur_flow")) - cents(F.col("prev_flow"))) * 100,
+                cents(F.col("prev_flow")),
+            ),
+        )
+        .orderBy(F.desc("cur_flow"), F.asc("event_type"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1: OHLCV rollups (continuous-aggregate equivalent, 004:27-45)
+# ---------------------------------------------------------------------------
+_OHLCV_ORACLE = """
+SELECT
+  event_type,
+  time_bucket(INTERVAL '{iv} seconds', ts) AS bucket_ts,
+  min_by(value, ts) AS open,
+  MAX(value) AS high,
+  MIN(value) AS low,
+  max_by(value, ts) AS close,
+  COUNT(*) AS trade_count,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE), 6) AS volume
+FROM events
+GROUP BY event_type, bucket_ts
+"""
+
+
+@query(
+    "ohlcv_rollup_5m",
+    survey="§2.4 A1 (004_continuous_aggregates.sql:27-45)",
+    description="5-minute OHLCV candles per event_type",
+    bench=True,
+    oracle=_OHLCV_ORACLE.format(iv=300),
+)
+def ohlcv_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return ohlcv_rollup(
+        e, ["event_type"], "ts", "value",
+        volume=F.col("value").cast(DEC), interval_sec=300,
+    ).withColumn("volume", F.round(F.col("volume").cast("double"), 6))
+
+
+@query(
+    "ohlcv_cascade_1h",
+    survey="§2.4 A1 cascade — coarse caggs built from fine ones (004:67-81)",
+    description="1h candles derived from the 5m rollup (≡ direct rollup law)",
+    oracle=_OHLCV_ORACLE.format(iv=3600),
+)
+def ohlcv_cascade_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle aggregates raw directly; the Spark side cascades
+    5m → 1h, proving the rollup-composition law the reference relies on
+    when chaining caggs. At 100 TB the cascade reads ~1/300th the bytes."""
+    e = _events(spark, sf_dir)
+    five = ohlcv_rollup(
+        e, ["event_type"], "ts", "value",
+        volume=F.col("value").cast(DEC), interval_sec=300,
+    )
+    hour = cascade_rollup(five, ["event_type"], 300, 3600)
+    return hour.select(
+        "event_type", "bucket_ts", "open", "high", "low", "close",
+        "trade_count", F.round(F.col("volume").cast("double"), 6).alias("volume"),
+    )
+
+
+@query(
+    "meta_join_1h",
+    survey="§2.3 J1 + §1.1 candles_meta (006_candles_meta_views.sql:29-93)",
+    description="1h candles LEFT JOIN 1h size-metrics + amplitude/vwap derived cols",
+    bench=True,
+    oracle="""
+WITH candles AS (
+  SELECT
+    event_type,
+    time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+    min_by(value, ts) AS open,
+    MAX(value) AS high,
+    MIN(value) AS low,
+    max_by(value, ts) AS close,
+    COUNT(*) AS trade_count
+  FROM events GROUP BY 1, 2
+), metrics AS (
+  SELECT
+    event_type,
+    time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))
+           * CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE) AS DECIMAL(18,2)))
+         AS DOUBLE), 6) AS flow_k,
+    ROUND(CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE) AS DECIMAL(18,2)))
+         AS DOUBLE), 6) AS size_k,
+    max_by(CAST(json_extract_string(props, '$.k') AS DOUBLE), ts) AS last_k
+  FROM events GROUP BY 1, 2
+)
+SELECT
+  c.event_type, c.bucket_ts, c.open, c.high, c.low, c.close, c.trade_count,
+  m.flow_k, m.size_k, m.last_k,
+  AMP_EXPR AS amplitude_ratio,
+  VWAP_EXPR AS vwap
+FROM candles c
+LEFT JOIN metrics m
+  ON c.event_type = m.event_type AND c.bucket_ts = m.bucket_ts
+""".replace(
+        "AMP_EXPR",
+        ratio6_sql(
+            "CAST(ROUND((c.high - c.low) * 100) AS BIGINT)",
+            cents_sql("c.close"),
+        ),
+    ).replace(
+        "VWAP_EXPR",
+        ratio6_sql(cents_sql("m.flow_k"), "CAST(m.size_k AS BIGINT) * 100"),
+    ),
+)
+def meta_join_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both sides aggregate from the same (key, bucket) grouping, so with
+    co-partitioned silver tables this join is shuffle-free; the derived
+    columns mirror 006's amplitude_ratio and vwap exactly."""
+    e = _events(spark, sf_dir)
+    kdec = _k().cast("decimal(18,2)")
+    candles = e.groupBy(
+        "event_type", bucket_ts("ts", 3600).alias("bucket_ts")
+    ).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+        F.count(F.lit(1)).alias("trade_count"),
+    )
+    metrics = e.groupBy(
+        "event_type", bucket_ts("ts", 3600).alias("bucket_ts")
+    ).agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,4)") * kdec).cast("double"), 6).alias("flow_k"),
+        F.round(F.sum(kdec).cast("double"), 6).alias("size_k"),
+        F.max_by(_k(), "ts").alias("last_k"),
+    )
+    return (
+        candles.join(metrics, ["event_type", "bucket_ts"], "left")
+        .withColumn(
+            "amplitude_ratio",
+            ratio6(
+                F.round((F.col("high") - F.col("low")) * 100).cast("long"),
+                cents(F.col("close")),
+            ),
+        )
+        .withColumn(
+            "vwap",
+            ratio6(cents(F.col("flow_k")), F.col("size_k").cast("long") * 100),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3/W1: latest-per-group and top-N-per-group
+# ---------------------------------------------------------------------------
+@query(
+    "latest_event_per_user",
+    survey="§2.4 A3 DISTINCT ON (async_full_engine.py:86-95)",
+    description="Latest event per user (aggregate form, no sort)",
+    oracle="""
+SELECT user_id, event_id, ts, event_type, value, props
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return latest_per_group(e, ["user_id"], "ts").select(
+        "user_id", "event_id", "ts", "event_type", "value", "props"
+    )
+
+
+@query(
+    "top3_events_per_user",
+    survey="§2.5 W1 top-N-per-group (db/cache.py:68-81)",
+    description="Last 3 events per user — the ≤500-bar window-cache scan",
+    oracle="""
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+  FROM events
+) WHERE rn <= 3
+""",
+)
+def top3_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return topn_per_group(e, ["user_id"], "ts", 3).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# S5/S6: gap detection
+# ---------------------------------------------------------------------------
+@query(
+    "lead_gaps_10m",
+    survey="§2.1 S6 LEAD gap detector (adapters/timescale.py:215-225)",
+    description="Adjacent-event gaps > 10 minutes per event_type",
+    oracle="""
+SELECT event_type, gap_start, gap_end, ROUND(gap_sec_raw, 3) AS gap_sec
+FROM (
+  SELECT
+    event_type,
+    ts AS gap_start,
+    LEAD(ts) OVER (PARTITION BY event_type ORDER BY ts) AS gap_end,
+    epoch(LEAD(ts) OVER (PARTITION BY event_type ORDER BY ts)) - epoch(ts)
+      AS gap_sec_raw
+  FROM events
+) WHERE gap_sec_raw > 600
+""",
+)
+def lead_gaps_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    g = lead_gaps(e, ["event_type"], "ts", 600)
+    return g.select(
+        "event_type", "gap_start", "gap_end", F.round("gap_sec", 3).alias("gap_sec")
+    )
+
+
+@query(
+    "calendar_completeness",
+    survey="§2.1 S5 gap scanner vs calendar (backfill.py:56-110) + A7",
+    description="Per (event_type, day): observed rows vs expected, zero-days included",
+    oracle="""
+WITH span AS (
+  SELECT event_type, MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+  FROM events GROUP BY event_type
+), spine AS (
+  SELECT s.event_type, CAST(gs.d AS DATE) AS day
+  FROM span s, LATERAL (SELECT unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS d) gs
+), observed AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_rows
+  FROM events GROUP BY 1, 2
+)
+SELECT
+  sp.event_type, sp.day,
+  COALESCE(o.n_rows, 0) AS n_rows,
+  250 AS expected_rows,
+  COALESCE(o.n_rows, 0) >= 250 AS is_complete
+FROM spine sp
+LEFT JOIN observed o ON sp.event_type = o.event_type AND sp.day = o.day
+""",
+)
+def calendar_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return calendar_gaps(e, ["event_type"], "ts", expected_per_day=250)
+
+
+# ---------------------------------------------------------------------------
+# J6: market share window
+# ---------------------------------------------------------------------------
+@query(
+    "daily_market_share",
+    survey="§2.3 J6 market share (engine.py:282-332 → one window expr)",
+    description="Each event_type's share of total daily flow",
+    oracle="""
+WITH daily AS (
+  SELECT
+    event_type,
+    CAST(ts AS DATE) AS day,
+    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE), 6) AS flow
+  FROM events GROUP BY 1, 2
+)
+SELECT
+  event_type, day, flow,
+  SHARE_EXPR AS market_share
+FROM daily
+""".replace(
+        "SHARE_EXPR",
+        ratio6_sql(
+            cents_sql("flow"),
+            f"SUM({cents_sql('flow')}) OVER (PARTITION BY day)",
+        ),
+    ),
+)
+def daily_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 6).alias("flow")
+    )
+    w = Window.partitionBy("day")
+    return daily.select(
+        "event_type", "day", "flow",
+        ratio6(cents(F.col("flow")), F.sum(cents(F.col("flow"))).over(w))
+        .alias("market_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5: as-of join
+# ---------------------------------------------------------------------------
+@query(
+    "asof_purchase_context",
+    survey="§2.3 J5 as-of alignment (006_candles_meta_views.sql:53-67)",
+    description="Each purchase joined to the user's most recent prior non-purchase event",
+    oracle="""
+SELECT
+  p.user_id, p.event_id, p.ts, p.value,
+  o.value AS asof_value,
+  o.ts AS asof_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type <> 'purchase') o
+  ON p.user_id = o.user_id AND p.ts >= o.ts
+""",
+)
+def asof_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark has no native ASOF JOIN; the union-and-backfill operator
+    (operators/asof.py) expresses it with one (key, ts) sort and no
+    pairwise explosion. The oracle uses DuckDB's native ASOF JOIN."""
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    others = e.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(purchases, others, ["user_id"], "ts", "ts", ["value"])
+    return out.select(
+        "user_id", "event_id", "ts", "value",
+        F.col("asof_value"), F.col("asof_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S3: partial-bar upsert merge
+# ---------------------------------------------------------------------------
+@query(
+    "partial_bar_merge",
+    survey="§2.1 S3 upsert merge law (001_timescaledb.sql:106-119)",
+    description="MERGE of a partial-bar batch into closed daily bars "
+    "(GREATEST/LEAST/is_closed semantics)",
+    oracle="""
+WITH mx AS (SELECT MAX(ts) AS mx_ts FROM events),
+tgt AS (
+  SELECT
+    event_type,
+    time_bucket(INTERVAL '1 day', ts) AS bucket_ts,
+    min_by(value, ts) AS open, MAX(value) AS high, MIN(value) AS low,
+    max_by(value, ts) AS close, COUNT(*) AS trade_count,
+    time_bucket(INTERVAL '1 day', ts) < (SELECT mx_ts FROM mx) - INTERVAL 12 DAY
+      AS is_closed
+  FROM events, mx
+  WHERE ts < mx.mx_ts - INTERVAL 10 DAY
+  GROUP BY 1, 2
+),
+src AS (
+  SELECT
+    event_type,
+    time_bucket(INTERVAL '1 day', ts) AS bucket_ts,
+    min_by(value, ts) AS open, MAX(value) AS high, MIN(value) AS low,
+    max_by(value, ts) AS close, COUNT(*) AS trade_count,
+    FALSE AS is_closed
+  FROM events, mx
+  WHERE ts >= mx.mx_ts - INTERVAL 15 DAY
+  GROUP BY 1, 2
+)
+SELECT
+  COALESCE(t.event_type, s.event_type) AS event_type,
+  COALESCE(t.bucket_ts, s.bucket_ts) AS bucket_ts,
+  CASE WHEN t.open IS NOT NULL AND s.open IS NOT NULL
+       THEN CASE WHEN t.is_closed THEN t.open ELSE s.open END
+       ELSE COALESCE(t.open, s.open) END AS open,
+  CASE WHEN t.high IS NOT NULL AND s.high IS NOT NULL
+       THEN GREATEST(t.high, s.high) ELSE COALESCE(t.high, s.high) END AS high,
+  CASE WHEN t.low IS NOT NULL AND s.low IS NOT NULL
+       THEN LEAST(t.low, s.low) ELSE COALESCE(t.low, s.low) END AS low,
+  CASE WHEN t.close IS NOT NULL AND s.close IS NOT NULL
+       THEN s.close ELSE COALESCE(t.close, s.close) END AS close,
+  CASE WHEN t.trade_count IS NOT NULL AND s.trade_count IS NOT NULL
+       THEN GREATEST(t.trade_count, s.trade_count)
+       ELSE COALESCE(t.trade_count, s.trade_count) END AS trade_count,
+  CASE WHEN t.is_closed IS NOT NULL AND s.is_closed IS NOT NULL
+       THEN t.is_closed OR s.is_closed
+       ELSE COALESCE(t.is_closed, s.is_closed) END AS is_closed
+FROM tgt t
+FULL OUTER JOIN src s
+  ON t.event_type = s.event_type AND t.bucket_ts = s.bucket_ts
+""",
+)
+def partial_bar_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target = daily bars older than (max_ts − 10d), closed once older
+    than 12d; source = a re-ingest batch covering the last 15d (partial,
+    open). The overlap window exercises every branch of the merge law.
+    On Delta this is exactly ``MERGE INTO`` with the same expressions."""
+    e = _events(spark, sf_dir)
+    mx = e.agg(F.max("ts").alias("mx_ts"))
+    j = e.join(F.broadcast(mx))
+
+    def daily(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type", bucket_ts("ts", 86400).alias("bucket_ts")
+        ).agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count(F.lit(1)).alias("trade_count"),
+        )
+
+    tgt = daily(
+        j.filter(F.col("ts") < F.col("mx_ts") - F.expr("INTERVAL 10 DAYS"))
+    ).join(F.broadcast(mx)).withColumn(
+        "is_closed",
+        F.col("bucket_ts") < F.col("mx_ts") - F.expr("INTERVAL 12 DAYS"),
+    ).drop("mx_ts")
+    src = daily(
+        j.filter(F.col("ts") >= F.col("mx_ts") - F.expr("INTERVAL 15 DAYS"))
+    ).withColumn("is_closed", F.lit(False))
+    return merge_candles(tgt, src, ["event_type", "bucket_ts"])
