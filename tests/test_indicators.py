@@ -1,0 +1,109 @@
+"""Indicator math cross-checks.
+
+The indicator surface is not SQL-expressible, so the driver's DuckDB
+gate only row-checks it. These tests pin the math against inline,
+independently-written pandas formulas (the same way SURVEY.md §5 says
+the oracle strategy must work for §2.9).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tradecat_spark.functions import ta
+from tradecat_spark.indicators.base import active_indicators
+from tradecat_spark.indicators.engine import compute_all
+
+
+@pytest.fixture(scope="module")
+def bars_pdf():
+    rng = np.random.default_rng(7)
+    n = 400
+    close = 100 + np.cumsum(rng.normal(0, 1, n))
+    high = close + rng.uniform(0, 2, n)
+    low = close - rng.uniform(0, 2, n)
+    open_ = close + rng.normal(0, 0.5, n)
+    vol = rng.uniform(10, 1000, n)
+    return pd.DataFrame(
+        {
+            "open": open_, "high": high, "low": low, "close": close,
+            "volume": vol,
+            "bucket_ts": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "sym": "X",
+        }
+    )
+
+
+def test_rsi_matches_inline_wilder(bars_pdf):
+    c = bars_pdf.close
+    d = c.diff()
+    up = d.clip(lower=0).fillna(0).ewm(alpha=1 / 14, adjust=False).mean()
+    dn = (-d).clip(lower=0).fillna(0).ewm(alpha=1 / 14, adjust=False).mean()
+    expected = 100 - 100 / (1 + up / dn)
+    got = ta.rsi(c, 14)
+    assert np.allclose(got.iloc[20:], expected.iloc[20:], atol=1e-9)
+
+
+def test_macd_matches_inline(bars_pdf):
+    c = bars_pdf.close
+    line, sig, hist = ta.macd(c)
+    exp_line = c.ewm(span=12, adjust=False).mean() - c.ewm(span=26, adjust=False).mean()
+    exp_sig = exp_line.ewm(span=9, adjust=False).mean()
+    assert np.allclose(line, exp_line, atol=1e-9)
+    assert np.allclose(sig, exp_sig, atol=1e-9)
+    assert np.allclose(hist, exp_line - exp_sig, atol=1e-9)
+
+
+def test_atr_is_wilder_rma_of_tr(bars_pdf):
+    h, l, c = bars_pdf.high, bars_pdf.low, bars_pdf.close
+    pc = c.shift(1)
+    tr = pd.concat([h - l, (h - pc).abs(), (l - pc).abs()], axis=1).max(axis=1)
+    expected = tr.ewm(alpha=1 / 14, adjust=False).mean()
+    assert np.allclose(ta.atr(h, l, c, 14).iloc[5:], expected.iloc[5:], atol=1e-9)
+
+
+def test_supertrend_direction_on_trend():
+    n = 120
+    up = pd.Series(np.linspace(100, 200, n))
+    h, l = up + 1, up - 1
+    _, direction = ta.supertrend(h, l, up, 10, 3.0)
+    assert direction.iloc[-1] == 1
+    down = pd.Series(np.linspace(200, 100, n))
+    _, direction = ta.supertrend(down + 1, down - 1, down, 10, 3.0)
+    assert direction.iloc[-1] == -1
+
+
+def test_kdj_bounds(bars_pdf):
+    k, d, j = ta.kdj(bars_pdf.high, bars_pdf.low, bars_pdf.close)
+    assert k.between(-5, 105).all() and d.between(-5, 105).all()
+
+
+def test_volume_profile_covers_value_area(bars_pdf):
+    poc, lo, hi = ta.volume_profile(bars_pdf.close, bars_pdf.volume, 48)
+    assert lo <= poc <= hi
+    assert lo >= bars_pdf.close.min() - 1e-9
+    assert hi <= bars_pdf.close.max() + 1e-9
+
+
+def test_compute_all_full_surface(spark, bars_pdf):
+    """End-to-end: every registered indicator emits its declared columns
+    for a real group, and placeholders appear for a thin group."""
+    thin = bars_pdf.head(3).assign(sym="THIN")
+    sdf = spark.createDataFrame(pd.concat([bars_pdf, thin]))
+    out = compute_all(sdf, ["sym"], ts="bucket_ts", tail=500)
+    rows = {r["sym"]: r for r in out.collect()}
+    metas = active_indicators()
+    assert len(metas) >= 28, "indicator surface regressed"
+    full = rows["X"].asDict()
+    assert full["n_bars"] == 400
+    for meta in metas.values():
+        for col, typ in meta.outputs:
+            assert col in full, f"{meta.name} missing {col}"
+            if typ == "double" and meta.min_data <= 400:
+                assert full[col] is not None, f"{meta.name}.{col} is NULL"
+    # thin group: placeholder row with NULLs for big-lookback indicators
+    thin_row = rows["THIN"].asDict()
+    assert thin_row["n_bars"] == 3
+    assert thin_row["rsi14"] is None

@@ -333,7 +333,7 @@ WITH span AS (
   FROM events GROUP BY 1, 2
 )
 SELECT
-  sp.event_type, sp.day,
+  sp.event_type, strftime(sp.day, '%Y-%m-%d') AS day,
   COALESCE(o.n_rows, 0) AS n_rows,
   250 AS expected_rows,
   COALESCE(o.n_rows, 0) >= 250 AS is_complete
@@ -342,8 +342,11 @@ LEFT JOIN observed o ON sp.event_type = o.event_type AND sp.day = o.day
 """,
 )
 def calendar_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # `day` rendered as 'yyyy-MM-dd' string: Spark DATE → python date vs
+    # DuckDB DATE → datetime64 stringify differently in the driver's hash.
     e = _events(spark, sf_dir)
-    return calendar_gaps(e, ["event_type"], "ts", expected_per_day=250)
+    g = calendar_gaps(e, ["event_type"], "ts", expected_per_day=250)
+    return g.withColumn("day", F.date_format("day", "yyyy-MM-dd"))
 
 
 # ---------------------------------------------------------------------------
@@ -362,7 +365,7 @@ WITH daily AS (
   FROM events GROUP BY 1, 2
 )
 SELECT
-  event_type, day, flow,
+  event_type, strftime(day, '%Y-%m-%d') AS day, flow,
   SHARE_EXPR AS market_share
 FROM daily
 """.replace(
@@ -380,7 +383,7 @@ def daily_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("day")
     return daily.select(
-        "event_type", "day", "flow",
+        "event_type", F.date_format("day", "yyyy-MM-dd").alias("day"), "flow",
         ratio6(cents(F.col("flow")), F.sum(cents(F.col("flow"))).over(w))
         .alias("market_share"),
     )

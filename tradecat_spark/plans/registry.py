@@ -63,6 +63,7 @@ def load_all() -> dict[str, QuerySpec]:
         q_indicators,
         q_text,
         q_similarity,
+        q_surface,
     )
 
     return REGISTRY

@@ -1,0 +1,153 @@
+"""Signal rule schema and condition compiler.
+
+Reference: ``SignalRule`` dataclass and the 8 declarative condition
+types evaluated over (prev, curr) row snapshots —
+/root/reference/services/signal-service/src/rules/base.py:13-160.
+
+Spark-first design: instead of Python dict comparisons per symbol, each
+condition type compiles to a Column expression over a row that carries
+``<field>`` (current) and ``prev_<field>`` (previous) columns — produced
+by a single ``lag()`` window in batch, or by the stateful stream op.
+The whole 129-rule surface therefore evaluates as one wide projection,
+inside whole-stage codegen, per snapshot — no per-rule Python.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+class ConditionType(str, Enum):
+    STATE_CHANGE = "state_change"          # label transitions to target
+    THRESHOLD_CROSS_UP = "threshold_cross_up"    # prev <= θ < curr
+    THRESHOLD_CROSS_DOWN = "threshold_cross_down"  # prev >= θ > curr
+    CROSS_UP = "cross_up"                  # field a crosses above field b
+    CROSS_DOWN = "cross_down"              # field a crosses below field b
+    CONTAINS = "contains"                  # substring match (any/all)
+    RANGE_ENTER = "range_enter"            # value enters [lo, hi]
+    RANGE_EXIT = "range_exit"              # value leaves [lo, hi]
+
+
+@dataclass
+class SignalRule:
+    """Mirror of rules/base.py:28-45 (engine-relevant fields)."""
+
+    name: str
+    table: str                      # indicator table the rule reads
+    condition_type: ConditionType
+    condition_config: dict
+    direction: str = "neutral"      # long / short / neutral
+    strength: int = 1
+    priority: int = 5
+    timeframes: tuple[str, ...] = ("1h",)
+    cooldown_sec: int = 3600
+    min_volume: float = 0.0
+    category: str = "core"
+    subcategory: str = ""
+    extra: dict = field(default_factory=dict)
+
+
+def _prev(f: str) -> Column:
+    return F.col(f"prev_{f}")
+
+
+def compile_condition(rule: SignalRule) -> Column:
+    """Compile one rule's condition to a boolean Column.
+
+    Field references resolve against ``<field>`` / ``prev_<field>``
+    columns; evaluation semantics match rules/base.py:47-160.
+    """
+    cfg = rule.condition_config
+    ct = rule.condition_type
+    if ct == ConditionType.STATE_CHANGE:
+        f, target = cfg["field"], cfg["to"]
+        from_any = cfg.get("from")  # optional source-state restriction
+        cond = (_prev(f) != target) & (F.col(f) == target)
+        if from_any is not None:
+            cond &= _prev(f).isin(list(from_any))
+        return cond
+    if ct == ConditionType.THRESHOLD_CROSS_UP:
+        f, th = cfg["field"], float(cfg["threshold"])
+        return (_prev(f) <= th) & (F.col(f) > th)
+    if ct == ConditionType.THRESHOLD_CROSS_DOWN:
+        f, th = cfg["field"], float(cfg["threshold"])
+        return (_prev(f) >= th) & (F.col(f) < th)
+    if ct == ConditionType.CROSS_UP:
+        a, b = cfg["fast"], cfg["slow"]
+        return (_prev(a) <= _prev(b)) & (F.col(a) > F.col(b))
+    if ct == ConditionType.CROSS_DOWN:
+        a, b = cfg["fast"], cfg["slow"]
+        return (_prev(a) >= _prev(b)) & (F.col(a) < F.col(b))
+    if ct == ConditionType.CONTAINS:
+        f, needles = cfg["field"], cfg["values"]
+        mode = cfg.get("mode", "any")
+        hits = [F.col(f).contains(n) for n in needles]
+        out = hits[0]
+        for h in hits[1:]:
+            out = (out & h) if mode == "all" else (out | h)
+        return out
+    if ct == ConditionType.RANGE_ENTER:
+        f, lo, hi = cfg["field"], float(cfg["low"]), float(cfg["high"])
+        inside = F.col(f).between(lo, hi)
+        was_out = ~_prev(f).between(lo, hi)
+        return was_out & inside
+    if ct == ConditionType.RANGE_EXIT:
+        f, lo, hi = cfg["field"], float(cfg["low"]), float(cfg["high"])
+        was_in = _prev(f).between(lo, hi)
+        outside = ~F.col(f).between(lo, hi)
+        return was_in & outside
+    raise ValueError(f"unknown condition type {ct}")
+
+
+# ---------------------------------------------------------------------------
+# A representative rule pack over the indicator surface — one per
+# condition type family, mirroring the reference's core/momentum packs
+# (rules/core/__init__.py, rules/momentum/*). The full 129-rule pack is
+# config data, not engine code; these exercise every compiler branch.
+# ---------------------------------------------------------------------------
+DEFAULT_RULES: list[SignalRule] = [
+    SignalRule(
+        "rsi_oversold_cross", "smart_rsi", ConditionType.THRESHOLD_CROSS_DOWN,
+        {"field": "rsi14", "threshold": 30.0}, direction="long",
+        category="momentum", subcategory="rsi",
+    ),
+    SignalRule(
+        "rsi_overbought_cross", "smart_rsi", ConditionType.THRESHOLD_CROSS_UP,
+        {"field": "rsi14", "threshold": 70.0}, direction="short",
+        category="momentum", subcategory="rsi",
+    ),
+    SignalRule(
+        "macd_golden_cross", "macd", ConditionType.CROSS_UP,
+        {"fast": "macd_line", "slow": "macd_signal"}, direction="long",
+        category="momentum", subcategory="macd",
+    ),
+    SignalRule(
+        "macd_death_cross", "macd", ConditionType.CROSS_DOWN,
+        {"fast": "macd_line", "slow": "macd_signal"}, direction="short",
+        category="momentum", subcategory="macd",
+    ),
+    SignalRule(
+        "regime_turns_bull", "ema_gc", ConditionType.STATE_CHANGE,
+        {"field": "regime", "to": "bull_stack"}, direction="long",
+        category="trend",
+    ),
+    SignalRule(
+        "cloud_state_bull", "zero_lag_trend", ConditionType.CONTAINS,
+        {"field": "zl_state", "values": ["bull"]}, direction="long",
+        category="trend",
+    ),
+    SignalRule(
+        "kdj_enters_oversold", "kdj", ConditionType.RANGE_ENTER,
+        {"field": "kdj_k", "low": 0.0, "high": 20.0}, direction="long",
+        category="momentum", subcategory="kdj",
+    ),
+    SignalRule(
+        "bb_exits_band", "bollinger", ConditionType.RANGE_EXIT,
+        {"field": "bb_pct", "low": 0.0, "high": 1.0}, direction="neutral",
+        category="volatility",
+    ),
+]
