@@ -74,6 +74,28 @@ def rsi(c: pd.Series, n: int = 14) -> pd.Series:
     return out.fillna(100.0).where(loss != 0, 100.0).where(gain + loss != 0, 50.0)
 
 
+def rsi_last_multi(c: pd.Series, periods: list[int]) -> np.ndarray:
+    """Final RSI value for MANY periods in one pass (harmonic.py needs
+    RSI(2..33)). One time-loop, vectorized across periods — ~30× faster
+    than 32 separate ``ewm`` chains, bit-identical to ``rsi(c, n)[-1]``:
+    the Wilder recursion seeds with the 0-filled first diff, exactly like
+    ``rma`` on ``d.clip.fillna(0)``."""
+    d = np.diff(c.to_numpy(dtype=np.float64))
+    alphas = 1.0 / np.asarray(periods, dtype=np.float64)
+    g = np.zeros(len(alphas))  # seed: filled first diff == 0
+    l = np.zeros(len(alphas))
+    one_m = 1.0 - alphas
+    for x in d:
+        gain = x if x > 0 else 0.0
+        loss = -x if x < 0 else 0.0
+        g = g * one_m + gain * alphas
+        l = l * one_m + loss * alphas
+    out = np.where(
+        g + l == 0, 50.0, np.where(l == 0, 100.0, 100.0 - 100.0 / (1.0 + g / np.where(l == 0, np.nan, l)))
+    )
+    return out
+
+
 def macd(c: pd.Series, fast: int = 12, slow: int = 26, signal: int = 9):
     """MACD line/signal/histogram (incremental/macd.py:6-12)."""
     line = ema(c, fast) - ema(c, slow)
@@ -104,9 +126,17 @@ def cci(h: pd.Series, l: pd.Series, c: pd.Series, n: int = 20) -> pd.Series:
     (lean_indicators.py:134-159)."""
     tp = (h + l + c) / 3
     ma = tp.rolling(n, min_periods=1).mean()
-    mad = tp.rolling(n, min_periods=1).apply(
-        lambda w: np.abs(w - w.mean()).mean(), raw=True
-    )
+    tpv = tp.to_numpy(dtype=np.float64)
+    mav = ma.to_numpy(dtype=np.float64)
+    m = len(tpv)
+    madv = np.empty(m)
+    # short prefix windows (min_periods=1 semantics)
+    for i in range(min(n - 1, m)):
+        madv[i] = np.abs(tpv[: i + 1] - mav[i]).mean()
+    if m >= n:
+        win = np.lib.stride_tricks.sliding_window_view(tpv, n)
+        madv[n - 1:] = np.abs(win - mav[n - 1:, None]).mean(axis=1)
+    mad = pd.Series(madv, index=tp.index)
     return (tp - ma) / (0.015 * mad.replace(0, np.nan))
 
 

@@ -228,9 +228,9 @@ def i_kdj(b: pd.DataFrame):
     citation="batch/harmonic.py (mean of RSI(2..33))",
 )
 def i_harmonic(b: pd.DataFrame):
-    vals = [_last(ta.rsi(b.close, n)) for n in range(2, 34)]
-    vals = [v for v in vals if not math.isnan(v)]
-    return {"harmonic_score": float(np.mean(vals)) if vals else float("nan")}
+    vals = ta.rsi_last_multi(b.close, list(range(2, 34)))
+    vals = vals[~np.isnan(vals)]
+    return {"harmonic_score": float(np.mean(vals)) if len(vals) else float("nan")}
 
 
 @register(
