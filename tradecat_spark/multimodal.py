@@ -1,0 +1,126 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+A 100 TB training-data pipeline carries images/audio/video as opaque
+``binary`` columns beside typed metadata, and runs decode / feature
+extraction / frame sampling as Arrow-batched Python stages. This module
+makes all of that plumbing REAL — schemas, metadata structs, mapInPandas
+batch shapes, deterministic partitioning — while the actual codec step
+is stubbed: the container has no image/audio libraries, so ``_decode``
+falls back to a clearly-marked deterministic fake derived from the
+payload bytes. Swapping in PIL/librosa/ffmpeg changes ONE function.
+
+The driver's ``documents`` table supplies the bytes (UTF-8 payload of
+the text column standing in for an image blob); nothing else in the
+pipeline knows or cares that the bytes aren't a JPEG.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Arrow batch size guidance: decode outputs (feature rows) are small, but
+#: real decoded frames would be ~H*W*3 bytes — partition the input so a
+#: batch of decoded frames fits executor memory (SURVEY.md §4 spill notes).
+DECODE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, checksum string, "
+    "width int, height int, mean_luma double"
+)
+
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, frame_offset long, frame_bytes binary, "
+    "frame_len long"
+)
+
+
+def attach_payload(docs: DataFrame) -> DataFrame:
+    """documents → multimodal rows: opaque ``payload`` binary column plus a
+    typed ``meta`` struct (the pattern for any media bronze table)."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("media_type"),
+            F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+            F.col("lang").alias("source_lang"),
+        ).alias("meta"),
+    )
+
+
+def _decode(payload: bytes) -> tuple[int, int, float]:
+    """Decode stub. A real deployment replaces this body with e.g.::
+
+        from PIL import Image
+        img = Image.open(io.BytesIO(payload))
+        return img.width, img.height, luma(img)
+
+    The container has no codec libraries, so this returns a
+    DETERMINISTIC FAKE computed from the bytes (stable across runs and
+    engines): "dimensions" from the digest, "luma" from the byte mean.
+    """
+    digest = hashlib.sha256(payload).digest()
+    width = 64 + digest[0] % 64
+    height = 64 + digest[1] % 64
+    mean_luma = (sum(payload) / len(payload)) if payload else 0.0
+    return width, height, float(mean_luma)
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode/feature-extract over (payload, meta) rows.
+
+    ``mapInPandas`` (not a scalar UDF) because real decoders amortize
+    per-batch setup (codec contexts, model weights) and may emit 0..n
+    rows per input (corrupt payloads are dropped, multi-page media
+    fan out)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            decoded = [_decode(bytes(p)) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": [m["media_type"] for m in pdf["meta"]],
+                    "n_bytes": [len(bytes(p)) for p in payloads],
+                    "checksum": [
+                        hashlib.md5(bytes(p)).hexdigest() for p in payloads
+                    ],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "mean_luma": [d[2] for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(batches, DECODE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling: split each payload into ``n_frames`` even chunks
+    ("frames"), one output row per frame — the video → frame-table
+    explosion. Emitted via mapInPandas so the batch shape matches a real
+    frame extractor (one input row → n output rows with binary chunks)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame_offset": [],
+                "frame_bytes": [], "frame_len": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                step = max(len(b) // n_frames, 1)
+                for i in range(n_frames):
+                    off = i * step
+                    chunk = b[off: off + step] if i < n_frames - 1 else b[off:]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_offset"].append(off)
+                    rows["frame_bytes"].append(chunk)
+                    rows["frame_len"].append(len(chunk))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)

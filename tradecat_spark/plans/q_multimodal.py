@@ -1,0 +1,79 @@
+"""Multimodal pipeline queries — binary payload columns with typed
+metadata, Arrow-batched decode, frame sampling (north-star training-data
+operators; see tradecat_spark/multimodal.py for the stub contract).
+
+The decode stub is deterministic, so its OUTPUT is oracle-checkable:
+byte lengths and md5 checksums are recomputed by DuckDB over the same
+UTF-8 payloads — the whole Spark plumbing (binary encode → mapInPandas
+batches → feature rows) is hash-verified end-to-end, stub and all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tradecat_spark.catalog import load_table
+from tradecat_spark.multimodal import attach_payload, decode_features, sample_frames
+from tradecat_spark.plans.registry import query
+
+
+@query(
+    "mm_decode_features",
+    survey="north-star multimodal: binary payload + metadata struct + "
+    "mapInPandas decode/feature-extract (decode stub, plumbing real)",
+    description="Decoded feature row per document: bytes, checksum, fake dims/luma",
+    oracle="""
+SELECT
+  doc_id,
+  'image/fake' AS media_type,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  md5(text) AS checksum
+FROM documents
+""",
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum + size survive the decode stage unchanged, so DuckDB can
+    re-derive them from the source text; width/height/mean_luma come from
+    the stub and are checked by tests/test_multimodal.py instead (DuckDB
+    has no sha256-over-blob to mirror the fake)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_payload(docs)
+    feats = decode_features(media)
+    return feats.select("doc_id", "media_type", "n_bytes", "checksum")
+
+
+@query(
+    "mm_frame_sample",
+    survey="north-star multimodal: frame sampling — one input row fans out "
+    "to n binary chunks via mapInPandas",
+    description="4 even 'frames' per document: offsets and lengths",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents
+),
+f AS (
+  SELECT doc_id, n,
+         GREATEST(n // 4, 1) AS step,
+         unnest(range(4)) AS frame_idx
+  FROM d
+)
+SELECT
+  doc_id,
+  CAST(frame_idx AS INT) AS frame_idx,
+  CAST(frame_idx * step AS BIGINT) AS frame_offset,
+  CAST(CASE WHEN frame_idx < 3
+            THEN LEAST(step, GREATEST(n - frame_idx * step, 0))
+            ELSE GREATEST(n - frame_idx * step, 0) END AS BIGINT) AS frame_len
+FROM f
+""",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binary chunks themselves stay Spark-side (DuckDB compares the
+    arithmetic: offsets/lengths per frame); tests assert the actual chunk
+    bytes reassemble to the payload."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_payload(docs)
+    frames = sample_frames(media, n_frames=4)
+    return frames.select("doc_id", "frame_idx", "frame_offset", "frame_len")

@@ -1,0 +1,468 @@
+"""Serving-layer queries (SURVEY.md §3.1/§2.1 S14/S15, Phase 3).
+
+The reference serves rankings/panels/REST responses by re-filtering the
+SQLite indicator tables in Python per request (telegram-service cards,
+api-service routers, ai-service fetcher). Each shape collapses to one
+declarative Spark query here:
+
+- ranking card  = latest-snapshot filter (P7) + period filter (P4) +
+  broadcast base-data join (J3) + orderBy/limit (W10)
+- single-token panel = J4 star-gather: one latest row from every
+  "indicator table" for one key, UNION ALLed into a tall panel
+- REST endpoints = time-range + DESC limit scans (S14)
+- A4 global totals over latest-per-group, A6 percentile/stddev rollups
+
+Scale notes: every query keys on low-cardinality dimensions with
+partial aggregation; the serving join sides (latest snapshot, base
+stats) are tiny and broadcast. Nothing here shuffles the raw fact table
+more than once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tradecat_spark.catalog import load_table
+from tradecat_spark.operators.latest import latest_per_group
+from tradecat_spark.operators.rollup import ohlcv_rollup
+from tradecat_spark.plans.registry import query
+
+DEC = "decimal(18,8)"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _flow6(col: str = "value") -> F.Column:
+    """Exact decimal sum of |value| rendered as a 6dp double."""
+    return F.round(F.sum(F.abs(F.col(col)).cast(DEC)).cast("double"), 6)
+
+
+FLOW6_SQL = "ROUND(CAST(SUM(CAST(ABS(value) AS DECIMAL(18,8))) AS DOUBLE), 6)"
+
+
+# ---------------------------------------------------------------------------
+# §3.1 ranking card: P7 latest snapshot + P4 period + J3 base join + W10 top-N
+# ---------------------------------------------------------------------------
+@query(
+    "ranking_card_1h",
+    survey="§3.1 ranking card: P7 latest-batch + P4 period filter + J3 base-data "
+    "join + W10 top-N (cards/data_provider.py:412-543, 排行榜服务.py:146-168)",
+    description="Top-10 user ranking card on the latest 1h snapshot, joined to base stats",
+    oracle="""
+WITH ind AS (  -- the "indicator table": per (user, 1h bucket) metrics
+  SELECT
+    user_id,
+    time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+    max_by(value, ts) AS close,
+    ROUND(CAST(SUM(CAST(ABS(value) AS DECIMAL(18,8))) AS DOUBLE), 6) AS flow,
+    COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+latest AS (  -- P7: consistent snapshot at the table-max bucket
+  SELECT * FROM ind WHERE bucket_ts = (SELECT MAX(bucket_ts) FROM ind)
+),
+base AS (    -- J3 base-data table: whole-history per-user stats
+  SELECT
+    user_id,
+    COUNT(*) AS total_events,
+    ROUND(CAST(SUM(CAST(ABS(value) AS DECIMAL(18,8))) AS DOUBLE), 6) AS total_flow
+  FROM events GROUP BY user_id
+)
+SELECT
+  l.user_id, strftime(l.bucket_ts, '%Y-%m-%d %H:%M:%S') AS snapshot_ts,
+  l.close, l.flow, l.n_events,
+  b.total_events, b.total_flow
+FROM latest l JOIN base b USING (user_id)
+ORDER BY l.flow DESC, l.user_id LIMIT 10
+""",
+)
+def ranking_card_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot side after the P7 filter is ≤ |users| rows and the
+    base side is an aggregate of the same scan — Catalyst broadcasts
+    both ends of the join; the final top-10 is TakeOrderedAndProject."""
+    e = _events(spark, sf_dir)
+    ind = e.groupBy(
+        "user_id", F.window("ts", "1 hour").start.alias("bucket_ts")
+    ).agg(
+        F.max_by("value", "ts").alias("close"),
+        _flow6().alias("flow"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    mx = ind.agg(F.max("bucket_ts").alias("mx"))
+    latest = ind.join(F.broadcast(mx), on=ind["bucket_ts"] == mx["mx"]).drop("mx")
+    base = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("total_events"),
+        _flow6().alias("total_flow"),
+    )
+    return (
+        latest.join(base, "user_id")
+        .select(
+            "user_id",
+            F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("snapshot_ts"),
+            "close", "flow", "n_events", "total_events", "total_flow",
+        )
+        .orderBy(F.desc("flow"), "user_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §3.1 single-token panel: J4 star-gather across "indicator tables"
+# ---------------------------------------------------------------------------
+@query(
+    "single_token_panel",
+    survey="§2.3 J4 all-tables gather for one symbol (sqlite_engine.py:193-200, "
+    "bot/single_token_txt.py:334-430) — N point-lookups → one UNION ALL",
+    description="Latest row of each interval 'indicator table' for event_type='purchase'",
+    oracle="""
+WITH src AS (SELECT * FROM events WHERE event_type = 'purchase')
+SELECT * FROM (
+  SELECT 'candles_1h' AS panel_table,
+         strftime(MAX(time_bucket(INTERVAL '1 hour', ts)), '%Y-%m-%d %H:%M:%S') AS ts,
+         max_by(value, ts) AS close,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM src WHERE time_bucket(INTERVAL '1 hour', ts)
+    = (SELECT MAX(time_bucket(INTERVAL '1 hour', ts)) FROM src)
+  UNION ALL
+  SELECT 'candles_4h',
+         strftime(MAX(time_bucket(INTERVAL '4 hours', ts)), '%Y-%m-%d %H:%M:%S'),
+         max_by(value, ts), COUNT(*)
+  FROM src WHERE time_bucket(INTERVAL '4 hours', ts)
+    = (SELECT MAX(time_bucket(INTERVAL '4 hours', ts)) FROM src)
+  UNION ALL
+  SELECT 'candles_1d',
+         strftime(MAX(time_bucket(INTERVAL '1 day', ts)), '%Y-%m-%d %H:%M:%S'),
+         max_by(value, ts), COUNT(*)
+  FROM src WHERE time_bucket(INTERVAL '1 day', ts)
+    = (SELECT MAX(time_bucket(INTERVAL '1 day', ts)) FROM src)
+)
+""",
+)
+def single_token_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference does N SQLite point-lookups per panel; here each
+    'table' is the latest bucket of an interval rollup for the one key,
+    and the gather is a UNION ALL of 1-row aggregates — each branch
+    prunes to the single filtered key before aggregating."""
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    parts = []
+    for name, iv in [("candles_1h", "1 hour"), ("candles_4h", "4 hours"),
+                     ("candles_1d", "1 day")]:
+        bucketed = e.select(
+            F.window("ts", iv).start.alias("b"), "ts", "value"
+        )
+        mx = bucketed.agg(F.max("b").alias("mx"))
+        parts.append(
+            bucketed.join(F.broadcast(mx), on=bucketed["b"] == mx["mx"])
+            .agg(
+                F.lit(name).alias("panel_table"),
+                F.date_format(F.max("b"), "yyyy-MM-dd HH:mm:ss").alias("ts"),
+                F.max_by("value", "ts").alias("close"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# §2.1 S14 REST shapes
+# ---------------------------------------------------------------------------
+@query(
+    "rest_ohlc_history",
+    survey="§2.1 S14 OHLC history endpoint (api-service routers/ohlc.py:37-55): "
+    "time-range predicate + ORDER BY DESC LIMIT",
+    description="Last 100 hourly OHLC bars for event_type='purchase'",
+    oracle="""
+SELECT
+  strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+  open, high, low, close, trade_count
+FROM (
+  SELECT
+    time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+    min_by(value, ts) AS open, MAX(value) AS high,
+    MIN(value) AS low, max_by(value, ts) AS close,
+    CAST(COUNT(*) AS BIGINT) AS trade_count
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+) ORDER BY bucket_ts DESC LIMIT 100
+""",
+)
+def rest_ohlc_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The symbol filter pushes into the parquet scan; the DESC limit is
+    TakeOrderedAndProject over the (small) rollup output."""
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    bars = ohlcv_rollup(e, [], "ts", "value", interval_sec=3600)
+    return (
+        bars.orderBy(F.desc("bucket_ts"))
+        .limit(100)
+        .select(
+            F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+            "open", "high", "low", "close", "trade_count",
+        )
+    )
+
+
+@query(
+    "rest_supported_coins",
+    survey="§2.1 S14 supported-coins DISTINCT endpoint (routers/coins.py:117)",
+    description="Every event_type with row count, user count, first/last ts",
+    oracle="""
+SELECT
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM events GROUP BY event_type
+""",
+)
+def rest_supported_coins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )
+
+
+@query(
+    "rest_oi_history",
+    survey="§2.1 S14 open-interest history (routers/open_interest.py:37-50) + "
+    "§2.4 A2 last(value,t) metrics rollup (007_metrics_cagg_from_5m.sql:92-107)",
+    description="Last 50 hourly last-value snapshots for event_type='view'",
+    oracle="""
+SELECT
+  strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+  last_value, n_samples
+FROM (
+  SELECT
+    time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+    max_by(value, ts) AS last_value,
+    CAST(COUNT(*) AS BIGINT) AS n_samples
+  FROM events WHERE event_type = 'view'
+  GROUP BY 1
+) ORDER BY bucket_ts DESC LIMIT 50
+""",
+)
+def rest_oi_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "view")
+    snap = e.groupBy(F.window("ts", "1 hour").start.alias("bucket_ts")).agg(
+        F.max_by("value", "ts").alias("last_value"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+    return (
+        snap.orderBy(F.desc("bucket_ts"))
+        .limit(50)
+        .select(
+            F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+            "last_value", "n_samples",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A4 global totals over latest-per-group
+# ---------------------------------------------------------------------------
+@query(
+    "global_totals_latest",
+    survey="§2.4 A4 global totals over DISTINCT-ON latest rows "
+    "(core/engine.py:294-315)",
+    description="Per event_type: sum/count of each user's LATEST value",
+    oracle="""
+WITH latest AS (
+  SELECT DISTINCT ON (event_type, user_id) event_type, user_id, value
+  FROM events ORDER BY event_type, user_id, ts DESC
+)
+SELECT
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_users,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE), 6) AS total_latest
+FROM latest GROUP BY event_type
+""",
+)
+def global_totals_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """latest-per-group as a max_by aggregate (no window sort), then a
+    second tiny aggregate — two map-combinable shuffles, no row explosion."""
+    e = _events(spark, sf_dir)
+    latest = latest_per_group(
+        e.select("event_type", "user_id", "ts", "value"),
+        ["event_type", "user_id"], "ts",
+    )
+    return latest.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 6).alias(
+            "total_latest"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A6 percentile / stddev rollup
+# ---------------------------------------------------------------------------
+@query(
+    "stats_profile_by_type",
+    survey="§2.4 A6 order-book style stats rollup (03_raw_crypto.sql:391-460): "
+    "AVG/MAX/MIN, PERCENTILE, STDDEV — exact cross-engine formulation",
+    description="Per event_type: count, exact mean/min/max, discrete p95, sample stddev",
+    oracle="""
+WITH c AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+agg AS (
+  SELECT
+    event_type,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(cents) AS DECIMAL(38,0)) AS s,
+    CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0)) AS sq,
+    MIN(cents) AS mn,
+    MAX(cents) AS mx,
+    quantile_disc(cents, 0.95) AS p95c
+  FROM c GROUP BY event_type
+)
+SELECT
+  event_type, n,
+  ROUND(CAST(s AS DOUBLE) / n / 100.0, 6) AS mean_value,
+  mn / 100.0 AS min_value,
+  mx / 100.0 AS max_value,
+  p95c / 100.0 AS p95_value,
+  ROUND(sqrt((CAST(sq AS DOUBLE) * n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (n - 1))) / 100.0, 6) AS stddev_value
+FROM agg
+""",
+)
+def stats_profile_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactness strategy: scale to integer cents so SUM/SUMSQ are exact
+    in DECIMAL(38,0) regardless of partition order, then derive
+    mean/stddev in double with a fixed operation sequence both engines
+    share. p95 is the DISCRETE percentile (an actual data value at
+    rank ceil(0.95 n)) — interpolated percentiles differ in ulps across
+    engines, rank-based ones cannot."""
+    e = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long").alias("cents")
+    c = e.select("event_type", cents)
+    d38 = "decimal(38,0)"
+    agg = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast(d38)).cast(d38).alias("s"),
+        F.sum(F.col("cents").cast(d38) * F.col("cents")).cast(d38).alias("sq"),
+        F.min("cents").alias("mn"),
+        F.max("cents").alias("mx"),
+        # discrete p95: smallest value whose rank >= ceil(0.95*n).
+        # percentile(..., frequency) is interpolated in Spark, so sort the
+        # exact integer multiset and index it — JVM-side, no UDF.
+        F.element_at(
+            F.array_sort(F.collect_list("cents")),
+            F.ceil(F.count(F.lit(1)) * 0.95).cast("int"),
+        ).alias("p95c"),
+    )
+    n = F.col("n")
+    sd = F.col("s").cast("double")
+    sqd = F.col("sq").cast("double")
+    return agg.select(
+        "event_type", "n",
+        F.round(sd / n / 100.0, 6).alias("mean_value"),
+        (F.col("mn") / 100.0).alias("min_value"),
+        (F.col("mx") / 100.0).alias("max_value"),
+        (F.col("p95c") / 100.0).alias("p95_value"),
+        F.round(
+            F.sqrt((sqd * n - sd * sd) / (n.cast("double") * (n - 1))) / 100.0, 6
+        ).alias("stddev_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §3.3 AI-context snapshot + P3 freshness gate
+# ---------------------------------------------------------------------------
+@query(
+    "ai_context_snapshot",
+    survey="§3.3 AI context assembly (ai-service/src/data/fetcher.py:53-353): "
+    "per (symbol, interval) the latest rollup row via HAVING ts=MAX",
+    description="Latest 1h/4h/1d bucket per event_type with close and flow",
+    oracle="""
+SELECT event_type, interval_label,
+       strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket_ts, close, flow
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY event_type, interval_label ORDER BY bucket_ts DESC) AS rn
+  FROM (
+    SELECT event_type, '1h' AS interval_label,
+           time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+           max_by(value, ts) AS close,
+           ROUND(CAST(SUM(CAST(ABS(value) AS DECIMAL(18,8))) AS DOUBLE), 6) AS flow
+    FROM events GROUP BY 1, 3
+    UNION ALL
+    SELECT event_type, '4h',
+           time_bucket(INTERVAL '4 hours', ts),
+           max_by(value, ts),
+           ROUND(CAST(SUM(CAST(ABS(value) AS DECIMAL(18,8))) AS DOUBLE), 6)
+    FROM events GROUP BY 1, 3
+    UNION ALL
+    SELECT event_type, '1d',
+           time_bucket(INTERVAL '1 day', ts),
+           max_by(value, ts),
+           ROUND(CAST(SUM(CAST(ABS(value) AS DECIMAL(18,8))) AS DOUBLE), 6)
+    FROM events GROUP BY 1, 3
+  )
+) WHERE rn = 1
+""",
+)
+def ai_context_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    parts = []
+    for label, iv in [("1h", "1 hour"), ("4h", "4 hours"), ("1d", "1 day")]:
+        parts.append(
+            e.groupBy(
+                "event_type", F.window("ts", iv).start.alias("bucket_ts")
+            )
+            .agg(F.max_by("value", "ts").alias("close"), _flow6().alias("flow"))
+            .withColumn("interval_label", F.lit(label))
+        )
+    allb = parts[0]
+    for p in parts[1:]:
+        allb = allb.unionByName(p)
+    latest = latest_per_group(allb, ["event_type", "interval_label"], "bucket_ts")
+    return latest.select(
+        "event_type", "interval_label",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "close", "flow",
+    )
+
+
+@query(
+    "freshness_gate",
+    survey="§2.2 P2/P3 freshness filter (sqlite_engine.py:138-147, "
+    "pg_engine.py:510-519): drop rows older than 1.5× interval",
+    description="Rows within 90 min of each type's max ts: count + flow",
+    oracle="""
+WITH mx AS (SELECT event_type, MAX(ts) AS max_ts FROM events GROUP BY event_type)
+SELECT
+  e.event_type,
+  CAST(COUNT(*) AS BIGINT) AS fresh_rows,
+  ROUND(CAST(SUM(CAST(ABS(e.value) AS DECIMAL(18,8))) AS DOUBLE), 6) AS fresh_flow
+FROM events e JOIN mx ON e.event_type = mx.event_type
+WHERE e.ts >= mx.max_ts - INTERVAL 90 MINUTE
+GROUP BY e.event_type
+""",
+)
+def freshness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The max-ts side is |types| rows — broadcast; the range predicate
+    then prunes at the scan on a date-partitioned deployment."""
+    e = _events(spark, sf_dir)
+    mx = e.groupBy("event_type").agg(F.max("ts").alias("max_ts"))
+    return (
+        e.join(F.broadcast(mx), "event_type")
+        .filter(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 90 MINUTES"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("fresh_rows"),
+            _flow6().alias("fresh_flow"),
+        )
+    )

@@ -173,3 +173,149 @@ def ann_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
         .agg(F.round(F.avg("x"), 6).alias("centroid"))
     )
+
+
+@query(
+    "dedup_embedding_cosine",
+    survey="north-star dedup: embedding-cosine near-duplicate candidates "
+    "(IVF-cell-scoped pairing — pairs only form within a label cell)",
+    description="Top-20 most-similar same-label vector pairs by cosine",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
+),
+pairs AS (
+  SELECT
+    a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+    ROUND(list_dot_product(a.dv, b.dv)
+          / NULLIF(sqrt(list_dot_product(a.dv, a.dv))
+                   * sqrt(list_dot_product(b.dv, b.dv)), 0), 6) AS cos_sim
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, label, cos_sim
+FROM pairs ORDER BY cos_sim DESC, id_a, id_b LIMIT 20
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup scan scoped to the coarse-quantizer cell (label): the
+    self-join is an equi-join on label, so at 100 TB each cell's pairs
+    form inside one shuffle partition instead of a global cross join.
+    The synthetic corpus has no true duplicates, so the query ranks the
+    top candidates; a production dedup would threshold cos_sim."""
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("id_a"), "label", F.col("vec").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), "label", F.col("vec").alias("vb"))
+    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "label",
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+    )
+    return pairs.orderBy(F.desc("cos_sim"), "id_a", "id_b").limit(20)
+
+
+@query(
+    "ann_ivf_search",
+    survey="north-star similarity search: IVF probe — assign each query to "
+    "its nearest coarse centroid, then search only that cell",
+    description="Top-3 neighbors per query vector, searched within the nearest-centroid cell",
+    oracle="""
+WITH cent AS (
+  SELECT label, list(c ORDER BY dim) AS cv FROM (
+    SELECT label, i AS dim, ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS c
+    FROM embeddings,
+         LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+    GROUP BY label, i
+  ) GROUP BY label
+),
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+assign AS (
+  SELECT query_id, qv, label AS cell_label FROM (
+    SELECT q.query_id, q.qv, c.label,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        ROUND(list_dot_product(q.qv, q.qv)
+              - 2 * list_dot_product(q.qv, c.cv)
+              + list_dot_product(c.cv, c.cv), 6) ASC,
+        c.label ASC) AS rn
+    FROM q, cent c
+  ) WHERE rn = 1
+),
+cand AS (
+  SELECT vec_id AS neighbor_id, label, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+)
+SELECT query_id, cell_label, neighbor_id, cos_sim FROM (
+  SELECT a.query_id, a.cell_label, cand.neighbor_id,
+    ROUND(list_dot_product(a.qv, cand.cv)
+          / NULLIF(sqrt(list_dot_product(a.qv, a.qv))
+                   * sqrt(list_dot_product(cand.cv, cand.cv)), 0), 6) AS cos_sim,
+    ROW_NUMBER() OVER (PARTITION BY a.query_id ORDER BY
+      ROUND(list_dot_product(a.qv, cand.cv)
+            / NULLIF(sqrt(list_dot_product(a.qv, a.qv))
+                     * sqrt(list_dot_product(cand.cv, cand.cv)), 0), 6) DESC,
+      cand.neighbor_id ASC) AS rn
+  FROM assign a JOIN cand ON cand.label = a.cell_label
+                         AND cand.neighbor_id <> a.query_id
+) WHERE rn <= 3
+""",
+)
+def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF scale path end-to-end: centroids are a tiny aggregate
+    (|labels| × dim rows, broadcast), assignment is a |queries|×|labels|
+    nested-loop on the driver-side broadcast, and the candidate search
+    is an equi-join on the cell id — the corpus is never cross-joined.
+    dist² uses the rounded centroids and the identical
+    |q|² − 2q·c + |c|² fold on both engines so the argmin is stable."""
+    e = _emb(spark, sf_dir)
+    # centroid arrays per label, dims averaged then re-assembled in order
+    cent = (
+        e.select("label", F.posexplode("vec").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cv")
+        )
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv")
+    )
+    dist2 = F.round(
+        dot(F.col("qv"), F.col("qv"))
+        - 2 * dot(F.col("qv"), F.col("cv"))
+        + dot(F.col("cv"), F.col("cv")),
+        6,
+    )
+    aw = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("label"))
+    assign = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "qv", "label", dist2.alias("d2"))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "qv", F.col("label").alias("cell_label"))
+    )
+    cand = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("cell_label"),
+        F.col("vec").alias("cv"),
+    )
+    sims = (
+        cand.join(F.broadcast(assign), "cell_label")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "cell_label", "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    sw = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(sw))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )

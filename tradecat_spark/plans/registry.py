@@ -64,6 +64,8 @@ def load_all() -> dict[str, QuerySpec]:
         q_text,
         q_similarity,
         q_surface,
+        q_serving,
+        q_multimodal,
     )
 
     return REGISTRY
