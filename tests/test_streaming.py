@@ -1,0 +1,213 @@
+"""Structured Streaming layer tests (SURVEY.md §2.11 parity laws).
+
+Strategy: drive each streaming op with a file source + availableNow
+trigger into a memory sink, and assert it agrees with the equivalent
+batch operator over the same rows — the stream/batch parity that makes
+backfill reconciliation sound.
+"""
+
+from __future__ import annotations
+
+import random
+import uuid
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tradecat_spark.operators.rollup import ohlcv_rollup
+from tradecat_spark.signals.engine import evaluate_rules, with_prev
+from tradecat_spark.signals.rules import (
+    DEFAULT_RULES,
+    ConditionType,
+    SignalRule,
+    compile_condition,
+    eval_condition_py,
+)
+from tradecat_spark.streaming.ingest import upsert_batch
+from tradecat_spark.streaming.rollup import streaming_ohlcv
+from tradecat_spark.streaming.signals import streaming_signals
+
+
+@pytest.fixture()
+def events_subset(spark, sf_dir, tmp_path):
+    """A small slice of the events table written as a streamable dir."""
+    src = str(tmp_path / "stream_src")
+    df = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", F.expr("timestamp_micros(ts div 1000)").alias("ts")
+                if dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)
+                .get("ts") == "bigint" else F.col("ts"),
+                "event_type", "value")
+        .limit(4000)
+    )
+    df.write.mode("overwrite").parquet(src)
+    return src, df
+
+
+def _run_stream(df, queryname):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(queryname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_rollup_matches_batch(spark, events_subset, tmp_path):
+    src, df = events_subset
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    rolled = streaming_ohlcv(
+        stream, ["event_type"], "ts", "value", interval="5 minutes",
+        watermark="1 minute",
+    )
+    name = f"roll_{uuid.uuid4().hex[:8]}"
+    _run_stream(rolled, name)
+    got = spark.sql(f"SELECT * FROM {name}")
+    want = ohlcv_rollup(
+        spark.read.parquet(src), ["event_type"], "ts", "value",
+        interval_sec=300,
+    )
+    cols = ["event_type", "bucket_ts", "open", "high", "low", "close",
+            "trade_count"]
+    g = sorted(map(tuple, got.select(cols).collect()))
+    w = sorted(map(tuple, want.select(cols).collect()))
+    assert g == w and len(g) > 0
+
+
+def test_ingest_merge_law(spark, tmp_path):
+    """Partial bar then closing bar through the foreachBatch upsert."""
+    store = str(tmp_path / "bars")
+    keys = ["symbol", "bucket_ts"]
+    t0 = pd.Timestamp("2025-01-01 00:00:00")
+    partial = spark.createDataFrame(
+        pd.DataFrame([
+            dict(symbol="BTC", bucket_ts=t0, open=100.0, high=105.0,
+                 low=99.0, close=104.0, trade_count=10, is_closed=False),
+        ])
+    )
+    closing = spark.createDataFrame(
+        pd.DataFrame([
+            # same bar arrives again: higher high, lower low, closed
+            dict(symbol="BTC", bucket_ts=t0, open=101.0, high=107.0,
+                 low=98.0, close=106.0, trade_count=25, is_closed=True),
+            dict(symbol="ETH", bucket_ts=t0, open=10.0, high=11.0,
+                 low=9.0, close=10.5, trade_count=5, is_closed=True),
+        ])
+    )
+    upsert_batch(spark, partial, store, keys)
+    upsert_batch(spark, closing, store, keys)
+    rows = {r["symbol"]: r for r in spark.read.parquet(store).collect()}
+    btc = rows["BTC"]
+    # open: target bar was NOT closed → incoming open wins
+    assert btc["open"] == 101.0
+    assert btc["high"] == 107.0 and btc["low"] == 98.0
+    assert btc["close"] == 106.0 and btc["is_closed"] is True
+    assert btc["trade_count"] == 25
+    assert rows["ETH"]["close"] == 10.5
+
+    # replay the closing batch: idempotent (open keeps closed-bar rule)
+    upsert_batch(spark, closing, store, keys)
+    btc2 = {r["symbol"]: r for r in spark.read.parquet(store).collect()}["BTC"]
+    assert (btc2["open"], btc2["high"], btc2["low"], btc2["close"]) == (
+        101.0, 107.0, 98.0, 106.0,
+    )
+
+
+RULES = [
+    SignalRule(
+        "thr_up", "t", ConditionType.THRESHOLD_CROSS_UP,
+        {"field": "x", "threshold": 50.0}, direction="long",
+    ),
+    SignalRule(
+        "cross_dn", "t", ConditionType.CROSS_DOWN,
+        {"fast": "x", "slow": "y"}, direction="short",
+    ),
+    SignalRule(
+        "state", "t", ConditionType.STATE_CHANGE,
+        {"field": "label", "to": "hot"},
+    ),
+]
+
+
+def _snapshots(spark):
+    random.seed(7)
+    rows = []
+    t0 = pd.Timestamp("2025-01-01 00:00:00")
+    for key in ["a", "b", "c"]:
+        for i in range(40):
+            rows.append(
+                dict(
+                    k=key,
+                    snap_ts=t0 + pd.Timedelta(minutes=10 * i),
+                    x=float(random.randint(0, 100)),
+                    y=float(random.randint(0, 100)),
+                    label=random.choice(["hot", "cold", "warm"]),
+                )
+            )
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_streaming_signals_match_batch(spark, tmp_path):
+    snaps = _snapshots(spark)
+    src = str(tmp_path / "snaps")
+    snaps.write.mode("overwrite").parquet(src)
+
+    batch_events = evaluate_rules(
+        spark.read.parquet(src), RULES, ["k"], "snap_ts",
+        cooldown_sec=3600,
+    )
+    want = sorted(
+        (r["k"], r["fired_at"], r["rule"]) for r in batch_events.collect()
+    )
+
+    stream = spark.readStream.schema(snaps.schema).parquet(src)
+    sig = streaming_signals(stream, RULES, ["k"], "snap_ts", cooldown_sec=3600)
+    name = f"sig_{uuid.uuid4().hex[:8]}"
+    q = (
+        sig.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["k"], r["fired_at"], r["rule"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    )
+    assert len(want) > 0
+    assert got == want
+
+
+def test_py_and_column_rule_eval_agree(spark):
+    """The streaming (Python) and batch (Column) evaluators implement the
+    same 8-type semantics — fuzz them against each other."""
+    snaps = _snapshots(spark)
+    rules = RULES + [
+        SignalRule("rng_in", "t", ConditionType.RANGE_ENTER,
+                   {"field": "x", "low": 40, "high": 60}),
+        SignalRule("rng_out", "t", ConditionType.RANGE_EXIT,
+                   {"field": "x", "low": 40, "high": 60}),
+        SignalRule("contains", "t", ConditionType.CONTAINS,
+                   {"field": "label", "values": ["ho", "ld"], "mode": "any"}),
+        SignalRule("thr_dn", "t", ConditionType.THRESHOLD_CROSS_DOWN,
+                   {"field": "y", "threshold": 25.0}),
+        SignalRule("cross_up", "t", ConditionType.CROSS_UP,
+                   {"fast": "x", "slow": "y"}),
+    ]
+    prev = with_prev(snaps, ["k"], "snap_ts").toPandas()
+    for rule in rules:
+        col_hits = set()
+        df = with_prev(snaps, ["k"], "snap_ts").filter(compile_condition(rule))
+        for r in df.collect():
+            col_hits.add((r["k"], r["snap_ts"]))
+        py_hits = set()
+        for _, row in prev.iterrows():
+            p = {c[len("prev_"):]: row[c] for c in prev.columns
+                 if c.startswith("prev_") and pd.notna(row[c])}
+            c_ = {c: row[c] for c in ["x", "y", "label"]}
+            if eval_condition_py(rule, p, c_):
+                py_hits.add((row["k"], row["snap_ts"]))
+        assert py_hits == col_hits, rule.name

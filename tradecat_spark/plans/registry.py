@@ -66,6 +66,7 @@ def load_all() -> dict[str, QuerySpec]:
         q_surface,
         q_serving,
         q_multimodal,
+        q_streaming,
     )
 
     return REGISTRY

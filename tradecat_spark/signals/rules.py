@@ -151,3 +151,68 @@ DEFAULT_RULES: list[SignalRule] = [
         category="volatility",
     ),
 ]
+
+
+def eval_condition_py(rule: SignalRule, prev: dict, curr: dict) -> bool:
+    """Python-side evaluation of a rule over (prev, curr) row dicts —
+    the reference's own evaluation shape (rules/base.py:47-160), used by
+    the stateful streaming engine where rows arrive one snapshot at a
+    time. Semantics MUST match ``compile_condition``; tests assert the
+    two agree on randomized snapshots.
+
+    SQL three-valued logic: any comparison against a missing/None field
+    is False (Column semantics), so both paths drop first-snapshot rows.
+    """
+    cfg = rule.condition_config
+    ct = rule.condition_type
+
+    def p(f):
+        return prev.get(f) if prev else None
+
+    def c(f):
+        return curr.get(f)
+
+    def ok(*vals):
+        return all(v is not None for v in vals)
+
+    if ct == ConditionType.STATE_CHANGE:
+        f, target = cfg["field"], cfg["to"]
+        if not ok(p(f), c(f)):
+            return False
+        if p(f) == target or c(f) != target:
+            return False
+        from_any = cfg.get("from")
+        return from_any is None or p(f) in from_any
+    if ct == ConditionType.THRESHOLD_CROSS_UP:
+        f, th = cfg["field"], float(cfg["threshold"])
+        return ok(p(f), c(f)) and p(f) <= th < c(f)
+    if ct == ConditionType.THRESHOLD_CROSS_DOWN:
+        f, th = cfg["field"], float(cfg["threshold"])
+        return ok(p(f), c(f)) and p(f) >= th > c(f)
+    if ct == ConditionType.CROSS_UP:
+        a, b = cfg["fast"], cfg["slow"]
+        return (
+            ok(p(a), p(b), c(a), c(b)) and p(a) <= p(b) and c(a) > c(b)
+        )
+    if ct == ConditionType.CROSS_DOWN:
+        a, b = cfg["fast"], cfg["slow"]
+        return (
+            ok(p(a), p(b), c(a), c(b)) and p(a) >= p(b) and c(a) < c(b)
+        )
+    if ct == ConditionType.CONTAINS:
+        f, needles = cfg["field"], cfg["values"]
+        if c(f) is None:
+            return False
+        hits = [n in c(f) for n in needles]
+        return all(hits) if cfg.get("mode", "any") == "all" else any(hits)
+    if ct == ConditionType.RANGE_ENTER:
+        f, lo, hi = cfg["field"], float(cfg["low"]), float(cfg["high"])
+        return (
+            ok(p(f), c(f)) and not (lo <= p(f) <= hi) and lo <= c(f) <= hi
+        )
+    if ct == ConditionType.RANGE_EXIT:
+        f, lo, hi = cfg["field"], float(cfg["low"]), float(cfg["high"])
+        return (
+            ok(p(f), c(f)) and lo <= p(f) <= hi and not (lo <= c(f) <= hi)
+        )
+    raise ValueError(f"unknown condition type {ct}")
