@@ -1,0 +1,94 @@
+"""Source adapters: CSV backfill normalization/merge and order-book
+projections (SURVEY §2.1 S7/S12)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from tradecat_spark.sources import (
+    backfill_merge,
+    depth_bands,
+    l1_projection,
+    load_vision_csv,
+)
+
+
+@pytest.fixture()
+def vision_csv(tmp_path):
+    # two 1m bars in Binance Vision layout (headerless, 12 cols)
+    rows = [
+        "1735689600000,100.0,105.0,99.0,104.0,12.5,1735689659999,1300.0,42,7.0,730.0,0",
+        "1735689660000,104.0,106.0,103.0,105.5,8.0,1735689719999,850.0,30,4.0,420.0,0",
+    ]
+    p = tmp_path / "BTCUSDT-1m-2025-01-01.csv"
+    p.write_text("\n".join(rows) + "\n")
+    return str(p)
+
+
+def test_load_vision_csv(spark, vision_csv):
+    df = load_vision_csv(spark, vision_csv, "BTCUSDT").sort("bucket_ts")
+    rows = df.collect()
+    assert len(rows) == 2
+    r = rows[0]
+    assert r["symbol"] == "BTCUSDT" and r["exchange"] == "binance"
+    assert str(r["bucket_ts"]) == "2025-01-01 00:00:00"
+    assert (r["open"], r["high"], r["low"], r["close"]) == (100.0, 105.0, 99.0, 104.0)
+    assert r["trade_count"] == 42 and r["is_closed"] is True
+    # minute alignment law
+    assert all(x["bucket_ts"].second == 0 for x in rows)
+
+
+def test_backfill_merge_repairs_partial_bars(spark, tmp_path, vision_csv):
+    store = str(tmp_path / "bronze")
+    # a pre-existing PARTIAL bar for the first minute (live ingest got cut)
+    partial = spark.createDataFrame(
+        pd.DataFrame([
+            dict(exchange="binance", symbol="BTCUSDT",
+                 bucket_ts=pd.Timestamp("2025-01-01 00:00:00"),
+                 open=100.2, high=101.0, low=100.0, close=100.9,
+                 trade_count=5, is_closed=False),
+        ])
+    )
+    partial.write.parquet(store)
+    incoming = load_vision_csv(spark, vision_csv, "BTCUSDT")
+    merged = backfill_merge(spark, store, incoming)
+    got = {str(r["bucket_ts"]): r for r in merged.collect()}
+    assert len(got) == 2
+    bar = got["2025-01-01 00:00:00"]
+    # archive bar is authoritative: high=max, low=min, close=archive, closed
+    assert bar["high"] == 105.0 and bar["low"] == 99.0
+    assert bar["close"] == 104.0 and bar["is_closed"] is True
+    # partial bar was open → archive open wins
+    assert bar["open"] == 100.0
+
+
+def test_l1_projection_and_depth_bands(spark):
+    ticks = spark.createDataFrame(
+        pd.DataFrame([
+            dict(ts=1, bid_price=99.0, ask_price=101.0, bid_qty=30.0, ask_qty=10.0),
+            dict(ts=2, bid_price=100.0, ask_price=100.0, bid_qty=0.0, ask_qty=0.0),
+        ])
+    )
+    out = {r["ts"]: r for r in l1_projection(ticks).collect()}
+    t1 = out[1]
+    assert t1["mid"] == 100.0 and t1["spread"] == 2.0
+    assert t1["spread_bps"] == pytest.approx(200.0)
+    assert t1["imbalance"] == pytest.approx(0.5)
+    assert t1["microprice"] == pytest.approx((101 * 30 + 99 * 10) / 40)
+    # zero-qty tick: imbalance/microprice NULL, not div-by-zero
+    assert out[2]["imbalance"] is None and out[2]["microprice"] is None
+
+    levels = spark.createDataFrame(
+        pd.DataFrame([
+            dict(snap_id=1, mid=100.0, side="bid", price=99.8, qty=5.0),
+            dict(snap_id=1, mid=100.0, side="bid", price=99.0, qty=7.0),
+            dict(snap_id=1, mid=100.0, side="ask", price=100.3, qty=2.0),
+            dict(snap_id=1, mid=100.0, side="ask", price=103.0, qty=9.0),
+        ])
+    )
+    bands = depth_bands(levels).collect()[0]
+    assert bands["bid_depth_0_5pct"] == 5.0          # only 99.8 within ±0.5%
+    assert bands["bid_depth_1_0pct"] == 12.0         # 99.8 + 99.0
+    assert bands["ask_depth_0_5pct"] == 2.0
+    assert bands["ask_depth_2_0pct"] == 2.0          # 103 is outside ±2%

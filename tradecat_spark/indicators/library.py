@@ -473,3 +473,131 @@ def i_buy_sell_ratio(b: pd.DataFrame):
     buy = t.volume.where(t.close >= t.open, 0.0).sum()
     tot = t.volume.sum()
     return {"taker_ratio": float(buy / tot) if tot else float("nan")}
+
+
+@register(
+    "mfi", [("mfi14", D), ("mfi_state", S)],
+    citation="batch/mfi.py:8-26", min_data=15,
+)
+def i_mfi(b: pd.DataFrame):
+    m = _last(ta.mfi(b.high, b.low, b.close, b.volume, 14))
+    state = "overbought" if m >= 80 else ("oversold" if m <= 20 else "neutral")
+    return {"mfi14": m, "mfi_state": state}
+
+
+@register(
+    "k_pattern",
+    [("pattern", S), ("pattern_dir", S), ("n_patterns_20", "long")],
+    citation="batch/k_pattern.py:52-241 (TA-Lib CDL set; pure-python "
+    "fallback mirrors k_pattern.py:52-67 try/except path)",
+    min_data=5,
+)
+def i_k_pattern(b: pd.DataFrame):
+    """Classic candlestick patterns on the latest bar, pure numpy —
+    the reference's TA-Lib-unavailable fallback path. Covers the
+    high-signal subset: doji, hammer, shooting star, bullish/bearish
+    engulfing, harami, three white soldiers / black crows."""
+    o, h, l, c = (x.to_numpy() for x in (b.open, b.high, b.low, b.close))
+    body = np.abs(c - o)
+    rng = np.maximum(h - l, 1e-12)
+    upper = h - np.maximum(o, c)
+    lower = np.minimum(o, c) - l
+    i = len(c) - 1
+
+    def bull(j): return c[j] > o[j]
+    def bear(j): return c[j] < o[j]
+
+    name, direction = "none", "neutral"
+    if body[i] <= 0.1 * rng[i]:
+        name, direction = "doji", "neutral"
+    elif lower[i] >= 2 * body[i] and upper[i] <= 0.3 * body[i] + 1e-12:
+        name, direction = "hammer", "bull"
+    elif upper[i] >= 2 * body[i] and lower[i] <= 0.3 * body[i] + 1e-12:
+        name, direction = "shooting_star", "bear"
+    elif i >= 1 and bear(i - 1) and bull(i) and o[i] <= c[i - 1] and c[i] >= o[i - 1]:
+        name, direction = "bullish_engulfing", "bull"
+    elif i >= 1 and bull(i - 1) and bear(i) and o[i] >= c[i - 1] and c[i] <= o[i - 1]:
+        name, direction = "bearish_engulfing", "bear"
+    elif i >= 1 and body[i] < body[i - 1] and max(o[i], c[i]) <= max(o[i - 1], c[i - 1]) and min(o[i], c[i]) >= min(o[i - 1], c[i - 1]):
+        name, direction = "harami", "neutral"
+    elif i >= 2 and all(bull(j) for j in (i - 2, i - 1, i)) and c[i] > c[i - 1] > c[i - 2]:
+        name, direction = "three_white_soldiers", "bull"
+    elif i >= 2 and all(bear(j) for j in (i - 2, i - 1, i)) and c[i] < c[i - 1] < c[i - 2]:
+        name, direction = "three_black_crows", "bear"
+
+    # count doji-or-engulfing occurrences over the last 20 bars
+    n = 0
+    for j in range(max(1, len(c) - 20), len(c)):
+        if body[j] <= 0.1 * rng[j]:
+            n += 1
+        elif bear(j - 1) and bull(j) and o[j] <= c[j - 1] and c[j] >= o[j - 1]:
+            n += 1
+        elif bull(j - 1) and bear(j) and o[j] >= c[j - 1] and c[j] <= o[j - 1]:
+            n += 1
+    return {"pattern": name, "pattern_dir": direction, "n_patterns_20": n}
+
+
+@register(
+    "gap_monitor", [("n_gaps", "long"), ("max_gap_bars", "long")],
+    citation="batch/futures_gap_monitor.py (adjacent-bucket gap scan)",
+    min_data=3,
+)
+def i_gap_monitor(b: pd.DataFrame):
+    """Bar-index gaps in the tail window: the per-group form of the
+    LEAD-based gap detector (S6), fed by bucket spacing."""
+    if "bucket_ts" in b.columns:
+        ts = pd.to_datetime(b["bucket_ts"])
+        steps = ts.diff().dropna().dt.total_seconds()
+        if len(steps) == 0:
+            return {"n_gaps": 0, "max_gap_bars": 0}
+        unit = steps.mode().iloc[0] or 1.0
+        ratio = (steps / unit).round().astype(int)
+        gaps = ratio[ratio > 1] - 1
+        return {"n_gaps": int(len(gaps)), "max_gap_bars": int(gaps.max()) if len(gaps) else 0}
+    return {"n_gaps": 0, "max_gap_bars": 0}
+
+
+@register(
+    "futures_sentiment",
+    [("oi_last", D), ("oi_chg_pct", D), ("ls_ratio", D)],
+    citation="incremental/futures_sentiment.py:1-104 (latest metrics snapshot)",
+    min_data=2,
+)
+def i_futures_sentiment(b: pd.DataFrame):
+    """Latest-snapshot metrics proxy over the bar tail: last volume as
+    OI stand-in, 30-bar change, up/down-volume ratio as L/S ratio."""
+    v = b.volume
+    oi = _last(v)
+    base = float(v.iloc[-31]) if len(v) >= 31 else float(v.iloc[0])
+    up = v.where(b.close >= b.open, 0.0).tail(30).sum()
+    dn = v.where(b.close < b.open, 0.0).tail(30).sum()
+    return {
+        "oi_last": oi,
+        "oi_chg_pct": (oi - base) / base * 100 if base else float("nan"),
+        "ls_ratio": float(up / dn) if dn else float("nan"),
+    }
+
+
+@register(
+    "precision_trend",
+    [("pt_line", D), ("pt_state", S), ("pt_flips_50", "long")],
+    citation="batch/super_trend.py:17-107 (ZLEMA70 band state machine, "
+    "path-dependent flip tracking)", min_data=80,
+)
+def i_precision_trend(b: pd.DataFrame):
+    """The stateful variant of zero_lag_trend: tracks band-flip history
+    (state machine over the whole tail), not just the latest side."""
+    z = ta.zlema(b.close, 70)
+    band = ta.atr(b.high, b.low, b.close, 70).rolling(210, min_periods=1).max() * 1.2
+    upper, lower = (z + band).to_numpy(), (z - band).to_numpy()
+    cv = b.close.to_numpy()
+    state = 0  # -1 bear, 0 range, +1 bull
+    flips = 0
+    start = max(0, len(cv) - 50)
+    for j in range(len(cv)):
+        new = 1 if cv[j] > upper[j] else (-1 if cv[j] < lower[j] else state)
+        if j >= start and new != state:
+            flips += 1
+        state = new
+    label = {1: "bull", 0: "range", -1: "bear"}[state]
+    return {"pt_line": _last(pd.Series(z)), "pt_state": label, "pt_flips_50": flips}

@@ -466,3 +466,83 @@ def freshness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             _flow6().alias("fresh_flow"),
         )
     )
+
+
+@query(
+    "orderbook_l1_stats",
+    survey="§2.1 S12 order-book L1 projections (order_book.py:120-240) + "
+    "§2.4 A6 hourly stats rollup (03_raw_crypto.sql:391-460)",
+    description="Hourly spread/imbalance stats over a deterministic synthetic L1 book",
+    oracle="""
+WITH ticks AS (  -- deterministic book synthesized from the event stream
+  SELECT
+    event_type, ts,
+    value - ABS(value) * 0.0001 * (1 + user_id % 3) AS bid_price,
+    value + ABS(value) * 0.0001 * (1 + user_id % 5) AS ask_price,
+    CAST(event_id % 7 + 1 AS DOUBLE) AS bid_qty,
+    CAST(event_id % 5 + 1 AS DOUBLE) AS ask_qty
+  FROM events
+),
+l1 AS (
+  SELECT
+    event_type, ts,
+    (bid_price + ask_price) / 2 AS mid,
+    ask_price - bid_price AS spread,
+    CASE WHEN (bid_price + ask_price) / 2 > 0
+         THEN (ask_price - bid_price) / ((bid_price + ask_price) / 2) * 10000
+    END AS spread_bps,
+    CASE WHEN bid_qty + ask_qty > 0
+         THEN (bid_qty - ask_qty) / (bid_qty + ask_qty) END AS imbalance
+  FROM ticks
+)
+SELECT
+  event_type,
+  strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+  CAST(COUNT(*) AS BIGINT) AS n_ticks,
+  MIN(spread_bps) AS min_spread_bps,
+  MAX(spread_bps) AS max_spread_bps,
+  quantile_disc(spread_bps, 0.5) AS med_spread_bps,
+  MIN(imbalance) AS min_imbalance,
+  MAX(imbalance) AS max_imbalance
+FROM l1
+GROUP BY 1, 2
+""",
+)
+def orderbook_l1_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives sources.orderbook.l1_projection (the real ingest-time
+    projection operator) over a synthesized book, then the A6 stats
+    shape. Only order-independent aggregates (count/min/max/discrete
+    median) so floats compare exactly across engines; interpolated
+    percentiles and double-sum averages would not."""
+    from tradecat_spark.sources.orderbook import l1_projection
+
+    e = _events(spark, sf_dir)
+    ticks = e.select(
+        "event_type", "ts",
+        (F.col("value") - F.abs("value") * 0.0001 * (1 + F.col("user_id") % 3))
+        .alias("bid_price"),
+        (F.col("value") + F.abs("value") * 0.0001 * (1 + F.col("user_id") % 5))
+        .alias("ask_price"),
+        (F.col("event_id") % 7 + 1).cast("double").alias("bid_qty"),
+        (F.col("event_id") % 5 + 1).cast("double").alias("ask_qty"),
+    )
+    l1 = l1_projection(ticks)
+    agg = l1.groupBy(
+        "event_type", F.window("ts", "1 hour").start.alias("b")
+    ).agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.min("spread_bps").alias("min_spread_bps"),
+        F.max("spread_bps").alias("max_spread_bps"),
+        F.element_at(  # discrete median: element at rank ceil(n/2)
+            F.array_sort(F.collect_list("spread_bps")),
+            F.ceil(F.count(F.lit(1)) / 2).cast("int"),
+        ).alias("med_spread_bps"),
+        F.min("imbalance").alias("min_imbalance"),
+        F.max("imbalance").alias("max_imbalance"),
+    )
+    return agg.select(
+        "event_type",
+        F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "n_ticks", "min_spread_bps", "max_spread_bps", "med_spread_bps",
+        "min_imbalance", "max_imbalance",
+    )

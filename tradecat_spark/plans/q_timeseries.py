@@ -510,3 +510,97 @@ def partial_bar_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.filter(F.col("ts") >= F.col("mx_ts") - F.expr("INTERVAL 15 DAYS"))
     ).withColumn("is_closed", F.lit(False))
     return merge_candles(tgt, src, ["event_type", "bucket_ts"])
+
+
+@query(
+    "ind_tail_runs",
+    survey="§2.4 A8 consecutive-run reductions (futures_aggregate.py:68-81): "
+    "trailing run length + max run via gaps-and-islands",
+    description="Per event_type: trailing and maximal consecutive up-bar runs (1h closes)",
+    oracle="""
+WITH bars AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+         max_by(value, ts) AS close
+  FROM events GROUP BY 1, 2
+),
+d AS (
+  SELECT event_type, bucket_ts, close,
+         LAG(close) OVER (PARTITION BY event_type ORDER BY bucket_ts) AS pc
+  FROM bars
+),
+s AS (
+  SELECT event_type, bucket_ts,
+         CASE WHEN close > pc THEN 1 ELSE 0 END AS up,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket_ts) AS rn,
+         SUM(CASE WHEN close > pc THEN 1 ELSE 0 END)
+           OVER (PARTITION BY event_type ORDER BY bucket_ts) AS ups
+  FROM d WHERE pc IS NOT NULL
+),
+tail AS (
+  SELECT event_type,
+         CAST(COUNT(*) FILTER (WHERE up = 1 AND (t0 IS NULL OR bucket_ts > t0))
+              AS BIGINT) AS tail_up_run,
+         CAST(MAX(n) AS BIGINT) AS n_bars
+  FROM (
+    SELECT s.*, MAX(CASE WHEN up = 0 THEN bucket_ts END)
+                  OVER (PARTITION BY event_type) AS t0,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM s
+  ) GROUP BY event_type
+),
+runs AS (
+  SELECT event_type, CAST(COALESCE(MAX(run_len), 0) AS BIGINT) AS max_up_run
+  FROM (
+    SELECT event_type, rn - ups AS grp, COUNT(*) AS run_len
+    FROM s WHERE up = 1 GROUP BY event_type, rn - ups
+  ) GROUP BY event_type
+)
+SELECT t.event_type, t.tail_up_run, r.max_up_run, t.n_bars
+FROM tail t JOIN runs r USING (event_type)
+""",
+)
+def ind_tail_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run lengths relationally: rn − cumulative(up) is constant inside a
+    run of up-bars (gaps-and-islands), so max-run is a groupBy over that
+    key and the trailing run counts up-bars after the last down-bar —
+    window + aggregate only, no Python, scales to any key cardinality."""
+    e = _events(spark, sf_dir)
+    bars = ohlcv_rollup(e, ["event_type"], "ts", "value", interval_sec=3600)
+    w = Window.partitionBy("event_type").orderBy("bucket_ts")
+    d = bars.select(
+        "event_type", "bucket_ts", "close",
+        F.lag("close").over(w).alias("pc"),
+    ).filter(F.col("pc").isNotNull())
+    s = d.select(
+        "event_type", "bucket_ts",
+        F.when(F.col("close") > F.col("pc"), 1).otherwise(0).alias("up"),
+        F.row_number().over(w).alias("rn"),
+    ).withColumn("ups", F.sum("up").over(w))
+    wp = Window.partitionBy("event_type")
+    tail = (
+        s.withColumn(
+            "t0", F.max(F.when(F.col("up") == 0, F.col("bucket_ts"))).over(wp)
+        )
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+        .groupBy("event_type")
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("up") == 1)
+                    & (F.col("t0").isNull() | (F.col("bucket_ts") > F.col("t0"))),
+                    1,
+                )
+            ).alias("tail_up_run"),
+            F.max("n").alias("n_bars"),
+        )
+    )
+    runs = (
+        s.filter(F.col("up") == 1)
+        .groupBy("event_type", (F.col("rn") - F.col("ups")).alias("grp"))
+        .count()
+        .groupBy("event_type")
+        .agg(F.coalesce(F.max("count"), F.lit(0)).alias("max_up_run"))
+    )
+    return tail.join(runs, "event_type").select(
+        "event_type", "tail_up_run", "max_up_run", "n_bars"
+    )
