@@ -153,9 +153,15 @@ def realtime_view(
     watermark (a timestamp Column); only the raw tail after it is
     re-aggregated, so the union's raw-side scan is partition-pruned.
     """
+    # Bucket-align the watermark (TimescaleDB does the same): the stale
+    # side serves whole buckets strictly before the horizon's bucket, and
+    # the fresh side re-aggregates raw from that bucket BOUNDARY — not
+    # from the horizon itself, which would drop the early rows of the
+    # boundary bucket and emit a partial bar.
+    boundary = bucket_ts(refresh_horizon, interval_sec)
     fresh = ohlcv_rollup(
-        raw.filter(F.col(ts) >= refresh_horizon),
+        raw.filter(F.col(ts) >= boundary),
         keys, ts, price, volume, interval_sec,
     )
-    stale = rollup.filter(F.col("bucket_ts") < bucket_ts(refresh_horizon, interval_sec))
+    stale = rollup.filter(F.col("bucket_ts") < boundary)
     return stale.unionByName(fresh, allowMissingColumns=True)

@@ -92,3 +92,97 @@ def streaming_rollup_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.close").alias("close"),
         F.col("r.trade_count").alias("trade_count"),
     )
+
+
+@query(
+    "streaming_signals_parity",
+    survey="§2.10/§2.11 stateful signal engine (applyInPandasWithState "
+    "prev/curr baseline, engines/sqlite_engine.py:215-333) — firings "
+    "hash-checked against the lag-based SQL form",
+    description="Stochastic %K<20 cross-down firings from the STREAMING engine",
+    oracle="""
+WITH bars AS (
+  SELECT
+    event_type,
+    time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+    MAX(value) AS high, MIN(value) AS low, max_by(value, ts) AS close
+  FROM events GROUP BY 1, 2
+),
+k AS (
+  SELECT
+    event_type, bucket_ts,
+    ROUND((close - MIN(low) OVER w)
+          / NULLIF(MAX(high) OVER w - MIN(low) OVER w, 0) * 100, 6) AS pct_k
+  FROM bars
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+),
+lagged AS (
+  SELECT event_type, bucket_ts, pct_k,
+         LAG(pct_k) OVER (PARTITION BY event_type ORDER BY bucket_ts) AS prev_k
+  FROM k
+)
+SELECT
+  event_type,
+  strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS fired_at,
+  'stoch_oversold' AS rule,
+  'long' AS direction
+FROM lagged WHERE prev_k >= 20 AND pct_k < 20
+""",
+)
+def streaming_signals_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshots (1h stochastic %K per event_type) are precomputed in
+    batch, then REPLAYED through the stateful streaming engine
+    (applyInPandasWithState holding the prev-snapshot baseline). With no
+    cooldown, every prev/curr transition is SQL-expressible, so DuckDB's
+    lag() form is the oracle — the keyed-state machinery itself is what
+    is being graded."""
+    from pyspark.sql import Window
+
+    from tradecat_spark.operators.rollup import ohlcv_rollup
+    from tradecat_spark.signals.rules import ConditionType, SignalRule
+    from tradecat_spark.streaming.signals import streaming_signals
+
+    e = load_table(spark, sf_dir, "events")
+    bars = ohlcv_rollup(e, ["event_type"], "ts", "value", interval_sec=3600)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(-13, 0)
+    )
+    pct_k = F.round(
+        (F.col("close") - F.min("low").over(w))
+        / F.nullif(F.max("high").over(w) - F.min("low").over(w), F.lit(0))
+        * 100,
+        6,
+    )
+    snaps = bars.select(
+        "event_type", F.col("bucket_ts").alias("snap_ts"), pct_k.alias("pct_k")
+    )
+    src = tempfile.mkdtemp(prefix="tc_sig_src_")
+    ckpt = tempfile.mkdtemp(prefix="tc_sig_ckpt_")
+    snaps.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    rule = SignalRule(
+        "stoch_oversold", "k", ConditionType.THRESHOLD_CROSS_DOWN,
+        {"field": "pct_k", "threshold": 20.0}, direction="long",
+    )
+    fired = streaming_signals(stream, [rule], ["event_type"], "snap_ts")
+    name = f"tc_sig_{uuid.uuid4().hex[:10]}"
+    q = (
+        fired.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name).select(
+        "event_type",
+        F.date_format("fired_at", "yyyy-MM-dd HH:mm:ss").alias("fired_at"),
+        "rule", "direction",
+    )

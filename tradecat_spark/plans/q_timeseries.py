@@ -604,3 +604,41 @@ def ind_tail_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tail.join(runs, "event_type").select(
         "event_type", "tail_up_run", "max_up_run", "n_bars"
     )
+
+
+@query(
+    "realtime_union_view",
+    survey="§4 real-time continuous-aggregate view: materialized rollup "
+    "UNION ALL agg-of-raw-tail (004:49-58 materialized_only=false) — "
+    "must equal the direct rollup",
+    description="5m candles via materialized-buckets ∪ fresh-tail path",
+    oracle=_OHLCV_ORACLE.format(iv=300),
+)
+def realtime_union_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The refresh watermark sits 2 h before max(ts): buckets older than
+    it are served from the 'materialized' rollup, newer rows are
+    re-aggregated on the fly (partition-pruned to the tail in a
+    date-partitioned deployment). The law being graded: the union view
+    is indistinguishable from a full rollup — the reference's
+    correctness contract for materialized_only=false reads."""
+    from tradecat_spark.operators.rollup import realtime_view
+
+    e = _events(spark, sf_dir)
+    horizon = e.agg(F.max("ts")).collect()[0][0] - __import__(
+        "datetime"
+    ).timedelta(hours=2)
+    materialized = ohlcv_rollup(
+        e.filter(F.col("ts") < F.lit(horizon)),
+        ["event_type"], "ts", "value",
+        volume=F.col("value").cast(DEC), interval_sec=300,
+    )
+    view = realtime_view(
+        materialized, e, ["event_type"], "ts", "value",
+        interval_sec=300, refresh_horizon=F.lit(horizon),
+        volume=F.col("value").cast(DEC),
+    )
+    return view.select(
+        "event_type", "bucket_ts", "open", "high", "low", "close",
+        "trade_count",
+        F.round(F.col("volume").cast("double"), 6).alias("volume"),
+    )
