@@ -13,7 +13,7 @@ Hashes are md5-based so the DuckDB oracle is bit-identical.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tradecat_spark.catalog import load_table
@@ -203,6 +203,104 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+
+
+_PAIRS_CTES = f"""
+sh AS ({_SHINGLES_SQL}),
+mh AS (
+  SELECT doc_id, seed, MIN(md5(concat(CAST(seed AS VARCHAR), '|', shingle))) AS mh
+  FROM sh, (SELECT unnest(range(0, {N_SEEDS})) AS seed) s
+  GROUP BY doc_id, seed
+),
+sig AS (
+  SELECT doc_id,
+    CAST(seed // {BAND_ROWS} AS INTEGER) AS band,
+    md5(string_agg(mh, '' ORDER BY seed)) AS band_sig
+  FROM mh GROUP BY doc_id, band
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+)"""
+
+
+@query(
+    "dedup_clusters",
+    survey="north-star dedup: duplicate-cluster assignment (connected "
+    "components over LSH candidate pairs) — the keep-one-per-cluster "
+    "step of a training-data dedup pipeline",
+    description="Connected components over MinHash pairs: cluster id, size, canonical flag",
+    oracle=f"""
+WITH RECURSIVE {_PAIRS_CTES},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+comp AS (
+  SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+)
+SELECT
+  doc_id,
+  cluster_id,
+  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+  doc_id = cluster_id AS is_canonical
+FROM comp
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed min-label propagation: every doc starts as its own
+    cluster label; each round pushes the min label across candidate-pair
+    edges (one shuffled join + one min-aggregate) until a round changes
+    nothing. Converges in O(cluster diameter) rounds — LSH clusters are
+    near-cliques, so 2-3 rounds in practice. `localCheckpoint` truncates
+    the lineage each round so the plan doesn't grow with iterations (at
+    100 TB swap for checkpoint() on HDFS); the edge list is tiny relative
+    to the corpus (pairs only materialize inside an LSH bucket).
+    Canonical doc = min doc_id per component, the usual keep-one rule.
+    Oracle: DuckDB WITH RECURSIVE transitive closure."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    p = dedup_minhash_pairs(spark, sf_dir)
+    edges = (
+        p.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(p.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = d.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint()
+    for _ in range(20):
+        prop = edges.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "cluster_id")
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    size = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(size).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
 
 
