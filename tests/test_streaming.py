@@ -118,6 +118,65 @@ def test_ingest_merge_law(spark, tmp_path):
     )
 
 
+def test_watermark_late_data_and_checkpoint_restart(spark, tmp_path):
+    """Two availableNow runs sharing a checkpoint: the second run restores
+    the first run's watermark, so (a) a row later than the watermark is
+    DROPPED (the reference repairs such rows via batch backfill, not the
+    stream — SURVEY §2.11), and (b) windows already emitted by run 1 are
+    not re-emitted by run 2 (exactly-once append across restarts)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    t0 = pd.Timestamp("2025-01-01 00:00:00")
+
+    def write(rows):
+        spark.createDataFrame(pd.DataFrame(rows)).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema("k string, ts timestamp, v double").parquet(src)
+        rolled = streaming_ohlcv(
+            stream, ["k"], "ts", "v", interval="5 minutes", watermark="1 minute"
+        )
+        q = (
+            rolled.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    m = pd.Timedelta(minutes=1)
+    # run 1: max event time 00:12 → watermark 00:11 → windows 00:00 and
+    # 00:05 finalize; window 00:10 stays open in state
+    write([
+        dict(k="a", ts=t0 + 0 * m, v=1.0),
+        dict(k="a", ts=t0 + 1 * m, v=2.0),
+        dict(k="a", ts=t0 + 6 * m, v=3.0),
+        dict(k="a", ts=t0 + 12 * m, v=4.0),
+    ])
+    run()
+    first = {r["bucket_ts"] for r in spark.read.parquet(out).collect()}
+    assert first == {t0, t0 + 5 * m}
+
+    # run 2: one LATE row (00:01 < restored watermark 00:11 → dropped) and
+    # one fresh row at 00:20 that advances the watermark past window 00:10
+    write([
+        dict(k="a", ts=t0 + 1 * m, v=999.0),
+        dict(k="a", ts=t0 + 20 * m, v=5.0),
+    ])
+    run()
+    rows = spark.read.parquet(out).collect()
+    buckets = sorted(r["bucket_ts"] for r in rows)
+    # no duplicates of run-1 windows, and exactly one new finalized window
+    assert buckets == [t0, t0 + 5 * m, t0 + 10 * m]
+    by = {r["bucket_ts"]: r for r in rows}
+    assert by[t0]["high"] == 2.0            # late 999.0 never entered state
+    assert by[t0 + 10 * m]["close"] == 4.0  # emitted with run-1 contents
+
+
 RULES = [
     SignalRule(
         "thr_up", "t", ConditionType.THRESHOLD_CROSS_UP,
