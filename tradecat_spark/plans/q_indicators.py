@@ -425,3 +425,93 @@ def ind_ema20_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ema_fold(vals, alpha), 6).alias("ema20"),
         F.size("pairs").cast("long").alias("n_obs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 VPVR volume profile (SQL-expressible core)
+# ---------------------------------------------------------------------------
+@query(
+    "ind_vpvr_profile",
+    survey="§2.9 VPVR volume profile (batch/vpvr.py:46-119): 24-bucket "
+    "price histogram, POC, HVN/LVN nodes — the iterative 70% value-area "
+    "expansion stays in the applyInPandas surface (indicators/library.py)",
+    description="24-bucket volume profile per event_type: POC + HVN/LVN flags",
+    oracle="""
+WITH r AS (
+  SELECT event_type, value,
+    MIN(value) OVER (PARTITION BY event_type) AS vmin,
+    MAX(value) OVER (PARTITION BY event_type) AS vmax
+  FROM events
+),
+b AS (
+  SELECT event_type, value, vmin, vmax,
+    CAST(LEAST(23, FLOOR((value - vmin) / (vmax - vmin) * 24)) AS INTEGER)
+      AS bucket
+  FROM r
+),
+g AS (
+  SELECT event_type, bucket,
+    COUNT(*) AS n_trades,
+    ROUND(CAST(SUM(CAST(ABS(value) AS DECIMAL(18,8))) AS DOUBLE), 6) AS flow,
+    MIN(vmin) AS vmin, MIN(vmax) AS vmax
+  FROM b GROUP BY 1, 2
+)
+SELECT event_type, bucket,
+  ROUND(vmin + bucket * ((vmax - vmin) / 24), 6) AS bucket_low,
+  n_trades, flow,
+  ROW_NUMBER() OVER (PARTITION BY event_type
+                     ORDER BY n_trades DESC, bucket ASC) = 1 AS is_poc,
+  n_trades > 1.5 * AVG(n_trades) OVER (PARTITION BY event_type) AS is_hvn,
+  n_trades < 0.5 * AVG(n_trades) OVER (PARTITION BY event_type) AS is_lvn
+FROM g
+""",
+)
+def ind_vpvr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketing + histogram + node classification in pure column
+    algebra: per-key min/max via an unordered window, a width-bucket
+    projection, one hash aggregate, then POC (modal bucket, ties to the
+    lower price) and HVN/LVN (high/low-volume nodes vs 1.5x/0.5x the
+    mean bucket count). Two shuffles total — the per-key extent window
+    and the (key, bucket) aggregate; at 100 TB replace the window with a
+    pre-aggregated broadcast of per-key extents so the fact table is
+    scanned once. Only the 70%-value-area expansion loop is left to the
+    pandas indicator (it is inherently sequential)."""
+    e = _series(spark, sf_dir)
+    wk = Window.partitionBy("event_type")
+    vmin = F.min("value").over(wk)
+    vmax = F.max("value").over(wk)
+    bucket = F.least(
+        F.lit(23), F.floor((F.col("value") - vmin) / (vmax - vmin) * 24)
+    ).cast("int")
+    b = e.select(
+        "event_type", "value", bucket.alias("bucket"),
+        vmin.alias("vmin"), vmax.alias("vmax"),
+    )
+    g = b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.round(F.sum(F.abs("value").cast(DEC)).cast("double"), 6).alias("flow"),
+        F.min("vmin").alias("vmin"),
+        F.min("vmax").alias("vmax"),
+    )
+    poc = (
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.desc("n_trades"), F.asc("bucket")
+            )
+        )
+        == 1
+    )
+    avg_n = F.avg("n_trades").over(Window.partitionBy("event_type"))
+    return g.select(
+        "event_type",
+        "bucket",
+        F.round(
+            F.col("vmin") + F.col("bucket") * ((F.col("vmax") - F.col("vmin")) / 24),
+            6,
+        ).alias("bucket_low"),
+        "n_trades",
+        "flow",
+        poc.alias("is_poc"),
+        (F.col("n_trades") > 1.5 * avg_n).alias("is_hvn"),
+        (F.col("n_trades") < 0.5 * avg_n).alias("is_lvn"),
+    )

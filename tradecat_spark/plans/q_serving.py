@@ -546,3 +546,56 @@ def orderbook_l1_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ticks", "min_spread_bps", "max_spread_bps", "med_spread_bps",
         "min_imbalance", "max_imbalance",
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 S9 retention trim / sliding-window retention
+# ---------------------------------------------------------------------------
+@query(
+    "serving_retention_trim",
+    survey="§2.1 S9 per-key retention trim (db/reader.py:298-332 retention "
+    "dict) + §2.11 sliding-window retention (006_candles_meta_views.sql:"
+    "153-174): keep last-N rows per key, report the delete set",
+    description="Per-event_type retention audit: cap, rows kept/trimmed, horizon",
+    oracle="""
+WITH r AS (
+  SELECT event_type, ts, event_id,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn,
+    60 + 20 * length(event_type) AS cap
+  FROM events
+)
+SELECT
+  event_type,
+  CAST(MIN(cap) AS BIGINT) AS cap,
+  CAST(COUNT(*) AS BIGINT) AS n_total,
+  CAST(SUM(CASE WHEN rn > cap THEN 1 ELSE 0 END) AS BIGINT) AS n_trim,
+  strftime(MIN(CASE WHEN rn <= cap THEN ts END),
+           '%Y-%m-%d %H:%M:%S') AS oldest_kept_ts
+FROM r GROUP BY event_type
+""",
+)
+def serving_retention_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference trims each serving table to a per-key row budget
+    after every write (DELETE … NOT IN (SELECT … ORDER BY ts DESC LIMIT
+    n)). Spark form: rank rows per key newest-first and everything past
+    the cap is the delete set — here surfaced as an audit so the verify
+    driver can hash it; the actual trim is `DELETE WHERE` on the same
+    predicate (partition-drop for date-partitioned tables). The cap
+    varies per key (the reference keeps 96-180 rows depending on
+    interval) — modeled as a deterministic per-key budget."""
+    e = _events(spark, sf_dir)
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    )
+    cap = 60 + 20 * F.length("event_type")
+    r = e.select("event_type", "ts", rn.alias("rn"), cap.alias("cap"))
+    return r.groupBy("event_type").agg(
+        F.min("cap").cast("long").alias("cap"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("rn") > F.col("cap"), 1).otherwise(0)).alias("n_trim"),
+        F.date_format(
+            F.min(F.when(F.col("rn") <= F.col("cap"), F.col("ts"))),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("oldest_kept_ts"),
+    )

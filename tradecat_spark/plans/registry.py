@@ -67,6 +67,7 @@ def load_all() -> dict[str, QuerySpec]:
         q_serving,
         q_multimodal,
         q_streaming,
+        q_sketch,
     )
 
     return REGISTRY
