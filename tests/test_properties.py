@@ -1,0 +1,142 @@
+"""Property-based tests (hypothesis) for the operator laws.
+
+The reference has no property tests (SURVEY §5); these pin the algebraic
+laws the engine's correctness rests on:
+
+- merge idempotence: re-applying a source batch changes nothing — the
+  foundation of exactly-once-ish ingest via replayed upserts.
+- cascade law: a coarse rollup built from a finer rollup equals the
+  coarse rollup built directly from raw — the soundness condition for
+  chaining continuous aggregates (1m → 5m → 1h → 1d).
+- real-time view law: materialized-buckets ∪ fresh-tail equals the
+  direct rollup for ANY refresh horizon — the materialized_only=false
+  read contract.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tradecat_spark.operators.merge import MERGE_COLS, merge_candles
+from tradecat_spark.operators.rollup import (
+    cascade_rollup,
+    ohlcv_rollup,
+    realtime_view,
+)
+
+T0 = pd.Timestamp("2025-01-01 00:00:00")
+
+prices = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+).map(lambda x: round(x, 4))
+
+
+@st.composite
+def event_frames(draw):
+    """Events with UNIQUE (event_type, ts) — ties would make min_by/max_by
+    nondeterministic, which is an input contract (the real tables key bars
+    by timestamp), not an engine law."""
+    rows = draw(
+        st.dictionaries(
+            keys=st.tuples(
+                st.sampled_from(["X", "Y"]), st.integers(0, 7199)
+            ),
+            values=prices,
+            min_size=1,
+            max_size=60,
+        )
+    )
+    return pd.DataFrame(
+        [
+            dict(event_type=k, ts=T0 + pd.Timedelta(seconds=s), value=v)
+            for (k, s), v in rows.items()
+        ]
+    )
+
+
+@st.composite
+def bar_frames(draw):
+    keys = st.tuples(st.sampled_from(["A", "B"]), st.integers(0, 3))
+    rows = draw(
+        st.dictionaries(
+            keys=keys,
+            values=st.tuples(prices, prices, prices, prices,
+                             st.integers(1, 50), st.booleans()),
+            min_size=0,
+            max_size=8,
+        )
+    )
+    return pd.DataFrame(
+        [
+            dict(
+                symbol=sym,
+                bucket_ts=T0 + pd.Timedelta(minutes=b),
+                open=o, high=max(o, h, lo, c), low=min(o, h, lo, c),
+                close=c, trade_count=n, is_closed=cl,
+            )
+            for (sym, b), (o, h, lo, c, n, cl) in rows.items()
+        ],
+        columns=["symbol", "bucket_ts", *MERGE_COLS],
+    )
+
+
+def _rows(df, cols):
+    return sorted(map(tuple, df.select(*cols).collect()))
+
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@given(target=bar_frames(), source=bar_frames())
+@SETTINGS
+def test_merge_idempotent(spark, target, source):
+    schema = ("symbol string, bucket_ts timestamp, open double, high double,"
+              " low double, close double, trade_count long, is_closed boolean")
+    t = spark.createDataFrame(target, schema=schema)
+    s = spark.createDataFrame(source, schema=schema)
+    once = merge_candles(t, s, ["symbol", "bucket_ts"])
+    twice = merge_candles(once, s, ["symbol", "bucket_ts"])
+    cols = ["symbol", "bucket_ts", *MERGE_COLS]
+    assert _rows(twice, cols) == _rows(once, cols)
+    # and unmatched rows pass through: merging an empty source is identity
+    empty = spark.createDataFrame(pd.DataFrame(columns=target.columns), schema=schema)
+    ident = merge_candles(t, empty, ["symbol", "bucket_ts"])
+    assert _rows(ident, cols) == _rows(t, cols)
+
+
+@given(events=event_frames())
+@SETTINGS
+def test_cascade_equals_direct(spark, events):
+    e = spark.createDataFrame(events)
+    fine = ohlcv_rollup(e, ["event_type"], "ts", "value", interval_sec=300)
+    cascaded = cascade_rollup(fine, ["event_type"], 300, 3600)
+    direct = ohlcv_rollup(e, ["event_type"], "ts", "value", interval_sec=3600)
+    cols = ["event_type", "bucket_ts", "open", "high", "low", "close",
+            "trade_count"]
+    assert _rows(cascaded, cols) == _rows(direct, cols)
+
+
+@given(events=event_frames(), horizon_sec=st.integers(0, 7200))
+@SETTINGS
+def test_realtime_view_equals_direct(spark, events, horizon_sec):
+    e = spark.createDataFrame(events)
+    horizon = F.lit(T0 + pd.Timedelta(seconds=horizon_sec))
+    materialized = ohlcv_rollup(
+        e.filter(F.col("ts") < horizon), ["event_type"], "ts", "value",
+        interval_sec=300,
+    )
+    view = realtime_view(
+        materialized, e, ["event_type"], "ts", "value",
+        interval_sec=300, refresh_horizon=horizon,
+    )
+    direct = ohlcv_rollup(e, ["event_type"], "ts", "value", interval_sec=300)
+    cols = ["event_type", "bucket_ts", "open", "high", "low", "close",
+            "trade_count"]
+    assert _rows(view, cols) == _rows(direct, cols)

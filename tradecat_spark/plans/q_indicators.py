@@ -515,3 +515,78 @@ def ind_vpvr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_trades") > 1.5 * avg_n).alias("is_hvn"),
         (F.col("n_trades") < 0.5 * avg_n).alias("is_lvn"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 candlestick patterns (K线形态 — pure-SQL subset)
+# ---------------------------------------------------------------------------
+@query(
+    "ind_candle_patterns",
+    survey="§2.9 K-pattern scanner (batch/k_pattern.py:52-241): the "
+    "single/two-bar geometric patterns (doji, hammer, shooting star, "
+    "engulfing) as column algebra; the TA-Lib 61-pattern set lives in "
+    "the applyInPandas surface with the same pure-python fallback the "
+    "reference uses (k_pattern.py:52-67)",
+    description="Doji/hammer/shooting-star/engulfing flags on 1h bars",
+    oracle="""
+WITH bars AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+    min_by(value, ts) AS open, MAX(value) AS high,
+    MIN(value) AS low, max_by(value, ts) AS close
+  FROM events GROUP BY 1, 2
+),
+l AS (
+  SELECT *,
+    LAG(open) OVER w AS p_open, LAG(close) OVER w AS p_close
+  FROM bars WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+)
+SELECT event_type,
+  strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+  ROUND(ABS(close - open), 6) AS body,
+  ROUND(high - low, 6) AS rng,
+  ABS(close - open) < 0.1 * (high - low) AS is_doji,
+  (LEAST(open, close) - low) > 2 * ABS(close - open)
+    AND (high - GREATEST(open, close)) < ABS(close - open) AS is_hammer,
+  (high - GREATEST(open, close)) > 2 * ABS(close - open)
+    AND (LEAST(open, close) - low) < ABS(close - open) AS is_shooting_star,
+  COALESCE(p_close < p_open AND close > open
+           AND close >= p_open AND open <= p_close, FALSE) AS bull_engulf,
+  COALESCE(p_close > p_open AND close < open
+           AND close <= p_open AND open >= p_close, FALSE) AS bear_engulf
+FROM l
+""",
+)
+def ind_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-bar geometry (body vs range, shadow lengths) plus the
+    two-bar engulfing test via lag() — entirely JVM-side expressions
+    over the 1h rollup, one window sort per key. Every comparison is a
+    pure float predicate on identically-derived doubles, so the boolean
+    flags are cross-engine deterministic."""
+    from tradecat_spark.operators.rollup import ohlcv_rollup
+
+    e = _series(spark, sf_dir)
+    bars = ohlcv_rollup(e, ["event_type"], "ts", "value", interval_sec=3600)
+    w = Window.partitionBy("event_type").orderBy("bucket_ts")
+    p_open = F.lag("open").over(w)
+    p_close = F.lag("close").over(w)
+    o, h, lo, c = F.col("open"), F.col("high"), F.col("low"), F.col("close")
+    body = F.abs(c - o)
+    upper = h - F.greatest(o, c)
+    lower = F.least(o, c) - lo
+    return bars.select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        F.round(body, 6).alias("body"),
+        F.round(h - lo, 6).alias("rng"),
+        (body < 0.1 * (h - lo)).alias("is_doji"),
+        ((lower > 2 * body) & (upper < body)).alias("is_hammer"),
+        ((upper > 2 * body) & (lower < body)).alias("is_shooting_star"),
+        F.coalesce(
+            (p_close < p_open) & (c > o) & (c >= p_open) & (o <= p_close),
+            F.lit(False),
+        ).alias("bull_engulf"),
+        F.coalesce(
+            (p_close > p_open) & (c < o) & (c <= p_open) & (o >= p_close),
+            F.lit(False),
+        ).alias("bear_engulf"),
+    )
