@@ -1,0 +1,83 @@
+"""Physical-plan regression tests — the 100 TB posture, asserted.
+
+Correctness tests can't see a plan regress from broadcast to
+sort-merge-join or lose a pushed filter; at 100 TB those ARE the
+failures. These tests pin the plan properties the design depends on.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tradecat_spark.plans.registry import load_all
+
+SPECS = load_all()
+
+
+def _plan(spark, name, sf_dir) -> str:
+    df = SPECS[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["tpch_q3_shipping_priority", "tpch_q5_region_revenue", "ranking_card_1h",
+     "meta_join_1h"],
+)
+def test_dimension_joins_broadcast(spark, sf_dir, name):
+    """Dim/base-data joins must broadcast — a sort-merge join here means
+    a full shuffle of the fact table per join at scale."""
+    plan = _plan(spark, name, sf_dir)
+    assert "BroadcastHashJoin" in plan, name
+    assert "SortMergeJoin" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name,col",
+    [
+        ("tpch_q3_shipping_priority", "o_orderdate"),
+        ("tpch_q5_region_revenue", "o_orderdate"),
+        ("rest_ohlc_history", "event_type"),
+    ],
+)
+def test_filters_reach_the_scan(spark, sf_dir, name, col):
+    """Selective predicates must appear in PushedFilters on the parquet
+    scan (partition/row-group pruning at scale), not only post-scan."""
+    plan = _plan(spark, name, sf_dir)
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert col in pushed, f"{name}: {col} not pushed — {pushed[:200]}"
+
+
+@pytest.mark.parametrize(
+    "name,cols",
+    [
+        ("top_customers_by_spend", {"o_comment", "o_orderpriority"}),
+        ("tpch_q1_pricing_summary", {"l_comment", "l_shipmode"}),
+    ],
+)
+def test_column_pruning(spark, sf_dir, name, cols):
+    """Unused wide columns must not appear in any ReadSchema."""
+    plan = _plan(spark, name, sf_dir)
+    schemas = " ".join(re.findall(r"ReadSchema: struct<([^>]*)>", plan))
+    hit = cols & {c.split(":")[0] for c in schemas.split(",") if c}
+    assert not hit, f"{name} reads unused columns {hit}"
+
+
+def test_single_sort_for_shared_window_frames(spark, sf_dir):
+    """All ROWS-frame windows in ind_bollinger share one (key, ts) sort —
+    a second Exchange would mean the frames didn't fuse."""
+    plan = _plan(spark, "ind_bollinger", sf_dir)
+    assert plan.count("Exchange") <= 2, plan.count("Exchange")
+
+
+def test_global_topk_is_take_ordered(spark, sf_dir):
+    """orderBy().limit() must plan as TakeOrderedAndProject (per-partition
+    top-K + merge), never a global sort."""
+    plan = _plan(spark, "top_customers_by_spend", sf_dir)
+    assert "TakeOrderedAndProject" in plan

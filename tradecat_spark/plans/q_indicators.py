@@ -590,3 +590,146 @@ def ind_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("bear_engulf"),
     )
+
+
+_BARS_1H_SQL = """
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+    min_by(value, ts) AS open, MAX(value) AS high,
+    MIN(value) AS low, max_by(value, ts) AS close,
+    CAST(COUNT(*) AS BIGINT) AS trade_count
+  FROM events GROUP BY 1, 2
+"""
+
+
+def _bars_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tradecat_spark.operators.rollup import ohlcv_rollup
+
+    return ohlcv_rollup(
+        _series(spark, sf_dir), ["event_type"], "ts", "value", interval_sec=3600
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 MFI (money flow index)
+# ---------------------------------------------------------------------------
+@query(
+    "ind_mfi",
+    survey="§2.9 MFI 14 (batch/mfi.py:8-26): rolling sums of signed "
+    "money flow — native windows, no recursion",
+    description="MFI-14 over 1h bars (typical price x trade_count flow)",
+    oracle=f"""
+WITH bars AS ({_BARS_1H_SQL}),
+tp AS (
+  SELECT event_type, bucket_ts,
+    (high + low + close) / 3 AS tp, trade_count,
+    LAG((high + low + close) / 3) OVER
+      (PARTITION BY event_type ORDER BY bucket_ts) AS prev_tp
+  FROM bars
+),
+mf AS (
+  SELECT event_type, bucket_ts,
+    CASE WHEN tp > prev_tp
+         THEN CAST(tp * trade_count AS DECIMAL(18,8)) ELSE CAST(0 AS DECIMAL(18,8))
+    END AS pos_mf,
+    CASE WHEN tp < prev_tp
+         THEN CAST(tp * trade_count AS DECIMAL(18,8)) ELSE CAST(0 AS DECIMAL(18,8))
+    END AS neg_mf
+  FROM tp
+)
+SELECT event_type,
+  strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+  ROUND(100 * CAST(SUM(pos_mf) OVER w AS DOUBLE)
+        / NULLIF(CAST(SUM(pos_mf) OVER w AS DOUBLE)
+                 + CAST(SUM(neg_mf) OVER w AS DOUBLE), 0), 6) AS mfi14
+FROM mf
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+""",
+)
+def ind_mfi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed money flow split by typical-price direction, then two
+    14-bar window sums. Flows are decimal-cast before the window sum so
+    the rolling sums are exact (associativity-independent) — the only
+    float ops are the final ratio, mirrored verbatim in the oracle."""
+    bars = _bars_1h(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("bucket_ts")
+    tp = (F.col("high") + F.col("low") + F.col("close")) / 3
+    b = bars.select(
+        "event_type", "bucket_ts", tp.alias("tp"), "trade_count",
+        F.lag(tp).over(w).alias("prev_tp"),
+    )
+    flow = F.col("tp") * F.col("trade_count")
+    zero = F.lit(0).cast(DEC)
+    mf = b.select(
+        "event_type", "bucket_ts",
+        F.when(F.col("tp") > F.col("prev_tp"), flow.cast(DEC)).otherwise(zero)
+        .alias("pos_mf"),
+        F.when(F.col("tp") < F.col("prev_tp"), flow.cast(DEC)).otherwise(zero)
+        .alias("neg_mf"),
+    )
+    wf = w.rowsBetween(-13, 0)
+    pos = F.sum("pos_mf").over(wf).cast("double")
+    neg = F.sum("neg_mf").over(wf).cast("double")
+    return mf.select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        F.round(100 * pos / F.nullif(pos + neg, F.lit(0)), 6).alias("mfi14"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 Ichimoku
+# ---------------------------------------------------------------------------
+@query(
+    "ind_ichimoku",
+    survey="§2.9 Ichimoku 9/26/52 (lean_indicators.py:237-281): rolling "
+    "max/min midlines — native windows",
+    description="Tenkan/kijun/span A/span B + cloud position on 1h bars",
+    oracle=f"""
+WITH bars AS ({_BARS_1H_SQL})
+SELECT event_type,
+  strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+  ROUND((MAX(high) OVER w9  + MIN(low) OVER w9)  / 2, 6) AS tenkan,
+  ROUND((MAX(high) OVER w26 + MIN(low) OVER w26) / 2, 6) AS kijun,
+  ROUND(((MAX(high) OVER w9  + MIN(low) OVER w9) / 2
+       + (MAX(high) OVER w26 + MIN(low) OVER w26) / 2) / 2, 6) AS span_a,
+  ROUND((MAX(high) OVER w52 + MIN(low) OVER w52) / 2, 6) AS span_b,
+  CASE
+    WHEN close > GREATEST(
+        ((MAX(high) OVER w9  + MIN(low) OVER w9) / 2
+       + (MAX(high) OVER w26 + MIN(low) OVER w26) / 2) / 2,
+        (MAX(high) OVER w52 + MIN(low) OVER w52) / 2)
+      THEN 'above' ELSE 'not_above' END AS cloud_pos
+FROM bars
+WINDOW
+  w9  AS (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+  w26 AS (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+  w52 AS (PARTITION BY event_type ORDER BY bucket_ts ROWS BETWEEN 51 PRECEDING AND CURRENT ROW)
+""",
+)
+def ind_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rolling-extent midlines; all windows share one (key, ts)
+    sort so Catalyst plans a single exchange. Span shift (the 26-bar
+    displacement) is a lag over the same sort — omitted here to keep the
+    oracle one expression per column; the applyInPandas indicator keeps
+    the displaced-cloud variant."""
+    bars = _bars_1h(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("bucket_ts")
+
+    def mid(n: int):
+        wn = w.rowsBetween(-(n - 1), 0)
+        return (F.max("high").over(wn) + F.min("low").over(wn)) / 2
+
+    t9, k26, s52 = mid(9), mid(26), mid(52)
+    span_a_raw = (t9 + k26) / 2
+    cloud_top = F.greatest(span_a_raw, s52)
+    return bars.select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        F.round(t9, 6).alias("tenkan"),
+        F.round(k26, 6).alias("kijun"),
+        F.round(span_a_raw, 6).alias("span_a"),
+        F.round(s52, 6).alias("span_b"),
+        F.when(F.col("close") > cloud_top, "above").otherwise("not_above")
+        .alias("cloud_pos"),
+    )

@@ -642,3 +642,131 @@ def realtime_union_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trade_count",
         F.round(F.col("volume").cast("double"), 6).alias("volume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A2: metrics rollup — last-value OI + weighted long/short ratio
+# ---------------------------------------------------------------------------
+@query(
+    "metrics_weighted_ratio_1h",
+    survey="§2.4 A2 metrics cagg (007_metrics_cagg_from_5m.sql:92-107): "
+    "last(oi, t) + SUM(numerator)/NULLIF(SUM(denominator),0) weighted "
+    "ratio re-derived at the coarser bucket",
+    description="1h last-value OI and weighted ratio from 5m-style rows",
+    oracle="""
+SELECT
+  event_type,
+  strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+    AS bucket_ts,
+  max_by(value, ts) AS oi_last,
+  ROUND(CAST(SUM(CASE WHEN user_id % 2 = 0
+                 THEN CAST(ABS(value) AS DECIMAL(18,8)) END) AS DOUBLE)
+        / NULLIF(CAST(SUM(CASE WHEN user_id % 2 = 1
+                 THEN CAST(ABS(value) AS DECIMAL(18,8)) END) AS DOUBLE), 0),
+        6) AS weighted_ratio
+FROM events
+GROUP BY 1, 2
+""",
+)
+def metrics_weighted_ratio_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's metrics caggs keep ratio NUMERATORS and
+    DENOMINATORS as separate sums so coarser buckets re-derive the
+    weighted ratio instead of averaging averages. Same here: two exact
+    decimal sums per bucket, ratio computed once at read time. The
+    `last(oi, t)` ordered-aggregate is `max_by(value, ts)` — one shuffle
+    for the whole rollup, and at 100 TB it cascades off the finest
+    rollup exactly like A1 (cascade_rollup)."""
+    e = _events(spark, sf_dir)
+    dec_abs = F.abs("value").cast(DEC)
+    num = F.sum(F.when(F.col("user_id") % 2 == 0, dec_abs)).cast("double")
+    den = F.sum(F.when(F.col("user_id") % 2 == 1, dec_abs)).cast("double")
+    return (
+        e.groupBy("event_type", F.window("ts", "1 hour").start.alias("b"))
+        .agg(
+            F.max_by("value", "ts").alias("oi_last"),
+            F.round(num / F.nullif(den, F.lit(0)), 6).alias("weighted_ratio"),
+        )
+        .select(
+            "event_type",
+            F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+            "oi_last",
+            "weighted_ratio",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 S5→S7: gap islands → backfill task plan
+# ---------------------------------------------------------------------------
+@query(
+    "backfill_plan_days",
+    survey="§2.1 S5 gap scanner (backfill.py:56-110 count-vs-expected) "
+    "feeding S7's backfill loop: under-filled days coalesced into "
+    "contiguous [start, end] download tasks (gaps-and-islands)",
+    description="Contiguous under-filled-day ranges per event_type (<60 events/day)",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi FROM events
+),
+cal AS (
+  SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+c AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+f AS (
+  SELECT t.event_type, cal.d, COALESCE(c.n, 0) AS n
+  FROM types t CROSS JOIN cal
+  LEFT JOIN c ON c.event_type = t.event_type AND c.d = cal.d
+),
+g AS (
+  SELECT event_type, d,
+    d - CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+             AS INTEGER) AS grp
+  FROM f WHERE n < 60
+)
+SELECT event_type,
+  strftime(MIN(d), '%Y-%m-%d') AS gap_start,
+  strftime(MAX(d), '%Y-%m-%d') AS gap_end,
+  CAST(COUNT(*) AS BIGINT) AS n_days
+FROM g GROUP BY event_type, grp
+""",
+)
+def backfill_plan_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar anti-join catches absent days, the count filter catches
+    under-filled ones, and the rank-difference trick (day minus
+    row_number is constant within a run) coalesces them into contiguous
+    download tasks — the unit of work S7's ZIP backfiller consumes. The
+    calendar is generated, never scanned; the only full-table pass is
+    the per-day count, which at 100 TB is the date-partition manifest."""
+    e = _events(spark, sf_dir)
+    counts = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = e.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    )
+    cal = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d")
+    )
+    types = e.select("event_type").distinct()
+    full = types.crossJoin(F.broadcast(cal)).join(
+        counts, ["event_type", "d"], "left"
+    )
+    gaps = full.filter(F.coalesce(F.col("n"), F.lit(0)) < 60)
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("d")
+    )
+    g = gaps.withColumn("grp", F.date_sub("d", rn))
+    return (
+        g.groupBy("event_type", "grp")
+        .agg(
+            F.date_format(F.min("d"), "yyyy-MM-dd").alias("gap_start"),
+            F.date_format(F.max("d"), "yyyy-MM-dd").alias("gap_end"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .drop("grp")
+    )
