@@ -19,6 +19,69 @@ from tradecat_spark.plans.registry import load_all
 from tradecat_spark.session import get_spark
 
 
+def _bench_streaming(spark) -> dict[str, float]:
+    """End-to-end streaming freshness at the reference's burst shape.
+
+    BASELINE targets: 1m ingest→queryable < 5 s (600 symbols closing per
+    minute), rollup freshness < 10 s. Measures one full micro-batch
+    cycle of the real machinery: file source → foreachBatch merge-upsert
+    store, and the watermarked 5m rollup of the same bars.
+    """
+    import tempfile
+
+    import pandas as pd
+
+    from tradecat_spark.streaming.ingest import start_candle_ingest
+    from tradecat_spark.streaming.rollup import streaming_ohlcv
+
+    base = tempfile.mkdtemp(prefix="tc_bench_stream_")
+    src, store = f"{base}/src", f"{base}/store"
+    t0 = pd.Timestamp("2025-01-01 00:00:00")
+    rows = [
+        dict(
+            symbol=f"S{i:03d}", bucket_ts=t0 + pd.Timedelta(minutes=m),
+            open=1.0 + i, high=2.0 + i, low=0.5 + i, close=1.5 + i,
+            trade_count=10, is_closed=True,
+        )
+        for i in range(600)
+        for m in range(5)
+    ]
+    spark.createDataFrame(pd.DataFrame(rows)).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    out: dict[str, float] = {}
+
+    t = time.perf_counter()
+    q = start_candle_ingest(
+        spark.readStream.schema(schema).parquet(src),
+        store, ["symbol", "bucket_ts"], f"{base}/ckpt_ingest",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    q.stop()
+    assert spark.read.parquet(store).count() == len(rows)
+    out["streaming_ingest_600sym"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    rolled = streaming_ohlcv(
+        spark.readStream.schema(schema).parquet(src),
+        ["symbol"], "bucket_ts", "close", interval="5 minutes",
+        watermark="1 minute",
+    )
+    q = (
+        rolled.writeStream.format("parquet")
+        .option("path", f"{base}/rollup")
+        .option("checkpointLocation", f"{base}/ckpt_rollup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    spark.read.parquet(f"{base}/rollup").count()
+    out["streaming_rollup_600sym"] = round(time.perf_counter() - t, 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -37,6 +100,8 @@ def main() -> None:
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    timings.update(_bench_streaming(spark))
 
     total = round(sum(timings.values()), 3)
     print(
