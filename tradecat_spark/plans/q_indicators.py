@@ -733,3 +733,148 @@ def ind_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("close") > cloud_top, "above").otherwise("not_above")
         .alias("cloud_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 CCI — windowed mean-absolute-deviation via ordered list fold
+# ---------------------------------------------------------------------------
+@query(
+    "ind_cci",
+    survey="§2.9 CCI 20 (lean_indicators.py:134-159): typical price vs "
+    "SMA over mean absolute deviation — the MAD (deviations of every "
+    "window member from the CURRENT row's SMA) needs the window as a "
+    "list; the fold is sequential in both engines so floats agree",
+    description="CCI-20 over 1h bars (list-fold MAD, JVM-side)",
+    oracle=f"""
+WITH bars AS ({_BARS_1H_SQL}),
+tp AS (
+  SELECT event_type, bucket_ts, (high + low + close) / 3 AS tp FROM bars
+),
+w AS (
+  SELECT event_type, bucket_ts, tp,
+    AVG(tp) OVER win AS sma,
+    list(tp) OVER win AS tps
+  FROM tp
+  WINDOW win AS (PARTITION BY event_type ORDER BY bucket_ts
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type,
+  strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+  ROUND((tp - sma) / NULLIF(
+      0.015 * (list_reduce(list_transform(tps, y -> abs(y - sma)),
+                           (a, b) -> a + b) / len(tps)), 0), 6) AS cci20
+FROM w
+""",
+)
+def ind_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`collect_list` over the ordered frame gives the window members in
+    frame order; `aggregate` folds |tp_j − sma_i| left-to-right exactly
+    like DuckDB's `list_reduce`, so the MAD is bit-identical. Everything
+    stays in whole-stage codegen — no Python. One sort per key shared
+    with the SMA window."""
+    bars = _bars_1h(spark, sf_dir)
+    tp = (F.col("high") + F.col("low") + F.col("close")) / 3
+    b = bars.select("event_type", "bucket_ts", tp.alias("tp"))
+    win = Window.partitionBy("event_type").orderBy("bucket_ts").rowsBetween(-19, 0)
+    sma = F.avg("tp").over(win)
+    tps = F.collect_list("tp").over(win)
+    w = b.select(
+        "event_type", "bucket_ts", "tp", sma.alias("sma"), tps.alias("tps")
+    )
+    mad = (
+        F.aggregate(
+            F.transform("tps", lambda y: F.abs(y - F.col("sma"))),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / F.size("tps")
+    )
+    return w.select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        F.round(
+            (F.col("tp") - F.col("sma")) / F.nullif(0.015 * mad, F.lit(0)), 6
+        ).alias("cci20"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 KDJ — double EWM recurrence as one struct fold
+# ---------------------------------------------------------------------------
+@query(
+    "ind_kdj_fold",
+    survey="§2.5 W5 / §2.9 KDJ 9,3,3 (incremental/kdj.py:6-50): "
+    "K = ewm(RSV, α=1/3), D = ewm(K), J = 3K−2D — the chained EWM pair "
+    "evaluated as ONE sequential struct fold per key",
+    description="Final KDJ values per event_type (struct-fold over RSV series)",
+    oracle=f"""
+WITH bars AS ({_BARS_1H_SQL}),
+rsv AS (
+  SELECT event_type, bucket_ts,
+    (close - MIN(low) OVER w) / NULLIF(MAX(high) OVER w - MIN(low) OVER w, 0)
+      * 100 AS rsv
+  FROM bars
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+               ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+),
+series AS (
+  SELECT event_type, list(rsv ORDER BY bucket_ts) AS vals FROM rsv GROUP BY 1
+),
+folded AS (
+  SELECT event_type, len(vals) AS n_bars,
+    list_reduce(
+      list_transform(vals, x -> struct_pack(k := x, d := x)),
+      -- NOTE: d is listed BEFORE k. DuckDB 1.0's list_reduce evaluates
+      -- struct fields in order against a mutating accumulator, so a
+      -- field referencing acc.k after k was assigned would see the NEW
+      -- k; putting d first makes both fields read the previous step's
+      -- values (validated bit-exact vs a sequential Python fold).
+      (acc, x) -> struct_pack(
+        d := (2 * acc.d + (2 * acc.k + x.k) / 3) / 3,
+        k := (2 * acc.k + x.k) / 3
+      )
+    ) AS kd
+  FROM series
+)
+SELECT event_type, CAST(n_bars AS BIGINT) AS n_bars,
+  ROUND(kd.k, 6) AS k,
+  ROUND(kd.d, 6) AS d,
+  ROUND(3 * kd.k - 2 * kd.d, 6) AS j
+FROM folded
+""",
+)
+def ind_kdj_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSV from native rolling-extent windows (partial frames seed the
+    series, matching the incremental ewm-from-first-value variant), then
+    the K/D pair advances together in one left fold: the accumulator is
+    a (k, d) struct and each step computes k' before folding it into d'.
+    Sequential order in both engines → bit-identical doubles."""
+    bars = _bars_1h(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("bucket_ts").rowsBetween(-8, 0)
+    rng = F.max("high").over(w) - F.min("low").over(w)
+    rsv = (F.col("close") - F.min("low").over(w)) / F.nullif(rng, F.lit(0)) * 100
+    r = bars.select("event_type", "bucket_ts", rsv.alias("rsv"))
+    series = r.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("bucket_ts", "rsv"))).alias("pairs")
+    )
+    vals = F.transform(F.col("pairs"), lambda p: p["rsv"])
+    first = F.element_at(vals, 1)
+
+    def step(acc, x):
+        new_k = (2 * acc["k"] + x) / 3
+        return F.struct(
+            new_k.alias("k"), ((2 * acc["d"] + new_k) / 3).alias("d")
+        )
+
+    kd = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.struct(first.alias("k"), first.alias("d")),
+        step,
+    )
+    return series.select(
+        "event_type",
+        F.size("pairs").cast("long").alias("n_bars"),
+        F.round(kd["k"], 6).alias("k"),
+        F.round(kd["d"], 6).alias("d"),
+        F.round(3 * kd["k"] - 2 * kd["d"], 6).alias("j"),
+    )
