@@ -599,3 +599,102 @@ def serving_retention_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yyyy-MM-dd HH:mm:ss",
         ).alias("oldest_kept_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §3.1 rendered ranking card — formatters applied in-plan
+# ---------------------------------------------------------------------------
+@query(
+    "ranking_card_rendered",
+    survey="§3.1 card render stage (signal-service formatters/base.py, "
+    "its only unit-tested surface) applied IN-PLAN: $-price, banded "
+    "volume, signed percent, strength bar — C printf and the engine's "
+    "CPython-faithful renderer round identically, so the STRINGS are "
+    "hash-checked",
+    description="Top event_types card with display-formatted columns",
+    oracle="""
+WITH mx AS (SELECT MAX(ts) AS mx_ts FROM events),
+agg AS (
+  SELECT e.event_type,
+    max_by(e.value, e.ts) AS last_price,
+    CAST(SUM(CASE WHEN e.ts > mx.mx_ts - INTERVAL 24 HOUR
+             THEN CAST(ABS(e.value) AS DECIMAL(18,8)) END) AS DOUBLE) AS flow24,
+    CAST(SUM(CASE WHEN e.ts <= mx.mx_ts - INTERVAL 24 HOUR
+              AND e.ts > mx.mx_ts - INTERVAL 48 HOUR
+             THEN CAST(ABS(e.value) AS DECIMAL(18,8)) END) AS DOUBLE) AS flow_prev
+  FROM events e, mx GROUP BY 1
+),
+r AS (
+  SELECT event_type, last_price, flow24,
+    (flow24 / NULLIF(flow_prev, 0) - 1) * 100 AS chg_pct,
+    percent_rank() OVER (ORDER BY flow24) AS pr
+  FROM agg
+)
+SELECT event_type,
+  CASE
+    WHEN last_price IS NULL THEN '-'
+    WHEN last_price >= 1000
+      THEN '$' || format('{:,}', CAST(printf('%.0f', last_price) AS BIGINT))
+    WHEN last_price >= 1 THEN printf('$%.2f', last_price)
+    ELSE printf('$%.4f', last_price)
+  END AS price,
+  CASE
+    WHEN flow24 IS NULL THEN '-'
+    WHEN flow24 >= 1e9 THEN printf('$%.2fB', flow24 / 1e9)
+    WHEN flow24 >= 1e6 THEN printf('$%.1fM', flow24 / 1e6)
+    WHEN flow24 >= 1e3 THEN printf('$%.0fK', flow24 / 1e3)
+    ELSE printf('$%.0f', flow24)
+  END AS flow,
+  CASE
+    WHEN chg_pct IS NULL THEN '-'
+    WHEN chg_pct > 0 THEN printf('+%.2f%%', chg_pct)
+    ELSE printf('%.2f%%', chg_pct)
+  END AS chg,
+  repeat('█', CAST(FLOOR(pr * 100 / 10) AS INTEGER))
+    || repeat('░', 10 - CAST(FLOOR(pr * 100 / 10) AS INTEGER)) AS strength
+FROM r
+ORDER BY pr DESC, event_type ASC
+LIMIT 10
+""",
+)
+def ranking_card_rendered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The card's final render — previously Python string interpolation
+    per row in the Telegram layer — runs as column expressions inside
+    the same plan as the ranking query itself, so a 100 TB serving job
+    ships rendered rows straight out of the cluster. Both engines
+    format bit-identical doubles with exact-binary half-even rounding
+    (C printf == CPython == functions/format.py's renderer), making
+    display strings verifiable by hash."""
+    from tradecat_spark.functions.format import fmt_pct, fmt_price, fmt_vol, strength_bar
+
+    e = _events(spark, sf_dir)
+    mx = e.agg(F.max("ts").alias("mx_ts"))
+    j = e.crossJoin(F.broadcast(mx))
+    day = F.expr("INTERVAL 24 HOURS")
+    in24 = F.col("ts") > F.col("mx_ts") - day
+    in_prev = (~in24) & (F.col("ts") > F.col("mx_ts") - F.expr("INTERVAL 48 HOURS"))
+    dec_abs = F.abs("value").cast(DEC)
+    agg = j.groupBy("event_type").agg(
+        F.max_by("value", "ts").alias("last_price"),
+        F.sum(F.when(in24, dec_abs)).cast("double").alias("flow24"),
+        F.sum(F.when(in_prev, dec_abs)).cast("double").alias("flow_prev"),
+    )
+    r = agg.select(
+        "event_type", "last_price", "flow24",
+        ((F.col("flow24") / F.nullif(F.col("flow_prev"), F.lit(0)) - 1) * 100)
+        .alias("chg_pct"),
+        F.percent_rank().over(Window.orderBy("flow24")).alias("pr"),
+    )
+    return (
+        r.select(
+            "event_type",
+            fmt_price(F.col("last_price")).alias("price"),
+            fmt_vol(F.col("flow24")).alias("flow"),
+            fmt_pct(F.col("chg_pct")).alias("chg"),
+            strength_bar(F.col("pr") * 100).alias("strength"),
+            "pr",
+        )
+        .orderBy(F.desc("pr"), F.asc("event_type"))
+        .limit(10)
+        .drop("pr")
+    )
