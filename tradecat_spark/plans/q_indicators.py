@@ -878,3 +878,98 @@ def ind_kdj_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(kd["d"], 6).alias("d"),
         F.round(3 * kd["k"] - 2 * kd["d"], 6).alias("j"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 Keltner — composed EWM recurrences in one struct fold
+# ---------------------------------------------------------------------------
+@query(
+    "ind_keltner_fold",
+    survey="§2.9 Keltner EMA20 ± 2×ATR10 (lean_indicators.py:208-233): "
+    "two coupled recurrences (EMA of close, Wilder RMA of true range "
+    "needing prev close) advanced together in one fold per key",
+    description="Final Keltner channel per event_type (EMA/ATR/prev-close fold)",
+    oracle=f"""
+WITH bars AS ({_BARS_1H_SQL}),
+series AS (
+  SELECT event_type,
+    list(struct_pack(h := high, l := low, c := close) ORDER BY bucket_ts)
+      AS vals
+  FROM bars GROUP BY 1
+),
+folded AS (
+  SELECT event_type, len(vals) AS n_bars,
+    list_reduce(
+      list_transform(vals, x -> struct_pack(
+        ema := x.c, atr := x.h - x.l, pc := x.c,
+        h := x.h, l := x.l, c := x.c)),
+      -- field order matters: DuckDB 1.0 folds structs by mutating the
+      -- accumulator in field order, so every field must be listed
+      -- before any field it is read by: atr reads pc (listed later),
+      -- ema reads only ema, pc/h/l/c read only x.
+      (acc, x) -> struct_pack(
+        ema := acc.ema * (1.0 - 2.0 / 21.0) + x.c * (2.0 / 21.0),
+        atr := (acc.atr * 9 + GREATEST(x.h - x.l, ABS(x.h - acc.pc),
+                                       ABS(x.l - acc.pc))) / 10,
+        pc := x.c, h := x.h, l := x.l, c := x.c
+      )
+    ) AS s
+  FROM series
+)
+SELECT event_type, CAST(n_bars AS BIGINT) AS n_bars,
+  ROUND(s.ema, 6) AS ema20,
+  ROUND(s.atr, 6) AS atr10,
+  ROUND(s.ema + 2 * s.atr, 6) AS upper_band,
+  ROUND(s.ema - 2 * s.atr, 6) AS lower_band
+FROM folded
+""",
+)
+def ind_keltner_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMA(close, 20) and Wilder ATR(10) advance in lock-step: the
+    accumulator carries (ema, atr, prev_close) and each bar folds both
+    recurrences in one pass — the composition pattern every
+    EMA-of-something indicator (Keltner, MACD signal, KDJ) reduces to.
+    Seeded reference-style from the first bar (ema=close0,
+    atr=high0-low0). Sequential fold order in both engines keeps the
+    doubles bit-identical."""
+    bars = _bars_1h(spark, sf_dir)
+    series = bars.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("bucket_ts", "high", "low", "close"))
+        ).alias("pairs")
+    )
+    vals = F.transform(
+        F.col("pairs"),
+        lambda p: F.struct(
+            p["high"].alias("h"), p["low"].alias("l"), p["close"].alias("c")
+        ),
+    )
+    first = F.element_at(vals, 1)
+    init = F.struct(
+        first["c"].alias("ema"),
+        (first["h"] - first["l"]).alias("atr"),
+        first["c"].alias("pc"),
+    )
+    a1, a2 = 1.0 / 10.0, 2.0 / 21.0
+
+    def step(acc, x):
+        tr = F.greatest(
+            x["h"] - x["l"], F.abs(x["h"] - acc["pc"]), F.abs(x["l"] - acc["pc"])
+        )
+        return F.struct(
+            (acc["ema"] * F.lit(1.0 - a2) + x["c"] * F.lit(a2)).alias("ema"),
+            ((acc["atr"] * 9 + tr) / 10).alias("atr"),
+            x["c"].alias("pc"),
+        )
+
+    s = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))), init, step
+    )
+    return series.select(
+        "event_type",
+        F.size("pairs").cast("long").alias("n_bars"),
+        F.round(s["ema"], 6).alias("ema20"),
+        F.round(s["atr"], 6).alias("atr10"),
+        F.round(s["ema"] + 2 * s["atr"], 6).alias("upper_band"),
+        F.round(s["ema"] - 2 * s["atr"], 6).alias("lower_band"),
+    )
