@@ -118,6 +118,114 @@ def test_ingest_merge_law(spark, tmp_path):
     )
 
 
+def test_ingest_intra_batch_duplicates(spark, tmp_path):
+    """One micro-batch carrying several updates of the SAME live bar (the
+    normal shape of a 3 s partial-bar buffer) must fold to one store row
+    per key, applying the merge law in arrival order."""
+    store = str(tmp_path / "bars_dup")
+    keys = ["symbol", "bucket_ts"]
+    t0 = pd.Timestamp("2025-01-01 00:00:00")
+    batch = spark.createDataFrame(
+        pd.DataFrame([
+            # three partial updates + the close, all for (BTC, t0)
+            dict(symbol="BTC", bucket_ts=t0, open=100.0, high=101.0,
+                 low=99.5, close=100.5, trade_count=3, is_closed=False),
+            dict(symbol="BTC", bucket_ts=t0, open=100.1, high=103.0,
+                 low=99.0, close=102.0, trade_count=7, is_closed=False),
+            dict(symbol="BTC", bucket_ts=t0, open=100.2, high=104.0,
+                 low=98.5, close=103.5, trade_count=12, is_closed=True),
+            dict(symbol="ETH", bucket_ts=t0, open=10.0, high=11.0,
+                 low=9.0, close=10.5, trade_count=5, is_closed=False),
+        ])
+    )
+    upsert_batch(spark, batch, store, keys, order_col=None)
+    rows = spark.read.parquet(store).collect()
+    assert len(rows) == 2  # one row per key, not four
+    btc = {r["symbol"]: r for r in rows}["BTC"]
+    # first closed row's open wins; high/low span the batch; last close
+    assert btc["open"] == 100.2
+    assert btc["high"] == 104.0 and btc["low"] == 98.5
+    assert btc["close"] == 103.5 and btc["trade_count"] == 12
+    assert btc["is_closed"] is True
+
+    # merging the same folded batch again is a no-op (idempotent replay)
+    upsert_batch(spark, batch, store, keys)
+    again = {r["symbol"]: r for r in spark.read.parquet(store).collect()}
+    assert len(again) == 2
+    assert again["BTC"]["high"] == 104.0 and again["BTC"]["open"] == 100.2
+
+
+def test_ingest_rewrites_only_touched_partitions(spark, tmp_path):
+    """The store is date-partitioned and a batch for day D must not
+    rewrite day C's files — the O(hot partition) contract that keeps a
+    3 s trigger viable when the store is 100× the batch."""
+    import glob
+    import os
+
+    store = str(tmp_path / "bars_part")
+    keys = ["symbol", "bucket_ts"]
+    d1 = pd.Timestamp("2025-01-01 00:00:00")
+    d2 = pd.Timestamp("2025-01-02 00:00:00")
+
+    def bar(sym, ts, px):
+        return dict(symbol=sym, bucket_ts=ts, open=px, high=px, low=px,
+                    close=px, trade_count=1, is_closed=True)
+
+    upsert_batch(
+        spark, spark.createDataFrame(pd.DataFrame([bar("BTC", d1, 1.0)])),
+        store, keys,
+    )
+    day1_files = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{store}/_part=2025-01-01/*.parquet")
+    }
+    assert day1_files, "expected a date partition directory"
+
+    upsert_batch(
+        spark, spark.createDataFrame(pd.DataFrame([bar("BTC", d2, 2.0)])),
+        store, keys,
+    )
+    # day-1 partition files untouched (same paths, same mtimes)
+    after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{store}/_part=2025-01-01/*.parquet")
+    }
+    assert after == day1_files
+    got = {
+        (r["symbol"], r["bucket_ts"]): r["close"]
+        for r in spark.read.parquet(store).collect()
+    }
+    assert got == {("BTC", d1): 1.0, ("BTC", d2): 2.0}
+
+
+def test_merge_presence_flags_null_open(spark):
+    """A present row whose open is legitimately NULL must still take the
+    merge-law branch (presence is tracked with flags, not payload nulls)."""
+    from tradecat_spark.operators.merge import merge_candles
+
+    t0 = pd.Timestamp("2025-01-01 00:00:00")
+    target = spark.createDataFrame(
+        pd.DataFrame([
+            dict(symbol="BTC", bucket_ts=t0, open=None, high=105.0,
+                 low=99.0, close=104.0, trade_count=10, is_closed=False),
+        ])
+    )
+    source = spark.createDataFrame(
+        pd.DataFrame([
+            dict(symbol="BTC", bucket_ts=t0, open=101.0, high=102.0,
+                 low=100.0, close=101.5, trade_count=12, is_closed=True),
+        ])
+    )
+    out = merge_candles(target, source, ["symbol", "bucket_ts"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    # merge-law branch taken: greatest(high)=105 (NOT the source-only
+    # passthrough that a null-open presence test would have produced)
+    assert r["high"] == 105.0 and r["low"] == 99.0
+    assert r["open"] == 101.0  # target not closed → source open
+    assert r["close"] == 101.5 and r["is_closed"] is True
+
+
 def test_watermark_late_data_and_checkpoint_restart(spark, tmp_path):
     """Two availableNow runs sharing a checkpoint: the second run restores
     the first run's watermark, so (a) a row later than the watermark is

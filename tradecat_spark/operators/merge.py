@@ -12,6 +12,12 @@ use; on a lakehouse deployment this function's expressions drop verbatim
 into ``DeltaTable.merge().whenMatchedUpdate(set=...)``. The full-outer
 join is key-equi and shuffle-partitioned on the merge key, so at 100 TB
 it co-partitions with a bucketed target table and never widens.
+
+``fold_batch`` is the intra-batch form of the same law: a micro-batch
+may carry several updates to one (key, bucket) — the normal case for a
+3 s buffer of partial 1m bars (ws.py:30-114) — and the reference's ON
+CONFLICT applies the law row-by-row in arrival order. The groupBy
+aggregate below is the closed form of that sequential fold.
 """
 
 from __future__ import annotations
@@ -36,18 +42,33 @@ def merge_candles(
       counts     : greatest (monotone counters)
       is_closed  : OR
     Unmatched rows pass through from either side.
+
+    Row presence is tracked with explicit ``_t``/``_s`` flags, not
+    payload-column nullness: a present row whose optional ``open`` is
+    legitimately NULL must still take the merge-law branch (the
+    reference law COALESCEs optional fields, it never treats them as
+    row-existence markers).
     """
-    t = target.select(*keys, *MERGE_COLS).alias("t")
-    s = source.select(*keys, *MERGE_COLS).alias("s")
+    t = (
+        target.select(*keys, *MERGE_COLS)
+        .withColumn("_t", F.lit(True))
+        .alias("t")
+    )
+    s = (
+        source.select(*keys, *MERGE_COLS)
+        .withColumn("_s", F.lit(True))
+        .alias("s")
+    )
     j = t.join(s, keys, "full_outer")
 
     tc, sc = (lambda c: F.col(f"t.{c}")), (lambda c: F.col(f"s.{c}"))
-    both = tc("open").isNotNull() & sc("open").isNotNull()
+    in_t, in_s = F.col("t._t").isNotNull(), F.col("s._s").isNotNull()
+    both = in_t & in_s
 
     def pick(col: str, merged):
         return (
             F.when(both, merged)
-            .when(tc(col).isNotNull(), tc(col))
+            .when(in_t, tc(col))
             .otherwise(sc(col))
             .alias(col)
         )
@@ -60,4 +81,45 @@ def merge_candles(
         pick("close", sc("close")),
         pick("trade_count", F.greatest(tc("trade_count"), sc("trade_count"))),
         pick("is_closed", tc("is_closed") | sc("is_closed")),
+    )
+
+
+def fold_batch(
+    batch: DataFrame, keys: list[str], order_col: str | None = None
+) -> DataFrame:
+    """Collapse intra-batch duplicates per key with the merge law.
+
+    Sequentially applying the ON CONFLICT law over a key's rows in
+    arrival order yields, in closed form:
+      open        : open of the FIRST closed row if any row is closed
+                    (once the bar closes, open freezes), else open of the
+                    last row (the live bar's open is authoritative)
+      high/low    : max / min over the batch
+      close       : last row's close (source always wins)
+      trade_count : max (monotone counter)
+      is_closed   : OR
+    One map-side-combinable aggregate — no join, no window sort.
+
+    ``order_col`` is the arrival order within the batch. When the source
+    carries no explicit sequence, ``monotonically_increasing_id`` is used
+    as the arrival proxy (file/Kafka sources preserve per-partition
+    order, which is the only order the reference's ws.py buffer
+    guarantees either).
+    """
+    if order_col is None:
+        batch = batch.withColumn("_seq", F.monotonically_increasing_id())
+        order_col = "_seq"
+    seq = F.col(order_col)
+    # min_by/max_by skip rows whose ordering expression is NULL, so
+    # `when(is_closed, seq)` restricts min_by to closed rows only.
+    closed_seq = F.when(F.col("is_closed"), seq)
+    return batch.groupBy(*keys).agg(
+        F.coalesce(
+            F.min_by("open", closed_seq), F.max_by("open", seq)
+        ).alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", seq).alias("close"),
+        F.max("trade_count").alias("trade_count"),
+        F.max("is_closed").alias("is_closed"),
     )

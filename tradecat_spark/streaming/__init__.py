@@ -13,11 +13,16 @@ state. Each piece maps to a first-class Structured Streaming construct:
                per-(rule, key) cooldown as keyed state with timeouts
 """
 
-from tradecat_spark.streaming.ingest import start_candle_ingest, upsert_batch
+from tradecat_spark.streaming.ingest import (
+    read_store,
+    start_candle_ingest,
+    upsert_batch,
+)
 from tradecat_spark.streaming.rollup import streaming_ohlcv
 from tradecat_spark.streaming.signals import streaming_signals
 
 __all__ = [
+    "read_store",
     "start_candle_ingest",
     "upsert_batch",
     "streaming_ohlcv",

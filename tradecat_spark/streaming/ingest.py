@@ -7,23 +7,61 @@ partial-bar merge law (ws.py:30-114, timescale.py:53-125,
 001_timescaledb.sql:106-119).
 
 Spark-first: the buffer window IS the trigger interval; the upsert is a
-``foreachBatch`` that applies ``operators.merge.merge_candles`` against
-the bronze store. On a lakehouse the body of ``upsert_batch`` is one
-``DeltaTable.merge()``; the parquet fallback below rewrites the store
-(fine for a bounded serving tail, and what the retention policy keeps it
-as). Idempotency: the merge law is associative/commutative-enough that
-replaying a micro-batch converges to the same bar — the exactly-once
-story the reference gets from ON CONFLICT.
+``foreachBatch`` that folds the batch per key (``operators.merge.
+fold_batch``) and merges it into the bronze store with ``merge_candles``.
+
+Scale design (mirrors TimescaleDB's 1-day chunks,
+001_timescaledb.sql:9-35): the store is hash/date **partitioned**, and a
+micro-batch only ever reads and rewrites the partitions its keys touch —
+a live 1m feed touches today's partition, never the historical ones, so
+per-trigger work is O(hot partition), not O(store). Nothing is ever
+materialized on the driver.
+
+Commit protocol (crash-safe without a transaction log): the merged
+touched partitions are first written to a staging path by Spark, then
+copied into the store via dynamic-partition-overwrite *reading from
+staging* — the store is never the input of a job that overwrites it. A
+crash before the final commit leaves the old store intact; a crash
+mid-commit leaves some partitions new and some old, and replaying the
+micro-batch (the streaming checkpoint has not advanced past a failed
+batch) reconverges because the merge law is idempotent — the same
+exactly-once-by-idempotence story the reference gets from ON CONFLICT.
+On a lakehouse, ``upsert_batch``'s body is one ``DeltaTable.merge()``
+and the staging dance disappears.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from tradecat_spark.operators.merge import MERGE_COLS, merge_candles
+from tradecat_spark.operators.merge import MERGE_COLS, fold_batch, merge_candles
+
+# Partition column added to the store layout (derived from the merge
+# keys, so it never needs to travel with the data).
+PART_COL = "_part"
+_HASH_PARTS = 32
+
+
+def _part_expr(df: DataFrame, keys: list[str]) -> Column:
+    """Partition expression for the store layout.
+
+    If a timestamp/date key exists, partition by its calendar date — the
+    TimescaleDB 1-day-chunk layout, which confines a live feed's writes
+    to the current day. Otherwise fall back to a uniform hash bucket of
+    the full key.
+    """
+    dtypes = dict(df.dtypes)
+    for k in keys:
+        if dtypes.get(k, "").startswith(("timestamp", "date")):
+            return F.date_format(F.col(k), "yyyy-MM-dd")
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(_HASH_PARTS)).cast(
+        "string"
+    )
 
 
 def upsert_batch(
@@ -31,22 +69,57 @@ def upsert_batch(
     batch: DataFrame,
     store_path: str,
     keys: list[str],
+    order_col: str | None = None,
 ) -> None:
     """Merge one micro-batch of (possibly partial) bars into the store.
 
-    Batch-local dedupe first (latest write per key wins within the
-    batch), then the partial-bar merge law against the existing store.
+    1. Fold intra-batch duplicates per key (latest write wins under the
+       merge law) — a 3 s buffer routinely carries several partial
+       updates of the same live bar.
+    2. Read ONLY the store partitions the batch touches (partition
+       pruning on ``_part``), merge with the folded batch.
+    3. Stage the merged partitions, then dynamic-partition-overwrite
+       just those partitions from staging.
     """
-    batch = batch.select(*keys, *MERGE_COLS)
+    batch = fold_batch(batch.select(*keys, *MERGE_COLS), keys, order_col)
+    batch = batch.withColumn(PART_COL, _part_expr(batch, keys))
+
+    # Touched partition values: one tiny distinct over the folded batch
+    # (bounded by symbols × dates in a 3 s window, not by row count).
+    touched = [r[0] for r in batch.select(PART_COL).distinct().collect()]
+
     if os.path.exists(store_path):
-        target = spark.read.parquet(store_path)
+        target = spark.read.parquet(store_path).where(
+            F.col(PART_COL).isin(touched)
+        )
         merged = merge_candles(target, batch, keys)
+        merged = merged.withColumn(PART_COL, _part_expr(merged, keys))
     else:
         merged = batch
-    # materialize before overwriting the path we just read
-    pdf = merged.toPandas()
-    out = spark.createDataFrame(pdf, merged.schema)
-    out.write.mode("overwrite").parquet(store_path)
+
+    staging = f"{store_path}.staging"
+    merged.write.mode("overwrite").parquet(staging)
+    try:
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                spark.read.parquet(staging)
+                .write.mode("overwrite")
+                .partitionBy(PART_COL)
+                .parquet(store_path)
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def read_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Read the candle store without the internal layout column."""
+    return spark.read.parquet(store_path).drop(PART_COL)
 
 
 def start_candle_ingest(
