@@ -42,15 +42,18 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
-            an = pd.isna(av.astype("float64"))
-            bn = pd.isna(bv.astype("float64"))
+            af, bf = av.astype("float64"), bv.astype("float64")
+            an, bn = pd.isna(af), pd.isna(bf)
             assert (an == bn).all(), f"{name}.{c}: null placement differs"
-            ok = av[~an].astype("float64") == bv[~bn].astype("float64")
+            # Bit-pattern equality, not ==: the driver hashes raw values,
+            # so -0.0 vs +0.0 (which compare ==) must count as a mismatch.
+            ok = af[~an].view("int64") == bf[~bn].view("int64")
             if not ok.all():
                 bad = np.where(~ok)[0][:5]
                 raise AssertionError(
-                    f"{name}.{c}: {len(ok) - ok.sum()} float mismatches, "
-                    f"e.g. {av[~an][bad]} vs {bv[~bn][bad]}"
+                    f"{name}.{c}: {len(ok) - ok.sum()} float bit-pattern "
+                    f"mismatches (incl. -0.0 vs +0.0), "
+                    f"e.g. {af[~an][bad]} vs {bf[~bn][bad]}"
                 )
         else:
             same = pd.Series(av).fillna("␀").eq(pd.Series(bv).fillna("␀"))

@@ -12,8 +12,10 @@ Scale notes: ROWS-frame windows per (key) need one shuffle+sort per
 distinct partitioning — all queries here share (event_type ORDER BY ts),
 so Catalyst plans exactly one exchange per query. The EWM fold holds one
 (ts,value) array per key in memory: the reference's own compute contract
-is a ≤500-bar tail per key (db/cache.py:33), which caps the array; for
-unbounded histories use the streaming/stateful form instead.
+is a ≤500-bar tail per key (db/cache.py:33), ENFORCED here — every fold
+query pre-limits its input with ``topn_per_group(..., TAIL_BARS)`` before
+collecting, so a hot key's unbounded history never materializes; for
+truly unbounded recurrences use the streaming/stateful form instead.
 """
 
 from __future__ import annotations
@@ -83,9 +85,9 @@ SELECT
   event_type, ts,
   MAX(value) OVER w20 AS don_high,
   MIN(value) OVER w20 AS don_low,
-  ROUND((MAX(value) OVER w20 + MIN(value) OVER w20) / 2, 6) AS don_mid,
-  ROUND((MAX(value) OVER w14 - value)
-        / NULLIF(MAX(value) OVER w14 - MIN(value) OVER w14, 0) * -100, 6)
+  ROUND((MAX(value) OVER w20 + MIN(value) OVER w20) / 2, 6) + 0.0 AS don_mid,
+  ROUND((value - MAX(value) OVER w14)
+        / NULLIF(MAX(value) OVER w14 - MIN(value) OVER w14, 0) * 100, 6) + 0.0
     AS williams_r
 FROM events
 WINDOW
@@ -94,6 +96,12 @@ WINDOW
 """,
 )
 def ind_donchian_williams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Williams %R is written ``(value - hi14) / range * 100`` (not the
+    textbook ``(hi14 - value) * -100``) so the value==hi14 case yields
+    +0.0 in BOTH engines — DuckDB's ``0/range * -100`` produces IEEE
+    -0.0 while Spark's BigDecimal round normalizes to +0.0, which flips
+    the driver's value hash. ``+ 0.0`` after each ROUND squashes any
+    residual -0.0 (tiny negatives rounding to zero) on both sides."""
     e = _series(spark, sf_dir)
     w20, w14 = _w(rows=(-19, 0)), _w(rows=(-13, 0))
     hi20, lo20 = F.max("value").over(w20), F.min("value").over(w20)
@@ -102,9 +110,13 @@ def ind_donchian_williams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "ts",
         hi20.alias("don_high"),
         lo20.alias("don_low"),
-        F.round((hi20 + lo20) / 2, 6).alias("don_mid"),
-        F.round((hi14 - F.col("value")) / F.nullif(hi14 - lo14, F.lit(0)) * -100, 6)
-        .alias("williams_r"),
+        (F.round((hi20 + lo20) / 2, 6) + F.lit(0.0)).alias("don_mid"),
+        (
+            F.round(
+                (F.col("value") - hi14) / F.nullif(hi14 - lo14, F.lit(0)) * 100, 6
+            )
+            + F.lit(0.0)
+        ).alias("williams_r"),
     )
 
 
@@ -391,10 +403,21 @@ def ema_fold(values_by_ts: Column, alpha: float) -> Column:
     )
 
 
+#: Reference window-cache contract: indicator folds run over at most the
+#: last 500 bars per key (db/cache.py:33 MAX_ROWS) — bounding the
+#: collected array so a hot key's full history never materializes.
+TAIL_BARS = 500
+
 _EMA_ORACLE = """
-WITH series AS (
+WITH tail AS (
+  SELECT event_type, ts, value FROM (
+    SELECT event_type, ts, value,
+      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts DESC) AS rn
+    FROM events) t WHERE rn <= 500
+),
+series AS (
   SELECT event_type, list(value ORDER BY ts) AS vals
-  FROM events GROUP BY event_type
+  FROM tail GROUP BY event_type
 )
 SELECT
   event_type,
@@ -414,7 +437,9 @@ FROM series
     ),
 )
 def ind_ema20_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _series(spark, sf_dir)
+    from tradecat_spark.operators.latest import topn_per_group
+
+    e = topn_per_group(_series(spark, sf_dir), ["event_type"], "ts", TAIL_BARS)
     alpha = 2.0 / 21.0
     series = e.groupBy("event_type").agg(
         F.array_sort(F.collect_list(F.struct("ts", "value"))).alias("pairs")
@@ -600,12 +625,32 @@ _BARS_1H_SQL = """
   FROM events GROUP BY 1, 2
 """
 
+# Last ≤500 bars per key — the tail the reference's window cache feeds to
+# every indicator (db/cache.py:33). The fold queries consume THIS, so the
+# per-key collected array is bounded regardless of history length.
+_TAIL_BARS_1H_SQL = f"""
+  SELECT event_type, bucket_ts, open, high, low, close, trade_count FROM (
+    SELECT b.*, ROW_NUMBER() OVER (
+      PARTITION BY event_type ORDER BY bucket_ts DESC) AS rn
+    FROM ({_BARS_1H_SQL}) b
+  ) tb WHERE rn <= 500
+"""
+
 
 def _bars_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tradecat_spark.operators.rollup import ohlcv_rollup
 
     return ohlcv_rollup(
         _series(spark, sf_dir), ["event_type"], "ts", "value", interval_sec=3600
+    )
+
+
+def _bars_1h_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last ≤500 1h bars per key (mirrors _TAIL_BARS_1H_SQL)."""
+    from tradecat_spark.operators.latest import topn_per_group
+
+    return topn_per_group(
+        _bars_1h(spark, sf_dir), ["event_type"], "bucket_ts", TAIL_BARS
     )
 
 
@@ -808,7 +853,7 @@ def ind_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
     "evaluated as ONE sequential struct fold per key",
     description="Final KDJ values per event_type (struct-fold over RSV series)",
     oracle=f"""
-WITH bars AS ({_BARS_1H_SQL}),
+WITH bars AS ({_TAIL_BARS_1H_SQL}),
 rsv AS (
   SELECT event_type, bucket_ts,
     (close - MIN(low) OVER w) / NULLIF(MAX(high) OVER w - MIN(low) OVER w, 0)
@@ -849,7 +894,7 @@ def ind_kdj_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     the K/D pair advances together in one left fold: the accumulator is
     a (k, d) struct and each step computes k' before folding it into d'.
     Sequential order in both engines → bit-identical doubles."""
-    bars = _bars_1h(spark, sf_dir)
+    bars = _bars_1h_tail(spark, sf_dir)
     w = Window.partitionBy("event_type").orderBy("bucket_ts").rowsBetween(-8, 0)
     rng = F.max("high").over(w) - F.min("low").over(w)
     rsv = (F.col("close") - F.min("low").over(w)) / F.nullif(rng, F.lit(0)) * 100
@@ -890,7 +935,7 @@ def ind_kdj_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     "needing prev close) advanced together in one fold per key",
     description="Final Keltner channel per event_type (EMA/ATR/prev-close fold)",
     oracle=f"""
-WITH bars AS ({_BARS_1H_SQL}),
+WITH bars AS ({_TAIL_BARS_1H_SQL}),
 series AS (
   SELECT event_type,
     list(struct_pack(h := high, l := low, c := close) ORDER BY bucket_ts)
@@ -932,7 +977,7 @@ def ind_keltner_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     Seeded reference-style from the first bar (ema=close0,
     atr=high0-low0). Sequential fold order in both engines keeps the
     doubles bit-identical."""
-    bars = _bars_1h(spark, sf_dir)
+    bars = _bars_1h_tail(spark, sf_dir)
     series = bars.groupBy("event_type").agg(
         F.array_sort(
             F.collect_list(F.struct("bucket_ts", "high", "low", "close"))

@@ -122,12 +122,21 @@ def signal_rule_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="§2.5 W5 Wilder recursion (incremental/atr.py:7-49) — struct-fold oracle",
     description="Wilder ATR(14) latest value per event_type over 1h bars",
     oracle="""
-WITH bars AS (
+WITH allbars AS (
   SELECT
     event_type,
     time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
     MAX(value) AS high, MIN(value) AS low, max_by(value, ts) AS close
   FROM events GROUP BY 1, 2
+),
+bars AS (
+  -- reference window-cache tail: folds see at most the last 500 bars
+  -- per key (db/cache.py:33)
+  SELECT event_type, bucket_ts, high, low, close FROM (
+    SELECT b.*, ROW_NUMBER() OVER (
+      PARTITION BY event_type ORDER BY bucket_ts DESC) AS rn
+    FROM allbars b) tb
+  WHERE rn <= 500
 ),
 tr AS (
   SELECT
@@ -157,9 +166,16 @@ def ind_atr_wilder_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TR via window lag, then the Wilder RMA recurrence as a JVM-side
     ordered fold (same shape as ind_ema20_fold). First row's TR (no
     prev close) is NULL and excluded on both sides; the fold seeds with
-    the first real TR, matching pandas ewm(alpha=1/14, adjust=False)."""
+    the first real TR, matching pandas ewm(alpha=1/14, adjust=False).
+    Bars are pre-limited to the reference's ≤500-bar window-cache tail
+    (db/cache.py:33) so the collected array is bounded."""
+    from tradecat_spark.operators.latest import topn_per_group
+
     e = load_table(spark, sf_dir, "events")
-    bars = ohlcv_rollup(e, ["event_type"], "ts", "value", interval_sec=3600)
+    bars = topn_per_group(
+        ohlcv_rollup(e, ["event_type"], "ts", "value", interval_sec=3600),
+        ["event_type"], "bucket_ts", 500,
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("event_type").orderBy("bucket_ts")
