@@ -123,6 +123,50 @@ def test_cascade_equals_direct(spark, events):
     assert _rows(cascaded, cols) == _rows(direct, cols)
 
 
+def test_interval_registry_matches_reference():
+    """The reference registers 14 caggs (004_continuous_aggregates.sql:
+    67-81); we carry all of them plus the 1m base table."""
+    from tradecat_spark.operators.rollup import INTERVALS
+
+    assert set(INTERVALS) == {
+        "1m", "3m", "5m", "15m", "30m", "1h", "2h", "4h", "6h", "8h",
+        "12h", "1d", "3d", "1w", "1M",
+    }
+    assert INTERVALS["1M"] == "month"
+    # week buckets anchor on TimescaleDB's Monday origin
+    from tradecat_spark.operators.rollup import BUCKET_ORIGIN
+    import datetime
+
+    d = datetime.datetime.fromtimestamp(
+        BUCKET_ORIGIN, tz=datetime.timezone.utc
+    )
+    assert d.weekday() == 0 and (d.hour, d.minute, d.second) == (0, 0, 0)
+
+
+@given(events=event_frames())
+@SETTINGS
+def test_month_cascade_equals_direct(spark, events):
+    """1d→1M calendar cascade ≡ direct month rollup of raw."""
+    from tradecat_spark.operators.rollup import bucket_ts_any
+
+    e = spark.createDataFrame(events)
+    day = ohlcv_rollup(e, ["event_type"], "ts", "value", interval_sec=86400)
+    cascaded = cascade_rollup(day, ["event_type"], 86400, "month")
+    direct = (
+        e.groupBy("event_type", bucket_ts_any("ts", "month").alias("bucket_ts"))
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count(F.lit(1)).alias("trade_count"),
+        )
+    )
+    cols = ["event_type", "bucket_ts", "open", "high", "low", "close",
+            "trade_count"]
+    assert _rows(cascaded, cols) == _rows(direct, cols)
+
+
 @given(events=event_frames(), horizon_sec=st.integers(0, 7200))
 @SETTINGS
 def test_realtime_view_equals_direct(spark, events, horizon_sec):

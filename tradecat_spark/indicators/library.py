@@ -30,12 +30,15 @@ def _last(s: pd.Series) -> float:
 # trend / channel family
 # ---------------------------------------------------------------------------
 @register(
-    "supertrend", [("st_line", D), ("st_dir", D)],
-    citation="batch/lean_indicators.py:29-84",
+    "supertrend", [("st_line", D), ("st_dir", D), ("st_state", S)],
+    citation="batch/lean_indicators.py:29-84 (方向 label consumed by "
+    "rules/trend/__init__.py:7-34)",
 )
 def i_supertrend(b: pd.DataFrame):
     line, direction = ta.supertrend(b.high, b.low, b.close, 10, 3.0)
-    return {"st_line": _last(line), "st_dir": _last(direction)}
+    d = _last(direction)
+    return {"st_line": _last(line), "st_dir": d,
+            "st_state": "up" if d > 0 else "down"}
 
 
 @register(
@@ -87,7 +90,8 @@ def i_keltner(b: pd.DataFrame):
 
 @register(
     "ichimoku",
-    [("tenkan", D), ("kijun", D), ("span_a", D), ("span_b", D), ("cloud_signal", S)],
+    [("tenkan", D), ("kijun", D), ("span_a", D), ("span_b", D),
+     ("cloud_signal", S), ("ichi_signal", S)],
     citation="batch/lean_indicators.py:237-281",
 )
 def i_ichimoku(b: pd.DataFrame):
@@ -100,15 +104,24 @@ def i_ichimoku(b: pd.DataFrame):
     c = _last(b.close)
     hi, lo = max(_last(span_a), _last(span_b)), min(_last(span_a), _last(span_b))
     signal = "above_cloud" if c > hi else ("below_cloud" if c < lo else "in_cloud")
+    # 信号 buy/sell/neutral: cloud side + tenkan/kijun agreement (the
+    # composite label rules/trend/__init__.py:78-105 transitions on)
+    if c > hi and _last(tenkan) > _last(kijun):
+        ichi = "buy"
+    elif c < lo and _last(tenkan) < _last(kijun):
+        ichi = "sell"
+    else:
+        ichi = "neutral"
     return {
         "tenkan": _last(tenkan), "kijun": _last(kijun),
         "span_a": _last(span_a), "span_b": _last(span_b),
-        "cloud_signal": signal,
+        "cloud_signal": signal, "ichi_signal": ichi,
     }
 
 
 @register(
-    "trend_line", [("piv_high", D), ("piv_low", D), ("trend_slope", D)],
+    "trend_line",
+    [("piv_high", D), ("piv_low", D), ("trend_slope", D), ("tl_state", S)],
     citation="batch/trend_line.py:5-175",
     min_data=12,
 )
@@ -118,10 +131,12 @@ def i_trend_line(b: pd.DataFrame):
     h, l = b.high, b.low
     ph = h[(h.shift(2) < h) & (h.shift(1) < h) & (h.shift(-1) < h) & (h.shift(-2) < h)]
     pl = l[(l.shift(2) > l) & (l.shift(1) > l) & (l.shift(-1) > l) & (l.shift(-2) > l)]
+    slope = ta.linreg_slope(b.close.tail(50).to_numpy())
     return {
         "piv_high": float(ph.iloc[-1]) if len(ph) else float("nan"),
         "piv_low": float(pl.iloc[-1]) if len(pl) else float("nan"),
-        "trend_slope": ta.linreg_slope(b.close.tail(50).to_numpy()),
+        "trend_slope": slope,
+        "tl_state": "up" if slope > 0 else "down",
     }
 
 
@@ -170,7 +185,7 @@ def i_ribbon(b: pd.DataFrame):
 
 
 @register(
-    "fib_sniper", [("vwma200", D), ("fib_pos", D)],
+    "fib_sniper", [("vwma200", D), ("fib_pos", D), ("fib_state", S)],
     citation="batch/tv_fib_sniper.py (VWMA(200) Fibonacci bands ×3.0)",
     min_data=50,
 )
@@ -178,23 +193,117 @@ def i_fib_sniper(b: pd.DataFrame):
     base = ta.vwma(b.close, b.volume, 200)
     dev = (b.close - base).rolling(200, min_periods=1).std() * 3.0
     pos = (b.close - base) / dev.replace(0, np.nan)
-    return {"vwma200": _last(base), "fib_pos": _last(pos)}
+    p = _last(pos)
+    return {"vwma200": _last(base), "fib_pos": p,
+            "fib_state": "up" if p >= 0 else "down"}
 
 
 # ---------------------------------------------------------------------------
 # oscillator / momentum family
 # ---------------------------------------------------------------------------
+def _rsi_divergence(b: pd.DataFrame, rsi: pd.Series, lookback: int = 50):
+    """Pivot-based divergence scan (batch/tv_rsi.py:28-53): ±5-bar price
+    pivots over the last `lookback` bars; bearish = higher price high on
+    a lower RSI high, bullish = lower price low on a higher RSI low.
+    Returns (label, strength%)."""
+    if len(b) < lookback or rsi.isna().sum() > len(rsi) * 0.1:
+        return "none", 0.0
+    recent = b.tail(lookback)
+    rrsi = rsi.tail(lookback)
+    p_highs, r_highs, p_lows, r_lows = [], [], [], []
+    hi, lo = recent["high"], recent["low"]
+    for i in range(5, len(recent) - 5):
+        win_h = hi.iloc[i - 5 : i + 6]
+        if hi.iloc[i] == win_h.max():
+            p_highs.append(hi.iloc[i])
+            r_highs.append(rrsi.iloc[i])
+        win_l = lo.iloc[i - 5 : i + 6]
+        if lo.iloc[i] == win_l.min():
+            p_lows.append(lo.iloc[i])
+            r_lows.append(rrsi.iloc[i])
+    if len(p_highs) >= 2 and len(p_lows) >= 2:
+        if p_highs[-1] > p_highs[-2] and r_highs[-1] < r_highs[-2]:
+            s = (r_highs[-2] - r_highs[-1]) / r_highs[-2] * 100
+            return "bearish_div", float(min(s, 100.0))
+        if p_lows[-1] < p_lows[-2] and r_lows[-1] > r_lows[-2]:
+            s = (r_lows[-1] - r_lows[-2]) / r_lows[-2] * 100
+            return "bullish_div", float(min(s, 100.0))
+    return "none", 0.0
+
+
 @register(
     "smart_rsi",
-    [("rsi7", D), ("rsi14", D), ("rsi21", D), ("rsi_state", S)],
-    citation="batch/tv_rsi.py:14-174",
+    [("rsi7", D), ("rsi14", D), ("rsi21", D), ("rsi_avg", D),
+     ("rsi_state", S), ("rsi_divergence", S), ("rsi_signal", S),
+     ("rsi_trend", S), ("rsi_strength", D), ("ob_threshold", D),
+     ("os_threshold", D)],
+    citation="batch/tv_rsi.py:14-174 (ATR-adaptive thresholds :20-25, "
+    "EMA34 trend + 2-of-3 zone vote :56-99, pivot divergence :28-53)",
 )
 def i_smart_rsi(b: pd.DataFrame):
+    """Full 智能RSI扫描器 semantics: multi-period RSI with volatility-
+    adaptive overbought/oversold levels, EMA(34) trend gating, a 2-of-3
+    zone vote for the position label, pivot divergence, and a divergence-
+    boosted final signal."""
     r7, r14, r21 = (ta.rsi(b.close, n) for n in (7, 14, 21))
-    v = _last(r14)
-    state = "overbought" if v >= 70 else ("oversold" if v <= 30 else "neutral")
+    # ATR-normalized adaptive thresholds (tv_rsi.py:20-25,126-136)
+    atr = ta.atr(b.high, b.low, b.close, 14)
+    rng = atr.max() - atr.min()
+    atr_norm = float((atr.iloc[-1] - atr.min()) / (rng + 1e-10)) if len(atr) else 0.5
+    if math.isnan(atr_norm):
+        atr_norm = 0.5
+    vol_factor = 1.0 + (atr_norm - 0.5) * 0.2
+    overbought = min(80.0, 70.0 * vol_factor)
+    oversold = max(20.0, 30.0 / vol_factor)
+
+    vals = [v for v in (_last(r7), _last(r14), _last(r21)) if not math.isnan(v)]
+    if not vals:
+        return {"rsi7": float("nan"), "rsi14": float("nan"),
+                "rsi21": float("nan"), "rsi_avg": float("nan"),
+                "rsi_state": "neutral", "rsi_divergence": "none",
+                "rsi_signal": "watch", "rsi_trend": "bearish",
+                "rsi_strength": 0.0, "ob_threshold": overbought,
+                "os_threshold": oversold}
+    rsi_avg = float(np.mean(vals))
+    # EMA(34) trend gate (tv_rsi.py:68-70)
+    ema34 = b.close.ewm(span=34, adjust=False).mean()
+    trend = "bullish" if _last(b.close) > _last(ema34) else "bearish"
+    n_os = sum(1 for v in vals if v < oversold)
+    n_ob = sum(1 for v in vals if v > overbought)
+    if trend == "bullish":
+        if n_os >= 2:
+            signal, state = "buy", "oversold"
+        elif n_ob >= 2:
+            signal, state = "watch", "overbought"
+        else:
+            signal, state = "watch", "neutral"
+    else:
+        if n_ob >= 2:
+            signal, state = "sell", "overbought"
+        elif n_os >= 2:
+            signal, state = "watch", "oversold"
+        else:
+            signal, state = "watch", "neutral"
+    if signal == "buy":
+        strength = (oversold - rsi_avg) / oversold * 100
+    elif signal == "sell":
+        strength = (rsi_avg - overbought) / (100 - overbought) * 100
+    else:
+        strength = abs(50 - rsi_avg) / 50 * 100
+    strength = max(0.0, min(100.0, abs(strength)))
+    # divergence boost (tv_rsi.py:146-157)
+    div, div_strength = _rsi_divergence(b, r14, 50)
+    if div == "bullish_div" and trend == "bullish" and n_os >= 2:
+        signal = "buy"
+        strength = min(100.0, strength + div_strength * 0.5)
+    elif div == "bearish_div" and trend == "bearish" and n_ob >= 2:
+        signal = "sell"
+        strength = min(100.0, strength + div_strength * 0.5)
     return {"rsi7": _last(r7), "rsi14": _last(r14), "rsi21": _last(r21),
-            "rsi_state": state}
+            "rsi_avg": rsi_avg, "rsi_state": state, "rsi_divergence": div,
+            "rsi_signal": signal, "rsi_trend": trend,
+            "rsi_strength": strength, "ob_threshold": overbought,
+            "os_threshold": oversold}
 
 
 @register(
@@ -213,14 +322,31 @@ def i_macd(b: pd.DataFrame):
 
 
 @register(
-    "kdj", [("kdj_k", D), ("kdj_d", D), ("kdj_j", D), ("kdj_state", S)],
-    citation="incremental/kdj.py:6-50",
+    "kdj",
+    [("kdj_k", D), ("kdj_d", D), ("kdj_j", D), ("kdj_state", S),
+     ("kdj_signal", S)],
+    citation="incremental/kdj.py:6-50 (信号概述 labels: cross/extreme/"
+    "continue — rules/momentum/kdj.py conditions fire on transitions)",
 )
 def i_kdj(b: pd.DataFrame):
     k, d, j = ta.kdj(b.high, b.low, b.close)
-    kv = _last(k)
+    kv, jv = _last(k), _last(j)
     state = "overbought" if kv >= 80 else ("oversold" if kv <= 20 else "neutral")
-    return {"kdj_k": kv, "kdj_d": _last(d), "kdj_j": _last(j), "kdj_state": state}
+    # 信号概述: J extremes take precedence, then fresh K/D crosses,
+    # else "continue" — the label vocabulary the rule pack transitions on
+    signal = "continue"
+    if jv < 0:
+        signal = "j_oversold"
+    elif jv > 100:
+        signal = "j_overbought"
+    elif len(k) >= 2:
+        pk, pd_ = float(k.iloc[-2]), float(d.iloc[-2])
+        if pk <= pd_ and kv > _last(d):
+            signal = "golden_cross"
+        elif pk >= pd_ and kv < _last(d):
+            signal = "death_cross"
+    return {"kdj_k": kv, "kdj_d": _last(d), "kdj_j": jv,
+            "kdj_state": state, "kdj_signal": signal}
 
 
 @register(
@@ -263,17 +389,30 @@ def i_bollinger(b: pd.DataFrame):
 
 @register(
     "atr_scan",
-    [("atr14", D), ("atr_pct", D), ("atr_upper", D), ("atr_lower", D), ("atr_state", S)],
-    citation="incremental/atr.py:7-49",
+    [("atr14", D), ("atr_pct", D), ("atr_upper", D), ("atr_lower", D),
+     ("atr_state", S), ("vol_class", S)],
+    citation="incremental/atr.py:7-49 (波动分类 4-level regime labels "
+    "consumed by rules/volatility/__init__.py:83-114)",
 )
 def i_atr_scan(b: pd.DataFrame):
     a = ta.atr(b.high, b.low, b.close, 14)
     c = _last(b.close)
     med = a.rolling(30, min_periods=1).median()
     state = "heating" if _last(a) > _last(med) else "cooling"
-    return {"atr14": _last(a), "atr_pct": _last(a) / c * 100 if c else float("nan"),
+    pct = _last(a) / c * 100 if c else float("nan")
+    if math.isnan(pct):
+        vol_class = "low"
+    elif pct < 1.0:
+        vol_class = "low"
+    elif pct < 2.5:
+        vol_class = "mid"
+    elif pct < 5.0:
+        vol_class = "high"
+    else:
+        vol_class = "extreme"
+    return {"atr14": _last(a), "atr_pct": pct,
             "atr_upper": c + 2 * _last(a), "atr_lower": c - 2 * _last(a),
-            "atr_state": state}
+            "atr_state": state, "vol_class": vol_class}
 
 
 # ---------------------------------------------------------------------------
@@ -368,8 +507,10 @@ def i_long_short(b: pd.DataFrame):
 # ---------------------------------------------------------------------------
 @register(
     "liquidity",
-    [("amihud_z", D), ("kyle_lambda", D), ("volatility", D), ("liq_score", D)],
-    citation="batch/liquidity.py:12-154",
+    [("amihud_z", D), ("kyle_lambda", D), ("volatility", D),
+     ("liq_score", D), ("liq_level", S)],
+    citation="batch/liquidity.py:12-154 (流动性等级 labels consumed by "
+    "rules/misc/__init__.py:7-34)",
 )
 def i_liquidity(b: pd.DataFrame):
     ret = b.close.pct_change().abs()
@@ -381,15 +522,26 @@ def i_liquidity(b: pd.DataFrame):
     lam = ta.linreg_slope(b.close.to_numpy()) / (dollar.mean() or np.nan)
     vol = b.close.pct_change().std()
     score = float(1 / (1 + math.exp(-(0.5 * (0 if math.isnan(z) else -z) + (0 if vol is None or math.isnan(vol) else -vol))))) * 100
+    if score >= 75:
+        level = "excellent"
+    elif score >= 50:
+        level = "good"
+    elif score >= 25:
+        level = "fair"
+    else:
+        level = "poor"
     return {"amihud_z": float(0 if math.isnan(z) else z),
             "kyle_lambda": float(lam) if not math.isnan(lam) else 0.0,
             "volatility": float(vol) if not math.isnan(vol) else 0.0,
-            "liq_score": score}
+            "liq_score": score, "liq_level": level}
 
 
 @register(
-    "support_resistance", [("support", D), ("resistance", D)],
-    citation="batch/support_resistance.py", min_data=12,
+    "support_resistance",
+    [("support", D), ("resistance", D), ("sup_dist_pct", D),
+     ("res_dist_pct", D)],
+    citation="batch/support_resistance.py (距支撑/阻力百分比 consumed by "
+    "rules/core/__init__.py:473-524)", min_data=12,
 )
 def i_support_resistance(b: pd.DataFrame):
     h, l = b.high, b.low
@@ -398,15 +550,22 @@ def i_support_resistance(b: pd.DataFrame):
     c = _last(b.close)
     res = ph[ph >= c]
     sup = pl[pl <= c]
+    support = float(sup.iloc[-1]) if len(sup) else _last(l.rolling(20, min_periods=1).min())
+    resistance = float(res.iloc[-1]) if len(res) else _last(h.rolling(20, min_periods=1).max())
     return {
-        "support": float(sup.iloc[-1]) if len(sup) else _last(l.rolling(20, min_periods=1).min()),
-        "resistance": float(res.iloc[-1]) if len(res) else _last(h.rolling(20, min_periods=1).max()),
+        "support": support,
+        "resistance": resistance,
+        "sup_dist_pct": (c - support) / c * 100 if c else float("nan"),
+        "res_dist_pct": (resistance - c) / c * 100 if c else float("nan"),
     }
 
 
 @register(
-    "smc", [("bos", S), ("order_block", D)],
-    citation="batch/tv_big_money.py (SMC structure break + order block, pivot 5)",
+    "smc",
+    [("bos", S), ("order_block", D), ("struct_event", S), ("smc_bias", S),
+     ("smc_score", D)],
+    citation="batch/tv_big_money.py (SMC structure break + order block, "
+    "pivot 5; 结构事件/偏向/评分 consumed by rules/core/__init__.py:304-386)",
     min_data=12,
 )
 def i_smc(b: pd.DataFrame):
@@ -418,7 +577,27 @@ def i_smc(b: pd.DataFrame):
     cv = _last(c)
     bos = "bullish" if cv > last_ph else ("bearish" if cv < last_pl else "none")
     ob = last_pl if bos == "bullish" else (last_ph if bos == "bearish" else float("nan"))
-    return {"bos": bos, "order_block": ob if not math.isinf(ob) else float("nan")}
+    # structure-event string: a break against the prevailing swing trend
+    # is a change-of-character (CHoCH), with it a break-of-structure (BOS)
+    prior_trend = "up" if len(ph) >= 2 and last_ph >= float(ph.iloc[-2]) else "down"
+    if bos == "bullish":
+        event = "BOS_up" if prior_trend == "up" else "CHoCH_up"
+        bias = "bullish"
+    elif bos == "bearish":
+        event = "BOS_down" if prior_trend == "down" else "CHoCH_down"
+        bias = "bearish"
+    else:
+        event, bias = "none", "neutral"
+    # score: break distance as a share of the swing range, 0-100
+    rng = last_ph - last_pl
+    if bos != "none" and math.isfinite(rng) and rng > 0:
+        dist = cv - last_ph if bos == "bullish" else last_pl - cv
+        score = float(min(100.0, 50.0 + dist / rng * 100.0))
+    else:
+        score = 0.0
+    return {"bos": bos,
+            "order_block": ob if not math.isinf(ob) else float("nan"),
+            "struct_event": event, "smc_bias": bias, "smc_score": score}
 
 
 @register(
@@ -449,30 +628,44 @@ def i_data_monitor(b: pd.DataFrame):
 @register(
     "base_data",
     [("last_open", D), ("last_high", D), ("last_low", D), ("last_close", D),
-     ("last_volume", D), ("amplitude", D), ("change_pct", D)],
-    citation="incremental/base_data.py", min_data=2,
+     ("last_volume", D), ("amplitude", D), ("amplitude_pct", D),
+     ("change_pct", D), ("turnover", D), ("money_flow", D)],
+    citation="incremental/base_data.py (成交额/资金流向/振幅 consumed by "
+    "rules/core + rules/misc; 主动买卖比 lives on buy_sell_ratio's "
+    "taker_ratio column in the wide surface)", min_data=2,
 )
 def i_base_data(b: pd.DataFrame):
     c, pc = _last(b.close), float(b.close.iloc[-2]) if len(b) >= 2 else float("nan")
+    amp = (_last(b.high) - _last(b.low)) / c if c else float("nan")
+    turnover = c * _last(b.volume)
+    # signed turnover as the money-flow proxy (up bar = inflow)
+    money_flow = turnover if c >= _last(b.open) else -turnover
     return {
         "last_open": _last(b.open), "last_high": _last(b.high),
         "last_low": _last(b.low), "last_close": c,
         "last_volume": _last(b.volume),
-        "amplitude": (_last(b.high) - _last(b.low)) / c if c else float("nan"),
+        "amplitude": amp,
+        "amplitude_pct": amp * 100 if not math.isnan(amp) else float("nan"),
         "change_pct": (c - pc) / pc * 100 if pc else float("nan"),
+        "turnover": turnover,
+        "money_flow": money_flow,
     }
 
 
 @register(
-    "buy_sell_ratio", [("taker_ratio", D)],
-    citation="incremental/buy_sell_ratio.py (proxy: up-bar volume share of last 20 bars)",
+    "buy_sell_ratio", [("taker_ratio", D), ("taker_share", D)],
+    citation="incremental/buy_sell_ratio.py (proxy: up-bar volume over "
+    "the last 20 bars; 主动买卖比 is the buy/sell RATIO — 1.5 means "
+    "buyers 1.5× sellers — matching rules/volume/__init__.py:162-191)",
     min_data=2,
 )
 def i_buy_sell_ratio(b: pd.DataFrame):
     t = b.tail(20)
     buy = t.volume.where(t.close >= t.open, 0.0).sum()
     tot = t.volume.sum()
-    return {"taker_ratio": float(buy / tot) if tot else float("nan")}
+    sell = tot - buy
+    return {"taker_ratio": float(buy / sell) if sell else float("nan"),
+            "taker_share": float(buy / tot) if tot else float("nan")}
 
 
 @register(
@@ -485,56 +678,140 @@ def i_mfi(b: pd.DataFrame):
     return {"mfi14": m, "mfi_state": state}
 
 
-@register(
-    "k_pattern",
-    [("pattern", S), ("pattern_dir", S), ("n_patterns_20", "long")],
-    citation="batch/k_pattern.py:52-241 (TA-Lib CDL set; pure-python "
-    "fallback mirrors k_pattern.py:52-67 try/except path)",
-    min_data=5,
-)
-def i_k_pattern(b: pd.DataFrame):
-    """Classic candlestick patterns on the latest bar, pure numpy —
-    the reference's TA-Lib-unavailable fallback path. Covers the
-    high-signal subset: doji, hammer, shooting star, bullish/bearish
-    engulfing, harami, three white soldiers / black crows."""
-    o, h, l, c = (x.to_numpy() for x in (b.open, b.high, b.low, b.close))
+def _candle_name(o, h, l, c, i):
+    """Single-bar/multi-bar candlestick classification at index i.
+
+    Vectorized-input scalar-output form of the reference's TA-Lib CDL
+    set (batch/k_pattern.py:9-33) — the ~18 highest-frequency patterns
+    re-derived in pure numpy, same precedence: multi-bar reversals
+    first, then single-bar shapes."""
     body = np.abs(c - o)
     rng = np.maximum(h - l, 1e-12)
     upper = h - np.maximum(o, c)
     lower = np.minimum(o, c) - l
-    i = len(c) - 1
 
     def bull(j): return c[j] > o[j]
     def bear(j): return c[j] < o[j]
 
-    name, direction = "none", "neutral"
+    mid = (o + c) / 2
+    # three-bar patterns
+    if i >= 2:
+        if all(bull(j) for j in (i - 2, i - 1, i)) and c[i] > c[i - 1] > c[i - 2]:
+            return "three_white_soldiers", "bull"
+        if all(bear(j) for j in (i - 2, i - 1, i)) and c[i] < c[i - 1] < c[i - 2]:
+            return "three_black_crows", "bear"
+        if (bear(i - 2) and body[i - 1] <= 0.3 * body[i - 2] and bull(i)
+                and c[i] >= mid[i - 2]):
+            return "morning_star", "bull"
+        if (bull(i - 2) and body[i - 1] <= 0.3 * body[i - 2] and bear(i)
+                and c[i] <= mid[i - 2]):
+            return "evening_star", "bear"
+    # two-bar patterns
+    if i >= 1:
+        if bear(i - 1) and bull(i) and o[i] <= c[i - 1] and c[i] >= o[i - 1]:
+            return "bullish_engulfing", "bull"
+        if bull(i - 1) and bear(i) and o[i] >= c[i - 1] and c[i] <= o[i - 1]:
+            return "bearish_engulfing", "bear"
+        if (bear(i - 1) and bull(i) and o[i] < l[i - 1]
+                and c[i] >= mid[i - 1] and c[i] < o[i - 1]):
+            return "piercing", "bull"
+        if (bull(i - 1) and bear(i) and o[i] > h[i - 1]
+                and c[i] <= mid[i - 1] and c[i] > o[i - 1]):
+            return "dark_cloud_cover", "bear"
+        if (body[i] < body[i - 1]
+                and max(o[i], c[i]) <= max(o[i - 1], c[i - 1])
+                and min(o[i], c[i]) >= min(o[i - 1], c[i - 1])):
+            return "harami", "neutral"
+    # one-bar shapes (doji variants before hammer family)
     if body[i] <= 0.1 * rng[i]:
-        name, direction = "doji", "neutral"
-    elif lower[i] >= 2 * body[i] and upper[i] <= 0.3 * body[i] + 1e-12:
-        name, direction = "hammer", "bull"
-    elif upper[i] >= 2 * body[i] and lower[i] <= 0.3 * body[i] + 1e-12:
-        name, direction = "shooting_star", "bear"
-    elif i >= 1 and bear(i - 1) and bull(i) and o[i] <= c[i - 1] and c[i] >= o[i - 1]:
-        name, direction = "bullish_engulfing", "bull"
-    elif i >= 1 and bull(i - 1) and bear(i) and o[i] >= c[i - 1] and c[i] <= o[i - 1]:
-        name, direction = "bearish_engulfing", "bear"
-    elif i >= 1 and body[i] < body[i - 1] and max(o[i], c[i]) <= max(o[i - 1], c[i - 1]) and min(o[i], c[i]) >= min(o[i - 1], c[i - 1]):
-        name, direction = "harami", "neutral"
-    elif i >= 2 and all(bull(j) for j in (i - 2, i - 1, i)) and c[i] > c[i - 1] > c[i - 2]:
-        name, direction = "three_white_soldiers", "bull"
-    elif i >= 2 and all(bear(j) for j in (i - 2, i - 1, i)) and c[i] < c[i - 1] < c[i - 2]:
-        name, direction = "three_black_crows", "bear"
+        if lower[i] >= 0.7 * rng[i]:
+            return "dragonfly_doji", "bull"
+        if upper[i] >= 0.7 * rng[i]:
+            return "gravestone_doji", "bear"
+        return "doji", "neutral"
+    if lower[i] >= 2 * body[i] and upper[i] <= 0.3 * body[i] + 1e-12:
+        # downtrend → hammer (reversal), uptrend → hanging man
+        down = i >= 3 and c[i - 1] < c[i - 3]
+        return ("hammer", "bull") if down else ("hanging_man", "bear")
+    if upper[i] >= 2 * body[i] and lower[i] <= 0.3 * body[i] + 1e-12:
+        down = i >= 3 and c[i - 1] < c[i - 3]
+        return ("inverted_hammer", "bull") if down else ("shooting_star", "bear")
+    if body[i] >= 0.95 * rng[i]:
+        return ("marubozu", "bull") if c[i] > o[i] else ("marubozu", "bear")
+    if body[i] <= 0.3 * rng[i] and upper[i] >= 0.25 * rng[i] and lower[i] >= 0.25 * rng[i]:
+        return "spinning_top", "neutral"
+    return "none", "neutral"
 
-    # count doji-or-engulfing occurrences over the last 20 bars
+
+def _chart_pattern(b: pd.DataFrame):
+    """Price-structure patterns over the tail (batch/k_pattern.py:89-190
+    tradingpatterns/patternpy paths, simplified): double top/bottom,
+    head-and-shoulders top/bottom, triangle (contracting extremes),
+    wedge (co-directional trendlines). Pivot radius 3 bars."""
+    h, l = b.high, b.low
+    ph = h[(h.shift(3) < h) & (h.shift(2) < h) & (h.shift(1) < h)
+           & (h.shift(-1) < h) & (h.shift(-2) < h) & (h.shift(-3) < h)]
+    pl = l[(l.shift(3) > l) & (l.shift(2) > l) & (l.shift(1) > l)
+           & (l.shift(-1) > l) & (l.shift(-2) > l) & (l.shift(-3) > l)]
+    c = float(b.close.iloc[-1])
+    out = []
+    if len(ph) >= 3:
+        a, m, z = float(ph.iloc[-3]), float(ph.iloc[-2]), float(ph.iloc[-1])
+        if m > a and m > z and abs(a - z) / m < 0.02:
+            out.append(("head_shoulders_top", "bear"))
+    if len(pl) >= 3:
+        a, m, z = float(pl.iloc[-3]), float(pl.iloc[-2]), float(pl.iloc[-1])
+        if m < a and m < z and abs(a - z) / (m or 1) < 0.02:
+            out.append(("head_shoulders_bottom", "bull"))
+    if not out and len(ph) >= 2:
+        a, z = float(ph.iloc[-2]), float(ph.iloc[-1])
+        if abs(a - z) / max(a, z) < 0.015 and c < min(a, z):
+            out.append(("double_top", "bear"))
+    if not out and len(pl) >= 2:
+        a, z = float(pl.iloc[-2]), float(pl.iloc[-1])
+        if abs(a - z) / max(a, z, 1e-12) < 0.015 and c > max(a, z):
+            out.append(("double_bottom", "bull"))
+    if not out and len(ph) >= 2 and len(pl) >= 2:
+        hi_falling = float(ph.iloc[-1]) < float(ph.iloc[-2])
+        lo_rising = float(pl.iloc[-1]) > float(pl.iloc[-2])
+        hi_rising = float(ph.iloc[-1]) > float(ph.iloc[-2])
+        lo_falling = float(pl.iloc[-1]) < float(pl.iloc[-2])
+        if hi_falling and lo_rising:
+            out.append(("triangle", "neutral"))
+        elif (hi_rising and lo_rising) or (hi_falling and lo_falling):
+            out.append(("wedge", "neutral"))
+    return out
+
+
+@register(
+    "k_pattern",
+    [("pattern", S), ("pattern_dir", S), ("n_patterns_20", "long")],
+    citation="batch/k_pattern.py:9-241 (CDL set :9-33, chart patterns "
+    ":35-52,89-190; pure-numpy re-derivation of the highest-frequency "
+    "subset — ~18 candle + 6 chart patterns)",
+    min_data=5,
+)
+def i_k_pattern(b: pd.DataFrame):
+    """Candlestick + chart patterns on the tail. ``pattern`` is a
+    comma-joined label list (chart pattern first, then the latest-bar
+    candle name), matching the reference's 形态类型 multi-pattern string
+    that the CONTAINS rules substring-match against."""
+    o, h, l, c = (x.to_numpy() for x in (b.open, b.high, b.low, b.close))
+    i = len(c) - 1
+    candle, direction = _candle_name(o, h, l, c, i)
+    charts = _chart_pattern(b) if len(b) >= 20 else []
+    labels = [n for n, _ in charts]
+    if candle != "none":
+        labels.append(candle)
+    if charts and charts[0][1] != "neutral":
+        direction = charts[0][1]
+    # pattern count over the last 20 bars (candle classifications only)
     n = 0
-    for j in range(max(1, len(c) - 20), len(c)):
-        if body[j] <= 0.1 * rng[j]:
+    for j in range(max(2, len(c) - 20), len(c)):
+        if _candle_name(o, h, l, c, j)[0] != "none":
             n += 1
-        elif bear(j - 1) and bull(j) and o[j] <= c[j - 1] and c[j] >= o[j - 1]:
-            n += 1
-        elif bull(j - 1) and bear(j) and o[j] >= c[j - 1] and c[j] <= o[j - 1]:
-            n += 1
-    return {"pattern": name, "pattern_dir": direction, "n_patterns_20": n}
+    return {"pattern": ",".join(labels) if labels else "none",
+            "pattern_dir": direction, "n_patterns_20": n}
 
 
 @register(
@@ -559,30 +836,82 @@ def i_gap_monitor(b: pd.DataFrame):
 
 @register(
     "futures_sentiment",
-    [("oi_last", D), ("oi_chg_pct", D), ("ls_ratio", D)],
-    citation="incremental/futures_sentiment.py:1-104 (latest metrics snapshot)",
+    [("oi_last", D), ("oi_chg_pct", D), ("ls_ratio", D),
+     ("taker_ls_ratio", D), ("risk_score", D), ("oi_streak", D),
+     ("oi_zscore", D), ("sent_diff", D), ("flip_signal", S)],
+    citation="incremental/futures_sentiment.py:1-104 (大户多空比/主动成交"
+    "多空比/风险分/OI连续根数/持仓Z分数/情绪差值/情绪翻转信号 — the full "
+    "期货情绪聚合表 field surface the futures rule pack reads; volume "
+    "proxies for OI, same data limitation as round 1)",
     min_data=2,
 )
 def i_futures_sentiment(b: pd.DataFrame):
     """Latest-snapshot metrics proxy over the bar tail: last volume as
-    OI stand-in, 30-bar change, up/down-volume ratio as L/S ratio."""
+    OI stand-in, 30-bar change, up/down-volume ratio as L/S ratio, plus
+    the derived sentiment fields the rule pack transitions on."""
     v = b.volume
     oi = _last(v)
     base = float(v.iloc[-31]) if len(v) >= 31 else float(v.iloc[0])
     up = v.where(b.close >= b.open, 0.0).tail(30).sum()
     dn = v.where(b.close < b.open, 0.0).tail(30).sum()
+    ls = float(up / dn) if dn else float("nan")
+    # taker L/S over a faster window (主动成交多空比)
+    up10 = v.where(b.close >= b.open, 0.0).tail(10).sum()
+    dn10 = v.where(b.close < b.open, 0.0).tail(10).sum()
+    taker_ls = float(up10 / dn10) if dn10 else float("nan")
+    # signed consecutive OI-delta streak (OI连续根数)
+    d = v.diff().dropna()
+    streak = 0
+    for x in reversed(d.to_numpy()):
+        s = 1 if x > 0 else (-1 if x < 0 else 0)
+        if streak == 0:
+            streak = s
+        elif s == (1 if streak > 0 else -1):
+            streak += s
+        else:
+            break
+    # OI z-score over the 30-bar tail (持仓Z分数)
+    t30 = v.tail(30)
+    sd = t30.std()
+    z = float((oi - t30.mean()) / sd) if sd and not math.isnan(sd) else 0.0
+    # sentiment diff (情绪差值): log of L/S imbalance
+    sent = float(math.log(ls)) if ls and ls > 0 and not math.isnan(ls) else 0.0
+    # risk score (风险分): extremity of L/S + OI z + streak length
+    imb = abs(sent)
+    risk = float(min(100.0, imb * 40 + abs(z) * 20 + abs(streak) * 4))
+    # flip signal (情绪翻转信号): sentiment sign change vs 10 bars ago
+    up_prev = v.where(b.close >= b.open, 0.0).tail(40).head(30).sum()
+    dn_prev = v.where(b.close < b.open, 0.0).tail(40).head(30).sum()
+    ls_prev = float(up_prev / dn_prev) if dn_prev else float("nan")
+    if not math.isnan(ls_prev) and not math.isnan(ls):
+        if ls_prev <= 1.0 < ls:
+            flip = "bull_flip"
+        elif ls_prev >= 1.0 > ls:
+            flip = "bear_flip"
+        else:
+            flip = "none"
+    else:
+        flip = "none"
     return {
         "oi_last": oi,
         "oi_chg_pct": (oi - base) / base * 100 if base else float("nan"),
-        "ls_ratio": float(up / dn) if dn else float("nan"),
+        "ls_ratio": ls,
+        "taker_ls_ratio": taker_ls,
+        "risk_score": risk,
+        "oi_streak": float(streak),
+        "oi_zscore": z,
+        "sent_diff": sent,
+        "flip_signal": flip,
     }
 
 
 @register(
     "precision_trend",
-    [("pt_line", D), ("pt_state", S), ("pt_flips_50", "long")],
+    [("pt_line", D), ("pt_state", S), ("pt_flips_50", "long"),
+     ("pt_strength", D)],
     citation="batch/super_trend.py:17-107 (ZLEMA70 band state machine, "
-    "path-dependent flip tracking)", min_data=80,
+    "path-dependent flip tracking; 趋势强度 consumed by "
+    "rules/trend/__init__.py:63-75)", min_data=80,
 )
 def i_precision_trend(b: pd.DataFrame):
     """The stateful variant of zero_lag_trend: tracks band-flip history
@@ -600,4 +929,13 @@ def i_precision_trend(b: pd.DataFrame):
             flips += 1
         state = new
     label = {1: "bull", 0: "range", -1: "bear"}[state]
-    return {"pt_line": _last(pd.Series(z)), "pt_state": label, "pt_flips_50": flips}
+    # trend strength 0-100: distance of close from the ZLEMA line as a
+    # share of the band width (100 = a full band beyond the line)
+    bw = float(band.iloc[-1]) if len(band) else float("nan")
+    strength = (
+        min(100.0, abs(cv[-1] - float(z.iloc[-1])) / bw * 100.0)
+        if bw and not math.isnan(bw)
+        else 0.0
+    )
+    return {"pt_line": _last(pd.Series(z)), "pt_state": label,
+            "pt_flips_50": flips, "pt_strength": float(strength)}

@@ -20,29 +20,60 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Interval registry — reference 004_continuous_aggregates.sql:67-81 registers
-# 3m..1M; we keep the subset meaningful for the synthetic events table.
-INTERVALS = {
+# Interval registry — the reference's FULL 14-interval cagg registry
+# (004_continuous_aggregates.sql:67-81: 3m 5m 15m 30m 1h 2h 4h 6h 8h 12h
+# 1d 3d 1w 1M) plus the 1m base table. "1M" is calendar-month (variable
+# length); everything else is a fixed-width tumbling bucket.
+INTERVALS: dict[str, int | str] = {
     "1m": 60,
+    "3m": 180,
     "5m": 300,
     "15m": 900,
+    "30m": 1800,
     "1h": 3600,
+    "2h": 7200,
     "4h": 14400,
+    "6h": 21600,
+    "8h": 28800,
+    "12h": 43200,
     "1d": 86400,
+    "3d": 259200,
+    "1w": 604800,
+    "1M": "month",
 }
+
+#: TimescaleDB/DuckDB ``time_bucket`` origin: 2000-01-03 00:00 UTC (a
+#: Monday), so week/multi-day buckets start on Mondays. For any interval
+#: that divides a day the origin is a multiple of it and this is
+#: identical to a plain epoch floor.
+BUCKET_ORIGIN = 946_857_600
 
 
 def bucket_ts(ts: Column | str, interval_sec: int) -> Column:
-    """Epoch-aligned tumbling bucket start (``time_bucket`` equivalent).
+    """Origin-aligned tumbling bucket start (``time_bucket`` equivalent).
 
-    ``window(ts, iv).start`` gives the same result; an arithmetic floor
-    keeps the column a plain timestamp (joinable / oracle-comparable)
-    and stays inside whole-stage codegen.
+    ``window(ts, iv).start`` gives the same result for day-divisor
+    intervals; an arithmetic floor keeps the column a plain timestamp
+    (joinable / oracle-comparable), stays inside whole-stage codegen,
+    and the explicit origin makes 3d/1w buckets agree with TimescaleDB
+    and DuckDB ``time_bucket`` (both anchor at 2000-01-03).
     """
     c = F.col(ts) if isinstance(ts, str) else ts
+    org = F.lit(BUCKET_ORIGIN)
     return F.timestamp_seconds(
-        F.floor(c.cast("double") / F.lit(interval_sec)) * F.lit(interval_sec)
+        F.floor((c.cast("double") - org) / F.lit(interval_sec))
+        * F.lit(interval_sec)
+        + org
     )
+
+
+def bucket_ts_any(ts: Column | str, interval: int | str) -> Column:
+    """Bucket start for fixed-width (seconds) OR calendar intervals
+    ("month" — TimescaleDB INTERVAL '1 month' semantics)."""
+    if interval == "month":
+        c = F.col(ts) if isinstance(ts, str) else ts
+        return F.date_trunc("month", c)
+    return bucket_ts(ts, int(interval))
 
 
 def ohlcv_rollup(
@@ -109,19 +140,25 @@ def cascade_rollup(
     finest: DataFrame,
     keys: list[str],
     from_interval_sec: int,
-    to_interval_sec: int,
+    to_interval_sec: int | str,
     bucket_col: str = "bucket_ts",
 ) -> DataFrame:
-    """Derive a coarser candle rollup from a finer one (5m → 1h → 1d).
+    """Derive a coarser candle rollup from a finer one (5m → 1h → 1d,
+    1d → 1M).
 
     At 100 TB this is the only sane shape: the raw table is aggregated
     once into the finest rollup and every coarser interval re-aggregates
     the (tiny) finer rollup, mirroring how the reference chains caggs off
-    the 1m hypertable rather than rescanning raw.
+    the 1m hypertable rather than rescanning raw. Calendar-month buckets
+    ("month") accept any fine interval that divides a day — every day
+    belongs to exactly one month, so the cascade is lossless.
     """
-    if to_interval_sec % from_interval_sec:
+    if to_interval_sec == "month":
+        if 86400 % from_interval_sec:
+            raise ValueError("month cascade needs a day-divisor fine interval")
+    elif int(to_interval_sec) % from_interval_sec:
         raise ValueError("coarse interval must be a multiple of the fine one")
-    b = bucket_ts(bucket_col, to_interval_sec)
+    b = bucket_ts_any(bucket_col, to_interval_sec)
     agg = [
         F.min_by("open", bucket_col).alias("open"),
         F.max("high").alias("high"),

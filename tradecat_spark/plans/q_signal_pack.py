@@ -1,0 +1,575 @@
+"""The 129-rule signal pack over snapshots (SURVEY.md §2.10).
+
+Two evaluation paths:
+
+- ``signal_pack_sql_rules`` — every rule whose condition fields are
+  derivable with pure window SQL over the 1h bars (65 of 129) evaluated
+  as ONE wide projection: the snapshot computes ~30 indicator fields
+  (CCI, Williams %R, MFI, Bollinger, Donchian, Keltner, VWAP, OBV/CVD
+  change, volume/taker ratios, OI z-score/streak, candle labels, …),
+  lags every field once for prev/curr semantics, then fires rules via
+  ``array_compact(array(when(cond, name)…)) → explode``. The DuckDB
+  oracle is GENERATED from the same rule configs via ``condition_sql``
+  — one source of truth, hash-checked by the driver.
+
+- ``signal_rule_pack_129`` — the FULL pack over the applyInPandas
+  indicator surface: two as-of snapshots (latest bar vs one hour
+  earlier) provide prev/curr, all 129 compiled Column conditions
+  evaluate in one projection. Fields come from Python indicator code,
+  so this is a rows-only check (no SQL oracle can replicate the
+  surface) — the SQL query above is the hash gate for the compiler.
+
+Scale: the snapshot is one window partitioning (event_type ORDER BY
+bucket_ts) — every frame/lag/cumsum shares a single exchange+sort; rule
+evaluation is pure whole-stage-codegen column algebra, so 129 rules
+cost one projection, not 129 passes. Reference: the 60 s signal loop in
+services/signal-service/src/engine.py evaluates the same pack per
+snapshot pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tradecat_spark.catalog import load_table
+from tradecat_spark.plans.registry import query
+from tradecat_spark.signals.pack import ALL_RULES
+from tradecat_spark.signals.rules import (
+    SignalRule,
+    compile_condition,
+    condition_fields,
+    condition_sql,
+)
+
+DEC = "decimal(18,8)"
+DECC = "decimal(20,0)"
+
+#: fields the SQL snapshot derives (current-row names; prev_ lags added)
+SNAPSHOT_FIELDS = [
+    "last_close", "change_pct", "amplitude_pct", "turnover", "money_flow",
+    "taker_ratio", "vol_ratio", "cci", "wr", "mfi14",
+    "bb_upper", "bb_lower", "bb_pct", "bb_width",
+    "don_high", "don_low", "kc_upper", "kc_lower", "vol_class",
+    "sup_dist_pct", "res_dist_pct", "vwap_dev_pct",
+    "obv_chg30", "cvd_chg", "ls_ratio", "taker_ls_ratio",
+    "oi_zscore", "oi_streak", "risk_score", "pattern",
+]
+
+
+def pack_sql_rules() -> list[SignalRule]:
+    """The subset of the 129-rule pack the SQL snapshot can evaluate."""
+    avail = set(SNAPSHOT_FIELDS)
+    return [
+        r for r in ALL_RULES
+        if condition_fields(r) <= avail and condition_sql(r) is not None
+    ]
+
+
+# ---------------------------------------------------------------------------
+# snapshot — DuckDB side (CTE chain; every field ROUND(·,6) so the
+# predicate inputs are hash-identical across engines)
+# ---------------------------------------------------------------------------
+_SNAPSHOT_SQL = """
+WITH bars AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+    min_by(value, ts) AS open, MAX(value) AS high,
+    MIN(value) AS low, max_by(value, ts) AS close,
+    CAST(COUNT(*) AS BIGINT) AS tc
+  FROM events GROUP BY 1, 2
+),
+b0 AS (
+  SELECT *,
+    (high + low + close) / 3 AS tp,
+    LAG(close) OVER w AS pc,
+    LAG((high + low + close) / 3) OVER w AS prev_tp,
+    LAG(open) OVER w AS p_open,
+    LAG(close) OVER w AS p_close,
+    CASE WHEN CAST(tc AS DOUBLE) > CAST(LAG(tc) OVER w AS DOUBLE) THEN 1
+         WHEN CAST(tc AS DOUBLE) < CAST(LAG(tc) OVER w AS DOUBLE) THEN -1
+         ELSE 0 END AS s,
+    ROUND((high - low) / close * 100, 6) AS amplitude_pct
+  FROM bars WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+),
+b1 AS (
+  SELECT *,
+    GREATEST(high - low, ABS(high - pc), ABS(low - pc)) AS tr,
+    CASE WHEN close >= open THEN tc ELSE 0 END AS up_tc,
+    CASE WHEN close < open THEN tc ELSE 0 END AS dn_tc,
+    CASE WHEN close > pc THEN CAST(tc AS DECIMAL(20,0))
+         WHEN close < pc THEN -CAST(tc AS DECIMAL(20,0))
+         ELSE CAST(0 AS DECIMAL(20,0)) END AS obv_step,
+    CASE WHEN close >= open THEN CAST(tc AS DECIMAL(20,0))
+         ELSE -CAST(tc AS DECIMAL(20,0)) END AS cvd_step,
+    CASE WHEN tp > prev_tp THEN CAST(tp * tc AS DECIMAL(18,8))
+         ELSE CAST(0 AS DECIMAL(18,8)) END AS pos_mf,
+    CASE WHEN tp < prev_tp THEN CAST(tp * tc AS DECIMAL(18,8))
+         ELSE CAST(0 AS DECIMAL(18,8)) END AS neg_mf
+  FROM b0
+),
+b2 AS (
+  SELECT event_type, bucket_ts, open, high, low, close, tc, tp, s,
+    amplitude_pct, p_open, p_close,
+    SUM(up_tc) OVER w20 AS up20, SUM(dn_tc) OVER w20 AS dn20,
+    SUM(up_tc) OVER w30 AS up30, SUM(dn_tc) OVER w30 AS dn30,
+    SUM(up_tc) OVER w10 AS up10, SUM(dn_tc) OVER w10 AS dn10,
+    AVG(CAST(tc AS DOUBLE)) OVER w20x AS vol_avg20,
+    AVG(tp) OVER w20 AS sma_tp20,
+    list(tp) OVER w20 AS tps,
+    MAX(high) OVER w14 AS hi14, MIN(low) OVER w14 AS lo14,
+    CAST(SUM(pos_mf) OVER w14 AS DOUBLE) AS pos14,
+    CAST(SUM(neg_mf) OVER w14 AS DOUBLE) AS neg14,
+    AVG(close) OVER w20 AS bb_mid, STDDEV_SAMP(close) OVER w20 AS bb_sd,
+    MAX(high) OVER w20x AS don_hi, MIN(low) OVER w20x AS don_lo,
+    AVG(tr) OVER w10 AS atr10_sma,
+    AVG(tr / close * 100) OVER w14 AS atr_pct_sma,
+    MIN(low) OVER w40x AS support, MAX(high) OVER w40x AS resistance,
+    CAST(SUM(CAST(tp * tc AS DECIMAL(18,8))) OVER w20 AS DOUBLE) AS vwap_num,
+    CAST(SUM(CAST(tc AS DECIMAL(20,0))) OVER w20 AS DOUBLE) AS vwap_den,
+    SUM(obv_step) OVER wc AS obv,
+    SUM(cvd_step) OVER wc AS cvd,
+    AVG(CAST(tc AS DOUBLE)) OVER w30 AS tc_avg30,
+    STDDEV_SAMP(CAST(tc AS DOUBLE)) OVER w30 AS tc_sd30,
+    ROW_NUMBER() OVER w AS rn,
+    ROW_NUMBER() OVER (PARTITION BY event_type, s ORDER BY bucket_ts) AS rns,
+    PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY amplitude_pct)
+      AS amp_pr
+  FROM b1
+  WINDOW
+    w    AS (PARTITION BY event_type ORDER BY bucket_ts),
+    wc   AS (PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w10  AS (PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+    w14  AS (PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+    w20  AS (PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+    w20x AS (PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING),
+    w30  AS (PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN 29 PRECEDING AND CURRENT ROW),
+    w40x AS (PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN 40 PRECEDING AND 1 PRECEDING)
+),
+b3 AS (
+  SELECT *,
+    LAG(obv, 30) OVER w AS obv30,
+    LAG(cvd, 30) OVER w AS cvd30,
+    s * COUNT(*) OVER (PARTITION BY event_type, s, rn - rns
+                       ORDER BY bucket_ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS streak
+  FROM b2 WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+),
+snap AS (
+  SELECT event_type, bucket_ts,
+    ROUND(close, 6) AS last_close,
+    ROUND((close - p_close) / NULLIF(p_close, 0) * 100, 6) AS change_pct,
+    amplitude_pct,
+    ROUND(close * tc, 6) AS turnover,
+    ROUND(CASE WHEN close >= open THEN close * tc ELSE -close * tc END, 6)
+      AS money_flow,
+    ROUND(CAST(up20 AS DOUBLE) / NULLIF(CAST(dn20 AS DOUBLE), 0), 6)
+      AS taker_ratio,
+    ROUND(CAST(tc AS DOUBLE) / NULLIF(vol_avg20, 0), 6) AS vol_ratio,
+    ROUND((tp - sma_tp20) / NULLIF(
+        0.015 * (list_reduce(list_transform(tps, y -> abs(y - sma_tp20)),
+                             (a, b) -> a + b) / len(tps)), 0), 6) AS cci,
+    ROUND((close - hi14) / NULLIF(hi14 - lo14, 0) * 100, 6) + 0.0 AS wr,
+    ROUND(100 * pos14 / NULLIF(pos14 + neg14, 0), 6) AS mfi14,
+    ROUND(bb_mid + 2 * bb_sd, 6) AS bb_upper,
+    ROUND(bb_mid - 2 * bb_sd, 6) AS bb_lower,
+    ROUND((close - (bb_mid - 2 * bb_sd)) / NULLIF(4 * bb_sd, 0), 6)
+      AS bb_pct,
+    ROUND(4 * bb_sd / NULLIF(bb_mid, 0) * 100, 6) AS bb_width,
+    ROUND(don_hi, 6) AS don_high,
+    ROUND(don_lo, 6) AS don_low,
+    ROUND(bb_mid + 2 * atr10_sma, 6) AS kc_upper,
+    ROUND(bb_mid - 2 * atr10_sma, 6) AS kc_lower,
+    CASE WHEN atr_pct_sma IS NULL THEN 'low'
+         WHEN atr_pct_sma < 1.0 THEN 'low'
+         WHEN atr_pct_sma < 2.5 THEN 'mid'
+         WHEN atr_pct_sma < 5.0 THEN 'high'
+         ELSE 'extreme' END AS vol_class,
+    ROUND((close - support) / close * 100, 6) AS sup_dist_pct,
+    ROUND((resistance - close) / close * 100, 6) AS res_dist_pct,
+    ROUND((close - vwap_num / NULLIF(vwap_den, 0))
+          / NULLIF(vwap_num / NULLIF(vwap_den, 0), 0) * 100, 6)
+      AS vwap_dev_pct,
+    ROUND((CAST(obv AS DOUBLE) - CAST(obv30 AS DOUBLE))
+          / NULLIF(ABS(CAST(obv30 AS DOUBLE)), 0) * 100, 6) AS obv_chg30,
+    ROUND((CAST(cvd AS DOUBLE) - CAST(cvd30 AS DOUBLE))
+          / NULLIF(ABS(CAST(cvd30 AS DOUBLE)), 0) * 100, 6) AS cvd_chg,
+    ROUND(CAST(up30 AS DOUBLE) / NULLIF(CAST(dn30 AS DOUBLE), 0), 6)
+      AS ls_ratio,
+    ROUND(CAST(up10 AS DOUBLE) / NULLIF(CAST(dn10 AS DOUBLE), 0), 6)
+      AS taker_ls_ratio,
+    ROUND((CAST(tc AS DOUBLE) - tc_avg30) / NULLIF(tc_sd30, 0), 6)
+      AS oi_zscore,
+    CAST(streak AS DOUBLE) AS oi_streak,
+    ROUND(amp_pr * 100, 6) AS risk_score,
+    CASE
+      WHEN COALESCE(p_close < p_open AND close > open
+                    AND close >= p_open AND open <= p_close, FALSE)
+        THEN 'bullish_engulfing'
+      WHEN COALESCE(p_close > p_open AND close < open
+                    AND close <= p_open AND open >= p_close, FALSE)
+        THEN 'bearish_engulfing'
+      WHEN ABS(close - open) < 0.1 * (high - low) THEN 'doji'
+      WHEN (LEAST(open, close) - low) > 2 * ABS(close - open)
+           AND (high - GREATEST(open, close)) < ABS(close - open)
+        THEN 'hammer'
+      WHEN (high - GREATEST(open, close)) > 2 * ABS(close - open)
+           AND (LEAST(open, close) - low) < ABS(close - open)
+        THEN 'shooting_star'
+      ELSE 'none' END AS pattern
+  FROM b3
+),
+snapp AS (
+  SELECT *,
+    {prev_cols}
+  FROM snap WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+)
+"""
+
+_PREV_SQL = ",\n    ".join(
+    f"LAG({f}) OVER w AS prev_{f}" for f in SNAPSHOT_FIELDS
+)
+
+
+def _pack_oracle() -> str:
+    rules = pack_sql_rules()
+    unions = "\n  UNION ALL\n  ".join(
+        f"SELECT event_type, bucket_ts, '{r.name}' AS rule, "
+        f"'{r.direction}' AS direction, {r.strength} AS strength "
+        f"FROM snapp WHERE {condition_sql(r)}"
+        for r in rules
+    )
+    return (
+        _SNAPSHOT_SQL.replace("{prev_cols}", _PREV_SQL)
+        + f"""
+SELECT event_type,
+  strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+  rule, direction, CAST(strength AS BIGINT) AS strength
+FROM (
+  {unions}
+) fired
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# snapshot — Spark side (same derivations, one window partitioning)
+# ---------------------------------------------------------------------------
+def build_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-expressible indicator snapshot with prev_ lags — the
+    Column-algebra twin of ``_SNAPSHOT_SQL``."""
+    from tradecat_spark.operators.rollup import ohlcv_rollup
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    bars = ohlcv_rollup(e, ["event_type"], "ts", "value", interval_sec=3600)
+    bars = bars.withColumnRenamed("trade_count", "tc")
+
+    w = Window.partitionBy("event_type").orderBy("bucket_ts")
+
+    def fr(a, b_):
+        return w.rowsBetween(a, b_)
+
+    o, h, lo, c = F.col("open"), F.col("high"), F.col("low"), F.col("close")
+    tc = F.col("tc")
+    tp = (h + lo + c) / 3
+    tcd = tc.cast("double")
+    b0 = bars.select(
+        "event_type", "bucket_ts", "open", "high", "low", "close", "tc",
+        tp.alias("tp"),
+        F.lag("close").over(w).alias("pc"),
+        F.lag(tp).over(w).alias("prev_tp"),
+        F.lag("open").over(w).alias("p_open"),
+        F.lag("close").over(w).alias("p_close"),
+        F.when(tcd > F.lag(tcd).over(w), 1)
+        .when(tcd < F.lag(tcd).over(w), -1)
+        .otherwise(0)
+        .alias("s"),
+        F.round((h - lo) / c * 100, 6).alias("amplitude_pct"),
+    )
+    pc, ptp = F.col("pc"), F.col("prev_tp")
+    tr = F.greatest(h - lo, F.abs(h - pc), F.abs(lo - pc))
+    zero8, zero20 = F.lit(0).cast(DEC), F.lit(0).cast(DECC)
+    b1 = b0.select(
+        "*",
+        tr.alias("tr"),
+        F.when(c >= o, tc).otherwise(F.lit(0)).alias("up_tc"),
+        F.when(c < o, tc).otherwise(F.lit(0)).alias("dn_tc"),
+        F.when(c > pc, tc.cast(DECC))
+        .when(c < pc, -tc.cast(DECC))
+        .otherwise(zero20)
+        .alias("obv_step"),
+        F.when(c >= o, tc.cast(DECC)).otherwise(-tc.cast(DECC)).alias("cvd_step"),
+        F.when(F.col("tp") > ptp, (F.col("tp") * tc).cast(DEC))
+        .otherwise(zero8)
+        .alias("pos_mf"),
+        F.when(F.col("tp") < ptp, (F.col("tp") * tc).cast(DEC))
+        .otherwise(zero8)
+        .alias("neg_mf"),
+    )
+    wc = fr(Window.unboundedPreceding, Window.currentRow)
+    b2 = b1.select(
+        "event_type", "bucket_ts", "open", "high", "low", "close", "tc",
+        "tp", "s", "amplitude_pct", "p_open", "p_close",
+        F.sum("up_tc").over(fr(-19, 0)).alias("up20"),
+        F.sum("dn_tc").over(fr(-19, 0)).alias("dn20"),
+        F.sum("up_tc").over(fr(-29, 0)).alias("up30"),
+        F.sum("dn_tc").over(fr(-29, 0)).alias("dn30"),
+        F.sum("up_tc").over(fr(-9, 0)).alias("up10"),
+        F.sum("dn_tc").over(fr(-9, 0)).alias("dn10"),
+        F.avg(tcd).over(fr(-20, -1)).alias("vol_avg20"),
+        F.avg("tp").over(fr(-19, 0)).alias("sma_tp20"),
+        F.collect_list("tp").over(fr(-19, 0)).alias("tps"),
+        F.max("high").over(fr(-13, 0)).alias("hi14"),
+        F.min("low").over(fr(-13, 0)).alias("lo14"),
+        F.sum("pos_mf").over(fr(-13, 0)).cast("double").alias("pos14"),
+        F.sum("neg_mf").over(fr(-13, 0)).cast("double").alias("neg14"),
+        F.avg("close").over(fr(-19, 0)).alias("bb_mid"),
+        F.stddev_samp("close").over(fr(-19, 0)).alias("bb_sd"),
+        F.max("high").over(fr(-20, -1)).alias("don_hi"),
+        F.min("low").over(fr(-20, -1)).alias("don_lo"),
+        F.avg("tr").over(fr(-9, 0)).alias("atr10_sma"),
+        F.avg(F.col("tr") / c * 100).over(fr(-13, 0)).alias("atr_pct_sma"),
+        F.min("low").over(fr(-40, -1)).alias("support"),
+        F.max("high").over(fr(-40, -1)).alias("resistance"),
+        F.sum((F.col("tp") * tc).cast(DEC)).over(fr(-19, 0)).cast("double")
+        .alias("vwap_num"),
+        F.sum(tc.cast(DECC)).over(fr(-19, 0)).cast("double").alias("vwap_den"),
+        F.sum("obv_step").over(wc).alias("obv"),
+        F.sum("cvd_step").over(wc).alias("cvd"),
+        F.avg(tcd).over(fr(-29, 0)).alias("tc_avg30"),
+        F.stddev_samp(tcd).over(fr(-29, 0)).alias("tc_sd30"),
+        F.row_number().over(w).alias("rn"),
+        F.row_number()
+        .over(Window.partitionBy("event_type", "s").orderBy("bucket_ts"))
+        .alias("rns"),
+        F.percent_rank()
+        .over(Window.partitionBy("event_type").orderBy("amplitude_pct"))
+        .alias("amp_pr"),
+    )
+    grp_w = (
+        Window.partitionBy("event_type", "s", F.col("rn") - F.col("rns"))
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    b3 = b2.select(
+        "*",
+        F.lag("obv", 30).over(w).alias("obv30"),
+        F.lag("cvd", 30).over(w).alias("cvd30"),
+        (F.col("s") * F.count(F.lit(1)).over(grp_w)).alias("streak"),
+    )
+    bb_up = F.col("bb_mid") + 2 * F.col("bb_sd")
+    bb_lo = F.col("bb_mid") - 2 * F.col("bb_sd")
+    vwap = F.col("vwap_num") / F.nullif(F.col("vwap_den"), F.lit(0))
+    mad = (
+        F.aggregate(
+            F.transform("tps", lambda y: F.abs(y - F.col("sma_tp20"))),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / F.size("tps")
+    )
+    body = F.abs(c - o)
+    upper_sh = h - F.greatest(o, c)
+    lower_sh = F.least(o, c) - lo
+    po, pcl = F.col("p_open"), F.col("p_close")
+    pattern = (
+        F.when(
+            F.coalesce(
+                (pcl < po) & (c > o) & (c >= po) & (o <= pcl), F.lit(False)
+            ),
+            "bullish_engulfing",
+        )
+        .when(
+            F.coalesce(
+                (pcl > po) & (c < o) & (c <= po) & (o >= pcl), F.lit(False)
+            ),
+            "bearish_engulfing",
+        )
+        .when(body < 0.1 * (h - lo), "doji")
+        .when((lower_sh > 2 * body) & (upper_sh < body), "hammer")
+        .when((upper_sh > 2 * body) & (lower_sh < body), "shooting_star")
+        .otherwise("none")
+    )
+    obv_d, obv30_d = F.col("obv").cast("double"), F.col("obv30").cast("double")
+    cvd_d, cvd30_d = F.col("cvd").cast("double"), F.col("cvd30").cast("double")
+    snap = b3.select(
+        "event_type", "bucket_ts",
+        F.round(c, 6).alias("last_close"),
+        F.round((c - pcl) / F.nullif(pcl, F.lit(0)) * 100, 6).alias("change_pct"),
+        "amplitude_pct",
+        F.round(c * tc, 6).alias("turnover"),
+        F.round(F.when(c >= o, c * tc).otherwise(-c * tc), 6).alias("money_flow"),
+        F.round(
+            F.col("up20").cast("double")
+            / F.nullif(F.col("dn20").cast("double"), F.lit(0)), 6
+        ).alias("taker_ratio"),
+        F.round(tcd / F.nullif(F.col("vol_avg20"), F.lit(0)), 6).alias("vol_ratio"),
+        F.round(
+            (F.col("tp") - F.col("sma_tp20"))
+            / F.nullif(0.015 * mad, F.lit(0)), 6
+        ).alias("cci"),
+        (
+            F.round(
+                (c - F.col("hi14"))
+                / F.nullif(F.col("hi14") - F.col("lo14"), F.lit(0)) * 100, 6
+            )
+            + F.lit(0.0)
+        ).alias("wr"),
+        F.round(
+            100 * F.col("pos14")
+            / F.nullif(F.col("pos14") + F.col("neg14"), F.lit(0)), 6
+        ).alias("mfi14"),
+        F.round(bb_up, 6).alias("bb_upper"),
+        F.round(bb_lo, 6).alias("bb_lower"),
+        F.round((c - bb_lo) / F.nullif(4 * F.col("bb_sd"), F.lit(0)), 6)
+        .alias("bb_pct"),
+        F.round(
+            4 * F.col("bb_sd") / F.nullif(F.col("bb_mid"), F.lit(0)) * 100, 6
+        ).alias("bb_width"),
+        F.round(F.col("don_hi"), 6).alias("don_high"),
+        F.round(F.col("don_lo"), 6).alias("don_low"),
+        F.round(F.col("bb_mid") + 2 * F.col("atr10_sma"), 6).alias("kc_upper"),
+        F.round(F.col("bb_mid") - 2 * F.col("atr10_sma"), 6).alias("kc_lower"),
+        F.when(F.col("atr_pct_sma").isNull(), "low")
+        .when(F.col("atr_pct_sma") < 1.0, "low")
+        .when(F.col("atr_pct_sma") < 2.5, "mid")
+        .when(F.col("atr_pct_sma") < 5.0, "high")
+        .otherwise("extreme")
+        .alias("vol_class"),
+        F.round((c - F.col("support")) / c * 100, 6).alias("sup_dist_pct"),
+        F.round((F.col("resistance") - c) / c * 100, 6).alias("res_dist_pct"),
+        F.round((c - vwap) / F.nullif(vwap, F.lit(0)) * 100, 6)
+        .alias("vwap_dev_pct"),
+        F.round(
+            (obv_d - obv30_d) / F.nullif(F.abs(obv30_d), F.lit(0)) * 100, 6
+        ).alias("obv_chg30"),
+        F.round(
+            (cvd_d - cvd30_d) / F.nullif(F.abs(cvd30_d), F.lit(0)) * 100, 6
+        ).alias("cvd_chg"),
+        F.round(
+            F.col("up30").cast("double")
+            / F.nullif(F.col("dn30").cast("double"), F.lit(0)), 6
+        ).alias("ls_ratio"),
+        F.round(
+            F.col("up10").cast("double")
+            / F.nullif(F.col("dn10").cast("double"), F.lit(0)), 6
+        ).alias("taker_ls_ratio"),
+        F.round(
+            (tcd - F.col("tc_avg30")) / F.nullif(F.col("tc_sd30"), F.lit(0)), 6
+        ).alias("oi_zscore"),
+        F.col("streak").cast("double").alias("oi_streak"),
+        F.round(F.col("amp_pr") * 100, 6).alias("risk_score"),
+        pattern.alias("pattern"),
+    )
+    return snap.select(
+        "*", *[F.lag(f).over(w).alias(f"prev_{f}") for f in SNAPSHOT_FIELDS]
+    )
+
+
+@query(
+    "signal_pack_sql_rules",
+    survey="§2.10 rule pack + condition compiler "
+    "(rules/{core,momentum,volatility,volume,futures,pattern,misc}; "
+    "compiler rules/base.py:47-160) — the SQL-checkable 65-rule subset "
+    "as one wide projection; oracle GENERATED from the same configs",
+    description="65 SQL-expressible pack rules fired over 1h snapshots",
+    oracle=_pack_oracle(),
+)
+def signal_pack_sql_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One projection fires every rule: ``array(when(cond_i, name_i))``
+    → ``array_compact`` → ``explode``. 65 boolean Columns over one
+    shared window partitioning — a single exchange, whole-stage codegen
+    end-to-end, and the rule count scales the projection width, not the
+    number of passes."""
+    rules = pack_sql_rules()
+    snap = build_snapshot(spark, sf_dir)
+    fired = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    compile_condition(r),
+                    F.struct(
+                        F.lit(r.name).alias("rule"),
+                        F.lit(r.direction).alias("direction"),
+                        F.lit(r.strength).cast("long").alias("strength"),
+                    ),
+                )
+                for r in rules
+            ]
+        )
+    )
+    return (
+        snap.select(
+            "event_type",
+            F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+            F.explode(fired).alias("f"),
+        )
+        .select(
+            "event_type", "bucket_ts",
+            F.col("f.rule").alias("rule"),
+            F.col("f.direction").alias("direction"),
+            F.col("f.strength").alias("strength"),
+        )
+    )
+
+
+@query(
+    "signal_rule_pack_129",
+    survey="§2.10 the FULL 129-rule pack over the applyInPandas "
+    "indicator surface (reference engine.py 60s loop; counts match "
+    "rules/__init__.py: 8 categories, 129 rules)",
+    description="All 129 pack rules over prev/curr indicator surface snapshots",
+)
+def signal_rule_pack_129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two as-of surface snapshots (≤ latest-1h vs ≤ latest bar) joined
+    per key give prev/curr; all 129 compiled conditions evaluate in one
+    projection over the wide surface. Python appears only inside the
+    Arrow-batched indicator engine — rule evaluation itself is Column
+    algebra."""
+    from tradecat_spark.indicators.engine import bars_from_events, compute_all
+
+    e = load_table(spark, sf_dir, "events")
+    bars = bars_from_events(e, "event_type", 3600)
+    horizon = bars.agg(
+        F.max("bucket_ts").alias("mx")
+    ).select(F.expr("mx - INTERVAL 1 HOUR").alias("cut"))
+    prev_bars = bars.join(F.broadcast(horizon)).where(
+        F.col("bucket_ts") <= F.col("cut")
+    ).drop("cut")
+    curr = compute_all(bars, ["event_type"], tail=500)
+    prev = compute_all(prev_bars, ["event_type"], tail=500)
+    pcols = [c for c in prev.columns if c != "event_type"]
+    prev_r = prev.select(
+        "event_type", *[F.col(c).alias(f"prev_{c}") for c in pcols]
+    )
+    snap = curr.join(prev_r, "event_type", "inner")
+    fired = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    compile_condition(r),
+                    F.struct(
+                        F.lit(r.name).alias("rule"),
+                        F.lit(r.category).alias("category"),
+                        F.lit(r.direction).alias("direction"),
+                        F.lit(r.strength).cast("long").alias("strength"),
+                    ),
+                )
+                for r in ALL_RULES
+            ]
+        )
+    )
+    return snap.select("event_type", F.explode(fired).alias("f")).select(
+        "event_type",
+        F.col("f.rule").alias("rule"),
+        F.col("f.category").alias("category"),
+        F.col("f.direction").alias("direction"),
+        F.col("f.strength").alias("strength"),
+    )

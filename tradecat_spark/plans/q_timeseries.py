@@ -164,6 +164,43 @@ def ohlcv_cascade_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ohlcv_cascade_1M",
+    survey="§2.4 A1 full 14-interval registry (004:67-81) — the "
+    "non-multiple calendar cascade: 1d buckets → calendar months",
+    description="Calendar-month candles cascaded from the 1d rollup",
+    oracle="""
+SELECT
+  event_type,
+  time_bucket(INTERVAL '1 month', ts) AS bucket_ts,
+  min_by(value, ts) AS open,
+  MAX(value) AS high,
+  MIN(value) AS low,
+  max_by(value, ts) AS close,
+  COUNT(*) AS trade_count,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,8))) AS DOUBLE), 6) AS volume
+FROM events
+GROUP BY event_type, bucket_ts
+""",
+)
+def ohlcv_cascade_1M(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1M is the one interval a fixed-width bucket can't express —
+    ``date_trunc('month')`` on the day rollup's bucket. The oracle
+    aggregates raw directly, so a hash match proves the 1d→1M cascade
+    law holds across a month boundary (every day belongs to exactly one
+    month — lossless)."""
+    e = _events(spark, sf_dir)
+    day = ohlcv_rollup(
+        e, ["event_type"], "ts", "value",
+        volume=F.col("value").cast(DEC), interval_sec=86400,
+    )
+    month = cascade_rollup(day, ["event_type"], 86400, "month")
+    return month.select(
+        "event_type", "bucket_ts", "open", "high", "low", "close",
+        "trade_count", F.round(F.col("volume").cast("double"), 6).alias("volume"),
+    )
+
+
+@query(
     "meta_join_1h",
     survey="§2.3 J1 + §1.1 candles_meta (006_candles_meta_views.sql:29-93)",
     description="1h candles LEFT JOIN 1h size-metrics + amplitude/vwap derived cols",

@@ -68,6 +68,7 @@ def load_all() -> dict[str, QuerySpec]:
         q_multimodal,
         q_streaming,
         q_sketch,
+        q_signal_pack,
     )
 
     return REGISTRY

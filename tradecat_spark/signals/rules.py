@@ -30,6 +30,7 @@ class ConditionType(str, Enum):
     CONTAINS = "contains"                  # substring match (any/all)
     RANGE_ENTER = "range_enter"            # value enters [lo, hi]
     RANGE_EXIT = "range_exit"              # value leaves [lo, hi]
+    CUSTOM = "custom"                      # named expr from signals.custom
 
 
 @dataclass
@@ -48,6 +49,7 @@ class SignalRule:
     min_volume: float = 0.0
     category: str = "core"
     subcategory: str = ""
+    ref_name: str = ""              # the reference pack's original rule name
     extra: dict = field(default_factory=dict)
 
 
@@ -66,6 +68,16 @@ def compile_condition(rule: SignalRule) -> Column:
     if ct == ConditionType.STATE_CHANGE:
         f, target = cfg["field"], cfg["to"]
         from_any = cfg.get("from")  # optional source-state restriction
+        if isinstance(target, (list, tuple)):
+            # reference form (rules/base.py:56-64): membership on both
+            # sides — prev in from_values AND curr in to_values
+            targets = list(target)
+            cond = F.col(f).isin(targets)
+            if from_any is not None:
+                cond &= _prev(f).isin(list(from_any))
+            else:
+                cond &= ~_prev(f).isin(targets)
+            return cond
         cond = (_prev(f) != target) & (F.col(f) == target)
         if from_any is not None:
             cond &= _prev(f).isin(list(from_any))
@@ -100,6 +112,91 @@ def compile_condition(rule: SignalRule) -> Column:
         was_in = _prev(f).between(lo, hi)
         outside = ~F.col(f).between(lo, hi)
         return was_in & outside
+    if ct == ConditionType.CUSTOM:
+        from tradecat_spark.signals.custom import get_custom
+
+        return get_custom(cfg["expr"]).column(cfg)
+    raise ValueError(f"unknown condition type {ct}")
+
+
+#: condition_config keys that name a snapshot field, per condition shape
+_FIELD_KEYS = (
+    "field", "fast", "slow", "field_a", "field_b", "turnover",
+    "change_field", "taker", "flow", "streak_field", "mean",
+    "state_field", "event_field", "bias_field", "score_field",
+)
+
+
+def condition_fields(rule: SignalRule) -> set[str]:
+    """Snapshot fields a rule's condition reads (current-row names; the
+    prev_ twin is implied). Used to select which rules a given snapshot
+    schema can evaluate."""
+    return {
+        v for k, v in rule.condition_config.items() if k in _FIELD_KEYS
+    }
+
+
+def _sql_in(vals) -> str:
+    return "(" + ", ".join(f"'{v}'" for v in vals) + ")"
+
+
+def condition_sql(rule: SignalRule) -> str | None:
+    """ANSI-SQL rendering of a rule's condition — the DuckDB oracle form.
+
+    Same field-naming convention as ``compile_condition``: a snapshot
+    row exposes ``<field>`` and ``prev_<field>`` columns. Returns None
+    when the condition is not SQL-expressible (CUSTOM exprs without a
+    registered sql form).
+    """
+    cfg = rule.condition_config
+    ct = rule.condition_type
+    if ct == ConditionType.STATE_CHANGE:
+        f, target = cfg["field"], cfg["to"]
+        from_any = cfg.get("from")
+        if isinstance(target, (list, tuple)):
+            cond = f"{f} IN {_sql_in(target)}"
+            if from_any is not None:
+                cond += f" AND prev_{f} IN {_sql_in(from_any)}"
+            else:
+                cond += f" AND NOT prev_{f} IN {_sql_in(target)}"
+            return f"({cond})"
+        cond = f"prev_{f} <> '{target}' AND {f} = '{target}'"
+        if from_any is not None:
+            cond += f" AND prev_{f} IN {_sql_in(from_any)}"
+        return f"({cond})"
+    if ct == ConditionType.THRESHOLD_CROSS_UP:
+        f, th = cfg["field"], float(cfg["threshold"])
+        return f"(prev_{f} <= {th} AND {f} > {th})"
+    if ct == ConditionType.THRESHOLD_CROSS_DOWN:
+        f, th = cfg["field"], float(cfg["threshold"])
+        return f"(prev_{f} >= {th} AND {f} < {th})"
+    if ct == ConditionType.CROSS_UP:
+        a, b = cfg["fast"], cfg["slow"]
+        return f"(prev_{a} <= prev_{b} AND {a} > {b})"
+    if ct == ConditionType.CROSS_DOWN:
+        a, b = cfg["fast"], cfg["slow"]
+        return f"(prev_{a} >= prev_{b} AND {a} < {b})"
+    if ct == ConditionType.CONTAINS:
+        f, needles = cfg["field"], cfg["values"]
+        op = " AND " if cfg.get("mode", "any") == "all" else " OR "
+        return "(" + op.join(f"contains({f}, '{n}')" for n in needles) + ")"
+    if ct == ConditionType.RANGE_ENTER:
+        f, lo, hi = cfg["field"], float(cfg["low"]), float(cfg["high"])
+        return (
+            f"(NOT (prev_{f} BETWEEN {lo} AND {hi}) "
+            f"AND {f} BETWEEN {lo} AND {hi})"
+        )
+    if ct == ConditionType.RANGE_EXIT:
+        f, lo, hi = cfg["field"], float(cfg["low"]), float(cfg["high"])
+        return (
+            f"((prev_{f} BETWEEN {lo} AND {hi}) "
+            f"AND NOT ({f} BETWEEN {lo} AND {hi}))"
+        )
+    if ct == ConditionType.CUSTOM:
+        from tradecat_spark.signals.custom import get_custom
+
+        expr = get_custom(cfg["expr"])
+        return expr.sql(cfg) if expr.sql is not None else None
     raise ValueError(f"unknown condition type {ct}")
 
 
@@ -179,6 +276,13 @@ def eval_condition_py(rule: SignalRule, prev: dict, curr: dict) -> bool:
         f, target = cfg["field"], cfg["to"]
         if not ok(p(f), c(f)):
             return False
+        if isinstance(target, (list, tuple)):
+            if c(f) not in target:
+                return False
+            from_any = cfg.get("from")
+            if from_any is not None:
+                return p(f) in from_any
+            return p(f) not in target
         if p(f) == target or c(f) != target:
             return False
         from_any = cfg.get("from")
@@ -215,4 +319,8 @@ def eval_condition_py(rule: SignalRule, prev: dict, curr: dict) -> bool:
         return (
             ok(p(f), c(f)) and lo <= p(f) <= hi and not (lo <= c(f) <= hi)
         )
+    if ct == ConditionType.CUSTOM:
+        from tradecat_spark.signals.custom import get_custom
+
+        return bool(get_custom(cfg["expr"]).py(cfg, prev, curr))
     raise ValueError(f"unknown condition type {ct}")
