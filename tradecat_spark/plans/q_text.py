@@ -22,6 +22,7 @@ from tradecat_spark.plans.registry import query
 N_SEEDS = 8          # minhash permutations
 BAND_ROWS = 2        # rows per LSH band → 4 bands
 SHINGLE_WORDS = 5    # word-shingle width
+BAND_CAP = 64        # max bucket size for all-pairs; beyond → star pairs
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,43 +170,6 @@ def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_minhash_pairs",
-    survey="north-star dedup: MinHash+LSH candidate pairs (band bucket join)",
-    description="Distinct candidate near-dup pairs sharing any LSH band",
-    oracle=f"""
-WITH sh AS ({_SHINGLES_SQL}),
-mh AS (
-  SELECT doc_id, seed, MIN(md5(concat(CAST(seed AS VARCHAR), '|', shingle))) AS mh
-  FROM sh, (SELECT unnest(range(0, {N_SEEDS})) AS seed) s
-  GROUP BY doc_id, seed
-),
-sig AS (
-  SELECT doc_id,
-    CAST(seed // {BAND_ROWS} AS INTEGER) AS band,
-    md5(string_agg(mh, '' ORDER BY seed)) AS band_sig
-  FROM mh GROUP BY doc_id, band
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM sig a JOIN sig b
-  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-""",
-)
-def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = dedup_minhash_bands(spark, sf_dir)
-    a, b = sig.alias("a"), sig.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-
-
 _PAIRS_CTES = f"""
 sh AS ({_SHINGLES_SQL}),
 mh AS (
@@ -219,11 +183,69 @@ sig AS (
     md5(string_agg(mh, '' ORDER BY seed)) AS band_sig
   FROM mh GROUP BY doc_id, band
 ),
+sized AS (
+  SELECT doc_id, band, band_sig,
+    COUNT(*) OVER (PARTITION BY band, band_sig) AS bucket_n,
+    MIN(doc_id) OVER (PARTITION BY band, band_sig) AS anchor
+  FROM sig
+),
 pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sig a JOIN sig b
-    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sized a JOIN sized b
+      ON a.band = b.band AND a.band_sig = b.band_sig
+     AND a.doc_id < b.doc_id AND a.bucket_n <= {BAND_CAP}
+    UNION ALL
+    SELECT anchor AS doc_a, doc_id AS doc_b
+    FROM sized WHERE bucket_n > {BAND_CAP} AND doc_id <> anchor
+  )
 )"""
+
+
+def minhash_candidate_pairs(sig: DataFrame, cap: int = BAND_CAP) -> DataFrame:
+    """Skew-proof LSH candidate pairs from (doc_id, band, band_sig) rows.
+
+    A degenerate bucket — one band_sig shared by millions of docs (all-
+    identical boilerplate, empty pages) — would make the all-pairs
+    self-join emit O(n²) rows on one shuffle key. Guard: buckets up to
+    ``cap`` docs emit all pairs (the near-dup candidate set); larger
+    buckets emit STAR pairs (bucket-min anchor ↔ every other member),
+    O(n) rows that preserve connected components exactly — so the
+    downstream cluster/keep-one step is unchanged, and a >cap bucket's
+    members are still all marked as duplicates of the anchor. The size
+    window and the join shuffle on the same (band, band_sig) key, so the
+    guard reuses the exchange rather than adding one.
+    """
+    w = Window.partitionBy("band", "band_sig")
+    sized = sig.select(
+        "doc_id", "band", "band_sig",
+        F.count(F.lit(1)).over(w).alias("bucket_n"),
+        F.min("doc_id").over(w).alias("anchor"),
+    )
+    a = sized.filter(F.col("bucket_n") <= cap).alias("a")
+    b = sized.filter(F.col("bucket_n") <= cap).alias("b")
+    all_pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_sig") == F.col("b.band_sig"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    star_pairs = sized.filter(
+        (F.col("bucket_n") > cap) & (F.col("doc_id") != F.col("anchor"))
+    ).select(F.col("anchor").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    return all_pairs.unionByName(star_pairs).distinct()
+
+
+@query(
+    "dedup_minhash_pairs",
+    survey="north-star dedup: MinHash+LSH candidate pairs (band bucket "
+    "join, star-capped against degenerate-bucket skew)",
+    description="Distinct candidate near-dup pairs sharing any LSH band",
+    oracle=f"WITH {_PAIRS_CTES}\nSELECT doc_a, doc_b FROM pairs",
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dedup_minhash_bands(spark, sf_dir)
+    return minhash_candidate_pairs(sig)
 
 
 @query(

@@ -657,21 +657,29 @@ def realtime_union_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregated on the fly (partition-pruned to the tail in a
     date-partitioned deployment). The law being graded: the union view
     is indistinguishable from a full rollup — the reference's
-    correctness contract for materialized_only=false reads."""
+    correctness contract for materialized_only=false reads.
+
+    The watermark is computed IN-PLAN: a one-row scalar aggregate
+    broadcast-cross-joined onto both union branches (same pattern as
+    the latest-bucket probe in q_serving). No driver action, one job,
+    and the whole view stays composable as a single logical plan."""
     from tradecat_spark.operators.rollup import realtime_view
 
     e = _events(spark, sf_dir)
-    horizon = e.agg(F.max("ts")).collect()[0][0] - __import__(
-        "datetime"
-    ).timedelta(hours=2)
+    hz = F.broadcast(
+        e.agg(
+            (F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("_hz")
+        )
+    )
+    ew = e.crossJoin(hz)
     materialized = ohlcv_rollup(
-        e.filter(F.col("ts") < F.lit(horizon)),
+        ew.filter(F.col("ts") < F.col("_hz")),
         ["event_type"], "ts", "value",
         volume=F.col("value").cast(DEC), interval_sec=300,
     )
     view = realtime_view(
-        materialized, e, ["event_type"], "ts", "value",
-        interval_sec=300, refresh_horizon=F.lit(horizon),
+        materialized.crossJoin(hz), ew, ["event_type"], "ts", "value",
+        interval_sec=300, refresh_horizon=F.col("_hz"),
         volume=F.col("value").cast(DEC),
     )
     return view.select(
