@@ -92,3 +92,26 @@ def test_l1_projection_and_depth_bands(spark):
     assert bands["bid_depth_1_0pct"] == 12.0         # 99.8 + 99.0
     assert bands["ask_depth_0_5pct"] == 2.0
     assert bands["ask_depth_2_0pct"] == 2.0          # 103 is outside ±2%
+
+
+def test_snapshot_depth_stats_truncates_and_counts(spark):
+    from tradecat_spark.sources.orderbook import snapshot_depth_stats
+
+    # book: bid levels at 100-i, ask at 100+i, qty=1 each, 10 levels;
+    # mid = 100 (from level 1 at 99/101... use tight L1)
+    bids = [(100.0 - 0.1 * i, 1.0) for i in range(1, 11)]
+    asks = [(100.0 + 0.1 * i, 1.0) for i in range(1, 11)]
+    snaps = spark.createDataFrame(
+        [(1, bids, asks)], "snap_id int, bids array<struct<price:double,qty:double>>, asks array<struct<price:double,qty:double>>"
+    )
+    full = snapshot_depth_stats(snaps, bands_pct=(1.0, 5.0)).collect()[0]
+    assert full["mid"] == 100.0
+    assert full["bid1_price"] == 99.9 and full["ask1_price"] == 100.1
+    # ±1% of 100 = ±1.0 → levels 1..10 all within (0.1..1.0)
+    assert full["bid_depth_1pct"] == 10 and full["ask_depth_1pct"] == 10
+    assert full["imbalance"] == 0.0
+
+    # truncation: only the first 3 levels count when max_levels=3
+    trunc = snapshot_depth_stats(snaps, max_levels=3).collect()[0]
+    assert trunc["bid_depth_1pct"] == 3 and trunc["ask_depth_1pct"] == 3
+    assert trunc["bid_notional_1pct"] == pytest.approx(99.9 + 99.8 + 99.7)

@@ -69,6 +69,7 @@ def load_all() -> dict[str, QuerySpec]:
         q_streaming,
         q_sketch,
         q_signal_pack,
+        q_orderbook,
     )
 
     return REGISTRY
