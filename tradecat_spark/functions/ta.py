@@ -52,9 +52,16 @@ def vwma(price: pd.Series, vol: pd.Series, n: int) -> pd.Series:
 # volatility / range
 # ---------------------------------------------------------------------------
 def true_range(h: pd.Series, l: pd.Series, c: pd.Series) -> pd.Series:
-    """TR = max(h-l, |h-pc|, |l-pc|) (incremental/atr.py:7-15)."""
-    pc = c.shift(1)
-    return pd.concat([h - l, (h - pc).abs(), (l - pc).abs()], axis=1).max(axis=1)
+    """TR = max(h-l, |h-pc|, |l-pc|) (incremental/atr.py:7-15).
+
+    numpy fmax (NaN-ignoring, like a skipna row max) instead of a
+    concat+max frame — same values, none of the block-manager overhead.
+    """
+    hv, lv = h.to_numpy(dtype=np.float64), l.to_numpy(dtype=np.float64)
+    pc = np.roll(c.to_numpy(dtype=np.float64), 1)
+    pc[0] = np.nan
+    tr = np.fmax(hv - lv, np.fmax(np.abs(hv - pc), np.abs(lv - pc)))
+    return pd.Series(tr, index=h.index)
 
 
 def atr(h: pd.Series, l: pd.Series, c: pd.Series, n: int = 14) -> pd.Series:
@@ -65,13 +72,27 @@ def atr(h: pd.Series, l: pd.Series, c: pd.Series, n: int = 14) -> pd.Series:
 # oscillators
 # ---------------------------------------------------------------------------
 def rsi(c: pd.Series, n: int = 14) -> pd.Series:
-    """Wilder RSI (batch/tv_rsi.py:14-40, harmonic.py)."""
-    d = c.diff()
-    gain = rma(d.clip(lower=0).fillna(0), n)
-    loss = rma((-d).clip(lower=0).fillna(0), n)
-    rs = gain / loss.replace(0, np.nan)
-    out = 100 - 100 / (1 + rs)
-    return out.fillna(100.0).where(loss != 0, 100.0).where(gain + loss != 0, 50.0)
+    """Wilder RSI (batch/tv_rsi.py:14-40, harmonic.py).
+
+    Gain/loss splitting and the edge-case ladder run in numpy (the
+    pandas clip/where/fillna chain was the indicator batch's hottest
+    path); the Wilder smoothing stays on pandas ``ewm`` so the
+    recursion is unchanged. Values are identical to the frame form:
+    same doubles through the same op sequence.
+    """
+    x = c.to_numpy(dtype=np.float64)
+    d = np.diff(x, prepend=np.nan)
+    gain = np.where(d > 0, d, 0.0)
+    loss = np.where(d < 0, -d, 0.0)
+    gain[np.isnan(d)] = 0.0
+    loss[np.isnan(d)] = 0.0
+    g = rma(pd.Series(gain, index=c.index), n).to_numpy()
+    l = rma(pd.Series(loss, index=c.index), n).to_numpy()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = 100.0 - 100.0 / (1.0 + g / np.where(l == 0, np.nan, l))
+    out = np.where(l == 0, 100.0, out)
+    out = np.where(g + l == 0, 50.0, out)
+    return pd.Series(out, index=c.index)
 
 
 def rsi_last_multi(c: pd.Series, periods: list[int]) -> np.ndarray:

@@ -208,19 +208,19 @@ def _rsi_divergence(b: pd.DataFrame, rsi: pd.Series, lookback: int = 50):
     Returns (label, strength%)."""
     if len(b) < lookback or rsi.isna().sum() > len(rsi) * 0.1:
         return "none", 0.0
-    recent = b.tail(lookback)
-    rrsi = rsi.tail(lookback)
-    p_highs, r_highs, p_lows, r_lows = [], [], [], []
-    hi, lo = recent["high"], recent["low"]
-    for i in range(5, len(recent) - 5):
-        win_h = hi.iloc[i - 5 : i + 6]
-        if hi.iloc[i] == win_h.max():
-            p_highs.append(hi.iloc[i])
-            r_highs.append(rrsi.iloc[i])
-        win_l = lo.iloc[i - 5 : i + 6]
-        if lo.iloc[i] == win_l.min():
-            p_lows.append(lo.iloc[i])
-            r_lows.append(rrsi.iloc[i])
+    # vectorized centered ±5-bar pivot scan: a bar is a pivot when it
+    # equals its 11-bar window extreme (same tie behavior as the
+    # per-index scan it replaces; ~10× faster, the batch's hot spot)
+    hi = b["high"].tail(lookback).to_numpy(dtype=float)
+    lo = b["low"].tail(lookback).to_numpy(dtype=float)
+    rr = rsi.tail(lookback).to_numpy(dtype=float)
+    win_h = np.lib.stride_tricks.sliding_window_view(hi, 11)
+    win_l = np.lib.stride_tricks.sliding_window_view(lo, 11)
+    core = slice(5, len(hi) - 5)
+    ph_mask = hi[core] == win_h.max(axis=1)
+    pl_mask = lo[core] == win_l.min(axis=1)
+    p_highs, r_highs = hi[core][ph_mask], rr[core][ph_mask]
+    p_lows, r_lows = lo[core][pl_mask], rr[core][pl_mask]
     if len(p_highs) >= 2 and len(p_lows) >= 2:
         if p_highs[-1] > p_highs[-2] and r_highs[-1] < r_highs[-2]:
             s = (r_highs[-2] - r_highs[-1]) / r_highs[-2] * 100
