@@ -107,3 +107,46 @@ def test_compute_all_full_surface(spark, bars_pdf):
     thin_row = rows["THIN"].asDict()
     assert thin_row["n_bars"] == 3
     assert thin_row["rsi14"] is None
+
+
+def test_madrid_ribbon_matches_pandas_ewm(bars_pdf):
+    """i_ribbon's vectorized 18-EMA loop vs the reference formula
+    (batch/tv_volume_signal.py:9-39) written with per-period ewm."""
+    from tradecat_spark.indicators.library import MADRID_PERIODS, i_ribbon
+
+    close = bars_pdf["close"]
+    lines = {
+        int(p): close.ewm(span=int(p), adjust=False).mean()
+        for p in MADRID_PERIODS
+    }
+    ma100 = lines[100].iloc[-1]
+    bull = sum(
+        1 for p in lines
+        if lines[p].iloc[-1] > ma100 and lines[p].diff().iloc[-1] > 0
+    ) / len(lines)
+    bear = sum(
+        1 for p in lines
+        if lines[p].iloc[-1] < ma100 and lines[p].diff().iloc[-1] < 0
+    ) / len(lines)
+    out = i_ribbon(bars_pdf)
+    assert out["bull_ratio"] == round(bull, 2)
+    assert out["bear_ratio"] == round(bear, 2)
+    assert out["ma100"] == pytest.approx(ma100, abs=1e-6)
+    if bull >= 0.7:
+        assert out["ribbon_signal"] == "buy" and out["ribbon_state"] == "bull"
+        assert out["ribbon_strength"] == round(bull * 10, 3)
+    elif bear >= 0.7:
+        assert out["ribbon_signal"] == "sell" and out["ribbon_state"] == "bear"
+    else:
+        assert out["ribbon_signal"] == "watch"
+        expect = abs((close.iloc[-1] - ma100) / ma100) * 5
+        assert out["ribbon_strength"] == pytest.approx(round(expect, 3), abs=1e-3)
+
+
+def test_madrid_ribbon_insufficient_data():
+    from tradecat_spark.indicators.library import i_ribbon
+
+    short = pd.DataFrame({"close": np.linspace(100, 110, 50)})
+    out = i_ribbon(short)
+    assert out["ribbon_signal"] == "watch" and out["ribbon_state"] == "mixed"
+    assert out["ribbon_strength"] == 0.0 and np.isnan(out["ma100"])

@@ -169,19 +169,59 @@ def i_trend_cloud(b: pd.DataFrame):
     }
 
 
+#: Madrid ribbon EMA ladder (batch/tv_volume_signal.py:6)
+MADRID_PERIODS = np.array(
+    [5, 10, 15, 20, 25, 30, 35, 40, 45, 50, 55, 60, 65, 70, 75, 80, 90, 100],
+    dtype=np.float64,
+)
+
+
 @register(
-    "ma_ribbon", [("ribbon_rising", D), ("ribbon_state", S)],
-    citation="batch/tv_volume_signal.py (Madrid ribbon, 18 EMAs 5..100)",
+    "ma_ribbon",
+    [("ribbon_signal", S), ("ribbon_state", S), ("ribbon_strength", D),
+     ("bull_ratio", D), ("bear_ratio", D), ("ma100", D)],
+    citation="batch/tv_volume_signal.py:9-39 (Madrid ribbon: 18 EMAs "
+    "5..100; per-EMA bull = above EMA100 AND rising, bear = below AND "
+    "falling; ≥70% agreement → signal, else distance-to-EMA100 strength)",
 )
 def i_ribbon(b: pd.DataFrame):
-    spans = range(5, 105, 5)  # 20 EMAs — the reference uses 18 of this ladder
-    rising = sum(
-        1 for n in spans
-        if len(b) >= 2 and ta.ema(b.close, n).diff().iloc[-1] > 0
-    )
-    total = len(list(spans))
-    state = "bull" if rising > total * 0.7 else ("bear" if rising < total * 0.3 else "mixed")
-    return {"ribbon_rising": float(rising), "ribbon_state": state}
+    """量能信号扫描器 semantics. All 18 EMA recursions run as ONE
+    vectorized time loop (length-18 alpha vector per bar) — only the
+    final value and final step's diff are needed, so no per-period
+    pandas ewm chains."""
+    x = b.close.to_numpy(dtype=np.float64)
+    if len(x) < int(MADRID_PERIODS[-1]):
+        return {"ribbon_signal": "watch", "ribbon_state": "mixed",
+                "ribbon_strength": 0.0, "bull_ratio": 0.0,
+                "bear_ratio": 0.0, "ma100": float("nan")}
+    alphas = 2.0 / (MADRID_PERIODS + 1.0)
+    one_m = 1.0 - alphas
+    y = np.full(len(alphas), x[0])
+    for v in x[1:-1]:
+        y = one_m * y + alphas * v
+    prev = y
+    y = one_m * y + alphas * x[-1]
+    ma100 = y[-1]
+    current = x[-1]
+    d = y - prev
+    n = len(MADRID_PERIODS)
+    bull_ratio = float(np.count_nonzero((y > ma100) & (d > 0))) / n
+    bear_ratio = float(np.count_nonzero((y < ma100) & (d < 0))) / n
+    if bull_ratio >= 0.7:
+        signal, state = "buy", "bull"
+        strength = bull_ratio * 10
+    elif bear_ratio >= 0.7:
+        signal, state = "sell", "bear"
+        strength = bear_ratio * 10
+    else:
+        signal = "watch"
+        state = "bull" if current > ma100 else "bear"
+        strength = abs((current - ma100) / ma100) * 5
+    return {"ribbon_signal": signal, "ribbon_state": state,
+            "ribbon_strength": round(float(strength), 3),
+            "bull_ratio": round(bull_ratio, 2),
+            "bear_ratio": round(bear_ratio, 2),
+            "ma100": round(float(ma100), 6)}
 
 
 @register(
