@@ -70,6 +70,7 @@ def load_all() -> dict[str, QuerySpec]:
         q_sketch,
         q_signal_pack,
         q_orderbook,
+        q_charts,
     )
 
     return REGISTRY
