@@ -150,3 +150,70 @@ def test_madrid_ribbon_insufficient_data():
     out = i_ribbon(short)
     assert out["ribbon_signal"] == "watch" and out["ribbon_state"] == "mixed"
     assert out["ribbon_strength"] == 0.0 and np.isnan(out["ma100"])
+
+
+def _pine_trend_model(df, prd=20, keep=3):
+    """Independent loop-form model of Pine Trend Lines v2 (the library
+    version is vectorized): pivot scan, first-valid line per pivot pair
+    with the close-violation walk, resistance priority, distance%."""
+    hi = df["high"].to_numpy(dtype=float)
+    lo = df["low"].to_numpy(dtype=float)
+    cl = df["close"].to_numpy(dtype=float)
+    last = len(cl) - 1
+    tv, tp, bv, bp = [], [], [], []
+    for i in range(2 * prd, len(cl)):
+        w_h, w_l = hi[i - 2 * prd : i + 1], lo[i - 2 * prd : i + 1]
+        if hi[i - prd] == w_h.max():
+            tv.insert(0, hi[i - prd]); tp.insert(0, i)
+        if lo[i - prd] == w_l.min():
+            bv.insert(0, lo[i - prd]); bp.insert(0, i)
+    tv, tp, bv, bp = tv[:keep], tp[:keep], bv[:keep], bp[:keep]
+
+    def line(vals, poss, support):
+        for p1 in range(len(vals) - 1):
+            for p2 in range(len(vals) - 1, p1, -1):
+                v1, v2, q1, q2 = vals[p1], vals[p2], poss[p1], poss[p2]
+                if (v1 > v2) != support or v1 == v2:
+                    continue
+                d = (v1 - v2) / (q1 - q2) if support else (v2 - v1) / (q1 - q2)
+                h = v2 + d if support else v2 - d
+                ok = True
+                for x in range(q2 + 1 - prd, last + 1):
+                    c = cl[last - x]
+                    if (c < h) if support else (c > h):
+                        ok = False
+                        break
+                    h = h + d if support else h - d
+                if ok:
+                    return (q2 - prd, v2, last, h - d if support else h + d)
+        return None
+
+    res, sup = line(tv, tp, False), line(bv, bp, True)
+    ln = res if res is not None else sup
+    direction = "short" if res else ("long" if sup else "range")
+    dist = 0.0
+    if ln and ln[2] != ln[0]:
+        k = (ln[3] - ln[1]) / (ln[2] - ln[0])
+        y = ln[1] + k * (last - ln[0])
+        if y != 0:
+            dist = (cl[-1] - y) / y * 100.0
+    return direction, round(dist, 4)
+
+
+def test_trend_line_matches_pine_model():
+    from tradecat_spark.indicators.library import i_trend_line
+
+    rng = np.random.default_rng(11)
+    for seed in range(6):
+        r = np.random.default_rng(seed)
+        n = 160
+        base = 100 + np.cumsum(r.normal(0, 0.6, n)) + 3 * np.sin(np.arange(n) / 7)
+        df = pd.DataFrame({
+            "open": base, "high": base + r.uniform(0.1, 1.5, n),
+            "low": base - r.uniform(0.1, 1.5, n), "close": base,
+            "volume": np.ones(n),
+        })
+        want_dir, want_dist = _pine_trend_model(df)
+        out = i_trend_line(df)
+        assert out["tl_direction"] == want_dir, seed
+        assert out["tl_dist_pct"] == pytest.approx(want_dist, abs=1e-9), seed

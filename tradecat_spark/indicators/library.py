@@ -119,24 +119,96 @@ def i_ichimoku(b: pd.DataFrame):
     }
 
 
+def _recent_pivots(ext: np.ndarray, prd: int, keep: int, is_high: bool):
+    """Last ``keep`` confirmed ±prd pivots, most recent first, as
+    (value, detection_index) — detection lags the pivot by prd bars
+    (Pine pivothigh/pivotlow semantics, batch/trend_line.py:8-24)."""
+    n = len(ext)
+    if n <= 2 * prd:
+        return [], []
+    win = np.lib.stride_tricks.sliding_window_view(ext, 2 * prd + 1)
+    extreme = win.max(axis=1) if is_high else win.min(axis=1)
+    cand = ext[prd : n - prd]
+    det = np.nonzero(cand == extreme)[0] + 2 * prd  # detection bar index
+    det = det[-keep:][::-1]
+    return list(ext[det - prd]), list(det.astype(int))
+
+
+def _fit_trendline(vals, poss, closes, prd, support: bool):
+    """First valid un-violated line through two pivots, oldest-anchored
+    (batch/trend_line.py:36-112): extend the line bar-by-bar toward the
+    latest close; every close must stay on the line's side."""
+    bar_index = len(closes) - 1
+    n_pp = len(vals)
+    for p1 in range(n_pp - 1):
+        for p2 in range(n_pp - 1, p1, -1):
+            v1, v2, q1, q2 = vals[p1], vals[p2], poss[p1], poss[p2]
+            ok_slope = v1 > v2 if support else v1 < v2
+            if not ok_slope:
+                continue
+            step = (v1 - v2) / (q1 - q2) if support else (v2 - v1) / float(q1 - q2)
+            level = v2 + step if support else v2 - step
+            valid = True
+            for x in range(q2 + 1 - prd, bar_index + 1):
+                idx = bar_index - x
+                if idx < 0:
+                    continue
+                violated = closes[idx] < level if support else closes[idx] > level
+                if violated:
+                    valid = False
+                    break
+                level = level + step if support else level - step
+            if valid:
+                y_end = level - step if support else level + step
+                return (q2 - prd, v2, bar_index, y_end)
+    return None
+
+
 @register(
     "trend_line",
-    [("piv_high", D), ("piv_low", D), ("trend_slope", D), ("tl_state", S)],
-    citation="batch/trend_line.py:5-175",
-    min_data=12,
+    [("piv_high", D), ("piv_low", D), ("trend_slope", D), ("tl_state", S),
+     ("tl_direction", S), ("tl_dist_pct", D)],
+    citation="batch/trend_line.py:5-175 (Pine Trend Lines v2: ±20-bar "
+    "pivots, 2-point line fit with close-violation scan, resistance "
+    "priority, distance-to-line%)",
+    min_data=45,
 )
 def i_trend_line(b: pd.DataFrame):
-    """Pivot highs/lows + OLS slope over the tail — the line-fit core of
-    the reference's Pine 'Trend Lines v2' port."""
-    h, l = b.high, b.low
-    ph = h[(h.shift(2) < h) & (h.shift(1) < h) & (h.shift(-1) < h) & (h.shift(-2) < h)]
-    pl = l[(l.shift(2) > l) & (l.shift(1) > l) & (l.shift(-1) > l) & (l.shift(-2) > l)]
-    slope = ta.linreg_slope(b.close.tail(50).to_numpy())
+    """Full 趋势线扫描器 semantics: track the last 3 confirmed ±20-bar
+    pivot highs/lows, fit the first close-respecting line through each
+    pair (support rising through lows, resistance falling through
+    highs), then direction = short if a resistance line holds, long if
+    a support line holds, range otherwise; distance% is current close
+    vs the line extrapolated to the latest bar."""
+    prd, n_keep = 20, 3
+    highs = b.high.to_numpy(dtype=float)
+    lows = b.low.to_numpy(dtype=float)
+    closes = b.close.to_numpy(dtype=float)
+    slope = ta.linreg_slope(closes[-50:])
+    tvals, tposs = _recent_pivots(highs, prd, n_keep, is_high=True)
+    bvals, bposs = _recent_pivots(lows, prd, n_keep, is_high=False)
+    res_line = _fit_trendline(tvals, tposs, closes, prd, support=False)
+    sup_line = _fit_trendline(bvals, bposs, closes, prd, support=True)
+    line = res_line if res_line is not None else sup_line
+    direction = (
+        "short" if res_line is not None
+        else ("long" if sup_line is not None else "range")
+    )
+    dist_pct = 0.0
+    if line is not None:
+        x1, y1, x2, y2 = line
+        if x2 != x1:
+            k = (y2 - y1) / (x2 - x1)
+            y_now = y1 + k * (len(closes) - 1 - x1)
+            if y_now != 0:
+                dist_pct = (closes[-1] - y_now) / y_now * 100.0
     return {
-        "piv_high": float(ph.iloc[-1]) if len(ph) else float("nan"),
-        "piv_low": float(pl.iloc[-1]) if len(pl) else float("nan"),
+        "piv_high": float(tvals[0]) if tvals else float("nan"),
+        "piv_low": float(bvals[0]) if bvals else float("nan"),
         "trend_slope": slope,
         "tl_state": "up" if slope > 0 else "down",
+        "tl_direction": direction,
+        "tl_dist_pct": round(float(dist_pct), 4),
     }
 
 
