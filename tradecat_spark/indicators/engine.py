@@ -108,3 +108,51 @@ def bars_from_events(
         bucket_col=bucket_col,
     )
     return bars
+
+
+def bars_multi_interval(
+    events: DataFrame,
+    key: str,
+    intervals: dict[str, int],
+    ts: str = "ts",
+    price: str = "value",
+) -> DataFrame:
+    """All interval rollups in ONE aggregation stage.
+
+    Building N interval rollups as N separate ``groupBy`` branches costs
+    N scan+shuffle stages whose fixed latencies dominate at benchmark
+    scale (and whose scans re-read the source N times at 100 TB). Here
+    each event row explodes to N (interval, bucket) pairs and ONE
+    hash-aggregate produces every interval's bars: map-side partial
+    aggregation collapses the exploded rows to the same combined shuffle
+    volume the N separate rollups would carry — one stage, one scan.
+    """
+    from tradecat_spark.operators.rollup import bucket_ts
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(lbl).alias("interval"),
+                bucket_ts(ts, sec).alias("bucket_ts"),
+            )
+            for lbl, sec in intervals.items()
+        ]
+    )
+    x = events.select(
+        key,
+        F.col(ts).alias("_ts"),
+        F.col(price).alias("_p"),
+        F.abs(F.col(price)).alias("_v"),
+        F.explode(pairs).alias("iv"),
+    )
+    return x.groupBy(
+        key, F.col("iv.interval").alias("interval"),
+        F.col("iv.bucket_ts").alias("bucket_ts"),
+    ).agg(
+        F.min_by("_p", "_ts").alias("open"),
+        F.max("_p").alias("high"),
+        F.min("_p").alias("low"),
+        F.max_by("_p", "_ts").alias("close"),
+        F.sum("_v").alias("volume"),
+        F.count(F.lit(1)).alias("trade_count"),
+    )

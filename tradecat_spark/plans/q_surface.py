@@ -15,7 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tradecat_spark.catalog import load_table
-from tradecat_spark.indicators.engine import bars_from_events, compute_all
+from tradecat_spark.indicators.engine import (
+    bars_from_events,
+    bars_multi_interval,
+    compute_all,
+)
 from tradecat_spark.operators.rollup import ohlcv_rollup
 from tradecat_spark.plans.registry import query
 from tradecat_spark.signals.engine import evaluate_rules
@@ -59,18 +63,15 @@ def indicator_batch_150x7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
     )
     e = e.join(F.broadcast(hot), "user_id")
-    # Each interval rolls up directly from the priority-filtered raw scan.
-    # (A cagg-style cascade 5m→15m→…→1d was measured SLOWER here: AQE
-    # defeats cross-branch exchange reuse, so the chain recomputes the
-    # finer rollups once per union branch — 87 s vs 18 s cold at sf0.1.)
+    # ONE aggregation stage produces all 7 interval rollups (explode to
+    # (interval, bucket) pairs + single hash-aggregate). Both N-branch
+    # alternatives measured slower: a cagg-style cascade 5m→…→1d recomputes
+    # finer rollups per union branch under AQE (87 s at sf0.1), and 7
+    # independent rollups pay 7 scan+shuffle stage latencies (~6 s of the
+    # old 15 s).
     intervals = {"5m": 300, "15m": 900, "30m": 1800, "1h": 3600,
                  "2h": 7200, "4h": 14400, "1d": 86400}
-    all_bars = None
-    for label, sec in intervals.items():
-        bars = bars_from_events(e, "user_id", sec).withColumn(
-            "interval", F.lit(label)
-        )
-        all_bars = bars if all_bars is None else all_bars.unionByName(bars)
+    all_bars = bars_multi_interval(e, "user_id", intervals)
     return compute_all(all_bars, ["user_id", "interval"], tail=500)
 
 
