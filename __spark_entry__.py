@@ -48,6 +48,9 @@ _GATE_PRIORITY = (
     "chart_kline_ma_volume", "chart_equity_drawdown",
     "chart_intraday_volume_heatmap", "chart_intraday_volatility",
     "chart_oi_change",
+    "chart_cvd_cumulative", "chart_taker_ratio_heatmap",
+    "chart_long_short_ratio", "chart_bb_zone_strip",
+    "chart_vpvr_ridge", "chart_macd_series",
 )
 
 
