@@ -51,6 +51,7 @@ _GATE_PRIORITY = (
     "chart_cvd_cumulative", "chart_taker_ratio_heatmap",
     "chart_long_short_ratio", "chart_bb_zone_strip",
     "chart_vpvr_ridge", "chart_macd_series",
+    "dedup_canonical_corpus", "text_vocab_topk", "quality_filter_funnel",
 )
 
 

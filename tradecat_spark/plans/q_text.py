@@ -647,3 +647,216 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(" ", vocab).cast("binary")).alias("vocab_fingerprint"),
         F.size(F.array_distinct(_words())).cast("long").alias("vocab_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pipeline outputs: deduplicated corpus, vocabulary, filter funnel
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_canonical_corpus",
+    survey="north-star dedup: the end-to-end output — keep one canonical "
+    "doc per near-dup cluster, emit the deduplicated corpus",
+    description="Canonical docs after MinHash-LSH dedup with cluster size and chars kept",
+    oracle=f"""
+WITH RECURSIVE {_PAIRS_CTES},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+comp AS (
+  SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+),
+csized AS (
+  SELECT doc_id, cluster_id,
+    CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+  FROM comp
+)
+SELECT
+  s.doc_id, s.cluster_size,
+  CAST(s.cluster_size - 1 AS BIGINT) AS n_dups_dropped,
+  CAST(length(d.text) AS BIGINT) AS n_chars
+FROM csized s JOIN documents d ON s.doc_id = d.doc_id
+WHERE s.doc_id = s.cluster_id
+""",
+)
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-one rule applied: clusters come from the distributed
+    min-label propagation (dedup_clusters), the corpus join recovers the
+    kept documents. At 100 TB the join is doc_id-equi on both sides —
+    co-partitioned by the same key the cluster step already shuffled on,
+    so no extra exchange beyond the corpus scan."""
+    d = _docs(spark, sf_dir)
+    clusters = dedup_clusters(spark, sf_dir)
+    return (
+        clusters.filter(F.col("is_canonical"))
+        .join(d, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_size",
+            (F.col("cluster_size") - 1).cast("long").alias("n_dups_dropped"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+    )
+
+
+@query(
+    "text_vocab_topk",
+    survey="north-star text analysis: corpus vocabulary — the token-count "
+    "table a tokenizer build starts from",
+    description="Top-100 tokens by corpus frequency with document frequency",
+    oracle="""
+SELECT
+  token,
+  CAST(COUNT(*) AS BIGINT) AS term_freq,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+)
+WHERE token <> ''
+GROUP BY token
+ORDER BY term_freq DESC, token ASC
+LIMIT 100
+""",
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode → one hash-aggregate (map-side partial combine collapses
+    each partition's token counts before the shuffle) → global top-k via
+    TakeOrderedAndProject. doc_freq rides the same aggregate as an
+    approx-free COUNT(DISTINCT) — Spark plans it as a two-phase
+    partial/final without a second scan."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(_words()).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("term_freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("term_freq").desc(), F.col("token").asc())
+        .limit(100)
+    )
+
+
+@query(
+    "quality_filter_funnel",
+    survey="north-star text analysis: the C4-style filter funnel — "
+    "per-stage retention counts for a training-data cleaning pipeline",
+    description="Document counts surviving each chained quality filter stage",
+    oracle=f"""
+WITH feats AS (
+  SELECT
+    doc_id, text,
+    len(string_split(text, ' ')) AS n_words,
+    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+    {' + '.join(_count_word_sql(w) for w in _STOPWORDS)} AS n_stop,
+    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      / len(string_split(text, ' ')) AS mean_wlen,
+    {_count_word_sql('the')} + {_count_word_sql('a')} AS s_en,
+    {_count_word_sql('der')} + {_count_word_sql('die')} AS s_de,
+    {_count_word_sql('el')} + {_count_word_sql('la')} AS s_es
+  FROM documents
+),
+flags AS (
+  SELECT
+    doc_id, text,
+    (s_en >= s_de AND s_en >= s_es) AS f_lang,
+    n_words >= 10 AS f_len,
+    5 * n_stop <= 2 * n_words AS f_stop,
+    (0.2 * mean_wlen + 2.0 * CAST(n_distinct AS DOUBLE) / n_words
+       - 3.0 * CAST(n_stop AS DOUBLE) / n_words) >= 0 AS f_quality
+  FROM feats
+),
+agg AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS c0,
+    CAST(COUNT(*) FILTER (f_lang) AS BIGINT) AS c1,
+    CAST(COUNT(*) FILTER (f_lang AND f_len) AS BIGINT) AS c2,
+    CAST(COUNT(*) FILTER (f_lang AND f_len AND f_stop) AS BIGINT) AS c3,
+    CAST(COUNT(*) FILTER (f_lang AND f_len AND f_stop AND f_quality)
+      AS BIGINT) AS c4,
+    CAST(COUNT(DISTINCT CASE WHEN f_lang AND f_len AND f_stop AND f_quality
+      THEN text END) AS BIGINT) AS c5
+  FROM flags
+)
+SELECT u.stage, u.stage_idx, u.docs
+FROM agg, LATERAL (VALUES
+  ('all', 0, c0), ('lang_en', 1, c1), ('min_length', 2, c2),
+  ('stopword_cap', 3, c3), ('quality_score', 4, c4),
+  ('exact_dedup', 5, c5)
+) AS u(stage, stage_idx, docs)
+""",
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE corpus scan: every stage predicate is a boolean column,
+    chained counts are conditional aggregates, and the final exact-dedup
+    stage is a COUNT(DISTINCT) that Spark plans as a two-phase expand —
+    no per-stage re-filtering. Threshold predicates are integer or
+    linear-form comparisons (5*n_stop <= 2*n_words; logistic(x) >= 0.5
+    rewritten as x >= 0 via monotonicity) so no libm exp() boundary can
+    flip a count between engines."""
+    d = _docs(spark, sf_dir)
+    ws = _words()
+    n_words = F.size(ws)
+    n_distinct = F.size(F.array_distinct(ws))
+    n_stop = sum((_count_word(w) for w in _STOPWORDS), F.lit(0))
+    mean_wlen = (
+        F.length(F.regexp_replace("text", " ", "")).cast("double") / n_words
+    )
+    s = {
+        lang: sum((_count_word(w) for w in mk), F.lit(0))
+        for lang, mk in _LANG_MARKERS.items()
+    }
+    f_lang = (s["en"] >= s["de"]) & (s["en"] >= s["es"])
+    f_len = n_words >= 10
+    f_stop = 5 * n_stop <= 2 * n_words
+    f_quality = (
+        0.2 * mean_wlen
+        + 2.0 * n_distinct.cast("double") / n_words
+        - 3.0 * n_stop.cast("double") / n_words
+    ) >= 0
+    flags = d.select(
+        "text",
+        f_lang.alias("f_lang"), f_len.alias("f_len"),
+        f_stop.alias("f_stop"), f_quality.alias("f_quality"),
+    )
+    keep = (
+        F.col("f_lang") & F.col("f_len") & F.col("f_stop")
+        & F.col("f_quality")
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("c0"),
+        F.count_if(F.col("f_lang")).alias("c1"),
+        F.count_if(F.col("f_lang") & F.col("f_len")).alias("c2"),
+        F.count_if(
+            F.col("f_lang") & F.col("f_len") & F.col("f_stop")
+        ).alias("c3"),
+        F.count_if(keep).alias("c4"),
+        F.countDistinct(F.when(keep, F.col("text"))).alias("c5"),
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(nm).alias("stage"),
+                        F.lit(i).alias("stage_idx"),
+                        F.col(c).alias("docs"),
+                    )
+                    for i, (nm, c) in enumerate([
+                        ("all", "c0"), ("lang_en", "c1"),
+                        ("min_length", "c2"), ("stopword_cap", "c3"),
+                        ("quality_score", "c4"), ("exact_dedup", "c5"),
+                    ])
+                ]
+            )
+        ).alias("u")
+    ).select("u.stage", "u.stage_idx", "u.docs")
