@@ -81,3 +81,32 @@ def test_global_topk_is_take_ordered(spark, sf_dir):
     top-K + merge), never a global sort."""
     plan = _plan(spark, "top_customers_by_spend", sf_dir)
     assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["chart_vpvr_ridge", "ann_recall_eval"],
+)
+def test_small_side_joins_broadcast_new(spark, sf_dir, name):
+    """Period-extent / centroid / query-side joins must broadcast: the
+    small side is keys × periods (or queries), never corpus-sized."""
+    plan = _plan(spark, name, sf_dir)
+    assert "BroadcastHashJoin" in plan, name
+    assert "SortMergeJoin" not in plan, name
+
+
+def test_vocab_topk_is_take_ordered(spark, sf_dir):
+    """Corpus-wide vocabulary top-100 must plan as TakeOrderedAndProject
+    — a global sort of the token table would shuffle the whole
+    vocabulary at scale."""
+    plan = _plan(spark, "text_vocab_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan[:400]
+
+
+def test_filter_funnel_single_scan(spark, sf_dir):
+    """All funnel stages fold into one aggregation over one scan of the
+    documents table — per-stage re-filtering would re-read the corpus
+    once per stage at 100 TB."""
+    plan = _plan(spark, "quality_filter_funnel", sf_dir)
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, plan[:400]

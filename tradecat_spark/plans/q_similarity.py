@@ -319,3 +319,152 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@query(
+    "ann_recall_eval",
+    survey="north-star similarity search: recall evaluation — the metric "
+    "that decides whether the approximate scale path (IVF cell / LSH "
+    "bucket) is good enough to replace brute force at 100 TB",
+    description="Per-query recall of IVF-cell and LSH-bucket candidate sets vs exact top-5",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+c AS (
+  SELECT vec_id AS neighbor_id, label, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT
+      q.query_id, c.neighbor_id,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        ROUND(list_dot_product(qv, cv)
+              / NULLIF(sqrt(list_dot_product(qv, qv))
+                       * sqrt(list_dot_product(cv, cv)), 0), 6) DESC,
+        c.neighbor_id ASC) AS rn
+    FROM q, c WHERE q.query_id <> c.neighbor_id
+  ) WHERE rn <= {TOP_K}
+),
+cent AS (
+  SELECT label, list(ce ORDER BY dim) AS cv FROM (
+    SELECT label, i AS dim, ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS ce
+    FROM embeddings,
+         LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+    GROUP BY label, i
+  ) GROUP BY label
+),
+assign AS (
+  SELECT query_id, label AS cell_label FROM (
+    SELECT q.query_id, cent.label,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        ROUND(list_dot_product(q.qv, q.qv)
+              - 2 * list_dot_product(q.qv, cent.cv)
+              + list_dot_product(cent.cv, cent.cv), 6) ASC,
+        cent.label ASC) AS rn
+    FROM q, cent
+  ) WHERE rn = 1
+),
+qb AS (
+  SELECT vec_id AS query_id,
+    (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+     + CASE WHEN embedding[9] > 0 THEN 4 ELSE 0 END
+     + CASE WHEN embedding[17] > 0 THEN 2 ELSE 0 END
+     + CASE WHEN embedding[25] > 0 THEN 1 ELSE 0 END) AS q_bucket
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+nb AS (
+  SELECT vec_id AS neighbor_id, label AS n_label,
+    (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+     + CASE WHEN embedding[9] > 0 THEN 4 ELSE 0 END
+     + CASE WHEN embedding[17] > 0 THEN 2 ELSE 0 END
+     + CASE WHEN embedding[25] > 0 THEN 1 ELSE 0 END) AS n_bucket
+  FROM embeddings
+)
+SELECT
+  e.query_id,
+  a.cell_label,
+  qb.q_bucket,
+  CAST(COUNT(*) AS BIGINT) AS exact_k,
+  CAST(COUNT(*) FILTER (nb.n_label = a.cell_label) AS BIGINT) AS ivf_hits,
+  CAST(COUNT(*) FILTER (nb.n_label = a.cell_label) AS DOUBLE)
+    / COUNT(*) AS ivf_recall,
+  CAST(COUNT(*) FILTER (nb.n_bucket = qb.q_bucket) AS BIGINT) AS lsh_hits,
+  CAST(COUNT(*) FILTER (nb.n_bucket = qb.q_bucket) AS DOUBLE)
+    / COUNT(*) AS lsh_recall
+FROM exact e
+JOIN assign a USING (query_id)
+JOIN qb USING (query_id)
+JOIN nb USING (neighbor_id)
+GROUP BY e.query_id, a.cell_label, qb.q_bucket
+""",
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation recall: of the EXACT top-k neighbors, how
+    many live in the query's assigned IVF cell / sign-LSH bucket — the
+    fraction an approximate search scoped to that cell/bucket could ever
+    return. All joins are per-query-row against broadcast-small sides
+    (centroids, query buckets); the only corpus-sized work is the exact
+    top-k baseline itself. Recall is a division of exact integers —
+    deterministic."""
+    e = _emb(spark, sf_dir)
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+
+    bit = lambda i, v: F.when(F.element_at("vec", i) > 0, F.lit(v)).otherwise(0)
+    bucket = bit(1, 8) + bit(9, 4) + bit(17, 2) + bit(25, 1)
+    qb = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), bucket.alias("q_bucket")
+    )
+    nb = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        bucket.alias("n_bucket"),
+    )
+
+    cent = (
+        e.select("label", F.posexplode("vec").alias("pos", "x"))
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(F.round(F.avg("x"), 6).alias("ce"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "ce"))),
+                lambda s: s["ce"],
+            ).alias("cv")
+        )
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv")
+    )
+    d2 = F.round(
+        dot(F.col("qv"), F.col("qv"))
+        - 2 * dot(F.col("qv"), F.col("cv"))
+        + dot(F.col("cv"), F.col("cv")),
+        6,
+    )
+    wq = Window.partitionBy("query_id").orderBy(d2.asc(), F.col("label").asc())
+    assign = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("cell_label"))
+    )
+
+    joined = (
+        exact.join(F.broadcast(assign), "query_id")
+        .join(F.broadcast(qb), "query_id")
+        .join(nb, "neighbor_id")
+    )
+    ivf_hit = F.col("n_label") == F.col("cell_label")
+    lsh_hit = F.col("n_bucket") == F.col("q_bucket")
+    return joined.groupBy("query_id", "cell_label", "q_bucket").agg(
+        F.count(F.lit(1)).alias("exact_k"),
+        F.count_if(ivf_hit).alias("ivf_hits"),
+        (F.count_if(ivf_hit).cast("double") / F.count(F.lit(1)))
+        .alias("ivf_recall"),
+        F.count_if(lsh_hit).alias("lsh_hits"),
+        (F.count_if(lsh_hit).cast("double") / F.count(F.lit(1)))
+        .alias("lsh_recall"),
+    )
