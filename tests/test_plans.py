@@ -110,3 +110,48 @@ def test_filter_funnel_single_scan(spark, sf_dir):
     plan = _plan(spark, "quality_filter_funnel", sf_dir)
     n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
     assert n_scans == 1, plan[:400]
+
+
+def test_bucketed_store_joins_and_groups_without_shuffle(spark, sf_dir, tmp_path):
+    """Silver tables written with write_bucketed must serve equi-joins
+    and groupBys on the bucket key with ZERO Exchange nodes — the
+    pre-organized-storage property the 100 TB indicator cycle relies on
+    (re-shuffling the store every cycle is the failure mode)."""
+    from tradecat_spark.catalog import load_table
+    from tradecat_spark.operators.storage import read_bucketed, write_bucketed
+
+    e = load_table(spark, sf_dir, "events").limit(2000)
+    bars = e.groupBy("user_id").count()
+    meta = e.groupBy("user_id").agg({"value": "max"})
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(bars, "t_bars_b", ["user_id"], buckets=8,
+                       path=str(tmp_path / "bars"))
+        write_bucketed(meta, "t_meta_b", ["user_id"], buckets=8,
+                       path=str(tmp_path / "meta"))
+        joined = read_bucketed(spark, "t_bars_b").join(
+            read_bucketed(spark, "t_meta_b"), "user_id"
+        )
+        jplan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "Exchange" not in jplan, jplan[:600]
+        assert "SortMergeJoin" in jplan
+
+        grouped = read_bucketed(spark, "t_bars_b").groupBy("user_id").agg(
+            {"count": "sum"}
+        )
+        gplan = grouped._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "Exchange" not in gplan, gplan[:600]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_bars_b")
+        spark.sql("DROP TABLE IF EXISTS t_meta_b")

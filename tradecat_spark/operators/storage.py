@@ -1,0 +1,60 @@
+"""Bucketed silver-table storage — co-located joins and shuffle-free
+group-bys at 100 TB.
+
+The reference pins its hot path to TimescaleDB hypertables chunked by
+time and indexed by (symbol, bucket_ts) (001_timescaledb.sql:9-35), so
+every per-symbol read is a local index range scan. The Spark analog for
+"data pre-organized by the key the workload groups/joins on" is
+Hive-style **bucketing**: `bucketBy(N, keys)` at write time hashes rows
+into N files per partition, and every later `groupBy(keys)` /
+equi-join on the same keys reads that distribution straight off the
+scan — no Exchange, which at 100 TB is the difference between a
+metadata read and re-shuffling the whole store every indicator cycle.
+
+Usage shape (the silver candle store):
+
+    write_bucketed(bars, "silver_bars_1m", ["symbol"], path=...)
+    bars = spark.table("silver_bars_1m")
+    bars.groupBy("symbol", ...).agg(...)     # no Exchange
+    bars.join(other_bucketed, "symbol")      # no Exchange either side
+
+`tests/test_plans.py` pins both properties against the physical plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    buckets: int = 32,
+    path: str | None = None,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Write ``df`` as a parquet table bucketed (and in-bucket sorted) by
+    ``keys``.
+
+    ``buckets`` should match the downstream parallelism target — at
+    cluster scale, a few × total executor cores; bucket counts must
+    agree between tables meant to join shuffle-free. ``path`` makes the
+    table external (data lives at ``path``, only metadata in the
+    metastore/catalog).
+    """
+    w = (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(buckets, *keys)
+        .sortBy(*(sort_cols or keys))
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table with its bucket distribution visible to the
+    planner (a plain ``spark.read.parquet(path)`` would discard it)."""
+    return spark.table(table)
