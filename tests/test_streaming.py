@@ -378,3 +378,64 @@ def test_py_and_column_rule_eval_agree(spark):
             if eval_condition_py(rule, p, c_):
                 py_hits.add((row["k"], row["snap_ts"]))
         assert py_hits == col_hits, rule.name
+
+
+def test_streaming_macd_matches_pandas_across_restarts(spark, tmp_path):
+    """The incremental MACD state must survive a checkpoint restart and
+    reproduce the exact ewm(adjust=False) recurrence: two availableNow
+    runs over a growing source equal one pandas pass over all bars."""
+    from tradecat_spark.streaming.incremental import streaming_macd
+
+    src = str(tmp_path / "macd_src")
+    ckpt = str(tmp_path / "macd_ckpt")
+    out = str(tmp_path / "macd_out")
+    t0 = pd.Timestamp("2025-01-01 00:00:00")
+
+    def write(vals, start):
+        rows = [
+            dict(k=k, ts=t0 + pd.Timedelta(minutes=start + i), close=v)
+            for k in ["a", "b"]
+            for i, v in enumerate(vals)
+        ]
+        spark.createDataFrame(pd.DataFrame(rows)).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(
+            "k string, ts timestamp, close double"
+        ).parquet(src)
+        q = (
+            streaming_macd(stream, ["k"], "ts", "close")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    batch1 = [100.0, 101.5, 99.2, 103.7, 102.1]
+    batch2 = [104.9, 101.0, 98.5]
+    write(batch1, 0)
+    run()
+    write(batch2, len(batch1))
+    run()
+
+    got = (
+        spark.read.parquet(out)
+        .filter(F.col("k") == "a")
+        .orderBy("ts")
+        .toPandas()
+    )
+    s = pd.Series(batch1 + batch2)
+    ema12 = s.ewm(span=12, adjust=False).mean()
+    ema26 = s.ewm(span=26, adjust=False).mean()
+    macd = ema12 - ema26
+    sig = macd.ewm(span=9, adjust=False).mean()
+    assert len(got) == len(s)
+    assert got["ema_fast"].tolist() == ema12.tolist()
+    assert got["ema_slow"].tolist() == ema26.tolist()
+    assert got["macd"].tolist() == macd.tolist()
+    assert got["signal_line"].tolist() == sig.tolist()
+    assert got["hist"].tolist() == (macd - sig).tolist()
