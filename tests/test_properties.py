@@ -184,3 +184,22 @@ def test_realtime_view_equals_direct(spark, events, horizon_sec):
     cols = ["event_type", "bucket_ts", "open", "high", "low", "close",
             "trade_count"]
     assert _rows(view, cols) == _rows(direct, cols)
+
+
+@given(events=event_frames())
+@SETTINGS
+def test_multi_interval_rollup_equals_per_interval(spark, events):
+    """bars_multi_interval (single explode+aggregate stage) must equal
+    the N independent per-interval rollups it replaces, for every
+    interval — the fusion is a physical rewrite, not a semantic one."""
+    from tradecat_spark.indicators.engine import bars_from_events, bars_multi_interval
+
+    e = spark.createDataFrame(events)
+    intervals = {"5m": 300, "1h": 3600}
+    fused = bars_multi_interval(e, "event_type", intervals)
+    cols = ["event_type", "bucket_ts", "open", "high", "low", "close",
+            "volume", "trade_count"]
+    for lbl, sec in intervals.items():
+        one = fused.filter(F.col("interval") == lbl)
+        ref = bars_from_events(e, "event_type", sec)
+        assert _rows(one, cols) == _rows(ref, cols), lbl
