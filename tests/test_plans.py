@@ -155,3 +155,27 @@ def test_bucketed_store_joins_and_groups_without_shuffle(spark, sf_dir, tmp_path
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS t_bars_b")
         spark.sql("DROP TABLE IF EXISTS t_meta_b")
+
+
+def test_time_partitioned_store_prunes_partitions(spark, sf_dir, tmp_path):
+    """A date-range read of the time-partitioned store must prune at the
+    partition level (PartitionFilters on the scan) — the hypertable
+    1-day-chunk exclusion the serving queries rely on."""
+    from tradecat_spark.catalog import load_table
+    from tradecat_spark.operators.storage import write_time_partitioned
+
+    e = load_table(spark, sf_dir, "events").limit(5000)
+    path = str(tmp_path / "tstore")
+    write_time_partitioned(e, path, "ts", sort_keys=["user_id"])
+
+    from pyspark.sql import functions as F
+    got = spark.read.parquet(path)
+    lo = got.agg(F.min("part_date")).first()[0]
+    q = got.filter(F.col("part_date") == F.lit(lo))
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "part_date" in m.group(1), plan[:500]

@@ -58,3 +58,31 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table with its bucket distribution visible to the
     planner (a plain ``spark.read.parquet(path)`` would discard it)."""
     return spark.table(table)
+
+
+def write_time_partitioned(
+    df: DataFrame,
+    path: str,
+    ts: str,
+    sort_keys: list[str] | None = None,
+    partition_col: str = "part_date",
+) -> None:
+    """Write a fact table partitioned by calendar date with rows sorted
+    by ``sort_keys`` inside each file — the hypertable layout
+    (1-day chunks + (symbol, ts) index, 001_timescaledb.sql:9-35).
+
+    Date partitions give O(1) partition pruning for the time-range
+    predicates every serving query carries (SURVEY §2.2 P2); the
+    in-file sort clusters each symbol's rows so parquet row-group
+    min/max statistics prune within the partition too.
+    """
+    from pyspark.sql import functions as F
+
+    out = df.withColumn(partition_col, F.to_date(F.col(ts)))
+    (
+        out.repartition(partition_col)
+        .sortWithinPartitions(*(sort_keys or []), ts)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
