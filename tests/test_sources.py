@@ -115,3 +115,59 @@ def test_snapshot_depth_stats_truncates_and_counts(spark):
     trunc = snapshot_depth_stats(snaps, max_levels=3).collect()[0]
     assert trunc["bid_depth_1pct"] == 3 and trunc["ask_depth_1pct"] == 3
     assert trunc["bid_notional_1pct"] == pytest.approx(99.9 + 99.8 + 99.7)
+
+
+def test_backfill_closes_planned_gaps_end_to_end(spark, tmp_path):
+    """The full repair loop: gap scan finds under-filled days → Vision
+    CSVs for exactly those days are loaded and merged → re-scan reports
+    the calendar complete (S5 plan feeding S7 backfill, the reference's
+    re-scan loop backfill.py:133-189)."""
+    from tradecat_spark.operators.gaps import calendar_gaps
+
+    per_day = 24 * 60
+    t0 = pd.Timestamp("2025-01-01 00:00:00")
+    # store: 4 calendar days, but day 2 is empty and day 3 half-filled
+    rows = []
+    for d in range(4):
+        if d == 1:
+            continue
+        n = per_day // 2 if d == 2 else per_day
+        for i in range(n):
+            ts = t0 + pd.Timedelta(days=d, minutes=i)
+            rows.append(
+                dict(exchange="binance", symbol="BTCUSDT", bucket_ts=ts,
+                     open=1.0, high=2.0, low=0.5, close=1.5,
+                     trade_count=1, is_closed=True)
+            )
+    store = str(tmp_path / "bronze")
+    spark.createDataFrame(pd.DataFrame(rows)).write.parquet(store)
+
+    gaps = calendar_gaps(
+        spark.read.parquet(store), ["symbol"], "bucket_ts", per_day
+    ).filter("n_rows < expected_rows")
+    bad_days = sorted(str(r["day"]) for r in gaps.collect())
+    assert bad_days == ["2025-01-02", "2025-01-03"]
+
+    # Vision archives for the planned days (full 1440-bar dailies)
+    for day in bad_days:
+        day_t0 = pd.Timestamp(day)
+        lines = []
+        for i in range(per_day):
+            ms = int((day_t0 + pd.Timedelta(minutes=i)).timestamp() * 1000)
+            lines.append(
+                f"{ms},1.0,2.0,0.5,1.5,1.0,{ms + 59999},1.5,1,0.5,0.75,0"
+            )
+        (tmp_path / f"BTCUSDT-1m-{day}.csv").write_text(
+            "\n".join(lines) + "\n"
+        )
+    incoming = load_vision_csv(
+        spark, str(tmp_path / "BTCUSDT-1m-*.csv"), "BTCUSDT"
+    )
+    merged = backfill_merge(spark, store, incoming)
+    merged.write.mode("overwrite").parquet(str(tmp_path / "bronze2"))
+
+    rescan = calendar_gaps(
+        spark.read.parquet(str(tmp_path / "bronze2")),
+        ["symbol"], "bucket_ts", per_day,
+    ).filter("n_rows < expected_rows")
+    assert rescan.count() == 0

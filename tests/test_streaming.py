@@ -8,6 +8,7 @@ backfill reconciliation sound.
 
 from __future__ import annotations
 
+import os
 import random
 import uuid
 
@@ -439,3 +440,45 @@ def test_streaming_macd_matches_pandas_across_restarts(spark, tmp_path):
     assert got["macd"].tolist() == macd.tolist()
     assert got["signal_line"].tolist() == sig.tolist()
     assert got["hist"].tolist() == (macd - sig).tolist()
+
+
+def test_ingest_crash_before_commit_leaves_store_intact(spark, tmp_path, monkeypatch):
+    """A crash after staging but before the partition commit must leave
+    the store byte-identical; replaying the same batch afterwards
+    converges (exactly-once by idempotence — the checkpoint would not
+    have advanced past the failed batch)."""
+    from tradecat_spark.streaming import ingest as ing
+
+    store = str(tmp_path / "crash_store")
+    keys = ["symbol", "bucket_ts"]
+    t0 = pd.Timestamp("2025-01-01 00:00:00")
+
+    def bars(close):
+        return spark.createDataFrame(pd.DataFrame([
+            dict(symbol="BTC", bucket_ts=t0, open=100.0, high=105.0,
+                 low=99.0, close=close, trade_count=10, is_closed=False),
+        ]))
+
+    ing.upsert_batch(spark, bars(101.0), store, keys)
+    before = sorted(
+        r.asDict() for r in ing.read_store(spark, store).collect()
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before commit")
+
+    monkeypatch.setattr(ing, "_commit_staging", boom)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        ing.upsert_batch(spark, bars(102.0), store, keys)
+    after_crash = sorted(
+        r.asDict() for r in ing.read_store(spark, store).collect()
+    )
+    assert after_crash == before          # store untouched
+    assert not os.path.exists(store + ".staging")  # staging cleaned up
+
+    monkeypatch.undo()
+    ing.upsert_batch(spark, bars(102.0), store, keys)   # replay
+    final = {r["symbol"]: r for r in ing.read_store(spark, store).collect()}
+    assert final["BTC"]["close"] == 102.0
+    assert final["BTC"]["high"] == 105.0

@@ -100,21 +100,29 @@ def upsert_batch(
     staging = f"{store_path}.staging"
     merged.write.mode("overwrite").parquet(staging)
     try:
-        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                spark.read.parquet(staging)
-                .write.mode("overwrite")
-                .partitionBy(PART_COL)
-                .parquet(store_path)
-            )
-        finally:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev_mode
-            )
+        _commit_staging(spark, staging, store_path)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+def _commit_staging(spark: SparkSession, staging: str, store_path: str) -> None:
+    """Dynamic-partition-overwrite the touched partitions from staging.
+
+    Separated so the crash seam is explicit (and testable): a failure
+    anywhere before this call leaves the store byte-identical, and the
+    streaming checkpoint has not advanced past the failed batch, so the
+    replayed micro-batch reconverges under the idempotent merge law."""
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            spark.read.parquet(staging)
+            .write.mode("overwrite")
+            .partitionBy(PART_COL)
+            .parquet(store_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
 
 def read_store(spark: SparkSession, store_path: str) -> DataFrame:
