@@ -55,3 +55,23 @@ def test_frames_reassemble_to_payload(spark, sf_dir):
     for doc_id, chunks in got.items():
         assert len(chunks) == 4
         assert b"".join(chunks) == raw[doc_id]
+
+
+def test_resize_fixed_output_contract(spark, sf_dir):
+    """Every resized payload is exactly w*h*3 bytes (the memory-bounding
+    contract), deterministic, and derived from the source payload."""
+    from tradecat_spark.catalog import load_table
+    from tradecat_spark.multimodal import attach_payload, resize_images
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = attach_payload(docs)
+    out = resize_images(media, w=8, h=4).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["resized_len"] == 8 * 4 * 3
+        assert len(r["resized_bytes"]) == 8 * 4 * 3
+    # deterministic across runs
+    again = {r["doc_id"]: bytes(r["resized_bytes"])
+             for r in resize_images(media, w=8, h=4).collect()}
+    for r in out:
+        assert bytes(r["resized_bytes"]) == again[r["doc_id"]]

@@ -124,3 +124,53 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, out_w int, out_h int, resized_bytes binary, "
+    "resized_len long, src_len long"
+)
+
+
+def _resize(payload: bytes, w: int, h: int) -> bytes:
+    """Resize stub. A real deployment replaces this body with e.g.::
+
+        img = Image.open(io.BytesIO(payload)).resize((w, h))
+        return img.tobytes()
+
+    Deterministic fake: the output is exactly w*h*3 bytes — the payload
+    cycled to length (stable across runs/engines), preserving the
+    decoded-image memory contract (len == W*H*3) the downstream batch
+    sizing relies on."""
+    target = w * h * 3
+    if not payload:
+        return bytes(target)
+    reps = target // len(payload) + 1
+    return (payload * reps)[:target]
+
+
+def resize_images(media: DataFrame, w: int = 32, h: int = 32) -> DataFrame:
+    """Arrow-batched resize over (payload, meta) rows.
+
+    Same ``mapInPandas`` shape as decode: per-batch codec amortization,
+    and the output rows are FIXED SIZE (w*h*3) — the property that lets
+    the pipeline bound executor memory per batch regardless of input
+    image dimensions (spark.sql.execution.arrow.maxRecordsPerBatch ×
+    w·h·3 bytes)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            resized = [_resize(p, w, h) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_w": w,
+                    "out_h": h,
+                    "resized_bytes": resized,
+                    "resized_len": [len(r) for r in resized],
+                    "src_len": [len(p) for p in payloads],
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZE_SCHEMA)
