@@ -77,3 +77,40 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_payload(docs)
     frames = sample_frames(media, n_frames=4)
     return frames.select("doc_id", "frame_idx", "frame_offset", "frame_len")
+
+
+@query(
+    "mm_resize_images",
+    survey="north-star multimodal: resize stage — fixed w*h*3 output "
+    "contract via mapInPandas (stub body, real batching/memory plumbing)",
+    description="8x4 'resize' per document: fixed output length + checksum",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text,
+         CAST(octet_length(encode(text)) AS BIGINT) AS src_len
+  FROM documents
+)
+SELECT
+  doc_id,
+  CAST(8 AS INT) AS out_w,
+  CAST(4 AS INT) AS out_h,
+  CAST(96 AS BIGINT) AS resized_len,
+  src_len,
+  md5(substr(repeat(text, CAST(96 // src_len + 1 AS INTEGER)), 1, 96))
+    AS resized_md5
+FROM d
+""",
+)
+def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cycled-payload stub is byte-for-byte re-derivable in SQL
+    (synthetic docs are ASCII, so DuckDB's char-based substr/repeat over
+    text equals the byte cycling over the encoded payload); the md5 of
+    the resized buffer pins the actual bytes, not just the lengths."""
+    from tradecat_spark.multimodal import attach_payload, resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = resize_images(attach_payload(docs), w=8, h=4)
+    return out.select(
+        "doc_id", "out_w", "out_h", "resized_len", "src_len",
+        F.md5("resized_bytes").alias("resized_md5"),
+    )
