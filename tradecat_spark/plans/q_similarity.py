@@ -393,7 +393,11 @@ SELECT
     / COUNT(*) AS ivf_recall,
   CAST(COUNT(*) FILTER (nb.n_bucket = qb.q_bucket) AS BIGINT) AS lsh_hits,
   CAST(COUNT(*) FILTER (nb.n_bucket = qb.q_bucket) AS DOUBLE)
-    / COUNT(*) AS lsh_recall
+    / COUNT(*) AS lsh_recall,
+  CAST(COUNT(*) FILTER (bit_count(xor(nb.n_bucket, qb.q_bucket)) <= 1)
+    AS BIGINT) AS mp_hits,
+  CAST(COUNT(*) FILTER (bit_count(xor(nb.n_bucket, qb.q_bucket)) <= 1)
+    AS DOUBLE) / COUNT(*) AS mp_recall
 FROM exact e
 JOIN assign a USING (query_id)
 JOIN qb USING (query_id)
@@ -459,6 +463,9 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ivf_hit = F.col("n_label") == F.col("cell_label")
     lsh_hit = F.col("n_bucket") == F.col("q_bucket")
+    mp_hit = (
+        F.bit_count(F.col("n_bucket").bitwiseXOR(F.col("q_bucket"))) <= 1
+    )
     return joined.groupBy("query_id", "cell_label", "q_bucket").agg(
         F.count(F.lit(1)).alias("exact_k"),
         F.count_if(ivf_hit).alias("ivf_hits"),
@@ -467,4 +474,97 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(lsh_hit).alias("lsh_hits"),
         (F.count_if(lsh_hit).cast("double") / F.count(F.lit(1)))
         .alias("lsh_recall"),
+        F.count_if(mp_hit).alias("mp_hits"),
+        (F.count_if(mp_hit).cast("double") / F.count(F.lit(1)))
+        .alias("mp_recall"),
+    )
+
+
+@query(
+    "ann_multiprobe_search",
+    survey="north-star similarity search: multi-probe LSH — search the "
+    "query's bucket plus every 1-bit-flip probe bucket, the standard "
+    "recall repair for sign-LSH at scale (probing 5 of 16 buckets "
+    "instead of scanning the corpus)",
+    description="Top-3 neighbors per query within the 1-bit-probe bucket set",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+     + CASE WHEN embedding[9] > 0 THEN 4 ELSE 0 END
+     + CASE WHEN embedding[17] > 0 THEN 2 ELSE 0 END
+     + CASE WHEN embedding[25] > 0 THEN 1 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket AS qb
+  FROM b WHERE vec_id < {N_QUERIES}
+),
+probes AS (
+  SELECT query_id, qv, unnest([qb, xor(qb, 1), xor(qb, 2),
+                               xor(qb, 4), xor(qb, 8)]) AS probe
+  FROM q
+),
+cand AS (
+  SELECT p.query_id, p.qv, b.vec_id AS neighbor_id, b.bucket, b.v
+  FROM probes p JOIN b ON b.bucket = p.probe
+  WHERE b.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, bucket, cos_sim FROM (
+  SELECT query_id, neighbor_id, bucket,
+    ROUND(list_dot_product(qv, v)
+          / NULLIF(sqrt(list_dot_product(qv, qv))
+                   * sqrt(list_dot_product(v, v)), 0), 6) AS cos_sim,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+      ROUND(list_dot_product(qv, v)
+            / NULLIF(sqrt(list_dot_product(qv, qv))
+                     * sqrt(list_dot_product(v, v)), 0), 6) DESC,
+      neighbor_id ASC) AS rn
+  FROM cand
+) WHERE rn <= 3
+""",
+)
+def ann_multiprobe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe generation is an explode of 5 bucket ids per query; the
+    candidate join is an equi-join on bucket — at 100 TB each query
+    touches 5/2^bits of the corpus instead of all of it, and the probe
+    side is broadcast. Same deterministic rounded-similarity ordering
+    as the exact baseline."""
+    e = _emb(spark, sf_dir)
+    bit = lambda i, v: F.when(F.element_at("vec", i) > 0, F.lit(v)).otherwise(0)
+    bucket = bit(1, 8) + bit(9, 4) + bit(17, 2) + bit(25, 1)
+    b = e.select("vec_id", "vec", bucket.alias("bucket"))
+    q = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qv"),
+        F.col("bucket").alias("qb"),
+    )
+    probes = q.select(
+        "query_id", "qv",
+        F.explode(
+            F.array(
+                F.col("qb"),
+                F.col("qb").bitwiseXOR(1),
+                F.col("qb").bitwiseXOR(2),
+                F.col("qb").bitwiseXOR(4),
+                F.col("qb").bitwiseXOR(8),
+            )
+        ).alias("probe"),
+    )
+    cand = (
+        b.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(probes), F.col("bucket") == F.col("probe"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    sims = cand.select(
+        "query_id", "neighbor_id", "bucket",
+        F.round(cosine(F.col("qv"), F.col("vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
     )
