@@ -53,6 +53,7 @@ _GATE_PRIORITY = (
     "chart_vpvr_ridge", "chart_macd_series",
     "dedup_canonical_corpus", "text_vocab_topk", "quality_filter_funnel",
     "ann_recall_eval", "mm_resize_images", "ann_multiprobe_search",
+    "metrics_cascade_1d",
 )
 
 

@@ -815,3 +815,60 @@ def backfill_plan_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
     )
+
+
+@query(
+    "metrics_cascade_1d",
+    survey="§2.4 A2 metrics cagg cascade (007_metrics_cagg_from_5m.sql "
+    "registers 15m/1h/4h/1d/1w all re-aggregable because they keep "
+    "last(oi) + ratio numerator/denominator sums): 1d derived FROM the "
+    "1h rollup must equal 1d computed directly from raw",
+    description="Daily last-value OI and weighted ratio cascaded from the 1h rollup",
+    oracle="""
+SELECT
+  event_type,
+  strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+  max_by(value, ts) AS oi_last,
+  ROUND(CAST(SUM(CASE WHEN user_id % 2 = 0
+                 THEN CAST(ABS(value) AS DECIMAL(18,8)) END) AS DOUBLE)
+        / NULLIF(CAST(SUM(CASE WHEN user_id % 2 = 1
+                 THEN CAST(ABS(value) AS DECIMAL(18,8)) END) AS DOUBLE), 0),
+        6) AS weighted_ratio
+FROM events
+GROUP BY 1, 2
+""",
+)
+def metrics_cascade_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cascade law for metrics rollups, verified cross-engine: the
+    Spark side builds 1d FROM the 1h rollup (last-of-last via max_by on
+    the finer bucket; DECIMAL numerator/denominator sums re-summed —
+    associative, so cascade == direct), while the oracle computes 1d
+    straight from raw. At 100 TB the 1h input is ~1e3× smaller than
+    raw — the same re-aggregation chain the reference runs nightly."""
+    from tradecat_spark.operators.rollup import bucket_ts, metrics_rollup
+
+    e = _events(spark, sf_dir)
+    dec_abs = F.abs("value").cast(DEC)
+    h = metrics_rollup(
+        e, ["event_type"], "ts", "value",
+        num=F.when(F.col("user_id") % 2 == 0, dec_abs),
+        den=F.when(F.col("user_id") % 2 == 1, dec_abs),
+        interval_sec=3600,
+    )
+    d = h.groupBy(
+        "event_type", bucket_ts("bucket_ts", 86400).alias("day")
+    ).agg(
+        F.max_by("last_value", "bucket_ts").alias("oi_last"),
+        F.sum("num_sum").alias("num"),
+        F.sum("den_sum").alias("den"),
+    )
+    return d.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "oi_last",
+        F.round(
+            F.col("num").cast("double")
+            / F.nullif(F.col("den").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("weighted_ratio"),
+    )
