@@ -54,6 +54,7 @@ _GATE_PRIORITY = (
     "dedup_canonical_corpus", "text_vocab_topk", "quality_filter_funnel",
     "ann_recall_eval", "mm_resize_images", "ann_multiprobe_search",
     "metrics_cascade_1d",
+    "sample_stratified_split",
 )
 
 

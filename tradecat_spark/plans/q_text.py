@@ -860,3 +860,76 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("u")
     ).select("u.stage", "u.stage_idx", "u.docs")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling / train-val-test split
+# ---------------------------------------------------------------------------
+# Per-language keep rates in basis points (1e4 = keep everything). The
+# salted-hash-mod-10000 form keeps the decision integer-only, so the
+# DuckDB oracle is bit-identical and a re-run (or a backfill on new
+# shards) assigns every document the same split — the property a
+# training pipeline actually needs from its sampler.
+SAMPLE_RATE_BP = {"en": 10000, "de": 7500, "fr": 7500, "es": 5000, "zh": 2500}
+
+
+def _hash_bucket(salt: str, col: Column) -> Column:
+    """First 8 hex chars of a salted md5, as an int in [0, 10000)."""
+    h = F.md5(F.concat(F.lit(f"{salt}|"), col.cast("string")).cast("binary"))
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 10000
+    )
+
+
+@query(
+    "sample_stratified_split",
+    survey="training-pipeline op: deterministic stratified sampling + split",
+    description="Salted-hash train/val/test split with per-language keep rates",
+    oracle="""
+SELECT doc_id, source, lang,
+  CASE WHEN sb < 9000 THEN 'train'
+       WHEN sb < 9500 THEN 'val'
+       ELSE 'test' END AS split,
+  rate_bp,
+  kb < rate_bp AS sampled
+FROM (
+  SELECT doc_id, source, lang,
+    ('0x' || substr(md5('split|'  || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      % 10000 AS sb,
+    ('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      % 10000 AS kb,
+    CAST(CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 7500
+                   WHEN 'fr' THEN 7500  WHEN 'es' THEN 5000
+                   WHEN 'zh' THEN 2500  ELSE 10000 END AS BIGINT) AS rate_bp
+  FROM documents
+)
+""",
+)
+def sample_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 split + per-language downsampling.
+
+    Map-only: two salted md5 buckets per row, a broadcast literal map for
+    the rates — no shuffle, no RNG state, reproducible across reruns and
+    engines (beyond-the-reference training-pipeline op; the salted-hash
+    split is the standard stable sampler for corpus curation). At
+    100 TB this is exactly as parallel as the scan, and downstream
+    consumers can re-derive the split from doc_id alone.
+    """
+    d = _docs(spark, sf_dir)
+    rate_map = F.create_map(
+        *[x for k, v in SAMPLE_RATE_BP.items() for x in (F.lit(k), F.lit(v))]
+    )
+    sb = _hash_bucket("split", F.col("doc_id"))
+    kb = _hash_bucket("sample", F.col("doc_id"))
+    rate = F.coalesce(
+        F.element_at(rate_map, F.col("lang")), F.lit(10000)
+    ).cast("bigint")
+    return d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.when(sb < 9000, "train").when(sb < 9500, "val").otherwise("test")
+        .alias("split"),
+        rate.alias("rate_bp"),
+        (kb < rate).alias("sampled"),
+    )
