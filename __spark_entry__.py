@@ -55,6 +55,7 @@ _GATE_PRIORITY = (
     "ann_recall_eval", "mm_resize_images", "ann_multiprobe_search",
     "metrics_cascade_1d",
     "sample_stratified_split",
+    "pack_context_windows",
 )
 
 

@@ -933,3 +933,72 @@ def sample_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate.alias("rate_bp"),
         (kb < rate).alias("sampled"),
     )
+
+
+@query(
+    "pack_context_windows",
+    survey="training-pipeline op: concat-and-chunk context-window packing",
+    description="Per-shard token-offset packing plan (256-token windows)",
+    oracle="""
+SELECT doc_id, shard, n_tok,
+  cum_tok - n_tok AS start_tok,
+  (cum_tok - n_tok) // 256 AS pack_id,
+  ((cum_tok - 1) // 256) > ((cum_tok - n_tok) // 256) AS crosses_boundary
+FROM (
+  SELECT shard, doc_id, n_tok,
+    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS cum_tok
+  FROM (
+    SELECT doc_id,
+      ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        % 32 AS shard,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+    FROM documents
+  )
+)
+""",
+)
+def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing plan: where each document lands when the
+    corpus is concatenated per shard and sliced into fixed 256-token
+    context windows.
+
+    The sequential-looking cumulative offset is a per-shard window
+    cumsum, NOT a global sort — shards come from the same salted hash as
+    the sampler, so at 100 TB packing parallelizes across shards and
+    each shard's window fits one task. Everything is integer arithmetic
+    (token counts, offsets), so the oracle matches bit-for-bit.
+    """
+    d = _docs(spark, sf_dir)
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("split|"), F.col("doc_id").cast("string"))
+                    .cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 32
+    )
+    t = d.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.size(_words()).cast("bigint").alias("n_tok"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    p = t.withColumn("cum_tok", F.sum("n_tok").over(w))
+    start = F.col("cum_tok") - F.col("n_tok")
+    return p.select(
+        "doc_id",
+        "shard",
+        "n_tok",
+        start.alias("start_tok"),
+        F.floor(start / 256).alias("pack_id"),
+        (
+            F.floor((F.col("cum_tok") - 1) / 256) > F.floor(start / 256)
+        ).alias("crosses_boundary"),
+    )
