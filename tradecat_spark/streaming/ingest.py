@@ -84,18 +84,23 @@ def upsert_batch(
     batch = fold_batch(batch.select(*keys, *MERGE_COLS), keys, order_col)
     batch = batch.withColumn(PART_COL, _part_expr(batch, keys))
 
+    if not os.path.exists(store_path):
+        # Bootstrap fast path: no store yet, so there is nothing to merge
+        # and the store path is not an input of this write — write the
+        # folded batch straight to the final layout. A crash mid-write is
+        # replayed by the unadvanced checkpoint and simply overwrites.
+        batch.write.mode("overwrite").partitionBy(PART_COL).parquet(store_path)
+        return
+
     # Touched partition values: one tiny distinct over the folded batch
     # (bounded by symbols × dates in a 3 s window, not by row count).
     touched = [r[0] for r in batch.select(PART_COL).distinct().collect()]
 
-    if os.path.exists(store_path):
-        target = spark.read.parquet(store_path).where(
-            F.col(PART_COL).isin(touched)
-        )
-        merged = merge_candles(target, batch, keys)
-        merged = merged.withColumn(PART_COL, _part_expr(merged, keys))
-    else:
-        merged = batch
+    target = spark.read.parquet(store_path).where(
+        F.col(PART_COL).isin(touched)
+    )
+    merged = merge_candles(target, batch, keys)
+    merged = merged.withColumn(PART_COL, _part_expr(merged, keys))
 
     staging = f"{store_path}.staging"
     merged.write.mode("overwrite").parquet(staging)
