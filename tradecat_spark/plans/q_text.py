@@ -992,13 +992,17 @@ def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("shard").orderBy("doc_id")
     p = t.withColumn("cum_tok", F.sum("n_tok").over(w))
     start = F.col("cum_tok") - F.col("n_tok")
+    # Integer division (`div`), not floor(double/) — cumulative offsets
+    # on a 100 TB shard can exceed 2^53 where double division loses
+    # exactness; all-positive so trunc == floor on both engines.
     return p.select(
         "doc_id",
         "shard",
         "n_tok",
         start.alias("start_tok"),
-        F.floor(start / 256).alias("pack_id"),
+        F.expr("(cum_tok - n_tok) div 256").alias("pack_id"),
         (
-            F.floor((F.col("cum_tok") - 1) / 256) > F.floor(start / 256)
+            F.expr("(cum_tok - 1) div 256")
+            > F.expr("(cum_tok - n_tok) div 256")
         ).alias("crosses_boundary"),
     )
