@@ -179,3 +179,21 @@ def test_time_partitioned_store_prunes_partitions(spark, sf_dir, tmp_path):
     )
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "part_date" in m.group(1), plan[:500]
+
+
+def test_stratified_split_is_map_only(spark, sf_dir):
+    """The sampler must stay exactly as parallel as the scan: salted-hash
+    bucketing is pure row-local arithmetic, so ANY Exchange in the plan
+    is a regression (a shuffle inserted into a 100 TB map-only pass)."""
+    plan = _plan(spark, "sample_stratified_split", sf_dir)
+    assert "Exchange" not in plan, plan[:600]
+
+
+def test_pack_context_windows_single_shard_shuffle(spark, sf_dir):
+    """Packing is one hash-partition by shard + one per-shard window —
+    exactly one Exchange. A second would mean the cumsum stopped riding
+    the shard partitioning; zero would mean a single-partition global
+    sort (the non-scalable form)."""
+    plan = _plan(spark, "pack_context_windows", sf_dir)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan[:800]
