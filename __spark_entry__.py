@@ -22,40 +22,34 @@ def entry(spark: SparkSession) -> DataFrame:
     return specs["flagship_rank_24h_change"].fn(spark, "/root/testdata/sf0.001")
 
 
-#: Names front-loaded in queries()/oracle_sql() iteration order: queries
-#: the round-1 correctness gate did not cover (it checked 50 of 76) plus
-#: the one row it flagged red (since fixed). A budget-limited gate pass
-#: that walks the dict in order verifies these first; everything is
-#: still present either way.
+#: Names front-loaded in queries()/oracle_sql() iteration order. The
+#: driver's gate checks the first ~50, so the rotation policy is:
+#: queries added THIS round first, then queries never driver-checked,
+#: then the round-1-only rows (every r02-checked row was green and
+#: unchanged, so they rotate to the back and re-enter next round).
 _GATE_PRIORITY = (
-    "ind_donchian_williams",       # r01 hash_match=false — fixed, re-verify
-    "ohlcv_cascade_1M",
-    "ann_lsh_buckets", "ann_label_centroids", "ann_ivf_search",
-    "dedup_embedding_cosine",
-    "indicator_surface_1h", "indicator_batch_150x7",
-    "signal_rule_events", "signal_threshold_cross_sql",
-    "signal_pack_sql_rules", "signal_rule_pack_129",
-    "ind_atr_wilder_fold",
-    "ranking_card_1h", "ranking_card_rendered", "single_token_panel",
-    "rest_ohlc_history", "rest_supported_coins", "rest_oi_history",
-    "global_totals_latest", "stats_profile_by_type",
-    "ai_context_snapshot", "freshness_gate",
-    "orderbook_l1_stats", "orderbook_depth_bands", "orderbook_depth_hourly",
-    "serving_retention_trim",
-    "mm_decode_features", "mm_frame_sample",
-    "streaming_rollup_5m", "streaming_signals_parity",
-    "approx_distinct_kmv",
-    "chart_kline_ma_volume", "chart_equity_drawdown",
-    "chart_intraday_volume_heatmap", "chart_intraday_volatility",
-    "chart_oi_change",
-    "chart_cvd_cumulative", "chart_taker_ratio_heatmap",
-    "chart_long_short_ratio", "chart_bb_zone_strip",
-    "chart_vpvr_ridge", "chart_macd_series",
-    "dedup_canonical_corpus", "text_vocab_topk", "quality_filter_funnel",
-    "ann_recall_eval", "mm_resize_images", "ann_multiprobe_search",
-    "metrics_cascade_1d",
+    # never driver-checked (added late in r2)
     "sample_stratified_split",
     "pack_context_windows",
+    # checked r01 only — re-verify under the current data generation
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q5_region_revenue", "top_customers_by_spend",
+    "orders_with_discounted_lines", "customers_without_orders",
+    "priority_symbol_union", "nation_revenue_share",
+    "flagship_rank_24h_change", "ohlcv_rollup_5m", "ohlcv_cascade_1h",
+    "meta_join_1h", "latest_event_per_user", "top3_events_per_user",
+    "lead_gaps_10m", "calendar_completeness", "daily_market_share",
+    "asof_purchase_context", "partial_bar_merge", "ind_tail_runs",
+    "realtime_union_view", "metrics_weighted_ratio_1h",
+    "backfill_plan_days", "ind_bollinger", "ind_obv_cvd",
+    "ind_vwap_bands", "ind_sma_cross_signals", "ind_pivot_points",
+    "ind_zscore_percentile", "ind_regr_slope", "ind_ema20_fold",
+    "ind_vpvr_profile", "ind_candle_patterns", "ind_mfi",
+    "ind_ichimoku", "ind_cci", "ind_kdj_fold", "ind_keltner_fold",
+    "dedup_exact_groups", "dedup_minhash_bands", "dedup_minhash_pairs",
+    "dedup_clusters", "dedup_ngram_jaccard", "dedup_simhash",
+    "text_token_stats", "text_lang_id", "text_quality_score",
+    "text_fingerprint", "ann_cosine_topk",
 )
 
 

@@ -482,3 +482,121 @@ def test_ingest_crash_before_commit_leaves_store_intact(spark, tmp_path, monkeyp
     final = {r["symbol"]: r for r in ing.read_store(spark, store).collect()}
     assert final["BTC"]["close"] == 102.0
     assert final["BTC"]["high"] == 105.0
+
+
+def test_merge_closed_null_open_backfills_from_source(spark):
+    """A closed target bar whose stored open is NULL still COALESCEs the
+    source's open (the ON CONFLICT law treats open as an optional field;
+    closed only decides precedence, not presence)."""
+    from tradecat_spark.operators.merge import merge_candles
+
+    t0 = pd.Timestamp("2025-01-01 00:00:00")
+    target = spark.createDataFrame(
+        pd.DataFrame([
+            dict(symbol="BTC", bucket_ts=t0, open=None, high=105.0,
+                 low=99.0, close=104.0, trade_count=10, is_closed=True),
+        ])
+    )
+    source = spark.createDataFrame(
+        pd.DataFrame([
+            dict(symbol="BTC", bucket_ts=t0, open=101.0, high=102.0,
+                 low=100.0, close=101.5, trade_count=12, is_closed=False),
+        ])
+    )
+    r = merge_candles(target, source, ["symbol", "bucket_ts"]).collect()[0]
+    assert r["open"] == 101.0   # closed, but NULL → backfill from source
+    assert r["close"] == 101.5 and r["is_closed"] is True
+
+
+def test_fold_batch_open_sequential_coalesce_law(spark):
+    """fold_batch's open must equal the sequential ON CONFLICT fold with
+    COALESCE semantics: newer non-NULL opens win until the bar closes;
+    after closing the open is frozen but still back-fills while NULL."""
+    from tradecat_spark.operators.merge import fold_batch
+
+    t0 = pd.Timestamp("2025-01-01 00:00:00")
+    rows = [
+        # key A: open=None → 101 wins → closes with NULL open (101 stays
+        # frozen) → later 55 must NOT override
+        dict(symbol="A", bucket_ts=t0, seq=1, open=None, high=1.0,
+             low=1.0, close=1.0, trade_count=1, is_closed=False),
+        dict(symbol="A", bucket_ts=t0, seq=2, open=101.0, high=2.0,
+             low=0.5, close=2.0, trade_count=2, is_closed=False),
+        dict(symbol="A", bucket_ts=t0, seq=3, open=None, high=3.0,
+             low=0.4, close=3.0, trade_count=3, is_closed=True),
+        dict(symbol="A", bucket_ts=t0, seq=4, open=55.0, high=4.0,
+             low=0.3, close=4.0, trade_count=4, is_closed=False),
+        # key B: closes first with NULL open → back-fills from the later
+        # row even though the bar is already closed
+        dict(symbol="B", bucket_ts=t0, seq=1, open=None, high=1.0,
+             low=1.0, close=1.0, trade_count=1, is_closed=True),
+        dict(symbol="B", bucket_ts=t0, seq=2, open=77.0, high=2.0,
+             low=0.5, close=2.0, trade_count=2, is_closed=False),
+        # key C: never closes → last non-NULL open wins
+        dict(symbol="C", bucket_ts=t0, seq=1, open=10.0, high=1.0,
+             low=1.0, close=1.0, trade_count=1, is_closed=False),
+        dict(symbol="C", bucket_ts=t0, seq=2, open=20.0, high=2.0,
+             low=0.5, close=2.0, trade_count=2, is_closed=False),
+        dict(symbol="C", bucket_ts=t0, seq=3, open=None, high=3.0,
+             low=0.4, close=3.0, trade_count=3, is_closed=False),
+    ]
+    batch = spark.createDataFrame(pd.DataFrame(rows)).repartition(4)
+    out = {
+        r["symbol"]: r
+        for r in fold_batch(
+            batch, ["symbol", "bucket_ts"], order_col="seq"
+        ).collect()
+    }
+    assert out["A"]["open"] == 101.0
+    assert out["A"]["close"] == 4.0 and out["A"]["is_closed"] is True
+    assert out["B"]["open"] == 77.0 and out["B"]["is_closed"] is True
+    assert out["C"]["open"] == 20.0 and out["C"]["is_closed"] is False
+
+
+def test_streaming_macd_multi_chunk_groups(spark, tmp_path):
+    """Arrow delivers a key's micro-batch as multiple chunks once it
+    exceeds maxRecordsPerBatch; the fold must still run in global
+    event-time order (regression: chunk-local sorting broke parity)."""
+    from tradecat_spark.streaming.incremental import streaming_macd
+
+    src = str(tmp_path / "mc_src")
+    ckpt = str(tmp_path / "mc_ckpt")
+    out = str(tmp_path / "mc_out")
+    t0 = pd.Timestamp("2025-01-01 00:00:00")
+
+    rng = random.Random(7)
+    vals = [100.0 + rng.uniform(-5, 5) for _ in range(37)]
+    rows = [
+        dict(k="a", ts=t0 + pd.Timedelta(minutes=i), close=v)
+        for i, v in enumerate(vals)
+    ]
+    rng.shuffle(rows)  # arrival order != event-time order
+    spark.createDataFrame(pd.DataFrame(rows)).repartition(1).write.parquet(src)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        stream = spark.readStream.schema(
+            "k string, ts timestamp, close double"
+        ).parquet(src)
+        q = (
+            streaming_macd(stream, ["k"], "ts", "close")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = spark.read.parquet(out).orderBy("ts").toPandas()
+    s = pd.Series(vals)
+    ema12 = s.ewm(span=12, adjust=False).mean()
+    ema26 = s.ewm(span=26, adjust=False).mean()
+    assert len(got) == len(s)
+    assert got["ema_fast"].tolist() == ema12.tolist()
+    assert got["ema_slow"].tolist() == ema26.tolist()

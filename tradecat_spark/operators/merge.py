@@ -75,7 +75,15 @@ def merge_candles(
 
     return j.select(
         *keys,
-        pick("open", F.when(tc("is_closed"), tc("open")).otherwise(sc("open"))),
+        pick(
+            "open",
+            # The ON CONFLICT law COALESCEs optional fields: a closed
+            # target keeps its open but still falls back to source when
+            # the stored open is NULL, and vice versa for the live bar.
+            F.when(
+                tc("is_closed"), F.coalesce(tc("open"), sc("open"))
+            ).otherwise(F.coalesce(sc("open"), tc("open"))),
+        ),
         pick("high", F.greatest(tc("high"), sc("high"))),
         pick("low", F.least(tc("low"), sc("low"))),
         pick("close", sc("close")),
@@ -91,32 +99,73 @@ def fold_batch(
 
     Sequentially applying the ON CONFLICT law over a key's rows in
     arrival order yields, in closed form:
-      open        : open of the FIRST closed row if any row is closed
-                    (once the bar closes, open freezes), else open of the
-                    last row (the live bar's open is authoritative)
+      open        : sequential COALESCE fold — before the bar closes each
+                    newer non-NULL open wins; once closed the open
+                    freezes but still back-fills from later rows while
+                    NULL (the law COALESCEs optional fields)
       high/low    : max / min over the batch
       close       : last row's close (source always wins)
       trade_count : max (monotone counter)
       is_closed   : OR
-    One map-side-combinable aggregate — no join, no window sort.
+    The open fold is not associative (a NULL-open closed row freezes a
+    *later* choice), so it runs as a JVM-side ``aggregate`` over the
+    seq-sorted per-key rows; a key's intra-batch duplicates are a 3 s
+    buffer's worth of partial bars, so the collected array is a handful
+    of structs. Everything else stays a plain map-side-combinable
+    aggregate.
 
     ``order_col`` is the arrival order within the batch. When the source
     carries no explicit sequence, ``monotonically_increasing_id`` is used
-    as the arrival proxy (file/Kafka sources preserve per-partition
-    order, which is the only order the reference's ws.py buffer
-    guarantees either).
+    as the arrival proxy. That proxy orders by input-partition index
+    before row order, so it is only faithful when each key's updates sit
+    in ONE input partition (true for the reference's per-symbol ws.py
+    buffer); multi-partition sources should pass an explicit
+    ``order_col`` (event ts or Kafka offset) — a warning is emitted when
+    the proxy is used over a multi-partition batch.
     """
     if order_col is None:
+        try:
+            nparts = batch.rdd.getNumPartitions()
+        except Exception:  # streaming DF — cannot inspect partitioning
+            nparts = 1
+        if nparts > 1:
+            import warnings
+
+            warnings.warn(
+                "fold_batch: using monotonically_increasing_id as the "
+                "arrival proxy over a multi-partition batch; pass an "
+                "explicit order_col (event ts / Kafka offset) if one "
+                "key's updates can straddle partitions",
+                stacklevel=2,
+            )
         batch = batch.withColumn("_seq", F.monotonically_increasing_id())
         order_col = "_seq"
     seq = F.col(order_col)
-    # min_by/max_by skip rows whose ordering expression is NULL, so
-    # `when(is_closed, seq)` restricts min_by to closed rows only.
-    closed_seq = F.when(F.col("is_closed"), seq)
+    # Exact sequential law for `open`: fold the key's rows in arrival
+    # order. array_sort on struct(seq, ...) orders by seq.
+    open_fold = F.aggregate(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    seq.alias("q"),
+                    F.col("open").alias("o"),
+                    F.col("is_closed").alias("c"),
+                )
+            )
+        ),
+        F.struct(
+            F.lit(None).cast("double").alias("o"),
+            F.lit(False).alias("c"),
+        ),
+        lambda acc, r: F.struct(
+            F.when(acc["c"], F.coalesce(acc["o"], r["o"]))
+            .otherwise(F.coalesce(r["o"], acc["o"]))
+            .alias("o"),
+            (acc["c"] | r["c"]).alias("c"),
+        ),
+    )["o"]
     return batch.groupBy(*keys).agg(
-        F.coalesce(
-            F.min_by("open", closed_seq), F.max_by("open", seq)
-        ).alias("open"),
+        open_fold.alias("open"),
         F.max("high").alias("high"),
         F.min("low").alias("low"),
         F.max_by("close", seq).alias("close"),

@@ -19,6 +19,11 @@ RUNTIME_CONFS = {
     # the driver's events table stores TIMESTAMP(NANOS) which the vectorized
     # parquet reader rejects; read as int64 nanos and convert in the catalog
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # naive (isAdjustedToUTC=false) parquet timestamps must read as plain
+    # TIMESTAMP in the UTC session, not TIMESTAMP_NTZ: watermarks require
+    # the instant type, and with a UTC session tz the wall-clock values are
+    # bit-identical to what the DuckDB oracle sees
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",

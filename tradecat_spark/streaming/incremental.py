@@ -73,8 +73,13 @@ def streaming_macd(
             e_f = e_s = e_g = None
             n = 0
         rows: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts)
+        # Materialize the whole group before sorting: Arrow delivers a
+        # key's micro-batch as MULTIPLE chunks once it exceeds
+        # maxRecordsPerBatch, and folding chunk-by-chunk would apply the
+        # recurrence out of global event-time order.
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(ts)
             for _, r in pdf.iterrows():
                 x = float(r[price])
                 if n == 0:
