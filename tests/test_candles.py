@@ -1,0 +1,319 @@
+"""Pattern-name parity fixtures for the full TA-Lib CDL set.
+
+One canonical textbook fixture per CDL name (61 names; engulfing ships
+as its bullish/bearish split labels). Each fixture is a calm 12-bar
+preamble — body ~0.4, range ~1.0, so the TA-Lib-style trailing averages
+(body_long ~0.4, body_doji ~0.1, shadow_very_short ~0.1, near ~0.2,
+equal ~0.05) are well-defined — followed by the pattern bars; the
+detector must fire the expected name (and direction) on the LAST bar,
+and pure-preamble bars must stay quiet for multi-bar reversals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tradecat_spark.indicators.candles import CDL_LABELS, Candles
+
+# (open, high, low, close) preamble: alternating flat bars around 100
+_PRE = [
+    (100.0, 100.7, 99.7, 100.4),
+    (100.4, 100.7, 99.7, 100.0),
+] * 6
+
+
+def detect(*bars):
+    rows = _PRE + [tuple(map(float, b)) for b in bars]
+    o, h, l, c = (np.array(x) for x in zip(*rows))  # noqa: E741
+    return dict(Candles(o, h, l, c).detect(len(rows) - 1))
+
+
+# name -> (expected_direction, pattern bars appended to the preamble)
+FIXTURES = {
+    "two_crows": ("bear", [
+        (100, 103.1, 99.9, 103),
+        (104.5, 104.6, 103.9, 104),
+        (104.3, 104.4, 101.9, 102),
+    ]),
+    "three_black_crows": ("bear", [
+        (100, 102.6, 99.9, 102.5),
+        (102.4, 102.5, 101.0, 101.0),
+        (102.0, 102.1, 100.2, 100.2),
+        (101.0, 101.1, 99.2, 99.2),
+    ]),
+    "three_inside": ("bull", [
+        (103, 103.1, 99.9, 100),
+        (101, 101.4, 100.6, 101.3),
+        (101.2, 103.6, 101.1, 103.5),
+    ]),
+    "three_line_strike": ("bull", [
+        (100, 101.6, 99.9, 101.5),
+        (101.4, 103.1, 101.3, 103),
+        (102.9, 104.6, 102.8, 104.5),
+        (105, 105.1, 99.4, 99.5),
+    ]),
+    "three_outside": ("bull", [
+        (101, 101.1, 99.9, 100),
+        (99.8, 101.4, 99.7, 101.3),
+        (101.2, 102.0, 101.1, 101.9),
+    ]),
+    "three_stars_in_south": ("bull", [
+        (103, 103.1, 99.5, 101.5),
+        (102.5, 102.6, 100.5, 101.8),
+        (101.6, 101.65, 101.35, 101.4),
+    ]),
+    "three_white_soldiers": ("bull", [
+        (100, 101.55, 99.8, 101.5),
+        (101, 103.05, 100.9, 103),
+        (102.5, 104.55, 102.4, 104.5),
+    ]),
+    "abandoned_baby": ("bull", [
+        (103, 103.1, 100.9, 101),
+        (100.2, 100.5, 99.9, 100.21),
+        (100.7, 102.6, 100.6, 102.5),
+    ]),
+    "advance_block": ("bear", [
+        (100, 103.2, 99.9, 103),
+        (102.5, 104.9, 102.4, 103.7),
+        (103.2, 105.6, 103.1, 104.5),
+    ]),
+    "belt_hold": ("bull", [(100, 102.5, 100.02, 102)]),
+    "breakaway": ("bull", [
+        (103, 103.1, 100.4, 100.5),
+        (100, 100.1, 99.4, 99.5),
+        (99.4, 99.45, 98.9, 99.0),
+        (98.9, 98.95, 98.3, 98.4),
+        (98.5, 100.4, 98.4, 100.3),
+    ]),
+    "closing_marubozu": ("bull", [(100, 102.5, 99.5, 102.5)]),
+    "concealing_baby_swallow": ("bull", [
+        (103, 103, 100, 100),
+        (100, 100, 97.5, 97.5),
+        (97, 98, 96.4, 96.5),
+        (98.1, 98.2, 95.9, 96),
+    ]),
+    "counterattack": ("bull", [
+        (102, 102.1, 99.9, 100),
+        (98, 100.1, 97.9, 100.02),
+    ]),
+    "dark_cloud_cover": ("bear", [
+        (100, 102.6, 99.9, 102.5),
+        (102.8, 102.9, 100.9, 101),
+    ]),
+    "doji": ("neutral", [(100, 100.5, 99.5, 100.02)]),
+    "doji_star": ("bull", [
+        (102.5, 102.6, 100.4, 100.5),
+        (100.1, 100.3, 99.9, 100.12),
+    ]),
+    "dragonfly_doji": ("bull", [(100, 100.05, 99.0, 100.02)]),
+    "bullish_engulfing": ("bull", [
+        (100.5, 100.6, 99.9, 100),
+        (99.9, 100.8, 99.8, 100.7),
+    ]),
+    "bearish_engulfing": ("bear", [
+        (100, 100.6, 99.9, 100.5),
+        (100.6, 100.7, 99.7, 99.8),
+    ]),
+    "evening_doji_star": ("bear", [
+        (100, 102.6, 99.9, 102.5),
+        (102.8, 103.1, 102.7, 102.81),
+        (102.2, 102.3, 100.9, 101.0),
+    ]),
+    "evening_star": ("bear", [
+        (100, 102.6, 99.9, 102.5),
+        (102.8, 103.1, 102.7, 103.0),
+        (102.2, 102.3, 100.9, 101.0),
+    ]),
+    "gap_side_side_white": ("bull", [
+        (100.3, 100.5, 99.8, 100),
+        (100.8, 101.6, 100.7, 101.5),
+        (100.9, 101.7, 100.85, 101.6),
+    ]),
+    "gravestone_doji": ("bear", [(100, 101.0, 99.99, 100.02)]),
+    "hammer": ("bull", [
+        (100, 100.7, 99.7, 100.4),
+        (99.95, 99.96, 99.2, 99.8),
+    ]),
+    "hanging_man": ("bear", [
+        (100, 100.7, 99.7, 100.4),
+        (100.8, 100.81, 100.1, 100.65),
+    ]),
+    "harami": ("neutral", [
+        (100, 102.1, 99.9, 102),
+        (101, 101.5, 100.9, 101.3),
+    ]),
+    "harami_cross": ("bear", [
+        (100, 102.1, 99.9, 102),
+        (101, 101.5, 100.9, 101.02),
+    ]),
+    "high_wave": ("bull", [(100, 101.2, 99.2, 100.3)]),
+    "hikkake": ("bull", [
+        (100, 101, 99, 100.5),
+        (100, 100.6, 99.4, 100.2),
+        (100.2, 100.3, 99.2, 99.5),
+    ]),
+    "hikkake_mod": ("bull", [
+        (100, 101, 99, 100.5),
+        (100.4, 100.6, 99.4, 99.5),
+        (100, 100.3, 99.2, 99.3),
+    ]),
+    "homing_pigeon": ("bull", [
+        (102.5, 102.6, 99.9, 100),
+        (101.5, 101.6, 100.9, 101),
+    ]),
+    "identical_three_crows": ("bear", [
+        (102, 102.1, 100.9, 101),
+        (101.02, 101.1, 99.9, 100),
+        (100.03, 100.1, 98.9, 99),
+    ]),
+    "in_neck": ("bear", [
+        (102.5, 102.6, 100, 100.2),
+        (99.8, 100.3, 99.7, 100.22),
+    ]),
+    "inverted_hammer": ("bull", [
+        (100, 100.7, 99.7, 100.4),
+        (99.5, 100.3, 99.49, 99.62),
+    ]),
+    "kicking": ("bull", [
+        (102, 102, 100, 100),
+        (102.5, 105.2, 102.5, 105.2),
+    ]),
+    "kicking_by_length": ("bull", [
+        (102, 102, 100, 100),
+        (102.5, 105.2, 102.5, 105.2),
+    ]),
+    "ladder_bottom": ("bull", [
+        (103, 103.05, 101.4, 101.5),
+        (102.5, 102.55, 100.4, 100.5),
+        (101.5, 101.55, 99.4, 99.5),
+        (99.2, 99.8, 98.6, 98.7),
+        (99.5, 100.4, 99.4, 100.3),
+    ]),
+    "long_legged_doji": ("neutral", [(100, 100.8, 99.3, 100.05)]),
+    "long_line": ("bull", [(100, 102.2, 99.8, 102)]),
+    "marubozu": ("bull", [(100, 102.02, 99.99, 102)]),
+    "mat_hold": ("bull", [
+        (100, 102.6, 99.9, 102.5),
+        (103.3, 103.4, 102.8, 102.9),
+        (102.95, 103.0, 102.65, 102.7),
+        (102.75, 102.8, 102.5, 102.55),
+        (102.7, 103.9, 102.6, 103.8),
+    ]),
+    "matching_low": ("bull", [
+        (102, 102.1, 100.9, 101),
+        (101.8, 101.9, 100.95, 101.03),
+    ]),
+    "morning_doji_star": ("bull", [
+        (102.5, 102.6, 99.9, 100),
+        (99.7, 99.8, 99.4, 99.72),
+        (99.9, 101.3, 99.8, 101.2),
+    ]),
+    "morning_star": ("bull", [
+        (102.5, 102.6, 99.9, 100),
+        (99.7, 99.8, 99.4, 99.5),
+        (99.9, 101.3, 99.8, 101.2),
+    ]),
+    "on_neck": ("bear", [
+        (102.5, 102.6, 100, 100.2),
+        (99.7, 100.1, 99.6, 100.03),
+    ]),
+    "piercing": ("bull", [
+        (102.5, 102.6, 100, 100.2),
+        (99.5, 101.6, 99.4, 101.5),
+    ]),
+    "rickshaw_man": ("neutral", [(100.0, 101, 99, 100.04)]),
+    "rise_fall_three_methods": ("bull", [
+        (100, 102.6, 99.9, 102.5),
+        (102.3, 102.4, 101.9, 102),
+        (101.9, 102.0, 101.5, 101.6),
+        (101.5, 101.6, 101.1, 101.2),
+        (101.4, 103.6, 101.3, 103.5),
+    ]),
+    "separating_lines": ("bull", [
+        (101, 101.1, 99.4, 99.5),
+        (101.03, 103.5, 101.01, 103),
+    ]),
+    "shooting_star": ("bear", [
+        (100, 100.7, 99.7, 100.4),
+        (100.8, 101.6, 100.79, 100.92),
+    ]),
+    "short_line": ("bull", [(100, 100.4, 99.9, 100.25)]),
+    "spinning_top": ("neutral", [(100, 100.9, 99.6, 100.3)]),
+    "stalled_pattern": ("bear", [
+        (100, 101.65, 99.9, 101.6),
+        (101.3, 103.05, 101.2, 103),
+        (102.8, 103.2, 102.7, 103.1),
+    ]),
+    "stick_sandwich": ("bull", [
+        (102, 102.1, 100.9, 101),
+        (101.2, 102.4, 101.1, 102.3),
+        (102.5, 102.6, 100.95, 101.04),
+    ]),
+    "takuri": ("bull", [(100, 100.05, 99.0, 100.02)]),
+    "tasuki_gap": ("bull", [
+        (100.2, 100.5, 99.8, 100),
+        (100.6, 101.4, 100.5, 101.3),
+        (101, 101.1, 100.3, 100.4),
+    ]),
+    "thrusting": ("bear", [
+        (102.5, 102.6, 100, 100.2),
+        (99.8, 100.9, 99.7, 100.8),
+    ]),
+    "tristar": ("bear", [
+        (100, 100.3, 99.8, 100.04),
+        (100.5, 100.7, 100.4, 100.54),
+        (100.2, 100.4, 100.1, 100.24),
+    ]),
+    "unique_three_river": ("bull", [
+        (102.5, 102.6, 100.4, 100.5),
+        (102, 102.1, 100.2, 100.8),
+        (100.3, 100.7, 100.25, 100.6),
+    ]),
+    "upside_gap_two_crows": ("bear", [
+        (100, 103.1, 99.9, 103),
+        (104.5, 104.6, 103.9, 104),
+        (104.8, 104.9, 103.4, 103.5),
+    ]),
+    "xside_gap_three_methods": ("bull", [
+        (99.8, 100.3, 99.7, 100.2),
+        (100.5, 101.3, 100.4, 101.2),
+        (101, 101.1, 99.9, 100),
+    ]),
+}
+
+
+def test_fixture_inventory_covers_all_labels():
+    assert set(FIXTURES) == set(CDL_LABELS)
+
+
+@pytest.mark.parametrize("name", sorted(FIXTURES))
+def test_pattern_fires_on_canonical_shape(name):
+    direction, bars = FIXTURES[name]
+    hits = detect(*bars)
+    assert name in hits, f"{name} not in {sorted(hits)}"
+    assert hits[name] == direction
+
+
+def test_preamble_is_quiet_for_reversals():
+    """The flat preamble alone must not trigger any multi-bar reversal
+    (single-bar shape labels like short_line/spinning_top are allowed —
+    TA-Lib classifies every bar's shape)."""
+    hits = detect((100.0, 100.7, 99.7, 100.4))
+    multi = {n for n, lb in CDL_LABELS.items() if lb >= 1}
+    assert not (set(hits) & multi), sorted(set(hits) & multi)
+
+
+def test_k_pattern_indicator_uses_full_set():
+    import pandas as pd
+
+    from tradecat_spark.indicators.library import i_k_pattern
+
+    rows = _PRE + FIXTURES["morning_star"][1]
+    o, h, l, c = (np.array(x) for x in zip(*rows))  # noqa: E741
+    out = i_k_pattern(pd.DataFrame(
+        {"open": o, "high": h, "low": l, "close": c}
+    ))
+    assert "morning_star" in out["pattern"].split(",")
+    assert out["pattern_dir"] == "bull"
+    assert out["n_patterns_20"] >= 1

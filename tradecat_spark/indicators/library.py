@@ -788,73 +788,6 @@ def i_mfi(b: pd.DataFrame):
     m = _last(ta.mfi(b.high, b.low, b.close, b.volume, 14))
     state = "overbought" if m >= 80 else ("oversold" if m <= 20 else "neutral")
     return {"mfi14": m, "mfi_state": state}
-
-
-def _candle_name(o, h, l, c, i):
-    """Single-bar/multi-bar candlestick classification at index i.
-
-    Vectorized-input scalar-output form of the reference's TA-Lib CDL
-    set (batch/k_pattern.py:9-33) — the ~18 highest-frequency patterns
-    re-derived in pure numpy, same precedence: multi-bar reversals
-    first, then single-bar shapes."""
-    body = np.abs(c - o)
-    rng = np.maximum(h - l, 1e-12)
-    upper = h - np.maximum(o, c)
-    lower = np.minimum(o, c) - l
-
-    def bull(j): return c[j] > o[j]
-    def bear(j): return c[j] < o[j]
-
-    mid = (o + c) / 2
-    # three-bar patterns
-    if i >= 2:
-        if all(bull(j) for j in (i - 2, i - 1, i)) and c[i] > c[i - 1] > c[i - 2]:
-            return "three_white_soldiers", "bull"
-        if all(bear(j) for j in (i - 2, i - 1, i)) and c[i] < c[i - 1] < c[i - 2]:
-            return "three_black_crows", "bear"
-        if (bear(i - 2) and body[i - 1] <= 0.3 * body[i - 2] and bull(i)
-                and c[i] >= mid[i - 2]):
-            return "morning_star", "bull"
-        if (bull(i - 2) and body[i - 1] <= 0.3 * body[i - 2] and bear(i)
-                and c[i] <= mid[i - 2]):
-            return "evening_star", "bear"
-    # two-bar patterns
-    if i >= 1:
-        if bear(i - 1) and bull(i) and o[i] <= c[i - 1] and c[i] >= o[i - 1]:
-            return "bullish_engulfing", "bull"
-        if bull(i - 1) and bear(i) and o[i] >= c[i - 1] and c[i] <= o[i - 1]:
-            return "bearish_engulfing", "bear"
-        if (bear(i - 1) and bull(i) and o[i] < l[i - 1]
-                and c[i] >= mid[i - 1] and c[i] < o[i - 1]):
-            return "piercing", "bull"
-        if (bull(i - 1) and bear(i) and o[i] > h[i - 1]
-                and c[i] <= mid[i - 1] and c[i] > o[i - 1]):
-            return "dark_cloud_cover", "bear"
-        if (body[i] < body[i - 1]
-                and max(o[i], c[i]) <= max(o[i - 1], c[i - 1])
-                and min(o[i], c[i]) >= min(o[i - 1], c[i - 1])):
-            return "harami", "neutral"
-    # one-bar shapes (doji variants before hammer family)
-    if body[i] <= 0.1 * rng[i]:
-        if lower[i] >= 0.7 * rng[i]:
-            return "dragonfly_doji", "bull"
-        if upper[i] >= 0.7 * rng[i]:
-            return "gravestone_doji", "bear"
-        return "doji", "neutral"
-    if lower[i] >= 2 * body[i] and upper[i] <= 0.3 * body[i] + 1e-12:
-        # downtrend → hammer (reversal), uptrend → hanging man
-        down = i >= 3 and c[i - 1] < c[i - 3]
-        return ("hammer", "bull") if down else ("hanging_man", "bear")
-    if upper[i] >= 2 * body[i] and lower[i] <= 0.3 * body[i] + 1e-12:
-        down = i >= 3 and c[i - 1] < c[i - 3]
-        return ("inverted_hammer", "bull") if down else ("shooting_star", "bear")
-    if body[i] >= 0.95 * rng[i]:
-        return ("marubozu", "bull") if c[i] > o[i] else ("marubozu", "bear")
-    if body[i] <= 0.3 * rng[i] and upper[i] >= 0.25 * rng[i] and lower[i] >= 0.25 * rng[i]:
-        return "spinning_top", "neutral"
-    return "none", "neutral"
-
-
 def _chart_pattern(b: pd.DataFrame):
     """Price-structure patterns over the tail (batch/k_pattern.py:89-190
     tradingpatterns/patternpy paths, simplified): double top/bottom,
@@ -898,29 +831,34 @@ def _chart_pattern(b: pd.DataFrame):
 @register(
     "k_pattern",
     [("pattern", S), ("pattern_dir", S), ("n_patterns_20", "long")],
-    citation="batch/k_pattern.py:9-241 (CDL set :9-33, chart patterns "
-    ":35-52,89-190; pure-numpy re-derivation of the highest-frequency "
-    "subset — ~18 candle + 6 chart patterns)",
+    citation="batch/k_pattern.py:9-241 (CDL set :9-48 — full 61-pattern "
+    "TA-Lib parity, re-derived in indicators/candles.py; chart patterns "
+    ":35-52,89-190)",
     min_data=5,
 )
 def i_k_pattern(b: pd.DataFrame):
     """Candlestick + chart patterns on the tail. ``pattern`` is a
-    comma-joined label list (chart pattern first, then the latest-bar
-    candle name), matching the reference's 形态类型 multi-pattern string
-    that the CONTAINS rules substring-match against."""
+    comma-joined label list (chart pattern first, then every CDL
+    pattern firing on the latest bar), matching the reference's 形态类型
+    multi-pattern string that the CONTAINS rules substring-match
+    against. The full 61-name TA-Lib CDL set is evaluated (multi-bar
+    reversals listed before single-bar shapes); ``pattern_dir`` is the
+    first non-neutral direction in that precedence order."""
+    from tradecat_spark.indicators.candles import Candles
+
     o, h, l, c = (x.to_numpy() for x in (b.open, b.high, b.low, b.close))
     i = len(c) - 1
-    candle, direction = _candle_name(o, h, l, c, i)
+    cd = Candles(o, h, l, c)
+    candles = cd.detect(i)
     charts = _chart_pattern(b) if len(b) >= 20 else []
-    labels = [n for n, _ in charts]
-    if candle != "none":
-        labels.append(candle)
-    if charts and charts[0][1] != "neutral":
-        direction = charts[0][1]
+    labels = [n for n, _ in charts] + [n for n, _ in candles]
+    direction = next(
+        (d for _, d in (*charts, *candles) if d != "neutral"), "neutral"
+    )
     # pattern count over the last 20 bars (candle classifications only)
     n = 0
-    for j in range(max(2, len(c) - 20), len(c)):
-        if _candle_name(o, h, l, c, j)[0] != "none":
+    for j in range(max(1, len(c) - 20), len(c)):
+        if cd.detect(j):
             n += 1
     return {"pattern": ",".join(labels) if labels else "none",
             "pattern_dir": direction, "n_patterns_20": n}
