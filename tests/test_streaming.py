@@ -600,3 +600,146 @@ def test_streaming_macd_multi_chunk_groups(spark, tmp_path):
     assert len(got) == len(s)
     assert got["ema_fast"].tolist() == ema12.tolist()
     assert got["ema_slow"].tolist() == ema26.tolist()
+
+
+def _run_fold_stream(spark, spec, src, ckpt, out, schema):
+    from tradecat_spark.streaming.incremental import streaming_fold
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_fold(stream, ["k"], "ts", spec)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+
+def _bars_for_fold(n, seed=3):
+    rng = random.Random(seed)
+    t0 = pd.Timestamp("2025-01-01 00:00:00")
+    px = 100.0
+    rows = []
+    for i in range(n):
+        px += rng.uniform(-2, 2)
+        hi = px + rng.uniform(0, 1.5)
+        lo = px - rng.uniform(0, 1.5)
+        vol = rng.uniform(10, 500)
+        rows.append(dict(
+            k="a", ts=t0 + pd.Timedelta(minutes=i),
+            high=hi, low=lo, close=px, volume=vol,
+            taker_buy_volume=vol * rng.uniform(0.2, 0.8),
+        ))
+    return rows
+
+
+def _fold_parity_case(spark, tmp_path, spec, schema, expected_fn, tag):
+    """Two availableNow runs over a growing source == one pandas pass
+    (checkpoint restart keeps the registers bit-identical)."""
+    src = str(tmp_path / f"{tag}_src")
+    ckpt = str(tmp_path / f"{tag}_ckpt")
+    out = str(tmp_path / f"{tag}_out")
+    rows = _bars_for_fold(40)
+    cut = 25
+    spark.createDataFrame(pd.DataFrame(rows[:cut])).write.mode(
+        "append").parquet(src)
+    _run_fold_stream(spark, spec, src, ckpt, out, schema)
+    spark.createDataFrame(pd.DataFrame(rows[cut:])).write.mode(
+        "append").parquet(src)
+    _run_fold_stream(spark, spec, src, ckpt, out, schema)
+
+    got = spark.read.parquet(out).orderBy("ts").toPandas()
+    assert len(got) == len(rows)
+    pdf = pd.DataFrame(rows)
+    for col, exp in expected_fn(pdf).items():
+        g = got[col].tolist()
+        e = exp.tolist()
+        assert all(
+            (pd.isna(a) and pd.isna(b)) or a == b for a, b in zip(g, e)
+        ), col
+        assert len(g) == len(e)
+
+
+def test_streaming_ema_gc_matches_pandas(spark, tmp_path):
+    from tradecat_spark.streaming.incremental import EmaGcSpec
+
+    def expected(pdf):
+        c = pdf["close"]
+        return {
+            f"ema{n}": c.ewm(span=n, adjust=False, min_periods=1).mean()
+            for n in (7, 25, 99)
+        }
+
+    _fold_parity_case(
+        spark, tmp_path, EmaGcSpec(),
+        "k string, ts timestamp, close double", expected, "emagc",
+    )
+
+
+def test_streaming_atr_matches_pandas(spark, tmp_path):
+    from tradecat_spark.streaming.incremental import AtrSpec
+
+    def expected(pdf):
+        prev = pdf["close"].shift(1)
+        tr = pd.concat([
+            (pdf["high"] - pdf["low"]).abs(),
+            (pdf["high"] - prev).abs(),
+            (pdf["low"] - prev).abs(),
+        ], axis=1).max(axis=1)
+        return {"atr": tr.ewm(
+            alpha=1 / 14, adjust=False, min_periods=14).mean()}
+
+    _fold_parity_case(
+        spark, tmp_path, AtrSpec(),
+        "k string, ts timestamp, high double, low double, close double",
+        expected, "atr",
+    )
+
+
+def test_streaming_kdj_matches_pandas(spark, tmp_path):
+    from tradecat_spark.streaming.incremental import KdjSpec
+
+    def expected(pdf):
+        low_n = pdf["low"].rolling(9, min_periods=9).min()
+        high_n = pdf["high"].rolling(9, min_periods=9).max()
+        rsv = (pdf["close"] - low_n) / (high_n - low_n) * 100
+        k = rsv.ewm(alpha=1 / 3, adjust=False, min_periods=3).mean()
+        d = k.ewm(alpha=1 / 3, adjust=False, min_periods=3).mean()
+        return {"kdj_k": k, "kdj_d": d, "kdj_j": 3 * k - 2 * d}
+
+    _fold_parity_case(
+        spark, tmp_path, KdjSpec(),
+        "k string, ts timestamp, high double, low double, close double",
+        expected, "kdj",
+    )
+
+
+def test_streaming_obv_cvd_match_pandas(spark, tmp_path):
+    import numpy as np
+
+    from tradecat_spark.streaming.incremental import CvdSpec, ObvSpec
+
+    def expected_obv(pdf):
+        direction = np.sign(pdf["close"].diff()).fillna(0)
+        return {"obv": (direction * pdf["volume"]).cumsum()}
+
+    _fold_parity_case(
+        spark, tmp_path, ObvSpec(),
+        "k string, ts timestamp, close double, volume double",
+        expected_obv, "obv",
+    )
+
+    def expected_cvd(pdf):
+        buy = pdf["taker_buy_volume"]
+        sell = (pdf["volume"] - buy).clip(lower=0.0)
+        return {"cvd": (buy - sell).cumsum()}
+
+    _fold_parity_case(
+        spark, tmp_path, CvdSpec(),
+        "k string, ts timestamp, volume double, taker_buy_volume double",
+        expected_cvd, "cvd",
+    )
