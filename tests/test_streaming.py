@@ -743,3 +743,55 @@ def test_streaming_obv_cvd_match_pandas(spark, tmp_path):
         "k string, ts timestamp, volume double, taker_buy_volume double",
         expected_cvd, "cvd",
     )
+
+
+def test_delta_merge_set_equals_merge_law(spark):
+    """DELTA_MERGE_SET (the Delta whenMatchedUpdate rendering of the ON
+    CONFLICT law) must agree with merge_candles on matched keys — one
+    law, two renderings."""
+    from tradecat_spark.operators.merge import (
+        DELTA_MERGE_SET,
+        MERGE_COLS,
+        merge_candles,
+    )
+
+    t0 = pd.Timestamp("2025-01-01 00:00:00")
+    cases = [
+        # (target, source) covering: closed target w/ and w/o open,
+        # live target, NULL opens on either side
+        (dict(open=100.0, high=105.0, low=99.0, close=104.0,
+              trade_count=10, is_closed=True),
+         dict(open=101.0, high=106.0, low=98.0, close=101.5,
+              trade_count=12, is_closed=False)),
+        (dict(open=None, high=105.0, low=99.0, close=104.0,
+              trade_count=10, is_closed=True),
+         dict(open=101.0, high=102.0, low=100.0, close=101.5,
+              trade_count=2, is_closed=False)),
+        (dict(open=100.0, high=101.0, low=99.5, close=100.2,
+              trade_count=3, is_closed=False),
+         dict(open=None, high=100.8, low=99.0, close=100.9,
+              trade_count=5, is_closed=True)),
+    ]
+    rows_t, rows_s = [], []
+    for i, (t, s) in enumerate(cases):
+        key = dict(symbol=f"S{i}", bucket_ts=t0)
+        rows_t.append({**key, **t})
+        rows_s.append({**key, **s})
+    target = spark.createDataFrame(pd.DataFrame(rows_t))
+    source = spark.createDataFrame(pd.DataFrame(rows_s))
+    keys = ["symbol", "bucket_ts"]
+
+    via_law = {
+        r["symbol"]: r.asDict()
+        for r in merge_candles(target, source, keys).collect()
+    }
+    joined = target.alias("t").join(source.alias("s"), keys, "inner")
+    via_delta = {
+        r["symbol"]: r.asDict()
+        for r in joined.selectExpr(
+            "symbol", *[f"{sql} AS {c}" for c, sql in DELTA_MERGE_SET.items()]
+        ).collect()
+    }
+    for sym, want in via_delta.items():
+        got = {c: via_law[sym][c] for c in ("symbol", *MERGE_COLS)}
+        assert got == want, sym

@@ -28,6 +28,23 @@ from pyspark.sql import functions as F
 # Candle payload columns the merge law applies to.
 MERGE_COLS = ("open", "high", "low", "close", "trade_count", "is_closed")
 
+#: The same law as SQL update expressions over Delta MERGE aliases
+#: (target ``t``, source ``s``) — drops verbatim into
+#: ``DeltaTable.merge().whenMatchedUpdate(set=...)``. Kept next to
+#: ``merge_candles`` as the one other rendering of the ON CONFLICT law;
+#: tests/test_streaming.py asserts the two stay equivalent.
+DELTA_MERGE_SET = {
+    "open": (
+        "CASE WHEN t.is_closed THEN coalesce(t.open, s.open) "
+        "ELSE coalesce(s.open, t.open) END"
+    ),
+    "high": "greatest(t.high, s.high)",
+    "low": "least(t.low, s.low)",
+    "close": "s.close",
+    "trade_count": "greatest(t.trade_count, s.trade_count)",
+    "is_closed": "t.is_closed OR s.is_closed",
+}
+
 
 def merge_candles(
     target: DataFrame, source: DataFrame, keys: list[str]

@@ -18,16 +18,19 @@ per-trigger work is O(hot partition), not O(store). Nothing is ever
 materialized on the driver.
 
 Commit protocol (crash-safe without a transaction log): the merged
-touched partitions are first written to a staging path by Spark, then
-copied into the store via dynamic-partition-overwrite *reading from
-staging* — the store is never the input of a job that overwrites it. A
-crash before the final commit leaves the old store intact; a crash
-mid-commit leaves some partitions new and some old, and replaying the
-micro-batch (the streaming checkpoint has not advanced past a failed
-batch) reconverges because the merge law is idempotent — the same
-exactly-once-by-idempotence story the reference gets from ON CONFLICT.
-On a lakehouse, ``upsert_batch``'s body is one ``DeltaTable.merge()``
-and the staging dance disappears.
+touched partitions are written ONCE to a staging path by Spark (the
+store is never the input of a job that overwrites it), then committed
+by renaming the partition directories into place — an O(#partitions)
+filesystem metadata operation, not a second data write. A crash before
+the commit leaves the old store intact; a crash mid-commit leaves some
+partitions new and some old, and replaying the micro-batch (the
+streaming checkpoint has not advanced past a failed batch) reconverges
+because the merge law is idempotent — the same exactly-once-by-
+idempotence story the reference gets from ON CONFLICT. Rename is atomic
+on local/HDFS filesystems; on object stores without rename, use the
+Delta path: when delta-spark is importable and the store is a Delta
+table, ``upsert_batch`` is one atomic ``DeltaTable.merge()`` and the
+staging dance disappears entirely.
 """
 
 from __future__ import annotations
@@ -39,7 +42,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from tradecat_spark.operators.merge import MERGE_COLS, fold_batch, merge_candles
+from tradecat_spark.operators.merge import (
+    DELTA_MERGE_SET,
+    MERGE_COLS,
+    fold_batch,
+    merge_candles,
+)
 
 # Partition column added to the store layout (derived from the merge
 # keys, so it never needs to travel with the data).
@@ -64,6 +72,22 @@ def _part_expr(df: DataFrame, keys: list[str]) -> Column:
     )
 
 
+def _delta_table(spark: SparkSession, store_path: str):
+    """The store as a DeltaTable, or None when the runtime has no
+    delta-spark / the store is not Delta (this container ships neither,
+    so the parquet + rename-commit path below is the tested one)."""
+    try:
+        from delta.tables import DeltaTable  # noqa: PLC0415
+    except ImportError:
+        return None
+    try:
+        if not DeltaTable.isDeltaTable(spark, store_path):
+            return None
+        return DeltaTable.forPath(spark, store_path)
+    except Exception:
+        return None
+
+
 def upsert_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -78,11 +102,27 @@ def upsert_batch(
        updates of the same live bar.
     2. Read ONLY the store partitions the batch touches (partition
        pruning on ``_part``), merge with the folded batch.
-    3. Stage the merged partitions, then dynamic-partition-overwrite
-       just those partitions from staging.
+    3. Stage the merged partitions once, then commit them by directory
+       rename (or, on a Delta store, skip 2-3 for one atomic MERGE).
     """
     batch = fold_batch(batch.select(*keys, *MERGE_COLS), keys, order_col)
     batch = batch.withColumn(PART_COL, _part_expr(batch, keys))
+
+    dt = _delta_table(spark, store_path)
+    if dt is not None:
+        # Atomic transaction-log commit; the _part equality lets Delta
+        # prune the merge to the touched partitions.
+        cond = " AND ".join(
+            [f"t.{k} = s.{k}" for k in keys] + [f"t.{PART_COL} = s.{PART_COL}"]
+        )
+        (
+            dt.alias("t")
+            .merge(batch.alias("s"), cond)
+            .whenMatchedUpdate(set=DELTA_MERGE_SET)
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return
 
     if not os.path.exists(store_path):
         # Bootstrap fast path: no store yet, so there is nothing to merge
@@ -103,7 +143,7 @@ def upsert_batch(
     merged = merged.withColumn(PART_COL, _part_expr(merged, keys))
 
     staging = f"{store_path}.staging"
-    merged.write.mode("overwrite").parquet(staging)
+    merged.write.mode("overwrite").partitionBy(PART_COL).parquet(staging)
     try:
         _commit_staging(spark, staging, store_path)
     finally:
@@ -111,23 +151,33 @@ def upsert_batch(
 
 
 def _commit_staging(spark: SparkSession, staging: str, store_path: str) -> None:
-    """Dynamic-partition-overwrite the touched partitions from staging.
+    """Swap the staged partition directories into the store by rename.
+
+    One metadata operation per touched partition — the data was already
+    written once by the staging job, so a micro-batch costs exactly one
+    Spark write (the r2 design paid a second full write here via
+    dynamic-partition-overwrite). The displaced directory is parked
+    under a dot-prefixed name (invisible to parquet readers) before the
+    swap, so a reader never sees a half-replaced partition and a crash
+    mid-commit leaves only ignorable debris plus old/new partitions —
+    which the replayed micro-batch reconverges under the idempotent
+    merge law.
 
     Separated so the crash seam is explicit (and testable): a failure
-    anywhere before this call leaves the store byte-identical, and the
-    streaming checkpoint has not advanced past the failed batch, so the
-    replayed micro-batch reconverges under the idempotent merge law."""
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            spark.read.parquet(staging)
-            .write.mode("overwrite")
-            .partitionBy(PART_COL)
-            .parquet(store_path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    anywhere before this call leaves the store byte-identical.
+    ``spark`` is unused here but kept so the seam's signature is stable
+    for both commit strategies."""
+    for entry in os.listdir(staging):
+        if not entry.startswith(f"{PART_COL}="):
+            continue  # _SUCCESS markers etc.
+        src = os.path.join(staging, entry)
+        dst = os.path.join(store_path, entry)
+        parked = os.path.join(store_path, f".old-{entry}")
+        shutil.rmtree(parked, ignore_errors=True)  # debris from a crash
+        if os.path.exists(dst):
+            os.rename(dst, parked)
+        os.rename(src, dst)
+        shutil.rmtree(parked, ignore_errors=True)
 
 
 def read_store(spark: SparkSession, store_path: str) -> DataFrame:
