@@ -28,6 +28,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: then the round-1-only rows (every r02-checked row was green and
 #: unchanged, so they rotate to the back and re-enter next round).
 _GATE_PRIORITY = (
+    # new this round
+    "chart_market_vpvr_heat",
+    "chart_vpvr_zone_strip",
+    "chart_kline_envelope",
     # never driver-checked (added late in r2)
     "sample_stratified_split",
     "pack_context_windows",

@@ -85,7 +85,8 @@ def test_global_topk_is_take_ordered(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "name",
-    ["chart_vpvr_ridge", "ann_recall_eval"],
+    ["chart_vpvr_ridge", "ann_recall_eval", "chart_market_vpvr_heat",
+     "chart_vpvr_zone_strip", "chart_kline_envelope"],
 )
 def test_small_side_joins_broadcast_new(spark, sf_dir, name):
     """Period-extent / centroid / query-side joins must broadcast: the
@@ -197,3 +198,12 @@ def test_pack_context_windows_single_shard_shuffle(spark, sf_dir):
     plan = _plan(spark, "pack_context_windows", sf_dir)
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges == 1, plan[:800]
+
+
+def test_kline_envelope_single_bars_aggregate(spark, sf_dir):
+    """All six candidate LOD rollups must come from ONE explode+
+    aggregate over one events scan — six separate rollup branches would
+    re-scan the source six times at 100 TB."""
+    plan = _plan(spark, "chart_kline_envelope", sf_dir)
+    assert len(re.findall(r"Scan parquet[^\n]*events", plan)) <= 2
+    assert "Generate" in plan  # the interval explode

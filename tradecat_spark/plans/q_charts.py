@@ -839,3 +839,451 @@ def chart_macd_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("z.macd") - F.col("z.sig"), 6) + F.lit(0.0))
         .alias("hist"),
     )
+
+
+@query(
+    "chart_market_vpvr_heat",
+    survey="§2.1 S15 chart templates: 全市场VPVR热力图 payload (vis "
+    "registry.py:620-733 render_market_vpvr_heat — per-symbol volume "
+    "share over market-unified price bins, rows normalized per symbol, "
+    "ranked by total volume with a top-N cut). Bins are equal-width "
+    "over the global close extent (the reference's percentile mode "
+    "equalizes bin mass; equal-width keeps the identical heat payload "
+    "shape while staying bit-reproducible cross-engine — quantile "
+    "interpolation arithmetic is engine-specific)",
+    description="Per-symbol volume share over market-wide price bins",
+    oracle=f"""
+WITH bars AS ({_BARS_1H_SQL}),
+ext AS (
+  SELECT MIN(close) AS gmin, MAX(close) AS gmax FROM bars
+),
+binned AS (
+  SELECT
+    b.event_type,
+    CAST(COALESCE(LEAST(23, FLOOR(
+      (b.close - e.gmin) / NULLIF(e.gmax - e.gmin, 0) * 24
+    )), 0) AS INTEGER) AS bin,
+    b.volume, e.gmin, e.gmax
+  FROM bars b CROSS JOIN ext e
+),
+per_bin AS (
+  SELECT event_type, bin, MIN(gmin) AS gmin, MIN(gmax) AS gmax,
+         SUM(volume) AS vol
+  FROM binned GROUP BY 1, 2
+),
+per_sym AS (
+  SELECT event_type, SUM(vol) AS total,
+         ROW_NUMBER() OVER (ORDER BY SUM(vol) DESC, event_type)
+           AS mkt_rank
+  FROM per_bin GROUP BY 1
+)
+SELECT
+  b.event_type, b.bin,
+  ROUND(b.gmin + b.bin * ((b.gmax - b.gmin) / 24), 6) AS bin_lo,
+  ROUND(b.gmin + (b.bin + 1) * ((b.gmax - b.gmin) / 24), 6) AS bin_hi,
+  ROUND(CAST(b.vol AS DOUBLE) / CAST(s.total AS DOUBLE), 6)
+    AS vol_share,
+  ROUND(CAST(s.total AS DOUBLE), 6) AS total_volume,
+  s.mkt_rank
+FROM per_bin b JOIN per_sym s USING (event_type)
+WHERE s.mkt_rank <= 20
+""",
+)
+def chart_market_vpvr_heat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan builds the 1h bars; the market price extent is a 2-value
+    scalar aggregate broadcast back to every bar (no second scan); bins,
+    per-symbol totals and the volume-rank cut are plain hash aggregates.
+    At 100 TB the only wide operation is the bars groupBy — the heat
+    matrix itself is symbols x 24 cells."""
+    e = _events(spark, sf_dir)
+    bars = ohlcv_rollup(
+        e, ["event_type"], "ts", "value",
+        volume=F.abs(F.col("value")).cast(DEC), interval_sec=3600,
+    )
+    ext = bars.agg(
+        F.min("close").alias("gmin"), F.max("close").alias("gmax")
+    )
+    binned = bars.crossJoin(F.broadcast(ext)).select(
+        "event_type",
+        F.coalesce(
+            F.least(
+                F.lit(23),
+                F.floor(
+                    (F.col("close") - F.col("gmin"))
+                    / F.nullif(F.col("gmax") - F.col("gmin"), F.lit(0.0))
+                    * 24
+                ),
+            ),
+            F.lit(0),
+        ).cast("int").alias("bin"),
+        "volume", "gmin", "gmax",
+    )
+    per_bin = binned.groupBy("event_type", "bin").agg(
+        F.min("gmin").alias("gmin"), F.min("gmax").alias("gmax"),
+        F.sum("volume").alias("vol"),
+    )
+    w_rank = Window.orderBy(F.col("total").desc(), F.col("event_type"))
+    per_sym = (
+        per_bin.groupBy("event_type")
+        .agg(F.sum("vol").alias("total"))
+        .withColumn("mkt_rank", F.row_number().over(w_rank))
+    )
+    return per_bin.join(
+        F.broadcast(per_sym), "event_type"
+    ).filter(F.col("mkt_rank") <= 20).select(
+        "event_type", "bin",
+        F.round(
+            F.col("gmin") + F.col("bin") * ((F.col("gmax") - F.col("gmin")) / 24), 6
+        ).alias("bin_lo"),
+        F.round(
+            F.col("gmin")
+            + (F.col("bin") + 1) * ((F.col("gmax") - F.col("gmin")) / 24), 6
+        ).alias("bin_hi"),
+        F.round(
+            F.col("vol").cast("double") / F.col("total").cast("double"), 6
+        ).alias("vol_share"),
+        F.round(F.col("total").cast("double"), 6).alias("total_volume"),
+        "mkt_rank",
+    )
+
+
+@query(
+    "chart_vpvr_zone_strip",
+    survey="§2.1 S15 chart templates: VPVR价值区分布 payload (vis "
+    "registry.py:735-900 render_vpvr_zone_strip — each symbol's price "
+    "at its relative position inside its own 70% value area, banded "
+    "into 6 zones, volume-normalized color factor, price-change edge "
+    "color). The value area is the classic POC expansion rendered "
+    "set-wise: highest-volume bins first until 70% of total volume is "
+    "covered (trading-service's VPVR feeds the reference template the "
+    "same va_low/va_high contract)",
+    description="Price position in per-symbol VPVR value area, banded",
+    oracle=f"""
+WITH bars AS ({_BARS_1H_SQL}),
+t AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY bucket_ts DESC) AS rn
+  FROM bars
+),
+tail AS (SELECT * FROM t WHERE rn <= 48),
+ext AS (
+  SELECT event_type, MIN(close) AS pmin, MAX(close) AS pmax,
+         max_by(close, bucket_ts) AS price,
+         MAX(CASE WHEN rn = 25 THEN close END) AS close_24h,
+         SUM(volume) AS total
+  FROM tail GROUP BY 1
+),
+binned AS (
+  SELECT
+    t.event_type,
+    CAST(COALESCE(LEAST(11, FLOOR(
+      (t.close - e.pmin) / NULLIF(e.pmax - e.pmin, 0) * 12
+    )), 0) AS INTEGER) AS bin,
+    t.volume
+  FROM tail t JOIN ext e USING (event_type)
+),
+vol_bins AS (
+  SELECT event_type, bin, SUM(volume) AS vol
+  FROM binned GROUP BY 1, 2
+),
+cum AS (
+  SELECT *, SUM(vol) OVER (
+    PARTITION BY event_type ORDER BY vol DESC, bin
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) - vol AS cum_before
+  FROM vol_bins
+),
+va AS (
+  SELECT c.event_type,
+         MIN(e.pmin + c.bin * ((e.pmax - e.pmin) / 12)) AS va_low,
+         MAX(e.pmin + (c.bin + 1) * ((e.pmax - e.pmin) / 12)) AS va_high
+  FROM cum c JOIN ext e USING (event_type)
+  WHERE c.cum_before < 0.7 * (SELECT total FROM ext x
+                              WHERE x.event_type = c.event_type)
+  GROUP BY 1
+),
+pos AS (
+  SELECT
+    e.event_type, e.price, v.va_low, v.va_high,
+    LEAST(GREATEST((e.price - v.va_low)
+                   / NULLIF(v.va_high - v.va_low, 0), 0.0), 1.0) AS y_raw,
+    CASE WHEN e.close_24h IS NULL OR e.close_24h = 0 THEN NULL
+         ELSE e.price / e.close_24h - 1 END AS price_change,
+    LOG10(GREATEST(CAST(e.total AS DOUBLE), 1.0)) AS vol_log
+  FROM ext e JOIN va v USING (event_type)
+),
+norm AS (
+  SELECT MIN(vol_log) AS lmin, MAX(vol_log) AS lmax FROM pos
+)
+SELECT
+  p.event_type,
+  ROUND(p.price, 6) AS price,
+  ROUND(p.va_low, 6) AS va_low,
+  ROUND(p.va_high, 6) AS va_high,
+  ROUND(p.y_raw, 6) AS y_pos,
+  CAST(LEAST(5, FLOOR(p.y_raw * 6)) AS INTEGER) AS band,
+  ROUND((p.vol_log - n.lmin) / (n.lmax - n.lmin + 1e-9), 6)
+    AS vol_factor,
+  ROUND(p.price_change, 6) AS price_change,
+  CASE WHEN p.price_change > 0.005 THEN 'green'
+       WHEN p.price_change < -0.005 THEN 'red'
+       ELSE 'white' END AS edge_color
+FROM pos p CROSS JOIN norm n
+""",
+)
+def chart_vpvr_zone_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol work is one 48-bar tail (bounded by the row_number
+    window), a 12-bin histogram, and a set-wise value-area expansion —
+    the cumulative-volume window runs over at most 12 rows per key. The
+    cross-market normalizer is a 2-value scalar aggregate broadcast to
+    one row per symbol."""
+    e = _events(spark, sf_dir)
+    bars = ohlcv_rollup(
+        e, ["event_type"], "ts", "value",
+        volume=F.abs(F.col("value")).cast(DEC), interval_sec=3600,
+    )
+    wlast = Window.partitionBy("event_type").orderBy(F.col("bucket_ts").desc())
+    tail = bars.withColumn("rn", F.row_number().over(wlast)).filter(
+        F.col("rn") <= 48
+    )
+    ext = tail.groupBy("event_type").agg(
+        F.min("close").alias("pmin"), F.max("close").alias("pmax"),
+        F.max_by("close", "bucket_ts").alias("price"),
+        F.max(F.when(F.col("rn") == 25, F.col("close"))).alias("close_24h"),
+        F.sum("volume").alias("total"),
+    )
+    exts = F.broadcast(ext)
+    binned = tail.select("event_type", "close", "volume").join(
+        exts.select("event_type", "pmin", "pmax"), "event_type"
+    ).select(
+        "event_type",
+        F.coalesce(
+            F.least(
+                F.lit(11),
+                F.floor(
+                    (F.col("close") - F.col("pmin"))
+                    / F.nullif(F.col("pmax") - F.col("pmin"), F.lit(0.0))
+                    * 12
+                ),
+            ),
+            F.lit(0),
+        ).cast("int").alias("bin"),
+        "volume",
+    )
+    vol_bins = binned.groupBy("event_type", "bin").agg(
+        F.sum("volume").alias("vol")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("vol").desc(), F.col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vol_bins.withColumn(
+        "cum_before", F.sum("vol").over(wcum) - F.col("vol")
+    )
+    va = cum.join(
+        exts.select("event_type", "pmin", "pmax", "total"), "event_type"
+    ).filter(F.col("cum_before") < 0.7 * F.col("total")).groupBy(
+        "event_type"
+    ).agg(
+        F.min(
+            F.col("pmin") + F.col("bin") * ((F.col("pmax") - F.col("pmin")) / 12)
+        ).alias("va_low"),
+        F.max(
+            F.col("pmin")
+            + (F.col("bin") + 1) * ((F.col("pmax") - F.col("pmin")) / 12)
+        ).alias("va_high"),
+    )
+    pos = ext.join(F.broadcast(va), "event_type").select(
+        "event_type", "price", "va_low", "va_high",
+        F.least(
+            F.greatest(
+                (F.col("price") - F.col("va_low"))
+                / F.nullif(F.col("va_high") - F.col("va_low"), F.lit(0.0)),
+                F.lit(0.0),
+            ),
+            F.lit(1.0),
+        ).alias("y_raw"),
+        F.when(
+            F.col("close_24h").isNull() | (F.col("close_24h") == 0),
+            F.lit(None).cast("double"),
+        ).otherwise(F.col("price") / F.col("close_24h") - 1).alias(
+            "price_change"
+        ),
+        F.log10(
+            F.greatest(F.col("total").cast("double"), F.lit(1.0))
+        ).alias("vol_log"),
+    )
+    norm = pos.agg(
+        F.min("vol_log").alias("lmin"), F.max("vol_log").alias("lmax")
+    )
+    return pos.crossJoin(F.broadcast(norm)).select(
+        "event_type",
+        F.round("price", 6).alias("price"),
+        F.round("va_low", 6).alias("va_low"),
+        F.round("va_high", 6).alias("va_high"),
+        F.round("y_raw", 6).alias("y_pos"),
+        F.least(F.lit(5), F.floor(F.col("y_raw") * 6)).cast("int").alias("band"),
+        F.round(
+            (F.col("vol_log") - F.col("lmin"))
+            / (F.col("lmax") - F.col("lmin") + 1e-9),
+            6,
+        ).alias("vol_factor"),
+        F.round("price_change", 6).alias("price_change"),
+        F.when(F.col("price_change") > 0.005, F.lit("green"))
+        .when(F.col("price_change") < -0.005, F.lit("red"))
+        .otherwise(F.lit("white")).alias("edge_color"),
+    )
+
+
+#: LOD ladder (vis registry.py:236-248 _select_intervals_by_span):
+#: branch by data-span days -> visible interval levels, coarse first.
+_LOD_LEVELS = [
+    ("a", 0, "1d"), ("a", 1, "4h"),
+    ("b", 0, "1d"), ("b", 1, "4h"), ("b", 2, "1h"),
+    ("c", 0, "4h"), ("c", 1, "1h"), ("c", 2, "15m"),
+    ("d", 0, "1h"), ("d", 1, "15m"), ("d", 2, "5m"),
+    ("e", 0, "15m"), ("e", 1, "5m"), ("e", 2, "1m"),
+]
+_LOD_INTERVALS = {
+    "1d": 86400, "4h": 14400, "1h": 3600,
+    "15m": 900, "5m": 300, "1m": 60,
+}
+_LOD_SQL_VALUES = ", ".join(
+    f"('{b}', {r}, '{iv}')" for b, r, iv in _LOD_LEVELS
+)
+
+
+@query(
+    "chart_kline_envelope",
+    survey="§2.1 S15 chart templates: 多周期K线包络 payload (vis "
+    "registry.py:464-488 render_kline_envelope + :236-248 "
+    "_select_intervals_by_span + :307-430 _fetch_multi_interval_klines "
+    "— the data span picks the visible interval ladder, then each "
+    "selected interval contributes its own kline series; 60-bar tails "
+    "per level vs the reference's 500-bar base window, scaled to the "
+    "synthetic SF)",
+    description="Span-adaptive multi-interval kline envelope",
+    oracle=f"""
+WITH span AS (
+  SELECT event_type,
+    date_diff('millisecond', MIN(ts), MAX(ts)) / 86400000.0 AS days
+  FROM events GROUP BY 1
+),
+branch AS (
+  SELECT event_type, days,
+    CASE WHEN days > 180 THEN 'a' WHEN days > 60 THEN 'b'
+         WHEN days > 14 THEN 'c' WHEN days > 3 THEN 'd'
+         ELSE 'e' END AS b
+  FROM span
+),
+lod(b, lod_rank, interval) AS (VALUES {_LOD_SQL_VALUES}),
+sel AS (
+  SELECT br.event_type, br.days, l.lod_rank, l.interval
+  FROM branch br JOIN lod l USING (b)
+),
+iv(interval, sec) AS (VALUES
+  ('1d', 86400), ('4h', 14400), ('1h', 3600),
+  ('15m', 900), ('5m', 300), ('1m', 60)),
+bars AS (
+  SELECT
+    e.event_type, i.interval,
+    to_timestamp((epoch_us(e.ts) // (CAST(i.sec AS BIGINT) * 1000000))
+                 * i.sec) AS bucket_ts,
+    min_by(e.value, e.ts) AS open,
+    MAX(e.value) AS high,
+    MIN(e.value) AS low,
+    max_by(e.value, e.ts) AS close,
+    SUM(CAST(ABS(e.value) AS DECIMAL(18,8))) AS volume
+  FROM events e CROSS JOIN iv i
+  GROUP BY 1, 2, 3
+),
+tails AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY event_type, interval ORDER BY bucket_ts DESC) AS rn
+  FROM bars
+)
+SELECT
+  s.event_type,
+  ROUND(s.days, 6) AS span_days,
+  s.lod_rank,
+  s.interval,
+  strftime(t.bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+  t.open, t.high, t.low, t.close,
+  ROUND(CAST(t.volume AS DOUBLE), 6) AS volume
+FROM sel s JOIN tails t USING (event_type, interval)
+WHERE t.rn <= 60
+""",
+)
+def chart_kline_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LOD selection is a per-key scalar (span) joined against a
+    14-row literal ladder — both broadcast. All six candidate interval
+    rollups come from ONE explode+aggregate stage (the fused
+    multi-interval pattern), so the envelope costs one scan + one wide
+    aggregate regardless of how many levels the span selects; unselected
+    intervals are dropped by the broadcast semi-side of the final join
+    before the 60-bar tail window runs."""
+    from tradecat_spark.operators.rollup import bucket_ts
+
+    e = _events(spark, sf_dir)
+    span = e.groupBy("event_type").agg(
+        (
+            (
+                F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))
+            ) / F.lit(86400000.0)
+        ).alias("days")
+    )
+    branch = span.withColumn(
+        "b",
+        F.when(F.col("days") > 180, "a")
+        .when(F.col("days") > 60, "b")
+        .when(F.col("days") > 14, "c")
+        .when(F.col("days") > 3, "d")
+        .otherwise("e"),
+    )
+    lod = spark.createDataFrame(_LOD_LEVELS, "b string, lod_rank int, interval string")
+    sel = branch.join(F.broadcast(lod), "b").select(
+        "event_type", "days", "lod_rank", "interval"
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(lbl).alias("interval"),
+                bucket_ts("ts", sec).alias("bucket_ts"),
+            )
+            for lbl, sec in _LOD_INTERVALS.items()
+        ]
+    )
+    x = e.select(
+        "event_type",
+        F.col("ts").alias("_ts"),
+        F.col("value").alias("_p"),
+        F.abs(F.col("value")).cast(DEC).alias("_v"),
+        F.explode(pairs).alias("iv"),
+    )
+    bars = x.groupBy(
+        "event_type",
+        F.col("iv.interval").alias("interval"),
+        F.col("iv.bucket_ts").alias("bucket_ts"),
+    ).agg(
+        F.min_by("_p", "_ts").alias("open"),
+        F.max("_p").alias("high"),
+        F.min("_p").alias("low"),
+        F.max_by("_p", "_ts").alias("close"),
+        F.sum("_v").alias("volume"),
+    )
+    wtail = Window.partitionBy("event_type", "interval").orderBy(
+        F.col("bucket_ts").desc()
+    )
+    tails = bars.withColumn("rn", F.row_number().over(wtail)).filter(
+        F.col("rn") <= 60
+    )
+    return tails.join(F.broadcast(sel), ["event_type", "interval"]).select(
+        "event_type",
+        F.round("days", 6).alias("span_days"),
+        "lod_rank",
+        "interval",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "open", "high", "low", "close",
+        F.round(F.col("volume").cast("double"), 6).alias("volume"),
+    )
