@@ -29,6 +29,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: unchanged, so they rotate to the back and re-enter next round).
 _GATE_PRIORITY = (
     # new this round
+    "retention_policy_plan",
     "chart_market_vpvr_heat",
     "chart_vpvr_zone_strip",
     "chart_kline_envelope",

@@ -795,3 +795,102 @@ def test_delta_merge_set_equals_merge_law(spark):
     for sym, want in via_delta.items():
         got = {c: via_law[sym][c] for c in ("symbol", *MERGE_COLS)}
         assert got == want, sym
+
+
+def test_trim_to_retention_matches_policy_audit(spark, sf_dir):
+    """trim_to_retention over the multi-interval bars must keep exactly
+    the rows the retention_policy_plan audit counts as kept — one law,
+    two renderings (the audit is the hash-checked one)."""
+    from tradecat_spark.operators.retention import trim_to_retention
+    from tradecat_spark.plans.registry import load_all
+
+    specs = load_all()
+    audit = {
+        (r["event_type"], r["interval"]): r
+        for r in specs["retention_policy_plan"].fn(spark, sf_dir).collect()
+    }
+
+    from tradecat_spark.catalog import load_table
+    from tradecat_spark.plans.q_serving import RETENTION_POLICY
+    from tradecat_spark.operators.rollup import bucket_ts
+
+    e = load_table(spark, sf_dir, "events")
+    pairs = F.array(*[
+        F.struct(
+            F.lit(lbl).alias("interval"),
+            F.lit(cap).alias("cap"),
+            bucket_ts("ts", sec).alias("bucket_ts"),
+        )
+        for lbl, (sec, cap) in RETENTION_POLICY.items()
+    ])
+    bars = (
+        e.select("event_type", F.explode(pairs).alias("iv"))
+        .groupBy("event_type", F.col("iv.interval").alias("interval"),
+                 F.col("iv.cap").alias("cap"),
+                 F.col("iv.bucket_ts").alias("bucket_ts"))
+        .agg(F.count(F.lit(1)).alias("trade_count"))
+    )
+    kept = trim_to_retention(
+        bars, ["event_type", "interval"], "bucket_ts", F.col("cap")
+    )
+    got = {
+        (r["event_type"], r["interval"]): r
+        for r in kept.groupBy("event_type", "interval").agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("trade_count").cast("long").alias("rows_kept"),
+            F.date_format(F.min("bucket_ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("oldest_kept_ts"),
+        ).collect()
+    }
+    assert set(got) == set(audit)
+    for key, g in got.items():
+        a = audit[key]
+        assert g["n_kept"] == a["n_bars"] - a["n_trim"], key
+        assert g["rows_kept"] == a["rows_kept"], key
+        assert g["oldest_kept_ts"] == a["oldest_kept_ts"], key
+
+
+def test_drop_expired_partitions_is_metadata_only(spark, tmp_path):
+    """The horizon drop must remove exactly the expired date partitions
+    and leave every kept partition's files byte-untouched."""
+    import glob
+
+    from tradecat_spark.operators.retention import (
+        drop_expired_partitions,
+        expired_partition_values,
+    )
+    from tradecat_spark.streaming.ingest import read_store, upsert_batch
+
+    store = str(tmp_path / "ret_store")
+    keys = ["symbol", "bucket_ts"]
+    days = [f"2025-01-{d:02d}" for d in (1, 2, 3, 4)]
+    rows = [
+        dict(symbol="BTC", bucket_ts=pd.Timestamp(f"{d} 00:00:00"),
+             open=100.0, high=105.0, low=99.0, close=101.0 + i,
+             trade_count=10, is_closed=True)
+        for i, d in enumerate(days)
+    ]
+    upsert_batch(spark, spark.createDataFrame(pd.DataFrame(rows)), store, keys)
+
+    kept_files = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{store}/_part=2025-01-03/*.parquet")
+        + glob.glob(f"{store}/_part=2025-01-04/*.parquet")
+    }
+    assert kept_files
+
+    assert expired_partition_values(spark, store, "2025-01-03") == [
+        "2025-01-01", "2025-01-02",
+    ]
+    dropped = drop_expired_partitions(spark, store, "2025-01-03")
+    assert dropped == ["2025-01-01", "2025-01-02"]
+    after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{store}/_part=2025-01-03/*.parquet")
+        + glob.glob(f"{store}/_part=2025-01-04/*.parquet")
+    }
+    assert after == kept_files
+    got = sorted(r["bucket_ts"] for r in read_store(spark, store).collect())
+    assert got == [pd.Timestamp(f"{d} 00:00:00") for d in days[2:]]
+    # idempotent: nothing left to drop
+    assert drop_expired_partitions(spark, store, "2025-01-03") == []

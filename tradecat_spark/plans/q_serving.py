@@ -698,3 +698,112 @@ def ranking_card_rendered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .drop("pr")
     )
+
+
+#: Per-interval serving row budgets (trading-service db/reader.py:299-309
+#: RETENTION dict — "keep the latest N rows per symbol per interval",
+#: ~4 GB total in the reference's SQLite serving store; unknown
+#: intervals fall back to 60).
+RETENTION_POLICY = {
+    "1m": (60, 120), "5m": (300, 120), "15m": (900, 96),
+    "1h": (3600, 144), "4h": (14400, 120), "1d": (86400, 180),
+    "1w": (604800, 104),
+}
+RETENTION_DEFAULT = 60
+
+_RETENTION_SQL_VALUES = ", ".join(
+    f"('{lbl}', {sec}, {cap})"
+    for lbl, (sec, cap) in RETENTION_POLICY.items()
+)
+
+
+@query(
+    "retention_policy_plan",
+    survey="§2.1 S9 generalized: the per-(symbol, interval) retention "
+    "law (db/reader.py:299-332 RETENTION dict) applied across the whole "
+    "multi-interval gold surface in one pass — every interval's bars "
+    "ranked newest-first per key, capped by the policy, delete set and "
+    "kept horizon reported per (key, interval)",
+    description="Policy-driven retention audit over all 7 serving intervals",
+    oracle=f"""
+WITH pol(interval, sec, cap) AS (VALUES {_RETENTION_SQL_VALUES}),
+bars AS (
+  SELECT
+    e.event_type, p.interval, p.cap,
+    to_timestamp(
+      ((epoch_us(e.ts) - 946857600000000)
+       // (CAST(p.sec AS BIGINT) * 1000000)) * p.sec + 946857600
+    ) AS bucket_ts,
+    CAST(COUNT(*) AS BIGINT) AS trade_count
+  FROM events e CROSS JOIN pol p
+  GROUP BY 1, 2, 3, 4
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY event_type, interval ORDER BY bucket_ts DESC) AS rn
+  FROM bars
+)
+SELECT
+  event_type, interval,
+  CAST(MIN(cap) AS BIGINT) AS cap,
+  CAST(COUNT(*) AS BIGINT) AS n_bars,
+  CAST(SUM(CASE WHEN rn > cap THEN 1 ELSE 0 END) AS BIGINT) AS n_trim,
+  CAST(SUM(CASE WHEN rn <= cap THEN trade_count ELSE 0 END) AS BIGINT)
+    AS rows_kept,
+  strftime(MIN(CASE WHEN rn <= cap THEN bucket_ts END),
+           '%Y-%m-%d %H:%M:%S') AS oldest_kept_ts
+FROM r GROUP BY 1, 2
+""",
+)
+def retention_policy_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One events scan explodes to all 7 policy intervals and ONE hash
+    aggregate builds every interval's bars (the fused-rollup pattern);
+    the per-interval cap travels with the exploded rows so the audit
+    needs no policy join afterwards. At scale the delete set is applied
+    as a partition drop on date-partitioned gold tables
+    (operators/retention.py) — this query is the law the drop must
+    agree with."""
+    from tradecat_spark.operators.rollup import bucket_ts
+
+    e = _events(spark, sf_dir)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(lbl).alias("interval"),
+                F.lit(cap).alias("cap"),
+                bucket_ts("ts", sec).alias("bucket_ts"),
+            )
+            for lbl, (sec, cap) in RETENTION_POLICY.items()
+        ]
+    )
+    bars = (
+        e.select("event_type", F.explode(pairs).alias("iv"))
+        .groupBy(
+            "event_type",
+            F.col("iv.interval").alias("interval"),
+            F.col("iv.cap").alias("cap"),
+            F.col("iv.bucket_ts").alias("bucket_ts"),
+        )
+        .agg(F.count(F.lit(1)).alias("trade_count"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_type", "interval").orderBy(
+            F.desc("bucket_ts")
+        )
+    )
+    r = bars.withColumn("rn", rn)
+    return r.groupBy("event_type", "interval").agg(
+        F.min("cap").cast("long").alias("cap"),
+        F.count(F.lit(1)).alias("n_bars"),
+        F.sum(
+            F.when(F.col("rn") > F.col("cap"), 1).otherwise(0)
+        ).alias("n_trim"),
+        F.sum(
+            F.when(F.col("rn") <= F.col("cap"), F.col("trade_count"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("rows_kept"),
+        F.date_format(
+            F.min(F.when(F.col("rn") <= F.col("cap"), F.col("bucket_ts"))),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("oldest_kept_ts"),
+    )
