@@ -317,3 +317,56 @@ def test_k_pattern_indicator_uses_full_set():
     assert "morning_star" in out["pattern"].split(",")
     assert out["pattern_dir"] == "bull"
     assert out["n_patterns_20"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# price-structure patterns (the 12-label family the reference's
+# tradingpatterns/patternpy/trendln stack emits)
+# ---------------------------------------------------------------------------
+def _zigzag(*targets, tail, bars_per_leg=5, tail_bars=5):
+    """Close path interpolating between leg targets, then a drift to
+    ``tail``; high/low = close +/- 0.2 so pivot extremes sit at the leg
+    apexes (pivot radius 3)."""
+    closes = [float(targets[0])]
+    for t in targets[1:]:
+        prev = closes[-1]
+        closes += [
+            prev + (t - prev) * (k + 1) / bars_per_leg
+            for k in range(bars_per_leg)
+        ]
+    prev = closes[-1]
+    closes += [
+        prev + (tail - prev) * (k + 1) / tail_bars for k in range(tail_bars)
+    ]
+    import pandas as pd
+
+    c = pd.Series(closes)
+    return pd.DataFrame(
+        {"open": c, "high": c + 0.2, "low": c - 0.2, "close": c}
+    )
+
+
+CHART_FIXTURES = {
+    "ascending_triangle": ("bull", (95, 90, 100, 94, 100), 97),
+    "descending_triangle": ("bear", (96, 100, 90, 95, 90.05), 92),
+    "symmetrical_triangle": ("bull", (95, 90, 100, 93, 96.5), 94.5),
+    "rising_wedge": ("bear", (95, 90, 100, 95, 103), 100.5),
+    "rising_channel": ("bull", (95, 90, 100, 96, 106.5), 104),
+    "falling_wedge": ("bull", (96, 100, 90, 95.5, 88), 90),
+    "falling_channel": ("bear", (96, 100, 90, 94, 84), 86),
+    "horizontal_channel": ("bull", (95, 90, 100, 90.1, 100.1), 95),
+    "double_top": ("bear", (95, 100, 90, 100.1), 85),
+    "double_bottom": ("bull", (96, 90, 100, 89.9), 104),
+    "head_shoulders_top": ("bear", (95, 96, 90, 100, 92, 96.2), 90),
+    "head_shoulders_bottom": ("bull", (96, 94, 100, 90, 98, 93.8), 100),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CHART_FIXTURES))
+def test_chart_pattern_fires_on_canonical_shape(name):
+    from tradecat_spark.indicators.library import _chart_pattern
+
+    direction, targets, tail = CHART_FIXTURES[name]
+    hits = dict(_chart_pattern(_zigzag(*targets, tail=tail)))
+    assert name in hits, f"{name} not in {sorted(hits)}"
+    assert hits[name] == direction

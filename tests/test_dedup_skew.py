@@ -52,3 +52,56 @@ def test_mixed_buckets_guard_only_the_big_one(spark):
     sml_pairs = pairs[pairs.doc_a.str.startswith("sml")]
     assert len(big_pairs) == big - 1          # star
     assert len(sml_pairs) == small * (small - 1) // 2  # all pairs
+
+
+def test_hot_key_merge_batch_stays_bounded(spark, tmp_path):
+    """BTC-heavy micro-batch: ~70% of a 50k-row batch lands on ONE
+    (symbol, bucket) key — the worst realistic replay/backfill skew.
+    The fold must stay correct (sequential open law over the hot key's
+    full arrival order) and bounded: the per-key state is one collected
+    struct array, never a quadratic join, and the store merge touches
+    only the hot day's partition."""
+    import time
+
+    from tradecat_spark.streaming.ingest import read_store, upsert_batch
+
+    t0 = pd.Timestamp("2025-01-01 00:00:00")
+    n, hot = 50_000, 0.7
+    n_hot = int(n * hot)
+    rows = []
+    for i in range(n_hot):  # hot key: many partial updates of one bar
+        rows.append(dict(
+            symbol="BTC", bucket_ts=t0, seq=i,
+            open=100.0 + (i % 7) * 0.1, high=100.0 + i * 1e-4,
+            low=100.0 - i * 1e-4, close=100.0 + (i % 11) * 0.01,
+            trade_count=i, is_closed=i == n_hot - 1,
+        ))
+    for i in range(n - n_hot):  # long tail of cold keys
+        rows.append(dict(
+            symbol=f"ALT{i % 600:03d}",
+            bucket_ts=t0 + pd.Timedelta(minutes=i % 240), seq=n_hot + i,
+            open=10.0, high=10.5, low=9.5, close=10.1,
+            trade_count=1, is_closed=False,
+        ))
+    batch = spark.createDataFrame(pd.DataFrame(rows)).repartition(8)
+    store = str(tmp_path / "skew_store")
+
+    start = time.monotonic()
+    upsert_batch(spark, batch, store, ["symbol", "bucket_ts"],
+                 order_col="seq")
+    elapsed = time.monotonic() - start
+    assert elapsed < 60, f"hot-key merge took {elapsed:.1f}s"
+
+    got = {
+        (r["symbol"], r["bucket_ts"]): r
+        for r in read_store(spark, store).collect()
+    }
+    hot_bar = got[("BTC", t0)]
+    # closed by the last hot row; open frozen at the last value BEFORE
+    # the close (the closing row itself carries open of (n_hot-1)%7)
+    assert hot_bar["is_closed"] is True
+    assert hot_bar["trade_count"] == n_hot - 1
+    assert hot_bar["high"] == 100.0 + (n_hot - 1) * 1e-4
+    assert hot_bar["open"] == 100.0 + ((n_hot - 1) % 7) * 0.1
+    # cold keys all present: 600 symbols x the distinct minute buckets
+    assert len(got) > 600

@@ -788,12 +788,24 @@ def i_mfi(b: pd.DataFrame):
     m = _last(ta.mfi(b.high, b.low, b.close, b.volume, 14))
     state = "overbought" if m >= 80 else ("oversold" if m <= 20 else "neutral")
     return {"mfi14": m, "mfi_state": state}
+
+
 def _chart_pattern(b: pd.DataFrame):
-    """Price-structure patterns over the tail (batch/k_pattern.py:89-190
-    tradingpatterns/patternpy paths, simplified): double top/bottom,
-    head-and-shoulders top/bottom, triangle (contracting extremes),
-    wedge (co-directional trendlines). Pivot radius 3 bars."""
-    h, l = b.high, b.low
+    """Price-structure patterns over the tail — the full label family
+    the reference's detector stack emits (batch/k_pattern.py:89-190:
+    tradingpatterns detect_head_shoulder/double_top_bottom/triangle/
+    wedge/channel + patternpy + the trendln channel classifier):
+    head-and-shoulders top/bottom, double top/bottom, ascending/
+    descending/symmetrical triangle, rising/falling wedge, rising/
+    falling/horizontal channel. Pivot radius 3 bars; directions follow
+    the reference's score signs (symmetrical triangle and horizontal
+    channel carry small positive scores there → bull).
+
+    Wedge vs channel disambiguation for co-directional trendlines: a
+    narrowing pivot envelope (< 90% of the prior width) is a wedge,
+    otherwise a channel — the converging-trendline rule both libraries
+    apply."""
+    h, l = b.high, b.low  # noqa: E741
     ph = h[(h.shift(3) < h) & (h.shift(2) < h) & (h.shift(1) < h)
            & (h.shift(-1) < h) & (h.shift(-2) < h) & (h.shift(-3) < h)]
     pl = l[(l.shift(3) > l) & (l.shift(2) > l) & (l.shift(1) > l)
@@ -810,21 +822,47 @@ def _chart_pattern(b: pd.DataFrame):
             out.append(("head_shoulders_bottom", "bull"))
     if not out and len(ph) >= 2:
         a, z = float(ph.iloc[-2]), float(ph.iloc[-1])
-        if abs(a - z) / max(a, z) < 0.015 and c < min(a, z):
+        # neckline = the reaction low between the tops; the pattern only
+        # completes on a break below it (keeps flat-top consolidations
+        # classifiable as triangles/channels instead)
+        neck = float(pl.iloc[-1]) if len(pl) else min(a, z)
+        if abs(a - z) / max(a, z) < 0.015 and c < min(a, z) and c < neck:
             out.append(("double_top", "bear"))
     if not out and len(pl) >= 2:
         a, z = float(pl.iloc[-2]), float(pl.iloc[-1])
-        if abs(a - z) / max(a, z, 1e-12) < 0.015 and c > max(a, z):
+        neck = float(ph.iloc[-1]) if len(ph) else max(a, z)
+        if (abs(a - z) / max(a, z, 1e-12) < 0.015 and c > max(a, z)
+                and c > neck):
             out.append(("double_bottom", "bull"))
     if not out and len(ph) >= 2 and len(pl) >= 2:
-        hi_falling = float(ph.iloc[-1]) < float(ph.iloc[-2])
-        lo_rising = float(pl.iloc[-1]) > float(pl.iloc[-2])
-        hi_rising = float(ph.iloc[-1]) > float(ph.iloc[-2])
-        lo_falling = float(pl.iloc[-1]) < float(pl.iloc[-2])
-        if hi_falling and lo_rising:
-            out.append(("triangle", "neutral"))
-        elif (hi_rising and lo_rising) or (hi_falling and lo_falling):
-            out.append(("wedge", "neutral"))
+        a_h, z_h = float(ph.iloc[-2]), float(ph.iloc[-1])
+        a_l, z_l = float(pl.iloc[-2]), float(pl.iloc[-1])
+        flat = 0.015
+        hi_flat = abs(a_h - z_h) / max(a_h, z_h, 1e-12) < flat
+        lo_flat = abs(a_l - z_l) / max(a_l, z_l, 1e-12) < flat
+        hi_rising = not hi_flat and z_h > a_h
+        hi_falling = not hi_flat and z_h < a_h
+        lo_rising = not lo_flat and z_l > a_l
+        lo_falling = not lo_flat and z_l < a_l
+        narrowing = (z_h - z_l) < 0.9 * (a_h - a_l)
+        if hi_flat and lo_rising:
+            out.append(("ascending_triangle", "bull"))
+        elif hi_falling and lo_flat:
+            out.append(("descending_triangle", "bear"))
+        elif hi_falling and lo_rising:
+            out.append(("symmetrical_triangle", "bull"))
+        elif hi_rising and lo_rising:
+            out.append(
+                ("rising_wedge", "bear") if narrowing
+                else ("rising_channel", "bull")
+            )
+        elif hi_falling and lo_falling:
+            out.append(
+                ("falling_wedge", "bull") if narrowing
+                else ("falling_channel", "bear")
+            )
+        elif hi_flat and lo_flat:
+            out.append(("horizontal_channel", "bull"))
     return out
 
 

@@ -3,10 +3,14 @@
 Two evaluation paths:
 
 - ``signal_pack_sql_rules`` — every rule whose condition fields are
-  derivable with pure window SQL over the 1h bars (65 of 129) evaluated
-  as ONE wide projection: the snapshot computes ~30 indicator fields
-  (CCI, Williams %R, MFI, Bollinger, Donchian, Keltner, VWAP, OBV/CVD
-  change, volume/taker ratios, OI z-score/streak, candle labels, …),
+  derivable with window SQL + bounded per-row EWM scans over the 1h
+  bars (91 of 129) evaluated as ONE wide projection: the snapshot
+  computes ~43 indicator fields (CCI, Williams %R, MFI, Bollinger,
+  Donchian, Keltner, VWAP, OBV/CVD change, volume/taker ratios, OI
+  z-score/streak, candle labels, and the recursive family — RSI 7/14/21
+  + state, MACD line/signal/hist, KDJ cross labels, SMMA200 cloud side,
+  EMA7/25/99 regime, the 18-EMA Madrid ribbon state, Ichimoku signal —
+  as per-row prefix folds bounded to FOLD_BOUND trailing bars),
   lags every field once for prev/curr semantics, then fires rules via
   ``array_compact(array(when(cond, name)…)) → explode``. The DuckDB
   oracle is GENERATED from the same rule configs via ``condition_sql``
@@ -54,7 +58,180 @@ SNAPSHOT_FIELDS = [
     "sup_dist_pct", "res_dist_pct", "vwap_dev_pct",
     "obv_chg30", "cvd_chg", "ls_ratio", "taker_ls_ratio",
     "oi_zscore", "oi_streak", "risk_score", "pattern",
+    # EWM-fold family (per-row prefix scans, see _FOLDS_SQL): the
+    # recursive-indicator fields the r2 snapshot could not derive
+    "rsi7", "rsi14", "rsi21", "rsi_avg", "rsi_state",
+    "macd_line", "macd_signal", "macd_hist", "kdj_signal",
+    "cloud_side", "regime", "ribbon_state", "ichi_signal",
 ]
+
+#: Every per-row EWM value folds over at most this many trailing bars —
+#: a windowed-seed EWM (the repo's bounded-tail fold convention, scaled
+#: to per-row scans). Identical law on both engines, so hash-safe.
+FOLD_BOUND = 200
+
+#: Madrid ribbon EMA ladder (batch/tv_volume_signal.py:6) — 18 periods.
+_MADRID = (5, 10, 15, 20, 25, 30, 35, 40, 45, 50, 55, 60, 65, 70, 75,
+           80, 90, 100)
+
+#: name -> (source array, alpha); computed as per-row prefix scans.
+_EMA_SCANS = {
+    "e12s": ("cl", 2.0 / 13.0), "e26s": ("cl", 2.0 / 27.0),
+    "smmas": ("cl", 1.0 / 200.0),
+    "ema7s": ("cl", 2.0 / 8.0), "ema25s": ("cl", 2.0 / 26.0),
+    "ema99s": ("cl", 2.0 / 100.0),
+    **{f"rb{j:02d}s": ("cl", 2.0 / (p + 1.0))
+       for j, p in enumerate(_MADRID, 1)},
+    "ag7s": ("gains", 1.0 / 7.0), "al7s": ("losses", 1.0 / 7.0),
+    "ag14s": ("gains", 1.0 / 14.0), "al14s": ("losses", 1.0 / 14.0),
+    "ag21s": ("gains", 1.0 / 21.0), "al21s": ("losses", 1.0 / 21.0),
+}
+
+
+def _sql_scan(src: str, alpha: float) -> str:
+    """Per-row bounded-tail EWM scan over a DuckDB list."""
+    a = repr(alpha)
+    return (
+        f"list_transform(range(1, len({src}) + 1), i -> list_reduce("
+        f"list_slice({src}, greatest(1, i - {FOLD_BOUND - 1}), i), "
+        f"(acc, x) -> acc * (1.0::DOUBLE - {a}::DOUBLE)"
+        f" + x * {a}::DOUBLE))"
+    )
+
+
+def _sql_rsi(p: int) -> str:
+    ag, al = f"ag{p}s", f"al{p}s"
+    return (
+        f"CASE WHEN i <= {p} THEN NULL "
+        f"WHEN {al}[i - 1] = 0 THEN 100.0 "
+        f"ELSE ROUND(100.0 - 100.0 / (1.0 + {ag}[i - 1] / {al}[i - 1]), 6)"
+        f" + 0.0 END"
+    )
+
+
+def _sql_ribbon_state() -> str:
+    bull = " + ".join(
+        f"(CASE WHEN rb{j:02d}s[i] > rb18s[i]"
+        f" AND rb{j:02d}s[i] > rb{j:02d}s[i - 1] THEN 1 ELSE 0 END)"
+        for j in range(1, 19)
+    )
+    bear = " + ".join(
+        f"(CASE WHEN rb{j:02d}s[i] < rb18s[i]"
+        f" AND rb{j:02d}s[i] < rb{j:02d}s[i - 1] THEN 1 ELSE 0 END)"
+        for j in range(1, 19)
+    )
+    return (
+        "CASE WHEN i = 1 THEN 'mixed' "
+        f"WHEN ({bull}) >= 13 THEN 'bull' "
+        f"WHEN ({bear}) >= 13 THEN 'bear' "
+        "WHEN cl[i] > rb18s[i] THEN 'bull' ELSE 'bear' END"
+    )
+
+
+def _folds_sql() -> str:
+    """The fold CTE chain: per-key ordered arrays -> named prefix-scan
+    arrays -> one row per (event_type, rn) with the recursive fields."""
+    scan_cols = ",\n    ".join(
+        f"{_sql_scan(src, alpha)} AS {name}"
+        for name, (src, alpha) in _EMA_SCANS.items()
+    )
+    kdj_sig = (
+        "CASE WHEN i < 10 THEN 'continue' "
+        "WHEN ks[i - 9] <= ds[i - 9] AND ks[i - 8] > ds[i - 8] "
+        "THEN 'golden_cross' "
+        "WHEN ks[i - 9] >= ds[i - 9] AND ks[i - 8] < ds[i - 8] "
+        "THEN 'death_cross' "
+        "WHEN 3.0 * ks[i - 8] - 2.0 * ds[i - 8] > 100.0 "
+        "THEN 'j_overbought' "
+        "WHEN 3.0 * ks[i - 8] - 2.0 * ds[i - 8] < 0.0 THEN 'j_oversold' "
+        "ELSE 'continue' END"
+    )
+    fields = {
+        "rsi7": "rsi7s[i]", "rsi14": "rsi14s[i]", "rsi21": "rsi21s[i]",
+        "rsi_avg": (
+            "CASE WHEN rsi7s[i] IS NULL OR rsi14s[i] IS NULL "
+            "OR rsi21s[i] IS NULL THEN NULL "
+            "ELSE ROUND((rsi7s[i] + rsi14s[i] + rsi21s[i]) / 3.0, 6) END"
+        ),
+        "rsi_state": (
+            "CASE WHEN rsi14s[i] IS NULL THEN 'neutral' "
+            "WHEN rsi14s[i] > 70 THEN 'overbought' "
+            "WHEN rsi14s[i] < 30 THEN 'oversold' ELSE 'neutral' END"
+        ),
+        "macd_line": "ROUND(macds[i], 6) + 0.0",
+        "macd_signal": "ROUND(sigs[i], 6) + 0.0",
+        "macd_hist": "ROUND(macds[i] - sigs[i], 6) + 0.0",
+        "kdj_signal": kdj_sig,
+        "cloud_side": (
+            "CASE WHEN cl[i] >= smmas[i] THEN 'above' ELSE 'below' END"
+        ),
+        "regime": (
+            "CASE WHEN ema7s[i] > ema25s[i] AND ema25s[i] > ema99s[i] "
+            "THEN 'bull_stack' "
+            "WHEN ema7s[i] < ema25s[i] AND ema25s[i] < ema99s[i] "
+            "THEN 'bear_stack' ELSE 'tangled' END"
+        ),
+        "ribbon_state": _sql_ribbon_state(),
+    }
+    unnests = ",\n    ".join(
+        f"unnest(list_transform(range(1, len(cl) + 1), i -> {expr}))"
+        f" AS {name}"
+        for name, expr in fields.items()
+    )
+    return f"""
+series AS (
+  SELECT event_type,
+    list(close ORDER BY bucket_ts) AS cl,
+    list(high ORDER BY bucket_ts) AS hgh,
+    list(low ORDER BY bucket_ts) AS lws
+  FROM bars GROUP BY event_type
+),
+sc1 AS (
+  SELECT *,
+    list_transform(range(2, len(cl) + 1),
+                   i -> GREATEST(cl[i] - cl[i - 1], 0.0)) AS gains,
+    list_transform(range(2, len(cl) + 1),
+                   i -> GREATEST(cl[i - 1] - cl[i], 0.0)) AS losses,
+    list_transform(range(1, len(cl) + 1), i ->
+      CASE WHEN i < 9 THEN NULL
+           WHEN list_max(list_slice(hgh, i - 8, i))
+                = list_min(list_slice(lws, i - 8, i)) THEN 50.0
+           ELSE (cl[i] - list_min(list_slice(lws, i - 8, i)))
+                / (list_max(list_slice(hgh, i - 8, i))
+                   - list_min(list_slice(lws, i - 8, i))) * 100.0
+      END) AS rsvs_full
+  FROM series
+),
+sc2 AS (
+  SELECT *,
+    {scan_cols}
+  FROM sc1
+),
+sc3 AS (
+  SELECT *,
+    list_transform(range(1, len(cl) + 1), i -> e12s[i] - e26s[i])
+      AS macds,
+    list_slice(rsvs_full, 9, len(cl)) AS rsvs,
+    list_transform(range(1, len(cl) + 1), i -> {_sql_rsi(7)}) AS rsi7s,
+    list_transform(range(1, len(cl) + 1), i -> {_sql_rsi(14)}) AS rsi14s,
+    list_transform(range(1, len(cl) + 1), i -> {_sql_rsi(21)}) AS rsi21s
+  FROM sc2
+),
+sc4 AS (
+  SELECT *,
+    {_sql_scan("macds", 2.0 / 10.0)} AS sigs,
+    {_sql_scan("rsvs", 1.0 / 3.0)} AS ks
+  FROM sc3
+),
+sc5 AS (
+  SELECT *, {_sql_scan("ks", 1.0 / 3.0)} AS ds FROM sc4
+),
+folds AS (
+  SELECT event_type,
+    unnest(range(1, len(cl) + 1)) AS rn,
+    {unnests}
+  FROM sc5
+)"""
 
 
 def pack_sql_rules() -> list[SignalRule]:
@@ -130,6 +307,9 @@ b2 AS (
     SUM(cvd_step) OVER wc AS cvd,
     AVG(CAST(tc AS DOUBLE)) OVER w30 AS tc_avg30,
     STDDEV_SAMP(CAST(tc AS DOUBLE)) OVER w30 AS tc_sd30,
+    (MAX(high) OVER w9 + MIN(low) OVER w9) / 2 AS tenkan,
+    (MAX(high) OVER w26 + MIN(low) OVER w26) / 2 AS kijun,
+    (MAX(high) OVER w52 + MIN(low) OVER w52) / 2 AS spanb,
     ROW_NUMBER() OVER w AS rn,
     ROW_NUMBER() OVER (PARTITION BY event_type, s ORDER BY bucket_ts) AS rns,
     PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY amplitude_pct)
@@ -137,6 +317,12 @@ b2 AS (
   FROM b1
   WINDOW
     w    AS (PARTITION BY event_type ORDER BY bucket_ts),
+    w9   AS (PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+    w26  AS (PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+    w52  AS (PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN 51 PRECEDING AND CURRENT ROW),
     wc   AS (PARTITION BY event_type ORDER BY bucket_ts
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
     w10  AS (PARTITION BY event_type ORDER BY bucket_ts
@@ -161,9 +347,18 @@ b3 AS (
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       AS streak
   FROM b2 WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
-),
+),{folds_sql}
+,
 snap AS (
   SELECT event_type, bucket_ts,
+    rsi7, rsi14, rsi21, rsi_avg, rsi_state,
+    macd_line, macd_signal, macd_hist, kdj_signal,
+    cloud_side, regime, ribbon_state,
+    CASE WHEN close > GREATEST((tenkan + kijun) / 2, spanb)
+              AND tenkan > kijun THEN 'buy'
+         WHEN close < LEAST((tenkan + kijun) / 2, spanb)
+              AND tenkan < kijun THEN 'sell'
+         ELSE 'neutral' END AS ichi_signal,
     ROUND(close, 6) AS last_close,
     ROUND((close - p_close) / NULLIF(p_close, 0) * 100, 6) AS change_pct,
     amplitude_pct,
@@ -224,7 +419,7 @@ snap AS (
            AND (LEAST(open, close) - low) < ABS(close - open)
         THEN 'shooting_star'
       ELSE 'none' END AS pattern
-  FROM b3
+  FROM b3 JOIN folds USING (event_type, rn)
 ),
 snapp AS (
   SELECT *,
@@ -248,6 +443,7 @@ def _pack_oracle() -> str:
     )
     return (
         _SNAPSHOT_SQL.replace("{prev_cols}", _PREV_SQL)
+        .replace("{folds_sql}", _folds_sql())
         + f"""
 SELECT event_type,
   strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
@@ -262,6 +458,189 @@ FROM (
 # ---------------------------------------------------------------------------
 # snapshot — Spark side (same derivations, one window partitioning)
 # ---------------------------------------------------------------------------
+def _scan_col(arr: Column, alpha: float) -> Column:
+    """Per-row bounded-tail EWM scan (Column twin of ``_sql_scan``)."""
+    from tradecat_spark.plans.q_indicators import ema_fold
+
+    def one(i):
+        lo = F.greatest(F.lit(1), i - F.lit(FOLD_BOUND - 1))
+        return ema_fold(F.slice(arr, lo, i - lo + 1), alpha)
+
+    return F.transform(F.sequence(F.lit(1), F.size(arr)), one)
+
+
+def _build_folds(bars: DataFrame) -> DataFrame:
+    """The recursive-field rows (event_type, rn, 12 fields) — per-key
+    ordered arrays, named prefix scans, then one explode. Column twin of
+    ``_folds_sql``; every arithmetic shape matches the oracle exactly."""
+    el = F.element_at
+    series = (
+        bars.groupBy("event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("bucket_ts", "close", "high", "low")
+                )
+            ).alias("p")
+        )
+        .select(
+            "event_type",
+            F.transform("p", lambda r: r["close"]).alias("cl"),
+            F.transform("p", lambda r: r["high"]).alias("hgh"),
+            F.transform("p", lambda r: r["low"]).alias("lws"),
+        )
+    )
+    n = F.size("cl")
+    hi9 = lambda i: F.array_max(F.slice("hgh", i - 8, 9))  # noqa: E731
+    lo9 = lambda i: F.array_min(F.slice("lws", i - 8, 9))  # noqa: E731
+    sc1 = series.select(
+        "*",
+        F.transform(
+            F.sequence(F.lit(2), n),
+            lambda i: F.greatest(el("cl", i) - el("cl", i - 1), F.lit(0.0)),
+        ).alias("gains"),
+        F.transform(
+            F.sequence(F.lit(2), n),
+            lambda i: F.greatest(el("cl", i - 1) - el("cl", i), F.lit(0.0)),
+        ).alias("losses"),
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.when(i < 9, F.lit(None).cast("double"))
+            .when(hi9(i) == lo9(i), F.lit(50.0))
+            .otherwise((el("cl", i) - lo9(i)) / (hi9(i) - lo9(i)) * 100.0),
+        ).alias("rsvs_full"),
+    )
+    sc2 = sc1.select(
+        "*",
+        *[
+            _scan_col(F.col(src), alpha).alias(name)
+            for name, (src, alpha) in _EMA_SCANS.items()
+        ],
+    )
+
+    def rsi_arr(p: int) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.when(i <= p, F.lit(None).cast("double"))
+            .when(el(f"al{p}s", i - 1) == 0, F.lit(100.0))
+            .otherwise(
+                F.round(
+                    100.0
+                    - 100.0
+                    / (1.0 + el(f"ag{p}s", i - 1) / el(f"al{p}s", i - 1)),
+                    6,
+                )
+                + F.lit(0.0)
+            ),
+        )
+
+    sc3 = sc2.select(
+        "*",
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: el("e12s", i) - el("e26s", i),
+        ).alias("macds"),
+        F.slice(
+            "rsvs_full", 9, F.greatest(n - 8, F.lit(0))
+        ).alias("rsvs"),
+        rsi_arr(7).alias("rsi7s"),
+        rsi_arr(14).alias("rsi14s"),
+        rsi_arr(21).alias("rsi21s"),
+    )
+    sc4 = sc3.select(
+        "*",
+        _scan_col(F.col("macds"), 2.0 / 10.0).alias("sigs"),
+        _scan_col(F.col("rsvs"), 1.0 / 3.0).alias("ks"),
+    )
+    sc5 = sc4.select(
+        "*", _scan_col(F.col("ks"), 1.0 / 3.0).alias("ds")
+    )
+
+    rows = sc5.select(
+        "*", F.explode(F.sequence(F.lit(1), n)).alias("rn")
+    )
+    i = F.col("rn")
+    rsi7 = el("rsi7s", i)
+    rsi14 = el("rsi14s", i)
+    rsi21 = el("rsi21s", i)
+    kj = 3.0 * el("ks", i - 8) - 2.0 * el("ds", i - 8)
+    bull_cnt = sum(
+        F.when(
+            (el(f"rb{j:02d}s", i) > el("rb18s", i))
+            & (el(f"rb{j:02d}s", i) > el(f"rb{j:02d}s", i - 1)),
+            1,
+        ).otherwise(0)
+        for j in range(1, 19)
+    )
+    bear_cnt = sum(
+        F.when(
+            (el(f"rb{j:02d}s", i) < el("rb18s", i))
+            & (el(f"rb{j:02d}s", i) < el(f"rb{j:02d}s", i - 1)),
+            1,
+        ).otherwise(0)
+        for j in range(1, 19)
+    )
+    return rows.select(
+        "event_type",
+        "rn",
+        rsi7.alias("rsi7"),
+        rsi14.alias("rsi14"),
+        rsi21.alias("rsi21"),
+        F.when(
+            rsi7.isNull() | rsi14.isNull() | rsi21.isNull(),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round((rsi7 + rsi14 + rsi21) / 3.0, 6))
+        .alias("rsi_avg"),
+        F.when(rsi14.isNull(), "neutral")
+        .when(rsi14 > 70, "overbought")
+        .when(rsi14 < 30, "oversold")
+        .otherwise("neutral")
+        .alias("rsi_state"),
+        (F.round(el("macds", i), 6) + F.lit(0.0)).alias("macd_line"),
+        (F.round(el("sigs", i), 6) + F.lit(0.0)).alias("macd_signal"),
+        (F.round(el("macds", i) - el("sigs", i), 6) + F.lit(0.0)).alias(
+            "macd_hist"
+        ),
+        F.when(i < 10, "continue")
+        .when(
+            (el("ks", i - 9) <= el("ds", i - 9))
+            & (el("ks", i - 8) > el("ds", i - 8)),
+            "golden_cross",
+        )
+        .when(
+            (el("ks", i - 9) >= el("ds", i - 9))
+            & (el("ks", i - 8) < el("ds", i - 8)),
+            "death_cross",
+        )
+        .when(kj > 100.0, "j_overbought")
+        .when(kj < 0.0, "j_oversold")
+        .otherwise("continue")
+        .alias("kdj_signal"),
+        F.when(el("cl", i) >= el("smmas", i), "above")
+        .otherwise("below")
+        .alias("cloud_side"),
+        F.when(
+            (el("ema7s", i) > el("ema25s", i))
+            & (el("ema25s", i) > el("ema99s", i)),
+            "bull_stack",
+        )
+        .when(
+            (el("ema7s", i) < el("ema25s", i))
+            & (el("ema25s", i) < el("ema99s", i)),
+            "bear_stack",
+        )
+        .otherwise("tangled")
+        .alias("regime"),
+        F.when(i == 1, "mixed")
+        .when(bull_cnt >= 13, "bull")
+        .when(bear_cnt >= 13, "bear")
+        .when(el("cl", i) > el("rb18s", i), "bull")
+        .otherwise("bear")
+        .alias("ribbon_state"),
+    )
+
+
 def build_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-expressible indicator snapshot with prev_ lags — the
     Column-algebra twin of ``_SNAPSHOT_SQL``."""
@@ -345,6 +724,12 @@ def build_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cvd_step").over(wc).alias("cvd"),
         F.avg(tcd).over(fr(-29, 0)).alias("tc_avg30"),
         F.stddev_samp(tcd).over(fr(-29, 0)).alias("tc_sd30"),
+        ((F.max("high").over(fr(-8, 0)) + F.min("low").over(fr(-8, 0))) / 2)
+        .alias("tenkan"),
+        ((F.max("high").over(fr(-25, 0)) + F.min("low").over(fr(-25, 0))) / 2)
+        .alias("kijun"),
+        ((F.max("high").over(fr(-51, 0)) + F.min("low").over(fr(-51, 0))) / 2)
+        .alias("spanb"),
         F.row_number().over(w).alias("rn"),
         F.row_number()
         .over(Window.partitionBy("event_type", "s").orderBy("bucket_ts"))
@@ -364,6 +749,7 @@ def build_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("cvd", 30).over(w).alias("cvd30"),
         (F.col("s") * F.count(F.lit(1)).over(grp_w)).alias("streak"),
     )
+    b3 = b3.join(F.broadcast(_build_folds(bars)), ["event_type", "rn"])
     bb_up = F.col("bb_mid") + 2 * F.col("bb_sd")
     bb_lo = F.col("bb_mid") - 2 * F.col("bb_sd")
     vwap = F.col("vwap_num") / F.nullif(F.col("vwap_den"), F.lit(0))
@@ -401,6 +787,23 @@ def build_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     cvd_d, cvd30_d = F.col("cvd").cast("double"), F.col("cvd30").cast("double")
     snap = b3.select(
         "event_type", "bucket_ts",
+        "rsi7", "rsi14", "rsi21", "rsi_avg", "rsi_state",
+        "macd_line", "macd_signal", "macd_hist", "kdj_signal",
+        "cloud_side", "regime", "ribbon_state",
+        F.when(
+            (c > F.greatest((F.col("tenkan") + F.col("kijun")) / 2,
+                            F.col("spanb")))
+            & (F.col("tenkan") > F.col("kijun")),
+            "buy",
+        )
+        .when(
+            (c < F.least((F.col("tenkan") + F.col("kijun")) / 2,
+                         F.col("spanb")))
+            & (F.col("tenkan") < F.col("kijun")),
+            "sell",
+        )
+        .otherwise("neutral")
+        .alias("ichi_signal"),
         F.round(c, 6).alias("last_close"),
         F.round((c - pcl) / F.nullif(pcl, F.lit(0)) * 100, 6).alias("change_pct"),
         "amplitude_pct",
@@ -477,14 +880,14 @@ def build_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "signal_pack_sql_rules",
     survey="§2.10 rule pack + condition compiler "
     "(rules/{core,momentum,volatility,volume,futures,pattern,misc}; "
-    "compiler rules/base.py:47-160) — the SQL-checkable 65-rule subset "
+    "compiler rules/base.py:47-160) — the SQL-checkable 91-rule subset "
     "as one wide projection; oracle GENERATED from the same configs",
-    description="65 SQL-expressible pack rules fired over 1h snapshots",
+    description="91 SQL-expressible pack rules fired over 1h snapshots",
     oracle=_pack_oracle(),
 )
 def signal_pack_sql_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One projection fires every rule: ``array(when(cond_i, name_i))``
-    → ``array_compact`` → ``explode``. 65 boolean Columns over one
+    → ``array_compact`` → ``explode``. 91 boolean Columns over one
     shared window partitioning — a single exchange, whole-stage codegen
     end-to-end, and the rule count scales the projection width, not the
     number of passes."""

@@ -30,6 +30,38 @@ RUNTIME_CONFS = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``tradecat_spark`` importable on Python workers.
+
+    applyInPandas / mapInPandas stages unpickle functions that import
+    this package; workers inherit neither the driver's ``sys.path`` nor
+    its cwd, so a driver launched outside the repo root (or a real
+    cluster without --py-files) would fail with ModuleNotFoundError.
+    Shipping a zip via ``addPyFile`` once per session fixes both."""
+    sc = spark.sparkContext
+    if sc._jsc is None or getattr(sc, "_tradecat_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"tradecat_spark_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.join(
+                    "tradecat_spark", os.path.relpath(full, pkg_dir)
+                )
+                zf.write(full, rel)
+    sc.addPyFile(zpath)
+    sc._tradecat_shipped = True
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable configs to an externally-provided session.
 
@@ -42,6 +74,10 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-runtime conf on this build — defaults are acceptable
+    try:
+        _ship_package(spark)
+    except Exception:
+        pass  # already shipped under another name, or a restricted env
     return spark
 
 

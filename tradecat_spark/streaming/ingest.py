@@ -105,7 +105,10 @@ def upsert_batch(
     3. Stage the merged partitions once, then commit them by directory
        rename (or, on a Delta store, skip 2-3 for one atomic MERGE).
     """
-    batch = fold_batch(batch.select(*keys, *MERGE_COLS), keys, order_col)
+    extra = [order_col] if order_col is not None else []
+    batch = fold_batch(
+        batch.select(*keys, *MERGE_COLS, *extra), keys, order_col
+    )
     batch = batch.withColumn(PART_COL, _part_expr(batch, keys))
 
     dt = _delta_table(spark, store_path)
