@@ -71,6 +71,7 @@ def load_all() -> dict[str, QuerySpec]:
         q_signal_pack,
         q_orderbook,
         q_charts,
+        q_quality,
     )
 
     return REGISTRY
