@@ -72,6 +72,7 @@ def load_all() -> dict[str, QuerySpec]:
         q_orderbook,
         q_charts,
         q_quality,
+        q_pg_realtime,
     )
 
     return REGISTRY
