@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tradecat_spark.catalog import load_table
+from tradecat_spark.plans.exact import ratio6_sql
 from tradecat_spark.plans.registry import query
 
 N_SEEDS = 8          # minhash permutations
@@ -1005,4 +1006,105 @@ def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(cum_tok - 1) div 256")
             > F.expr("(cum_tok - n_tok) div 256")
         ).alias("crosses_boundary"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (Rae et al. 2021 §A1.1, adapted to the
+# newline-free synthetic corpus: word- and bigram-level repetition)
+# ---------------------------------------------------------------------------
+@query(
+    "text_repetition_stats",
+    survey="north-star text analysis: repetition quality signals — "
+    "top-word fraction, duplicate/top bigram fractions, repetitive flag",
+    description="Gopher-style per-doc repetition fractions over words and bigrams",
+    oracle=f"""
+WITH wcount AS (
+  SELECT doc_id, w, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY doc_id, w
+),
+wstats AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_words,
+         CAST(MAX(c) AS BIGINT) AS top_word_n
+  FROM wcount GROUP BY doc_id
+),
+bcount AS (
+  SELECT doc_id, bg, COUNT(*) AS c
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, len(string_split(text, ' '))),
+             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
+           )) AS bg
+    FROM documents
+  )
+  GROUP BY doc_id, bg
+),
+bstats AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(MAX(c) AS BIGINT) AS top_bigram_n,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams
+  FROM bcount GROUP BY doc_id
+)
+SELECT
+  w.doc_id, w.n_words,
+  {ratio6_sql('w.top_word_n', 'w.n_words')} AS top_word_frac,
+  {ratio6_sql('b.top_bigram_n', 'b.n_bigrams')} AS top_2gram_frac,
+  {ratio6_sql('b.n_bigrams - b.n_distinct_bigrams', 'b.n_bigrams')} AS dup_2gram_frac,
+  ({ratio6_sql('b.top_bigram_n', 'b.n_bigrams')} > 0.18
+   OR {ratio6_sql('b.n_bigrams - b.n_distinct_bigrams', 'b.n_bigrams')} > 0.6)
+    AS is_repetitive
+FROM wstats w JOIN bstats b USING (doc_id)
+""",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both fraction families come from exploded (doc, token) counts —
+    two hash aggregations whose partial maps collapse per-doc token
+    multiplicity before the shuffle, then a doc-keyed join (cardinality
+    = |docs|). Fractions use the exact int64 6dp path (plans/exact.py)
+    so the repetitive flag thresholds compare identical doubles in
+    both engines. Thresholds follow Gopher §A1.1 (top 2-gram 0.18;
+    duplicate share loosened to 0.6 for the tiny synthetic docs)."""
+    from tradecat_spark.plans.exact import ratio6
+
+    d = _docs(spark, sf_dir)
+    ws = _words()
+    wc = (
+        d.select("doc_id", F.explode(ws).alias("w"))
+        .groupBy("doc_id", "w")
+        .count()
+    )
+    wstats = wc.groupBy("doc_id").agg(
+        F.sum("count").cast("long").alias("n_words"),
+        F.max("count").cast("long").alias("top_word_n"),
+    )
+    bigrams = F.expr(
+        "transform(sequence(0, size(split(text, ' ')) - 2),"
+        " i -> split(text, ' ')[i] || ' ' || split(text, ' ')[i + 1])"
+    )
+    bc = (
+        d.filter(F.size(ws) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .count()
+    )
+    bstats = bc.groupBy("doc_id").agg(
+        F.sum("count").cast("long").alias("n_bigrams"),
+        F.max("count").cast("long").alias("top_bigram_n"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_bigrams"),
+    )
+    top_word = ratio6(F.col("top_word_n"), F.col("n_words"))
+    top_bg = ratio6(F.col("top_bigram_n"), F.col("n_bigrams"))
+    dup_bg = ratio6(
+        F.col("n_bigrams") - F.col("n_distinct_bigrams"), F.col("n_bigrams")
+    )
+    return wstats.join(bstats, "doc_id").select(
+        "doc_id", "n_words",
+        top_word.alias("top_word_frac"),
+        top_bg.alias("top_2gram_frac"),
+        dup_bg.alias("dup_2gram_frac"),
+        ((top_bg > 0.18) | (dup_bg > 0.6)).alias("is_repetitive"),
     )
