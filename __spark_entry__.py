@@ -28,12 +28,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #: then the round-1-only rows (every r02-checked row was green and
 #: unchanged, so they rotate to the back and re-enter next round).
 _GATE_PRIORITY = (
-    # new this round
+    # new this round (r3)
+    "quality_ingest_batches",
+    "quality_anomaly_log",
+    "quality_alert_rules_eval",
+    "quality_backfill_tasks",
+    "quality_lineage_closure",
+    "pg_realtime_checks",
+    "text_repetition_stats",
+    # new last round, never driver-checked yet
     "retention_policy_plan",
     "chart_market_vpvr_heat",
     "chart_vpvr_zone_strip",
     "chart_kline_envelope",
-    # never driver-checked (added late in r2)
     "sample_stratified_split",
     "pack_context_windows",
     # checked r01 only — re-verify under the current data generation
