@@ -36,6 +36,7 @@ _GATE_PRIORITY = (
     "quality_lineage_closure",
     "pg_realtime_checks",
     "text_repetition_stats",
+    "decontaminate_ngram_overlap",
     # new last round, never driver-checked yet
     "retention_policy_plan",
     "chart_market_vpvr_heat",

@@ -1108,3 +1108,85 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_bg.alias("dup_2gram_frac"),
         ((top_bg > 0.18) | (dup_bg > 0.6)).alias("is_repetitive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/test decontamination — n-gram overlap vs the held-out split
+# ---------------------------------------------------------------------------
+@query(
+    "decontaminate_ngram_overlap",
+    survey="training-pipeline op: benchmark decontamination — flag train "
+    "docs sharing 8-grams with the held-out test split (the standard "
+    "n-gram overlap check run before pretraining)",
+    description="Per-train-doc distinct 8-gram overlap against the test split",
+    oracle=f"""
+WITH split AS (
+  SELECT doc_id, text,
+    ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      % 10000 AS sb
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, sb,
+    unnest(list_distinct(list_transform(
+      range(1, len(string_split(text, ' ')) - 6),
+      i -> array_to_string(string_split(text, ' ')[i:i+7], ' ')
+    ))) AS g
+  FROM split
+  WHERE len(string_split(text, ' ')) >= 8
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE sb >= 9500),
+train AS (SELECT doc_id, g FROM grams WHERE sb < 9000),
+counts AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(COUNT(b.g) AS BIGINT) AS n_overlap
+  FROM train t LEFT JOIN bench b USING (g)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_grams, n_overlap,
+  {ratio6_sql('n_overlap', 'n_grams')} AS overlap_frac,
+  n_overlap > 0 AS contaminated
+FROM counts
+""",
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shares the salted-hash split law with ``sample_stratified_split``
+    (sb >= 9500 is the test split) so the benchmark set is re-derivable
+    from doc_id alone. The benchmark gram set is broadcast — held-out
+    evaluation sets are small by construction (an exact upper bound:
+    5% of docs × grams/doc), so the contamination probe never shuffles
+    the training corpus; per-doc distinct grams collapse map-side
+    before the count. 8-gram granularity is the common published
+    decontamination window (GPT-3 App. C uses 13; smaller here because
+    the synthetic docs are 10-99 words)."""
+    from tradecat_spark.plans.exact import ratio6
+
+    d = _docs(spark, sf_dir)
+    ws = _words()
+    grams8 = F.array_distinct(
+        F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 8),"
+            " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 8)))"
+        )
+    )
+    sb = _hash_bucket("split", F.col("doc_id"))
+    g = (
+        d.filter(F.size(ws) >= 8)
+        .select("doc_id", sb.alias("sb"), F.explode(grams8).alias("g"))
+    )
+    bench = g.filter(F.col("sb") >= 9500).select("g").distinct()
+    train = g.filter(F.col("sb") < 9000).select("doc_id", "g")
+    counts = (
+        train.join(F.broadcast(bench).withColumn("_hit", F.lit(1)), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.count("_hit").cast("long").alias("n_overlap"),
+        )
+    )
+    return counts.select(
+        "doc_id", "n_grams", "n_overlap",
+        ratio6(F.col("n_overlap"), F.col("n_grams")).alias("overlap_frac"),
+        (F.col("n_overlap") > 0).alias("contaminated"),
+    )
