@@ -805,11 +805,24 @@ def _chart_pattern(b: pd.DataFrame):
     narrowing pivot envelope (< 90% of the prior width) is a wedge,
     otherwise a channel — the converging-trendline rule both libraries
     apply."""
-    h, l = b.high, b.low  # noqa: E741
-    ph = h[(h.shift(3) < h) & (h.shift(2) < h) & (h.shift(1) < h)
-           & (h.shift(-1) < h) & (h.shift(-2) < h) & (h.shift(-3) < h)]
-    pl = l[(l.shift(3) > l) & (l.shift(2) > l) & (l.shift(1) > l)
-           & (l.shift(-1) > l) & (l.shift(-2) > l) & (l.shift(-3) > l)]
+    h, l = b.high.to_numpy(), b.low.to_numpy()  # noqa: E741
+
+    def _pivots(a: np.ndarray, is_high: bool) -> np.ndarray:
+        # strict 3-radius local extremum; edges (first/last 3 bars)
+        # excluded, matching the shift()-NaN-excludes behavior
+        n = len(a)
+        if n < 7:
+            return a[:0]
+        ctr = a[3 : n - 3]
+        m = np.ones(n - 6, dtype=bool)
+        for k in (1, 2, 3):
+            if is_high:
+                m &= (a[3 - k : n - 3 - k] < ctr) & (a[3 + k : n - 3 + k] < ctr)
+            else:
+                m &= (a[3 - k : n - 3 - k] > ctr) & (a[3 + k : n - 3 + k] > ctr)
+        return ctr[m]
+
+    ph, pl = pd.Series(_pivots(h, True)), pd.Series(_pivots(l, False))
     c = float(b.close.iloc[-1])
     out = []
     if len(ph) >= 3:
