@@ -207,3 +207,36 @@ def test_kline_envelope_single_bars_aggregate(spark, sf_dir):
     plan = _plan(spark, "chart_kline_envelope", sf_dir)
     assert len(re.findall(r"Scan parquet[^\n]*events", plan)) <= 2
     assert "Generate" in plan  # the interval explode
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["quality_alert_rules_eval", "decontaminate_ngram_overlap",
+     "quality_lineage_closure"],
+)
+def test_config_and_benchmark_sides_broadcast(spark, sf_dir, name):
+    """Constant-size sides (alert-rule config, benchmark gram set,
+    lineage edges) must broadcast — shuffling the fact/corpus side
+    against them would be the 100 TB failure mode."""
+    plan = _plan(spark, name, sf_dir)
+    assert "BroadcastHashJoin" in plan, name
+    assert "SortMergeJoin" not in plan, name
+
+
+def test_anomaly_log_shares_one_window_exchange(spark, sf_dir):
+    """All four anomaly detectors read one lag/rolling pass over the
+    same (symbol ORDER BY bucket) window — the plan must not multiply
+    exchanges per detector branch (4 branches reuse one sorted frame,
+    so ≤ 1 exchange per union branch and one shared shuffle shape)."""
+    plan = _plan(spark, "quality_anomaly_log", sf_dir)
+    shuffles = plan.count("Exchange hashpartitioning(event_type")
+    assert shuffles <= 4, f"per-branch exchange blow-up: {shuffles}"
+    assert "SortMergeJoin" not in plan
+
+
+def test_pg_realtime_checks_single_window_pass(spark, sf_dir):
+    """11 checks = one projection: exactly one window-function node and
+    no join anywhere in the plan."""
+    plan = _plan(spark, "pg_realtime_checks", sf_dir)
+    assert plan.count("Window") <= 2  # the node + its header line
+    assert "Join" not in plan
