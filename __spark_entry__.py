@@ -37,6 +37,7 @@ _GATE_PRIORITY = (
     "pg_realtime_checks",
     "text_repetition_stats",
     "decontaminate_ngram_overlap",
+    "corpus_source_stats",
     # new last round, never driver-checked yet
     "retention_policy_plan",
     "chart_market_vpvr_heat",

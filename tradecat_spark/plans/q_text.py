@@ -1190,3 +1190,66 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio6(F.col("n_overlap"), F.col("n_grams")).alias("overlap_frac"),
         (F.col("n_overlap") > 0).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source data card — the curation dashboard a corpus owner reads
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_source_stats",
+    survey="training-pipeline op: per-source data card — volume, length, "
+    "language mix, exact-dup rate in one pass",
+    description="Per-source corpus stats: docs, tokens, lang breakdown, dup rate",
+    oracle=f"""
+WITH per_doc AS (
+  SELECT
+    source, lang, doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+    md5(text) AS h
+  FROM documents
+),
+dups AS (  -- docs whose content hash appears more than once corpus-wide
+  SELECT h, COUNT(*) AS n FROM per_doc GROUP BY h
+)
+SELECT
+  source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+  {ratio6_sql('SUM(n_tok)', 'COUNT(*)')} AS mean_tokens,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+  max_by(lang, lang) AS max_lang,
+  CAST(SUM(CASE WHEN d.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+  {ratio6_sql('SUM(CASE WHEN d.n > 1 THEN 1 ELSE 0 END)', 'COUNT(*)')}
+    AS dup_rate
+FROM per_doc p JOIN dups d USING (h)
+GROUP BY source
+""",
+)
+def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dup side is an aggregate of the same scan joined back by
+    content hash — at corpus scale the hash→count map shuffles once and
+    the per-source rollup partial-aggregates map-side. (max_by(lang,
+    lang) = lexicographic max — a deterministic stand-in for the
+    modal language, which has no order-independent SQL form.)"""
+    from tradecat_spark.plans.exact import ratio6
+
+    d = _docs(spark, sf_dir)
+    per_doc = d.select(
+        "source", "lang", "doc_id",
+        F.size(_words()).cast("long").alias("n_tok"),
+        F.md5(F.col("text").cast("binary")).alias("h"),
+    )
+    dups = per_doc.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+    j = per_doc.join(dups, "h")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        ratio6(F.sum("n_tok").cast("long"), F.count(F.lit(1))).alias("mean_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.max_by("lang", "lang").alias("max_lang"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).cast("long").alias("n_dup_docs"),
+        ratio6(
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).cast("long"),
+            F.count(F.lit(1)),
+        ).alias("dup_rate"),
+    )
