@@ -38,6 +38,8 @@ _GATE_PRIORITY = (
     "text_repetition_stats",
     "decontaminate_ngram_overlap",
     "corpus_source_stats",
+    "ind_liquidity_profile",
+    "ind_fib_vwma_bands",
     # new last round, never driver-checked yet
     "retention_policy_plan",
     "chart_market_vpvr_heat",

@@ -1018,3 +1018,184 @@ def ind_keltner_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s["ema"] + 2 * s["atr"], 6).alias("upper_band"),
         F.round(s["ema"] - 2 * s["atr"], 6).alias("lower_band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 liquidity + fib-sniper — the two remaining closed-form indicator
+# classes, individually oracle-matched (shrinks the rows-only surface)
+# ---------------------------------------------------------------------------
+_LIQ_BARS_SQL = """
+  SELECT
+    event_type,
+    time_bucket(INTERVAL '1 hour', ts) AS b,
+    max_by(value, ts) AS close,
+    CAST(SUM(CAST(ABS(value) AS DECIMAL(18,8))) AS DOUBLE) AS vol
+  FROM events GROUP BY 1, 2
+"""
+
+
+def _vol_bars_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h close+volume bars matching _LIQ_BARS_SQL (decimal volume sum
+    rendered as double — exact, order-free)."""
+    from tradecat_spark.operators.rollup import bucket_ts
+
+    return _series(spark, sf_dir).groupBy(
+        "event_type",
+        bucket_ts("ts", 3600).alias("b"),
+    ).agg(
+        F.max_by("value", "ts").alias("close"),
+        F.sum(F.abs(F.col("value")).cast("decimal(18,8)"))
+        .cast("double")
+        .alias("vol"),
+    )
+
+
+@query(
+    "ind_liquidity_profile",
+    survey="§2.9 liquidity (batch/liquidity.py:12-154): Amihud z, Kyle "
+    "lambda via OLS slope over dollar flow, volatility, sigmoid "
+    "composite + level label",
+    description="Per-symbol Amihud z / Kyle lambda / volatility / liquidity score over 1h bars",
+    oracle=f"""
+WITH bars AS ({_LIQ_BARS_SQL}),
+d AS (
+  SELECT event_type, b, close, vol,
+    close * vol AS dollar,
+    close / lag(close) OVER w - 1 AS ret,
+    CAST(ROW_NUMBER() OVER w AS DOUBLE) AS idx
+  FROM bars
+  WINDOW w AS (PARTITION BY event_type ORDER BY b)
+),
+a AS (
+  SELECT event_type, b, close, dollar, ret, idx,
+    ABS(ret) / NULLIF(dollar, 0) * 1e6 AS amihud
+  FROM d
+),
+g AS (
+  SELECT event_type,
+    max_by(amihud, b) AS last_amihud,
+    AVG(amihud) AS mu, STDDEV_SAMP(amihud) AS sd,
+    REGR_SLOPE(close, idx) AS slope,
+    AVG(dollar) AS mean_dollar,
+    STDDEV_SAMP(ret) AS vol_ret
+  FROM a GROUP BY event_type
+)
+SELECT event_type,
+  ROUND((last_amihud - mu) / NULLIF(sd, 0), 6) + 0.0 AS amihud_z,
+  ROUND(slope / NULLIF(mean_dollar, 0), 6) + 0.0 AS kyle_lambda,
+  ROUND(vol_ret, 6) + 0.0 AS volatility,
+  ROUND(100 / (1 + exp(-(0.5 * (-((last_amihud - mu) / NULLIF(sd, 0)))
+                         - vol_ret))), 6) AS liq_score,
+  CASE
+    WHEN ROUND(100 / (1 + exp(-(0.5 * (-((last_amihud - mu) / NULLIF(sd, 0)))
+                                - vol_ret))), 6) >= 75 THEN 'excellent'
+    WHEN ROUND(100 / (1 + exp(-(0.5 * (-((last_amihud - mu) / NULLIF(sd, 0)))
+                                - vol_ret))), 6) >= 50 THEN 'good'
+    WHEN ROUND(100 / (1 + exp(-(0.5 * (-((last_amihud - mu) / NULLIF(sd, 0)))
+                                - vol_ret))), 6) >= 25 THEN 'fair'
+    ELSE 'poor'
+  END AS liq_level
+FROM g
+""",
+)
+def ind_liquidity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One bar rollup → one window pass (lag + row_number share the
+    (symbol ORDER BY bucket) sort) → one group-aggregate; the level
+    label derives from the 6dp-rounded score so both engines bin the
+    same double."""
+    bars = _vol_bars_1h(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("b")
+    d = bars.select(
+        "event_type", "b", "close",
+        (F.col("close") * F.col("vol")).alias("dollar"),
+        (F.col("close") / F.lag("close").over(w) - 1).alias("ret"),
+        F.row_number().over(w).cast("double").alias("idx"),
+    ).withColumn(
+        "amihud", F.abs(F.col("ret")) / F.nullif("dollar", F.lit(0.0)) * 1e6
+    )
+    g = d.groupBy("event_type").agg(
+        F.max_by("amihud", "b").alias("last_amihud"),
+        F.avg("amihud").alias("mu"),
+        F.stddev_samp("amihud").alias("sd"),
+        F.regr_slope("close", "idx").alias("slope"),
+        F.avg("dollar").alias("mean_dollar"),
+        F.stddev_samp("ret").alias("vol_ret"),
+    )
+    z = (F.col("last_amihud") - F.col("mu")) / F.nullif("sd", F.lit(0.0))
+    score6 = F.round(
+        100 / (1 + F.exp(-(0.5 * (-z) - F.col("vol_ret")))), 6
+    )
+    return g.select(
+        "event_type",
+        (F.round(z, 6) + F.lit(0.0)).alias("amihud_z"),
+        (F.round(F.col("slope") / F.nullif("mean_dollar", F.lit(0.0)), 6)
+         + F.lit(0.0)).alias("kyle_lambda"),
+        (F.round("vol_ret", 6) + F.lit(0.0)).alias("volatility"),
+        score6.alias("liq_score"),
+        F.when(score6 >= 75, "excellent")
+        .when(score6 >= 50, "good")
+        .when(score6 >= 25, "fair")
+        .otherwise("poor")
+        .alias("liq_level"),
+    )
+
+
+@query(
+    "ind_fib_vwma_bands",
+    survey="§2.9 fib-sniper (batch/tv_fib_sniper.py): VWMA(200) base, "
+    "3-sigma rolling deviation bands, band position + state",
+    description="Latest VWMA200 fib-band position per symbol over 1h bars",
+    oracle=f"""
+WITH bars AS ({_LIQ_BARS_SQL}),
+v AS (
+  SELECT event_type, b, close,
+    ROUND(CAST(SUM(CAST(close AS DECIMAL(18,6)) * CAST(vol AS DECIMAL(18,6)))
+          OVER w200 AS DOUBLE)
+      / NULLIF(CAST(SUM(CAST(vol AS DECIMAL(18,6))) OVER w200 AS DOUBLE), 0), 6)
+      AS vwma200
+  FROM bars
+  WINDOW w200 AS (PARTITION BY event_type ORDER BY b
+                  ROWS BETWEEN 199 PRECEDING AND CURRENT ROW)
+),
+d AS (
+  SELECT event_type, b, close, vwma200,
+    ROUND(close - vwma200, 6) AS diff,
+    ROUND(STDDEV_SAMP(ROUND(close - vwma200, 6))
+          OVER (PARTITION BY event_type ORDER BY b
+                ROWS BETWEEN 199 PRECEDING AND CURRENT ROW) * 3.0, 6) AS dev
+  FROM v
+)
+SELECT event_type,
+  max_by(vwma200, b) AS vwma200,
+  max_by(ROUND(diff / NULLIF(dev, 0), 6), b) AS fib_pos,
+  max_by(CASE WHEN ROUND(diff / NULLIF(dev, 0), 6) >= 0
+              THEN 'up' ELSE 'down' END, b) AS fib_state
+FROM d GROUP BY event_type
+""",
+)
+def ind_fib_vwma_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VWMA numerator/denominator are exact decimal window sums rounded
+    before the division, and the deviation stddev consumes 6dp-rounded
+    diffs — every float that crosses engines is pre-rounded, so the
+    window math is bit-stable. One sort serves both window frames."""
+    bars = _vol_bars_1h(spark, sf_dir)
+    w200 = (
+        Window.partitionBy("event_type").orderBy("b").rowsBetween(-199, 0)
+    )
+    num = F.sum(
+        F.col("close").cast("decimal(18,6)") * F.col("vol").cast("decimal(18,6)")
+    ).over(w200).cast("double")
+    den = F.sum(F.col("vol").cast("decimal(18,6)")).over(w200).cast("double")
+    v = bars.withColumn(
+        "vwma200", F.round(num / F.nullif(den, F.lit(0.0)), 6)
+    )
+    diff = F.round(F.col("close") - F.col("vwma200"), 6)
+    d = v.withColumn("diff", diff).withColumn(
+        "dev", F.round(F.stddev_samp("diff").over(w200) * 3.0, 6)
+    )
+    pos = F.round(F.col("diff") / F.nullif("dev", F.lit(0.0)), 6)
+    return d.groupBy("event_type").agg(
+        F.max_by("vwma200", "b").alias("vwma200"),
+        F.max_by(pos, "b").alias("fib_pos"),
+        F.max_by(F.when(pos >= 0, "up").otherwise("down"), "b").alias("fib_state"),
+    )
