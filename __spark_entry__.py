@@ -40,6 +40,7 @@ _GATE_PRIORITY = (
     "corpus_source_stats",
     "ind_liquidity_profile",
     "ind_fib_vwma_bands",
+    "ind_harmonic_score",
     # new last round, never driver-checked yet
     "retention_policy_plan",
     "chart_market_vpvr_heat",

@@ -1199,3 +1199,112 @@ def ind_fib_vwma_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by(pos, "b").alias("fib_pos"),
         F.max_by(F.when(pos >= 0, "up").otherwise("down"), "b").alias("fib_state"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 harmonic — mean of RSI(2..33) final values, 64 bounded folds
+# ---------------------------------------------------------------------------
+def _sql_rsi_last(p: int) -> str:
+    """DuckDB: final Wilder RSI(p) from the diffs list. Seeds g=l=0 by
+    prepending 0.0 (list_reduce uses the head as the accumulator), then
+    folds gains/losses with alpha=1/p — the exact recurrence of
+    functions/ta.py rsi_last_multi."""
+    a = repr(1.0 / p)
+    g = (
+        f"list_reduce(list_prepend(0.0::DOUBLE, diffs), (acc, x) -> "
+        f"acc * (1.0::DOUBLE - {a}::DOUBLE) + greatest(x, 0.0::DOUBLE) * {a}::DOUBLE)"
+    )
+    l = (  # noqa: E741
+        f"list_reduce(list_prepend(0.0::DOUBLE, diffs), (acc, x) -> "
+        f"acc * (1.0::DOUBLE - {a}::DOUBLE) + greatest(-x, 0.0::DOUBLE) * {a}::DOUBLE)"
+    )
+    return (
+        f"(CASE WHEN {g} + {l} = 0 THEN 50.0::DOUBLE "
+        f"WHEN {l} = 0 THEN 100.0::DOUBLE "
+        f"ELSE 100.0::DOUBLE - 100.0::DOUBLE / (1.0::DOUBLE + {g} / {l}) END)"
+    )
+
+
+_HARMONIC_ORACLE = f"""
+WITH tail AS (
+  SELECT event_type, ts, value FROM (
+    SELECT event_type, ts, value,
+      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts DESC) AS rn
+    FROM events) t WHERE rn <= 500
+),
+series AS (
+  SELECT event_type, list(value ORDER BY ts) AS vals
+  FROM tail GROUP BY event_type
+),
+d AS (
+  SELECT event_type, len(vals) AS n_obs,
+    list_transform(range(2, len(vals) + 1), i -> vals[i] - vals[i - 1])
+      AS diffs
+  FROM series
+)
+SELECT event_type,
+  ROUND(({' + '.join(_sql_rsi_last(p) for p in range(2, 34))}) / 32.0, 6)
+    AS harmonic_score,
+  CAST(n_obs AS BIGINT) AS n_obs
+FROM d
+"""
+
+
+@query(
+    "ind_harmonic_score",
+    survey="§2.9 harmonic (batch/harmonic.py): mean of Wilder RSI(2..33) "
+    "final values — 64 bounded JVM folds; per-period recurrences match "
+    "functions/ta.py rsi_last_multi exactly, the 32-term mean is "
+    "sequential (numpy's pairwise mean differs ~1e-13, under the 6dp "
+    "rounding)",
+    description="Harmonic score (mean RSI 2..33) per event_type via fold algebra",
+    oracle=_HARMONIC_ORACLE,
+)
+def ind_harmonic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same tail-bounded collect as the EWM family; the 64 folds share
+    one diffs array per key and run inside whole-stage codegen — at any
+    scale the cost is 64×tail flops per key, no extra shuffle."""
+    from tradecat_spark.operators.latest import topn_per_group
+
+    e = topn_per_group(_series(spark, sf_dir), ["event_type"], "ts", TAIL_BARS)
+    series = e.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "value"))).alias("pairs")
+    )
+    vals = F.transform(F.col("pairs"), lambda p: p["value"])
+    n = F.size("pairs")
+    diffs = F.zip_with(
+        F.slice(vals, 2, F.greatest(n - 1, F.lit(0))),
+        F.slice(vals, 1, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: a - b,
+    )
+    d = series.select(
+        "event_type", n.cast("long").alias("n_obs"), diffs.alias("diffs")
+    )
+
+    def _rsi_last(p: int) -> Column:
+        a = 1.0 / p
+        zero = F.lit(0.0)
+
+        def fold(sign: float) -> Column:
+            return F.aggregate(
+                F.col("diffs"),
+                zero,
+                lambda acc, x: acc * F.lit(1.0 - a)
+                + F.greatest(x * F.lit(sign), zero) * F.lit(a),
+            )
+
+        g, l = fold(1.0), fold(-1.0)  # noqa: E741
+        return (
+            F.when(g + l == 0, F.lit(50.0))
+            .when(l == 0, F.lit(100.0))
+            .otherwise(F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + g / l))
+        )
+
+    total = _rsi_last(2)
+    for p in range(3, 34):
+        total = total + _rsi_last(p)
+    return d.select(
+        "event_type",
+        F.round(total / F.lit(32.0), 6).alias("harmonic_score"),
+        "n_obs",
+    )
