@@ -41,6 +41,8 @@ _GATE_PRIORITY = (
     "ind_liquidity_profile",
     "ind_fib_vwma_bands",
     "ind_harmonic_score",
+    "ind_scalping_emas",
+    "ind_trend_cloud_side",
     # new last round, never driver-checked yet
     "retention_policy_plan",
     "chart_market_vpvr_heat",

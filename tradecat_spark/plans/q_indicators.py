@@ -1308,3 +1308,94 @@ def ind_harmonic_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(total / F.lit(32.0), 6).alias("harmonic_score"),
         "n_obs",
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 scalping + trend cloud — single-fold classes, oracle-matched
+# ---------------------------------------------------------------------------
+_TWO_EMA_ORACLE = """
+WITH tail AS (
+  SELECT event_type, ts, value FROM (
+    SELECT event_type, ts, value,
+      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts DESC) AS rn
+    FROM events) t WHERE rn <= 500
+),
+series AS (
+  SELECT event_type, list(value ORDER BY ts) AS vals
+  FROM tail GROUP BY event_type
+),
+f AS (
+  SELECT event_type, vals[len(vals)] AS close,
+    list_reduce(vals, (acc, x) -> acc * (1.0::DOUBLE - {a1}::DOUBLE)
+                + x * {a1}::DOUBLE) AS e1,
+    list_reduce(vals, (acc, x) -> acc * (1.0::DOUBLE - {a2}::DOUBLE)
+                + x * {a2}::DOUBLE) AS e2
+  FROM series
+)
+"""
+
+
+@query(
+    "ind_scalping_emas",
+    survey="§2.9 scalping (batch/scalping.py): EMA5 vs EMA13 cross state",
+    description="Scalp fast/slow EMA final values + long/short signal per event_type",
+    oracle=(
+        _TWO_EMA_ORACLE.replace("{a1}", repr(2.0 / 6.0)).replace("{a2}", repr(2.0 / 14.0))
+        + """
+SELECT event_type,
+  ROUND(e1, 6) AS scalp_fast,
+  ROUND(e2, 6) AS scalp_slow,
+  CASE WHEN e1 > e2 THEN 'long' ELSE 'short' END AS scalp_signal
+FROM f
+"""
+    ),
+)
+def ind_scalping_emas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two folds over one collected tail; the signal compares the raw
+    (un-rounded) folds, identical doubles on both engines."""
+    from tradecat_spark.operators.latest import topn_per_group
+
+    e = topn_per_group(_series(spark, sf_dir), ["event_type"], "ts", TAIL_BARS)
+    series = e.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "value"))).alias("pairs")
+    )
+    vals = F.transform(F.col("pairs"), lambda p: p["value"])
+    fast, slow = ema_fold(vals, 2.0 / 6.0), ema_fold(vals, 2.0 / 14.0)
+    return series.select(
+        "event_type",
+        F.round(fast, 6).alias("scalp_fast"),
+        F.round(slow, 6).alias("scalp_slow"),
+        F.when(fast > slow, "long").otherwise("short").alias("scalp_signal"),
+    )
+
+
+@query(
+    "ind_trend_cloud_side",
+    survey="§2.9 trend cloud (batch/tv_trend_cloud.py): SMMA200 "
+    "(Wilder ewm alpha=1/200) + which side the close sits on",
+    description="SMMA200 final value and cloud side per event_type",
+    oracle=(
+        _TWO_EMA_ORACLE.replace("{a1}", repr(1.0 / 200.0)).replace("{a2}", repr(1.0 / 200.0))
+        + """
+SELECT event_type,
+  ROUND(e1, 6) AS smma200,
+  CASE WHEN close >= e1 THEN 'above' ELSE 'below' END AS cloud_side
+FROM f
+"""
+    ),
+)
+def ind_trend_cloud_side(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tradecat_spark.operators.latest import topn_per_group
+
+    e = topn_per_group(_series(spark, sf_dir), ["event_type"], "ts", TAIL_BARS)
+    series = e.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "value"))).alias("pairs")
+    )
+    vals = F.transform(F.col("pairs"), lambda p: p["value"])
+    smma = ema_fold(vals, 1.0 / 200.0)
+    close = F.element_at(vals, F.size("pairs"))
+    return series.select(
+        "event_type",
+        F.round(smma, 6).alias("smma200"),
+        F.when(close >= smma, "above").otherwise("below").alias("cloud_side"),
+    )
