@@ -1399,3 +1399,153 @@ def ind_trend_cloud_side(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(smma, 6).alias("smma200"),
         F.when(close >= smma, "above").otherwise("below").alias("cloud_side"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 zero-lag — ZLEMA70 ± max(ATR70 over 210 bars) × 1.2
+# ---------------------------------------------------------------------------
+_ZL_LAG = (70 - 1) // 2  # 34
+_ZL_ALPHA = repr(2.0 / 71.0)
+_ATR_ALPHA = repr(1.0 / 70.0)
+
+_ZL_ORACLE = f"""
+WITH bars AS (
+  SELECT event_type,
+    time_bucket(INTERVAL '1 hour', ts) AS b,
+    max(value) AS high, min(value) AS low, max_by(value, ts) AS close
+  FROM events GROUP BY 1, 2
+),
+tail AS (
+  SELECT * FROM (
+    SELECT event_type, b, high, low, close,
+      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY b DESC) AS rn
+    FROM bars) t WHERE rn <= 500
+),
+arr AS (
+  SELECT event_type,
+    list(high ORDER BY b) AS hi,
+    list(low ORDER BY b) AS lo,
+    list(close ORDER BY b) AS cl,
+    COUNT(*) AS n
+  FROM tail GROUP BY event_type
+),
+d AS (
+  SELECT event_type, cl, n,
+    list_transform(range({_ZL_LAG + 1}, n + 1),
+                   i -> 2 * cl[i] - cl[i - {_ZL_LAG}]) AS delag,
+    list_transform(range(1, n + 1),
+      i -> CASE WHEN i = 1 THEN hi[1] - lo[1]
+           ELSE greatest(hi[i] - lo[i], abs(hi[i] - cl[i - 1]),
+                         abs(lo[i] - cl[i - 1])) END) AS tr
+  FROM arr
+),
+f AS (
+  SELECT event_type, cl[n] AS close, n,
+    CASE WHEN n > {_ZL_LAG} THEN
+      list_reduce(delag, (acc, x) -> acc * (1.0::DOUBLE - {_ZL_ALPHA}::DOUBLE)
+                  + x * {_ZL_ALPHA}::DOUBLE)
+    END AS zl,
+    list_aggregate(
+      list_transform(range(greatest(1, n - 209), n + 1),
+        i -> list_reduce(list_slice(tr, 1, i),
+               (acc, x) -> acc * (1.0::DOUBLE - {_ATR_ALPHA}::DOUBLE)
+               + x * {_ATR_ALPHA}::DOUBLE)),
+      'max') * 1.2 AS band
+  FROM d
+)
+SELECT event_type,
+  ROUND(zl, 6) AS zlema,
+  ROUND(zl + band, 6) AS zl_upper,
+  ROUND(zl - band, 6) AS zl_lower,
+  CASE WHEN close > zl + band THEN 'bull'
+       WHEN close < zl - band THEN 'bear'
+       ELSE 'range' END AS zl_state
+FROM f
+"""
+
+
+@query(
+    "ind_zero_lag_bands",
+    survey="§2.9 zero-lag (batch/tv_zero_lag.py, super_trend.py:17-107): "
+    "ZLEMA70 of the de-lagged close ± 1.2 × highest ATR70 of the last "
+    "210 bars, band state vs close",
+    description="Zero-lag trend bands per event_type over 1h bars",
+    oracle=_ZL_ORACLE,
+)
+def ind_zero_lag_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ATR series needs per-position prefix folds (no scan
+    primitive in either engine) — bounded at 210 positions × ≤500-bar
+    folds per key, pure JVM expression work after one tail collect.
+    ZLEMA seeds with the first valid de-lagged value exactly like
+    pandas ewm skipping the shift-NaN head (functions/ta.py zlema)."""
+    from tradecat_spark.operators.latest import topn_per_group
+    from tradecat_spark.operators.rollup import bucket_ts
+
+    bars = _series(spark, sf_dir).groupBy(
+        "event_type", bucket_ts("ts", 3600).alias("b")
+    ).agg(
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+    )
+    tail = topn_per_group(bars, ["event_type"], "b", TAIL_BARS)
+    arr = tail.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("b", "high", "low", "close"))
+        ).alias("rows")
+    )
+    hi = F.transform(F.col("rows"), lambda r: r["high"])
+    lo = F.transform(F.col("rows"), lambda r: r["low"])
+    cl = F.transform(F.col("rows"), lambda r: r["close"])
+    n = F.size("rows")
+    a_zl, a_atr = 2.0 / 71.0, 1.0 / 70.0
+    x = arr.select(
+        "event_type", cl.alias("cl"), n.alias("n"),
+        F.transform(
+            F.sequence(F.lit(_ZL_LAG + 1), n),
+            lambda i: 2 * F.element_at(cl, i) - F.element_at(cl, i - _ZL_LAG),
+        ).alias("delag"),
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.when(
+                i == 1, F.element_at(hi, 1) - F.element_at(lo, 1)
+            ).otherwise(
+                F.greatest(
+                    F.element_at(hi, i) - F.element_at(lo, i),
+                    F.abs(F.element_at(hi, i) - F.element_at(cl, i - 1)),
+                    F.abs(F.element_at(lo, i) - F.element_at(cl, i - 1)),
+                )
+            ),
+        ).alias("tr"),
+    )
+    zl = F.when(
+        F.col("n") > _ZL_LAG,
+        F.aggregate(
+            F.slice(F.col("delag"), 2, F.greatest(F.size("delag") - 1, F.lit(0))),
+            F.element_at(F.col("delag"), 1).cast("double"),
+            lambda acc, v: acc * F.lit(1.0 - a_zl) + v * F.lit(a_zl),
+        ),
+    )
+    atr_tail = F.transform(
+        F.sequence(F.greatest(F.lit(1), F.col("n") - 209), F.col("n")),
+        lambda i: F.aggregate(
+            F.slice(F.col("tr"), 2, i - 1),
+            F.element_at(F.col("tr"), 1).cast("double"),
+            lambda acc, v: acc * F.lit(1.0 - a_atr) + v * F.lit(a_atr),
+        ),
+    )
+    band = F.array_max(atr_tail) * 1.2
+    close = F.element_at(F.col("cl"), F.col("n"))
+    y = x.select(
+        "event_type", close.alias("close"), zl.alias("zl"), band.alias("band")
+    )
+    return y.select(
+        "event_type",
+        F.round("zl", 6).alias("zlema"),
+        F.round(F.col("zl") + F.col("band"), 6).alias("zl_upper"),
+        F.round(F.col("zl") - F.col("band"), 6).alias("zl_lower"),
+        F.when(F.col("close") > F.col("zl") + F.col("band"), "bull")
+        .when(F.col("close") < F.col("zl") - F.col("band"), "bear")
+        .otherwise("range")
+        .alias("zl_state"),
+    )
