@@ -44,6 +44,7 @@ _GATE_PRIORITY = (
     "ind_scalping_emas",
     "ind_trend_cloud_side",
     "ind_zero_lag_bands",
+    "ind_adx_di",
     # new last round, never driver-checked yet
     "retention_policy_plan",
     "chart_market_vpvr_heat",

@@ -217,3 +217,26 @@ def test_trend_line_matches_pine_model():
         out = i_trend_line(df)
         assert out["tl_direction"] == want_dir, seed
         assert out["tl_dist_pct"] == pytest.approx(want_dist, abs=1e-9), seed
+
+
+def test_adx_fold_query_matches_pandas(spark, duck, sf_dir):
+    """The ind_adx_di struct fold must reproduce functions/ta.adx
+    (the applyInPandas surface's ADX) at 6dp on the same 1h bar tails."""
+    import tradecat_spark.functions.ta as ta
+    from tradecat_spark.plans.registry import load_all
+
+    q = (
+        load_all()["ind_adx_di"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type")
+    )
+    bars = duck.execute("""
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS b,
+        max(value) AS high, min(value) AS low, max_by(value, ts) AS close
+      FROM events GROUP BY 1,2 ORDER BY 1,2
+    """).df()
+    for et, g in bars.groupby("event_type"):
+        tail = g.sort_values("b").tail(500)
+        a, p, m = ta.adx(tail["high"], tail["low"], tail["close"], 14)
+        assert q.loc[et, "adx"] == round(a.iloc[-1], 6), et
+        assert q.loc[et, "plus_di"] == round(p.iloc[-1], 6), et
+        assert q.loc[et, "minus_di"] == round(m.iloc[-1], 6), et

@@ -869,11 +869,13 @@ folded AS (
   SELECT event_type, len(vals) AS n_bars,
     list_reduce(
       list_transform(vals, x -> struct_pack(k := x, d := x)),
-      -- NOTE: d is listed BEFORE k. DuckDB 1.0's list_reduce evaluates
-      -- struct fields in order against a mutating accumulator, so a
-      -- field referencing acc.k after k was assigned would see the NEW
-      -- k; putting d first makes both fields read the previous step's
-      -- values (validated bit-exact vs a sequential Python fold).
+      -- NOTE: d is listed BEFORE k. DuckDB 1.0's list_reduce is
+      -- functional on the FIRST fold step but mutates the accumulator
+      -- field-by-field from the second step on (see ind_adx_di), so
+      -- the only order-stable contract is to never read an acc field
+      -- assigned earlier in the struct_pack; putting d first keeps
+      -- both fields reading the previous step's values in both
+      -- regimes (validated bit-exact vs a sequential Python fold).
       (acc, x) -> struct_pack(
         d := (2 * acc.d + (2 * acc.k + x.k) / 3) / 3,
         k := (2 * acc.k + x.k) / 3
@@ -1548,4 +1550,154 @@ def ind_zero_lag_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("close") < F.col("zl") - F.col("band"), "bear")
         .otherwise("range")
         .alias("zl_state"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 ADX/±DI — three coupled Wilder recurrences in ONE struct fold
+# ---------------------------------------------------------------------------
+_ADX_A = repr(1.0 / 14.0)
+_ADX_1MA = repr(1.0 - 1.0 / 14.0)
+
+# New smoother values, inlined wherever a field needs the post-update
+# rma (dx_i reads the rma AT i).  All acc.* references are to fields
+# assigned LATER in the struct_pack — the only contract stable under
+# BOTH of DuckDB list_reduce's observed regimes (functional on the
+# first fold step, accumulator-mutating field-by-field from the second
+# step on; verified empirically on 1.0.0 with a [s, z] fold where
+# z := acc.z + (acc.s + x.s) sees the new s from step 2).
+_NSP = (
+    "(acc.sp * {_ADX_1MA}::DOUBLE + (CASE WHEN (x.h - acc.h) > (acc.l - x.l)"
+    " AND (x.h - acc.h) > 0 THEN x.h - acc.h ELSE 0.0::DOUBLE END)"
+    " * {_ADX_A}::DOUBLE)"
+)
+_NSM = (
+    "(acc.sm * {_ADX_1MA}::DOUBLE + (CASE WHEN (acc.l - x.l) > (x.h - acc.h)"
+    " AND (acc.l - x.l) > 0 THEN acc.l - x.l ELSE 0.0::DOUBLE END)"
+    " * {_ADX_A}::DOUBLE)"
+)
+_NST = (
+    "(acc.st * {_ADX_1MA}::DOUBLE + greatest(x.h - x.l, abs(x.h - acc.c),"
+    " abs(x.l - acc.c)) * {_ADX_A}::DOUBLE)"
+)
+
+_ADX_ORACLE = """
+WITH bars AS ({bars}),
+series AS (
+  SELECT event_type,
+    list(struct_pack(
+      adx := 0.0::DOUBLE, sp := 0.0::DOUBLE, sm := 0.0::DOUBLE,
+      st := high - low, h := high, l := low, c := close
+    ) ORDER BY bucket_ts) AS vals,
+    COUNT(*) AS n_bars
+  FROM bars GROUP BY event_type
+),
+folded AS (
+  SELECT event_type, n_bars,
+    list_reduce(vals, (acc, x) -> struct_pack(
+      adx := acc.adx * {_ADX_1MA}::DOUBLE
+             + (CASE WHEN {_NST} = 0 THEN 0.0::DOUBLE
+                     WHEN 100 * {_NSP} / {_NST} + 100 * {_NSM} / {_NST} = 0
+                       THEN 0.0::DOUBLE
+                     ELSE 100 * abs(100 * {_NSP} / {_NST} - 100 * {_NSM} / {_NST})
+                          / (100 * {_NSP} / {_NST} + 100 * {_NSM} / {_NST})
+                END) * {_ADX_A}::DOUBLE,
+      sp := {_NSP},
+      sm := {_NSM},
+      st := {_NST},
+      h := x.h, l := x.l, c := x.c
+    )) AS s
+  FROM series
+)
+SELECT event_type, CAST(n_bars AS BIGINT) AS n_bars,
+  ROUND(s.adx, 6) AS adx,
+  ROUND(CASE WHEN s.st = 0 THEN NULL ELSE 100 * s.sp / s.st END, 6) AS plus_di,
+  ROUND(CASE WHEN s.st = 0 THEN NULL ELSE 100 * s.sm / s.st END, 6) AS minus_di
+FROM folded
+""".replace("{_ADX_A}", _ADX_A).replace("{_ADX_1MA}", _ADX_1MA).replace(
+    "{_NSP}", _NSP.replace("{_ADX_A}", _ADX_A).replace("{_ADX_1MA}", _ADX_1MA)
+).replace(
+    "{_NSM}", _NSM.replace("{_ADX_A}", _ADX_A).replace("{_ADX_1MA}", _ADX_1MA)
+).replace(
+    "{_NST}", _NST.replace("{_ADX_A}", _ADX_A).replace("{_ADX_1MA}", _ADX_1MA)
+)
+
+
+@query(
+    "ind_adx_di",
+    survey="§2.9 ADX/±DI 14 (lean_indicators.py:88-130): Wilder rma of "
+    "±DM and TR plus the rma of DX — three coupled recurrences advanced "
+    "together in one struct fold per key (functions/ta.py adx)",
+    description="Final ADX and ±DI per event_type via one sequential struct fold",
+    oracle=_ADX_ORACLE.format(bars=_TAIL_BARS_1H_SQL),
+)
+def ind_adx_di(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeds mirror pandas: ±DM smoothers start at the fillna(0) first
+    diff, the TR smoother at the first bar's high-low (prev-close NaN
+    is fmax-ignored), the DX smoother at 0 (0/0 → NaN → fillna).
+    dx_i reads the rma values AT i (post-update), matching the series
+    form; Spark's functional lambda computes the same values the
+    DuckDB fold produces under the field-order contract above —
+    pinned bit-exact against functions/ta.adx in
+    tests/test_indicators.py."""
+    bars = _bars_1h_tail(spark, sf_dir)
+    series = bars.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("bucket_ts", "high", "low", "close"))
+        ).alias("rows")
+    )
+    a = 1.0 / 14.0
+    one_m = F.lit(1.0 - a)
+    al = F.lit(a)
+    zero = F.lit(0.0)
+
+    first = F.element_at(F.col("rows"), 1)
+    seed = F.struct(
+        zero.alias("adx"), zero.alias("sp"), zero.alias("sm"),
+        (first["high"] - first["low"]).alias("st"),
+        first["high"].alias("h"), first["low"].alias("l"),
+        first["close"].alias("c"),
+    )
+
+    def step(acc, x):
+        up = x["high"] - acc["h"]
+        dn = acc["l"] - x["low"]
+        pdm = F.when((up > dn) & (up > 0), up).otherwise(zero)
+        mdm = F.when((dn > up) & (dn > 0), dn).otherwise(zero)
+        tr = F.greatest(
+            x["high"] - x["low"],
+            F.abs(x["high"] - acc["c"]),
+            F.abs(x["low"] - acc["c"]),
+        )
+        nsp = acc["sp"] * one_m + pdm * al
+        nsm = acc["sm"] * one_m + mdm * al
+        nst = acc["st"] * one_m + tr * al
+        pdi = 100 * nsp / nst
+        mdi = 100 * nsm / nst
+        dx = (
+            F.when(nst == 0, zero)
+            .when(pdi + mdi == 0, zero)
+            .otherwise(100 * F.abs(pdi - mdi) / (pdi + mdi))
+        )
+        return F.struct(
+            (acc["adx"] * one_m + dx * al).alias("adx"),
+            nsp.alias("sp"), nsm.alias("sm"), nst.alias("st"),
+            x["high"].alias("h"), x["low"].alias("l"), x["close"].alias("c"),
+        )
+
+    s = F.aggregate(
+        F.slice(F.col("rows"), 2, F.greatest(F.size("rows") - 1, F.lit(0))),
+        seed,
+        step,
+    )
+    return series.select(
+        "event_type",
+        F.size("rows").cast("long").alias("n_bars"),
+        F.round(s["adx"], 6).alias("adx"),
+        F.round(
+            F.when(s["st"] != 0, 100 * s["sp"] / s["st"]), 6
+        ).alias("plus_di"),
+        F.round(
+            F.when(s["st"] != 0, 100 * s["sm"] / s["st"]), 6
+        ).alias("minus_di"),
     )
