@@ -45,6 +45,7 @@ _GATE_PRIORITY = (
     "ind_trend_cloud_side",
     "ind_zero_lag_bands",
     "ind_adx_di",
+    "ind_supertrend_fold",
     # new last round, never driver-checked yet
     "retention_policy_plan",
     "chart_market_vpvr_heat",

@@ -240,3 +240,27 @@ def test_adx_fold_query_matches_pandas(spark, duck, sf_dir):
         assert q.loc[et, "adx"] == round(a.iloc[-1], 6), et
         assert q.loc[et, "plus_di"] == round(p.iloc[-1], 6), et
         assert q.loc[et, "minus_di"] == round(m.iloc[-1], 6), et
+
+
+def test_supertrend_fold_query_matches_pandas(spark, duck, sf_dir):
+    """ind_supertrend_fold must reproduce functions/ta.supertrend on
+    the same 1h bar tails (line at 6dp, direction exactly)."""
+    import tradecat_spark.functions.ta as ta
+    from tradecat_spark.plans.registry import load_all
+
+    q = (
+        load_all()["ind_supertrend_fold"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type")
+    )
+    bars = duck.execute("""
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS b,
+        max(value) AS high, min(value) AS low, max_by(value, ts) AS close
+      FROM events GROUP BY 1,2 ORDER BY 1,2
+    """).df()
+    for et, g in bars.groupby("event_type"):
+        tail = g.sort_values("b").tail(500)
+        line, direction = ta.supertrend(
+            tail["high"], tail["low"], tail["close"], 10, 3.0
+        )
+        assert q.loc[et, "st_line"] == round(line.iloc[-1], 6), et
+        assert q.loc[et, "st_dir"] == direction.iloc[-1], et

@@ -1701,3 +1701,142 @@ def ind_adx_di(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(s["st"] != 0, 100 * s["sm"] / s["st"]), 6
         ).alias("minus_di"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 SuperTrend — Wilder-ATR band flips as ONE struct fold
+# ---------------------------------------------------------------------------
+_ST_A = repr(1.0 / 10.0)
+_ST_1MA = repr(1.0 - 1.0 / 10.0)
+
+# order-stable contract (see ind_adx_di): fields only read acc fields
+# assigned LATER; dir inlines the new fu/fl/atr expressions.
+_ST_NATR = (
+    "(acc.atr * {_ST_1MA}::DOUBLE + greatest(x.h - x.l, abs(x.h - acc.c),"
+    " abs(x.l - acc.c)) * {_ST_A}::DOUBLE)"
+)
+_ST_NFU = (
+    "(CASE WHEN ((x.h + x.l) / 2 + 3.0 * {_ST_NATR}) < acc.fu"
+    " OR acc.c > acc.fu THEN ((x.h + x.l) / 2 + 3.0 * {_ST_NATR})"
+    " ELSE acc.fu END)"
+)
+_ST_NFL = (
+    "(CASE WHEN ((x.h + x.l) / 2 - 3.0 * {_ST_NATR}) > acc.fl"
+    " OR acc.c < acc.fl THEN ((x.h + x.l) / 2 - 3.0 * {_ST_NATR})"
+    " ELSE acc.fl END)"
+)
+
+_ST_ORACLE = """
+WITH bars AS ({bars}),
+series AS (
+  SELECT event_type,
+    list(struct_pack(
+      dir := 1.0::DOUBLE,
+      fu := (high + low) / 2 + 3.0 * (high - low),
+      fl := (high + low) / 2 - 3.0 * (high - low),
+      atr := high - low, h := high, l := low, c := close
+    ) ORDER BY bucket_ts) AS vals,
+    COUNT(*) AS n_bars
+  FROM bars GROUP BY event_type
+),
+folded AS (
+  SELECT event_type, n_bars,
+    list_reduce(vals, (acc, x) -> struct_pack(
+      dir := CASE WHEN x.c > {_ST_NFU} THEN 1.0::DOUBLE
+                  WHEN x.c < {_ST_NFL} THEN -1.0::DOUBLE
+                  ELSE acc.dir END,
+      fu := {_ST_NFU},
+      fl := {_ST_NFL},
+      atr := {_ST_NATR},
+      h := x.h, l := x.l, c := x.c
+    )) AS s
+  FROM series
+)
+SELECT event_type, CAST(n_bars AS BIGINT) AS n_bars,
+  ROUND(CASE WHEN s.dir = 1.0 THEN s.fl ELSE s.fu END, 6) AS st_line,
+  s.dir AS st_dir,
+  CASE WHEN s.dir > 0 THEN 'up' ELSE 'down' END AS st_state
+FROM folded
+""".replace("{_ST_NFU}", _ST_NFU).replace("{_ST_NFL}", _ST_NFL).replace(
+    "{_ST_NATR}", _ST_NATR
+).replace("{_ST_A}", _ST_A).replace("{_ST_1MA}", _ST_1MA)
+
+
+@query(
+    "ind_supertrend_fold",
+    survey="§2.9 SuperTrend 10/3.0 (lean_indicators.py:29-84, "
+    "functions/ta.py supertrend): Wilder ATR, conditional band carry, "
+    "trend flips — the flagship path-dependent recurrence as one fold",
+    description="Final SuperTrend line/direction/state per event_type",
+    oracle=_ST_ORACLE.format(bars=_TAIL_BARS_1H_SQL),
+)
+def ind_supertrend_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State = (dir, fu, fl, atr, prev h/l/c). Each bar advances the
+    ATR, carries or resets the final bands (band ratchet: the upper
+    band only moves down unless the prev close broke it), and flips
+    the direction against the NEW bands — the exact per-row loop of
+    the pandas reference, pinned bit-exact by
+    tests/test_indicators.py::test_supertrend_fold_query_matches_pandas."""
+    bars = _bars_1h_tail(spark, sf_dir)
+    series = bars.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("bucket_ts", "high", "low", "close"))
+        ).alias("rows")
+    )
+    a = 1.0 / 10.0
+    one_m = F.lit(1.0 - a)
+    al = F.lit(a)
+
+    first = F.element_at(F.col("rows"), 1)
+    atr0 = first["high"] - first["low"]
+    mid0 = (first["high"] + first["low"]) / 2
+    seed = F.struct(
+        F.lit(1.0).alias("dir"),
+        (mid0 + 3.0 * atr0).alias("fu"),
+        (mid0 - 3.0 * atr0).alias("fl"),
+        atr0.alias("atr"),
+        first["high"].alias("h"), first["low"].alias("l"),
+        first["close"].alias("c"),
+    )
+
+    def step(acc, x):
+        tr = F.greatest(
+            x["high"] - x["low"],
+            F.abs(x["high"] - acc["c"]),
+            F.abs(x["low"] - acc["c"]),
+        )
+        natr = acc["atr"] * one_m + tr * al
+        mid = (x["high"] + x["low"]) / 2
+        upper = mid + 3.0 * natr
+        lower = mid - 3.0 * natr
+        nfu = F.when(
+            (upper < acc["fu"]) | (acc["c"] > acc["fu"]), upper
+        ).otherwise(acc["fu"])
+        nfl = F.when(
+            (lower > acc["fl"]) | (acc["c"] < acc["fl"]), lower
+        ).otherwise(acc["fl"])
+        ndir = (
+            F.when(x["close"] > nfu, F.lit(1.0))
+            .when(x["close"] < nfl, F.lit(-1.0))
+            .otherwise(acc["dir"])
+        )
+        return F.struct(
+            ndir.alias("dir"), nfu.alias("fu"), nfl.alias("fl"),
+            natr.alias("atr"),
+            x["high"].alias("h"), x["low"].alias("l"), x["close"].alias("c"),
+        )
+
+    s = F.aggregate(
+        F.slice(F.col("rows"), 2, F.greatest(F.size("rows") - 1, F.lit(0))),
+        seed,
+        step,
+    )
+    return series.select(
+        "event_type",
+        F.size("rows").cast("long").alias("n_bars"),
+        F.round(
+            F.when(s["dir"] == 1.0, s["fl"]).otherwise(s["fu"]), 6
+        ).alias("st_line"),
+        s["dir"].alias("st_dir"),
+        F.when(s["dir"] > 0, "up").otherwise("down").alias("st_state"),
+    )
