@@ -46,6 +46,8 @@ _GATE_PRIORITY = (
     "ind_zero_lag_bands",
     "ind_adx_di",
     "ind_supertrend_fold",
+    "ind_ema_gc_regime",
+    "ind_heikin_long_short",
     # new last round, never driver-checked yet
     "retention_policy_plan",
     "chart_market_vpvr_heat",

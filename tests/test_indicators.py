@@ -264,3 +264,28 @@ def test_supertrend_fold_query_matches_pandas(spark, duck, sf_dir):
         )
         assert q.loc[et, "st_line"] == round(line.iloc[-1], 6), et
         assert q.loc[et, "st_dir"] == direction.iloc[-1], et
+
+
+def test_heikin_fold_query_matches_pandas(spark, duck, sf_dir):
+    """ind_heikin_long_short must reproduce functions/ta.heikin_ashi
+    on the same 1h OHLC tails."""
+    import tradecat_spark.functions.ta as ta
+    from tradecat_spark.plans.registry import load_all
+
+    q = (
+        load_all()["ind_heikin_long_short"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type")
+    )
+    bars = duck.execute("""
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS b,
+        min_by(value, ts) AS open, max(value) AS high,
+        min(value) AS low, max_by(value, ts) AS close
+      FROM events GROUP BY 1,2 ORDER BY 1,2
+    """).df()
+    for et, g in bars.groupby("event_type"):
+        tail = g.sort_values("b").tail(500)
+        ho, hc = ta.heikin_ashi(
+            tail["open"], tail["high"], tail["low"], tail["close"], 10, 10
+        )
+        assert q.loc[et, "ha_open"] == round(ho.iloc[-1], 6), et
+        assert q.loc[et, "ha_close"] == round(hc.iloc[-1], 6), et

@@ -1840,3 +1840,189 @@ def ind_supertrend_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         s["dir"].alias("st_dir"),
         F.when(s["dir"] > 0, "up").otherwise("down").alias("st_state"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 EMA-GC regime + smoothed Heikin-Ashi long/short — fold queries
+# ---------------------------------------------------------------------------
+_EMA3_ORACLE = """
+WITH tail AS (
+  SELECT event_type, ts, value FROM (
+    SELECT event_type, ts, value,
+      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts DESC) AS rn
+    FROM events) t WHERE rn <= 500
+),
+series AS (
+  SELECT event_type, list(value ORDER BY ts) AS vals
+  FROM tail GROUP BY event_type
+),
+f AS (
+  SELECT event_type,
+    list_reduce(vals, (acc, x) -> acc * (1.0::DOUBLE - {a7}::DOUBLE)
+                + x * {a7}::DOUBLE) AS e7,
+    list_reduce(vals, (acc, x) -> acc * (1.0::DOUBLE - {a25}::DOUBLE)
+                + x * {a25}::DOUBLE) AS e25,
+    list_reduce(vals, (acc, x) -> acc * (1.0::DOUBLE - {a99}::DOUBLE)
+                + x * {a99}::DOUBLE) AS e99
+  FROM series
+)
+SELECT event_type,
+  ROUND(e7, 6) AS ema7, ROUND(e25, 6) AS ema25, ROUND(e99, 6) AS ema99,
+  CASE WHEN e7 > e25 AND e25 > e99 THEN 'bull_stack'
+       WHEN e7 < e25 AND e25 < e99 THEN 'bear_stack'
+       ELSE 'tangled' END AS regime,
+  ROUND(100 * (1 - exp(-(CASE WHEN e99 <> 0 THEN abs(e7 - e99) / e99
+                              ELSE 0.0::DOUBLE END) / 0.05)), 6) AS bw_score
+FROM f
+""".replace("{a7}", repr(2.0 / 8.0)).replace("{a25}", repr(2.0 / 26.0)).replace(
+    "{a99}", repr(2.0 / 100.0)
+)
+
+
+@query(
+    "ind_ema_gc_regime",
+    survey="§2.9 EMA-GC (incremental/ema_gc.py:9-59): EMA7/25/99 stack "
+    "regime labels + exponential bandwidth score",
+    description="EMA7/25/99 regime + bw score per event_type via three folds",
+    oracle=_EMA3_ORACLE,
+)
+def ind_ema_gc_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tradecat_spark.operators.latest import topn_per_group
+
+    e = topn_per_group(_series(spark, sf_dir), ["event_type"], "ts", TAIL_BARS)
+    series = e.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "value"))).alias("pairs")
+    )
+    vals = F.transform(F.col("pairs"), lambda p: p["value"])
+    e7 = ema_fold(vals, 2.0 / 8.0)
+    e25 = ema_fold(vals, 2.0 / 26.0)
+    e99 = ema_fold(vals, 2.0 / 100.0)
+    bw = F.when(e99 != 0, F.abs(e7 - e99) / e99).otherwise(F.lit(0.0))
+    return series.select(
+        "event_type",
+        F.round(e7, 6).alias("ema7"),
+        F.round(e25, 6).alias("ema25"),
+        F.round(e99, 6).alias("ema99"),
+        F.when((e7 > e25) & (e25 > e99), "bull_stack")
+        .when((e7 < e25) & (e25 < e99), "bear_stack")
+        .otherwise("tangled")
+        .alias("regime"),
+        F.round(100 * (1 - F.exp(-bw / 0.05)), 6).alias("bw_score"),
+    )
+
+
+_HA_A = repr(2.0 / 11.0)  # EMA(10) smoothing for the input legs
+
+_HA_ORACLE = """
+WITH bars AS ({bars}),
+series AS (
+  SELECT event_type,
+    -- order-stable field contract (see ind_adx_di): ha_o first (reads
+    -- only acc.ha_o/ha_c, assigned at-or-after), ha_c inlines the new
+    -- EMA registers, the registers come last.
+    list(struct_pack(
+      so := (open + close) / 2,
+      sc := (open + high + low + close) / 4,
+      ha_o := (open + close) / 2,
+      ha_c := (open + high + low + close) / 4,
+      eo := open, eh := high, el := low, ec := close
+    ) ORDER BY bucket_ts) AS vals,
+    COUNT(*) AS n_bars
+  FROM bars GROUP BY event_type
+),
+folded AS (
+  SELECT event_type, n_bars,
+    -- so/sc are the EMA(10)s of the HA outputs (the reference smooths
+    -- after as well); they inline the NEW ha_o/ha_c expressions and
+    -- precede every field they read, per the order-stable contract.
+    list_reduce(vals, (acc, x) -> struct_pack(
+      so := acc.so * (1.0::DOUBLE - {_HA_A}::DOUBLE)
+            + ((acc.ha_o + acc.ha_c) / 2) * {_HA_A}::DOUBLE,
+      sc := acc.sc * (1.0::DOUBLE - {_HA_A}::DOUBLE)
+            + (((acc.eo * (1.0::DOUBLE - {_HA_A}::DOUBLE) + x.eo * {_HA_A}::DOUBLE)
+              + (acc.eh * (1.0::DOUBLE - {_HA_A}::DOUBLE) + x.eh * {_HA_A}::DOUBLE)
+              + (acc.el * (1.0::DOUBLE - {_HA_A}::DOUBLE) + x.el * {_HA_A}::DOUBLE)
+              + (acc.ec * (1.0::DOUBLE - {_HA_A}::DOUBLE) + x.ec * {_HA_A}::DOUBLE)) / 4)
+              * {_HA_A}::DOUBLE,
+      ha_o := (acc.ha_o + acc.ha_c) / 2,
+      ha_c := ((acc.eo * (1.0::DOUBLE - {_HA_A}::DOUBLE) + x.eo * {_HA_A}::DOUBLE)
+             + (acc.eh * (1.0::DOUBLE - {_HA_A}::DOUBLE) + x.eh * {_HA_A}::DOUBLE)
+             + (acc.el * (1.0::DOUBLE - {_HA_A}::DOUBLE) + x.el * {_HA_A}::DOUBLE)
+             + (acc.ec * (1.0::DOUBLE - {_HA_A}::DOUBLE) + x.ec * {_HA_A}::DOUBLE)) / 4,
+      eo := acc.eo * (1.0::DOUBLE - {_HA_A}::DOUBLE) + x.eo * {_HA_A}::DOUBLE,
+      eh := acc.eh * (1.0::DOUBLE - {_HA_A}::DOUBLE) + x.eh * {_HA_A}::DOUBLE,
+      el := acc.el * (1.0::DOUBLE - {_HA_A}::DOUBLE) + x.el * {_HA_A}::DOUBLE,
+      ec := acc.ec * (1.0::DOUBLE - {_HA_A}::DOUBLE) + x.ec * {_HA_A}::DOUBLE
+    )) AS s
+  FROM series
+)
+SELECT event_type, CAST(n_bars AS BIGINT) AS n_bars,
+  ROUND(s.so, 6) AS ha_open,
+  ROUND(s.sc, 6) AS ha_close,
+  CASE WHEN s.sc >= s.so THEN 'long' ELSE 'short' END AS ls_signal
+FROM folded
+""".replace("{_HA_A}", _HA_A)
+
+
+@query(
+    "ind_heikin_long_short",
+    survey="§2.9 long/short (batch/tv_long_short.py, functions/ta.py "
+    "heikin_ashi): EMA(10)-smoothed inputs, recursive HA open, final "
+    "long/short flip",
+    description="Smoothed Heikin-Ashi open/close + long/short signal per event_type",
+    oracle=_HA_ORACLE.format(bars=_TAIL_BARS_1H_SQL),
+)
+def ind_heikin_long_short(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State = four EMA registers + the recursive HA pair. ha_o reads
+    the PREVIOUS ha_o/ha_c; ha_c averages the NEW registers (inlined).
+    Seeds mirror the pandas form: registers start at bar 1's raw OHLC,
+    ha_c0 = their mean, ha_o0 = (eo0+ec0)/2. Pinned bit-exact against
+    functions/ta.heikin_ashi in tests/test_indicators.py."""
+    bars = _bars_1h_tail(spark, sf_dir)
+    series = bars.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("bucket_ts", "open", "high", "low", "close")
+            )
+        ).alias("rows")
+    )
+    a = 2.0 / 11.0
+    one_m = F.lit(1.0 - a)
+    al = F.lit(a)
+
+    first = F.element_at(F.col("rows"), 1)
+    ha_o0 = (first["open"] + first["close"]) / 2
+    ha_c0 = (first["open"] + first["high"] + first["low"] + first["close"]) / 4
+    seed = F.struct(
+        ha_o0.alias("so"), ha_c0.alias("sc"),
+        ha_o0.alias("ha_o"), ha_c0.alias("ha_c"),
+        first["open"].alias("eo"), first["high"].alias("eh"),
+        first["low"].alias("el"), first["close"].alias("ec"),
+    )
+
+    def step(acc, x):
+        neo = acc["eo"] * one_m + x["open"] * al
+        neh = acc["eh"] * one_m + x["high"] * al
+        nel = acc["el"] * one_m + x["low"] * al
+        nec = acc["ec"] * one_m + x["close"] * al
+        nha_o = (acc["ha_o"] + acc["ha_c"]) / 2
+        nha_c = (neo + neh + nel + nec) / 4
+        return F.struct(
+            (acc["so"] * one_m + nha_o * al).alias("so"),
+            (acc["sc"] * one_m + nha_c * al).alias("sc"),
+            nha_o.alias("ha_o"), nha_c.alias("ha_c"),
+            neo.alias("eo"), neh.alias("eh"), nel.alias("el"), nec.alias("ec"),
+        )
+
+    s = F.aggregate(
+        F.slice(F.col("rows"), 2, F.greatest(F.size("rows") - 1, F.lit(0))),
+        seed,
+        step,
+    )
+    return series.select(
+        "event_type",
+        F.size("rows").cast("long").alias("n_bars"),
+        F.round(s["so"], 6).alias("ha_open"),
+        F.round(s["sc"], 6).alias("ha_close"),
+        F.when(s["sc"] >= s["so"], "long").otherwise("short").alias("ls_signal"),
+    )
