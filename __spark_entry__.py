@@ -48,6 +48,7 @@ _GATE_PRIORITY = (
     "ind_supertrend_fold",
     "ind_ema_gc_regime",
     "ind_heikin_long_short",
+    "ind_madrid_ribbon",
     # new last round, never driver-checked yet
     "retention_policy_plan",
     "chart_market_vpvr_heat",

@@ -2026,3 +2026,149 @@ def ind_heikin_long_short(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s["sc"], 6).alias("ha_close"),
         F.when(s["sc"] >= s["so"], "long").otherwise("short").alias("ls_signal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 Madrid ribbon — 18 EMAs now + one bar ago = 36 folds, final state
+# ---------------------------------------------------------------------------
+_RIBBON_ORACLE = """
+WITH tail AS (
+  SELECT event_type, ts, value FROM (
+    SELECT event_type, ts, value,
+      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts DESC) AS rn
+    FROM events) t WHERE rn <= 500
+),
+series AS (
+  SELECT event_type, list(value ORDER BY ts) AS vals
+  FROM tail GROUP BY event_type
+),
+f AS (
+  SELECT event_type, len(vals) AS n, vals[len(vals)] AS cur,
+    list_reduce(vals, (acc, x) -> acc * (1.0::DOUBLE - 0.3333333333333333::DOUBLE) + x * 0.3333333333333333::DOUBLE) AS f5,
+    list_reduce(vals, (acc, x) -> acc * (1.0::DOUBLE - 0.18181818181818182::DOUBLE) + x * 0.18181818181818182::DOUBLE) AS f10,
+    list_reduce(vals, (acc, x) -> acc * (1.0::DOUBLE - 0.125::DOUBLE) + x * 0.125::DOUBLE) AS f15,
+    list_reduce(vals, (acc, x) -> acc * (1.0::DOUBLE - 0.09523809523809523::DOUBLE) + x * 0.09523809523809523::DOUBLE) AS f20,
+    list_reduce(vals, (acc, x) -> acc * (1.0::DOUBLE - 0.07692307692307693::DOUBLE) + x * 0.07692307692307693::DOUBLE) AS f25,
+    list_reduce(vals, (acc, x) -> acc * (1.0::DOUBLE - 0.06451612903225806::DOUBLE) + x * 0.06451612903225806::DOUBLE) AS f30,
+    list_reduce(vals, (acc, x) -> acc * (1.0::DOUBLE - 0.05555555555555555::DOUBLE) + x * 0.05555555555555555::DOUBLE) AS f35,
+    list_reduce(vals, (acc, x) -> acc * (1.0::DOUBLE - 0.04878048780487805::DOUBLE) + x * 0.04878048780487805::DOUBLE) AS f40,
+    list_reduce(vals, (acc, x) -> acc * (1.0::DOUBLE - 0.043478260869565216::DOUBLE) + x * 0.043478260869565216::DOUBLE) AS f45,
+    list_reduce(vals, (acc, x) -> acc * (1.0::DOUBLE - 0.0392156862745098::DOUBLE) + x * 0.0392156862745098::DOUBLE) AS f50,
+    list_reduce(vals, (acc, x) -> acc * (1.0::DOUBLE - 0.03571428571428571::DOUBLE) + x * 0.03571428571428571::DOUBLE) AS f55,
+    list_reduce(vals, (acc, x) -> acc * (1.0::DOUBLE - 0.03278688524590164::DOUBLE) + x * 0.03278688524590164::DOUBLE) AS f60,
+    list_reduce(vals, (acc, x) -> acc * (1.0::DOUBLE - 0.030303030303030304::DOUBLE) + x * 0.030303030303030304::DOUBLE) AS f65,
+    list_reduce(vals, (acc, x) -> acc * (1.0::DOUBLE - 0.028169014084507043::DOUBLE) + x * 0.028169014084507043::DOUBLE) AS f70,
+    list_reduce(vals, (acc, x) -> acc * (1.0::DOUBLE - 0.02631578947368421::DOUBLE) + x * 0.02631578947368421::DOUBLE) AS f75,
+    list_reduce(vals, (acc, x) -> acc * (1.0::DOUBLE - 0.024691358024691357::DOUBLE) + x * 0.024691358024691357::DOUBLE) AS f80,
+    list_reduce(vals, (acc, x) -> acc * (1.0::DOUBLE - 0.02197802197802198::DOUBLE) + x * 0.02197802197802198::DOUBLE) AS f90,
+    list_reduce(vals, (acc, x) -> acc * (1.0::DOUBLE - 0.019801980198019802::DOUBLE) + x * 0.019801980198019802::DOUBLE) AS f100,
+    list_reduce(list_slice(vals, 1, len(vals) - 1), (acc, x) -> acc * (1.0::DOUBLE - 0.3333333333333333::DOUBLE) + x * 0.3333333333333333::DOUBLE) AS p5,
+    list_reduce(list_slice(vals, 1, len(vals) - 1), (acc, x) -> acc * (1.0::DOUBLE - 0.18181818181818182::DOUBLE) + x * 0.18181818181818182::DOUBLE) AS p10,
+    list_reduce(list_slice(vals, 1, len(vals) - 1), (acc, x) -> acc * (1.0::DOUBLE - 0.125::DOUBLE) + x * 0.125::DOUBLE) AS p15,
+    list_reduce(list_slice(vals, 1, len(vals) - 1), (acc, x) -> acc * (1.0::DOUBLE - 0.09523809523809523::DOUBLE) + x * 0.09523809523809523::DOUBLE) AS p20,
+    list_reduce(list_slice(vals, 1, len(vals) - 1), (acc, x) -> acc * (1.0::DOUBLE - 0.07692307692307693::DOUBLE) + x * 0.07692307692307693::DOUBLE) AS p25,
+    list_reduce(list_slice(vals, 1, len(vals) - 1), (acc, x) -> acc * (1.0::DOUBLE - 0.06451612903225806::DOUBLE) + x * 0.06451612903225806::DOUBLE) AS p30,
+    list_reduce(list_slice(vals, 1, len(vals) - 1), (acc, x) -> acc * (1.0::DOUBLE - 0.05555555555555555::DOUBLE) + x * 0.05555555555555555::DOUBLE) AS p35,
+    list_reduce(list_slice(vals, 1, len(vals) - 1), (acc, x) -> acc * (1.0::DOUBLE - 0.04878048780487805::DOUBLE) + x * 0.04878048780487805::DOUBLE) AS p40,
+    list_reduce(list_slice(vals, 1, len(vals) - 1), (acc, x) -> acc * (1.0::DOUBLE - 0.043478260869565216::DOUBLE) + x * 0.043478260869565216::DOUBLE) AS p45,
+    list_reduce(list_slice(vals, 1, len(vals) - 1), (acc, x) -> acc * (1.0::DOUBLE - 0.0392156862745098::DOUBLE) + x * 0.0392156862745098::DOUBLE) AS p50,
+    list_reduce(list_slice(vals, 1, len(vals) - 1), (acc, x) -> acc * (1.0::DOUBLE - 0.03571428571428571::DOUBLE) + x * 0.03571428571428571::DOUBLE) AS p55,
+    list_reduce(list_slice(vals, 1, len(vals) - 1), (acc, x) -> acc * (1.0::DOUBLE - 0.03278688524590164::DOUBLE) + x * 0.03278688524590164::DOUBLE) AS p60,
+    list_reduce(list_slice(vals, 1, len(vals) - 1), (acc, x) -> acc * (1.0::DOUBLE - 0.030303030303030304::DOUBLE) + x * 0.030303030303030304::DOUBLE) AS p65,
+    list_reduce(list_slice(vals, 1, len(vals) - 1), (acc, x) -> acc * (1.0::DOUBLE - 0.028169014084507043::DOUBLE) + x * 0.028169014084507043::DOUBLE) AS p70,
+    list_reduce(list_slice(vals, 1, len(vals) - 1), (acc, x) -> acc * (1.0::DOUBLE - 0.02631578947368421::DOUBLE) + x * 0.02631578947368421::DOUBLE) AS p75,
+    list_reduce(list_slice(vals, 1, len(vals) - 1), (acc, x) -> acc * (1.0::DOUBLE - 0.024691358024691357::DOUBLE) + x * 0.024691358024691357::DOUBLE) AS p80,
+    list_reduce(list_slice(vals, 1, len(vals) - 1), (acc, x) -> acc * (1.0::DOUBLE - 0.02197802197802198::DOUBLE) + x * 0.02197802197802198::DOUBLE) AS p90,
+    list_reduce(list_slice(vals, 1, len(vals) - 1), (acc, x) -> acc * (1.0::DOUBLE - 0.019801980198019802::DOUBLE) + x * 0.019801980198019802::DOUBLE) AS p100
+  FROM series
+),
+r AS (
+  SELECT event_type, n, cur, f100,
+    ((CASE WHEN f5 > f100 AND f5 - p5 > 0 THEN 1 ELSE 0 END) + (CASE WHEN f10 > f100 AND f10 - p10 > 0 THEN 1 ELSE 0 END) + (CASE WHEN f15 > f100 AND f15 - p15 > 0 THEN 1 ELSE 0 END) + (CASE WHEN f20 > f100 AND f20 - p20 > 0 THEN 1 ELSE 0 END) + (CASE WHEN f25 > f100 AND f25 - p25 > 0 THEN 1 ELSE 0 END) + (CASE WHEN f30 > f100 AND f30 - p30 > 0 THEN 1 ELSE 0 END) + (CASE WHEN f35 > f100 AND f35 - p35 > 0 THEN 1 ELSE 0 END) + (CASE WHEN f40 > f100 AND f40 - p40 > 0 THEN 1 ELSE 0 END) + (CASE WHEN f45 > f100 AND f45 - p45 > 0 THEN 1 ELSE 0 END) + (CASE WHEN f50 > f100 AND f50 - p50 > 0 THEN 1 ELSE 0 END) + (CASE WHEN f55 > f100 AND f55 - p55 > 0 THEN 1 ELSE 0 END) + (CASE WHEN f60 > f100 AND f60 - p60 > 0 THEN 1 ELSE 0 END) + (CASE WHEN f65 > f100 AND f65 - p65 > 0 THEN 1 ELSE 0 END) + (CASE WHEN f70 > f100 AND f70 - p70 > 0 THEN 1 ELSE 0 END) + (CASE WHEN f75 > f100 AND f75 - p75 > 0 THEN 1 ELSE 0 END) + (CASE WHEN f80 > f100 AND f80 - p80 > 0 THEN 1 ELSE 0 END) + (CASE WHEN f90 > f100 AND f90 - p90 > 0 THEN 1 ELSE 0 END) + (CASE WHEN f100 > f100 AND f100 - p100 > 0 THEN 1 ELSE 0 END)) / 18.0 AS bull,
+    ((CASE WHEN f5 < f100 AND f5 - p5 < 0 THEN 1 ELSE 0 END) + (CASE WHEN f10 < f100 AND f10 - p10 < 0 THEN 1 ELSE 0 END) + (CASE WHEN f15 < f100 AND f15 - p15 < 0 THEN 1 ELSE 0 END) + (CASE WHEN f20 < f100 AND f20 - p20 < 0 THEN 1 ELSE 0 END) + (CASE WHEN f25 < f100 AND f25 - p25 < 0 THEN 1 ELSE 0 END) + (CASE WHEN f30 < f100 AND f30 - p30 < 0 THEN 1 ELSE 0 END) + (CASE WHEN f35 < f100 AND f35 - p35 < 0 THEN 1 ELSE 0 END) + (CASE WHEN f40 < f100 AND f40 - p40 < 0 THEN 1 ELSE 0 END) + (CASE WHEN f45 < f100 AND f45 - p45 < 0 THEN 1 ELSE 0 END) + (CASE WHEN f50 < f100 AND f50 - p50 < 0 THEN 1 ELSE 0 END) + (CASE WHEN f55 < f100 AND f55 - p55 < 0 THEN 1 ELSE 0 END) + (CASE WHEN f60 < f100 AND f60 - p60 < 0 THEN 1 ELSE 0 END) + (CASE WHEN f65 < f100 AND f65 - p65 < 0 THEN 1 ELSE 0 END) + (CASE WHEN f70 < f100 AND f70 - p70 < 0 THEN 1 ELSE 0 END) + (CASE WHEN f75 < f100 AND f75 - p75 < 0 THEN 1 ELSE 0 END) + (CASE WHEN f80 < f100 AND f80 - p80 < 0 THEN 1 ELSE 0 END) + (CASE WHEN f90 < f100 AND f90 - p90 < 0 THEN 1 ELSE 0 END) + (CASE WHEN f100 < f100 AND f100 - p100 < 0 THEN 1 ELSE 0 END)) / 18.0 AS bear
+  FROM f
+)
+SELECT event_type,
+  CASE WHEN n < 100 THEN 'watch'
+       WHEN bull >= 0.7 THEN 'buy'
+       WHEN bear >= 0.7 THEN 'sell'
+       ELSE 'watch' END AS ribbon_signal,
+  CASE WHEN n < 100 THEN 'mixed'
+       WHEN bull >= 0.7 THEN 'bull'
+       WHEN bear >= 0.7 THEN 'bear'
+       WHEN cur > f100 THEN 'bull' ELSE 'bear' END AS ribbon_state,
+  CASE WHEN n < 100 THEN 0.0
+       WHEN bull >= 0.7 THEN ROUND(bull * 10, 3)
+       WHEN bear >= 0.7 THEN ROUND(bear * 10, 3)
+       ELSE ROUND(abs((cur - f100) / f100) * 5, 3) END AS ribbon_strength,
+  CASE WHEN n < 100 THEN 0.0 ELSE ROUND(bull, 2) END AS bull_ratio,
+  CASE WHEN n < 100 THEN 0.0 ELSE ROUND(bear, 2) END AS bear_ratio,
+  CASE WHEN n < 100 THEN NULL ELSE ROUND(f100, 6) END AS ma100
+FROM r
+"""
+
+
+@query(
+    "ind_madrid_ribbon",
+    survey="§2.9 ma_ribbon (batch/tv_volume_signal.py:9-39, "
+    "indicators/library.py i_ribbon): 18-EMA ladder vs EMA100, "
+    "rising/falling agreement ratios, buy/sell/watch ladder",
+    description="Madrid ribbon final signal/state/ratios per event_type",
+    oracle=_RIBBON_ORACLE,
+)
+def ind_madrid_ribbon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each EMA's prior-bar value is the same fold over the array minus
+    its last element — 36 folds total, sharing one tail collect. The
+    insufficient-data branch (< 100 bars) mirrors the pandas
+    placeholder row with NULL ma100 on both engines."""
+    from tradecat_spark.operators.latest import topn_per_group
+
+    periods = [5, 10, 15, 20, 25, 30, 35, 40, 45, 50, 55, 60, 65, 70, 75, 80, 90, 100]
+    e = topn_per_group(_series(spark, sf_dir), ["event_type"], "ts", TAIL_BARS)
+    series = e.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "value"))).alias("pairs")
+    )
+    vals = F.transform(F.col("pairs"), lambda p: p["value"])
+    n = F.size("pairs")
+    head = F.slice(vals, 1, F.greatest(n - 1, F.lit(0)))
+    cur = F.element_at(vals, n)
+    fulls = {p: ema_fold(vals, 2.0 / (p + 1.0)) for p in periods}
+    prevs = {p: ema_fold(head, 2.0 / (p + 1.0)) for p in periods}
+    ma100 = fulls[100]
+    bull = sum(
+        (
+            F.when((fulls[p] > ma100) & (fulls[p] - prevs[p] > 0), 1).otherwise(0)
+            for p in periods
+        ),
+        F.lit(0),
+    ) / 18.0
+    bear = sum(
+        (
+            F.when((fulls[p] < ma100) & (fulls[p] - prevs[p] < 0), 1).otherwise(0)
+            for p in periods
+        ),
+        F.lit(0),
+    ) / 18.0
+    small = n < 100
+    return series.select(
+        "event_type",
+        F.when(small, "watch")
+        .when(bull >= 0.7, "buy")
+        .when(bear >= 0.7, "sell")
+        .otherwise("watch")
+        .alias("ribbon_signal"),
+        F.when(small, "mixed")
+        .when(bull >= 0.7, "bull")
+        .when(bear >= 0.7, "bear")
+        .when(cur > ma100, "bull")
+        .otherwise("bear")
+        .alias("ribbon_state"),
+        F.when(small, 0.0)
+        .when(bull >= 0.7, F.round(bull * 10, 3))
+        .when(bear >= 0.7, F.round(bear * 10, 3))
+        .otherwise(F.round(F.abs((cur - ma100) / ma100) * 5, 3))
+        .alias("ribbon_strength"),
+        F.when(small, 0.0).otherwise(F.round(bull, 2)).alias("bull_ratio"),
+        F.when(small, 0.0).otherwise(F.round(bear, 2)).alias("bear_ratio"),
+        F.when(~small, F.round(ma100, 6)).alias("ma100"),
+    )
