@@ -49,6 +49,7 @@ _GATE_PRIORITY = (
     "ind_ema_gc_regime",
     "ind_heikin_long_short",
     "ind_madrid_ribbon",
+    "ind_smc_structure",
     # new last round, never driver-checked yet
     "retention_policy_plan",
     "chart_market_vpvr_heat",

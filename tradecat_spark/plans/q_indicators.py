@@ -2172,3 +2172,165 @@ def ind_madrid_ribbon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(small, 0.0).otherwise(F.round(bear, 2)).alias("bear_ratio"),
         F.when(~small, F.round(ma100, 6)).alias("ma100"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 SMC — structure breaks / order block / CHoCH from pivot algebra
+# ---------------------------------------------------------------------------
+_SMC_ORACLE = """
+WITH bars AS ({bars}),
+p AS (
+  SELECT event_type, bucket_ts, high, low, close,
+    high > lag(high, 1) OVER w AND high > lag(high, 2) OVER w
+      AND high > lead(high, 1) OVER w AND high > lead(high, 2) OVER w
+      AS is_ph,
+    low < lag(low, 1) OVER w AND low < lag(low, 2) OVER w
+      AND low < lead(low, 1) OVER w AND low < lead(low, 2) OVER w
+      AS is_pl
+  FROM bars
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+),
+g AS (
+  SELECT event_type,
+    max_by(close, bucket_ts) AS cv,
+    list(high ORDER BY bucket_ts) FILTER (WHERE is_ph) AS phs,
+    list(low ORDER BY bucket_ts) FILTER (WHERE is_pl) AS pls
+  FROM p GROUP BY event_type
+),
+d AS (
+  SELECT event_type, cv,
+    CASE WHEN len(phs) >= 1 THEN phs[len(phs)] END AS last_ph,
+    CASE WHEN len(phs) >= 2 THEN phs[len(phs) - 1] END AS ph2,
+    CASE WHEN len(pls) >= 1 THEN pls[len(pls)] END AS last_pl,
+    len(phs) AS nph
+  FROM g
+),
+e AS (
+  SELECT event_type, cv, last_ph, last_pl,
+    CASE WHEN last_ph IS NOT NULL AND cv > last_ph THEN 'bullish'
+         WHEN last_pl IS NOT NULL AND cv < last_pl THEN 'bearish'
+         ELSE 'none' END AS bos,
+    CASE WHEN nph >= 2 AND last_ph >= ph2 THEN 'up' ELSE 'down' END
+      AS prior_trend
+  FROM d
+)
+SELECT event_type, bos,
+  ROUND(CASE WHEN bos = 'bullish' THEN last_pl
+             WHEN bos = 'bearish' THEN last_ph END, 6) AS order_block,
+  CASE WHEN bos = 'bullish' THEN
+         (CASE WHEN prior_trend = 'up' THEN 'BOS_up' ELSE 'CHoCH_up' END)
+       WHEN bos = 'bearish' THEN
+         (CASE WHEN prior_trend = 'down' THEN 'BOS_down' ELSE 'CHoCH_down' END)
+       ELSE 'none' END AS struct_event,
+  CASE WHEN bos = 'bullish' THEN 'bullish'
+       WHEN bos = 'bearish' THEN 'bearish'
+       ELSE 'neutral' END AS smc_bias,
+  ROUND(CASE WHEN bos <> 'none' AND last_ph IS NOT NULL
+              AND last_pl IS NOT NULL AND last_ph - last_pl > 0
+         THEN LEAST(100.0::DOUBLE,
+                    50.0 + (CASE WHEN bos = 'bullish' THEN cv - last_ph
+                                 ELSE last_pl - cv END)
+                           / (last_ph - last_pl) * 100.0)
+         ELSE 0.0::DOUBLE END, 6) AS smc_score
+FROM e
+"""
+
+
+@query(
+    "ind_smc_structure",
+    survey="§2.9 SMC (batch/tv_big_money.py, indicators/library.py "
+    "i_smc): 2-radius swing pivots, break-of-structure vs "
+    "change-of-character, order block, 0-100 break score",
+    description="SMC structure event / bias / order block / score per event_type",
+    oracle=_SMC_ORACLE.format(bars=_TAIL_BARS_1H_SQL),
+)
+def ind_smc_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivots are strict 2-radius extremes via lag/lead over ONE
+    (symbol ORDER BY bucket) sort; the last/second-last pivot values
+    come from a filtered ordered collect; every label and the break
+    score are pure CASE algebra. The +-inf sentinels of the pandas
+    model become NULLs with null-safe comparisons — same decisions,
+    hashable cross-engine."""
+    bars = _bars_1h_tail(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("bucket_ts")
+    h, l = F.col("high"), F.col("low")  # noqa: E741
+    is_ph = (
+        (h > F.lag("high", 1).over(w)) & (h > F.lag("high", 2).over(w))
+        & (h > F.lead("high", 1).over(w)) & (h > F.lead("high", 2).over(w))
+    )
+    is_pl = (
+        (l < F.lag("low", 1).over(w)) & (l < F.lag("low", 2).over(w))
+        & (l < F.lead("low", 1).over(w)) & (l < F.lead("low", 2).over(w))
+    )
+    p = bars.select(
+        "event_type", "bucket_ts", "high", "low", "close",
+        is_ph.alias("is_ph"), is_pl.alias("is_pl"),
+    )
+    g = p.groupBy("event_type").agg(
+        F.max_by("close", "bucket_ts").alias("cv"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("is_ph"), F.struct("bucket_ts", "high"))
+            )
+        ).alias("phs"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("is_pl"), F.struct("bucket_ts", "low"))
+            )
+        ).alias("pls"),
+    )
+    nph = F.size("phs")
+    npl = F.size("pls")
+    last_ph = F.when(nph >= 1, F.element_at("phs", -1)["high"])
+    ph2 = F.when(nph >= 2, F.element_at("phs", -2)["high"])
+    last_pl = F.when(npl >= 1, F.element_at("pls", -1)["low"])
+    d = g.select(
+        "event_type", "cv",
+        last_ph.alias("last_ph"), ph2.alias("ph2"),
+        last_pl.alias("last_pl"), nph.alias("nph"),
+    )
+    bos = (
+        F.when(F.col("last_ph").isNotNull() & (F.col("cv") > F.col("last_ph")), "bullish")
+        .when(F.col("last_pl").isNotNull() & (F.col("cv") < F.col("last_pl")), "bearish")
+        .otherwise("none")
+    )
+    prior = F.when(
+        (F.col("nph") >= 2) & (F.col("last_ph") >= F.col("ph2")), "up"
+    ).otherwise("down")
+    e = d.select("event_type", "cv", "last_ph", "last_pl",
+                 bos.alias("bos"), prior.alias("prior_trend"))
+    rng = F.col("last_ph") - F.col("last_pl")
+    dist = F.when(F.col("bos") == "bullish", F.col("cv") - F.col("last_ph")).otherwise(
+        F.col("last_pl") - F.col("cv")
+    )
+    return e.select(
+        "event_type", "bos",
+        F.round(
+            F.when(F.col("bos") == "bullish", F.col("last_pl"))
+            .when(F.col("bos") == "bearish", F.col("last_ph")), 6
+        ).alias("order_block"),
+        F.when(
+            F.col("bos") == "bullish",
+            F.when(F.col("prior_trend") == "up", "BOS_up").otherwise("CHoCH_up"),
+        )
+        .when(
+            F.col("bos") == "bearish",
+            F.when(F.col("prior_trend") == "down", "BOS_down").otherwise("CHoCH_down"),
+        )
+        .otherwise("none")
+        .alias("struct_event"),
+        F.when(F.col("bos") == "bullish", "bullish")
+        .when(F.col("bos") == "bearish", "bearish")
+        .otherwise("neutral")
+        .alias("smc_bias"),
+        F.round(
+            F.when(
+                (F.col("bos") != "none")
+                & F.col("last_ph").isNotNull()
+                & F.col("last_pl").isNotNull()
+                & (rng > 0),
+                F.least(F.lit(100.0), 50.0 + dist / rng * 100.0),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("smc_score"),
+    )
