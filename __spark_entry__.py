@@ -50,6 +50,7 @@ _GATE_PRIORITY = (
     "ind_heikin_long_short",
     "ind_madrid_ribbon",
     "ind_smc_structure",
+    "ind_precision_trend",
     # new last round, never driver-checked yet
     "retention_policy_plan",
     "chart_market_vpvr_heat",

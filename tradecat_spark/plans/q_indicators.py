@@ -2334,3 +2334,259 @@ def ind_smc_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("smc_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 precision trend — per-row ZLEMA band series + flip state machine
+# ---------------------------------------------------------------------------
+_PT_ZL_A = repr(2.0 / 71.0)
+_PT_ATR_A = repr(1.0 / 70.0)
+
+_PT_ORACLE = f"""
+WITH bars AS ({{bars}}),
+arr AS (
+  SELECT event_type,
+    list(high ORDER BY bucket_ts) AS hi,
+    list(low ORDER BY bucket_ts) AS lo,
+    list(close ORDER BY bucket_ts) AS cl,
+    COUNT(*) AS n
+  FROM bars GROUP BY event_type
+),
+tr_cte AS (
+  SELECT event_type, cl, n,
+    list_transform(range(1, n + 1), k ->
+      CASE WHEN k = 1 THEN hi[1] - lo[1]
+           ELSE greatest(hi[k] - lo[k], abs(hi[k] - cl[k - 1]),
+                         abs(lo[k] - cl[k - 1])) END) AS tr
+  FROM arr
+),
+scan_cte AS (
+  -- each scan array is materialized ONCE; band then slices it
+  SELECT event_type, cl, n,
+    list_transform(range(1, n + 1), j ->
+      list_reduce(list_slice(tr, 1, j),
+        (acc, v) -> acc * (1.0::DOUBLE - {_PT_ATR_A}::DOUBLE)
+                    + v * {_PT_ATR_A}::DOUBLE)) AS atr_scan,
+    list_transform(range(1, n + 1), i ->
+      CASE WHEN i > {_ZL_LAG} THEN
+        list_reduce(
+          list_transform(range({_ZL_LAG} + 1, i + 1),
+                         k -> 2 * cl[k] - cl[k - {_ZL_LAG}]),
+          (acc, v) -> acc * (1.0::DOUBLE - {_PT_ZL_A}::DOUBLE)
+                      + v * {_PT_ZL_A}::DOUBLE)
+      END) AS zl
+  FROM tr_cte
+),
+band_cte AS (
+  SELECT event_type, cl, n, zl,
+    list_transform(range(1, n + 1), i ->
+      list_aggregate(list_slice(atr_scan, greatest(1, i - 209), i), 'max')
+        * 1.2) AS band
+  FROM scan_cte
+),
+folded AS (
+  SELECT event_type, cl, n, zl, band,
+    -- flip state machine; flips precedes state (order-stable contract,
+    -- see ind_adx_di) and inlines the new-state expression
+    list_reduce(
+      list_transform(range(1, n + 1),
+                     j -> struct_pack(flips := 0.0::DOUBLE,
+                                      state := 0.0::DOUBLE,
+                                      j := CAST(j AS DOUBLE))),
+      (acc, x) -> struct_pack(
+        flips := acc.flips
+          + (CASE WHEN x.j >= n - 49 AND
+               (CASE WHEN zl[CAST(x.j AS INT)] IS NOT NULL
+                      AND cl[CAST(x.j AS INT)] > zl[CAST(x.j AS INT)] + band[CAST(x.j AS INT)]
+                     THEN 1.0::DOUBLE
+                     WHEN zl[CAST(x.j AS INT)] IS NOT NULL
+                      AND cl[CAST(x.j AS INT)] < zl[CAST(x.j AS INT)] - band[CAST(x.j AS INT)]
+                     THEN -1.0::DOUBLE
+                     ELSE acc.state END) <> acc.state
+             THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END),
+        state := CASE WHEN zl[CAST(x.j AS INT)] IS NOT NULL
+                       AND cl[CAST(x.j AS INT)] > zl[CAST(x.j AS INT)] + band[CAST(x.j AS INT)]
+                      THEN 1.0::DOUBLE
+                      WHEN zl[CAST(x.j AS INT)] IS NOT NULL
+                       AND cl[CAST(x.j AS INT)] < zl[CAST(x.j AS INT)] - band[CAST(x.j AS INT)]
+                      THEN -1.0::DOUBLE
+                      ELSE acc.state END,
+        j := x.j
+    )) AS s
+  FROM band_cte
+)
+SELECT event_type,
+  ROUND(zl[CAST(n AS INT)], 6) AS pt_line,
+  CASE WHEN s.state = 1.0 THEN 'bull'
+       WHEN s.state = -1.0 THEN 'bear' ELSE 'range' END AS pt_state,
+  CAST(s.flips AS BIGINT) AS pt_flips_50,
+  ROUND(CASE WHEN zl[CAST(n AS INT)] IS NULL THEN NULL
+             WHEN band[CAST(n AS INT)] <> 0
+             THEN LEAST(100.0::DOUBLE,
+                        abs(cl[CAST(n AS INT)] - zl[CAST(n AS INT)])
+                        / band[CAST(n AS INT)] * 100.0)
+             ELSE 0.0::DOUBLE END, 6) AS pt_strength
+FROM folded
+"""
+
+
+@query(
+    "ind_precision_trend",
+    survey="§2.9 precision trend (batch/super_trend.py:17-107, "
+    "indicators/library.py i_precision_trend): per-row ZLEMA70 band "
+    "series, flip-count state machine over the last 50 bars",
+    description="Precision-trend line/state/flip-count/strength per event_type",
+    oracle=_PT_ORACLE.format(bars=_TAIL_BARS_1H_SQL),
+)
+def ind_precision_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-row ATR and ZLEMA prefix scans are O(n^2) expression
+    work bounded by the 500-bar tail (each scan array materialized
+    once per key — the band's 210-bar rolling max slices the ATR scan
+    rather than re-folding it), and the flip counter is a 2-field
+    state fold under the order-stable contract. The first 34 bars
+    carry NULL ZLEMA (pandas shift-NaN head) so the state machine
+    idles there exactly like the reference loop."""
+    bars = _bars_1h_tail(spark, sf_dir)
+    arr = bars.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("bucket_ts", "high", "low", "close"))
+        ).alias("rows")
+    )
+    hi = F.transform(F.col("rows"), lambda r: r["high"])
+    lo = F.transform(F.col("rows"), lambda r: r["low"])
+    cl = F.transform(F.col("rows"), lambda r: r["close"])
+    n = F.size("rows")
+    a_zl, a_atr = 2.0 / 71.0, 1.0 / 70.0
+
+    base = arr.select("event_type", cl.alias("cl"), n.alias("n"),
+                      hi.alias("hi"), lo.alias("lo"))
+    hic, loc, clc = F.col("hi"), F.col("lo"), F.col("cl")
+    tr = F.transform(
+        F.sequence(F.lit(1), F.col("n")),
+        lambda k: F.when(
+            k == 1, F.element_at(hic, 1) - F.element_at(loc, 1)
+        ).otherwise(
+            F.greatest(
+                F.element_at(hic, k) - F.element_at(loc, k),
+                F.abs(F.element_at(hic, k) - F.element_at(clc, k - 1)),
+                F.abs(F.element_at(loc, k) - F.element_at(clc, k - 1)),
+            )
+        ),
+    )
+    t1 = base.withColumn("tr", tr)
+    # prefix-EWM SCANS in one pass each: the accumulator is the growing
+    # scan array, each step appends f(last, v) — O(n) fold steps with
+    # O(n) array growth, vs the O(n^2) per-position re-folds that made
+    # the first cut ~40 s on the Spark side (DuckDB's vectorized
+    # list_reduce shrugged at the naive form; Spark's interpreted HOF
+    # evaluation did not)
+    def _scan(src: Column, alpha: float) -> Column:
+        return F.aggregate(
+            F.slice(src, 2, F.greatest(F.size(src) - 1, F.lit(0))),
+            F.array(F.element_at(src, 1).cast("double")),
+            lambda acc, v: F.concat(
+                acc,
+                F.array(
+                    F.element_at(acc, -1) * F.lit(1.0 - alpha)
+                    + v * F.lit(alpha)
+                ),
+            ),
+        )
+
+    delag = F.transform(
+        F.sequence(F.lit(_ZL_LAG + 1), F.col("n")),
+        lambda k: 2 * F.element_at(clc, k) - F.element_at(clc, k - _ZL_LAG),
+    )
+    # zl array is the scan right-aligned: positions 1.._ZL_LAG are NULL
+    zl = F.concat(
+        F.transform(
+            F.sequence(F.lit(1), F.least(F.lit(_ZL_LAG), F.col("n"))),
+            lambda _: F.lit(None).cast("double"),
+        ),
+        F.when(F.col("n") > _ZL_LAG, _scan(delag, a_zl)).otherwise(
+            F.array().cast("array<double>")
+        ),
+    )
+    t2 = t1.withColumn("atr_scan", _scan(F.col("tr"), a_atr)).withColumn(
+        "zl", zl
+    )
+    # the 210-bar rolling band max as a NATIVE window over exploded scan
+    # rows (whole-stage codegen), not per-position array slices — the
+    # interpreted slice+array_max form measured 8 s alone at sf0.01
+    rows = t2.select(
+        "event_type", "n",
+        F.posexplode(F.arrays_zip("atr_scan", "zl", "cl")).alias("pos", "z"),
+    )
+    wb = (
+        Window.partitionBy("event_type").orderBy("pos").rowsBetween(-209, 0)
+    )
+    rows = rows.select(
+        "event_type", "n", "pos",
+        F.col("z")["zl"].alias("zlv"),
+        F.col("z")["cl"].alias("clv"),
+        (F.max(F.col("z")["atr_scan"]).over(wb) * 1.2).alias("bandv"),
+    )
+    per_key = rows.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.array_sort(
+            F.collect_list(F.struct("pos", "zlv", "clv", "bandv"))
+        ).alias("bars_arr"),
+    )
+
+    def new_state(acc, x_):
+        return (
+            F.when(
+                x_["zlv"].isNotNull() & (x_["clv"] > x_["zlv"] + x_["bandv"]),
+                F.lit(1.0),
+            )
+            .when(
+                x_["zlv"].isNotNull() & (x_["clv"] < x_["zlv"] - x_["bandv"]),
+                F.lit(-1.0),
+            )
+            .otherwise(acc["state"])
+        )
+
+    def step(acc, x_):
+        ns = new_state(acc, x_)
+        return F.struct(
+            (
+                acc["flips"]
+                + F.when(
+                    (x_["pos"] >= F.col("n") - 50) & (ns != acc["state"]),
+                    F.lit(1.0),
+                ).otherwise(F.lit(0.0))
+            ).alias("flips"),
+            ns.alias("state"),
+        )
+
+    seed = F.struct(F.lit(0.0).alias("flips"), F.lit(0.0).alias("state"))
+    s = F.aggregate(
+        F.slice(
+            F.col("bars_arr"), 2, F.greatest(F.col("n") - 1, F.lit(0))
+        ),
+        seed,
+        step,
+    )
+    last = F.element_at(F.col("bars_arr"), F.col("n").cast("int"))
+    y = per_key.withColumn("s", s)
+    zl_n = last["zlv"]
+    band_n = last["bandv"]
+    cl_n = last["clv"]
+    return y.select(
+        "event_type",
+        F.round(zl_n, 6).alias("pt_line"),
+        F.when(F.col("s")["state"] == 1.0, "bull")
+        .when(F.col("s")["state"] == -1.0, "bear")
+        .otherwise("range")
+        .alias("pt_state"),
+        F.col("s")["flips"].cast("long").alias("pt_flips_50"),
+        F.round(
+            F.when(zl_n.isNull(), F.lit(None).cast("double"))
+            .when(
+                band_n != 0,
+                F.least(F.lit(100.0), F.abs(cl_n - zl_n) / band_n * 100.0),
+            )
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("pt_strength"),
+    )
