@@ -51,6 +51,7 @@ _GATE_PRIORITY = (
     "ind_madrid_ribbon",
     "ind_smc_structure",
     "ind_precision_trend",
+    "ind_trend_line",
     # new last round, never driver-checked yet
     "retention_policy_plan",
     "chart_market_vpvr_heat",

@@ -289,3 +289,36 @@ def test_heikin_fold_query_matches_pandas(spark, duck, sf_dir):
         )
         assert q.loc[et, "ha_open"] == round(ho.iloc[-1], 6), et
         assert q.loc[et, "ha_close"] == round(hc.iloc[-1], 6), et
+
+
+def test_trend_line_query_matches_library(spark, duck, sf_dir):
+    """ind_trend_line must reproduce indicators/library.i_trend_line
+    on the same 1h bar tails (slope compared with a 1-ulp-scale
+    tolerance: the library's numpy sums are pairwise, the query's are
+    sequential)."""
+    import numpy as np
+    from tradecat_spark.indicators.library import i_trend_line
+    from tradecat_spark.plans.registry import load_all
+
+    q = (
+        load_all()["ind_trend_line"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type")
+    )
+    bars = duck.execute("""
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS b,
+        max(value) AS high, min(value) AS low, max_by(value, ts) AS close
+      FROM events GROUP BY 1,2 ORDER BY 1,2
+    """).df()
+    for et, g in bars.groupby("event_type"):
+        tail = g.sort_values("b").tail(500).reset_index()
+        r = i_trend_line(tail)
+        row = q.loc[et]
+        assert r["tl_direction"] == row["tl_direction"], et
+        assert r["tl_state"] == row["tl_state"], et
+        assert abs(r["tl_dist_pct"] - row["tl_dist_pct"]) <= 2e-4, et
+        assert abs(round(r["trend_slope"], 6) - row["trend_slope"]) <= 1e-6, et
+        for k in ("piv_high", "piv_low"):
+            if np.isnan(r[k]):
+                assert row[k] is None or np.isnan(row[k]), (et, k)
+            else:
+                assert round(r[k], 6) == row[k], (et, k)

@@ -2590,3 +2590,302 @@ def ind_precision_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pt_strength"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 trend lines — Pine-model pivot pairs + violation-fold line fit
+# ---------------------------------------------------------------------------
+# SQL generators verified value-equal to indicators/library.i_trend_line
+# per symbol at sf0.01 before registration (fold replication of
+# _fit_trendline's repeated level stepping — see that docstring).
+_TL_PRD = 20
+
+
+def _tl_fit_sql(side, p1, p2):
+    pv, pq = f"pv_{side}", f"pq_{side}"
+    v1, v2 = f"{pv}[{p1 + 1}]", f"{pv}[{p2 + 1}]"
+    q1, q2 = f"{pq}[{p1 + 1}]", f"{pq}[{p2 + 1}]"
+    sup = side == "sup"
+    slope_ok = f"{v1} > {v2}" if sup else f"{v1} < {v2}"
+    step = (
+        f"(({v1} - {v2}) / CAST({q1} - {q2} AS DOUBLE))" if sup
+        else f"(({v2} - {v1}) / CAST({q1} - {q2} AS DOUBLE))"
+    )
+    lvl0 = f"({v2} {'+' if sup else '-'} {step})"
+    bad_cmp = "<" if sup else ">"
+    upd = "+" if sup else "-"
+    fold = (
+        f"list_reduce(list_prepend("
+        f"struct_pack(bad := false, level := {lvl0}, x := 0), "
+        f"list_transform(range({q2} + 1 - {_TL_PRD}, n), "
+        f"xx -> struct_pack(bad := false, level := 0.0::DOUBLE, x := CAST(xx AS INT)))), "
+        f"(acc, e) -> struct_pack("
+        f"bad := acc.bad OR cl[n - e.x] {bad_cmp} acc.level, "
+        f"level := acc.level {upd} {step}, x := e.x))"
+    )
+    y_end = f"({fold}.level {'-' if sup else '+'} {step})"
+    have = f"len({pv}) >= {max(p1, p2) + 1}"
+    found = f"({have} AND ({slope_ok}) AND NOT {fold}.bad)"
+    return (
+        f"struct_pack(found := coalesce({found}, false), "
+        f"v2 := CASE WHEN {have} THEN {v2} END, "
+        f"y_end := CASE WHEN {have} AND ({slope_ok}) THEN {y_end} END)"
+    )
+
+
+def _tl_line_sql(side):
+    f02, f01, f12 = _tl_fit_sql(side, 0, 2), _tl_fit_sql(side, 0, 1), _tl_fit_sql(side, 1, 2)
+    return (
+        f"CASE WHEN {f02}.found THEN {f02} "
+        f"WHEN {f01}.found THEN {f01} "
+        f"WHEN {f12}.found THEN {f12} END"
+    )
+
+
+def _tl_pivot_sql(arr, agg, det=False):
+    centers = (
+        f"list_filter(range({_TL_PRD} + 1, n - {_TL_PRD} + 1), "
+        f"j -> {arr}[CAST(j AS INT)] = list_aggregate("
+        f"list_slice({arr}, j - {_TL_PRD}, j + {_TL_PRD}), '{agg}'))"
+    )
+    last3rev = (
+        f"list_reverse(list_slice({centers}, "
+        f"greatest(1, len({centers}) - 2), len({centers})))"
+    )
+    if det:
+        return f"list_transform({last3rev}, j -> CAST(j - 1 + {_TL_PRD} AS INT))"
+    return f"list_transform({last3rev}, j -> {arr}[CAST(j AS INT)])"
+
+
+_TL_SLOPE_SQL = """
+  CASE WHEN m < 2 THEN 0.0 ELSE
+    list_reduce(
+      list_transform(range(1, m + 1),
+        t -> (CAST(t - 1 AS DOUBLE) - (m - 1) / 2.0)
+             * (ys[CAST(t AS INT)] - ysum / m)),
+      (acc, v) -> acc + v)
+    / list_reduce(
+        list_transform(range(1, m + 1),
+          t -> (CAST(t - 1 AS DOUBLE) - (m - 1) / 2.0)
+               * (CAST(t - 1 AS DOUBLE) - (m - 1) / 2.0)),
+        (acc, v) -> acc + v)
+  END
+"""
+
+_TL_ORACLE = f"""
+WITH bars AS ({{bars}}),
+arr AS (
+  SELECT event_type,
+    list(high ORDER BY bucket_ts) AS hi,
+    list(low ORDER BY bucket_ts) AS lo,
+    list(close ORDER BY bucket_ts) AS cl,
+    CAST(COUNT(*) AS INT) AS n
+  FROM bars GROUP BY event_type
+),
+pivots AS (
+  SELECT event_type, cl, n,
+    {_tl_pivot_sql('hi', 'max')} AS pv_res,
+    {_tl_pivot_sql('hi', 'max', det=True)} AS pq_res,
+    {_tl_pivot_sql('lo', 'min')} AS pv_sup,
+    {_tl_pivot_sql('lo', 'min', det=True)} AS pq_sup
+  FROM arr
+),
+lines AS (
+  SELECT event_type, cl, n, pv_res, pv_sup,
+    {_tl_line_sql('res')} AS res_line,
+    {_tl_line_sql('sup')} AS sup_line
+  FROM pivots
+),
+sl AS (
+  SELECT event_type, cl, n, pv_res, pv_sup, res_line, sup_line,
+    list_slice(cl, greatest(1, n - 49), n) AS ys,
+    least(50, n) AS m
+  FROM lines
+),
+sl2 AS (
+  SELECT *, list_reduce(ys, (acc, v) -> acc + v) AS ysum FROM sl
+),
+scored AS (
+  SELECT event_type, cl, n, pv_res, pv_sup, res_line, sup_line,
+    {_TL_SLOPE_SQL} AS slope
+  FROM sl2
+)
+SELECT event_type,
+  ROUND(CASE WHEN len(pv_res) >= 1 THEN pv_res[1] END, 6) AS piv_high,
+  ROUND(CASE WHEN len(pv_sup) >= 1 THEN pv_sup[1] END, 6) AS piv_low,
+  ROUND(slope, 6) + 0.0 AS trend_slope,
+  CASE WHEN slope > 0 THEN 'up' ELSE 'down' END AS tl_state,
+  CASE WHEN res_line.found THEN 'short'
+       WHEN sup_line.found THEN 'long'
+       ELSE 'range' END AS tl_direction,
+  ROUND(CASE WHEN res_line.found AND res_line.y_end <> 0
+         THEN (cl[n] - res_line.y_end) / res_line.y_end * 100.0
+         WHEN NOT coalesce(res_line.found, false)
+              AND sup_line.found AND sup_line.y_end <> 0
+         THEN (cl[n] - sup_line.y_end) / sup_line.y_end * 100.0
+         ELSE 0.0::DOUBLE END, 4) + 0.0 AS tl_dist_pct
+FROM scored
+"""
+
+
+
+@query(
+    "ind_trend_line",
+    survey="§2.9 trend lines (batch/trend_line.py:5-175, "
+    "indicators/library.py i_trend_line): last-3 ±20-bar pivots, "
+    "first close-respecting 2-point line per side, resistance "
+    "priority, distance-to-line%",
+    description="Pine trend-line fit: pivots, direction, 50-bar OLS slope, line distance",
+    oracle=_TL_ORACLE.format(bars=_TAIL_BARS_1H_SQL),
+)
+def ind_trend_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot centers from array algebra, each candidate pair's
+    violation scan as a sequential fold (the bad flag reads the level
+    BEFORE its step update, per the order-stable contract), the 50-bar
+    OLS slope as seeded sequential sums so both engines add in the
+    same order."""
+    bars = _bars_1h_tail(spark, sf_dir)
+    arr = bars.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("bucket_ts", "high", "low", "close"))
+        ).alias("rows")
+    )
+    hi = F.transform(F.col("rows"), lambda r: r["high"])
+    lo = F.transform(F.col("rows"), lambda r: r["low"])
+    cl = F.transform(F.col("rows"), lambda r: r["close"])
+    n = F.size("rows")
+    base = arr.select(
+        "event_type", hi.alias("hi"), lo.alias("lo"), cl.alias("cl"),
+        n.alias("n"),
+    )
+    P = _TL_PRD
+    hic, loc, clc, nc = F.col("hi"), F.col("lo"), F.col("cl"), F.col("n")
+
+    def pivots(src: Column, is_high: bool):
+        ext = F.array_max if is_high else F.array_min
+        centers = F.filter(
+            F.sequence(F.lit(P + 1), nc - P),
+            lambda j: F.element_at(src, j)
+            == ext(F.slice(src, j - P, 2 * P + 1)),
+        )
+        m = F.size(centers)
+        last3 = F.reverse(
+            F.slice(centers, F.greatest(F.lit(1), m - 2), F.least(F.lit(3), m))
+        )
+        pv = F.transform(last3, lambda j: F.element_at(src, j))
+        pq = F.transform(last3, lambda j: (j - 1 + P).cast("int"))
+        return pv, pq
+
+    pv_res, pq_res = pivots(hic, True)
+    pv_sup, pq_sup = pivots(loc, False)
+    piv = base.select(
+        "event_type", "cl", "n",
+        pv_res.alias("pv_res"), pq_res.alias("pq_res"),
+        pv_sup.alias("pv_sup"), pq_sup.alias("pq_sup"),
+    )
+
+    def fit(side: str, p1: int, p2: int) -> Column:
+        pv = F.col(f"pv_{side}")
+        pq = F.col(f"pq_{side}")
+        sup = side == "sup"
+        have = F.size(pv) >= max(p1, p2) + 1
+        v1, v2 = F.element_at(pv, p1 + 1), F.element_at(pv, p2 + 1)
+        q1, q2 = F.element_at(pq, p1 + 1), F.element_at(pq, p2 + 1)
+        slope_ok = (v1 > v2) if sup else (v1 < v2)
+        step = (
+            (v1 - v2) / (q1 - q2).cast("double")
+            if sup
+            else (v2 - v1) / (q1 - q2).cast("double")
+        )
+        lvl0 = (v2 + step) if sup else (v2 - step)
+        xs = F.sequence(q2 + 1 - P, F.col("n") - 1)
+        seed = F.struct(F.lit(False).alias("bad"), lvl0.alias("level"))
+
+        def stp(acc, e):
+            c = F.element_at(F.col("cl"), (F.col("n") - e).cast("int"))
+            bad = acc["bad"] | ((c < acc["level"]) if sup else (c > acc["level"]))
+            lvl = acc["level"] + step if sup else acc["level"] - step
+            return F.struct(bad.alias("bad"), lvl.alias("level"))
+
+        fold = F.aggregate(xs, seed, stp)
+        y_end = (fold["level"] - step) if sup else (fold["level"] + step)
+        found = F.coalesce(have & slope_ok & ~fold["bad"], F.lit(False))
+        return F.struct(
+            found.alias("found"),
+            F.when(have, v2).alias("v2"),
+            F.when(have & slope_ok, y_end).alias("y_end"),
+        )
+
+    def line(side: str) -> Column:
+        f02, f01, f12 = fit(side, 0, 2), fit(side, 0, 1), fit(side, 1, 2)
+        return (
+            F.when(f02["found"], f02)
+            .when(f01["found"], f01)
+            .when(f12["found"], f12)
+        )
+
+    lines = piv.select(
+        "event_type", "cl", "n", "pv_res", "pv_sup",
+        line("res").alias("res_line"), line("sup").alias("sup_line"),
+    )
+
+    ys = F.slice(F.col("cl"), F.greatest(F.lit(1), F.col("n") - 49),
+                 F.least(F.lit(50), F.col("n")))
+    m = F.least(F.lit(50), F.col("n"))
+
+    def seq_sum(src: Column) -> Column:
+        return F.aggregate(
+            F.slice(src, 2, F.greatest(F.size(src) - 1, F.lit(0))),
+            F.element_at(src, 1).cast("double"),
+            lambda acc, v: acc + v,
+        )
+
+    ysum = seq_sum(ys)
+    xm = (m - 1).cast("double") / 2.0
+    num = seq_sum(
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda t: ((t - 1).cast("double") - xm)
+            * (F.element_at(ys, t.cast("int")) - ysum / m.cast("double")),
+        )
+    )
+    den = seq_sum(
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda t: ((t - 1).cast("double") - xm)
+            * ((t - 1).cast("double") - xm),
+        )
+    )
+    slope = F.when(m < 2, F.lit(0.0)).otherwise(num / den)
+
+    res, sup = F.col("res_line"), F.col("sup_line")
+    dist = (
+        F.when(
+            res["found"] & (res["y_end"] != 0),
+            (F.element_at(F.col("cl"), F.col("n").cast("int")) - res["y_end"])
+            / res["y_end"] * 100.0,
+        )
+        .when(
+            ~F.coalesce(res["found"], F.lit(False))
+            & sup["found"] & (sup["y_end"] != 0),
+            (F.element_at(F.col("cl"), F.col("n").cast("int")) - sup["y_end"])
+            / sup["y_end"] * 100.0,
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return lines.select(
+        "event_type",
+        F.round(
+            F.when(F.size("pv_res") >= 1, F.element_at("pv_res", 1)), 6
+        ).alias("piv_high"),
+        F.round(
+            F.when(F.size("pv_sup") >= 1, F.element_at("pv_sup", 1)), 6
+        ).alias("piv_low"),
+        (F.round(slope, 6) + F.lit(0.0)).alias("trend_slope"),
+        F.when(slope > 0, "up").otherwise("down").alias("tl_state"),
+        F.when(res["found"], "short")
+        .when(sup["found"], "long")
+        .otherwise("range")
+        .alias("tl_direction"),
+        (F.round(dist, 4) + F.lit(0.0)).alias("tl_dist_pct"),
+    )
