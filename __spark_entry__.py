@@ -52,6 +52,7 @@ _GATE_PRIORITY = (
     "ind_smc_structure",
     "ind_precision_trend",
     "ind_trend_line",
+    "ind_smart_rsi",
     # new last round, never driver-checked yet
     "retention_policy_plan",
     "chart_market_vpvr_heat",

@@ -322,3 +322,60 @@ def test_trend_line_query_matches_library(spark, duck, sf_dir):
                 assert row[k] is None or np.isnan(row[k]), (et, k)
             else:
                 assert round(r[k], 6) == row[k], (et, k)
+
+
+def test_smart_rsi_query_matches_library(spark, duck, sf_dir):
+    """ind_smart_rsi must reproduce indicators/library.i_smart_rsi —
+    checked on the real sf tails AND on crafted trending frames whose
+    seeds are pinned to fire the divergence branch both ways."""
+    import numpy as np
+    import pandas as pd
+
+    import tradecat_spark.plans.q_indicators as QI
+    from tradecat_spark.indicators.library import i_smart_rsi
+    from tradecat_spark.plans.registry import load_all
+
+    def compare(q_row, r):
+        for k in ("rsi7", "rsi14", "rsi21", "rsi_avg", "rsi_strength",
+                  "ob_threshold", "os_threshold"):
+            assert round(r[k], 6) == q_row[k], k
+        for k in ("rsi_state", "rsi_divergence", "rsi_signal", "rsi_trend"):
+            assert r[k] == q_row[k], k
+
+    # real tails
+    q = (
+        load_all()["ind_smart_rsi"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type")
+    )
+    bars = duck.execute("""
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS b,
+        max(value) AS high, min(value) AS low, max_by(value, ts) AS close
+      FROM events GROUP BY 1,2 ORDER BY 1,2
+    """).df()
+    for et, g in bars.groupby("event_type"):
+        tail = g.sort_values("b").tail(500).reset_index()
+        compare(q.loc[et], i_smart_rsi(tail))
+
+    # crafted divergence frames (seeds 47=bearish, 41=bullish)
+    for seed in (47, 41):
+        rng = np.random.default_rng(seed)
+        n = 120
+        close = 100 + np.cumsum(rng.normal(0.3, 2.0, n)) + 5 * np.sin(np.arange(n) / 5)
+        high = close + np.abs(rng.normal(0, 1, n))
+        low = close - np.abs(rng.normal(0, 1, n))
+        pdf = pd.DataFrame({
+            "event_type": "X",
+            "bucket_ts": pd.date_range("2025-01-01", periods=n, freq="1h"),
+            "open": close, "high": high, "low": low, "close": close,
+            "trade_count": 1,
+        })
+        bars_df = spark.createDataFrame(pdf)
+        orig = QI._bars_1h_tail
+        try:
+            QI._bars_1h_tail = lambda s, d: bars_df
+            out = QI.ind_smart_rsi(spark, "unused").toPandas().iloc[0]
+        finally:
+            QI._bars_1h_tail = orig
+        r = i_smart_rsi(pdf)
+        assert r["rsi_divergence"] != "none"
+        compare(out, r)

@@ -2889,3 +2889,488 @@ def ind_trend_line(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("tl_direction"),
         (F.round(dist, 4) + F.lit(0.0)).alias("tl_dist_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 smart RSI — adaptive thresholds, EMA34 gate, pivot divergence
+# ---------------------------------------------------------------------------
+# SQL generators verified equal to indicators/library.i_smart_rsi on
+# every sf0.01 symbol AND on 40 crafted trending frames (6 of which
+# fire the divergence branch) before registration.
+def _srsi_scan_sql(src, alpha, seed="NULL"):
+    a = repr(alpha)
+    body = (
+        f"(acc, v) -> acc * (1.0::DOUBLE - {a}::DOUBLE) + v * {a}::DOUBLE"
+    )
+    return f"list_reduce({src}, {body})"
+
+
+# per-row prefix scans as re-folds over slices (DuckDB is fast at this)
+def _srsi_scan_arr_sql(src, alpha):
+    a = repr(alpha)
+    return (
+        f"list_transform(range(1, n + 1), i -> list_reduce("
+        f"list_slice({src}, 1, i), (acc, v) -> "
+        f"acc * (1.0::DOUBLE - {a}::DOUBLE) + v * {a}::DOUBLE))"
+    )
+
+
+_SRSI_RSI_T = (
+    "CASE WHEN {g}[i] + {l}[i] = 0 THEN 50.0::DOUBLE "
+    "WHEN {l}[i] = 0 THEN 100.0::DOUBLE "
+    "ELSE 100.0::DOUBLE - 100.0::DOUBLE / (1.0::DOUBLE + {g}[i] / {l}[i]) END"
+)
+
+
+def _srsi_rsi_last_sql(p):
+    g = _srsi_scan_sql("gains", 1.0 / p)
+    l = _srsi_scan_sql("losses", 1.0 / p)
+    return (
+        f"CASE WHEN {g} + {l} = 0 THEN 50.0::DOUBLE "
+        f"WHEN {l} = 0 THEN 100.0::DOUBLE "
+        f"ELSE 100.0::DOUBLE - 100.0::DOUBLE / (1.0::DOUBLE + {g} / {l}) END"
+    )
+
+
+_SRSI_ORACLE = f"""
+WITH bars AS ({{bars}}),
+arr AS (
+  SELECT event_type,
+    list(high ORDER BY bucket_ts) AS hi,
+    list(low ORDER BY bucket_ts) AS lo,
+    list(close ORDER BY bucket_ts) AS cl,
+    CAST(COUNT(*) AS INT) AS n
+  FROM bars GROUP BY event_type
+),
+gl AS (
+  SELECT event_type, hi, lo, cl, n,
+    list_transform(range(1, n + 1), k ->
+      CASE WHEN k = 1 THEN 0.0::DOUBLE
+           ELSE greatest(cl[k] - cl[k - 1], 0.0::DOUBLE) END) AS gains,
+    list_transform(range(1, n + 1), k ->
+      CASE WHEN k = 1 THEN 0.0::DOUBLE
+           ELSE greatest(cl[k - 1] - cl[k], 0.0::DOUBLE) END) AS losses,
+    list_transform(range(1, n + 1), k ->
+      CASE WHEN k = 1 THEN hi[1] - lo[1]
+           ELSE greatest(hi[k] - lo[k], abs(hi[k] - cl[k - 1]),
+                         abs(lo[k] - cl[k - 1])) END) AS tr
+  FROM arr
+),
+scans AS (
+  SELECT event_type, hi, lo, cl, n, gains, losses,
+    {_srsi_scan_arr_sql('gains', 1.0 / 14.0)} AS g14s,
+    {_srsi_scan_arr_sql('losses', 1.0 / 14.0)} AS l14s,
+    {_srsi_scan_arr_sql('tr', 1.0 / 14.0)} AS atr_scan
+  FROM gl
+),
+vals AS (
+  SELECT event_type, hi, lo, cl, n,
+    {_srsi_rsi_last_sql(7)} AS r7,
+    {_srsi_rsi_last_sql(21)} AS r21,
+    (CASE WHEN g14s[n] + l14s[n] = 0 THEN 50.0::DOUBLE
+          WHEN l14s[n] = 0 THEN 100.0::DOUBLE
+          ELSE 100.0::DOUBLE - 100.0::DOUBLE
+               / (1.0::DOUBLE + g14s[n] / l14s[n]) END) AS r14,
+    list_transform(range(1, n + 1), i -> {_SRSI_RSI_T.format(g='g14s', l='l14s')})
+      AS rsi14s,
+    atr_scan[n] AS atr_last,
+    list_aggregate(atr_scan, 'max') AS amax,
+    list_aggregate(atr_scan, 'min') AS amin,
+    {_srsi_scan_sql('cl', 2.0 / 35.0)} AS ema34
+  FROM scans
+),
+th AS (
+  SELECT *,
+    (r7 + r14 + r21) / 3.0 AS rsi_avg,
+    1.0 + ((atr_last - amin) / ((amax - amin) + 1e-10) - 0.5) * 0.2 AS vol_factor,
+    CASE WHEN cl[n] > ema34 THEN 'bullish' ELSE 'bearish' END AS trend
+  FROM vals
+),
+th2 AS (
+  SELECT *,
+    least(80.0::DOUBLE, 70.0 * vol_factor) AS overbought,
+    greatest(20.0::DOUBLE, 30.0 / vol_factor) AS oversold
+  FROM th
+),
+votes AS (
+  SELECT *,
+    (CASE WHEN r7 < oversold THEN 1 ELSE 0 END)
+      + (CASE WHEN r14 < oversold THEN 1 ELSE 0 END)
+      + (CASE WHEN r21 < oversold THEN 1 ELSE 0 END) AS n_os,
+    (CASE WHEN r7 > overbought THEN 1 ELSE 0 END)
+      + (CASE WHEN r14 > overbought THEN 1 ELSE 0 END)
+      + (CASE WHEN r21 > overbought THEN 1 ELSE 0 END) AS n_ob
+  FROM th2
+),
+sig AS (
+  SELECT *,
+    CASE WHEN trend = 'bullish' AND n_os >= 2 THEN 'buy'
+         WHEN trend = 'bearish' AND n_ob >= 2 THEN 'sell'
+         ELSE 'watch' END AS signal0,
+    CASE WHEN trend = 'bullish' AND n_os >= 2 THEN 'oversold'
+         WHEN trend = 'bullish' AND n_ob >= 2 THEN 'overbought'
+         WHEN trend = 'bearish' AND n_ob >= 2 THEN 'overbought'
+         WHEN trend = 'bearish' AND n_os >= 2 THEN 'oversold'
+         ELSE 'neutral' END AS state
+  FROM votes
+),
+str0 AS (
+  SELECT *,
+    greatest(0.0::DOUBLE, least(100.0::DOUBLE, abs(
+      CASE WHEN signal0 = 'buy' THEN (oversold - rsi_avg) / oversold * 100
+           WHEN signal0 = 'sell' THEN (rsi_avg - overbought) / (100 - overbought) * 100
+           ELSE abs(50 - rsi_avg) / 50 * 100 END))) AS strength0
+  FROM sig
+),
+divp AS (
+  SELECT *,
+    CASE WHEN n >= 50 THEN list_slice(hi, n - 49, n) END AS h50,
+    CASE WHEN n >= 50 THEN list_slice(lo, n - 49, n) END AS l50,
+    CASE WHEN n >= 50 THEN list_slice(rsi14s, n - 49, n) END AS r50
+  FROM str0
+),
+divm AS (
+  SELECT *,
+    CASE WHEN n >= 50 THEN
+      list_filter(range(6, 46), p ->
+        h50[CAST(p AS INT)] = list_aggregate(list_slice(h50, p - 5, p + 5), 'max'))
+    END AS ph_pos,
+    CASE WHEN n >= 50 THEN
+      list_filter(range(6, 46), p ->
+        l50[CAST(p AS INT)] = list_aggregate(list_slice(l50, p - 5, p + 5), 'min'))
+    END AS pl_pos
+  FROM divp
+),
+divv AS (
+  SELECT *,
+    len(ph_pos) AS nh, len(pl_pos) AS nl,
+    CASE WHEN len(ph_pos) >= 2 AND len(pl_pos) >= 2 THEN 1 ELSE 0 END AS has_piv
+  FROM divm
+),
+divr AS (
+  SELECT *,
+    CASE WHEN n >= 50 AND has_piv = 1
+          AND h50[CAST(ph_pos[nh] AS INT)] > h50[CAST(ph_pos[nh - 1] AS INT)]
+          AND r50[CAST(ph_pos[nh] AS INT)] < r50[CAST(ph_pos[nh - 1] AS INT)]
+         THEN 'bearish_div'
+         WHEN n >= 50 AND has_piv = 1
+          AND l50[CAST(pl_pos[nl] AS INT)] < l50[CAST(pl_pos[nl - 1] AS INT)]
+          AND r50[CAST(pl_pos[nl] AS INT)] > r50[CAST(pl_pos[nl - 1] AS INT)]
+         THEN 'bullish_div'
+         ELSE 'none' END AS div,
+    CASE WHEN n >= 50 AND has_piv = 1
+          AND h50[CAST(ph_pos[nh] AS INT)] > h50[CAST(ph_pos[nh - 1] AS INT)]
+          AND r50[CAST(ph_pos[nh] AS INT)] < r50[CAST(ph_pos[nh - 1] AS INT)]
+         THEN least(100.0::DOUBLE,
+              (r50[CAST(ph_pos[nh - 1] AS INT)] - r50[CAST(ph_pos[nh] AS INT)])
+              / r50[CAST(ph_pos[nh - 1] AS INT)] * 100)
+         WHEN n >= 50 AND has_piv = 1
+          AND l50[CAST(pl_pos[nl] AS INT)] < l50[CAST(pl_pos[nl - 1] AS INT)]
+          AND r50[CAST(pl_pos[nl] AS INT)] > r50[CAST(pl_pos[nl - 1] AS INT)]
+         THEN least(100.0::DOUBLE,
+              (r50[CAST(pl_pos[nl] AS INT)] - r50[CAST(pl_pos[nl - 1] AS INT)])
+              / r50[CAST(pl_pos[nl - 1] AS INT)] * 100)
+         ELSE 0.0::DOUBLE END AS div_strength
+  FROM divv
+),
+boost AS (
+  SELECT *,
+    CASE WHEN div = 'bullish_div' AND trend = 'bullish' AND n_os >= 2 THEN 'buy'
+         WHEN div = 'bearish_div' AND trend = 'bearish' AND n_ob >= 2 THEN 'sell'
+         ELSE signal0 END AS rsi_signal,
+    CASE WHEN div = 'bullish_div' AND trend = 'bullish' AND n_os >= 2
+         THEN least(100.0::DOUBLE, strength0 + div_strength * 0.5)
+         WHEN div = 'bearish_div' AND trend = 'bearish' AND n_ob >= 2
+         THEN least(100.0::DOUBLE, strength0 + div_strength * 0.5)
+         ELSE strength0 END AS rsi_strength
+  FROM divr
+)
+SELECT event_type,
+  ROUND(r7, 6) AS rsi7, ROUND(r14, 6) AS rsi14, ROUND(r21, 6) AS rsi21,
+  ROUND(rsi_avg, 6) AS rsi_avg,
+  state AS rsi_state, div AS rsi_divergence, rsi_signal,
+  trend AS rsi_trend,
+  ROUND(rsi_strength, 6) AS rsi_strength,
+  ROUND(least(80.0::DOUBLE, 70.0 * vol_factor), 6) AS ob_threshold,
+  ROUND(greatest(20.0::DOUBLE, 30.0 / vol_factor), 6) AS os_threshold
+FROM boost
+"""
+
+
+
+@query(
+    "ind_smart_rsi",
+    survey="§2.9 smart RSI (batch/tv_rsi.py:14-174, indicators/library.py "
+    "i_smart_rsi): RSI 7/14/21, ATR-adaptive OB/OS thresholds, EMA34 "
+    "trend gate, 2-of-3 zone vote, ±5-bar pivot divergence with "
+    "divergence-boosted signal",
+    description="Full smart-RSI surface per event_type, divergence included",
+    oracle=_SRSI_ORACLE.format(bars=_TAIL_BARS_1H_SQL),
+)
+def ind_smart_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every recursive series (gain/loss smoothers for three RSI
+    periods, the ATR scan, EMA34) is a sequential fold or single-pass
+    scan; the divergence pivot windows are 11-bar array extremes over
+    the last-50 slice. The signal/strength ladders are pure CASE
+    algebra on unrounded doubles, identical in both engines."""
+    bars = _bars_1h_tail(spark, sf_dir)
+    arr = bars.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("bucket_ts", "high", "low", "close"))
+        ).alias("rows")
+    )
+    hi = F.transform(F.col("rows"), lambda r: r["high"])
+    lo = F.transform(F.col("rows"), lambda r: r["low"])
+    cl = F.transform(F.col("rows"), lambda r: r["close"])
+    n = F.size("rows")
+    base = arr.select(
+        "event_type", hi.alias("hi"), lo.alias("lo"), cl.alias("cl"),
+        n.alias("n"),
+    )
+    hic, loc, clc, nc = F.col("hi"), F.col("lo"), F.col("cl"), F.col("n")
+    zero = F.lit(0.0)
+    gains = F.transform(
+        F.sequence(F.lit(1), nc),
+        lambda k: F.when(k == 1, zero).otherwise(
+            F.greatest(F.element_at(clc, k) - F.element_at(clc, k - 1), zero)
+        ),
+    )
+    losses = F.transform(
+        F.sequence(F.lit(1), nc),
+        lambda k: F.when(k == 1, zero).otherwise(
+            F.greatest(F.element_at(clc, k - 1) - F.element_at(clc, k), zero)
+        ),
+    )
+    tr = F.transform(
+        F.sequence(F.lit(1), nc),
+        lambda k: F.when(
+            k == 1, F.element_at(hic, 1) - F.element_at(loc, 1)
+        ).otherwise(
+            F.greatest(
+                F.element_at(hic, k) - F.element_at(loc, k),
+                F.abs(F.element_at(hic, k) - F.element_at(clc, k - 1)),
+                F.abs(F.element_at(loc, k) - F.element_at(clc, k - 1)),
+            )
+        ),
+    )
+    gl = base.select(
+        "event_type", "hi", "lo", "cl", "n",
+        gains.alias("gains"), losses.alias("losses"), tr.alias("tr"),
+    )
+
+    def fold(src: Column, alpha: float) -> Column:
+        return F.aggregate(
+            F.slice(src, 2, F.greatest(F.size(src) - 1, F.lit(0))),
+            F.element_at(src, 1).cast("double"),
+            lambda acc, v: acc * F.lit(1.0 - alpha) + v * F.lit(alpha),
+        )
+
+    def scan(src: Column, alpha: float) -> Column:
+        return F.aggregate(
+            F.slice(src, 2, F.greatest(F.size(src) - 1, F.lit(0))),
+            F.array(F.element_at(src, 1).cast("double")),
+            lambda acc, v: F.concat(
+                acc,
+                F.array(
+                    F.element_at(acc, -1) * F.lit(1.0 - alpha)
+                    + v * F.lit(alpha)
+                ),
+            ),
+        )
+
+    def rsi_case(g: Column, l: Column) -> Column:
+        return (
+            F.when(g + l == 0, F.lit(50.0))
+            .when(l == 0, F.lit(100.0))
+            .otherwise(F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + g / l))
+        )
+
+    a14 = 1.0 / 14.0
+    scans = gl.select(
+        "event_type", "hi", "lo", "cl", "n", "gains", "losses",
+        scan(F.col("gains"), a14).alias("g14s"),
+        scan(F.col("losses"), a14).alias("l14s"),
+        scan(F.col("tr"), a14).alias("atr_scan"),
+    )
+    r7 = rsi_case(fold(F.col("gains"), 1.0 / 7.0), fold(F.col("losses"), 1.0 / 7.0))
+    r21 = rsi_case(fold(F.col("gains"), 1.0 / 21.0), fold(F.col("losses"), 1.0 / 21.0))
+    g14n = F.element_at(F.col("g14s"), nc.cast("int"))
+    l14n = F.element_at(F.col("l14s"), nc.cast("int"))
+    rsi14s = F.transform(
+        F.sequence(F.lit(1), nc),
+        lambda i: rsi_case(
+            F.element_at(F.col("g14s"), i.cast("int")),
+            F.element_at(F.col("l14s"), i.cast("int")),
+        ),
+    )
+    vals = scans.select(
+        "event_type", "hi", "lo", "cl", "n",
+        r7.alias("r7"), r21.alias("r21"),
+        rsi_case(g14n, l14n).alias("r14"),
+        rsi14s.alias("rsi14s"),
+        F.element_at(F.col("atr_scan"), nc.cast("int")).alias("atr_last"),
+        F.array_max("atr_scan").alias("amax"),
+        F.array_min("atr_scan").alias("amin"),
+        fold(F.col("cl"), 2.0 / 35.0).alias("ema34"),
+    )
+    vf = (
+        1.0
+        + (
+            (F.col("atr_last") - F.col("amin"))
+            / ((F.col("amax") - F.col("amin")) + 1e-10)
+            - 0.5
+        )
+        * 0.2
+    )
+    th = vals.withColumns(
+        {
+            "rsi_avg": (F.col("r7") + F.col("r14") + F.col("r21")) / 3.0,
+            "vol_factor": vf,
+            "trend": F.when(
+                F.element_at(F.col("cl"), F.col("n").cast("int"))
+                > F.col("ema34"),
+                "bullish",
+            ).otherwise("bearish"),
+        }
+    ).withColumns(
+        {
+            "overbought": F.least(F.lit(80.0), 70.0 * F.col("vol_factor")),
+            "oversold": F.greatest(F.lit(20.0), 30.0 / F.col("vol_factor")),
+        }
+    )
+    n_os = sum(
+        (
+            F.when(F.col(c) < F.col("oversold"), 1).otherwise(0)
+            for c in ("r7", "r14", "r21")
+        ),
+        F.lit(0),
+    )
+    n_ob = sum(
+        (
+            F.when(F.col(c) > F.col("overbought"), 1).otherwise(0)
+            for c in ("r7", "r14", "r21")
+        ),
+        F.lit(0),
+    )
+    sig = th.withColumns({"n_os": n_os, "n_ob": n_ob}).withColumns(
+        {
+            "signal0": F.when(
+                (F.col("trend") == "bullish") & (F.col("n_os") >= 2), "buy"
+            )
+            .when((F.col("trend") == "bearish") & (F.col("n_ob") >= 2), "sell")
+            .otherwise("watch"),
+            "state": F.when(
+                (F.col("trend") == "bullish") & (F.col("n_os") >= 2), "oversold"
+            )
+            .when((F.col("trend") == "bullish") & (F.col("n_ob") >= 2), "overbought")
+            .when((F.col("trend") == "bearish") & (F.col("n_ob") >= 2), "overbought")
+            .when((F.col("trend") == "bearish") & (F.col("n_os") >= 2), "oversold")
+            .otherwise("neutral"),
+        }
+    )
+    strength0 = F.greatest(
+        F.lit(0.0),
+        F.least(
+            F.lit(100.0),
+            F.abs(
+                F.when(
+                    F.col("signal0") == "buy",
+                    (F.col("oversold") - F.col("rsi_avg")) / F.col("oversold") * 100,
+                )
+                .when(
+                    F.col("signal0") == "sell",
+                    (F.col("rsi_avg") - F.col("overbought"))
+                    / (100 - F.col("overbought"))
+                    * 100,
+                )
+                .otherwise(F.abs(50 - F.col("rsi_avg")) / 50 * 100)
+            ),
+        ),
+    )
+    big = F.col("n") >= 50
+    h50 = F.when(big, F.slice(F.col("hi"), F.col("n") - 49, 50))
+    l50 = F.when(big, F.slice(F.col("lo"), F.col("n") - 49, 50))
+    r50 = F.when(big, F.slice(F.col("rsi14s"), F.col("n") - 49, 50))
+    d0 = sig.withColumns(
+        {"strength0": strength0, "h50": h50, "l50": l50, "r50": r50}
+    )
+    ph_pos = F.when(
+        big,
+        F.filter(
+            F.sequence(F.lit(6), F.lit(45)),
+            lambda p: F.element_at(F.col("h50"), p.cast("int"))
+            == F.array_max(F.slice(F.col("h50"), p - 5, 11)),
+        ),
+    )
+    pl_pos = F.when(
+        big,
+        F.filter(
+            F.sequence(F.lit(6), F.lit(45)),
+            lambda p: F.element_at(F.col("l50"), p.cast("int"))
+            == F.array_min(F.slice(F.col("l50"), p - 5, 11)),
+        ),
+    )
+    d1 = d0.withColumns({"ph_pos": ph_pos, "pl_pos": pl_pos}).withColumns(
+        {"nh": F.size("ph_pos"), "nl": F.size("pl_pos")}
+    )
+    has_piv = (F.col("nh") >= 2) & (F.col("nl") >= 2)
+
+    def at(arr_name: str, pos_name: str, idx: Column) -> Column:
+        return F.element_at(
+            F.col(arr_name), F.element_at(F.col(pos_name), idx).cast("int")
+        )
+
+    hlast, hprev = at("h50", "ph_pos", F.col("nh")), at("h50", "ph_pos", F.col("nh") - 1)
+    rh_last, rh_prev = at("r50", "ph_pos", F.col("nh")), at("r50", "ph_pos", F.col("nh") - 1)
+    llast, lprev = at("l50", "pl_pos", F.col("nl")), at("l50", "pl_pos", F.col("nl") - 1)
+    rl_last, rl_prev = at("r50", "pl_pos", F.col("nl")), at("r50", "pl_pos", F.col("nl") - 1)
+    bear_cond = big & has_piv & (hlast > hprev) & (rh_last < rh_prev)
+    bull_cond = big & has_piv & (llast < lprev) & (rl_last > rl_prev)
+    div = (
+        F.when(bear_cond, "bearish_div")
+        .when(bull_cond, "bullish_div")
+        .otherwise("none")
+    )
+    div_strength = (
+        F.when(
+            bear_cond,
+            F.least(F.lit(100.0), (rh_prev - rh_last) / rh_prev * 100),
+        )
+        .when(
+            bull_cond,
+            F.least(F.lit(100.0), (rl_last - rl_prev) / rl_prev * 100),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    d2 = d1.withColumns({"div": div, "div_strength": div_strength})
+    boost_buy = (
+        (F.col("div") == "bullish_div")
+        & (F.col("trend") == "bullish")
+        & (F.col("n_os") >= 2)
+    )
+    boost_sell = (
+        (F.col("div") == "bearish_div")
+        & (F.col("trend") == "bearish")
+        & (F.col("n_ob") >= 2)
+    )
+    rsi_signal = (
+        F.when(boost_buy, "buy").when(boost_sell, "sell").otherwise(F.col("signal0"))
+    )
+    rsi_strength = F.when(
+        boost_buy | boost_sell,
+        F.least(F.lit(100.0), F.col("strength0") + F.col("div_strength") * 0.5),
+    ).otherwise(F.col("strength0"))
+    return d2.select(
+        "event_type",
+        F.round("r7", 6).alias("rsi7"),
+        F.round("r14", 6).alias("rsi14"),
+        F.round("r21", 6).alias("rsi21"),
+        F.round("rsi_avg", 6).alias("rsi_avg"),
+        F.col("state").alias("rsi_state"),
+        F.col("div").alias("rsi_divergence"),
+        rsi_signal.alias("rsi_signal"),
+        F.col("trend").alias("rsi_trend"),
+        F.round(rsi_strength, 6).alias("rsi_strength"),
+        F.round("overbought", 6).alias("ob_threshold"),
+        F.round("oversold", 6).alias("os_threshold"),
+    )
