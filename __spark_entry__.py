@@ -29,6 +29,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: unchanged, so they rotate to the back and re-enter next round).
 _GATE_PRIORITY = (
     # new this round (r3)
+    "ind_volume_ratio",
+    "ind_support_resistance",
+    "ind_base_data",
+    "ind_buy_sell_ratio",
+    "ind_data_monitor",
+    "ind_futures_gap_monitor",
+    "ind_futures_risk_score",
     "quality_ingest_batches",
     "quality_anomaly_log",
     "quality_alert_rules_eval",

@@ -73,6 +73,7 @@ def load_all() -> dict[str, QuerySpec]:
         q_charts,
         q_quality,
         q_pg_realtime,
+        q_monitor,
     )
 
     return REGISTRY
