@@ -36,6 +36,7 @@ _GATE_PRIORITY = (
     "ind_data_monitor",
     "ind_futures_gap_monitor",
     "ind_futures_risk_score",
+    "ind_market_share_rank",
     "quality_ingest_batches",
     "quality_anomaly_log",
     "quality_alert_rules_eval",

@@ -701,3 +701,84 @@ def ind_futures_risk_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("last_prev_ratio") > 1) & (F.col("last_ratio") < 1), -1
         ).otherwise(0).alias("flip_signal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 J6 / §2.9 market share + contribution rank (engine.py:282-332)
+# ---------------------------------------------------------------------------
+@query(
+    "ind_market_share_rank",
+    survey="§2.3 J6 market-share enrichment (core/engine.py:282-332): "
+    "share = latest OI x 100 / market total per interval, plus the "
+    "contribution rank the reference leaves NULL (needs a global pass)",
+    description="Per-symbol market share of latest OI and rank, 1h and 1d intervals",
+    oracle="""
+WITH pairs AS (
+  SELECT event_type, iv,
+    CASE WHEN iv = '1h' THEN time_bucket(INTERVAL '1 hour', ts)
+         ELSE time_bucket(INTERVAL '1 day', ts) END AS b,
+    CAST(ABS(value) AS DECIMAL(18,8)) AS av
+  FROM events CROSS JOIN (SELECT UNNEST(['1h', '1d']) AS iv)
+),
+bars AS (
+  SELECT event_type, iv, b, SUM(av) AS oiv
+  FROM pairs GROUP BY 1, 2, 3
+),
+latest AS (
+  SELECT event_type, iv, oiv FROM (
+    SELECT bars.*, ROW_NUMBER() OVER (
+      PARTITION BY event_type, iv ORDER BY b DESC) AS rn FROM bars
+  ) t WHERE rn = 1
+)
+SELECT event_type, iv AS interval,
+  CAST(oiv AS DOUBLE) AS oi_value,
+  ROUND(CAST(oiv AS DOUBLE) * 100.0
+        / CAST(SUM(oiv) OVER (PARTITION BY iv) AS DOUBLE), 4)
+    AS market_share_pct,
+  CAST(RANK() OVER (PARTITION BY iv ORDER BY oiv DESC) AS BIGINT)
+    AS contribution_rank
+FROM latest
+""",
+)
+def ind_market_share_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's cross-DB UPDATE pass collapses to one window sum
+    + rank over the latest-per-key rows (SURVEY.md J6 — 'one line').
+    OI totals are exact DECIMAL sums (associative window sum), the
+    share is a single rounded float division; rank orders by the exact
+    decimal so ties resolve identically in both engines. At 100 TB the
+    latest-row extraction rides the same (key, iv) shuffle as the
+    rollup and the share window is one tiny per-interval exchange."""
+    from tradecat_spark.operators.rollup import bucket_ts
+
+    e = _series(spark, sf_dir)
+    pairs = F.array(
+        F.struct(F.lit("1h").alias("iv"), bucket_ts("ts", 3600).alias("b")),
+        F.struct(F.lit("1d").alias("iv"), bucket_ts("ts", 86400).alias("b")),
+    )
+    x = e.select(
+        "event_type",
+        F.abs(F.col("value")).cast(DEC).alias("av"),
+        F.explode(pairs).alias("p"),
+    )
+    bars = x.groupBy(
+        "event_type", F.col("p.iv").alias("iv"), F.col("p.b").alias("b")
+    ).agg(F.sum("av").alias("oiv"))
+    wl = Window.partitionBy("event_type", "iv").orderBy(F.desc("b"))
+    latest = (
+        bars.withColumn("rn", F.row_number().over(wl))
+        .filter("rn = 1")
+        .select("event_type", "iv", "oiv")
+    )
+    wiv = Window.partitionBy("iv")
+    return latest.select(
+        "event_type",
+        F.col("iv").alias("interval"),
+        F.col("oiv").cast("double").alias("oi_value"),
+        F.round(
+            F.col("oiv").cast("double") * 100.0
+            / F.sum("oiv").over(wiv).cast("double"),
+            4,
+        ).alias("market_share_pct"),
+        F.rank().over(wiv.orderBy(F.desc("oiv"))).cast("long")
+        .alias("contribution_rank"),
+    )
