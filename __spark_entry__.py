@@ -37,6 +37,10 @@ _GATE_PRIORITY = (
     "ind_futures_gap_monitor",
     "ind_futures_risk_score",
     "ind_market_share_rank",
+    "text_scrub_patterns",
+    "token_length_histogram",
+    "sample_temperature_mix",
+    "embedding_norms_quality",
     "quality_ingest_batches",
     "quality_anomaly_log",
     "quality_alert_rules_eval",

@@ -568,3 +568,66 @@ def ann_multiprobe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@query(
+    "embedding_norms_quality",
+    survey="north-star similarity: embedding quality audit — per-label "
+    "L2-norm stats, zero/near-unit vector counts, dimension check "
+    "(the pre-index sanity pass an ANN build runs first)",
+    description="Per-label embedding norm statistics and degenerate-vector counts",
+    oracle="""
+WITH n AS (
+  SELECT label, len(embedding) AS dim,
+    ROUND(sqrt(list_reduce(
+      list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+      (a, b) -> a + b)), 6) AS norm6
+  FROM embeddings
+)
+SELECT label,
+  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  CAST(MAX(dim) AS BIGINT) AS dim,
+  CAST(MIN(dim) = MAX(dim) AS BOOLEAN) AS dim_consistent,
+  ROUND(CAST(SUM(CAST(norm6 AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6)
+    AS mean_norm,
+  MIN(norm6) AS min_norm,
+  MAX(norm6) AS max_norm,
+  CAST(SUM(CASE WHEN norm6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+  CAST(SUM(CASE WHEN ABS(norm6 - 1) < 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_near_unit
+FROM n GROUP BY label
+""",
+)
+def embedding_norms_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Norms are sequential JVM-side folds over the squared elements
+    (same evaluation order as DuckDB's list_reduce after the exact
+    0.0+x seed), rounded once; the mean sums the rounded norms as
+    DECIMAL so group order cannot perturb it. Map-only + one
+    hash-aggregate — the cheapest possible full-corpus pass at 100 TB."""
+    e = _emb(spark, sf_dir)
+    sq_sum = F.aggregate(
+        F.transform(F.col("vec"), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    n = e.select(
+        "label",
+        F.size("vec").alias("dim"),
+        F.round(F.sqrt(sq_sum), 6).alias("norm6"),
+    )
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.max("dim").cast("long").alias("dim"),
+        (F.min("dim") == F.max("dim")).alias("dim_consistent"),
+        F.round(
+            F.sum(F.col("norm6").cast("decimal(18,8)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_norm"),
+        F.min("norm6").alias("min_norm"),
+        F.max("norm6").alias("max_norm"),
+        F.sum(F.when(F.col("norm6") == 0, 1).otherwise(0)).cast("long")
+        .alias("n_zero"),
+        F.sum(F.when(F.abs(F.col("norm6") - 1) < 0.01, 1).otherwise(0))
+        .cast("long").alias("n_near_unit"),
+    )

@@ -1253,3 +1253,162 @@ def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)),
         ).alias("dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pattern scrubbing (PII-shaped redaction plumbing)
+# ---------------------------------------------------------------------------
+@query(
+    "text_scrub_patterns",
+    survey="north-star curation: PII-shaped pattern scrub — per-source "
+    "match counts (email/url/filler), redacted length delta, distinct "
+    "scrubbed fingerprints",
+    description="Per-source regex scrub audit: hits, redacted sizes, distinct docs",
+    oracle="""
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+'))) AS BIGINT)
+    AS email_hits,
+  CAST(SUM(len(url_matches)) AS BIGINT) AS url_hits,
+  CAST(SUM(len(regexp_extract_all(text, '\\bthe\\b'))) AS BIGINT)
+    AS filler_hits,
+  CAST(SUM(length(regexp_replace(text, '\\bthe\\b', '<SCRUB>', 'g')))
+    AS BIGINT) AS scrubbed_chars,
+  CAST(COUNT(DISTINCT md5(regexp_replace(text, '\\bthe\\b', '<SCRUB>', 'g')))
+    AS BIGINT) AS distinct_scrubbed
+FROM (
+  SELECT *, regexp_extract_all(text, 'https?://[^ ]+') AS url_matches
+  FROM documents
+) GROUP BY source
+""",
+)
+def text_scrub_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scrub as a pure map stage: match counting via
+    regexp_extract_all, redaction via regexp_replace, then one
+    hash-aggregate per source. Patterns stay in the RE2 ∩ Java-regex
+    common dialect (char classes, \\b, no backrefs) so both engines
+    match identically; at 100 TB this is map-side work with only
+    per-source counters shuffling."""
+    d = _docs(spark, sf_dir)
+    email = F.regexp_extract_all(
+        F.col("text"),
+        F.lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"),
+        F.lit(0),
+    )
+    url = F.regexp_extract_all(
+        F.col("text"), F.lit("https?://[^ ]+"), F.lit(0)
+    )
+    filler = F.regexp_extract_all(F.col("text"), F.lit(r"\bthe\b"), F.lit(0))
+    scrubbed = F.regexp_replace(F.col("text"), r"\bthe\b", "<SCRUB>")
+    return d.select(
+        "source",
+        F.size(email).alias("e"),
+        F.size(url).alias("u"),
+        F.size(filler).alias("f"),
+        F.length(scrubbed).alias("sc"),
+        F.md5(scrubbed.cast("binary")).alias("sh"),
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("e").alias("email_hits"),
+        F.sum("u").alias("url_hits"),
+        F.sum("f").alias("filler_hits"),
+        F.sum("sc").alias("scrubbed_chars"),
+        F.count_distinct("sh").alias("distinct_scrubbed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-length histogram (sequence-length planning for packing/batching)
+# ---------------------------------------------------------------------------
+@query(
+    "token_length_histogram",
+    survey="north-star curation: token-length histogram — 32-token bins "
+    "with share of corpus (drives context-window packing / batch shape)",
+    description="Corpus token-count histogram in 32-token bins with shares",
+    oracle="""
+WITH t AS (
+  SELECT len(string_split(text, ' ')) AS n_tok FROM documents
+),
+b AS (
+  SELECT CAST((n_tok // 32) * 32 AS BIGINT) AS bin_start,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+  FROM t GROUP BY 1
+)
+SELECT bin_start, n_docs, total_tokens,
+  ROUND(n_docs * 1.0 / SUM(n_docs) OVER (), 6) AS doc_share,
+  ROUND(total_tokens * 1.0 / SUM(total_tokens) OVER (), 6) AS token_share
+FROM b
+""",
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-only binning (n div 32) so bins are exact; shares divide
+    exact counts — one float division per bin, rounded once. One
+    hash-aggregate plus a scalar total; the 100 TB plan is a map-side
+    partial count per bin."""
+    d = _docs(spark, sf_dir)
+    n_tok = F.size(_words())
+    b = d.select(
+        (n_tok.cast("long") - n_tok.cast("long") % 32).alias("bin_start"),
+        n_tok.cast("long").alias("n_tok"),
+    ).groupBy("bin_start").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
+    w = Window.partitionBy()
+    return b.select(
+        "bin_start", "n_docs", "total_tokens",
+        F.round(F.col("n_docs") * 1.0 / F.sum("n_docs").over(w), 6)
+        .alias("doc_share"),
+        F.round(
+            F.col("total_tokens") * 1.0 / F.sum("total_tokens").over(w), 6
+        ).alias("token_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing (multilingual/multi-source sampling law)
+# ---------------------------------------------------------------------------
+@query(
+    "sample_temperature_mix",
+    survey="north-star curation: temperature-scaled source mixing — "
+    "p_i ~ n_i^alpha renormalized (alpha=1, 0.5, 0.25), expected docs "
+    "per 10k-sample epoch",
+    description="Per-source sampling weights at three mixing temperatures",
+    oracle="""
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+)
+SELECT source, n_docs,
+  ROUND(n_docs * 1.0 / SUM(n_docs) OVER (), 6) AS p_raw,
+  ROUND(sqrt(n_docs * 1.0) / SUM(sqrt(n_docs * 1.0)) OVER (), 6) AS p_half,
+  ROUND(sqrt(sqrt(n_docs * 1.0)) / SUM(sqrt(sqrt(n_docs * 1.0))) OVER (), 6)
+    AS p_quarter,
+  CAST(ROUND(ROUND(sqrt(n_docs * 1.0) / SUM(sqrt(n_docs * 1.0)) OVER (), 6)
+       * 10000, 0) AS BIGINT) AS expected_per_10k_half
+FROM s
+""",
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature exponents are restricted to sqrt compositions
+    (alpha = 0.5, 0.25) because sqrt is IEEE correctly-rounded in both
+    engines while pow(x, 0.3) is libm-dependent; the renormalizing sums
+    span only the source dimension (tiny), and every published weight
+    is rounded once. The expected-count integerizes the rounded weight
+    so both engines floor identically."""
+    d = _docs(spark, sf_dir)
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    nd = F.col("n_docs") * 1.0
+    p_half6 = F.round(F.sqrt(nd) / F.sum(F.sqrt(nd)).over(w), 6)
+    return s.select(
+        "source", "n_docs",
+        F.round(nd / F.sum(nd).over(w), 6).alias("p_raw"),
+        p_half6.alias("p_half"),
+        F.round(
+            F.sqrt(F.sqrt(nd)) / F.sum(F.sqrt(F.sqrt(nd))).over(w), 6
+        ).alias("p_quarter"),
+        F.round(p_half6 * 10000, 0).cast("long")
+        .alias("expected_per_10k_half"),
+    )
