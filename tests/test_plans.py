@@ -240,3 +240,59 @@ def test_pg_realtime_checks_single_window_pass(spark, sf_dir):
     plan = _plan(spark, "pg_realtime_checks", sf_dir)
     assert plan.count("Window") <= 2  # the node + its header line
     assert "Join" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["text_scrub_patterns", "token_length_histogram",
+     "sample_temperature_mix", "embedding_norms_quality"],
+)
+def test_curation_ops_have_no_python_stage(spark, sf_dir, name):
+    """The scrub/histogram/mixing/norm ops are pure column algebra —
+    a Python worker stage (ArrowEvalPython/BatchEvalPython) appearing
+    here would mean the map stage fell off the JVM fast path."""
+    plan = _plan(spark, name, sf_dir)
+    assert "EvalPython" not in plan, name
+
+
+def _n_nodes(plan: str, kind: str) -> int:
+    """Count physical nodes of a kind in a formatted plan (each node
+    prints twice — tree line and '(n) Kind' detail header; count the
+    headers only)."""
+    return len(re.findall(rf"\(\d+\) {kind}", plan))
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        # one shuffle to the source/bin/label aggregate; the
+        # count-distinct two-phase (scrub) and the share window over the
+        # tiny aggregate add one exchange of aggregate-cardinality rows,
+        # not corpus rows.
+        ("text_scrub_patterns", 2),
+        ("token_length_histogram", 2),
+        ("sample_temperature_mix", 2),
+        ("embedding_norms_quality", 1),
+    ],
+)
+def test_curation_ops_shuffle_budget(spark, sf_dir, name, max_exchanges):
+    plan = _plan(spark, name, sf_dir)
+    n = _n_nodes(plan, "Exchange")
+    assert n <= max_exchanges, f"{name}: {n} exchanges"
+
+
+def test_market_share_single_rollup_scan(spark, sf_dir):
+    """ind_market_share_rank: the interval explode must roll up in ONE
+    hash-aggregate stage over ONE events scan (map-side partials), with
+    the share/rank windows riding the tiny latest-rows set — not a
+    per-interval re-scan of events."""
+    plan = _plan(spark, "ind_market_share_rank", sf_dir)
+    assert _n_nodes(plan, "Scan parquet") == 1, plan
+
+
+def test_monitor_queries_read_only_needed_columns(spark, sf_dir):
+    """The gap/completeness monitors project (event_type, ts) only —
+    value must be pruned from the scan."""
+    plan = _plan(spark, "ind_futures_gap_monitor", sf_dir)
+    schemas = " ".join(re.findall(r"ReadSchema: struct<([^>]*)>", plan))
+    assert "value" not in schemas, schemas[:200]
