@@ -74,12 +74,12 @@ def test_every_rule_compiles_to_column(spark):
         assert isinstance(compile_condition(r), Column), r.name
 
 
-def test_sql_forms_cover_all_but_confluence():
+def test_sql_forms_cover_every_rule():
     missing = [r.name for r in ALL_RULES if condition_sql(r) is None]
-    # only the two rsi-confluence compounds have no SQL rendering
-    assert sorted(missing) == [
-        "momentum_trend_confluence_long", "momentum_trend_confluence_short",
-    ]
+    # every condition — including the rsi-confluence compounds — has a
+    # SQL rendering; rules stay out of the hash gate only when a
+    # condition FIELD is not derivable in the snapshot
+    assert missing == []
 
 
 def _random_snapshot_rows(n_fields: set[str], rows: int = 400):
@@ -137,4 +137,4 @@ def test_full_pack_query_runs(spark, sf_dir):
 def test_sql_subset_size():
     from tradecat_spark.plans.q_signal_pack import pack_sql_rules
 
-    assert len(pack_sql_rules()) == 91
+    assert len(pack_sql_rules()) == 97

@@ -4,7 +4,7 @@ Two evaluation paths:
 
 - ``signal_pack_sql_rules`` — every rule whose condition fields are
   derivable with window SQL + bounded per-row EWM scans over the 1h
-  bars (91 of 129) evaluated as ONE wide projection: the snapshot
+  bars (97 of 129) evaluated as ONE wide projection: the snapshot
   computes ~43 indicator fields (CCI, Williams %R, MFI, Bollinger,
   Donchian, Keltner, VWAP, OBV/CVD change, volume/taker ratios, OI
   z-score/streak, candle labels, and the recursive family — RSI 7/14/21
@@ -58,6 +58,7 @@ SNAPSHOT_FIELDS = [
     "sup_dist_pct", "res_dist_pct", "vwap_dev_pct",
     "obv_chg30", "cvd_chg", "ls_ratio", "taker_ls_ratio",
     "oi_zscore", "oi_streak", "risk_score", "pattern",
+    "sent_diff", "flip_signal",
     # EWM-fold family (per-row prefix scans, see _FOLDS_SQL): the
     # recursive-indicator fields the r2 snapshot could not derive
     "rsi7", "rsi14", "rsi21", "rsi_avg", "rsi_state",
@@ -404,6 +405,21 @@ snap AS (
       AS oi_zscore,
     CAST(streak AS DOUBLE) AS oi_streak,
     ROUND(amp_pr * 100, 6) AS risk_score,
+    ROUND(ROUND(CAST(up10 AS DOUBLE) / NULLIF(CAST(dn10 AS DOUBLE), 0), 6)
+          - ROUND(CAST(up30 AS DOUBLE) / NULLIF(CAST(dn30 AS DOUBLE), 0), 6),
+          6) AS sent_diff,
+    CASE
+      WHEN LAG(ROUND(CAST(up10 AS DOUBLE)
+                     / NULLIF(CAST(dn10 AS DOUBLE), 0), 6)) OVER w < 1
+           AND ROUND(CAST(up10 AS DOUBLE)
+                     / NULLIF(CAST(dn10 AS DOUBLE), 0), 6) > 1
+        THEN 'bull_flip'
+      WHEN LAG(ROUND(CAST(up10 AS DOUBLE)
+                     / NULLIF(CAST(dn10 AS DOUBLE), 0), 6)) OVER w > 1
+           AND ROUND(CAST(up10 AS DOUBLE)
+                     / NULLIF(CAST(dn10 AS DOUBLE), 0), 6) < 1
+        THEN 'bear_flip'
+      ELSE 'none' END AS flip_signal,
     CASE
       WHEN COALESCE(p_close < p_open AND close > open
                     AND close >= p_open AND open <= p_close, FALSE)
@@ -420,6 +436,7 @@ snap AS (
         THEN 'shooting_star'
       ELSE 'none' END AS pattern
   FROM b3 JOIN folds USING (event_type, rn)
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
 ),
 snapp AS (
   SELECT *,
@@ -785,6 +802,16 @@ def build_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     obv_d, obv30_d = F.col("obv").cast("double"), F.col("obv30").cast("double")
     cvd_d, cvd30_d = F.col("cvd").cast("double"), F.col("cvd30").cast("double")
+    # sentiment proxies: taker (10-bar) vs global (30-bar) ratio, both
+    # 6dp-rounded before the diff / flip comparisons (mirrors the SQL)
+    tlr10 = F.round(
+        F.col("up10").cast("double")
+        / F.nullif(F.col("dn10").cast("double"), F.lit(0)), 6
+    )
+    lr30 = F.round(
+        F.col("up30").cast("double")
+        / F.nullif(F.col("dn30").cast("double"), F.lit(0)), 6
+    )
     snap = b3.select(
         "event_type", "bucket_ts",
         "rsi7", "rsi14", "rsi21", "rsi_avg", "rsi_state",
@@ -870,6 +897,11 @@ def build_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("streak").cast("double").alias("oi_streak"),
         F.round(F.col("amp_pr") * 100, 6).alias("risk_score"),
         pattern.alias("pattern"),
+        F.round(tlr10 - lr30, 6).alias("sent_diff"),
+        F.when((F.lag(tlr10).over(w) < 1) & (tlr10 > 1), "bull_flip")
+        .when((F.lag(tlr10).over(w) > 1) & (tlr10 < 1), "bear_flip")
+        .otherwise("none")
+        .alias("flip_signal"),
     )
     return snap.select(
         "*", *[F.lag(f).over(w).alias(f"prev_{f}") for f in SNAPSHOT_FIELDS]
@@ -880,14 +912,14 @@ def build_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "signal_pack_sql_rules",
     survey="§2.10 rule pack + condition compiler "
     "(rules/{core,momentum,volatility,volume,futures,pattern,misc}; "
-    "compiler rules/base.py:47-160) — the SQL-checkable 91-rule subset "
+    "compiler rules/base.py:47-160) — the SQL-checkable 97-rule subset "
     "as one wide projection; oracle GENERATED from the same configs",
-    description="91 SQL-expressible pack rules fired over 1h snapshots",
+    description="97 SQL-expressible pack rules fired over 1h snapshots",
     oracle=_pack_oracle(),
 )
 def signal_pack_sql_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One projection fires every rule: ``array(when(cond_i, name_i))``
-    → ``array_compact`` → ``explode``. 91 boolean Columns over one
+    → ``array_compact`` → ``explode``. 97 boolean Columns over one
     shared window partitioning — a single exchange, whole-stage codegen
     end-to-end, and the rule count scales the projection width, not the
     number of passes."""

@@ -332,6 +332,22 @@ register_custom(
             else c[cfg["mean"]] < _pv(p, cfg["mean"])
         )
     ),
+    lambda cfg: (
+        f"(prev_{cfg['state_field']} = '{cfg['from_state']}'"
+        f" AND {cfg['state_field']} IN ("
+        + ", ".join(f"'{s}'" for s in cfg["to_states"])
+        + ")"
+        + (
+            f" AND prev_{cfg['fast']} <= prev_{cfg['slow']}"
+            f" AND {cfg['fast']} > {cfg['slow']}"
+            f" AND {cfg['mean']} > prev_{cfg['mean']}"
+            if cfg["up"]
+            else f" AND prev_{cfg['fast']} >= prev_{cfg['slow']}"
+            f" AND {cfg['fast']} < {cfg['slow']}"
+            f" AND {cfg['mean']} < prev_{cfg['mean']}"
+        )
+        + ")"
+    ),
 )
 
 register_custom(
