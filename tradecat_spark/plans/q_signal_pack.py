@@ -4,7 +4,7 @@ Two evaluation paths:
 
 - ``signal_pack_sql_rules`` — every rule whose condition fields are
   derivable with window SQL + bounded per-row EWM scans over the 1h
-  bars (97 of 129) evaluated as ONE wide projection: the snapshot
+  bars (103 of 129) evaluated as ONE wide projection: the snapshot
   computes ~43 indicator fields (CCI, Williams %R, MFI, Bollinger,
   Donchian, Keltner, VWAP, OBV/CVD change, volume/taker ratios, OI
   z-score/streak, candle labels, and the recursive family — RSI 7/14/21
@@ -58,7 +58,7 @@ SNAPSHOT_FIELDS = [
     "sup_dist_pct", "res_dist_pct", "vwap_dev_pct",
     "obv_chg30", "cvd_chg", "ls_ratio", "taker_ls_ratio",
     "oi_zscore", "oi_streak", "risk_score", "pattern",
-    "sent_diff", "flip_signal",
+    "sent_diff", "flip_signal", "fib_state", "liq_level", "scalp_signal",
     # EWM-fold family (per-row prefix scans, see _FOLDS_SQL): the
     # recursive-indicator fields the r2 snapshot could not derive
     "rsi7", "rsi14", "rsi21", "rsi_avg", "rsi_state",
@@ -86,6 +86,9 @@ _EMA_SCANS = {
     "ag7s": ("gains", 1.0 / 7.0), "al7s": ("losses", 1.0 / 7.0),
     "ag14s": ("gains", 1.0 / 14.0), "al14s": ("losses", 1.0 / 14.0),
     "ag21s": ("gains", 1.0 / 21.0), "al21s": ("losses", 1.0 / 21.0),
+    # scalping EMA5/EMA13 (batch/scalping.py; same alphas as
+    # ind_scalping_emas)
+    "scfs": ("cl", 2.0 / 6.0), "scss": ("cl", 2.0 / 14.0),
 }
 
 
@@ -173,6 +176,9 @@ def _folds_sql() -> str:
             "THEN 'bear_stack' ELSE 'tangled' END"
         ),
         "ribbon_state": _sql_ribbon_state(),
+        "scalp_signal": (
+            "CASE WHEN scfs[i] > scss[i] THEN 'long' ELSE 'short' END"
+        ),
     }
     unnests = ",\n    ".join(
         f"unnest(list_transform(range(1, len(cl) + 1), i -> {expr}))"
@@ -311,6 +317,12 @@ b2 AS (
     (MAX(high) OVER w9 + MIN(low) OVER w9) / 2 AS tenkan,
     (MAX(high) OVER w26 + MIN(low) OVER w26) / 2 AS kijun,
     (MAX(high) OVER w52 + MIN(low) OVER w52) / 2 AS spanb,
+    CAST(SUM(CAST(close AS DECIMAL(18,6)) * CAST(tc AS DECIMAL(18,6)))
+         OVER w200 AS DOUBLE) AS fib_num,
+    CAST(SUM(CAST(tc AS DECIMAL(18,6))) OVER w200 AS DOUBLE) AS fib_den,
+    ROUND(close / NULLIF(p_close, 0) - 1, 6) AS liq_ret,
+    ROUND(ABS(close / NULLIF(p_close, 0) - 1)
+          / NULLIF(close * CAST(tc AS DOUBLE), 0) * 1e6, 6) AS amihud,
     ROW_NUMBER() OVER w AS rn,
     ROW_NUMBER() OVER (PARTITION BY event_type, s ORDER BY bucket_ts) AS rns,
     PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY amplitude_pct)
@@ -337,7 +349,9 @@ b2 AS (
     w30  AS (PARTITION BY event_type ORDER BY bucket_ts
              ROWS BETWEEN 29 PRECEDING AND CURRENT ROW),
     w40x AS (PARTITION BY event_type ORDER BY bucket_ts
-             ROWS BETWEEN 40 PRECEDING AND 1 PRECEDING)
+             ROWS BETWEEN 40 PRECEDING AND 1 PRECEDING),
+    w200 AS (PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN 199 PRECEDING AND CURRENT ROW)
 ),
 b3 AS (
   SELECT *,
@@ -346,15 +360,24 @@ b3 AS (
     s * COUNT(*) OVER (PARTITION BY event_type, s, rn - rns
                        ORDER BY bucket_ts
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      AS streak
-  FROM b2 WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+      AS streak,
+    ROUND(close - ROUND(fib_num / NULLIF(fib_den, 0), 6), 6) AS fib_diff,
+    ROUND(STDDEV_SAMP(ROUND(close - ROUND(fib_num / NULLIF(fib_den, 0), 6),
+                            6)) OVER w200 * 3.0, 6) AS fib_dev,
+    ROUND((amihud - AVG(amihud) OVER w200)
+          / NULLIF(STDDEV_SAMP(amihud) OVER w200, 0), 4) AS liq_z,
+    ROUND(STDDEV_SAMP(liq_ret) OVER w200, 4) AS liq_vol
+  FROM b2 WINDOW
+    w AS (PARTITION BY event_type ORDER BY bucket_ts),
+    w200 AS (PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN 199 PRECEDING AND CURRENT ROW)
 ),{folds_sql}
 ,
 snap AS (
   SELECT event_type, bucket_ts,
     rsi7, rsi14, rsi21, rsi_avg, rsi_state,
     macd_line, macd_signal, macd_hist, kdj_signal,
-    cloud_side, regime, ribbon_state,
+    cloud_side, regime, ribbon_state, scalp_signal,
     CASE WHEN close > GREATEST((tenkan + kijun) / 2, spanb)
               AND tenkan > kijun THEN 'buy'
          WHEN close < LEAST((tenkan + kijun) / 2, spanb)
@@ -420,6 +443,16 @@ snap AS (
                      / NULLIF(CAST(dn10 AS DOUBLE), 0), 6) < 1
         THEN 'bear_flip'
       ELSE 'none' END AS flip_signal,
+    CASE WHEN ROUND(fib_diff / NULLIF(fib_dev, 0), 6) >= 0
+         THEN 'up' ELSE 'down' END AS fib_state,
+    CASE
+      WHEN ROUND(100 / (1 + exp(-(0.5 * (-liq_z) - liq_vol))), 6) >= 75
+        THEN 'excellent'
+      WHEN ROUND(100 / (1 + exp(-(0.5 * (-liq_z) - liq_vol))), 6) >= 50
+        THEN 'good'
+      WHEN ROUND(100 / (1 + exp(-(0.5 * (-liq_z) - liq_vol))), 6) >= 25
+        THEN 'fair'
+      ELSE 'poor' END AS liq_level,
     CASE
       WHEN COALESCE(p_close < p_open AND close > open
                     AND close >= p_open AND open <= p_close, FALSE)
@@ -655,6 +688,9 @@ def _build_folds(bars: DataFrame) -> DataFrame:
         .when(el("cl", i) > el("rb18s", i), "bull")
         .otherwise("bear")
         .alias("ribbon_state"),
+        F.when(el("scfs", i) > el("scss", i), "long")
+        .otherwise("short")
+        .alias("scalp_signal"),
     )
 
 
@@ -747,6 +783,16 @@ def build_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kijun"),
         ((F.max("high").over(fr(-51, 0)) + F.min("low").over(fr(-51, 0))) / 2)
         .alias("spanb"),
+        F.sum((c.cast("decimal(18,6)") * tc.cast("decimal(18,6)")))
+        .over(fr(-199, 0)).cast("double").alias("fib_num"),
+        F.sum(tc.cast("decimal(18,6)")).over(fr(-199, 0)).cast("double")
+        .alias("fib_den"),
+        F.round(c / F.nullif(F.col("p_close"), F.lit(0)) - 1, 6)
+        .alias("liq_ret"),
+        F.round(
+            F.abs(c / F.nullif(F.col("p_close"), F.lit(0)) - 1)
+            / F.nullif(c * tcd, F.lit(0)) * 1e6, 6
+        ).alias("amihud"),
         F.row_number().over(w).alias("rn"),
         F.row_number()
         .over(Window.partitionBy("event_type", "s").orderBy("bucket_ts"))
@@ -760,11 +806,25 @@ def build_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket_ts")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w200 = fr(-199, 0)
+    vwma6 = F.round(
+        F.col("fib_num") / F.nullif(F.col("fib_den"), F.lit(0)), 6
+    )
     b3 = b2.select(
         "*",
         F.lag("obv", 30).over(w).alias("obv30"),
         F.lag("cvd", 30).over(w).alias("cvd30"),
         (F.col("s") * F.count(F.lit(1)).over(grp_w)).alias("streak"),
+        F.round(F.col("close") - vwma6, 6).alias("fib_diff"),
+        F.round(
+            F.stddev_samp(F.round(F.col("close") - vwma6, 6)).over(w200)
+            * 3.0, 6
+        ).alias("fib_dev"),
+        F.round(
+            (F.col("amihud") - F.avg("amihud").over(w200))
+            / F.nullif(F.stddev_samp("amihud").over(w200), F.lit(0)), 4
+        ).alias("liq_z"),
+        F.round(F.stddev_samp("liq_ret").over(w200), 4).alias("liq_vol"),
     )
     b3 = b3.join(F.broadcast(_build_folds(bars)), ["event_type", "rn"])
     bb_up = F.col("bb_mid") + 2 * F.col("bb_sd")
@@ -812,11 +872,14 @@ def build_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("up30").cast("double")
         / F.nullif(F.col("dn30").cast("double"), F.lit(0)), 6
     )
+    liq_score6 = F.round(
+        100 / (1 + F.exp(-(0.5 * (-F.col("liq_z")) - F.col("liq_vol")))), 6
+    )
     snap = b3.select(
         "event_type", "bucket_ts",
         "rsi7", "rsi14", "rsi21", "rsi_avg", "rsi_state",
         "macd_line", "macd_signal", "macd_hist", "kdj_signal",
-        "cloud_side", "regime", "ribbon_state",
+        "cloud_side", "regime", "ribbon_state", "scalp_signal",
         F.when(
             (c > F.greatest((F.col("tenkan") + F.col("kijun")) / 2,
                             F.col("spanb")))
@@ -902,6 +965,19 @@ def build_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when((F.lag(tlr10).over(w) > 1) & (tlr10 < 1), "bear_flip")
         .otherwise("none")
         .alias("flip_signal"),
+        F.when(
+            F.round(
+                F.col("fib_diff") / F.nullif(F.col("fib_dev"), F.lit(0)), 6
+            ) >= 0,
+            "up",
+        )
+        .otherwise("down")
+        .alias("fib_state"),
+        F.when(liq_score6 >= 75, "excellent")
+        .when(liq_score6 >= 50, "good")
+        .when(liq_score6 >= 25, "fair")
+        .otherwise("poor")
+        .alias("liq_level"),
     )
     return snap.select(
         "*", *[F.lag(f).over(w).alias(f"prev_{f}") for f in SNAPSHOT_FIELDS]
@@ -912,14 +988,14 @@ def build_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "signal_pack_sql_rules",
     survey="§2.10 rule pack + condition compiler "
     "(rules/{core,momentum,volatility,volume,futures,pattern,misc}; "
-    "compiler rules/base.py:47-160) — the SQL-checkable 97-rule subset "
+    "compiler rules/base.py:47-160) — the SQL-checkable 103-rule subset "
     "as one wide projection; oracle GENERATED from the same configs",
-    description="97 SQL-expressible pack rules fired over 1h snapshots",
+    description="103 SQL-expressible pack rules fired over 1h snapshots",
     oracle=_pack_oracle(),
 )
 def signal_pack_sql_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One projection fires every rule: ``array(when(cond_i, name_i))``
-    → ``array_compact`` → ``explode``. 97 boolean Columns over one
+    → ``array_compact`` → ``explode``. 103 boolean Columns over one
     shared window partitioning — a single exchange, whole-stage codegen
     end-to-end, and the rule count scales the projection width, not the
     number of passes."""
