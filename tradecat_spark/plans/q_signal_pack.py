@@ -4,7 +4,7 @@ Two evaluation paths:
 
 - ``signal_pack_sql_rules`` — every rule whose condition fields are
   derivable with window SQL + bounded per-row EWM scans over the 1h
-  bars (103 of 129) evaluated as ONE wide projection: the snapshot
+  bars (112 of 129) evaluated as ONE wide projection: the snapshot
   computes ~43 indicator fields (CCI, Williams %R, MFI, Bollinger,
   Donchian, Keltner, VWAP, OBV/CVD change, volume/taker ratios, OI
   z-score/streak, candle labels, and the recursive family — RSI 7/14/21
@@ -59,6 +59,7 @@ SNAPSHOT_FIELDS = [
     "obv_chg30", "cvd_chg", "ls_ratio", "taker_ls_ratio",
     "oi_zscore", "oi_streak", "risk_score", "pattern",
     "sent_diff", "flip_signal", "fib_state", "liq_level", "scalp_signal",
+    "adx", "st_state", "zl_state", "pt_state", "pt_strength",
     # EWM-fold family (per-row prefix scans, see _FOLDS_SQL): the
     # recursive-indicator fields the r2 snapshot could not derive
     "rsi7", "rsi14", "rsi21", "rsi_avg", "rsi_state",
@@ -101,6 +102,101 @@ def _sql_scan(src: str, alpha: float) -> str:
         f"(acc, x) -> acc * (1.0::DOUBLE - {a}::DOUBLE)"
         f" + x * {a}::DOUBLE))"
     )
+
+
+def _sql_prefix_scan(src: str, alpha: float) -> str:
+    """Per-row FULL-prefix EWM scan (the path-dependent family's law —
+    their ind_* twins fold the whole tail, so the snapshot mirrors
+    that, not the windowed-seed convention of _sql_scan). O(n): the
+    accumulator is the growing scan list, seeded by the first value."""
+    a = repr(alpha)
+    return (
+        f"list_reduce(list_transform({src}, v -> [v]), "
+        f"(acc, x) -> list_append(acc, "
+        f"acc[-1] * (1.0::DOUBLE - {a}::DOUBLE)"
+        f" + x[1] * {a}::DOUBLE))"
+    )
+
+
+#: ZLEMA lag for the zero-lag / precision-trend family (period 70).
+_ZLAG = (70 - 1) // 2  # 34
+_ZL_A = repr(2.0 / 71.0)
+_ATR70_A = repr(1.0 / 70.0)
+
+# ADX(14) and SuperTrend(10, 3.0) per-row state scans — the same
+# order-stable struct folds as ind_adx_di / ind_supertrend_fold
+# (q_indicators.py), evaluated at every prefix position.
+_AX_A, _AX_1MA = repr(1.0 / 14.0), repr(1.0 - 1.0 / 14.0)
+_SP_ = (
+    "(acc.sp * {m}::DOUBLE + (CASE WHEN (x.h - acc.h) > (acc.l - x.l)"
+    " AND (x.h - acc.h) > 0 THEN x.h - acc.h ELSE 0.0::DOUBLE END)"
+    " * {a}::DOUBLE)"
+).format(a=_AX_A, m=_AX_1MA)
+_SM_ = (
+    "(acc.sm * {m}::DOUBLE + (CASE WHEN (acc.l - x.l) > (x.h - acc.h)"
+    " AND (acc.l - x.l) > 0 THEN acc.l - x.l ELSE 0.0::DOUBLE END)"
+    " * {a}::DOUBLE)"
+).format(a=_AX_A, m=_AX_1MA)
+_ST_ = (
+    "(acc.st * {m}::DOUBLE + greatest(x.h - x.l, abs(x.h - acc.c),"
+    " abs(x.l - acc.c)) * {a}::DOUBLE)"
+).format(a=_AX_A, m=_AX_1MA)
+
+# NOTE on shape: these run as ONE O(n) append-scan per key — the
+# accumulator is the growing list of states (acc[-1] = previous state,
+# x = [current seed row]). Nesting a STRUCT-accumulator list_reduce
+# inside list_transform (the per-position re-fold shape) corrupts state
+# when the outer vector carries more than one group row (observed on
+# DuckDB 1.x; the scalar-accumulator scans in _sql_scan are unaffected),
+# so the scan list form is both the fast and the correct one.
+def _lamz(s: str) -> str:
+    return s.replace("acc.", "acc[-1].").replace("x.", "x[1].")
+
+
+_SQL_ADX_SCAN = f"""
+    list_transform(list_reduce(list_transform(advals, s -> [s]),
+      (acc, x) -> list_append(acc, struct_pack(
+        adx := acc[-1].adx * {_AX_1MA}::DOUBLE
+               + (CASE WHEN {_lamz(_ST_)} = 0 THEN 0.0::DOUBLE
+                       WHEN 100 * {_lamz(_SP_)} / {_lamz(_ST_)}
+                            + 100 * {_lamz(_SM_)} / {_lamz(_ST_)} = 0
+                         THEN 0.0::DOUBLE
+                       ELSE 100 * abs(100 * {_lamz(_SP_)} / {_lamz(_ST_)}
+                                      - 100 * {_lamz(_SM_)} / {_lamz(_ST_)})
+                            / (100 * {_lamz(_SP_)} / {_lamz(_ST_)}
+                               + 100 * {_lamz(_SM_)} / {_lamz(_ST_)})
+                  END) * {_AX_A}::DOUBLE,
+        sp := {_lamz(_SP_)}, sm := {_lamz(_SM_)}, st := {_lamz(_ST_)},
+        h := x[1].h, l := x[1].l, c := x[1].c
+      ))), s -> s.adx)
+"""
+
+_SG_A, _SG_1MA = repr(1.0 / 10.0), repr(1.0 - 1.0 / 10.0)
+_NATR_ = (
+    "(acc.atr * {m}::DOUBLE + greatest(x.h - x.l, abs(x.h - acc.c),"
+    " abs(x.l - acc.c)) * {a}::DOUBLE)"
+).format(a=_SG_A, m=_SG_1MA)
+_NFU_ = (
+    "(CASE WHEN ((x.h + x.l) / 2 + 3.0 * {natr}) < acc.fu"
+    " OR acc.c > acc.fu THEN ((x.h + x.l) / 2 + 3.0 * {natr})"
+    " ELSE acc.fu END)"
+).format(natr=_NATR_)
+_NFL_ = (
+    "(CASE WHEN ((x.h + x.l) / 2 - 3.0 * {natr}) > acc.fl"
+    " OR acc.c < acc.fl THEN ((x.h + x.l) / 2 - 3.0 * {natr})"
+    " ELSE acc.fl END)"
+).format(natr=_NATR_)
+
+_SQL_ST_SCAN = f"""
+    list_transform(list_reduce(list_transform(stvals, s -> [s]),
+      (acc, x) -> list_append(acc, struct_pack(
+        dir := CASE WHEN x[1].c > {_lamz(_NFU_)} THEN 1.0::DOUBLE
+                    WHEN x[1].c < {_lamz(_NFL_)} THEN -1.0::DOUBLE
+                    ELSE acc[-1].dir END,
+        fu := {_lamz(_NFU_)}, fl := {_lamz(_NFL_)}, atr := {_lamz(_NATR_)},
+        h := x[1].h, l := x[1].l, c := x[1].c
+      ))), s -> s.dir)
+"""
 
 
 def _sql_rsi(p: int) -> str:
@@ -179,6 +275,10 @@ def _folds_sql() -> str:
         "scalp_signal": (
             "CASE WHEN scfs[i] > scss[i] THEN 'long' ELSE 'short' END"
         ),
+        "zl_val": f"CASE WHEN i > {_ZLAG} THEN zlps[i - {_ZLAG}] END",
+        "atr70_val": "atr70s[i]",
+        "adx": "ROUND(adxs[i], 6)",
+        "st_state": "CASE WHEN stds[i] > 0 THEN 'up' ELSE 'down' END",
     }
     unnests = ",\n    ".join(
         f"unnest(list_transform(range(1, len(cl) + 1), i -> {expr}))"
@@ -233,11 +333,39 @@ sc4 AS (
 sc5 AS (
   SELECT *, {_sql_scan("ks", 1.0 / 3.0)} AS ds FROM sc4
 ),
+sc6 AS (
+  SELECT *,
+    list_transform(range(1, len(cl) + 1), k ->
+      CASE WHEN k = 1 THEN hgh[1] - lws[1]
+           ELSE greatest(hgh[k] - lws[k], abs(hgh[k] - cl[k - 1]),
+                         abs(lws[k] - cl[k - 1])) END) AS trs,
+    list_transform(range({_ZLAG} + 1, len(cl) + 1),
+                   k -> 2 * cl[k] - cl[k - {_ZLAG}]) AS delag,
+    list_transform(range(1, len(cl) + 1), k -> struct_pack(
+      adx := 0.0::DOUBLE, sp := 0.0::DOUBLE, sm := 0.0::DOUBLE,
+      st := hgh[k] - lws[k], h := hgh[k], l := lws[k], c := cl[k]
+    )) AS advals,
+    list_transform(range(1, len(cl) + 1), k -> struct_pack(
+      dir := 1.0::DOUBLE,
+      fu := (hgh[k] + lws[k]) / 2 + 3.0 * (hgh[k] - lws[k]),
+      fl := (hgh[k] + lws[k]) / 2 - 3.0 * (hgh[k] - lws[k]),
+      atr := hgh[k] - lws[k], h := hgh[k], l := lws[k], c := cl[k]
+    )) AS stvals
+  FROM sc5
+),
+sc7 AS (
+  SELECT *,
+    {_sql_prefix_scan("trs", 1.0 / 70.0)} AS atr70s,
+    {_sql_prefix_scan("delag", 2.0 / 71.0)} AS zlps,
+    {_SQL_ADX_SCAN} AS adxs,
+    {_SQL_ST_SCAN} AS stds
+  FROM sc6
+),
 folds AS (
   SELECT event_type,
     unnest(range(1, len(cl) + 1)) AS rn,
     {unnests}
-  FROM sc5
+  FROM sc7
 )"""
 
 
@@ -377,7 +505,26 @@ snap AS (
   SELECT event_type, bucket_ts,
     rsi7, rsi14, rsi21, rsi_avg, rsi_state,
     macd_line, macd_signal, macd_hist, kdj_signal,
-    cloud_side, regime, ribbon_state, scalp_signal,
+    cloud_side, regime, ribbon_state, scalp_signal, adx, st_state,
+    CASE WHEN zl_val IS NOT NULL
+              AND close > zl_val + MAX(atr70_val) OVER w210 * 1.2
+         THEN 'bull'
+         WHEN zl_val IS NOT NULL
+              AND close < zl_val - MAX(atr70_val) OVER w210 * 1.2
+         THEN 'bear'
+         ELSE 'range' END AS zl_state,
+    CASE WHEN zl_val IS NOT NULL
+              AND close > zl_val + MAX(atr70_val) OVER w210 * 1.2
+         THEN 'bull'
+         WHEN zl_val IS NOT NULL
+              AND close < zl_val - MAX(atr70_val) OVER w210 * 1.2
+         THEN 'bear' END AS pt_sig,
+    ROUND(CASE WHEN zl_val IS NULL THEN NULL
+               WHEN MAX(atr70_val) OVER w210 * 1.2 <> 0
+               THEN LEAST(100.0::DOUBLE,
+                          ABS(close - zl_val)
+                          / (MAX(atr70_val) OVER w210 * 1.2) * 100.0)
+               ELSE 0.0::DOUBLE END, 6) AS pt_strength,
     CASE WHEN close > GREATEST((tenkan + kijun) / 2, spanb)
               AND tenkan > kijun THEN 'buy'
          WHEN close < LEAST((tenkan + kijun) / 2, spanb)
@@ -469,12 +616,23 @@ snap AS (
         THEN 'shooting_star'
       ELSE 'none' END AS pattern
   FROM b3 JOIN folds USING (event_type, rn)
-  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+  WINDOW
+    w AS (PARTITION BY event_type ORDER BY bucket_ts),
+    w210 AS (PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN 209 PRECEDING AND CURRENT ROW)
 ),
-snapp AS (
+snap2 AS (
+  SELECT *,
+    COALESCE(LAST_VALUE(pt_sig IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY bucket_ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 'range')
+      AS pt_state
+  FROM snap
+),
+snapp AS MATERIALIZED (
   SELECT *,
     {prev_cols}
-  FROM snap WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+  FROM snap2 WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
 )
 """
 
@@ -606,7 +764,134 @@ def _build_folds(bars: DataFrame) -> DataFrame:
         "*", _scan_col(F.col("ks"), 1.0 / 3.0).alias("ds")
     )
 
-    rows = sc5.select(
+    # --- path-dependent per-row state scans (full-prefix law, like the
+    # ind_adx_di / ind_supertrend_fold / ind_precision_trend twins).
+    # Spark side: O(n) append-scans — each step extends the scan array
+    # by one folded value instead of re-folding the prefix.
+    hgc, lwc, clc = F.col("hgh"), F.col("lws"), F.col("cl")
+    trs = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda k: F.when(
+            k == 1, el(hgc, 1) - el(lwc, 1)
+        ).otherwise(
+            F.greatest(
+                el(hgc, k) - el(lwc, k),
+                F.abs(el(hgc, k) - el(clc, k - 1)),
+                F.abs(el(lwc, k) - el(clc, k - 1)),
+            )
+        ),
+    )
+    delag = F.transform(
+        F.sequence(F.lit(_ZLAG + 1), n),
+        lambda k: 2 * el(clc, k) - el(clc, k - _ZLAG),
+    )
+    bar_structs = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda k: F.struct(
+            el(hgc, k).alias("h"), el(lwc, k).alias("l"),
+            el(clc, k).alias("c"),
+        ),
+    )
+
+    zero = F.lit(0.0)
+    ax_a = 1.0 / 14.0
+    ax_1m, ax_al = F.lit(1.0 - ax_a), F.lit(ax_a)
+
+    def adx_step(acc, x):
+        up = x["h"] - acc["h"]
+        dn = acc["l"] - x["l"]
+        pdm = F.when((up > dn) & (up > 0), up).otherwise(zero)
+        mdm = F.when((dn > up) & (dn > 0), dn).otherwise(zero)
+        tr = F.greatest(
+            x["h"] - x["l"], F.abs(x["h"] - acc["c"]), F.abs(x["l"] - acc["c"])
+        )
+        nsp = acc["sp"] * ax_1m + pdm * ax_al
+        nsm = acc["sm"] * ax_1m + mdm * ax_al
+        nst = acc["st"] * ax_1m + tr * ax_al
+        pdi, mdi = 100 * nsp / nst, 100 * nsm / nst
+        dx = (
+            F.when(nst == 0, zero)
+            .when(pdi + mdi == 0, zero)
+            .otherwise(100 * F.abs(pdi - mdi) / (pdi + mdi))
+        )
+        return F.struct(
+            (acc["adx"] * ax_1m + dx * ax_al).alias("adx"),
+            nsp.alias("sp"), nsm.alias("sm"), nst.alias("st"),
+            x["h"].alias("h"), x["l"].alias("l"), x["c"].alias("c"),
+        )
+
+    st_a = 1.0 / 10.0
+    st_1m, st_al = F.lit(1.0 - st_a), F.lit(st_a)
+
+    def st_step(acc, x):
+        tr = F.greatest(
+            x["h"] - x["l"], F.abs(x["h"] - acc["c"]), F.abs(x["l"] - acc["c"])
+        )
+        natr = acc["atr"] * st_1m + tr * st_al
+        mid = (x["h"] + x["l"]) / 2
+        upper, lower = mid + 3.0 * natr, mid - 3.0 * natr
+        nfu = F.when(
+            (upper < acc["fu"]) | (acc["c"] > acc["fu"]), upper
+        ).otherwise(acc["fu"])
+        nfl = F.when(
+            (lower > acc["fl"]) | (acc["c"] < acc["fl"]), lower
+        ).otherwise(acc["fl"])
+        ndir = (
+            F.when(x["c"] > nfu, F.lit(1.0))
+            .when(x["c"] < nfl, F.lit(-1.0))
+            .otherwise(acc["dir"])
+        )
+        return F.struct(
+            ndir.alias("dir"), nfu.alias("fu"), nfl.alias("fl"),
+            natr.alias("atr"),
+            x["h"].alias("h"), x["l"].alias("l"), x["c"].alias("c"),
+        )
+
+    def _struct_scan(elems, seed, step, field):
+        arr = F.aggregate(
+            F.slice(elems, 2, F.greatest(F.size(elems) - 1, F.lit(0))),
+            F.array(seed),
+            lambda acc, x: F.concat(
+                acc, F.array(step(F.element_at(acc, -1), x))
+            ),
+        )
+        return F.transform(arr, lambda s: s[field])
+
+    def _append_scan(src, alpha):
+        return F.aggregate(
+            F.slice(src, 2, F.greatest(F.size(src) - 1, F.lit(0))),
+            F.array(F.element_at(src, 1).cast("double")),
+            lambda acc, v: F.concat(
+                acc,
+                F.array(
+                    F.element_at(acc, -1) * F.lit(1.0 - alpha)
+                    + v * F.lit(alpha)
+                ),
+            ),
+        )
+
+    b1s = el(bar_structs, 1)
+    adx_seed = F.struct(
+        zero.alias("adx"), zero.alias("sp"), zero.alias("sm"),
+        (b1s["h"] - b1s["l"]).alias("st"),
+        b1s["h"].alias("h"), b1s["l"].alias("l"), b1s["c"].alias("c"),
+    )
+    st_seed = F.struct(
+        F.lit(1.0).alias("dir"),
+        ((b1s["h"] + b1s["l"]) / 2 + 3.0 * (b1s["h"] - b1s["l"])).alias("fu"),
+        ((b1s["h"] + b1s["l"]) / 2 - 3.0 * (b1s["h"] - b1s["l"])).alias("fl"),
+        (b1s["h"] - b1s["l"]).alias("atr"),
+        b1s["h"].alias("h"), b1s["l"].alias("l"), b1s["c"].alias("c"),
+    )
+    sc6 = sc5.select(
+        "*",
+        _struct_scan(bar_structs, adx_seed, adx_step, "adx").alias("adxs"),
+        _struct_scan(bar_structs, st_seed, st_step, "dir").alias("stds"),
+        _append_scan(trs, 1.0 / 70.0).alias("atr70s"),
+        _append_scan(delag, 2.0 / 71.0).alias("zlps"),
+    )
+
+    rows = sc6.select(
         "*", F.explode(F.sequence(F.lit(1), n)).alias("rn")
     )
     i = F.col("rn")
@@ -691,6 +976,10 @@ def _build_folds(bars: DataFrame) -> DataFrame:
         F.when(el("scfs", i) > el("scss", i), "long")
         .otherwise("short")
         .alias("scalp_signal"),
+        F.round(el("adxs", i), 6).alias("adx"),
+        F.when(el("stds", i) > 0, "up").otherwise("down").alias("st_state"),
+        F.when(i > _ZLAG, el("zlps", i - _ZLAG)).alias("zl_val"),
+        el("atr70s", i).alias("atr70_val"),
     )
 
 
@@ -875,11 +1164,32 @@ def build_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     liq_score6 = F.round(
         100 / (1 + F.exp(-(0.5 * (-F.col("liq_z")) - F.col("liq_vol")))), 6
     )
+    zl_band = F.max("atr70_val").over(fr(-209, 0)) * 1.2
+    zlv = F.col("zl_val")
     snap = b3.select(
         "event_type", "bucket_ts",
         "rsi7", "rsi14", "rsi21", "rsi_avg", "rsi_state",
         "macd_line", "macd_signal", "macd_hist", "kdj_signal",
         "cloud_side", "regime", "ribbon_state", "scalp_signal",
+        "adx", "st_state",
+        F.when(zlv.isNotNull() & (c > zlv + zl_band), "bull")
+        .when(zlv.isNotNull() & (c < zlv - zl_band), "bear")
+        .otherwise("range")
+        .alias("zl_state"),
+        F.when(zlv.isNotNull() & (c > zlv + zl_band), "bull")
+        .when(zlv.isNotNull() & (c < zlv - zl_band), "bear")
+        .alias("pt_sig"),
+        F.round(
+            F.when(zlv.isNull(), F.lit(None).cast("double"))
+            .when(
+                zl_band != 0,
+                F.least(
+                    F.lit(100.0), F.abs(c - zlv) / zl_band * 100.0
+                ),
+            )
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("pt_strength"),
         F.when(
             (c > F.greatest((F.col("tenkan") + F.col("kijun")) / 2,
                             F.col("spanb")))
@@ -979,7 +1289,16 @@ def build_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("poor")
         .alias("liq_level"),
     )
-    return snap.select(
+    snap2 = snap.withColumn(
+        "pt_state",
+        F.coalesce(
+            F.last("pt_sig", ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            F.lit("range"),
+        ),
+    )
+    return snap2.select(
         "*", *[F.lag(f).over(w).alias(f"prev_{f}") for f in SNAPSHOT_FIELDS]
     )
 
@@ -988,14 +1307,14 @@ def build_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "signal_pack_sql_rules",
     survey="§2.10 rule pack + condition compiler "
     "(rules/{core,momentum,volatility,volume,futures,pattern,misc}; "
-    "compiler rules/base.py:47-160) — the SQL-checkable 103-rule subset "
+    "compiler rules/base.py:47-160) — the SQL-checkable 112-rule subset "
     "as one wide projection; oracle GENERATED from the same configs",
-    description="103 SQL-expressible pack rules fired over 1h snapshots",
+    description="112 SQL-expressible pack rules fired over 1h snapshots",
     oracle=_pack_oracle(),
 )
 def signal_pack_sql_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One projection fires every rule: ``array(when(cond_i, name_i))``
-    → ``array_compact`` → ``explode``. 103 boolean Columns over one
+    → ``array_compact`` → ``explode``. 112 boolean Columns over one
     shared window partitioning — a single exchange, whole-stage codegen
     end-to-end, and the rule count scales the projection width, not the
     number of passes."""
