@@ -4,7 +4,7 @@ Two evaluation paths:
 
 - ``signal_pack_sql_rules`` — every rule whose condition fields are
   derivable with window SQL + bounded per-row EWM scans over the 1h
-  bars (112 of 129) evaluated as ONE wide projection: the snapshot
+  bars (115 of 129) evaluated as ONE wide projection: the snapshot
   computes ~43 indicator fields (CCI, Williams %R, MFI, Bollinger,
   Donchian, Keltner, VWAP, OBV/CVD change, volume/taker ratios, OI
   z-score/streak, candle labels, and the recursive family — RSI 7/14/21
@@ -60,6 +60,7 @@ SNAPSHOT_FIELDS = [
     "oi_zscore", "oi_streak", "risk_score", "pattern",
     "sent_diff", "flip_signal", "fib_state", "liq_level", "scalp_signal",
     "adx", "st_state", "zl_state", "pt_state", "pt_strength",
+    "ls_signal", "harmonic_score",
     # EWM-fold family (per-row prefix scans, see _FOLDS_SQL): the
     # recursive-indicator fields the r2 snapshot could not derive
     "rsi7", "rsi14", "rsi21", "rsi_avg", "rsi_state",
@@ -90,7 +91,18 @@ _EMA_SCANS = {
     # scalping EMA5/EMA13 (batch/scalping.py; same alphas as
     # ind_scalping_emas)
     "scfs": ("cl", 2.0 / 6.0), "scss": ("cl", 2.0 / 14.0),
+    # harmonic: Wilder gain/loss registers for every RSI period 2..33
+    # (batch/harmonic.py — mean of RSI(2..33)); 7/14/21 already exist
+    **{
+        f"{kind}{p}s": (src, 1.0 / p)
+        for p in range(2, 34)
+        if p not in (7, 14, 21)
+        for kind, src in (("ag", "gains"), ("al", "losses"))
+    },
 }
+
+#: RSI periods averaged by the harmonic score.
+_HARM_PS = tuple(range(2, 34))
 
 
 def _sql_scan(src: str, alpha: float) -> str:
@@ -198,6 +210,31 @@ _SQL_ST_SCAN = f"""
       ))), s -> s.dir)
 """
 
+# Smoothed Heikin-Ashi (ind_heikin_long_short law): EMA(10) registers +
+# recursive HA pair + EMA(10)-smoothed outputs, per row.
+_HA_AA = repr(2.0 / 11.0)
+_HA_E = "acc[-1].{r} * (1.0::DOUBLE - {a}::DOUBLE) + x[1].{r} * {a}::DOUBLE"
+_HA_NEW_C = (
+    "(("
+    + " + ".join(_HA_E.format(r=r, a=_HA_AA) for r in ("eo", "eh", "el", "ec"))
+    + ") / 4)"
+)
+_SQL_HA_SCAN = f"""
+    list_reduce(list_transform(havals, s -> [s]),
+      (acc, x) -> list_append(acc, struct_pack(
+        so := acc[-1].so * (1.0::DOUBLE - {_HA_AA}::DOUBLE)
+              + ((acc[-1].ha_o + acc[-1].ha_c) / 2) * {_HA_AA}::DOUBLE,
+        sc := acc[-1].sc * (1.0::DOUBLE - {_HA_AA}::DOUBLE)
+              + {_HA_NEW_C} * {_HA_AA}::DOUBLE,
+        ha_o := (acc[-1].ha_o + acc[-1].ha_c) / 2,
+        ha_c := {_HA_NEW_C},
+        eo := {_HA_E.format(r="eo", a=_HA_AA)},
+        eh := {_HA_E.format(r="eh", a=_HA_AA)},
+        el := {_HA_E.format(r="el", a=_HA_AA)},
+        ec := {_HA_E.format(r="ec", a=_HA_AA)}
+      )))
+"""
+
 
 def _sql_rsi(p: int) -> str:
     ag, al = f"ag{p}s", f"al{p}s"
@@ -279,6 +316,20 @@ def _folds_sql() -> str:
         "atr70_val": "atr70s[i]",
         "adx": "ROUND(adxs[i], 6)",
         "st_state": "CASE WHEN stds[i] > 0 THEN 'up' ELSE 'down' END",
+        "ls_signal": (
+            "CASE WHEN hasts[i].sc >= hasts[i].so"
+            " THEN 'long' ELSE 'short' END"
+        ),
+        "harmonic_score": (
+            "CASE WHEN i <= 33 THEN NULL ELSE ROUND(("
+            + " + ".join(
+                f"(CASE WHEN al{p}s[i - 1] = 0 THEN 100.0::DOUBLE "
+                f"ELSE 100.0 - 100.0 / (1.0 + ag{p}s[i - 1] / al{p}s[i - 1])"
+                f" END)"
+                for p in _HARM_PS
+            )
+            + ") / 32.0, 6) END"
+        ),
     }
     unnests = ",\n    ".join(
         f"unnest(list_transform(range(1, len(cl) + 1), i -> {expr}))"
@@ -290,7 +341,8 @@ series AS (
   SELECT event_type,
     list(close ORDER BY bucket_ts) AS cl,
     list(high ORDER BY bucket_ts) AS hgh,
-    list(low ORDER BY bucket_ts) AS lws
+    list(low ORDER BY bucket_ts) AS lws,
+    list(open ORDER BY bucket_ts) AS opn
   FROM bars GROUP BY event_type
 ),
 sc1 AS (
@@ -350,7 +402,14 @@ sc6 AS (
       fu := (hgh[k] + lws[k]) / 2 + 3.0 * (hgh[k] - lws[k]),
       fl := (hgh[k] + lws[k]) / 2 - 3.0 * (hgh[k] - lws[k]),
       atr := hgh[k] - lws[k], h := hgh[k], l := lws[k], c := cl[k]
-    )) AS stvals
+    )) AS stvals,
+    list_transform(range(1, len(cl) + 1), k -> struct_pack(
+      so := (opn[k] + cl[k]) / 2,
+      sc := (opn[k] + hgh[k] + lws[k] + cl[k]) / 4,
+      ha_o := (opn[k] + cl[k]) / 2,
+      ha_c := (opn[k] + hgh[k] + lws[k] + cl[k]) / 4,
+      eo := opn[k], eh := hgh[k], el := lws[k], ec := cl[k]
+    )) AS havals
   FROM sc5
 ),
 sc7 AS (
@@ -358,7 +417,8 @@ sc7 AS (
     {_sql_prefix_scan("trs", 1.0 / 70.0)} AS atr70s,
     {_sql_prefix_scan("delag", 2.0 / 71.0)} AS zlps,
     {_SQL_ADX_SCAN} AS adxs,
-    {_SQL_ST_SCAN} AS stds
+    {_SQL_ST_SCAN} AS stds,
+    {_SQL_HA_SCAN} AS hasts
   FROM sc6
 ),
 folds AS (
@@ -506,6 +566,7 @@ snap AS (
     rsi7, rsi14, rsi21, rsi_avg, rsi_state,
     macd_line, macd_signal, macd_hist, kdj_signal,
     cloud_side, regime, ribbon_state, scalp_signal, adx, st_state,
+    ls_signal, harmonic_score,
     CASE WHEN zl_val IS NOT NULL
               AND close > zl_val + MAX(atr70_val) OVER w210 * 1.2
          THEN 'bull'
@@ -687,7 +748,7 @@ def _build_folds(bars: DataFrame) -> DataFrame:
         .agg(
             F.array_sort(
                 F.collect_list(
-                    F.struct("bucket_ts", "close", "high", "low")
+                    F.struct("bucket_ts", "close", "high", "low", "open")
                 )
             ).alias("p")
         )
@@ -696,6 +757,7 @@ def _build_folds(bars: DataFrame) -> DataFrame:
             F.transform("p", lambda r: r["close"]).alias("cl"),
             F.transform("p", lambda r: r["high"]).alias("hgh"),
             F.transform("p", lambda r: r["low"]).alias("lws"),
+            F.transform("p", lambda r: r["open"]).alias("opn"),
         )
     )
     n = F.size("cl")
@@ -847,15 +909,19 @@ def _build_folds(bars: DataFrame) -> DataFrame:
             x["h"].alias("h"), x["l"].alias("l"), x["c"].alias("c"),
         )
 
-    def _struct_scan(elems, seed, step, field):
-        arr = F.aggregate(
+    def _struct_scan_arr(elems, seed, step):
+        return F.aggregate(
             F.slice(elems, 2, F.greatest(F.size(elems) - 1, F.lit(0))),
             F.array(seed),
             lambda acc, x: F.concat(
                 acc, F.array(step(F.element_at(acc, -1), x))
             ),
         )
-        return F.transform(arr, lambda s: s[field])
+
+    def _struct_scan(elems, seed, step, field):
+        return F.transform(
+            _struct_scan_arr(elems, seed, step), lambda s: s[field]
+        )
 
     def _append_scan(src, alpha):
         return F.aggregate(
@@ -869,6 +935,39 @@ def _build_folds(bars: DataFrame) -> DataFrame:
                 ),
             ),
         )
+
+    ha_a = 2.0 / 11.0
+    ha_1m, ha_al = F.lit(1.0 - ha_a), F.lit(ha_a)
+
+    def ha_step(acc, x):
+        neo = acc["eo"] * ha_1m + x["eo"] * ha_al
+        neh = acc["eh"] * ha_1m + x["eh"] * ha_al
+        nel = acc["el"] * ha_1m + x["el"] * ha_al
+        nec = acc["ec"] * ha_1m + x["ec"] * ha_al
+        nha_o = (acc["ha_o"] + acc["ha_c"]) / 2
+        nha_c = (neo + neh + nel + nec) / 4
+        return F.struct(
+            (acc["so"] * ha_1m + nha_o * ha_al).alias("so"),
+            (acc["sc"] * ha_1m + nha_c * ha_al).alias("sc"),
+            nha_o.alias("ha_o"), nha_c.alias("ha_c"),
+            neo.alias("eo"), neh.alias("eh"), nel.alias("el"),
+            nec.alias("ec"),
+        )
+
+    opc = F.col("opn")
+    ha_structs = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda k: F.struct(
+            ((el(opc, k) + el(clc, k)) / 2).alias("so"),
+            ((el(opc, k) + el(hgc, k) + el(lwc, k) + el(clc, k)) / 4)
+            .alias("sc"),
+            ((el(opc, k) + el(clc, k)) / 2).alias("ha_o"),
+            ((el(opc, k) + el(hgc, k) + el(lwc, k) + el(clc, k)) / 4)
+            .alias("ha_c"),
+            el(opc, k).alias("eo"), el(hgc, k).alias("eh"),
+            el(lwc, k).alias("el"), el(clc, k).alias("ec"),
+        ),
+    )
 
     b1s = el(bar_structs, 1)
     adx_seed = F.struct(
@@ -887,6 +986,8 @@ def _build_folds(bars: DataFrame) -> DataFrame:
         "*",
         _struct_scan(bar_structs, adx_seed, adx_step, "adx").alias("adxs"),
         _struct_scan(bar_structs, st_seed, st_step, "dir").alias("stds"),
+        _struct_scan_arr(ha_structs, el(ha_structs, 1), ha_step)
+        .alias("hasts"),
         _append_scan(trs, 1.0 / 70.0).alias("atr70s"),
         _append_scan(delag, 2.0 / 71.0).alias("zlps"),
     )
@@ -980,6 +1081,25 @@ def _build_folds(bars: DataFrame) -> DataFrame:
         F.when(el("stds", i) > 0, "up").otherwise("down").alias("st_state"),
         F.when(i > _ZLAG, el("zlps", i - _ZLAG)).alias("zl_val"),
         el("atr70s", i).alias("atr70_val"),
+        F.when(
+            el("hasts", i)["sc"] >= el("hasts", i)["so"], "long"
+        ).otherwise("short").alias("ls_signal"),
+        F.when(i <= 33, F.lit(None).cast("double")).otherwise(
+            F.round(
+                sum(
+                    F.when(
+                        el(f"al{p}s", i - 1) == 0, F.lit(100.0)
+                    ).otherwise(
+                        100.0
+                        - 100.0
+                        / (1.0 + el(f"ag{p}s", i - 1) / el(f"al{p}s", i - 1))
+                    )
+                    for p in _HARM_PS
+                )
+                / 32.0,
+                6,
+            )
+        ).alias("harmonic_score"),
     )
 
 
@@ -1171,7 +1291,7 @@ def build_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rsi7", "rsi14", "rsi21", "rsi_avg", "rsi_state",
         "macd_line", "macd_signal", "macd_hist", "kdj_signal",
         "cloud_side", "regime", "ribbon_state", "scalp_signal",
-        "adx", "st_state",
+        "adx", "st_state", "ls_signal", "harmonic_score",
         F.when(zlv.isNotNull() & (c > zlv + zl_band), "bull")
         .when(zlv.isNotNull() & (c < zlv - zl_band), "bear")
         .otherwise("range")
@@ -1307,14 +1427,14 @@ def build_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "signal_pack_sql_rules",
     survey="§2.10 rule pack + condition compiler "
     "(rules/{core,momentum,volatility,volume,futures,pattern,misc}; "
-    "compiler rules/base.py:47-160) — the SQL-checkable 112-rule subset "
+    "compiler rules/base.py:47-160) — the SQL-checkable 115-rule subset "
     "as one wide projection; oracle GENERATED from the same configs",
-    description="112 SQL-expressible pack rules fired over 1h snapshots",
+    description="115 SQL-expressible pack rules fired over 1h snapshots",
     oracle=_pack_oracle(),
 )
 def signal_pack_sql_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One projection fires every rule: ``array(when(cond_i, name_i))``
-    → ``array_compact`` → ``explode``. 112 boolean Columns over one
+    → ``array_compact`` → ``explode``. 115 boolean Columns over one
     shared window partitioning — a single exchange, whole-stage codegen
     end-to-end, and the rule count scales the projection width, not the
     number of passes."""
