@@ -4,7 +4,7 @@ Two evaluation paths:
 
 - ``signal_pack_sql_rules`` — every rule whose condition fields are
   derivable with window SQL + bounded per-row EWM scans over the 1h
-  bars (115 of 129) evaluated as ONE wide projection: the snapshot
+  bars (123 of 129) evaluated as ONE wide projection: the snapshot
   computes ~43 indicator fields (CCI, Williams %R, MFI, Bollinger,
   Donchian, Keltner, VWAP, OBV/CVD change, volume/taker ratios, OI
   z-score/streak, candle labels, and the recursive family — RSI 7/14/21
@@ -61,6 +61,7 @@ SNAPSHOT_FIELDS = [
     "sent_diff", "flip_signal", "fib_state", "liq_level", "scalp_signal",
     "adx", "st_state", "zl_state", "pt_state", "pt_strength",
     "ls_signal", "harmonic_score",
+    "smc_bias", "struct_event", "smc_score",
     # EWM-fold family (per-row prefix scans, see _FOLDS_SQL): the
     # recursive-indicator fields the r2 snapshot could not derive
     "rsi7", "rsi14", "rsi21", "rsi_avg", "rsi_state",
@@ -460,7 +461,15 @@ b0 AS (
     CASE WHEN CAST(tc AS DOUBLE) > CAST(LAG(tc) OVER w AS DOUBLE) THEN 1
          WHEN CAST(tc AS DOUBLE) < CAST(LAG(tc) OVER w AS DOUBLE) THEN -1
          ELSE 0 END AS s,
-    ROUND((high - low) / close * 100, 6) AS amplitude_pct
+    ROUND((high - low) / close * 100, 6) AS amplitude_pct,
+    -- SMC 2-radius swing pivots (ind_smc_structure law); a pivot at k
+    -- confirms two bars later, when both leads are known
+    high > LAG(high, 1) OVER w AND high > LAG(high, 2) OVER w
+      AND high > LEAD(high, 1) OVER w AND high > LEAD(high, 2) OVER w
+      AS is_ph,
+    low < LAG(low, 1) OVER w AND low < LAG(low, 2) OVER w
+      AND low < LEAD(low, 1) OVER w AND low < LEAD(low, 2) OVER w
+      AS is_pl
   FROM bars WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
 ),
 b1 AS (
@@ -476,8 +485,10 @@ b1 AS (
     CASE WHEN tp > prev_tp THEN CAST(tp * tc AS DECIMAL(18,8))
          ELSE CAST(0 AS DECIMAL(18,8)) END AS pos_mf,
     CASE WHEN tp < prev_tp THEN CAST(tp * tc AS DECIMAL(18,8))
-         ELSE CAST(0 AS DECIMAL(18,8)) END AS neg_mf
-  FROM b0
+         ELSE CAST(0 AS DECIMAL(18,8)) END AS neg_mf,
+    CASE WHEN LAG(is_ph, 2) OVER w THEN LAG(high, 2) OVER w END AS conf_ph,
+    CASE WHEN LAG(is_pl, 2) OVER w THEN LAG(low, 2) OVER w END AS conf_pl
+  FROM b0 WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
 ),
 b2 AS (
   SELECT event_type, bucket_ts, open, high, low, close, tc, tp, s,
@@ -511,6 +522,10 @@ b2 AS (
     ROUND(close / NULLIF(p_close, 0) - 1, 6) AS liq_ret,
     ROUND(ABS(close / NULLIF(p_close, 0) - 1)
           / NULLIF(close * CAST(tc AS DOUBLE), 0) * 1e6, 6) AS amihud,
+    conf_ph,
+    LAST_VALUE(conf_ph IGNORE NULLS) OVER wc AS last_ph_c,
+    LAST_VALUE(conf_ph IGNORE NULLS) OVER wc1 AS ph_prev_c,
+    LAST_VALUE(conf_pl IGNORE NULLS) OVER wc AS last_pl_c,
     ROW_NUMBER() OVER w AS rn,
     ROW_NUMBER() OVER (PARTITION BY event_type, s ORDER BY bucket_ts) AS rns,
     PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY amplitude_pct)
@@ -526,6 +541,8 @@ b2 AS (
              ROWS BETWEEN 51 PRECEDING AND CURRENT ROW),
     wc   AS (PARTITION BY event_type ORDER BY bucket_ts
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wc1  AS (PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
     w10  AS (PARTITION BY event_type ORDER BY bucket_ts
              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
     w14  AS (PARTITION BY event_type ORDER BY bucket_ts
@@ -554,7 +571,9 @@ b3 AS (
                             6)) OVER w200 * 3.0, 6) AS fib_dev,
     ROUND((amihud - AVG(amihud) OVER w200)
           / NULLIF(STDDEV_SAMP(amihud) OVER w200, 0), 4) AS liq_z,
-    ROUND(STDDEV_SAMP(liq_ret) OVER w200, 4) AS liq_vol
+    ROUND(STDDEV_SAMP(liq_ret) OVER w200, 4) AS liq_vol,
+    LAST_VALUE(CASE WHEN conf_ph IS NOT NULL THEN ph_prev_c END
+               IGNORE NULLS) OVER w AS ph2_c
   FROM b2 WINDOW
     w AS (PARTITION BY event_type ORDER BY bucket_ts),
     w200 AS (PARTITION BY event_type ORDER BY bucket_ts
@@ -586,6 +605,28 @@ snap AS (
                           ABS(close - zl_val)
                           / (MAX(atr70_val) OVER w210 * 1.2) * 100.0)
                ELSE 0.0::DOUBLE END, 6) AS pt_strength,
+    CASE WHEN last_ph_c IS NOT NULL AND close > last_ph_c THEN 'bullish'
+         WHEN last_pl_c IS NOT NULL AND close < last_pl_c THEN 'bearish'
+         ELSE 'neutral' END AS smc_bias,
+    CASE WHEN last_ph_c IS NOT NULL AND close > last_ph_c THEN
+           (CASE WHEN ph2_c IS NOT NULL AND last_ph_c >= ph2_c
+                 THEN 'BOS_up' ELSE 'CHoCH_up' END)
+         WHEN last_pl_c IS NOT NULL AND close < last_pl_c THEN
+           (CASE WHEN NOT (ph2_c IS NOT NULL AND last_ph_c >= ph2_c)
+                 THEN 'BOS_down' ELSE 'CHoCH_down' END)
+         ELSE 'none' END AS struct_event,
+    ROUND(CASE WHEN (CASE WHEN last_ph_c IS NOT NULL AND close > last_ph_c
+                          THEN 1
+                          WHEN last_pl_c IS NOT NULL AND close < last_pl_c
+                          THEN -1 ELSE 0 END) <> 0
+                AND last_ph_c IS NOT NULL AND last_pl_c IS NOT NULL
+                AND last_ph_c - last_pl_c > 0
+           THEN LEAST(100.0::DOUBLE,
+                      50.0 + (CASE WHEN close > last_ph_c
+                                   THEN close - last_ph_c
+                                   ELSE last_pl_c - close END)
+                             / (last_ph_c - last_pl_c) * 100.0)
+           ELSE 0.0::DOUBLE END, 6) AS smc_score,
     CASE WHEN close > GREATEST((tenkan + kijun) / 2, spanb)
               AND tenkan > kijun THEN 'buy'
          WHEN close < LEAST((tenkan + kijun) / 2, spanb)
@@ -1133,6 +1174,16 @@ def build_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("s"),
         F.round((h - lo) / c * 100, 6).alias("amplitude_pct"),
+        (
+            (h > F.lag("high", 1).over(w)) & (h > F.lag("high", 2).over(w))
+            & (h > F.lead("high", 1).over(w))
+            & (h > F.lead("high", 2).over(w))
+        ).alias("is_ph"),
+        (
+            (lo < F.lag("low", 1).over(w)) & (lo < F.lag("low", 2).over(w))
+            & (lo < F.lead("low", 1).over(w))
+            & (lo < F.lead("low", 2).over(w))
+        ).alias("is_pl"),
     )
     pc, ptp = F.col("pc"), F.col("prev_tp")
     tr = F.greatest(h - lo, F.abs(h - pc), F.abs(lo - pc))
@@ -1153,6 +1204,10 @@ def build_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("tp") < ptp, (F.col("tp") * tc).cast(DEC))
         .otherwise(zero8)
         .alias("neg_mf"),
+        F.when(F.lag("is_ph", 2).over(w), F.lag("high", 2).over(w))
+        .alias("conf_ph"),
+        F.when(F.lag("is_pl", 2).over(w), F.lag("low", 2).over(w))
+        .alias("conf_pl"),
     )
     wc = fr(Window.unboundedPreceding, Window.currentRow)
     b2 = b1.select(
@@ -1202,6 +1257,11 @@ def build_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(c / F.nullif(F.col("p_close"), F.lit(0)) - 1)
             / F.nullif(c * tcd, F.lit(0)) * 1e6, 6
         ).alias("amihud"),
+        "conf_ph",
+        F.last("conf_ph", ignorenulls=True).over(wc).alias("last_ph_c"),
+        F.last("conf_ph", ignorenulls=True)
+        .over(fr(Window.unboundedPreceding, -1)).alias("ph_prev_c"),
+        F.last("conf_pl", ignorenulls=True).over(wc).alias("last_pl_c"),
         F.row_number().over(w).alias("rn"),
         F.row_number()
         .over(Window.partitionBy("event_type", "s").orderBy("bucket_ts"))
@@ -1234,6 +1294,10 @@ def build_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.stddev_samp("amihud").over(w200), F.lit(0)), 4
         ).alias("liq_z"),
         F.round(F.stddev_samp("liq_ret").over(w200), 4).alias("liq_vol"),
+        F.last(
+            F.when(F.col("conf_ph").isNotNull(), F.col("ph_prev_c")),
+            ignorenulls=True,
+        ).over(fr(Window.unboundedPreceding, 0)).alias("ph2_c"),
     )
     b3 = b3.join(F.broadcast(_build_folds(bars)), ["event_type", "rn"])
     bb_up = F.col("bb_mid") + 2 * F.col("bb_sd")
@@ -1286,6 +1350,16 @@ def build_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zl_band = F.max("atr70_val").over(fr(-209, 0)) * 1.2
     zlv = F.col("zl_val")
+    bull_break = F.col("last_ph_c").isNotNull() & (c > F.col("last_ph_c"))
+    bear_break = F.col("last_pl_c").isNotNull() & (c < F.col("last_pl_c"))
+    trend_up = F.col("ph2_c").isNotNull() & (
+        F.col("last_ph_c") >= F.col("ph2_c")
+    )
+    smc_bias = (
+        F.when(bull_break, "bullish")
+        .when(bear_break, "bearish")
+        .otherwise("neutral")
+    )
     snap = b3.select(
         "event_type", "bucket_ts",
         "rsi7", "rsi14", "rsi21", "rsi_avg", "rsi_state",
@@ -1310,6 +1384,35 @@ def build_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0.0)),
             6,
         ).alias("pt_strength"),
+        smc_bias.alias("smc_bias"),
+        F.when(
+            bull_break,
+            F.when(trend_up, "BOS_up").otherwise("CHoCH_up"),
+        )
+        .when(
+            bear_break,
+            F.when(~trend_up, "BOS_down").otherwise("CHoCH_down"),
+        )
+        .otherwise("none")
+        .alias("struct_event"),
+        F.round(
+            F.when(
+                (bull_break | bear_break)
+                & F.col("last_ph_c").isNotNull()
+                & F.col("last_pl_c").isNotNull()
+                & (F.col("last_ph_c") - F.col("last_pl_c") > 0),
+                F.least(
+                    F.lit(100.0),
+                    50.0
+                    + F.when(
+                        c > F.col("last_ph_c"), c - F.col("last_ph_c")
+                    ).otherwise(F.col("last_pl_c") - c)
+                    / (F.col("last_ph_c") - F.col("last_pl_c"))
+                    * 100.0,
+                ),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("smc_score"),
         F.when(
             (c > F.greatest((F.col("tenkan") + F.col("kijun")) / 2,
                             F.col("spanb")))
@@ -1427,14 +1530,14 @@ def build_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "signal_pack_sql_rules",
     survey="§2.10 rule pack + condition compiler "
     "(rules/{core,momentum,volatility,volume,futures,pattern,misc}; "
-    "compiler rules/base.py:47-160) — the SQL-checkable 115-rule subset "
+    "compiler rules/base.py:47-160) — the SQL-checkable 123-rule subset "
     "as one wide projection; oracle GENERATED from the same configs",
-    description="115 SQL-expressible pack rules fired over 1h snapshots",
+    description="123 SQL-expressible pack rules fired over 1h snapshots",
     oracle=_pack_oracle(),
 )
 def signal_pack_sql_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One projection fires every rule: ``array(when(cond_i, name_i))``
-    → ``array_compact`` → ``explode``. 115 boolean Columns over one
+    → ``array_compact`` → ``explode``. 123 boolean Columns over one
     shared window partitioning — a single exchange, whole-stage codegen
     end-to-end, and the rule count scales the projection width, not the
     number of passes."""
