@@ -4,7 +4,7 @@ Two evaluation paths:
 
 - ``signal_pack_sql_rules`` — every rule whose condition fields are
   derivable with window SQL + bounded per-row EWM scans over the 1h
-  bars (123 of 129) evaluated as ONE wide projection: the snapshot
+  bars (125 of 129) evaluated as ONE wide projection: the snapshot
   computes ~43 indicator fields (CCI, Williams %R, MFI, Bollinger,
   Donchian, Keltner, VWAP, OBV/CVD change, volume/taker ratios, OI
   z-score/streak, candle labels, and the recursive family — RSI 7/14/21
@@ -61,7 +61,7 @@ SNAPSHOT_FIELDS = [
     "sent_diff", "flip_signal", "fib_state", "liq_level", "scalp_signal",
     "adx", "st_state", "zl_state", "pt_state", "pt_strength",
     "ls_signal", "harmonic_score",
-    "smc_bias", "struct_event", "smc_score",
+    "smc_bias", "struct_event", "smc_score", "rsi_divergence",
     # EWM-fold family (per-row prefix scans, see _FOLDS_SQL): the
     # recursive-indicator fields the r2 snapshot could not derive
     "rsi7", "rsi14", "rsi21", "rsi_avg", "rsi_state",
@@ -266,6 +266,42 @@ def _sql_ribbon_state() -> str:
     )
 
 
+def _sql_divergence() -> str:
+    """Per-row ±5-bar pivot divergence over the trailing 50 bars — the
+    ind_smart_rsi law evaluated at every position, RSI series from the
+    snapshot's own bounded rsi14 scans."""
+    h50 = "list_slice(hgh, i - 49, i)"
+    l50 = "list_slice(lws, i - 49, i)"
+    r50 = "list_slice(rsi14s, i - 49, i)"
+    php = (
+        f"list_filter(range(6, 46), p -> {h50}[CAST(p AS INT)] = "
+        f"list_aggregate(list_slice({h50}, p - 5, p + 5), 'max'))"
+    )
+    plp = (
+        f"list_filter(range(6, 46), p -> {l50}[CAST(p AS INT)] = "
+        f"list_aggregate(list_slice({l50}, p - 5, p + 5), 'min'))"
+    )
+    bear = (
+        f"{h50}[CAST({php}[len({php})] AS INT)]"
+        f" > {h50}[CAST({php}[len({php}) - 1] AS INT)]"
+        f" AND {r50}[CAST({php}[len({php})] AS INT)]"
+        f" < {r50}[CAST({php}[len({php}) - 1] AS INT)]"
+    )
+    bull = (
+        f"{l50}[CAST({plp}[len({plp})] AS INT)]"
+        f" < {l50}[CAST({plp}[len({plp}) - 1] AS INT)]"
+        f" AND {r50}[CAST({plp}[len({plp})] AS INT)]"
+        f" > {r50}[CAST({plp}[len({plp}) - 1] AS INT)]"
+    )
+    return (
+        f"CASE WHEN i >= 50 AND len({php}) >= 2 AND len({plp}) >= 2"
+        f" AND ({bear}) THEN 'bearish_div' "
+        f"WHEN i >= 50 AND len({php}) >= 2 AND len({plp}) >= 2"
+        f" AND ({bull}) THEN 'bullish_div' "
+        f"ELSE 'none' END"
+    )
+
+
 def _folds_sql() -> str:
     """The fold CTE chain: per-key ordered arrays -> named prefix-scan
     arrays -> one row per (event_type, rn) with the recursive fields."""
@@ -321,6 +357,7 @@ def _folds_sql() -> str:
             "CASE WHEN hasts[i].sc >= hasts[i].so"
             " THEN 'long' ELSE 'short' END"
         ),
+        "rsi_divergence": _sql_divergence(),
         "harmonic_score": (
             "CASE WHEN i <= 33 THEN NULL ELSE ROUND(("
             + " + ".join(
@@ -585,7 +622,7 @@ snap AS (
     rsi7, rsi14, rsi21, rsi_avg, rsi_state,
     macd_line, macd_signal, macd_hist, kdj_signal,
     cloud_side, regime, ribbon_state, scalp_signal, adx, st_state,
-    ls_signal, harmonic_score,
+    ls_signal, harmonic_score, rsi_divergence,
     CASE WHEN zl_val IS NOT NULL
               AND close > zl_val + MAX(atr70_val) OVER w210 * 1.2
          THEN 'bull'
@@ -777,6 +814,48 @@ def _scan_col(arr: Column, alpha: float) -> Column:
         return ema_fold(F.slice(arr, lo, i - lo + 1), alpha)
 
     return F.transform(F.sequence(F.lit(1), F.size(arr)), one)
+
+
+def _divergence_col(i: Column) -> Column:
+    """Column twin of ``_sql_divergence`` (evaluated in the rows frame
+    where hgh/lws/rsi14s arrays are in scope). Array access is
+    try_element_at: the i >= 50 guard cannot stop Spark evaluating the
+    pivot filters on the short head-slices, where a plain element_at
+    raises (DuckDB returns NULL there, and the guard discards both)."""
+    el = F.try_element_at
+    # start clamped to 1: rows with i < 50 produce a short window the
+    # i >= 50 guard discards, but slice(…, 0, …) would raise first
+    st50 = F.greatest(i - 49, F.lit(1))
+    h50 = F.slice(F.col("hgh"), st50, F.lit(50))
+    l50 = F.slice(F.col("lws"), st50, F.lit(50))
+    r50 = F.slice(F.col("rsi14s"), st50, F.lit(50))
+    php = F.filter(
+        F.sequence(F.lit(6), F.lit(45)),
+        lambda p: el(h50, p) == F.array_max(F.slice(h50, p - 5, F.lit(11))),
+    )
+    plp = F.filter(
+        F.sequence(F.lit(6), F.lit(45)),
+        lambda p: el(l50, p) == F.array_min(F.slice(l50, p - 5, F.lit(11))),
+    )
+    nh, nl = F.size(php), F.size(plp)
+    # clamp indices away from 0 — when nh/nl < 2 the guard discards the
+    # branch, but Spark still evaluates the indexing and element_at(0)
+    # raises; the clamped probe just yields NULL comparisons instead
+    nh2, nl2 = F.greatest(nh, F.lit(2)), F.greatest(nl, F.lit(2))
+    bear = (
+        (el(h50, el(php, nh2)) > el(h50, el(php, nh2 - 1)))
+        & (el(r50, el(php, nh2)) < el(r50, el(php, nh2 - 1)))
+    )
+    bull = (
+        (el(l50, el(plp, nl2)) < el(l50, el(plp, nl2 - 1)))
+        & (el(r50, el(plp, nl2)) > el(r50, el(plp, nl2 - 1)))
+    )
+    has = (i >= 50) & (nh >= 2) & (nl >= 2)
+    return (
+        F.when(has & bear, "bearish_div")
+        .when(has & bull, "bullish_div")
+        .otherwise("none")
+    )
 
 
 def _build_folds(bars: DataFrame) -> DataFrame:
@@ -1125,6 +1204,7 @@ def _build_folds(bars: DataFrame) -> DataFrame:
         F.when(
             el("hasts", i)["sc"] >= el("hasts", i)["so"], "long"
         ).otherwise("short").alias("ls_signal"),
+        _divergence_col(i).alias("rsi_divergence"),
         F.when(i <= 33, F.lit(None).cast("double")).otherwise(
             F.round(
                 sum(
@@ -1366,6 +1446,7 @@ def build_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "macd_line", "macd_signal", "macd_hist", "kdj_signal",
         "cloud_side", "regime", "ribbon_state", "scalp_signal",
         "adx", "st_state", "ls_signal", "harmonic_score",
+        "rsi_divergence",
         F.when(zlv.isNotNull() & (c > zlv + zl_band), "bull")
         .when(zlv.isNotNull() & (c < zlv - zl_band), "bear")
         .otherwise("range")
@@ -1530,14 +1611,14 @@ def build_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "signal_pack_sql_rules",
     survey="§2.10 rule pack + condition compiler "
     "(rules/{core,momentum,volatility,volume,futures,pattern,misc}; "
-    "compiler rules/base.py:47-160) — the SQL-checkable 123-rule subset "
+    "compiler rules/base.py:47-160) — the SQL-checkable 125-rule subset "
     "as one wide projection; oracle GENERATED from the same configs",
-    description="123 SQL-expressible pack rules fired over 1h snapshots",
+    description="125 SQL-expressible pack rules fired over 1h snapshots",
     oracle=_pack_oracle(),
 )
 def signal_pack_sql_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One projection fires every rule: ``array(when(cond_i, name_i))``
-    → ``array_compact`` → ``explode``. 123 boolean Columns over one
+    → ``array_compact`` → ``explode``. 125 boolean Columns over one
     shared window partitioning — a single exchange, whole-stage codegen
     end-to-end, and the rule count scales the projection width, not the
     number of passes."""
