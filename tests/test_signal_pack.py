@@ -137,4 +137,4 @@ def test_full_pack_query_runs(spark, sf_dir):
 def test_sql_subset_size():
     from tradecat_spark.plans.q_signal_pack import pack_sql_rules
 
-    assert len(pack_sql_rules()) == 125
+    assert len(pack_sql_rules()) == 129

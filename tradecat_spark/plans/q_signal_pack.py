@@ -4,7 +4,7 @@ Two evaluation paths:
 
 - ``signal_pack_sql_rules`` — every rule whose condition fields are
   derivable with window SQL + bounded per-row EWM scans over the 1h
-  bars (125 of 129) evaluated as ONE wide projection: the snapshot
+  bars (ALL 129) evaluated as ONE wide projection: the snapshot
   computes ~43 indicator fields (CCI, Williams %R, MFI, Bollinger,
   Donchian, Keltner, VWAP, OBV/CVD change, volume/taker ratios, OI
   z-score/streak, candle labels, and the recursive family — RSI 7/14/21
@@ -61,7 +61,8 @@ SNAPSHOT_FIELDS = [
     "sent_diff", "flip_signal", "fib_state", "liq_level", "scalp_signal",
     "adx", "st_state", "zl_state", "pt_state", "pt_strength",
     "ls_signal", "harmonic_score",
-    "smc_bias", "struct_event", "smc_score", "rsi_divergence",
+    "smc_bias", "struct_event", "smc_score", "rsi_divergence", "tl_state",
+    "price_pos",
     # EWM-fold family (per-row prefix scans, see _FOLDS_SQL): the
     # recursive-indicator fields the r2 snapshot could not derive
     "rsi7", "rsi14", "rsi21", "rsi_avg", "rsi_state",
@@ -302,6 +303,28 @@ def _sql_divergence() -> str:
     )
 
 
+def _sql_tl_state() -> str:
+    """Per-row trend-line state — the ind_trend_line slope law (centered
+    OLS over the trailing <=50 closes) evaluated at every position."""
+    ys = "list_slice(cl, greatest(1, i - 49), i)"
+    m = "least(50, i)"
+    ysum = f"list_reduce({ys}, (acc, v) -> acc + v)"
+    num = (
+        f"list_reduce(list_transform(range(1, {m} + 1), "
+        f"t -> (CAST(t - 1 AS DOUBLE) - ({m} - 1) / 2.0)"
+        f" * ({ys}[CAST(t AS INT)] - {ysum} / {m})), (acc, v) -> acc + v)"
+    )
+    den = (
+        f"list_reduce(list_transform(range(1, {m} + 1), "
+        f"t -> (CAST(t - 1 AS DOUBLE) - ({m} - 1) / 2.0)"
+        f" * (CAST(t - 1 AS DOUBLE) - ({m} - 1) / 2.0)), (acc, v) -> acc + v)"
+    )
+    return (
+        f"CASE WHEN i < 2 THEN 'down' "
+        f"WHEN {num} / {den} > 0 THEN 'up' ELSE 'down' END"
+    )
+
+
 def _folds_sql() -> str:
     """The fold CTE chain: per-key ordered arrays -> named prefix-scan
     arrays -> one row per (event_type, rn) with the recursive fields."""
@@ -358,6 +381,7 @@ def _folds_sql() -> str:
             " THEN 'long' ELSE 'short' END"
         ),
         "rsi_divergence": _sql_divergence(),
+        "tl_state": _sql_tl_state(),
         "harmonic_score": (
             "CASE WHEN i <= 33 THEN NULL ELSE ROUND(("
             + " + ".join(
@@ -380,7 +404,8 @@ series AS (
     list(close ORDER BY bucket_ts) AS cl,
     list(high ORDER BY bucket_ts) AS hgh,
     list(low ORDER BY bucket_ts) AS lws,
-    list(open ORDER BY bucket_ts) AS opn
+    list(open ORDER BY bucket_ts) AS opn,
+    list(tc ORDER BY bucket_ts) AS tcs
   FROM bars GROUP BY event_type
 ),
 sc1 AS (
@@ -459,11 +484,77 @@ sc7 AS (
     {_SQL_HA_SCAN} AS hasts
   FROM sc6
 ),
-folds AS (
-  SELECT event_type,
+folds0 AS (
+  SELECT event_type, cl, tcs,
     unnest(range(1, len(cl) + 1)) AS rn,
     {unnests}
   FROM sc7
+),
+foldsA AS (
+  -- per-row VPVR inputs: trailing-200 window, 48 floor-buckets
+  -- (ta.volume_profile law with the snapshot's floor bucketing)
+  SELECT *,
+    cl[CAST(rn AS INT)] AS cur_c,
+    list_min(list_slice(cl, greatest(1, CAST(rn AS INT) - 199),
+                        CAST(rn AS INT))) AS lov,
+    list_max(list_slice(cl, greatest(1, CAST(rn AS INT) - 199),
+                        CAST(rn AS INT))) AS hiv
+  FROM folds0
+),
+foldsB AS (
+  SELECT *,
+    list_transform(range(0, 48), k -> list_reduce(
+      list_prepend(0.0::DOUBLE,
+        list_transform(range(greatest(1, CAST(rn AS INT) - 199),
+                             CAST(rn AS INT) + 1), e ->
+          CASE WHEN (CASE WHEN hiv <= lov THEN 0
+                          ELSE least(47, greatest(0, CAST(floor(
+                            (cl[CAST(e AS INT)] - lov) / (hiv - lov) * 48)
+                            AS INT))) END) = k
+               THEN CAST(tcs[CAST(e AS INT)] AS DOUBLE)
+               ELSE 0.0::DOUBLE END)),
+      (a, v) -> a + v)) AS vols
+  FROM foldsA
+),
+foldsC AS (
+  SELECT *,
+    CAST(list_position(vols, list_max(vols)) - 1 AS DOUBLE) AS poc0,
+    list_reduce(vols, (a, v) -> a + v) AS vtotal
+  FROM foldsB
+),
+foldsD AS (
+  -- 70% value-area expansion around POC: one list-accumulator fold per
+  -- row ([a, b, covered]; list literals read only the pre-step state,
+  -- unlike struct_pack under the mutating regime)
+  SELECT *,
+    list_reduce(
+      list_prepend([poc0, poc0, vols[CAST(poc0 AS INT) + 1]],
+                   list_transform(range(1, 48), q -> [0.0, 0.0, 0.0])),
+      (acc, x) ->
+        CASE WHEN acc[3] >= 0.7 * vtotal OR (acc[1] = 0 AND acc[2] = 47)
+             THEN [acc[1], acc[2], acc[3]]
+             WHEN (CASE WHEN acc[2] < 47
+                        THEN vols[CAST(acc[2] AS INT) + 2]
+                        ELSE -1.0::DOUBLE END)
+                  >= (CASE WHEN acc[1] > 0
+                           THEN vols[CAST(acc[1] AS INT)]
+                           ELSE -1.0::DOUBLE END)
+             THEN [acc[1], acc[2] + 1.0,
+                   acc[3] + vols[CAST(acc[2] AS INT) + 2]]
+             ELSE [acc[1] - 1.0, acc[2],
+                   acc[3] + vols[CAST(acc[1] AS INT)]]
+        END) AS vexp
+  FROM foldsC
+),
+folds AS (
+  SELECT * EXCLUDE (cl, tcs, cur_c, lov, hiv, vols, poc0, vtotal, vexp),
+    CASE WHEN hiv <= lov THEN 'in_va'
+         WHEN cur_c > lov + (vexp[2] + 1) * (hiv - lov) / 48
+           THEN 'above_va'
+         WHEN cur_c < lov + vexp[1] * (hiv - lov) / 48
+           THEN 'below_va'
+         ELSE 'in_va' END AS price_pos
+  FROM foldsD
 )"""
 
 
@@ -622,7 +713,7 @@ snap AS (
     rsi7, rsi14, rsi21, rsi_avg, rsi_state,
     macd_line, macd_signal, macd_hist, kdj_signal,
     cloud_side, regime, ribbon_state, scalp_signal, adx, st_state,
-    ls_signal, harmonic_score, rsi_divergence,
+    ls_signal, harmonic_score, rsi_divergence, tl_state, price_pos,
     CASE WHEN zl_val IS NOT NULL
               AND close > zl_val + MAX(atr70_val) OVER w210 * 1.2
          THEN 'bull'
@@ -858,6 +949,28 @@ def _divergence_col(i: Column) -> Column:
     )
 
 
+def _tl_state_col(i: Column) -> Column:
+    """Column twin of ``_sql_tl_state``."""
+    el = F.element_at
+    ys = F.slice(F.col("cl"), F.greatest(i - 49, F.lit(1)), F.lit(50))
+    m = F.least(F.lit(50), i)
+    ysum = F.aggregate(ys, F.lit(0.0), lambda a, v: a + v)
+    xc = lambda t: (t - 1).cast("double") - (m - 1) / 2.0  # noqa: E731
+    num = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), m), lambda t: xc(t) * (el(ys, t) - ysum / m)
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    den = F.aggregate(
+        F.transform(F.sequence(F.lit(1), m), lambda t: xc(t) * xc(t)),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    return F.when(i < 2, "down").when(num / den > 0, "up").otherwise("down")
+
+
 def _build_folds(bars: DataFrame) -> DataFrame:
     """The recursive-field rows (event_type, rn, 12 fields) — per-key
     ordered arrays, named prefix scans, then one explode. Column twin of
@@ -868,7 +981,8 @@ def _build_folds(bars: DataFrame) -> DataFrame:
         .agg(
             F.array_sort(
                 F.collect_list(
-                    F.struct("bucket_ts", "close", "high", "low", "open")
+                    F.struct("bucket_ts", "close", "high", "low", "open",
+                             "tc")
                 )
             ).alias("p")
         )
@@ -878,6 +992,7 @@ def _build_folds(bars: DataFrame) -> DataFrame:
             F.transform("p", lambda r: r["high"]).alias("hgh"),
             F.transform("p", lambda r: r["low"]).alias("lws"),
             F.transform("p", lambda r: r["open"]).alias("opn"),
+            F.transform("p", lambda r: r["tc"]).alias("tcs"),
         )
     )
     n = F.size("cl")
@@ -1115,6 +1230,99 @@ def _build_folds(bars: DataFrame) -> DataFrame:
     rows = sc6.select(
         "*", F.explode(F.sequence(F.lit(1), n)).alias("rn")
     )
+    # per-row VPVR price position (staged columns mirror the
+    # foldsA..foldsD oracle chain; try_element_at because the guarded
+    # branches still evaluate their indexing)
+    ii = F.col("rn")
+    # window ends AT row ii: length = min(ii, 200), not a fixed 200
+    w_len = F.least(ii, F.lit(200))
+    sub_c = F.slice(F.col("cl"), F.greatest(ii - 199, F.lit(1)), w_len)
+    sub_v = F.slice(F.col("tcs"), F.greatest(ii - 199, F.lit(1)), w_len)
+    rows = rows.withColumns({
+        "cur_c": F.element_at(F.col("cl"), ii),
+        "lov": F.array_min(sub_c),
+        "hiv": F.array_max(sub_c),
+    })
+    lov, hiv = F.col("lov"), F.col("hiv")
+
+    def _bucket(cc):
+        return F.when(hiv <= lov, F.lit(0)).otherwise(
+            F.least(
+                F.lit(47),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((cc - lov) / (hiv - lov) * 48).cast("int"),
+                ),
+            )
+        )
+
+    rows = rows.withColumn(
+        "vols",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(47)),
+            lambda k: F.aggregate(
+                F.zip_with(
+                    sub_c, sub_v,
+                    lambda cc, vv: F.when(
+                        _bucket(cc) == k, vv.cast("double")
+                    ).otherwise(F.lit(0.0)),
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ),
+        ),
+    )
+    vols = F.col("vols")
+    rows = rows.withColumns({
+        "poc0": (F.array_position(vols, F.array_max(vols)) - 1)
+        .cast("double"),
+        "vtotal": F.aggregate(vols, F.lit(0.0), lambda a, v: a + v),
+    })
+    tel = F.try_element_at
+    poc0, vtotal = F.col("poc0"), F.col("vtotal")
+
+    def _exp_step(acc, _x):
+        a_, b_, cov = F.element_at(acc, 1), F.element_at(acc, 2), \
+            F.element_at(acc, 3)
+        nxt_a = F.when(a_ > 0, tel(vols, a_.cast("int"))).otherwise(
+            F.lit(-1.0)
+        )
+        nxt_b = F.when(b_ < 47, tel(vols, b_.cast("int") + 2)).otherwise(
+            F.lit(-1.0)
+        )
+        return (
+            F.when((cov >= 0.7 * vtotal) | ((a_ == 0) & (b_ == 47)), acc)
+            .when(
+                nxt_b >= nxt_a,
+                F.array(a_, b_ + 1.0, cov + tel(vols, b_.cast("int") + 2)),
+            )
+            .otherwise(
+                F.array(a_ - 1.0, b_, cov + tel(vols, a_.cast("int")))
+            )
+        )
+
+    rows = rows.withColumn(
+        "vexp",
+        F.aggregate(
+            F.transform(F.sequence(F.lit(1), F.lit(47)), lambda q: q),
+            F.array(poc0, poc0, F.element_at(vols, poc0.cast("int") + 1)),
+            _exp_step,
+        ),
+    )
+    vexp = F.col("vexp")
+    price_pos = (
+        F.when(hiv <= lov, "in_va")
+        .when(
+            F.col("cur_c")
+            > lov + (F.element_at(vexp, 2) + 1) * (hiv - lov) / 48,
+            "above_va",
+        )
+        .when(
+            F.col("cur_c") < lov + F.element_at(vexp, 1) * (hiv - lov) / 48,
+            "below_va",
+        )
+        .otherwise("in_va")
+    )
     i = F.col("rn")
     rsi7 = el("rsi7s", i)
     rsi14 = el("rsi14s", i)
@@ -1205,6 +1413,8 @@ def _build_folds(bars: DataFrame) -> DataFrame:
             el("hasts", i)["sc"] >= el("hasts", i)["so"], "long"
         ).otherwise("short").alias("ls_signal"),
         _divergence_col(i).alias("rsi_divergence"),
+        _tl_state_col(i).alias("tl_state"),
+        price_pos.alias("price_pos"),
         F.when(i <= 33, F.lit(None).cast("double")).otherwise(
             F.round(
                 sum(
@@ -1446,7 +1656,7 @@ def build_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "macd_line", "macd_signal", "macd_hist", "kdj_signal",
         "cloud_side", "regime", "ribbon_state", "scalp_signal",
         "adx", "st_state", "ls_signal", "harmonic_score",
-        "rsi_divergence",
+        "rsi_divergence", "tl_state", "price_pos",
         F.when(zlv.isNotNull() & (c > zlv + zl_band), "bull")
         .when(zlv.isNotNull() & (c < zlv - zl_band), "bear")
         .otherwise("range")
@@ -1611,14 +1821,14 @@ def build_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "signal_pack_sql_rules",
     survey="§2.10 rule pack + condition compiler "
     "(rules/{core,momentum,volatility,volume,futures,pattern,misc}; "
-    "compiler rules/base.py:47-160) — the SQL-checkable 125-rule subset "
+    "compiler rules/base.py:47-160) — the full 129-rule pack "
     "as one wide projection; oracle GENERATED from the same configs",
-    description="125 SQL-expressible pack rules fired over 1h snapshots",
+    description="All 129 pack rules fired over 1h snapshots",
     oracle=_pack_oracle(),
 )
 def signal_pack_sql_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One projection fires every rule: ``array(when(cond_i, name_i))``
-    → ``array_compact`` → ``explode``. 125 boolean Columns over one
+    → ``array_compact`` → ``explode``. 129 boolean Columns over one
     shared window partitioning — a single exchange, whole-stage codegen
     end-to-end, and the rule count scales the projection width, not the
     number of passes."""
