@@ -29,6 +29,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: unchanged, so they rotate to the back and re-enter next round).
 _GATE_PRIORITY = (
     # new this round (r3)
+    "signal_pack_sql_rules",  # re-check: snapshot grew to all 129 rules
     "ind_volume_ratio",
     "ind_support_resistance",
     "ind_base_data",
