@@ -138,3 +138,54 @@ def test_sql_subset_size():
     from tradecat_spark.plans.q_signal_pack import pack_sql_rules
 
     assert len(pack_sql_rules()) == 129
+
+
+def test_snapshot_final_states_match_ind_twins(spark, sf_dir):
+    """The snapshot's per-row path-dependent states, at the final row,
+    must equal the standalone ind_* fold queries — at sf0.001 every
+    key's history is under the twins' 500-bar tail, so the full-prefix
+    laws coincide exactly (harmonic and price_pos are excluded: they
+    deliberately use the snapshot's bounded-window conventions)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tradecat_spark.plans.q_signal_pack import build_snapshot
+    from tradecat_spark.plans.registry import load_all
+
+    specs = load_all()
+    w = Window.partitionBy("event_type").orderBy(F.desc("bucket_ts"))
+    last = (
+        build_snapshot(spark, sf_dir)
+        .withColumn("rn_", F.row_number().over(w))
+        .filter("rn_ = 1")
+        .select("event_type", "adx", "st_state", "ls_signal", "tl_state",
+                "zl_state", "pt_state", "pt_strength", "smc_bias",
+                "struct_event")
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+
+    def twin(name, cols):
+        return (
+            specs[name].fn(spark, sf_dir).select("event_type", *cols)
+            .toPandas().set_index("event_type").sort_index()
+        )
+
+    adx = twin("ind_adx_di", ["adx"])
+    st = twin("ind_supertrend_fold", ["st_state"])
+    ha = twin("ind_heikin_long_short", ["ls_signal"])
+    tl = twin("ind_trend_line", ["tl_state"])
+    zl = twin("ind_zero_lag_bands", ["zl_state"])
+    pt = twin("ind_precision_trend", ["pt_state", "pt_strength"])
+    smc = twin("ind_smc_structure", ["smc_bias", "struct_event"])
+
+    assert (last["adx"] == adx["adx"]).all()
+    assert (last["st_state"] == st["st_state"]).all()
+    assert (last["ls_signal"] == ha["ls_signal"]).all()
+    assert (last["tl_state"] == tl["tl_state"]).all()
+    assert (last["zl_state"] == zl["zl_state"]).all()
+    assert (last["pt_state"] == pt["pt_state"]).all()
+    assert (last["pt_strength"] == pt["pt_strength"]).all()
+    assert (last["smc_bias"] == smc["smc_bias"]).all()
+    assert (last["struct_event"] == smc["struct_event"]).all()

@@ -1230,6 +1230,13 @@ def _build_folds(bars: DataFrame) -> DataFrame:
     rows = sc6.select(
         "*", F.explode(F.sequence(F.lit(1), n)).alias("rn")
     )
+    # NOTE: parallelism here is per KEY (the scan arrays live one row
+    # per key until the explode). A row-level repartition after the
+    # explode was measured at sf0.01 (5 keys): no wall-clock gain — the
+    # cost is split between Column-tree construction and the scan stage
+    # — while at production symbol counts it would shuffle rows x
+    # per-key arrays (O(n^2) doubles per key), so key parallelism is
+    # the right physical shape.
     # per-row VPVR price position (staged columns mirror the
     # foldsA..foldsD oracle chain; try_element_at because the guarded
     # branches still evaluate their indexing)
