@@ -10,7 +10,7 @@ Two evaluation paths:
   z-score/streak, candle labels, and the recursive family — RSI 7/14/21
   + state, MACD line/signal/hist, KDJ cross labels, SMMA200 cloud side,
   EMA7/25/99 regime, the 18-EMA Madrid ribbon state, Ichimoku signal —
-  as per-row prefix folds bounded to FOLD_BOUND trailing bars),
+  as O(n) per-row full-prefix append-scans),
   lags every field once for prev/curr semantics, then fires rules via
   ``array_compact(array(when(cond, name)…)) → explode``. The DuckDB
   oracle is GENERATED from the same rule configs via ``condition_sql``
@@ -70,10 +70,6 @@ SNAPSHOT_FIELDS = [
     "cloud_side", "regime", "ribbon_state", "ichi_signal",
 ]
 
-#: Every per-row EWM value folds over at most this many trailing bars —
-#: a windowed-seed EWM (the repo's bounded-tail fold convention, scaled
-#: to per-row scans). Identical law on both engines, so hash-safe.
-FOLD_BOUND = 200
 
 #: Madrid ribbon EMA ladder (batch/tv_volume_signal.py:6) — 18 periods.
 _MADRID = (5, 10, 15, 20, 25, 30, 35, 40, 45, 50, 55, 60, 65, 70, 75,
@@ -108,13 +104,17 @@ _HARM_PS = tuple(range(2, 34))
 
 
 def _sql_scan(src: str, alpha: float) -> str:
-    """Per-row bounded-tail EWM scan over a DuckDB list."""
+    """Per-row FULL-prefix EWM scan (pandas ``ewm(adjust=False)`` over
+    the available series, evaluated at every position) as an O(n)
+    append-scan: the accumulator is the growing scan list seeded by the
+    first value — identical recurrence on both engines, hash-safe, and
+    O(n) instead of the O(bound x n) per-position re-folds."""
     a = repr(alpha)
     return (
-        f"list_transform(range(1, len({src}) + 1), i -> list_reduce("
-        f"list_slice({src}, greatest(1, i - {FOLD_BOUND - 1}), i), "
-        f"(acc, x) -> acc * (1.0::DOUBLE - {a}::DOUBLE)"
-        f" + x * {a}::DOUBLE))"
+        f"list_reduce(list_transform({src}, v -> [v]), "
+        f"(acc, x) -> list_append(acc, "
+        f"acc[-1] * (1.0::DOUBLE - {a}::DOUBLE)"
+        f" + x[1] * {a}::DOUBLE))"
     )
 
 
@@ -897,14 +897,20 @@ FROM (
 # snapshot — Spark side (same derivations, one window partitioning)
 # ---------------------------------------------------------------------------
 def _scan_col(arr: Column, alpha: float) -> Column:
-    """Per-row bounded-tail EWM scan (Column twin of ``_sql_scan``)."""
-    from tradecat_spark.plans.q_indicators import ema_fold
-
-    def one(i):
-        lo = F.greatest(F.lit(1), i - F.lit(FOLD_BOUND - 1))
-        return ema_fold(F.slice(arr, lo, i - lo + 1), alpha)
-
-    return F.transform(F.sequence(F.lit(1), F.size(arr)), one)
+    """Per-row full-prefix EWM scan (Column twin of ``_sql_scan``):
+    O(n) append-scan, each step extends the scan array by one folded
+    value."""
+    return F.aggregate(
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.array(F.element_at(arr, 1).cast("double")),
+        lambda acc, v: F.concat(
+            acc,
+            F.array(
+                F.element_at(acc, -1) * F.lit(1.0 - alpha)
+                + v * F.lit(alpha)
+            ),
+        ),
+    )
 
 
 def _divergence_col(i: Column) -> Column:
