@@ -896,20 +896,20 @@ FROM (
 # ---------------------------------------------------------------------------
 # snapshot — Spark side (same derivations, one window partitioning)
 # ---------------------------------------------------------------------------
-def _scan_col(arr: Column, alpha: float) -> Column:
+def _scan_col(src: str, alpha: float) -> Column:
     """Per-row full-prefix EWM scan (Column twin of ``_sql_scan``):
-    O(n) append-scan, each step extends the scan array by one folded
-    value."""
-    return F.aggregate(
-        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
-        F.array(F.element_at(arr, 1).cast("double")),
-        lambda acc, v: F.concat(
-            acc,
-            F.array(
-                F.element_at(acc, -1) * F.lit(1.0 - alpha)
-                + v * F.lit(alpha)
-            ),
-        ),
+    O(n) append-scan over the named array column. Built as ONE
+    F.expr string — ~90 scans built lambda-by-lambda through py4j cost
+    >10 s of driver time per query; Spark SQL parses the same
+    higher-order expression in one call. Double literals carry the D
+    suffix (bare decimals parse as DECIMAL) and repr round-trips the
+    exact alpha."""
+    a, m = repr(alpha), repr(1.0 - alpha)
+    return F.expr(
+        f"aggregate(slice({src}, 2, greatest(size({src}) - 1, 0)), "
+        f"array(cast(element_at({src}, 1) as double)), "
+        f"(acc, v) -> concat(acc, array("
+        f"element_at(acc, -1) * {m}D + v * {a}D)))"
     )
 
 
@@ -1024,7 +1024,7 @@ def _build_folds(bars: DataFrame) -> DataFrame:
     sc2 = sc1.select(
         "*",
         *[
-            _scan_col(F.col(src), alpha).alias(name)
+            _scan_col(src, alpha).alias(name)
             for name, (src, alpha) in _EMA_SCANS.items()
         ],
     )
@@ -1060,11 +1060,11 @@ def _build_folds(bars: DataFrame) -> DataFrame:
     )
     sc4 = sc3.select(
         "*",
-        _scan_col(F.col("macds"), 2.0 / 10.0).alias("sigs"),
-        _scan_col(F.col("rsvs"), 1.0 / 3.0).alias("ks"),
+        _scan_col("macds", 2.0 / 10.0).alias("sigs"),
+        _scan_col("rsvs", 1.0 / 3.0).alias("ks"),
     )
     sc5 = sc4.select(
-        "*", _scan_col(F.col("ks"), 1.0 / 3.0).alias("ds")
+        "*", _scan_col("ks", 1.0 / 3.0).alias("ds")
     )
 
     # --- path-dependent per-row state scans (full-prefix law, like the
