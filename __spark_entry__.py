@@ -38,6 +38,7 @@ _GATE_PRIORITY = (
     "ind_futures_gap_monitor",
     "ind_futures_risk_score",
     "ind_market_share_rank",
+    "quality_unigram_logprob",
     "text_scrub_patterns",
     "token_length_histogram",
     "sample_temperature_mix",

@@ -1412,3 +1412,70 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_half6 * 10000, 0).cast("long")
         .alias("expected_per_10k_half"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM quality scoring (KenLM-style proxy)
+# ---------------------------------------------------------------------------
+@query(
+    "quality_unigram_logprob",
+    survey="north-star curation: unigram LM scoring — per-doc mean "
+    "log-prob against the corpus unigram distribution + perplexity "
+    "proxy + bottom-decile flag (the cheap stand-in for the KenLM "
+    "perplexity filters real pipelines run)",
+    description="Per-doc unigram log-prob, perplexity proxy, low-quality flag",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+v AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY word),
+t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM v),
+d AS (
+  SELECT w.doc_id, ROUND(ln(v.cnt / t.total), 6) AS lp
+  FROM w JOIN v USING (word) CROSS JOIN t
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    ROUND(CAST(SUM(CAST(lp AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6)
+      AS avg_logprob
+  FROM d GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, avg_logprob,
+  ROUND(exp(-avg_logprob), 4) AS ppl_proxy,
+  PERCENT_RANK() OVER (ORDER BY avg_logprob) <= 0.1 AS low_quality
+FROM agg
+""",
+)
+def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two hash-aggregates and one broadcast-ish join: vocab counts
+    (map-side partials), per-token log-probs (rounded once so the
+    decimal mean is order-free), per-doc mean, then one global rank
+    window over doc-cardinality rows. At 100 TB the vocab side is the
+    small relation and the corpus explode never re-shuffles beyond the
+    word join."""
+    d = _docs(spark, sf_dir)
+    w = d.select("doc_id", F.explode(_words()).alias("word"))
+    v = w.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    t = v.agg(F.sum("cnt").cast("double").alias("total"))
+    lp = (
+        w.join(v, "word")
+        .join(F.broadcast(t))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("cnt") / F.col("total")), 6).alias("lp"),
+        )
+    )
+    agg = lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.sum(F.col("lp").cast("decimal(18,8)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_logprob"),
+    )
+    wr = Window.orderBy("avg_logprob")
+    return agg.select(
+        "doc_id", "n_tokens", "avg_logprob",
+        F.round(F.exp(-F.col("avg_logprob")), 4).alias("ppl_proxy"),
+        (F.percent_rank().over(wr) <= 0.1).alias("low_quality"),
+    )
