@@ -30,6 +30,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_PRIORITY = (
     # new this round (r3)
     "signal_pack_sql_rules",  # re-check: snapshot grew to all 129 rules
+    "streaming_macd_parity",
     "ind_volume_ratio",
     "ind_support_resistance",
     "ind_base_data",

@@ -186,3 +186,110 @@ def streaming_signals_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("fired_at", "yyyy-MM-dd HH:mm:ss").alias("fired_at"),
         "rule", "direction",
     )
+
+
+def _pk_scan(src: str, alpha: float) -> str:
+    """O(n) append-scan of pandas' ewm kernel step — the incremental
+    engine's exact arithmetic ((1-a)*prev + a*x) / ((1-a) + a), whose
+    trailing division is NOT a float no-op (streaming/incremental.py
+    _ewm_step)."""
+    # string->double casts: a bare decimal literal parses through
+    # DECIMAL first, which does NOT round-trip every repr()'d double
+    # (e.g. 2/13); CAST('<repr>' AS DOUBLE) is correctly rounded.
+    a, ow = f"CAST('{alpha!r}' AS DOUBLE)", f"CAST('{1.0 - alpha!r}' AS DOUBLE)"
+    return (
+        f"list_reduce(list_transform({src}, v -> [v]), "
+        f"(acc, x) -> list_append(acc, "
+        f"({ow} * acc[-1] + {a} * x[1])"
+        f" / ({ow} + {a})))"
+    )
+
+
+@query(
+    "streaming_macd_parity",
+    survey="§2.11 keyed-state incremental family (incremental/macd.py "
+    "as streaming/incremental.py FoldSpec): per-bar registers from the "
+    "REAL applyInPandasWithState stream, hash-checked against the "
+    "pandas-kernel fold law",
+    description="Per-bar MACD registers from the streaming keyed-state engine",
+    oracle=f"""
+WITH bars AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS b,
+    max_by(value, ts) AS close
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type,
+    list(b ORDER BY b) AS bs,
+    list(close ORDER BY b) AS cl
+  FROM bars GROUP BY event_type
+),
+f AS (
+  SELECT event_type, bs, cl,
+    {_pk_scan("cl", 2.0 / 13.0)} AS efs,
+    {_pk_scan("cl", 2.0 / 27.0)} AS ess
+  FROM s
+),
+g AS (
+  SELECT *,
+    list_transform(range(1, len(cl) + 1), i -> efs[i] - ess[i]) AS mac
+  FROM f
+),
+h AS (SELECT *, {_pk_scan("mac", 2.0 / 10.0)} AS sigs FROM g),
+rows_ AS (
+  SELECT event_type,
+    unnest(bs) AS b, unnest(cl) AS close,
+    unnest(efs) AS ema_fast, unnest(ess) AS ema_slow,
+    unnest(mac) AS macd, unnest(sigs) AS signal_line
+  FROM h
+)
+SELECT event_type,
+  strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+  close, ema_fast, ema_slow, macd, signal_line,
+  macd - signal_line AS hist
+FROM rows_
+""",
+)
+def streaming_macd_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h bars → file stream → applyInPandasWithState MACD fold →
+    memory sink. Every bar's registers are emitted exactly once
+    (append mode), and the keyed state carries bit-identically across
+    however many micro-batches availableNow slices the source into —
+    so the streamed series must hash-equal the batch fold law."""
+    from tradecat_spark.streaming.incremental import streaming_macd
+
+    src = tempfile.mkdtemp(prefix="tc_macd_src_")
+    ckpt = tempfile.mkdtemp(prefix="tc_macd_ckpt_")
+    e = load_table(spark, sf_dir, "events")
+    bars = (
+        e.groupBy(
+            "event_type",
+            F.timestamp_seconds(
+                (F.col("ts").cast("long") / 3600).cast("long") * 3600
+            ).alias("bucket_ts"),
+        )
+        .agg(F.max_by("value", "ts").alias("close"))
+    )
+    bars.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_macd(
+        stream, ["event_type"], "bucket_ts", "close"
+    )
+    name = f"tc_macd_{uuid.uuid4().hex[:10]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    r = spark.table(name)
+    return r.select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "close", "ema_fast", "ema_slow", "macd", "signal_line", "hist",
+    )
