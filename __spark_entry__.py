@@ -31,6 +31,7 @@ _GATE_PRIORITY = (
     # new this round (r3)
     "signal_pack_sql_rules",  # re-check: snapshot grew to all 129 rules
     "streaming_macd_parity",
+    "streaming_atr_parity",
     "ind_volume_ratio",
     "ind_support_resistance",
     "ind_base_data",

@@ -293,3 +293,109 @@ def streaming_macd_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
         "close", "ema_fast", "ema_slow", "macd", "signal_line", "hist",
     )
+
+
+def _atr_alpha() -> float:
+    from tradecat_spark.streaming.incremental import _pandas_alpha
+
+    return _pandas_alpha(1.0 / 14.0)
+
+
+@query(
+    "streaming_atr_parity",
+    survey="§2.11 keyed-state incremental family (incremental/atr.py as "
+    "streaming/incremental.py AtrSpec): per-bar Wilder ATR from the "
+    "REAL stream — exercises the pandas alpha round-trip "
+    "(com normalization shifts 1/14 by one ulp) and min_periods "
+    "masking",
+    description="Per-bar streaming ATR(14) registers, mature rows only",
+    oracle=f"""
+WITH bars AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS b,
+    MAX(value) AS high, MIN(value) AS low, max_by(value, ts) AS close
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type,
+    list(b ORDER BY b) AS bs,
+    list(high ORDER BY b) AS hi,
+    list(low ORDER BY b) AS lo,
+    list(close ORDER BY b) AS cl
+  FROM bars GROUP BY event_type
+),
+t AS (
+  SELECT event_type, bs,
+    list_transform(range(1, len(cl) + 1), k ->
+      CASE WHEN k = 1 THEN hi[1] - lo[1]
+           ELSE greatest(hi[k] - lo[k], abs(hi[k] - cl[k - 1]),
+                         abs(lo[k] - cl[k - 1])) END) AS trs
+  FROM s
+),
+f AS (
+  SELECT event_type, bs, trs,
+    list_reduce(list_transform(trs, v -> [v]),
+      (acc, x) -> list_append(acc,
+        (CAST('{1.0 - _atr_alpha()!r}' AS DOUBLE) * acc[-1]
+         + CAST('{_atr_alpha()!r}' AS DOUBLE) * x[1])
+        / (CAST('{1.0 - _atr_alpha()!r}' AS DOUBLE)
+           + CAST('{_atr_alpha()!r}' AS DOUBLE)))) AS atrs
+  FROM t
+),
+rows_ AS (
+  SELECT event_type,
+    unnest(range(1, len(trs) + 1)) AS rn,
+    unnest(bs) AS b, unnest(trs) AS tr, unnest(atrs) AS atr
+  FROM f
+)
+SELECT event_type,
+  strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+  tr, atr
+FROM rows_ WHERE rn >= 14
+""",
+)
+def streaming_atr_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h OHLC bars → file stream → AtrSpec keyed-state fold → memory
+    sink, mature rows only (the spec masks ATR with NaN until the
+    Wilder period is seeded — the query filters to the mature region so
+    the gate compares pure register values)."""
+    from tradecat_spark.streaming.incremental import AtrSpec, streaming_fold
+
+    src = tempfile.mkdtemp(prefix="tc_atr_src_")
+    ckpt = tempfile.mkdtemp(prefix="tc_atr_ckpt_")
+    e = load_table(spark, sf_dir, "events")
+    bars = (
+        e.groupBy(
+            "event_type",
+            F.timestamp_seconds(
+                (F.col("ts").cast("long") / 3600).cast("long") * 3600
+            ).alias("bucket_ts"),
+        )
+        .agg(
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+        )
+    )
+    bars.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_fold(stream, ["event_type"], "bucket_ts", AtrSpec())
+    name = f"tc_atr_{uuid.uuid4().hex[:10]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    r = spark.table(name)
+    # the immature-row mask may arrive as NaN or as NULL depending on
+    # the Arrow round-trip; both mean "not yet seeded"
+    return r.filter(F.col("atr").isNotNull() & ~F.isnan("atr")).select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "tr", "atr",
+    )
