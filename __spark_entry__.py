@@ -32,6 +32,10 @@ _GATE_PRIORITY = (
     "signal_pack_sql_rules",  # re-check: snapshot grew to all 129 rules
     "streaming_macd_parity",
     "streaming_atr_parity",
+    "streaming_kdj_parity",
+    "streaming_emagc_parity",
+    "streaming_obv_parity",
+    "streaming_cvd_parity",
     "ind_volume_ratio",
     "ind_support_resistance",
     "ind_base_data",

@@ -301,6 +301,45 @@ def _atr_alpha() -> float:
     return _pandas_alpha(1.0 / 14.0)
 
 
+def _run_fold(spark: SparkSession, bars: DataFrame, keys: list[str],
+              ts: str, spec) -> DataFrame:
+    """Materialize ``bars`` as a file-stream source, fold ``spec``'s
+    keyed-state recurrence over it (availableNow → memory sink), and
+    return the materialized per-bar registers."""
+    from tradecat_spark.streaming.incremental import streaming_fold
+
+    src = tempfile.mkdtemp(prefix="tc_fold_src_")
+    ckpt = tempfile.mkdtemp(prefix="tc_fold_ckpt_")
+    bars.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_fold(stream, keys, ts, spec)
+    name = f"tc_fold_{uuid.uuid4().hex[:10]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
+
+
+def _hour_bars(spark: SparkSession, sf_dir: str, **aggs) -> DataFrame:
+    """events → 1h bars keyed by event_type (shared source for the
+    streaming fold parity family)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type",
+        F.timestamp_seconds(
+            (F.col("ts").cast("long") / 3600).cast("long") * 3600
+        ).alias("bucket_ts"),
+    ).agg(*(expr.alias(n) for n, expr in aggs.items()))
+
+
 @query(
     "streaming_atr_parity",
     survey="§2.11 keyed-state incremental family (incremental/atr.py as "
@@ -398,4 +437,271 @@ def streaming_atr_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
         "tr", "atr",
+    )
+
+
+@query(
+    "streaming_emagc_parity",
+    survey="§2.11 keyed-state incremental family (incremental/ema_gc.py"
+    ":9-59 as streaming/incremental.py EmaGcSpec): per-bar EMA7/25/99 "
+    "trend registers from the REAL applyInPandasWithState stream, "
+    "hash-checked against the pandas-kernel fold law",
+    description="Per-bar streaming EMA7/25/99 registers (golden-cross family)",
+    oracle=f"""
+WITH bars AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS b,
+    max_by(value, ts) AS close
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type,
+    list(b ORDER BY b) AS bs,
+    list(close ORDER BY b) AS cl
+  FROM bars GROUP BY event_type
+),
+f AS (
+  SELECT event_type, bs, cl,
+    {_pk_scan("cl", 2.0 / 8.0)} AS e7,
+    {_pk_scan("cl", 2.0 / 26.0)} AS e25,
+    {_pk_scan("cl", 2.0 / 100.0)} AS e99
+  FROM s
+),
+rows_ AS (
+  SELECT event_type,
+    unnest(bs) AS b, unnest(cl) AS close,
+    unnest(e7) AS ema7, unnest(e25) AS ema25, unnest(e99) AS ema99
+  FROM f
+)
+SELECT event_type,
+  strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+  close, ema7, ema25, ema99
+FROM rows_
+""",
+)
+def streaming_emagc_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h close bars → file stream → EmaGcSpec keyed-state fold →
+    memory sink. Span-derived alphas (2/(n+1)) round-trip pandas' com
+    normalization exactly, so no alpha correction is needed — the
+    streamed registers must hash-equal the batch ewm(adjust=False)
+    fold bit-for-bit."""
+    from tradecat_spark.streaming.incremental import EmaGcSpec
+
+    bars = _hour_bars(spark, sf_dir, close=F.max_by("value", "ts"))
+    r = _run_fold(spark, bars, ["event_type"], "bucket_ts", EmaGcSpec())
+    return r.select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "close", "ema7", "ema25", "ema99",
+    )
+
+
+def _kdj_alpha() -> float:
+    from tradecat_spark.streaming.incremental import _pandas_alpha
+
+    return _pandas_alpha(1.0 / 3.0)
+
+
+@query(
+    "streaming_kdj_parity",
+    survey="§2.11 keyed-state incremental family (incremental/kdj.py"
+    ":6-14 as streaming/incremental.py KdjSpec): 9-bar RSV ring buffer "
+    "+ double 1/3-EWM with pandas min_periods masking, from the REAL "
+    "stream — the D line folds the MASKED K series, so the oracle "
+    "folds the emitted-k sublist",
+    description="Per-bar streaming KDJ registers, mature rows only",
+    oracle=f"""
+WITH bars AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS b,
+    MAX(value) AS high, MIN(value) AS low, max_by(value, ts) AS close
+  FROM events GROUP BY 1, 2
+),
+rsvd AS (
+  SELECT event_type, b,
+    CASE WHEN ROW_NUMBER() OVER wseq >= 9
+          AND MAX(high) OVER w9 - MIN(low) OVER w9 <> 0
+      THEN (close - MIN(low) OVER w9)
+           / (MAX(high) OVER w9 - MIN(low) OVER w9) * 100
+      ELSE NULL END AS rsv
+  FROM bars
+  WINDOW wseq AS (PARTITION BY event_type ORDER BY b),
+         w9 AS (PARTITION BY event_type ORDER BY b
+                ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT event_type,
+    list(b ORDER BY b) FILTER (rsv IS NOT NULL) AS bs,
+    list(rsv ORDER BY b) FILTER (rsv IS NOT NULL) AS rs
+  FROM rsvd GROUP BY event_type
+),
+k AS (SELECT event_type, bs, rs, {_pk_scan("rs", _kdj_alpha())} AS ks FROM s),
+d AS (SELECT *, {_pk_scan("ks[3:]", _kdj_alpha())} AS ds FROM k),
+rows_ AS (
+  SELECT event_type, ds,
+    unnest(range(1, len(rs) + 1)) AS i,
+    unnest(bs) AS b, unnest(rs) AS rsv, unnest(ks) AS kk
+  FROM d
+)
+SELECT event_type,
+  strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+  rsv, kk AS kdj_k, ds[i - 2] AS kdj_d,
+  3.0 * kk - 2.0 * ds[i - 2] AS kdj_j
+FROM rows_ WHERE i >= 5
+""",
+)
+def streaming_kdj_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h OHLC bars → file stream → KdjSpec keyed-state fold → memory
+    sink, mature rows only. The masking law is the subtle part: K is
+    emitted from the 3rd non-NaN RSV on, D folds ONLY the emitted K
+    values and is itself masked for 3 more — the oracle mirrors this by
+    filtering NULL RSVs out, scanning, then scanning the ks[3:]
+    sublist, so row i's D register is ds[i-2] (valid from i=5)."""
+    from tradecat_spark.streaming.incremental import KdjSpec
+
+    bars = _hour_bars(
+        spark, sf_dir,
+        high=F.max("value"), low=F.min("value"),
+        close=F.max_by("value", "ts"),
+    )
+    r = _run_fold(spark, bars, ["event_type"], "bucket_ts", KdjSpec())
+    return r.filter(
+        F.col("kdj_d").isNotNull() & ~F.isnan("kdj_d")
+    ).select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "rsv", "kdj_k", "kdj_d", "kdj_j",
+    )
+
+
+@query(
+    "streaming_obv_parity",
+    survey="§2.11 keyed-state incremental family (incremental/obv.py"
+    ":9-22 as streaming/incremental.py ObvSpec): signed-volume cumsum "
+    "register from the REAL stream; volume is the DECIMAL-summed "
+    "abs(value) proxy so bar construction is order-independent on "
+    "both engines",
+    description="Per-bar streaming OBV register (signed-volume cumsum)",
+    oracle="""
+WITH bars AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS b,
+    max_by(value, ts) AS close,
+    CAST(SUM(CAST(ABS(value) AS DECIMAL(18,8))) AS DOUBLE) AS volume
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type,
+    list(b ORDER BY b) AS bs,
+    list(close ORDER BY b) AS cl,
+    list(volume ORDER BY b) AS vl
+  FROM bars GROUP BY event_type
+),
+dl AS (
+  SELECT event_type, bs,
+    list_transform(range(1, len(cl) + 1), i ->
+      CASE WHEN i = 1 THEN 0.0
+           WHEN cl[i] > cl[i - 1] THEN vl[i]
+           WHEN cl[i] < cl[i - 1] THEN -vl[i]
+           ELSE 0.0 END) AS deltas
+  FROM s
+),
+f AS (
+  SELECT event_type, bs,
+    list_reduce(list_transform(deltas, v -> [v]),
+      (acc, x) -> list_append(acc, acc[-1] + x[1])) AS obvs
+  FROM dl
+),
+rows_ AS (
+  SELECT event_type, unnest(bs) AS b, unnest(obvs) AS obv FROM f
+)
+SELECT event_type,
+  strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+  obv
+FROM rows_
+""",
+)
+def streaming_obv_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h (close, volume) bars → file stream → ObvSpec keyed-state
+    cumsum → memory sink. The prefix sum is a strictly sequential
+    left fold on both engines (list scan in DuckDB, per-key state in
+    the stream), so float association never differs."""
+    from tradecat_spark.streaming.incremental import ObvSpec
+
+    bars = _hour_bars(
+        spark, sf_dir,
+        close=F.max_by("value", "ts"),
+        volume=F.sum(F.abs(F.col("value")).cast("decimal(18,8)"))
+        .cast("double"),
+    )
+    r = _run_fold(spark, bars, ["event_type"], "bucket_ts", ObvSpec())
+    return r.select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "obv",
+    )
+
+
+@query(
+    "streaming_cvd_parity",
+    survey="§2.11 keyed-state incremental family (incremental/cvd.py"
+    ":6-24 as streaming/incremental.py CvdSpec): taker-delta cumsum "
+    "register from the REAL stream; taker buy volume uses the bar-shape "
+    "proxy (close>=open ⇒ all-buy) shared with the chart CVD template",
+    description="Per-bar streaming CVD register (taker-delta cumsum)",
+    oracle="""
+WITH bars AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS b,
+    min_by(value, ts) AS open,
+    max_by(value, ts) AS close,
+    CAST(SUM(CAST(ABS(value) AS DECIMAL(18,8))) AS DOUBLE) AS volume
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type,
+    list(b ORDER BY b) AS bs,
+    list(CASE WHEN close >= open THEN volume ELSE -volume END
+         ORDER BY b) AS deltas
+  FROM bars GROUP BY event_type
+),
+f AS (
+  SELECT event_type, bs, deltas,
+    list_reduce(list_transform(deltas, v -> [v]),
+      (acc, x) -> list_append(acc, acc[-1] + x[1])) AS cvds
+  FROM s
+),
+rows_ AS (
+  SELECT event_type,
+    unnest(bs) AS b, unnest(deltas) AS delta, unnest(cvds) AS cvd
+  FROM f
+)
+SELECT event_type,
+  strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+  delta, cvd
+FROM rows_
+""",
+)
+def streaming_cvd_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h bars with the bar-shape taker proxy → file stream → CvdSpec
+    keyed-state cumsum → memory sink. An up bar's volume is all taker
+    buy (delta = +vol, bitwise: vol - max(vol-vol, 0) = vol - 0.0),
+    a down bar's all taker sell (delta = 0.0 - vol = -vol), so the
+    spec's buy/sell arithmetic reproduces the oracle's signed volume
+    exactly."""
+    from tradecat_spark.streaming.incremental import CvdSpec
+
+    bars = _hour_bars(
+        spark, sf_dir,
+        open=F.min_by("value", "ts"),
+        close=F.max_by("value", "ts"),
+        volume=F.sum(F.abs(F.col("value")).cast("decimal(18,8)"))
+        .cast("double"),
+    )
+    bars = bars.withColumn(
+        "taker_buy_volume",
+        F.when(F.col("close") >= F.col("open"), F.col("volume"))
+        .otherwise(F.lit(0.0)),
+    ).drop("open", "close")
+    r = _run_fold(spark, bars, ["event_type"], "bucket_ts", CvdSpec())
+    return r.select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "delta", "cvd",
     )
