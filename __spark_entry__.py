@@ -36,6 +36,8 @@ _GATE_PRIORITY = (
     "streaming_emagc_parity",
     "streaming_obv_parity",
     "streaming_cvd_parity",
+    "cluster_kmeans_lloyd",
+    "cluster_semdedup_candidates",
     "ind_volume_ratio",
     "ind_support_resistance",
     "ind_base_data",

@@ -1,0 +1,261 @@
+"""Deterministic Lloyd k-means over the embedding corpus + SemDeDup.
+
+Two training-data-curation operators a 100 TB pipeline needs:
+
+* ``cluster_kmeans_lloyd`` — k-means as a fully declarative ITERATIVE
+  DataFrame program: T unrolled Lloyd iterations, each a broadcast
+  cross-join (corpus × K centroids) → per-vector argmin → per-component
+  decimal-sum mean.  No collect(), no MLlib, no RNG: the initial
+  centroids are the K lowest vec_ids, every float op is fold-order
+  pinned, so the whole algorithm is SQL-expressible and the DuckDB
+  oracle replays it bit-for-bit (iterative algorithms usually land in
+  the rows-only bucket; this one is hash-gated).
+
+* ``cluster_semdedup_candidates`` — SemDeDup (Abbas et al. 2023,
+  arXiv:2303.09540): prune semantic duplicates INSIDE each k-means
+  cluster.  Each member's decision statistic is its max cosine to a
+  lower-id member of the same cluster; the top candidates per cluster
+  are the prune set.  The synthetic corpus has no planted duplicates,
+  so the query ranks candidates rather than thresholding (same
+  convention as ``dedup_embedding_cosine``).
+
+Scale notes: the only non-broadcast shuffles are the per-vector argmin
+window (keyed by vec_id — perfectly spread) and the (cid, component)
+mean (K×dim groups).  Pairwise similarity only materializes inside a
+cluster, so K is the knob that bounds the quadratic term (K ~ N/5000
+in the paper); at 100 TB each iteration's assignment output should be
+checkpointed to parquet to cut the unrolled lineage — the loop below
+keeps lineage because T=3 and the corpus is small.
+
+Determinism contract (why this hash-matches across engines):
+- init = vec_id < K (no RNG);
+- squared distance is a sequential index fold, identical add order in
+  ``F.aggregate`` and DuckDB ``list_reduce``;
+- argmin tie-breaks on (rounded d², cid);
+- centroid means are DECIMAL(25,14) component sums (order-independent)
+  cast back to double, then one double division by the member count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tradecat_spark.catalog import load_table
+from tradecat_spark.plans.registry import query
+from tradecat_spark.plans.q_similarity import cosine, dot
+
+K = 8          # clusters; at scale K ~ corpus_size / target_cluster_size
+N_ITERS = 3    # unrolled Lloyd iterations
+TOP_PRUNE = 3  # SemDeDup candidates emitted per cluster
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def _d2(v, cv):
+    """Squared L2 distance as a sequential fold (bit-identical to the
+    oracle's list_reduce: init 0.0 + x == x for the non-negative
+    squares, then the same left-to-right adds)."""
+    return F.aggregate(
+        F.zip_with(v, cv, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """vec → nearest centroid; ties break on the lower cluster id."""
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2r"), F.asc("cid"))
+    return (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("d2r", F.round(_d2(F.col("v"), F.col("cv")), 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+
+
+def _recompute(asg: DataFrame) -> DataFrame:
+    """Centroid = per-component mean via order-independent DECIMAL sums."""
+    comp = asg.select(
+        "cid", F.posexplode("v").alias("pos", "x")
+    )
+    means = comp.groupBy("cid", "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(25,14)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    return means.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        ).alias("cv")
+    )
+
+
+def _lloyd(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Run N_ITERS Lloyd iterations; return (final assignment, final
+    centroids)."""
+    e = _emb(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    asg = None
+    for _ in range(N_ITERS):
+        asg = _assign(e, cent)
+        cent = _recompute(asg)
+    return asg, cent
+
+
+_D2_SQL = (
+    "list_reduce(list_transform(range(1, len({v}) + 1), "
+    "i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), (a, b) -> a + b)"
+)
+
+
+def _lloyd_sql(n_iters: int = N_ITERS) -> str:
+    """The CTE chain replaying the exact Lloyd unroll in DuckDB."""
+    ctes = [
+        "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings)",
+        f"cent0 AS (SELECT vec_id AS cid, v AS cv FROM c "
+        f"WHERE vec_id < {K})",
+    ]
+    for t in range(1, n_iters + 1):
+        d2 = _D2_SQL.format(v="c.v", c="k.cv")
+        ctes.append(f"""a{t} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT c.vec_id, c.v, k.cid,
+      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+        ORDER BY ROUND({d2}, 6) ASC, k.cid ASC) AS rn
+    FROM c, cent{t - 1} k
+  ) WHERE rn = 1
+)""")
+        ctes.append(f"""cent{t} AS (
+  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+    SELECT cid, pos,
+      CAST(SUM(CAST(x AS DECIMAL(25,14))) AS DOUBLE) / COUNT(*) AS m
+    FROM (SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+          FROM a{t})
+    GROUP BY cid, pos
+  ) GROUP BY cid
+)""")
+    return "WITH " + ",\n".join(ctes)
+
+
+_NORM_SQL = (
+    "list_reduce(list_transform(range(1, len(cv) + 1), "
+    "i -> cv[i] * cv[i]), (a, b) -> a + b)"
+)
+
+
+@query(
+    "cluster_kmeans_lloyd",
+    survey="training-pipeline clustering: deterministic Lloyd k-means "
+    "(SemDeDup's coarse step) as an iterative DataFrame program — "
+    "broadcast assign + decimal-mean recompute, hash-gated end to end",
+    description=f"k-means ({K} clusters, {N_ITERS} Lloyd iterations) "
+    "over the embedding corpus: sizes + centroid norms",
+    oracle=f"""
+{_lloyd_sql()}
+SELECT s.cid AS cluster_id, s.n AS n_members,
+  ROUND(sqrt({_NORM_SQL}), 6) AS centroid_norm,
+  ROUND(cv[1], 6) AS c0
+FROM (SELECT cid, COUNT(*) AS n FROM a{N_ITERS} GROUP BY cid) s
+JOIN cent{N_ITERS} USING (cid)
+""",
+)
+def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final cluster sizes + centroid norms after the unrolled Lloyd
+    loop.  Everything stays declarative: the loop body only composes
+    DataFrames, so Catalyst sees one DAG (at production scale each
+    iteration would checkpoint its assignment instead)."""
+    asg, cent = _lloyd(spark, sf_dir)
+    sizes = asg.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    return sizes.join(cent, "cid").select(
+        F.col("cid").alias("cluster_id"),
+        "n_members",
+        F.round(F.sqrt(dot(F.col("cv"), F.col("cv"))), 6)
+        .alias("centroid_norm"),
+        F.round(F.element_at("cv", 1), 6).alias("c0"),
+    )
+
+
+@query(
+    "cluster_semdedup_candidates",
+    survey="training-pipeline dedup: SemDeDup cluster-scoped semantic "
+    "prune candidates (each member's max cosine to a lower-id cluster "
+    "mate; pairs never cross cluster boundaries)",
+    description=f"Top-{TOP_PRUNE} SemDeDup prune candidates per k-means "
+    "cluster",
+    oracle=f"""
+{_lloyd_sql()},
+pairs AS (
+  SELECT a.cid, b.vec_id AS dropped_id, a.vec_id AS keeper_id,
+    ROUND(list_dot_product(a.v, b.v)
+          / NULLIF(sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v)), 0), 6) AS cos_sim
+  FROM a{N_ITERS} a JOIN a{N_ITERS} b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY dropped_id
+      ORDER BY cos_sim DESC, keeper_id ASC) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+)
+SELECT cid AS cluster_id, dropped_id, keeper_id, cos_sim,
+  CAST(prune_rank AS BIGINT) AS prune_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY cid
+    ORDER BY cos_sim DESC, dropped_id ASC) AS prune_rank
+  FROM best
+) WHERE prune_rank <= {TOP_PRUNE}
+""",
+)
+def cluster_semdedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup decision statistic per member (max cosine to a lower-id
+    cluster mate, keeper = that mate), then the top candidates per
+    cluster.  The pair join is an equi-join on cluster id, so the
+    quadratic term is bounded by the largest cluster — K is chosen to
+    keep that constant as the corpus grows."""
+    asg, _ = _lloyd(spark, sf_dir)
+    a = asg.select("cid", F.col("vec_id").alias("keeper_id"),
+                   F.col("v").alias("va"))
+    b = asg.select("cid", F.col("vec_id").alias("dropped_id"),
+                   F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("keeper_id") < F.col("dropped_id"))
+        .select(
+            "cid", "dropped_id", "keeper_id",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+    )
+    w_best = Window.partitionBy("dropped_id").orderBy(
+        F.desc("cos_sim"), F.asc("keeper_id")
+    )
+    best = (
+        pairs.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w_rank = Window.partitionBy("cid").orderBy(
+        F.desc("cos_sim"), F.asc("dropped_id")
+    )
+    return (
+        best.withColumn("prune_rank", F.row_number().over(w_rank))
+        .filter(F.col("prune_rank") <= TOP_PRUNE)
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "dropped_id", "keeper_id", "cos_sim",
+            F.col("prune_rank").cast("long").alias("prune_rank"),
+        )
+    )

@@ -74,6 +74,7 @@ def load_all() -> dict[str, QuerySpec]:
         q_quality,
         q_pg_realtime,
         q_monitor,
+        q_cluster,
     )
 
     return REGISTRY
