@@ -296,3 +296,21 @@ def test_monitor_queries_read_only_needed_columns(spark, sf_dir):
     plan = _plan(spark, "ind_futures_gap_monitor", sf_dir)
     schemas = " ".join(re.findall(r"ReadSchema: struct<([^>]*)>", plan))
     assert "value" not in schemas, schemas[:200]
+
+
+def test_kmeans_assign_broadcasts_centroids(spark, sf_dir):
+    """Every Lloyd assignment must broadcast the K centroids against the
+    corpus — a shuffled nested-loop here would move the whole corpus
+    once per iteration at scale. The plan should carry NO SortMergeJoin
+    and no non-broadcast cartesian product."""
+    plan = _plan(spark, "cluster_kmeans_lloyd", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_pairs_join_on_cluster_id(spark, sf_dir):
+    """The SemDeDup pair join must be an equi-join keyed on cluster id
+    (bounded quadratic term), never a cartesian pair scan."""
+    plan = _plan(spark, "cluster_semdedup_candidates", sf_dir)
+    assert "CartesianProduct" not in plan

@@ -81,7 +81,11 @@ def _assign(e: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 def _recompute(asg: DataFrame) -> DataFrame:
-    """Centroid = per-component mean via order-independent DECIMAL sums."""
+    """Centroid = per-component mean via order-independent DECIMAL sums.
+
+    Also carries the member count out of the same aggregation, so the
+    final reporting query never has to join sizes back on (which would
+    re-derive the whole iteration lineage a second time)."""
     comp = asg.select(
         "cid", F.posexplode("v").alias("pos", "x")
     )
@@ -89,13 +93,15 @@ def _recompute(asg: DataFrame) -> DataFrame:
         (
             F.sum(F.col("x").cast("decimal(25,14)")).cast("double")
             / F.count(F.lit(1))
-        ).alias("m")
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n"),
     )
     return means.groupBy("cid").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "m"))),
             lambda s: s["m"],
-        ).alias("cv")
+        ).alias("cv"),
+        F.max("n").alias("n_members"),
     )
 
 
@@ -176,9 +182,8 @@ def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop.  Everything stays declarative: the loop body only composes
     DataFrames, so Catalyst sees one DAG (at production scale each
     iteration would checkpoint its assignment instead)."""
-    asg, cent = _lloyd(spark, sf_dir)
-    sizes = asg.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
-    return sizes.join(cent, "cid").select(
+    _, cent = _lloyd(spark, sf_dir)
+    return cent.select(
         F.col("cid").alias("cluster_id"),
         "n_members",
         F.round(F.sqrt(dot(F.col("cv"), F.col("cv"))), 6)
