@@ -34,10 +34,11 @@ _GATE_PRIORITY = (
     "streaming_atr_parity",
     "streaming_kdj_parity",
     "streaming_emagc_parity",
-    "streaming_obv_parity",
-    "streaming_cvd_parity",
     "cluster_kmeans_lloyd",
     "cluster_semdedup_candidates",
+    # never driver-checked (flagged in r2 verdict) — must make the cap
+    "sample_stratified_split",
+    "pack_context_windows",
     "ind_volume_ratio",
     "ind_support_resistance",
     "ind_base_data",
@@ -80,8 +81,9 @@ _GATE_PRIORITY = (
     "chart_market_vpvr_heat",
     "chart_vpvr_zone_strip",
     "chart_kline_envelope",
-    "sample_stratified_split",
-    "pack_context_windows",
+    # simple cumsum folds, restart-parity-tested — first in line for r4
+    "streaming_obv_parity",
+    "streaming_cvd_parity",
     # checked r01 only — re-verify under the current data generation
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q5_region_revenue", "top_customers_by_spend",
