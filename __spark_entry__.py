@@ -84,6 +84,7 @@ _GATE_PRIORITY = (
     # simple cumsum folds, restart-parity-tested — first in line for r4
     "streaming_obv_parity",
     "streaming_cvd_parity",
+    "text_tfidf_topk",
     # checked r01 only — re-verify under the current data generation
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q5_region_revenue", "top_customers_by_spend",

@@ -1479,3 +1479,74 @@ def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(-F.col("avg_logprob")), 4).alias("ppl_proxy"),
         (F.percent_rank().over(wr) <= 0.1).alias("low_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+@query(
+    "text_tfidf_topk",
+    survey="north-star curation: TF-IDF keyword extraction — the "
+    "standard per-doc salient-term scorer (search indexing, topic "
+    "tagging, near-dup explainability) over the same tokenization the "
+    "vocab/fingerprint queries use",
+    description="Top-3 TF-IDF terms per document",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM w GROUP BY doc_id, word
+),
+df AS (
+  SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM w GROUP BY word
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+    ROUND(tf.tf * ROUND(ln(n.n_docs / df.df), 6), 6) AS tfidf
+  FROM tf JOIN df USING (word) CROSS JOIN n
+)
+SELECT doc_id, word, tf, df, tfidf,
+  CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+    ORDER BY tfidf DESC, word ASC) AS rk
+  FROM scored
+) WHERE rk <= 3
+""",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two hash-aggregates (term frequency per doc, document frequency
+    per word — both map-side-combining), a word-keyed equi-join, one
+    broadcast scalar (corpus size), and a per-doc top-k window. The
+    idf log is rounded once before the tf product so the score is a
+    single deterministic double on both engines; ties (common when the
+    vocabulary is small) break on the word itself."""
+    d = _docs(spark, sf_dir)
+    w = d.select("doc_id", F.explode(_words()).alias("word"))
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = w.groupBy("word").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df, "word")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id", "word", "tf", "df",
+            F.round(
+                F.col("tf")
+                * F.round(F.log(F.col("n_docs") / F.col("df")), 6),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    wk = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "word", "tf", "df", "tfidf",
+                F.col("rk").cast("long").alias("rk"))
+    )
