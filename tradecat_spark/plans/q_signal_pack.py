@@ -571,14 +571,29 @@ def pack_sql_rules() -> list[SignalRule]:
 # snapshot — DuckDB side (CTE chain; every field ROUND(·,6) so the
 # predicate inputs are hash-identical across engines)
 # ---------------------------------------------------------------------------
-_SNAPSHOT_SQL = """
-WITH bars AS (
+#: Snapshot series are clamped to this many trailing bars per key —
+#: the repo-wide fold-tail convention (q_indicators.py EWM tails).
+#: The prefix scans append into an array, and array append in BOTH
+#: engines copies the accumulator (O(tail²) element copies per scan),
+#: so an unclamped series would grow quadratically with history; the
+#: clamp makes the per-key cost a constant regardless of corpus age.
+SNAP_TAIL = 500
+
+_SNAPSHOT_SQL = f"""
+WITH bars_all AS (
   SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
     min_by(value, ts) AS open, MAX(value) AS high,
     MIN(value) AS low, max_by(value, ts) AS close,
     CAST(COUNT(*) AS BIGINT) AS tc
   FROM events GROUP BY 1, 2
 ),
+bars AS (
+  SELECT event_type, bucket_ts, open, high, low, close, tc FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY event_type ORDER BY bucket_ts DESC) AS rnd
+    FROM bars_all
+  ) WHERE rnd <= {SNAP_TAIL}
+),""" + """
 b0 AS (
   SELECT *,
     (high + low + close) / 3 AS tp,
@@ -1455,6 +1470,14 @@ def build_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
     bars = ohlcv_rollup(e, ["event_type"], "ts", "value", interval_sec=3600)
     bars = bars.withColumnRenamed("trade_count", "tc")
+    # SNAP_TAIL clamp — see the constant's docstring (keeps the prefix
+    # scans' O(tail²) append cost constant as history grows)
+    wdesc = Window.partitionBy("event_type").orderBy(F.desc("bucket_ts"))
+    bars = (
+        bars.withColumn("_rnd", F.row_number().over(wdesc))
+        .filter(F.col("_rnd") <= SNAP_TAIL)
+        .drop("_rnd")
+    )
 
     w = Window.partitionBy("event_type").orderBy("bucket_ts")
 
