@@ -1284,22 +1284,31 @@ def _build_folds(bars: DataFrame) -> DataFrame:
             )
         )
 
+    # bucket each window element ONCE (hoisted out of the 48 per-bucket
+    # passes — evaluating _bucket inside every pass was 48x the work);
+    # the per-bucket fold still adds a 0.0 for non-matching elements, so
+    # the addition sequence (and hence every bit) is unchanged.
+    rows = rows.withColumn(
+        "_zb",
+        F.zip_with(
+            sub_c, sub_v,
+            lambda cc, vv: F.struct(
+                _bucket(cc).alias("b"), vv.cast("double").alias("v")
+            ),
+        ),
+    )
     rows = rows.withColumn(
         "vols",
         F.transform(
             F.sequence(F.lit(0), F.lit(47)),
             lambda k: F.aggregate(
-                F.zip_with(
-                    sub_c, sub_v,
-                    lambda cc, vv: F.when(
-                        _bucket(cc) == k, vv.cast("double")
-                    ).otherwise(F.lit(0.0)),
-                ),
+                F.col("_zb"),
                 F.lit(0.0),
-                lambda a, v: a + v,
+                lambda a, e: a
+                + F.when(e["b"] == k, e["v"]).otherwise(F.lit(0.0)),
             ),
         ),
-    )
+    ).drop("_zb")
     vols = F.col("vols")
     rows = rows.withColumns({
         "poc0": (F.array_position(vols, F.array_max(vols)) - 1)
