@@ -174,3 +174,54 @@ def resize_images(media: DataFrame, w: int = 32, h: int = 32) -> DataFrame:
             )
 
     return media.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = (
+    "doc_id long, win_idx int, win_off long, n_samples int, "
+    "energy long, peak int"
+)
+
+
+def audio_windows(
+    media: DataFrame, frame_len: int = 64, hop: int = 32
+) -> DataFrame:
+    """Audio payload → overlapping analysis windows (the 25ms/10ms
+    framing every audio feature pipeline starts with), one output row
+    per complete window with integer-exact energy/peak stats.
+
+    Decode stub: the payload bytes ARE the PCM samples (a real
+    deployment replaces the ``np.frombuffer`` line with e.g.
+    ``soundfile.read(io.BytesIO(payload))``). Everything else —
+    mapInPandas fan-out (one input row → n/hop window rows), the fixed
+    output schema, int64 stats that survive Arrow exactly — is the real
+    Spark plumbing, and because the stub is deterministic the window
+    arithmetic is oracle-checkable end to end.
+
+    Scale: a window row is a handful of scalars, so the fan-out is
+    ~n_bytes/hop rows per document with no payload duplication (unlike
+    frame sampling, which carries chunk bytes); memory per Arrow batch
+    is maxRecordsPerBatch × frame_len int64s in the worst case.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    cols = ["doc_id", "win_idx", "win_off", "n_samples", "energy", "peak"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(payload, dtype=np.uint8).astype(
+                    np.int64
+                )
+                n = len(samples)
+                if n < frame_len:
+                    continue
+                for w in range((n - frame_len) // hop + 1):
+                    seg = samples[w * hop: w * hop + frame_len]
+                    rows.append((
+                        int(doc_id), w, w * hop, frame_len,
+                        int((seg * seg).sum()), int(seg.max()),
+                    ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(batches, AUDIO_WINDOW_SCHEMA)

@@ -114,3 +114,56 @@ def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "out_w", "out_h", "resized_len", "src_len",
         F.md5("resized_bytes").alias("resized_md5"),
     )
+
+
+@query(
+    "mm_audio_windows",
+    survey="north-star multimodal: audio framing — payload → "
+    "overlapping 64/32 analysis windows via mapInPandas (PCM decode "
+    "stub, real fan-out/batching), integer-exact window stats",
+    description="Overlapping audio windows per document: energy, peak, RMS",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text,
+    CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents
+),
+w AS (
+  SELECT doc_id, text, n, unnest(range((n - 64) // 32 + 1)) AS wi
+  FROM d WHERE n >= 64
+),
+s AS (
+  SELECT doc_id,
+    CAST(wi AS INT) AS win_idx,
+    CAST(wi * 32 AS BIGINT) AS win_off,
+    CAST(64 AS INT) AS n_samples,
+    CAST(list_aggregate(list_transform(range(1, 65),
+      i -> ascii(substr(text, CAST(wi * 32 + i AS INT), 1))
+         * ascii(substr(text, CAST(wi * 32 + i AS INT), 1))),
+      'sum') AS BIGINT) AS energy,
+    CAST(list_aggregate(list_transform(range(1, 65),
+      i -> ascii(substr(text, CAST(wi * 32 + i AS INT), 1))),
+      'max') AS INT) AS peak
+  FROM w
+)
+SELECT doc_id, win_idx, win_off, n_samples, energy, peak,
+  ROUND(sqrt(energy * 1.0 / n_samples), 6) AS rms
+FROM s
+""",
+)
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PCM stub reads payload bytes as samples, so DuckDB re-derives
+    every window's integer stats from the ASCII char codes of the same
+    text (synthetic docs are ASCII: char code == byte). Energy and peak
+    cross the Arrow boundary as exact int64s; only the derived RMS
+    touches floats, computed JVM-side with the one-ROUND discipline."""
+    from tradecat_spark.multimodal import attach_payload, audio_windows
+
+    docs = load_table(spark, sf_dir, "documents")
+    wins = audio_windows(attach_payload(docs), frame_len=64, hop=32)
+    return wins.select(
+        "doc_id", "win_idx", "win_off", "n_samples", "energy", "peak",
+        F.round(
+            F.sqrt(F.col("energy") * 1.0 / F.col("n_samples")), 6
+        ).alias("rms"),
+    )
