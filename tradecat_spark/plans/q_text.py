@@ -1550,3 +1550,85 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "word", "tf", "df", "tfidf",
                 F.col("rk").cast("long").alias("rk"))
     )
+
+
+@query(
+    "quality_bigram_logprob",
+    survey="north-star curation: bigram LM scoring — per-doc mean "
+    "add-one-smoothed bigram conditional log-prob (one step closer to "
+    "the KenLM filters than the unigram proxy; same rounding "
+    "discipline)",
+    description="Per-doc smoothed bigram log-prob + perplexity proxy",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)
+),
+bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+uc AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+v AS (SELECT CAST(COUNT(DISTINCT ws_u) AS BIGINT) AS vocab
+      FROM (SELECT unnest(ws) AS ws_u FROM w)),
+lp AS (
+  SELECT bg.doc_id,
+    ROUND(ln((bc.c2 + 1.0) / (uc.c1 + v.vocab)), 6) AS lp
+  FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  ROUND(CAST(SUM(CAST(lp AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6)
+    AS avg_logprob,
+  ROUND(exp(-ROUND(CAST(SUM(CAST(lp AS DECIMAL(18,8))) AS DOUBLE)
+        / COUNT(*), 6)), 4) AS ppl_proxy
+FROM lp GROUP BY doc_id
+""",
+)
+def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed bigram model scored against the corpus itself:
+    bigram counts and unigram-context counts are two map-side-combining
+    aggregates, the vocab size is one broadcast scalar, and each doc's
+    mean log-prob is a decimal-summed (order-free) aggregate of
+    once-rounded per-bigram log-probs — the same cross-engine float
+    discipline the unigram scorer uses. At 100 TB the count tables are
+    the small side of every join (vocab², worst case) and the corpus
+    explode shuffles once on the bigram key."""
+    d = _docs(spark, sf_dir)
+    ws = d.select("doc_id", _words().alias("ws"))
+    bg = ws.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+                F.slice("ws", 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = ws.select(F.explode("ws").alias("wd")).agg(
+        F.count_distinct("wd").alias("vocab")
+    )
+    lp = (
+        bg.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .join(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vocab"))),
+                6,
+            ).alias("lp"),
+        )
+    )
+    avg = F.round(
+        F.sum(F.col("lp").cast("decimal(18,8)")).cast("double")
+        / F.count(F.lit(1)),
+        6,
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        avg.alias("avg_logprob"),
+        F.round(F.exp(-avg), 4).alias("ppl_proxy"),
+    )
