@@ -894,3 +894,43 @@ def test_drop_expired_partitions_is_metadata_only(spark, tmp_path):
     assert got == [pd.Timestamp(f"{d} 00:00:00") for d in days[2:]]
     # idempotent: nothing left to drop
     assert drop_expired_partitions(spark, store, "2025-01-03") == []
+
+
+def test_streaming_kdj_parity_short_history_key(spark, tmp_path):
+    """A key with too few bars for even one RSV (< 9) or too few
+    non-NaN RSVs for a mature D (< 5) must emit nothing — and the
+    DuckDB oracle must survive the empty scan lists instead of
+    crashing list_reduce (regression: ks[3:] on a short key)."""
+    import duckdb
+
+    import __spark_entry__ as E
+    from tests.oracle_utils import assert_frames_match
+
+    rows = []
+    eid = 0
+    for key, n_hours in (("tiny", 6), ("short", 10), ("full", 40)):
+        for h in range(n_hours):
+            eid += 1
+            rows.append({
+                "event_id": eid,
+                "ts": pd.Timestamp("2025-03-01") + pd.Timedelta(hours=h),
+                "user_id": 1,
+                "event_type": key,
+                "value": 100.0 + ((h * 37) % 11) + h * 0.01,
+                "props": "{}",
+            })
+    pd.DataFrame(rows).to_parquet(str(tmp_path / "events.parquet"))
+
+    spdf = E.queries()["streaming_kdj_parity"](
+        spark, str(tmp_path)
+    ).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    odf = con.execute(E.oracle_sql()["streaming_kdj_parity"]).df()
+    # tiny (6 bars: no RSV at all) and short (10 bars: 2 RSVs, D never
+    # matures) contribute nothing; full matures normally
+    assert set(spdf["event_type"]) == {"full"}
+    assert_frames_match(spdf, odf, "streaming_kdj_parity_short")

@@ -1284,31 +1284,27 @@ def _build_folds(bars: DataFrame) -> DataFrame:
             )
         )
 
-    # bucket each window element ONCE (hoisted out of the 48 per-bucket
-    # passes — evaluating _bucket inside every pass was 48x the work);
-    # the per-bucket fold still adds a 0.0 for non-matching elements, so
-    # the addition sequence (and hence every bit) is unchanged.
-    rows = rows.withColumn(
-        "_zb",
-        F.zip_with(
-            sub_c, sub_v,
-            lambda cc, vv: F.struct(
-                _bucket(cc).alias("b"), vv.cast("double").alias("v")
-            ),
-        ),
-    )
+    # NOTE: _bucket re-evaluates inside each of the 48 per-bucket passes;
+    # hoisting it into a precomputed (bucket, vol) struct column was
+    # tried and measured — Catalyst's CollapseProject inlines the
+    # once-referenced column straight back into the transform, so the
+    # rewrite changed nothing physically. Leave the direct form.
     rows = rows.withColumn(
         "vols",
         F.transform(
             F.sequence(F.lit(0), F.lit(47)),
             lambda k: F.aggregate(
-                F.col("_zb"),
+                F.zip_with(
+                    sub_c, sub_v,
+                    lambda cc, vv: F.when(
+                        _bucket(cc) == k, vv.cast("double")
+                    ).otherwise(F.lit(0.0)),
+                ),
                 F.lit(0.0),
-                lambda a, e: a
-                + F.when(e["b"] == k, e["v"]).otherwise(F.lit(0.0)),
+                lambda a, v: a + v,
             ),
         ),
-    ).drop("_zb")
+    )
     vols = F.col("vols")
     rows = rows.withColumns({
         "poc0": (F.array_position(vols, F.array_max(vols)) - 1)

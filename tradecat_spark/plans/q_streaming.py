@@ -256,38 +256,10 @@ def streaming_macd_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (append mode), and the keyed state carries bit-identically across
     however many micro-batches availableNow slices the source into —
     so the streamed series must hash-equal the batch fold law."""
-    from tradecat_spark.streaming.incremental import streaming_macd
+    from tradecat_spark.streaming.incremental import MacdSpec
 
-    src = tempfile.mkdtemp(prefix="tc_macd_src_")
-    ckpt = tempfile.mkdtemp(prefix="tc_macd_ckpt_")
-    e = load_table(spark, sf_dir, "events")
-    bars = (
-        e.groupBy(
-            "event_type",
-            F.timestamp_seconds(
-                (F.col("ts").cast("long") / 3600).cast("long") * 3600
-            ).alias("bucket_ts"),
-        )
-        .agg(F.max_by("value", "ts").alias("close"))
-    )
-    bars.write.mode("overwrite").parquet(src)
-    schema = spark.read.parquet(src).schema
-    stream = spark.readStream.schema(schema).parquet(src)
-    out = streaming_macd(
-        stream, ["event_type"], "bucket_ts", "close"
-    )
-    name = f"tc_macd_{uuid.uuid4().hex[:10]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
-    r = spark.table(name)
+    bars = _hour_bars(spark, sf_dir, close=F.max_by("value", "ts"))
+    r = _run_fold(spark, bars, ["event_type"], "bucket_ts", MacdSpec())
     return r.select(
         "event_type",
         F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
@@ -397,40 +369,14 @@ def streaming_atr_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink, mature rows only (the spec masks ATR with NaN until the
     Wilder period is seeded — the query filters to the mature region so
     the gate compares pure register values)."""
-    from tradecat_spark.streaming.incremental import AtrSpec, streaming_fold
+    from tradecat_spark.streaming.incremental import AtrSpec
 
-    src = tempfile.mkdtemp(prefix="tc_atr_src_")
-    ckpt = tempfile.mkdtemp(prefix="tc_atr_ckpt_")
-    e = load_table(spark, sf_dir, "events")
-    bars = (
-        e.groupBy(
-            "event_type",
-            F.timestamp_seconds(
-                (F.col("ts").cast("long") / 3600).cast("long") * 3600
-            ).alias("bucket_ts"),
-        )
-        .agg(
-            F.max("value").alias("high"),
-            F.min("value").alias("low"),
-            F.max_by("value", "ts").alias("close"),
-        )
+    bars = _hour_bars(
+        spark, sf_dir,
+        high=F.max("value"), low=F.min("value"),
+        close=F.max_by("value", "ts"),
     )
-    bars.write.mode("overwrite").parquet(src)
-    schema = spark.read.parquet(src).schema
-    stream = spark.readStream.schema(schema).parquet(src)
-    out = streaming_fold(stream, ["event_type"], "bucket_ts", AtrSpec())
-    name = f"tc_atr_{uuid.uuid4().hex[:10]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
-    r = spark.table(name)
+    r = _run_fold(spark, bars, ["event_type"], "bucket_ts", AtrSpec())
     # the immature-row mask may arrive as NaN or as NULL depending on
     # the Arrow round-trip; both mean "not yet seeded"
     return r.filter(F.col("atr").isNotNull() & ~F.isnan("atr")).select(
@@ -533,8 +479,16 @@ s AS (
     list(rsv ORDER BY b) FILTER (rsv IS NOT NULL) AS rs
   FROM rsvd GROUP BY event_type
 ),
-k AS (SELECT event_type, bs, rs, {_pk_scan("rs", _kdj_alpha())} AS ks FROM s),
-d AS (SELECT *, {_pk_scan("ks[3:]", _kdj_alpha())} AS ds FROM k),
+-- guards: list_reduce crashes on an empty list. A key with < 9 bars
+-- has NO non-NULL RSVs (empty rs); one with < 3 non-NULL RSVs has an
+-- empty ks[3:]. Such keys emit no rows on either engine (the i >= 5
+-- filter), so empty scan arrays are the correct stand-in.
+k AS (SELECT event_type, bs, rs, CASE WHEN len(rs) >= 1
+        THEN {_pk_scan("rs", _kdj_alpha())}
+        ELSE CAST([] AS DOUBLE[]) END AS ks FROM s),
+d AS (SELECT *, CASE WHEN len(ks) >= 3
+        THEN {_pk_scan("ks[3:]", _kdj_alpha())}
+        ELSE CAST([] AS DOUBLE[]) END AS ds FROM k),
 rows_ AS (
   SELECT event_type, ds,
     unnest(range(1, len(rs) + 1)) AS i,

