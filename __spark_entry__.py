@@ -87,6 +87,8 @@ _GATE_PRIORITY = (
     "text_tfidf_topk",
     "mm_audio_windows",
     "quality_bigram_logprob",
+    "sessionize_user_events",
+    "streaming_session_windows",
     # checked r01 only — re-verify under the current data generation
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q5_region_revenue", "top_customers_by_spend",

@@ -1,0 +1,165 @@
+"""Sessionization — the gaps-and-islands session operator, batch and
+streaming.
+
+Batch law: per user, a new session starts when the gap to the previous
+event is >= GAP (strict merge rule ``ts < prev_ts + gap``, matching
+Spark's ``session_window`` semantics exactly). Streaming runs the REAL
+``F.session_window`` aggregation (dynamic, merging windows — the
+marquee stateful-window feature) and is hash-checked against the same
+batch law.
+
+Output-mode subtlety: Spark rejects update mode for session-window
+aggregations (windows merge, so an updated row has no stable key to
+revise). Complete mode sidesteps it — after availableNow drains the
+source, the sink holds exactly the final state: every session, merged,
+once. At production scale complete mode re-emits the whole result per
+trigger, so a long-running deployment would use append mode plus the
+watermark (emitting each session once it can no longer grow); for the
+drain-and-compare gate, complete is both simpler and exact.
+
+Timestamps are published as epoch microseconds (exact BIGINTs on both
+engines) — no format-string risk.
+
+Scale: sessionization shuffles once on the session key (user), state
+per live session is a few scalars, and the watermark bounds how long a
+quiet session holds state — the standard Spark posture for billions of
+sessions/day.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tradecat_spark.catalog import load_table
+from tradecat_spark.plans.registry import query
+
+GAP_SEC = 7200  # 2h session gap (events median inter-arrival ~7h)
+_GAP_US = GAP_SEC * 1_000_000
+
+
+def sessionize(
+    df: DataFrame, keys: list[str], ts: str, gap_sec: int
+) -> DataFrame:
+    """Assign a per-key 1-based ``session_idx`` to every row (new
+    session when the gap to the previous row is >= gap_sec)."""
+    w = Window.partitionBy(*keys).orderBy(ts)
+    us = F.unix_micros(F.col(ts))
+    brk = F.when(
+        F.lag(us).over(w).isNull()
+        | (us - F.lag(us).over(w) >= gap_sec * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        "session_idx",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+_BATCH_LAW = f"""
+WITH g AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+          OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= {_GAP_US}
+      THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+),
+sess AS (
+  SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+    epoch_us(MIN(ts)) AS session_start_us,
+    epoch_us(MAX(ts)) AS session_end_us,
+    CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM s GROUP BY 1, 2
+)
+"""
+
+
+@query(
+    "sessionize_user_events",
+    survey="beyond-reference generic operator: gaps-and-islands "
+    "sessionization over the events table (the canonical analytics "
+    "session op; same break/cumsum algebra as the backfill planner)",
+    description=f"Per-user sessions at a {GAP_SEC // 3600}h gap: "
+    "bounds, size, duration",
+    oracle=_BATCH_LAW + """
+SELECT user_id, session_idx, session_start_us, session_end_us,
+  n_events, session_end_us - session_start_us AS duration_us
+FROM sess
+""",
+)
+def sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle on user_id; the break-flag cumsum and the session
+    aggregate share that partitioning (no second exchange)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    s = sessionize(e, ["user_id"], "ts", GAP_SEC)
+    us = F.unix_micros("ts")
+    agg = s.groupBy("user_id", "session_idx").agg(
+        F.min(us).alias("session_start_us"),
+        F.max(us).alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        "user_id", "session_idx", "session_start_us", "session_end_us",
+        "n_events",
+        (F.col("session_end_us") - F.col("session_start_us"))
+        .alias("duration_us"),
+    )
+
+
+@query(
+    "streaming_session_windows",
+    survey="§2.11-adjacent: REAL F.session_window streaming aggregation "
+    "(dynamic merging windows + keyed state), hash-checked against the "
+    "batch gaps-and-islands law; update-mode revisions finalized by an "
+    "interval-merge post-pass",
+    description="Per-user session windows from Structured Streaming",
+    oracle=_BATCH_LAW + f"""
+SELECT user_id, session_start_us,
+  session_end_us + {_GAP_US} AS window_end_us, n_events
+FROM sess
+""",
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → file stream → session_window(2h) agg (complete mode) →
+    memory sink. Spark's window end is ``last event + gap``, which the
+    oracle mirrors; the strict merge rule (an event exactly at the
+    window end opens a NEW session) matches the batch law's
+    ``diff >= gap`` break. See the module docstring for why complete
+    mode (update is rejected for merging windows)."""
+    src = tempfile.mkdtemp(prefix="tc_sess_src_")
+    ckpt = tempfile.mkdtemp(prefix="tc_sess_ckpt_")
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    e.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy("user_id", F.session_window("ts", f"{GAP_SEC} seconds"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = f"tc_sess_{uuid.uuid4().hex[:10]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros("session_window.start").alias("session_start_us"),
+        F.unix_micros("session_window.end").alias("window_end_us"),
+        "n_events",
+    )

@@ -75,6 +75,7 @@ def load_all() -> dict[str, QuerySpec]:
         q_pg_realtime,
         q_monitor,
         q_cluster,
+        q_sessions,
     )
 
     return REGISTRY
