@@ -119,8 +119,7 @@ def sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_session_windows",
     survey="§2.11-adjacent: REAL F.session_window streaming aggregation "
     "(dynamic merging windows + keyed state), hash-checked against the "
-    "batch gaps-and-islands law; update-mode revisions finalized by an "
-    "interval-merge post-pass",
+    "batch gaps-and-islands law via a complete-mode drain",
     description="Per-user session windows from Structured Streaming",
     oracle=_BATCH_LAW + f"""
 SELECT user_id, session_start_us,
@@ -162,4 +161,70 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("session_window.start").alias("session_start_us"),
         F.unix_micros("session_window.end").alias("window_end_us"),
         "n_events",
+    )
+
+
+@query(
+    "cohort_retention",
+    survey="beyond-reference generic operator: cohort retention — the "
+    "canonical product-analytics triangle (first-seen day cohorts x "
+    "day offset), integer-exact on both engines",
+    description="Daily cohort retention counts with day-0 cohort sizes",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events
+  GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+joined AS (
+  SELECT f.cohort_day, a.day - f.cohort_day AS day_offset, a.user_id
+  FROM activity a JOIN firsts f USING (user_id)
+),
+sizes AS (
+  SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM firsts GROUP BY cohort_day
+)
+SELECT
+  strftime(j.cohort_day, '%Y-%m-%d') AS cohort_day,
+  CAST(j.day_offset AS BIGINT) AS day_offset,
+  CAST(COUNT(DISTINCT j.user_id) AS BIGINT) AS n_active,
+  s.cohort_size,
+  ROUND(COUNT(DISTINCT j.user_id) * 1.0 / s.cohort_size, 6)
+    AS retention
+FROM joined j JOIN sizes s USING (cohort_day)
+GROUP BY j.cohort_day, j.day_offset, s.cohort_size
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two hash-aggregates (first-seen day per user, distinct active
+    days) joined on user_id, then the triangle count. Counts are exact
+    BIGINTs; the single ratio is one ROUND over an integer quotient, so
+    the cross-engine hash has no float path to diverge on. At 100 TB
+    the firsts table is |users| rows — the small, broadcastable side of
+    the activity join."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    firsts = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = e.distinct()
+    joined = activity.join(F.broadcast(firsts), "user_id").select(
+        "cohort_day",
+        F.datediff("day", "cohort_day").alias("day_offset"),
+        "user_id",
+    )
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    agg = joined.groupBy("cohort_day", "day_offset").agg(
+        F.count_distinct("user_id").alias("n_active")
+    )
+    return agg.join(F.broadcast(sizes), "cohort_day").select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") * 1.0 / F.col("cohort_size"), 6)
+        .alias("retention"),
     )
