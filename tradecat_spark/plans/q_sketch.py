@@ -126,3 +126,112 @@ def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rel_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic quantile sketch (min-hash-rank sample)
+# ---------------------------------------------------------------------------
+QK = 256  # sample size per group
+
+
+def _interp(sorted_arr, p: float, k_col):
+    """Linear interpolation at quantile ``p`` over a sorted array —
+    written out manually (lo + (hi-lo)*frac) so BOTH engines run the
+    same float ops instead of their own percentile built-ins."""
+    idx = (k_col - F.lit(1)) * F.lit(p)
+    lo_i = F.floor(idx).cast("int")
+    frac = idx - F.floor(idx)
+    lo = F.element_at(sorted_arr, lo_i + 1)
+    hi = F.element_at(sorted_arr, F.least(lo_i + 2, k_col.cast("int")))
+    return lo + (hi - lo) * frac
+
+
+def _interp_sql(arr: str, p: str, k: str) -> str:
+    return (
+        f"{arr}[CAST(FLOOR(({k} - 1) * {p}) AS INT) + 1]"
+        f" + ({arr}[LEAST(CAST(FLOOR(({k} - 1) * {p}) AS INT) + 2, "
+        f"CAST({k} AS INT))]"
+        f" - {arr}[CAST(FLOOR(({k} - 1) * {p}) AS INT) + 1])"
+        f" * (({k} - 1) * {p} - FLOOR(({k} - 1) * {p}))"
+    )
+
+
+@query(
+    "approx_quantiles_sample",
+    survey="§4 approx family: deterministic quantile sketch — KMV-style "
+    "min-hash-rank sample (k=256) + manual linear interpolation, the "
+    "estimate AND its error vs the exact quantile both oracle-matched "
+    "(approx_percentile/t-digest is the non-checkable production twin)",
+    description="p50/p90/p99 of value per event_type: hash-sample estimate vs exact",
+    oracle=f"""
+WITH r AS (
+  SELECT event_type, value,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rnk
+  FROM events
+),
+samp AS (
+  SELECT event_type,
+    list(value ORDER BY value, 1) AS sv,
+    CAST(COUNT(*) AS BIGINT) AS k
+  FROM r WHERE rnk <= {QK} GROUP BY event_type
+),
+ex AS (
+  SELECT event_type,
+    list(value ORDER BY value, 1) AS ev,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type
+)
+SELECT s.event_type, s.k, e.n,
+  ROUND({_interp_sql('sv', '0.5', 's.k')}, 6) AS est_p50,
+  ROUND({_interp_sql('sv', '0.9', 's.k')}, 6) AS est_p90,
+  ROUND({_interp_sql('sv', '0.99', 's.k')}, 6) AS est_p99,
+  ROUND({_interp_sql('ev', '0.5', 'e.n')}, 6) AS exact_p50,
+  ROUND({_interp_sql('ev', '0.9', 'e.n')}, 6) AS exact_p90,
+  ROUND(ABS(ROUND({_interp_sql('sv', '0.5', 's.k')}, 6)
+          - ROUND({_interp_sql('ev', '0.5', 'e.n')}, 6)), 6) AS err_p50
+FROM samp s JOIN ex e USING (event_type)
+""",
+)
+def approx_quantiles_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sample is the k rows with the smallest md5(event_id) per
+    group — a uniform sample that needs no RNG state and is identical
+    on every engine and rerun (the KMV trick applied to quantiles).
+    Estimates interpolate over the k-row sorted sample, so per-group
+    state is O(k) however large the group; the exact side (full
+    per-group sort) exists only as the error baseline — at 100 TB you
+    ship the sample column and drop the exact branch. Ties in value
+    sort safely: equal doubles interpolate to the same result
+    regardless of order."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    samp = (
+        e.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= QK)
+        .groupBy("event_type")
+        .agg(
+            F.array_sort(F.collect_list("value")).alias("sv"),
+            F.count(F.lit(1)).alias("k"),
+        )
+    )
+    ex = e.groupBy("event_type").agg(
+        F.array_sort(F.collect_list("value")).alias("ev"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    k, n = F.col("k"), F.col("n")
+    sv, ev = F.col("sv"), F.col("ev")
+    est50 = F.round(_interp(sv, 0.5, k), 6)
+    ex50 = F.round(_interp(ev, 0.5, n), 6)
+    return samp.join(ex, "event_type").select(
+        "event_type", "k", "n",
+        est50.alias("est_p50"),
+        F.round(_interp(sv, 0.9, k), 6).alias("est_p90"),
+        F.round(_interp(sv, 0.99, k), 6).alias("est_p99"),
+        ex50.alias("exact_p50"),
+        F.round(_interp(ev, 0.9, n), 6).alias("exact_p90"),
+        F.round(F.abs(est50 - ex50), 6).alias("err_p50"),
+    )
