@@ -91,6 +91,7 @@ _GATE_PRIORITY = (
     "streaming_session_windows",
     "cohort_retention",
     "approx_quantiles_sample",
+    "funnel_conversion",
     # checked r01 only — re-verify under the current data generation
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q5_region_revenue", "top_customers_by_spend",

@@ -228,3 +228,150 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_active") * 1.0 / F.col("cohort_size"), 6)
         .alias("retention"),
     )
+
+
+@query(
+    "funnel_conversion",
+    survey="beyond-reference generic operator: ordered event funnel "
+    "(view -> click -> purchase, each stage strictly after the "
+    "previous) — chained conditional-min aggregates, integer-exact",
+    description="3-stage ordered funnel: per-stage users, step and top conversion",
+    oracle="""
+WITH u1 AS (
+  SELECT user_id, MIN(ts) FILTER (WHERE event_type = 'view') AS vts
+  FROM events GROUP BY user_id
+),
+u2 AS (
+  SELECT e.user_id, ANY_VALUE(u1.vts) AS vts,
+    MIN(e.ts) FILTER (WHERE e.event_type = 'click'
+                      AND e.ts > u1.vts) AS cts
+  FROM events e JOIN u1 USING (user_id) GROUP BY e.user_id
+),
+u3 AS (
+  SELECT e.user_id, ANY_VALUE(u2.vts) AS vts, ANY_VALUE(u2.cts) AS cts,
+    MIN(e.ts) FILTER (WHERE e.event_type = 'purchase'
+                      AND e.ts > u2.cts) AS pts
+  FROM events e JOIN u2 USING (user_id) GROUP BY e.user_id
+),
+c AS (
+  SELECT
+    CAST(COUNT(vts) AS BIGINT) AS n_view,
+    CAST(COUNT(cts) AS BIGINT) AS n_click,
+    CAST(COUNT(pts) AS BIGINT) AS n_purchase,
+    CAST(SUM(CASE WHEN pts IS NOT NULL
+          THEN epoch_us(pts) - epoch_us(vts) END) AS BIGINT)
+      AS total_convert_us
+  FROM u3
+)
+SELECT stage, CAST(stage_idx AS INT) AS stage_idx, n_users,
+  ROUND(n_users * 1.0 / NULLIF(prev_n, 0), 6) AS pct_of_prev,
+  ROUND(n_users * 1.0 / NULLIF(top_n, 0), 6) AS pct_of_top,
+  total_convert_us
+FROM (
+  SELECT 'view' AS stage, 1 AS stage_idx, n_view AS n_users,
+    n_view AS prev_n, n_view AS top_n, NULL::BIGINT AS total_convert_us
+  FROM c
+  UNION ALL
+  SELECT 'click', 2, n_click, n_view, n_view, NULL FROM c
+  UNION ALL
+  SELECT 'purchase', 3, n_purchase, n_click, n_view, total_convert_us
+  FROM c
+)
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each stage is a conditional-min aggregate over events joined to
+    the previous stage's |users|-row table (broadcast); no event list
+    ever collects. Counts and the total time-to-convert are exact
+    BIGINTs; the two conversion ratios are single ROUNDs over integer
+    quotients."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    u1 = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .alias("vts")
+    )
+    u2 = (
+        e.join(F.broadcast(u1), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.any_value("vts").alias("vts"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("vts")),
+                    F.col("ts"),
+                )
+            ).alias("cts"),
+        )
+    )
+    u3 = (
+        e.join(F.broadcast(u2), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.any_value("vts").alias("vts"),
+            F.any_value("cts").alias("cts"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("cts")),
+                    F.col("ts"),
+                )
+            ).alias("pts"),
+        )
+    )
+    c = u3.agg(
+        F.count("vts").alias("n_view"),
+        F.count("cts").alias("n_click"),
+        F.count("pts").alias("n_purchase"),
+        F.sum(
+            F.when(
+                F.col("pts").isNotNull(),
+                F.unix_micros("pts") - F.unix_micros("vts"),
+            )
+        ).alias("total_convert_us"),
+    )
+    nv, nc, np_ = F.col("n_view"), F.col("n_click"), F.col("n_purchase")
+    null_us = F.lit(None).cast("long")
+    stages = c.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("view").alias("stage"),
+                    F.lit(1).alias("stage_idx"),
+                    nv.alias("n_users"),
+                    nv.alias("prev_n"), nv.alias("top_n"),
+                    null_us.alias("total_convert_us"),
+                ),
+                F.struct(
+                    F.lit("click").alias("stage"),
+                    F.lit(2).alias("stage_idx"),
+                    nc.alias("n_users"),
+                    nv.alias("prev_n"), nv.alias("top_n"),
+                    null_us.alias("total_convert_us"),
+                ),
+                F.struct(
+                    F.lit("purchase").alias("stage"),
+                    F.lit(3).alias("stage_idx"),
+                    np_.alias("n_users"),
+                    nc.alias("prev_n"), nv.alias("top_n"),
+                    F.col("total_convert_us").alias("total_convert_us"),
+                ),
+            )
+        ).alias("s")
+    )
+    return stages.select(
+        F.col("s.stage").alias("stage"),
+        F.col("s.stage_idx").alias("stage_idx"),
+        F.col("s.n_users").alias("n_users"),
+        F.round(
+            F.col("s.n_users") * 1.0
+            / F.nullif(F.col("s.prev_n"), F.lit(0)), 6
+        ).alias("pct_of_prev"),
+        F.round(
+            F.col("s.n_users") * 1.0
+            / F.nullif(F.col("s.top_n"), F.lit(0)), 6
+        ).alias("pct_of_top"),
+        F.col("s.total_convert_us").alias("total_convert_us"),
+    )
