@@ -105,3 +105,40 @@ def test_hot_key_merge_batch_stays_bounded(spark, tmp_path):
     assert hot_bar["open"] == 100.0 + ((n_hot - 1) % 7) * 0.1
     # cold keys all present: 600 symbols x the distinct minute buckets
     assert len(got) > 600
+
+
+def test_salted_join_hot_key_spreads_and_matches_plain(spark):
+    """70% of a batch on ONE user: the salted join must (a) return
+    exactly the plain join's rows, (b) actually scatter the hot key
+    across multiple salts."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from tradecat_spark.operators.skew import salted_join
+
+    rows = [{"user_id": 1 if i < 7000 else i % 50 + 2, "v": i}
+            for i in range(10000)]
+    big = spark.createDataFrame(pd.DataFrame(rows))
+    small = spark.createDataFrame(
+        pd.DataFrame([{"user_id": u, "tag": f"u{u}"}
+                      for u in range(1, 60)])
+    )
+    got = salted_join(big, small, ["user_id"], salts=8)
+    plain = big.join(small, "user_id")
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, plain.collect()))
+
+    salted = big.withColumn(
+        "__salt", F.pmod(F.hash(*big.columns), F.lit(8))
+    )
+    n_salts = (
+        salted.filter(F.col("user_id") == 1)
+        .select("__salt").distinct().count()
+    )
+    assert n_salts >= 4  # hot key genuinely scattered
+
+    # left join keeps unmatched big rows exactly once
+    small_missing = small.filter(F.col("user_id") > 30)
+    left = salted_join(big, small_missing, ["user_id"], how="left")
+    assert left.count() == big.count()

@@ -375,3 +375,42 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pct_of_top"),
         F.col("s.total_convert_us").alias("total_convert_us"),
     )
+
+
+@query(
+    "skew_salted_join_law",
+    survey="§4 scale posture: explicit salted join for hot-key skew "
+    "(big side scattered over 8 sub-keys, small side replicated) — the "
+    "salt must be invisible in the result, so the oracle is the PLAIN "
+    "join law",
+    description="Events joined to per-user cohorts through a salted join",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events
+  GROUP BY user_id
+)
+SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+  e.event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e JOIN firsts f USING (user_id)
+GROUP BY f.cohort_day, e.event_type
+""",
+)
+def skew_salted_join_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted plumbing (operators/skew.py) must produce exactly the
+    plain join's rows — the aggregate over the salted join hash-matches
+    the unsalted SQL. The adversarial hot-key distribution test lives
+    in tests/test_dedup_skew.py."""
+    from tradecat_spark.operators.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("date").alias("day")
+    )
+    firsts = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    joined = salted_join(e, firsts, ["user_id"], salts=8)
+    return joined.groupBy("cohort_day", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    ).select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "event_type", "n_events",
+    )
