@@ -93,6 +93,7 @@ _GATE_PRIORITY = (
     "approx_quantiles_sample",
     "funnel_conversion",
     "skew_salted_join_law",
+    "data_contract_expectations",
     # checked r01 only — re-verify under the current data generation
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q5_region_revenue", "top_customers_by_spend",

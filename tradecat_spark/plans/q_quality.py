@@ -605,3 +605,85 @@ def quality_lineage_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acc.groupBy("root", F.col("node").alias("downstream")).agg(
         F.min("depth").cast("long").alias("depth")
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-contract expectations (Great-Expectations shape)
+# ---------------------------------------------------------------------------
+#: (table, expectation name, violation predicate SQL). A row VIOLATES
+#: when the predicate is true; the report counts violations per
+#: expectation in ONE scan per table (conditional sums, no per-check
+#: passes). The predicate strings are the single source of truth —
+#: compiled via F.expr for Spark and pasted verbatim into the oracle.
+_EXPECTATIONS = (
+    ("lineitem", "quantity_in_1_50",
+     "l_quantity < 1 OR l_quantity > 50 OR l_quantity IS NULL"),
+    ("lineitem", "discount_in_0_0.1",
+     "l_discount < 0 OR l_discount > 0.1 OR l_discount IS NULL"),
+    ("lineitem", "shipdate_not_null", "l_shipdate IS NULL"),
+    ("lineitem", "tax_in_0_0.08",
+     "l_tax < 0 OR l_tax > 0.08 OR l_tax IS NULL"),
+    ("orders", "totalprice_positive",
+     "o_totalprice <= 0 OR o_totalprice IS NULL"),
+    ("orders", "status_in_domain", "o_orderstatus NOT IN ('O','F','P')"),
+    ("customer", "acctbal_not_null", "c_acctbal IS NULL"),
+)
+
+
+@query(
+    "data_contract_expectations",
+    survey="beyond-reference generic operator: declarative data-contract "
+    "expectations (the Great-Expectations pattern) — each table scanned "
+    "ONCE with conditional violation sums; predicates shared verbatim "
+    "between engines",
+    description="Per-expectation violation counts over lineitem/orders/customer",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{t}' AS tbl, '{name}' AS expectation,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+  SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) = 0 AS passed
+FROM {t}"""
+        for t, name, pred in _EXPECTATIONS
+    ),
+)
+def data_contract_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All of a table's expectations evaluate in one projection over one
+    scan (a sum of flag columns — map-side combining, no shuffle beyond
+    the final 1-row-per-table aggregate); the per-expectation rows then
+    explode out of the aggregated struct. Counts are exact BIGINTs."""
+    outs = []
+    by_table: dict[str, list[tuple[str, str]]] = {}
+    for t, name, pred in _EXPECTATIONS:
+        by_table.setdefault(t, []).append((name, pred))
+    for t, checks in by_table.items():
+        df = load_table(spark, sf_dir, t)
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.sum(
+                    F.when(F.expr(pred), F.lit(1)).otherwise(F.lit(0))
+                ).alias(f"v_{i}")
+                for i, (_, pred) in enumerate(checks)
+            ],
+        )
+        rows = agg.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            F.lit(name).alias("expectation"),
+                            F.col("n_rows").alias("n_rows"),
+                            F.col(f"v_{i}").alias("n_violations"),
+                            (F.col(f"v_{i}") == 0).alias("passed"),
+                        )
+                        for i, (name, _) in enumerate(checks)
+                    ]
+                )
+            ).alias("r")
+        ).select("r.*")
+        outs.append(rows)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
