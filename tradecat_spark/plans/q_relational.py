@@ -366,3 +366,156 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio6(cents(F.col("revenue")), F.sum(cents(F.col("revenue"))).over(w))
         .alias("region_share"),
     )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    survey="§2.2 P-family selective scan + §2.4 global agg: TPC-H Q6 — "
+    "the canonical pushed-predicate single-table aggregate",
+    description="TPC-H Q6: revenue from discounted small-quantity 1996 lineitems",
+    oracle="""
+SELECT
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+        * CAST(l_discount AS DECIMAL(8,6))) AS DOUBLE), 6) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four predicates push to the parquet scan (range on shipdate
+    prunes row groups); the aggregate is one map-side-combined global
+    sum — the plan every columnar engine should produce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate")
+             >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate")
+               < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(_money("l_extendedprice") * _rate("l_discount"))
+                .cast("double"),
+                6,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q14_promo_effect",
+    survey="§2.3 fact-dim join + §2.4 conditional agg: TPC-H Q14 — "
+    "promo revenue share with the part table broadcast",
+    description="TPC-H Q14: promo revenue percentage for 1996-03",
+    oracle="""
+SELECT
+  ROUND(100.0 * ROUND(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+      THEN CAST(l_extendedprice AS DECIMAL(18,6))
+           * (1 - CAST(l_discount AS DECIMAL(8,6)))
+      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE), 6)
+    / ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+        * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE), 6), 6)
+    AS promo_revenue_pct,
+  ROUND(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+      THEN CAST(l_extendedprice AS DECIMAL(18,6))
+           * (1 - CAST(l_discount AS DECIMAL(8,6)))
+      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE), 6) AS promo_revenue,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+      * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE), 6)
+    AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+""",
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part broadcasts against the month-pruned lineitem scan; both
+    sums are DECIMAL (order-free), rounded once, and the percentage is
+    one float division over the two rounded doubles."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate")
+         >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate")
+           < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_price = _money("l_extendedprice") * (1 - _rate("l_discount"))
+    promo = F.when(
+        F.col("p_type").like("PROMO%"), disc_price
+    ).otherwise(F.lit(0).cast("decimal(18,6)"))
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    agg = j.agg(
+        F.round(F.sum(promo).cast("double"), 6).alias("promo_revenue"),
+        F.round(F.sum(disc_price).cast("double"), 6).alias("total_revenue"),
+    )
+    return agg.select(
+        F.round(
+            100.0 * F.col("promo_revenue") / F.col("total_revenue"), 6
+        ).alias("promo_revenue_pct"),
+        "promo_revenue",
+        "total_revenue",
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    survey="§2.3 multi-join + §2.6 top-K: TPC-H Q10 — top-20 customers "
+    "by returned-item revenue, dims broadcast, TakeOrdered limit",
+    description="TPC-H Q10: top-20 customers by 1996-Q1 returned revenue",
+    oracle="""
+SELECT c_custkey, c_name, n_name,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+      * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE), 6) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter-pruned orders and the 'R' flag push to the scans; nation
+    and customer broadcast; the final top-20 is a TakeOrdered (no full
+    sort), tie-broken on the customer key so the cutoff is
+    deterministic."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate")
+         >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate")
+           < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    disc_price = _money("l_extendedprice") * (1 - _rate("l_discount"))
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.round(F.sum(disc_price).cast("double"), 6).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return agg.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
