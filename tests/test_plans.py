@@ -28,7 +28,7 @@ def _plan(spark, name, sf_dir) -> str:
 @pytest.mark.parametrize(
     "name",
     ["tpch_q3_shipping_priority", "tpch_q5_region_revenue", "ranking_card_1h",
-     "meta_join_1h"],
+     "meta_join_1h", "tpch_q14_promo_effect", "tpch_q10_returned_items"],
 )
 def test_dimension_joins_broadcast(spark, sf_dir, name):
     """Dim/base-data joins must broadcast — a sort-merge join here means
@@ -43,6 +43,8 @@ def test_dimension_joins_broadcast(spark, sf_dir, name):
     [
         ("tpch_q3_shipping_priority", "o_orderdate"),
         ("tpch_q5_region_revenue", "o_orderdate"),
+        ("tpch_q6_forecast_revenue", "l_shipdate"),
+        ("tpch_q10_returned_items", "l_returnflag"),
         ("rest_ohlc_history", "event_type"),
     ],
 )
@@ -314,3 +316,10 @@ def test_semdedup_pairs_join_on_cluster_id(spark, sf_dir):
     (bounded quadratic term), never a cartesian pair scan."""
     plan = _plan(spark, "cluster_semdedup_candidates", sf_dir)
     assert "CartesianProduct" not in plan
+
+
+def test_q10_top20_is_take_ordered(spark, sf_dir):
+    """Q10's top-20 must plan as TakeOrderedAndProject, not a global
+    sort + limit."""
+    plan = _plan(spark, "tpch_q10_returned_items", sf_dir)
+    assert "TakeOrderedAndProject" in plan
