@@ -97,6 +97,9 @@ _GATE_PRIORITY = (
     "tpch_q6_forecast_revenue",
     "tpch_q14_promo_effect",
     "tpch_q10_returned_items",
+    "pivot_event_matrix",
+    "rollup_region_revenue",
+    "unpivot_daily_metrics",
     # checked r01 only — re-verify under the current data generation
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q5_region_revenue", "top_customers_by_spend",

@@ -76,6 +76,7 @@ def load_all() -> dict[str, QuerySpec]:
         q_monitor,
         q_cluster,
         q_sessions,
+        q_reshape,
     )
 
     return REGISTRY
