@@ -659,3 +659,49 @@ def streaming_cvd_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
         "delta", "cvd",
     )
+
+
+@query(
+    "streaming_dedup_ingest",
+    survey="§2.11-adjacent: at-least-once ingest deduplication — "
+    "dropDuplicatesWithinWatermark over a doubled source (every event "
+    "delivered twice), hash-checked against the batch distinct law",
+    description="Exactly-once event counts from a duplicated stream",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+""",
+)
+def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The source directory holds the events TWICE (two parquet files —
+    an at-least-once replay); dropDuplicatesWithinWatermark(event_id)
+    keeps exactly one copy of each id while the watermark bounds how
+    long an id's fingerprint stays in state (the property that makes
+    streaming dedup viable at all — plain dropDuplicates would hold
+    every id forever). The kept-row counts per type must equal the
+    batch distinct law."""
+    src = tempfile.mkdtemp(prefix="tc_dedup_src_")
+    ckpt = tempfile.mkdtemp(prefix="tc_dedup_ckpt_")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    e.write.mode("append").parquet(src)
+    e.write.mode("append").parquet(src)  # the duplicate delivery
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = stream.withWatermark("ts", "10 minutes") \
+        .dropDuplicatesWithinWatermark(["event_id"])
+    name = f"tc_dedup_{uuid.uuid4().hex[:10]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
