@@ -305,3 +305,43 @@ def test_atr_kdj_folds_match_pandas(closes):
               ignore_na=True).mean()
     assert _bitwise_eq(got_k["kdj_k"], k)
     assert _bitwise_eq(got_k["kdj_d"], d)
+
+
+# ---------------------------------------------------------------------------
+# Sessionization law
+# ---------------------------------------------------------------------------
+_ts_lists = st.lists(
+    st.integers(min_value=0, max_value=200_000),
+    min_size=1, max_size=40, unique=True,
+)
+
+
+@given(secs=_ts_lists)
+@SETTINGS
+def test_sessionize_partitions_by_gap_law(spark, secs):
+    """Sessions must partition a key's events: consecutive events in
+    one session are < GAP apart, consecutive sessions are >= GAP
+    apart, and indices are 1..n_sessions in time order."""
+    from tradecat_spark.plans.q_sessions import sessionize
+
+    gap = 3600
+    pdf = pd.DataFrame({
+        "k": "u",
+        "ts": [pd.Timestamp("2025-01-01") + pd.Timedelta(seconds=s)
+               for s in secs],
+    })
+    out = (
+        sessionize(spark.createDataFrame(pdf), ["k"], "ts", gap)
+        .orderBy("ts")
+        .toPandas()
+    )
+    sids = out["session_idx"].tolist()
+    tss = out["ts"].tolist()
+    assert sids[0] == 1
+    for i in range(1, len(out)):
+        delta = (tss[i] - tss[i - 1]).total_seconds()
+        if sids[i] == sids[i - 1]:
+            assert delta < gap
+        else:
+            assert sids[i] == sids[i - 1] + 1
+            assert delta >= gap
