@@ -101,6 +101,7 @@ _GATE_PRIORITY = (
     "rollup_region_revenue",
     "unpivot_daily_metrics",
     "streaming_dedup_ingest",
+    "range_bin_join_law",
     # checked r01 only — re-verify under the current data generation
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q5_region_revenue", "top_customers_by_spend",

@@ -345,3 +345,34 @@ def test_sessionize_partitions_by_gap_law(spark, secs):
         else:
             assert sids[i] == sids[i - 1] + 1
             assert delta >= gap
+
+
+@given(
+    pts=st.lists(st.integers(0, 5000), min_size=1, max_size=30,
+                 unique=True),
+    ivs=st.lists(st.tuples(st.integers(0, 5000), st.integers(0, 2000)),
+                 min_size=1, max_size=10),
+)
+@SETTINGS
+def test_bin_range_join_equals_between_join(spark, pts, ivs):
+    """bin_range_join must equal the plain BETWEEN join for arbitrary
+    (overlapping, nested, empty-coverage) intervals."""
+    from tradecat_spark.operators.rangejoin import bin_range_join
+
+    p = spark.createDataFrame(pd.DataFrame({
+        "k": "a",
+        "ts": [T0 + pd.Timedelta(seconds=s) for s in pts],
+    }))
+    iv = spark.createDataFrame(pd.DataFrame({
+        "k": "a",
+        "iv_id": range(len(ivs)),
+        "s_start": [T0 + pd.Timedelta(seconds=s) for s, _ in ivs],
+        "s_end": [T0 + pd.Timedelta(seconds=s + d) for s, d in ivs],
+    }))
+    got = bin_range_join(p, iv, ["k"], "ts", "s_start", "s_end",
+                         bin_sec=600)
+    plain = p.join(iv, "k").filter(
+        (F.col("ts") >= F.col("s_start")) & (F.col("ts") <= F.col("s_end"))
+    )
+    cols = ["k", "ts", "iv_id"]
+    assert _rows(got, cols) == _rows(plain, cols)

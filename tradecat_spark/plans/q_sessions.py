@@ -414,3 +414,66 @@ def skew_salted_join_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
         "event_type", "n_events",
     )
+
+
+@query(
+    "range_bin_join_law",
+    survey="§2.3-adjacent scale technique: bin-bucketed range join "
+    "(operators/rangejoin.py) — point-in-interval as an equi-join on "
+    "time bins + exact filter; the oracle is the PLAIN BETWEEN join",
+    description="Events annotated with their 6h-gap session via a bin range join",
+    oracle=f"""
+WITH g AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+          OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= {3 * _GAP_US}
+      THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+),
+iv AS (
+  SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+    MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM s GROUP BY 1, 2
+)
+SELECT e.user_id, iv.session_idx,
+  epoch_us(iv.s_start) AS session_start_us,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e JOIN iv
+  ON e.user_id = iv.user_id
+  AND e.ts >= iv.s_start AND e.ts <= iv.s_end
+GROUP BY e.user_id, iv.session_idx, iv.s_start
+""",
+)
+def range_bin_join_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 6h-gap session intervals (built by the batch law) are range-
+    joined back onto the raw events through the BIN path — interval
+    exploded to covered 6h bins, point mapped to its bin, equi-join,
+    exact filter. The aggregate over the bin join must hash-equal the
+    plain BETWEEN join the oracle runs; the operator-level law over
+    random (including overlapping) intervals is pinned in
+    tests/test_properties.py."""
+    from tradecat_spark.operators.rangejoin import bin_range_join
+
+    gap = GAP_SEC * 3
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    s = sessionize(e, ["user_id"], "ts", gap)
+    iv = s.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    j = bin_range_join(
+        e, iv, ["user_id"], "ts", "s_start", "s_end", bin_sec=gap
+    )
+    return j.groupBy("user_id", "session_idx", "s_start").agg(
+        F.count(F.lit(1)).alias("n_events")
+    ).select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        F.unix_micros("s_start").alias("session_start_us"),
+        "n_events",
+    )
