@@ -171,3 +171,54 @@ def test_backfill_closes_planned_gaps_end_to_end(spark, tmp_path):
         ["symbol"], "bucket_ts", per_day,
     ).filter("n_rows < expected_rows")
     assert rescan.count() == 0
+
+
+def test_compact_rewrites_only_fragmented_partitions(spark, tmp_path):
+    """3 dates x 8 files + 1 date x 1 file: compaction must merge the
+    fragmented dates to one file each, leave the healthy date's file
+    untouched (same physical file), and preserve the row set."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tradecat_spark.operators.storage import compact_time_partitions
+
+    store = str(tmp_path / "store")
+    rows = pd.DataFrame({
+        "id": range(3000),
+        "part_date": [f"2025-01-0{1 + i % 3}" for i in range(3000)],
+    })
+    (
+        spark.createDataFrame(rows).repartition(8)
+        .write.partitionBy("part_date").parquet(store)
+    )
+    healthy = pd.DataFrame({"id": [9999], "part_date": ["2025-01-09"]})
+    (
+        spark.createDataFrame(healthy).coalesce(1)
+        .write.mode("append").partitionBy("part_date").parquet(store)
+    )
+
+    def files(d):
+        p = os.path.join(store, f"part_date={d}")
+        return sorted(
+            f for f in os.listdir(p) if f.endswith(".parquet")
+        )
+
+    before_healthy = files("2025-01-09")
+    assert len(files("2025-01-01")) == 8
+
+    before = sorted(
+        map(tuple, spark.read.parquet(store).select("id").collect())
+    )
+    rewritten = compact_time_partitions(spark, store)
+    assert rewritten == ["2025-01-01", "2025-01-02", "2025-01-03"]
+    for d in rewritten:
+        assert len(files(d)) == 1
+    assert files("2025-01-09") == before_healthy  # untouched
+    after = sorted(
+        map(tuple, spark.read.parquet(store).select("id").collect())
+    )
+    assert after == before
+    # idempotent: a second pass finds nothing fragmented
+    assert compact_time_partitions(spark, store) == []

@@ -86,3 +86,56 @@ def write_time_partitioned(
         .partitionBy(partition_col)
         .parquet(path)
     )
+
+
+def compact_time_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str = "part_date",
+    max_files: int = 1,
+) -> list[str]:
+    """Rewrite date partitions that have fragmented into more than
+    ``max_files`` parquet files (the inevitable residue of micro-batch
+    ingest — each 3s trigger leaves a file per touched partition, and a
+    day of triggers leaves thousands of tiny files that wreck scan
+    throughput at 100 TB).
+
+    Only fragmented partitions are read and rewritten
+    (``partitionOverwriteMode=dynamic``) — healthy partitions' files
+    are never touched, so the job's cost tracks fragmentation, not
+    store size. Returns the rewritten partition values.
+    """
+    import os
+
+    frag = []
+    for entry in os.listdir(path):
+        if not entry.startswith(f"{partition_col}="):
+            continue
+        n = sum(
+            1 for f in os.listdir(os.path.join(path, entry))
+            if f.endswith(".parquet")
+        )
+        if n > max_files:
+            frag.append(entry.split("=", 1)[1])
+    if not frag:
+        return []
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path).filter(
+        F.col(partition_col).isin([*frag])
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.repartition(max_files * len(frag), partition_col)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+    return sorted(frag)
