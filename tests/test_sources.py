@@ -222,3 +222,31 @@ def test_compact_rewrites_only_fragmented_partitions(spark, tmp_path):
     assert after == before
     # idempotent: a second pass finds nothing fragmented
     assert compact_time_partitions(spark, store) == []
+
+
+def test_compact_max_files_spreads_output(spark, tmp_path):
+    """max_files > 1 must actually produce parallel output files (the
+    second repartition split key), not collapse each date to one."""
+    import os
+
+    import pandas as pd
+
+    from tradecat_spark.operators.storage import compact_time_partitions
+
+    store = str(tmp_path / "store")
+    rows = pd.DataFrame({
+        "id": range(5000), "part_date": ["2025-02-01"] * 5000,
+    })
+    (
+        spark.createDataFrame(rows).repartition(16)
+        .write.partitionBy("part_date").parquet(store)
+    )
+    assert compact_time_partitions(
+        spark, store, max_files=4
+    ) == ["2025-02-01"]
+    files = [
+        f for f in os.listdir(os.path.join(store, "part_date=2025-02-01"))
+        if f.endswith(".parquet")
+    ]
+    assert 1 < len(files) <= 4
+    assert spark.read.parquet(store).count() == 5000

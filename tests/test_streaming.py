@@ -934,3 +934,44 @@ def test_streaming_kdj_parity_short_history_key(spark, tmp_path):
     # matures) contribute nothing; full matures normally
     assert set(spdf["event_type"]) == {"full"}
     assert_frames_match(spdf, odf, "streaming_kdj_parity_short")
+
+
+def test_streaming_dedup_never_duplicates_across_batches(spark, tmp_path):
+    """Dedup contract under adversarial batch slicing
+    (maxFilesPerTrigger=1, files interleaving event time): a replayed
+    row is either deduped by state or dropped as late — so NO id ever
+    emits twice, under any slicing. Completeness is NOT promised here:
+    a first copy surfacing after the watermark passed its event time
+    is dropped as late (the standard streaming contract) — which is
+    why the gate query drains its source in a single batch."""
+    import uuid
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    rows = pd.DataFrame({
+        "event_id": range(200),
+        "ts": [pd.Timestamp("2025-05-01") + pd.Timedelta(minutes=i)
+               for i in range(200)],
+    })
+    df = spark.createDataFrame(rows)
+    df.write.mode("append").parquet(src)
+    df.write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    dd = stream.withWatermark("ts", "10 minutes") \
+        .dropDuplicatesWithinWatermark(["event_id"])
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        dd.writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = spark.table(name)
+    n, nd = got.count(), got.select("event_id").distinct().count()
+    assert n == nd  # the invariant: never a duplicate emission
+    assert nd <= 200

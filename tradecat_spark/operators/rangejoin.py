@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+BIN_COL = "__tc_bin"
+
 
 def bin_range_join(
     points: DataFrame,
@@ -33,11 +35,16 @@ def bin_range_join(
 ) -> DataFrame:
     """Inner-join ``points`` to the ``intervals`` rows whose
     ``[start, end]`` (inclusive) contains ``pt``, sharing ``keys``."""
+    for side, df in (("points", points), ("intervals", intervals)):
+        if BIN_COL in df.columns:
+            raise ValueError(
+                f"{side} input already has reserved column {BIN_COL!r}"
+            )
     p = points.withColumn(
-        "__bin", F.floor(F.unix_timestamp(F.col(pt)) / bin_sec)
+        BIN_COL, F.floor(F.unix_timestamp(F.col(pt)) / bin_sec)
     )
     iv = intervals.withColumn(
-        "__bin",
+        BIN_COL,
         F.explode(
             F.sequence(
                 F.floor(F.unix_timestamp(F.col(start)) / bin_sec),
@@ -46,7 +53,7 @@ def bin_range_join(
         ),
     )
     return (
-        p.join(iv, [*keys, "__bin"])
+        p.join(iv, [*keys, BIN_COL])
         .filter((F.col(pt) >= F.col(start)) & (F.col(pt) <= F.col(end)))
-        .drop("__bin")
+        .drop(BIN_COL)
     )

@@ -43,11 +43,16 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    for side, df in (("big", big), ("small", small)):
+        if SALT_COL in df.columns:
+            raise ValueError(
+                f"{side} input already has reserved column {SALT_COL!r}"
+            )
     big_s = big.withColumn(
-        "__salt", F.pmod(F.hash(*big.columns), F.lit(salts))
+        SALT_COL, F.pmod(F.hash(*big.columns), F.lit(salts))
     )
     small_s = small.withColumn(
-        "__salt",
+        SALT_COL,
         F.explode(F.sequence(F.lit(0), F.lit(salts - 1))),
     )
-    return big_s.join(small_s, [*keys, "__salt"], how).drop("__salt")
+    return big_s.join(small_s, [*keys, SALT_COL], how).drop(SALT_COL)

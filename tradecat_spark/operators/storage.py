@@ -104,6 +104,17 @@ def compact_time_partitions(
     (``partitionOverwriteMode=dynamic``) — healthy partitions' files
     are never touched, so the job's cost tracks fragmentation, not
     store size. Returns the rewritten partition values.
+
+    Concurrency contract: read-snapshot + overwrite is NOT atomic
+    against writers. Run between ingest triggers (the micro-batch loop
+    has natural gaps) or on partitions past the ingest watermark; a
+    file appended to a fragmented partition mid-compaction would be
+    replaced by the pre-append snapshot. A transaction log
+    (DeltaTable OPTIMIZE, see streaming/ingest.py's Delta path) is the
+    always-safe variant where delta-spark exists.
+
+    NULL-valued partitions (``__HIVE_DEFAULT_PARTITION__``) are left
+    alone — a NULL key can't round-trip through the value filter.
     """
     import os
 
@@ -111,12 +122,15 @@ def compact_time_partitions(
     for entry in os.listdir(path):
         if not entry.startswith(f"{partition_col}="):
             continue
+        val = entry.split("=", 1)[1]
+        if val == "__HIVE_DEFAULT_PARTITION__":
+            continue
         n = sum(
             1 for f in os.listdir(os.path.join(path, entry))
             if f.endswith(".parquet")
         )
         if n > max_files:
-            frag.append(entry.split("=", 1)[1])
+            frag.append(val)
     if not frag:
         return []
     from pyspark.sql import functions as F
@@ -127,14 +141,23 @@ def compact_time_partitions(
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
+        # second split key spreads each date across up to max_files
+        # tasks (hash on partition_col alone would collapse every date
+        # to one task no matter what max_files asks for)
         (
-            df.repartition(max_files * len(frag), partition_col)
+            df.repartition(
+                max_files * len(frag),
+                F.col(partition_col),
+                F.pmod(F.hash(*df.columns), F.lit(max_files)),
+            )
             .write.mode("overwrite")
             .partitionBy(partition_col)
             .parquet(path)
         )
     finally:
-        if prev is not None:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
             spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", prev
             )

@@ -22,6 +22,26 @@ from tradecat_spark.plans.registry import query
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
+def _wide_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """day × event_type counts via one explicit-list pivot pass —
+    shared by the pivot and unpivot queries."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    )
+    return (
+        e.groupBy("day")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            *[
+                F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+                for t in EVENT_TYPES
+            ],
+        )
+    )
+
+
 @query(
     "pivot_event_matrix",
     survey="beyond-reference reshape op: groupBy().pivot() — the "
@@ -43,21 +63,7 @@ def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-values job AND the output schema is fixed — the only
     pivot form that belongs in a production pipeline (an inferred
     pivot is a full distinct scan plus an unbounded-width schema)."""
-    e = load_table(spark, sf_dir, "events").select(
-        F.col("ts").cast("date").alias("day"), "event_type"
-    )
-    wide = (
-        e.groupBy("day")
-        .pivot("event_type", list(EVENT_TYPES))
-        .agg(F.count(F.lit(1)))
-    )
-    out = wide.select(
-        F.date_format("day", "yyyy-MM-dd").alias("day"),
-        *[
-            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
-            for t in EVENT_TYPES
-        ],
-    )
+    out = _wide_event_matrix(spark, sf_dir)
     total = sum(
         (F.col(f"n_{t}") for t in EVENT_TYPES[1:]),
         F.col(f"n_{EVENT_TYPES[0]}"),
@@ -153,21 +159,7 @@ def unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Melt is a zero-shuffle projection (each wide row fans out to
     |metrics| narrow rows in place); the wide input reuses the pivot
     query's single aggregate pass."""
-    e = load_table(spark, sf_dir, "events").select(
-        F.col("ts").cast("date").alias("day"), "event_type"
-    )
-    wide = (
-        e.groupBy("day")
-        .pivot("event_type", list(EVENT_TYPES))
-        .agg(F.count(F.lit(1)))
-        .select(
-            F.date_format("day", "yyyy-MM-dd").alias("day"),
-            *[
-                F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
-                for t in EVENT_TYPES
-            ],
-        )
-    )
+    wide = _wide_event_matrix(spark, sf_dir)
     return wide.unpivot(
         ["day"],
         [f"n_{t}" for t in EVENT_TYPES],

@@ -679,7 +679,17 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     long an id's fingerprint stays in state (the property that makes
     streaming dedup viable at all — plain dropDuplicates would hold
     every id forever). The kept-row counts per type must equal the
-    batch distinct law."""
+    batch distinct law.
+
+    Contract boundary (pinned by
+    test_streaming_dedup_never_duplicates_across_batches): the
+    NO-DUPLICATES invariant holds under ANY micro-batch slicing — a
+    replayed copy is either deduped by state or dropped as late.
+    COMPLETENESS additionally needs first deliveries to arrive within
+    the watermark delay of stream progress; a first copy surfacing
+    after the watermark passed its event time is dropped as late, the
+    standard streaming late-data contract. Here availableNow drains
+    the whole source in one batch, so both properties hold exactly."""
     src = tempfile.mkdtemp(prefix="tc_dedup_src_")
     ckpt = tempfile.mkdtemp(prefix="tc_dedup_ckpt_")
     e = load_table(spark, sf_dir, "events").select(
