@@ -69,14 +69,15 @@ def _d2(v, cv):
 
 
 def _assign(e: DataFrame, cent: DataFrame) -> DataFrame:
-    """vec → nearest centroid; ties break on the lower cluster id."""
+    """vec → nearest centroid; ties break on the lower cluster id.
+    Carries the rounded distance out (row-level gate surface)."""
     w = Window.partitionBy("vec_id").orderBy(F.asc("d2r"), F.asc("cid"))
     return (
         e.crossJoin(F.broadcast(cent))
         .withColumn("d2r", F.round(_d2(F.col("v"), F.col("cv")), 6))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cid")
+        .select("vec_id", "v", "cid", "d2r")
     )
 
 
@@ -136,8 +137,8 @@ def _lloyd_sql(n_iters: int = N_ITERS) -> str:
     for t in range(1, n_iters + 1):
         d2 = _D2_SQL.format(v="c.v", c="k.cv")
         ctes.append(f"""a{t} AS (
-  SELECT vec_id, v, cid FROM (
-    SELECT c.vec_id, c.v, k.cid,
+  SELECT vec_id, v, cid, d2r FROM (
+    SELECT c.vec_id, c.v, k.cid, ROUND({d2}, 6) AS d2r,
       ROW_NUMBER() OVER (PARTITION BY c.vec_id
         ORDER BY ROUND({d2}, 6) ASC, k.cid ASC) AS rn
     FROM c, cent{t - 1} k
@@ -263,4 +264,28 @@ def cluster_semdedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dropped_id", "keeper_id", "cos_sim",
             F.col("prune_rank").cast("long").alias("prune_rank"),
         )
+    )
+
+
+@query(
+    "cluster_assignments",
+    survey="training-pipeline clustering: the row-level k-means "
+    "assignment surface (vec -> cluster + rounded distance after the "
+    "final Lloyd iteration) — the per-vector step the summary query "
+    "aggregates over, hash-gated directly",
+    description="Per-vector final cluster assignment with distance",
+    oracle=f"""
+{_lloyd_sql()}
+SELECT vec_id, cid AS cluster_id, d2r AS dist2
+FROM a{N_ITERS}
+""",
+)
+def cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final iteration's assignment rows, verbatim: nearest
+    centroid id and the rounded squared distance per vector."""
+    asg, _ = _lloyd(spark, sf_dir)
+    return asg.select(
+        "vec_id",
+        F.col("cid").alias("cluster_id"),
+        F.col("d2r").alias("dist2"),
     )
