@@ -25,7 +25,6 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
 
 from tradecat_spark.indicators.base import IndicatorMeta, active_indicators
 from tradecat_spark.operators.latest import topn_per_group

@@ -40,7 +40,6 @@ import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from tradecat_spark.operators.merge import (
     DELTA_MERGE_SET,
