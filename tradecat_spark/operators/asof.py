@@ -29,11 +29,23 @@ def asof_join(
     right_ts: str,
     right_vals: list[str],
     tolerance_sec: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    right_ts <= left_ts within the same key (pandas ``merge_asof``
-    semantics, direction='backward').
+    """For each left row, attach one right row within the same key
+    (pandas ``merge_asof`` semantics):
+
+    - ``backward`` (default): the latest right with right_ts <= left_ts;
+    - ``forward``: the earliest right with right_ts >= left_ts;
+    - ``nearest``: whichever of the two is closer in time, ties
+      preferring backward.
+
+    All three run in ONE union-and-fill pass — forward is a mirrored
+    window (``first`` over [current, following]) on the same sorted
+    frame, so nearest costs no extra shuffle or self-join (and needs no
+    unique-row assumption a join-based merge would).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction {direction!r}")
     lcols = left.columns
     l = left.select(
         *[F.col(c) for c in lcols],
@@ -55,32 +67,71 @@ def asof_join(
 
     # right rows sort before left rows at identical ts → a left row at
     # exactly t sees a right row at t (inclusive backward as-of).
-    w = (
+    wb = (
         Window.partitionBy(*keys)
         .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = l.unionByName(r).select(
-        "*",
-        *[F.last(f"_r_{v}", ignorenulls=True).over(w).alias(f"_f_{v}")
-          for v in right_vals],
-        F.last("_r_ts", ignorenulls=True).over(w).alias("_f_ts"),
+    # mirrored frame for forward: left rows sort before right rows at
+    # identical ts, and first() scans [current, following] — so a left
+    # row at t sees a right row at exactly t (inclusive forward as-of).
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts").asc(), F.col("_is_left").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    out = filled.filter(F.col("_is_left") == 1)
+    u = l.unionByName(r)
+    fills = []
+    if direction in ("backward", "nearest"):
+        fills += [
+            F.last(f"_r_{v}", ignorenulls=True).over(wb).alias(f"_b_{v}")
+            for v in right_vals
+        ]
+        fills.append(
+            F.last("_r_ts", ignorenulls=True).over(wb).alias("_b_ts")
+        )
+    if direction in ("forward", "nearest"):
+        fills += [
+            F.first(f"_r_{v}", ignorenulls=True).over(wf).alias(f"_fw_{v}")
+            for v in right_vals
+        ]
+        fills.append(
+            F.first("_r_ts", ignorenulls=True).over(wf).alias("_fw_ts")
+        )
+    out = u.select("*", *fills).filter(F.col("_is_left") == 1)
+
+    if direction == "backward":
+        pick_ts = F.col("_b_ts")
+        pick = {v: F.col(f"_b_{v}") for v in right_vals}
+    elif direction == "forward":
+        pick_ts = F.col("_fw_ts")
+        pick = {v: F.col(f"_fw_{v}") for v in right_vals}
+    else:  # nearest, ties prefer backward
+        d_b = F.col("_ts").cast("double") - F.col("_b_ts").cast("double")
+        d_f = F.col("_fw_ts").cast("double") - F.col("_ts").cast("double")
+        use_b = F.col("_fw_ts").isNull() | (
+            F.col("_b_ts").isNotNull() & (d_b <= d_f)
+        )
+        pick_ts = F.when(use_b, F.col("_b_ts")).otherwise(F.col("_fw_ts"))
+        pick = {
+            v: F.when(use_b, F.col(f"_b_{v}"))
+            .otherwise(F.col(f"_fw_{v}"))
+            for v in right_vals
+        }
+
     if tolerance_sec is not None:
         within = (
-            F.col("_ts").cast("double") - F.col("_f_ts").cast("double")
-        ) <= F.lit(tolerance_sec)
-        out = out.select(
+            F.abs(F.col("_ts").cast("double") - pick_ts.cast("double"))
+            <= F.lit(tolerance_sec)
+        )
+        return out.select(
             *lcols,
-            *[F.when(within, F.col(f"_f_{v}")).alias(f"asof_{v}")
+            *[F.when(within, pick[v]).alias(f"asof_{v}")
               for v in right_vals],
-            F.when(within, F.col("_f_ts")).alias("asof_ts"),
+            F.when(within, pick_ts).alias("asof_ts"),
         )
-    else:
-        out = out.select(
-            *lcols,
-            *[F.col(f"_f_{v}").alias(f"asof_{v}") for v in right_vals],
-            F.col("_f_ts").alias("asof_ts"),
-        )
-    return out
+    return out.select(
+        *lcols,
+        *[pick[v].alias(f"asof_{v}") for v in right_vals],
+        pick_ts.alias("asof_ts"),
+    )

@@ -872,3 +872,70 @@ def metrics_cascade_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("weighted_ratio"),
     )
+
+
+@query(
+    "asof_direction_variants",
+    survey="§2.3 J5 as-of alignment, full merge_asof direction surface "
+    "(operators/asof.py): backward / forward / nearest (ties prefer "
+    "backward) — all three from the one union-and-fill pass",
+    description="Each purchase aligned to prior / next / nearest other event",
+    oracle="""
+WITH p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+),
+o AS (
+  SELECT user_id, ts FROM events WHERE event_type <> 'purchase'
+),
+b AS (
+  SELECT p.user_id, p.event_id, p.ts, o.ts AS b_ts
+  FROM p ASOF LEFT JOIN o
+    ON p.user_id = o.user_id AND p.ts >= o.ts
+),
+f AS (
+  SELECT p.user_id, p.event_id, o.ts AS f_ts
+  FROM p ASOF LEFT JOIN o
+    ON p.user_id = o.user_id AND p.ts <= o.ts
+)
+SELECT b.user_id, b.event_id,
+  epoch_us(b.ts) AS ts_us,
+  epoch_us(b.b_ts) AS bwd_us,
+  epoch_us(f.f_ts) AS fwd_us,
+  CASE
+    WHEN f.f_ts IS NULL THEN epoch_us(b.b_ts)
+    WHEN b.b_ts IS NULL THEN epoch_us(f.f_ts)
+    WHEN epoch_us(b.ts) - epoch_us(b.b_ts)
+         <= epoch_us(f.f_ts) - epoch_us(b.ts) THEN epoch_us(b.b_ts)
+    ELSE epoch_us(f.f_ts)
+  END AS nearest_us
+FROM b JOIN f USING (user_id, event_id)
+""",
+)
+def asof_direction_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward / forward / nearest alignments of each purchase against
+    the user's other events. Only timestamps are emitted, so the result
+    is tie-proof (a direction's chosen instant is unique even when
+    several right rows share it); the oracle composes DuckDB's native
+    ASOF in both directions plus the tie-prefers-backward CASE."""
+    e = _events(spark, sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    o = e.filter(F.col("event_type") != "purchase").select("user_id", "ts")
+    b = asof_join(p, o, ["user_id"], "ts", "ts", []).select(
+        "user_id", "event_id", "ts", F.col("asof_ts").alias("b_ts")
+    )
+    f = asof_join(
+        p, o, ["user_id"], "ts", "ts", [], direction="forward"
+    ).select("event_id", F.col("asof_ts").alias("f_ts"))
+    n = asof_join(
+        p, o, ["user_id"], "ts", "ts", [], direction="nearest"
+    ).select("event_id", F.col("asof_ts").alias("n_ts"))
+    out = b.join(f, "event_id").join(n, "event_id")
+    return out.select(
+        "user_id", "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("b_ts").alias("bwd_us"),
+        F.unix_micros("f_ts").alias("fwd_us"),
+        F.unix_micros("n_ts").alias("nearest_us"),
+    )
