@@ -376,3 +376,49 @@ def test_bin_range_join_equals_between_join(spark, pts, ivs):
     )
     cols = ["k", "ts", "iv_id"]
     assert _rows(got, cols) == _rows(plain, cols)
+
+
+# ---------------------------------------------------------------------------
+# As-of join directions vs pandas merge_asof
+# ---------------------------------------------------------------------------
+@given(
+    lsec=st.lists(st.integers(0, 3000), min_size=1, max_size=25,
+                  unique=True),
+    rsec=st.lists(st.integers(0, 3000), min_size=1, max_size=25,
+                  unique=True),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+)
+@SETTINGS
+def test_asof_directions_match_pandas(spark, lsec, rsec, direction):
+    """asof_join must agree with pandas merge_asof on the matched
+    instant for every direction — including nearest's equidistant
+    ties, which pandas resolves backward."""
+    from tradecat_spark.operators.asof import asof_join
+
+    lp = pd.DataFrame({
+        "k": "a",
+        "ts": [T0 + pd.Timedelta(seconds=s) for s in sorted(lsec)],
+    })
+    rp = pd.DataFrame({
+        "k": "a",
+        "rts": [T0 + pd.Timedelta(seconds=s) for s in sorted(rsec)],
+        "v": [float(s) for s in sorted(rsec)],
+    })
+    expected = pd.merge_asof(
+        lp, rp.rename(columns={"rts": "ts"}), on="ts", by="k",
+        direction=direction,
+    )
+    got = asof_join(
+        spark.createDataFrame(lp),
+        spark.createDataFrame(rp),
+        ["k"], "ts", "rts", ["v"],
+        direction=direction,
+    ).orderBy("ts").toPandas()
+    exp_ts = expected["v"].tolist()  # v == epoch offset of matched rts
+    got_v = got["asof_v"].tolist()
+    assert len(exp_ts) == len(got_v)
+    for e_v, g_v in zip(exp_ts, got_v):
+        if pd.isna(e_v):
+            assert pd.isna(g_v)
+        else:
+            assert e_v == g_v
