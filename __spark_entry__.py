@@ -81,7 +81,9 @@ _GATE_PRIORITY = (
     "chart_market_vpvr_heat",
     "chart_vpvr_zone_strip",
     "chart_kline_envelope",
-    # simple cumsum folds, restart-parity-tested — first in line for r4
+    # first in line for r4
+    "ind_cdl_singles_parity",
+    # simple cumsum folds, restart-parity-tested
     "streaming_obv_parity",
     "streaming_cvd_parity",
     "text_tfidf_topk",

@@ -3374,3 +3374,218 @@ def ind_smart_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("overbought", 6).alias("ob_threshold"),
         F.round("oversold", 6).alias("os_threshold"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Single-bar CDL parity — the numpy detector vs an independent SQL replay
+# ---------------------------------------------------------------------------
+#: Single-bar labels of indicators/candles.py's 61-CDL set.
+CDL_SINGLES = (
+    "dragonfly_doji", "takuri", "gravestone_doji", "doji",
+    "long_legged_doji", "rickshaw_man", "marubozu", "closing_marubozu",
+    "belt_hold", "long_line", "short_line", "spinning_top", "high_wave",
+)
+
+_CDL_TAIL = 500
+
+
+def _cdl_scan(src: str) -> str:
+    """Sequential prefix sums — the np.cumsum order, so the TA-Lib
+    trailing-mean thresholds are bit-identical."""
+    return (
+        f"list_reduce(list_transform({src}, v -> [v]), "
+        f"(acc, x) -> list_append(acc, acc[-1] + x[1]))"
+    )
+
+
+def _cdl_mean(cum: str, vals: str, period: int) -> str:
+    """factor-free trailing mean of the ``period`` bars strictly before
+    1-based row i (numpy: (cum[i_py] - cum[i_py-n]) / n, n=min(p, i_py);
+    falls back to the bar's own value when there is no history)."""
+    n = f"LEAST({period}, i - 1)"
+    return (
+        f"(CASE WHEN i = 1 THEN {vals}[i] "
+        f"ELSE ({cum}[i - 1] - CASE WHEN i - 1 - {n} = 0 THEN 0.0 "
+        f"ELSE {cum}[i - 1 - {n}] END) / {n} END)"
+    )
+
+
+def _cdl_singles_oracle() -> str:
+    m10b = _cdl_mean("cbody", "body", 10)     # body_long / body_short
+    m10h = _cdl_mean("chl", "hl", 10)         # body_doji / shadow_very_short
+    m10s = _cdl_mean("cshad", "shad", 10)     # shadow_short (halved)
+    m5h = _cdl_mean("chl", "hl", 5)           # near
+    preds = f"""
+  SELECT event_type, i, bs[i] AS b,
+    os[i] AS o, hs[i] AS h, ls[i] AS l, cs[i] AS c,
+    body[i] AS bd,
+    hs[i] - GREATEST(os[i], cs[i]) AS upsh,
+    LEAST(os[i], cs[i]) - ls[i] AS losh,
+    cs[i] > os[i] AS white,
+    body[i] <= 0.1 * {m10h} AS doji,
+    hs[i] - GREATEST(os[i], cs[i]) < 0.1 * {m10h} AS tinyu,
+    LEAST(os[i], cs[i]) - ls[i] < 0.1 * {m10h} AS tinyl,
+    hs[i] - GREATEST(os[i], cs[i]) > body[i] AS longu,
+    LEAST(os[i], cs[i]) - ls[i] > body[i] AS longl,
+    hs[i] - GREATEST(os[i], cs[i]) > 2.0 * body[i] AS vlongu,
+    LEAST(os[i], cs[i]) - ls[i] > 2.0 * body[i] AS vlongl,
+    body[i] > {m10b} AS longb,
+    body[i] < {m10b} AS shortb,
+    hs[i] - GREATEST(os[i], cs[i]) < {m10s} / 2.0 AS shortu,
+    LEAST(os[i], cs[i]) - ls[i] < {m10s} / 2.0 AS shortl,
+    ABS((LEAST(os[i], cs[i]) + GREATEST(os[i], cs[i])) / 2.0
+        - (hs[i] + ls[i]) / 2.0) <= 0.2 * {m5h} AS nearmid
+  FROM rows_
+"""
+    labels = [
+        ("dragonfly_doji", "doji AND tinyu AND NOT tinyl", "'bull'"),
+        ("takuri", "doji AND tinyu AND NOT tinyl AND vlongl", "'bull'"),
+        ("gravestone_doji", "doji AND tinyl AND NOT tinyu", "'bear'"),
+        ("doji",
+         "doji AND NOT (tinyu AND NOT tinyl) AND NOT (tinyl AND NOT tinyu)",
+         "'neutral'"),
+        ("long_legged_doji", "doji AND (longl OR longu)", "'neutral'"),
+        ("rickshaw_man", "doji AND longl AND longu AND nearmid",
+         "'neutral'"),
+        ("marubozu", "longb AND tinyu AND tinyl", "clr"),
+        ("closing_marubozu",
+         "longb AND NOT (tinyu AND tinyl) "
+         "AND (CASE WHEN white THEN tinyu ELSE tinyl END)", "clr"),
+        ("belt_hold",
+         "longb AND NOT (tinyu AND tinyl) "
+         "AND (CASE WHEN white THEN tinyl ELSE tinyu END)", "clr"),
+        ("long_line",
+         "longb AND NOT (tinyu AND tinyl) AND shortu AND shortl", "clr"),
+        ("short_line",
+         "NOT longb AND shortb AND NOT doji AND shortu AND shortl",
+         "clr"),
+        ("spinning_top",
+         "NOT longb AND shortb AND NOT doji AND upsh > bd AND losh > bd",
+         "'neutral'"),
+        ("high_wave",
+         "NOT longb AND shortb AND NOT doji AND vlongu AND vlongl",
+         "clr"),
+    ]
+    unions = "\nUNION ALL\n".join(
+        f"SELECT event_type, b, '{name}' AS pattern, {direction} AS "
+        f"direction FROM preds WHERE {cond}"
+        for name, cond, direction in labels
+    )
+    return f"""
+WITH bars_all AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS b,
+    min_by(value, ts) AS open, MAX(value) AS high,
+    MIN(value) AS low, max_by(value, ts) AS close
+  FROM events GROUP BY 1, 2
+),
+bars AS (
+  SELECT event_type, b, open, high, low, close FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY event_type ORDER BY b DESC) AS rnd
+    FROM bars_all
+  ) WHERE rnd <= {_CDL_TAIL}
+),
+s AS (
+  SELECT event_type,
+    list(b ORDER BY b) AS bs, list(open ORDER BY b) AS os,
+    list(high ORDER BY b) AS hs, list(low ORDER BY b) AS ls,
+    list(close ORDER BY b) AS cs
+  FROM bars GROUP BY event_type
+),
+g AS (
+  SELECT *,
+    list_transform(range(1, len(cs) + 1),
+      i -> ABS(cs[i] - os[i])) AS body,
+    list_transform(range(1, len(cs) + 1), i -> hs[i] - ls[i]) AS hl,
+    list_transform(range(1, len(cs) + 1),
+      i -> (hs[i] - GREATEST(os[i], cs[i]))
+         + (LEAST(os[i], cs[i]) - ls[i])) AS shad
+  FROM s
+),
+cm AS (
+  SELECT *, {_cdl_scan("body")} AS cbody, {_cdl_scan("hl")} AS chl,
+    {_cdl_scan("shad")} AS cshad
+  FROM g
+),
+rows_ AS (
+  SELECT event_type, bs, os, hs, ls, cs, body, hl, shad,
+    cbody, chl, cshad,
+    unnest(range(1, len(cs) + 1)) AS i
+  FROM cm
+),
+preds AS (
+  SELECT *, CASE WHEN white THEN 'bull' ELSE 'bear' END AS clr
+  FROM ({preds})
+)
+SELECT event_type,
+  strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_ts, pattern, direction
+FROM ({unions})
+"""
+
+
+@query(
+    "ind_cdl_singles_parity",
+    survey="§2.9 k_pattern fidelity (batch/k_pattern.py:9-48): the "
+    "REAL numpy 61-CDL detector's single-bar subset, hash-checked "
+    "against an independent SQL replay of the TA-Lib threshold "
+    "machinery (sequential prefix-sum trailing means, decision tree "
+    "mirrored from candles.py:547-580)",
+    description="13 single-bar CDL labels from the numpy detector, "
+    "SQL-replayed",
+    oracle=_cdl_singles_oracle(),
+)
+def ind_cdl_singles_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark side runs indicators/candles.py's actual detector
+    (applyInPandas per key over the 500-bar tail) and keeps the
+    single-bar labels; the oracle re-derives those labels from scratch
+    in DuckDB — prefix sums in np.cumsum order so every trailing-mean
+    threshold is bit-identical, then the same decision tree. A label
+    flip on either side is a hash mismatch, so the detector's geometry
+    predicates are driver-verified, not just fixture-verified."""
+    import pandas as pd
+
+    from tradecat_spark.indicators.candles import Candles
+
+    singles = set(CDL_SINGLES)
+    e = load_table(spark, sf_dir, "events")
+    bars = e.groupBy(
+        "event_type",
+        F.timestamp_seconds(
+            (F.col("ts").cast("long") / 3600).cast("long") * 3600
+        ).alias("bucket_ts"),
+    ).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+    )
+    wdesc = Window.partitionBy("event_type").orderBy(F.desc("bucket_ts"))
+    bars = (
+        bars.withColumn("_rnd", F.row_number().over(wdesc))
+        .filter(F.col("_rnd") <= _CDL_TAIL)
+        .drop("_rnd")
+    )
+
+    def detect(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_ts")
+        cd = Candles(
+            pdf["open"].to_numpy(), pdf["high"].to_numpy(),
+            pdf["low"].to_numpy(), pdf["close"].to_numpy(),
+        )
+        key = pdf["event_type"].iloc[0]
+        ts = pdf["bucket_ts"].dt.strftime("%Y-%m-%d %H:%M:%S").tolist()
+        rows = []
+        for i in range(len(pdf)):
+            for name, direction in cd.detect(i):
+                if name in singles:
+                    rows.append((key, ts[i], name, direction))
+        return pd.DataFrame(
+            rows,
+            columns=["event_type", "bucket_ts", "pattern", "direction"],
+        )
+
+    return bars.repartition("event_type").groupBy("event_type").applyInPandas(
+        detect,
+        "event_type string, bucket_ts string, pattern string, "
+        "direction string",
+    )
