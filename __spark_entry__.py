@@ -83,6 +83,7 @@ _GATE_PRIORITY = (
     "chart_kline_envelope",
     # first in line for r4
     "ind_cdl_singles_parity",
+    "ind_cdl_pairs_parity",
     # simple cumsum folds, restart-parity-tested
     "streaming_obv_parity",
     "streaming_cvd_parity",

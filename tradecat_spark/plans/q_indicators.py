@@ -3398,15 +3398,17 @@ def _cdl_scan(src: str) -> str:
     )
 
 
-def _cdl_mean(cum: str, vals: str, period: int) -> str:
+def _cdl_mean(cum: str, vals: str, period: int, idx: str = "i") -> str:
     """factor-free trailing mean of the ``period`` bars strictly before
-    1-based row i (numpy: (cum[i_py] - cum[i_py-n]) / n, n=min(p, i_py);
-    falls back to the bar's own value when there is no history)."""
-    n = f"LEAST({period}, i - 1)"
+    1-based row ``idx`` (numpy: (cum[i_py] - cum[i_py-n]) / n,
+    n=min(p, i_py); falls back to the bar's own value when there is no
+    history)."""
+    j = f"({idx})"
+    n = f"LEAST({period}, {j} - 1)"
     return (
-        f"(CASE WHEN i = 1 THEN {vals}[i] "
-        f"ELSE ({cum}[i - 1] - CASE WHEN i - 1 - {n} = 0 THEN 0.0 "
-        f"ELSE {cum}[i - 1 - {n}] END) / {n} END)"
+        f"(CASE WHEN {j} = 1 THEN {vals}[{j}] "
+        f"ELSE ({cum}[{j} - 1] - CASE WHEN {j} - 1 - {n} = 0 THEN 0.0 "
+        f"ELSE {cum}[{j} - 1 - {n}] END) / {n} END)"
     )
 
 
@@ -3578,6 +3580,237 @@ def ind_cdl_singles_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(len(pdf)):
             for name, direction in cd.detect(i):
                 if name in singles:
+                    rows.append((key, ts[i], name, direction))
+        return pd.DataFrame(
+            rows,
+            columns=["event_type", "bucket_ts", "pattern", "direction"],
+        )
+
+    return bars.repartition("event_type").groupBy("event_type").applyInPandas(
+        detect,
+        "event_type string, bucket_ts string, pattern string, "
+        "direction string",
+    )
+
+
+#: Two-bar labels of the 61-CDL set (candles.py "---- two-bar ----").
+CDL_PAIRS = (
+    "bullish_engulfing", "bearish_engulfing", "harami_cross", "harami",
+    "doji_star", "piercing", "dark_cloud_cover", "on_neck", "in_neck",
+    "thrusting", "counterattack", "separating_lines", "matching_low",
+    "homing_pigeon", "kicking", "kicking_by_length", "hammer",
+    "hanging_man", "inverted_hammer", "shooting_star",
+)
+
+
+def _cdl_pairs_oracle() -> str:
+    m10b_i = _cdl_mean("cbody", "body", 10)
+    m10b_p = _cdl_mean("cbody", "body", 10, "i - 1")
+    m10h_i = _cdl_mean("chl", "hl", 10)
+    m10h_p = _cdl_mean("chl", "hl", 10, "i - 1")
+    m5h_p = _cdl_mean("chl", "hl", 5, "i - 1")
+    preds = f"""
+  SELECT event_type, i, bs[i] AS b,
+    os[i] AS o, hs[i] AS h, ls[i] AS l, cs[i] AS c,
+    os[i-1] AS op, hs[i-1] AS hp, ls[i-1] AS lp, cs[i-1] AS cp,
+    body[i] AS bd, body[i-1] AS bdp,
+    GREATEST(os[i], cs[i]) AS tops, LEAST(os[i], cs[i]) AS bots,
+    GREATEST(os[i-1], cs[i-1]) AS topsp,
+    LEAST(os[i-1], cs[i-1]) AS botsp,
+    hs[i] - GREATEST(os[i], cs[i]) AS upsh,
+    LEAST(os[i], cs[i]) - ls[i] AS losh,
+    hs[i-1] - GREATEST(os[i-1], cs[i-1]) AS upshp,
+    LEAST(os[i-1], cs[i-1]) - ls[i-1] AS loshp,
+    cs[i] > os[i] AS white, cs[i] < os[i] AS black,
+    cs[i-1] > os[i-1] AS whitep, cs[i-1] < os[i-1] AS blackp,
+    body[i-1] > {m10b_p} AS long1,
+    body[i] > {m10b_i} AS longb,
+    body[i] < {m10b_i} AS shortb,
+    body[i] <= 0.1 * {m10h_i} AS doji,
+    hs[i] - GREATEST(os[i], cs[i]) < 0.1 * {m10h_i} AS tinyu,
+    LEAST(os[i], cs[i]) - ls[i] < 0.1 * {m10h_i} AS tinyl,
+    hs[i-1] - GREATEST(os[i-1], cs[i-1]) < 0.1 * {m10h_p} AS tinyup,
+    LEAST(os[i-1], cs[i-1]) - ls[i-1] < 0.1 * {m10h_p} AS tinylp,
+    hs[i] - GREATEST(os[i], cs[i]) > body[i] AS longu,
+    LEAST(os[i], cs[i]) - ls[i] > body[i] AS longl,
+    0.05 * {m5h_p} AS eq1,
+    0.2 * {m5h_p} AS nearp
+  FROM rows_ WHERE i >= 2
+"""
+    labels = [
+        ("bullish_engulfing",
+         "white AND blackp AND c >= op AND o <= cp "
+         "AND (c > op OR o < cp)", "'bull'"),
+        ("bearish_engulfing",
+         "black AND whitep AND c <= op AND o >= cp "
+         "AND (c < op OR o > cp)", "'bear'"),
+        ("harami_cross", "long1 AND contained AND doji",
+         "CASE WHEN blackp THEN 'bull' ELSE 'bear' END"),
+        ("harami", "long1 AND contained AND NOT doji AND shortb",
+         "'neutral'"),
+        ("doji_star",
+         "long1 AND doji AND whitep AND bots > topsp", "'bear'"),
+        ("doji_star",
+         "long1 AND doji AND blackp AND tops < botsp", "'bull'"),
+        ("piercing",
+         "blackp AND long1 AND white AND longb AND o < lp "
+         "AND cp + 0.5 * bdp < c AND c < op", "'bull'"),
+        ("dark_cloud_cover",
+         "whitep AND long1 AND black AND o > hp "
+         "AND op < c AND c < cp - 0.5 * bdp", "'bear'"),
+        ("on_neck",
+         "blackp AND long1 AND white AND o < lp "
+         "AND ABS(c - lp) <= eq1", "'bear'"),
+        ("in_neck",
+         "blackp AND long1 AND white AND o < lp "
+         "AND NOT (ABS(c - lp) <= eq1) "
+         "AND cp <= c AND c <= cp + eq1", "'bear'"),
+        ("thrusting",
+         "blackp AND long1 AND white AND o < lp "
+         "AND NOT (ABS(c - lp) <= eq1) "
+         "AND NOT (cp <= c AND c <= cp + eq1) "
+         "AND c > cp + eq1 AND c <= cp + 0.5 * bdp", "'bear'"),
+        ("counterattack",
+         "whitep <> white AND long1 AND longb "
+         "AND ABS(c - cp) <= eq1",
+         "CASE WHEN white THEN 'bull' ELSE 'bear' END"),
+        ("separating_lines",
+         "whitep <> white AND ABS(o - op) <= eq1 AND longb "
+         "AND (CASE WHEN white THEN tinyl ELSE tinyu END)",
+         "CASE WHEN white THEN 'bull' ELSE 'bear' END"),
+        ("matching_low",
+         "blackp AND black AND ABS(c - cp) <= eq1", "'bull'"),
+        ("homing_pigeon",
+         "blackp AND long1 AND black AND shortb "
+         "AND o < op AND c > cp", "'bull'"),
+        ("kicking", "kick_b", "'bull'"),
+        ("kicking", "kick_s", "'bear'"),
+        ("kicking_by_length", "kick_b OR kick_s",
+         "CASE WHEN bd > bdp "
+         "THEN (CASE WHEN white THEN 'bull' ELSE 'bear' END) "
+         "ELSE (CASE WHEN whitep THEN 'bull' ELSE 'bear' END) END"),
+        ("hammer",
+         "shortb AND longl AND tinyu AND bots <= lp + nearp", "'bull'"),
+        ("hanging_man",
+         "shortb AND longl AND tinyu AND bots >= hp - nearp", "'bear'"),
+        ("inverted_hammer",
+         "shortb AND longu AND tinyl AND tops < botsp", "'bull'"),
+        ("shooting_star",
+         "shortb AND longu AND tinyl AND bots > topsp", "'bear'"),
+    ]
+    unions = "\nUNION ALL\n".join(
+        f"SELECT event_type, b, '{name}' AS pattern, {direction} AS "
+        f"direction FROM preds WHERE {cond}"
+        for name, cond, direction in labels
+    )
+    return f"""
+WITH bars_all AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS b,
+    min_by(value, ts) AS open, MAX(value) AS high,
+    MIN(value) AS low, max_by(value, ts) AS close
+  FROM events GROUP BY 1, 2
+),
+bars AS (
+  SELECT event_type, b, open, high, low, close FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY event_type ORDER BY b DESC) AS rnd
+    FROM bars_all
+  ) WHERE rnd <= {_CDL_TAIL}
+),
+s AS (
+  SELECT event_type,
+    list(b ORDER BY b) AS bs, list(open ORDER BY b) AS os,
+    list(high ORDER BY b) AS hs, list(low ORDER BY b) AS ls,
+    list(close ORDER BY b) AS cs
+  FROM bars GROUP BY event_type
+),
+g AS (
+  SELECT *,
+    list_transform(range(1, len(cs) + 1),
+      i -> ABS(cs[i] - os[i])) AS body,
+    list_transform(range(1, len(cs) + 1), i -> hs[i] - ls[i]) AS hl
+  FROM s
+),
+cm AS (
+  SELECT *, {_cdl_scan("body")} AS cbody, {_cdl_scan("hl")} AS chl
+  FROM g
+),
+rows_ AS (
+  SELECT event_type, bs, os, hs, ls, cs, body, hl, cbody, chl,
+    unnest(range(1, len(cs) + 1)) AS i
+  FROM cm
+),
+preds0 AS (
+  SELECT *,
+    tops < topsp AND bots > botsp AS contained,
+    longb AND tinyu AND tinyl AS maru,
+    long1 AND tinyup AND tinylp AS marup
+  FROM ({preds})
+),
+preds AS (
+  SELECT *,
+    marup AND maru AND blackp AND white AND l > hp AS kick_b,
+    marup AND maru AND whitep AND black AND h < lp AS kick_s
+  FROM preds0
+)
+SELECT event_type,
+  strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_ts, pattern, direction
+FROM ({unions})
+"""
+
+
+@query(
+    "ind_cdl_pairs_parity",
+    survey="§2.9 k_pattern fidelity (batch/k_pattern.py:9-48): the "
+    "numpy detector's TWO-bar subset (engulfing/harami/star/neck/"
+    "kicking/hammer families) hash-checked against an independent SQL "
+    "replay — prev-bar thresholds evaluated at i-1 with the same "
+    "cumsum-order trailing means",
+    description="20 two-bar CDL labels from the numpy detector, SQL-replayed",
+    oracle=_cdl_pairs_oracle(),
+)
+def ind_cdl_pairs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same construction as ind_cdl_singles_parity, over the detector's
+    two-bar section — every label needs BOTH bars' geometry and the
+    previous bar's own trailing-mean thresholds (long1, eq, near), so
+    this gate covers the cross-bar predicate plumbing the single-bar
+    gate can't reach."""
+    import pandas as pd
+
+    from tradecat_spark.indicators.candles import Candles
+
+    pairs = set(CDL_PAIRS)
+    e = load_table(spark, sf_dir, "events")
+    bars = e.groupBy(
+        "event_type",
+        F.timestamp_seconds(
+            (F.col("ts").cast("long") / 3600).cast("long") * 3600
+        ).alias("bucket_ts"),
+    ).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+    )
+    wdesc = Window.partitionBy("event_type").orderBy(F.desc("bucket_ts"))
+    bars = (
+        bars.withColumn("_rnd", F.row_number().over(wdesc))
+        .filter(F.col("_rnd") <= _CDL_TAIL)
+        .drop("_rnd")
+    )
+
+    def detect(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_ts")
+        cd = Candles(
+            pdf["open"].to_numpy(), pdf["high"].to_numpy(),
+            pdf["low"].to_numpy(), pdf["close"].to_numpy(),
+        )
+        key = pdf["event_type"].iloc[0]
+        ts = pdf["bucket_ts"].dt.strftime("%Y-%m-%d %H:%M:%S").tolist()
+        rows = []
+        for i in range(len(pdf)):
+            for name, direction in cd.detect(i):
+                if name in pairs:
                     rows.append((key, ts[i], name, direction))
         return pd.DataFrame(
             rows,
