@@ -84,6 +84,7 @@ _GATE_PRIORITY = (
     # first in line for r4
     "ind_cdl_singles_parity",
     "ind_cdl_pairs_parity",
+    "ind_cdl_triples_parity",
     # simple cumsum folds, restart-parity-tested
     "streaming_obv_parity",
     "streaming_cvd_parity",

@@ -3822,3 +3822,293 @@ def ind_cdl_pairs_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, bucket_ts string, pattern string, "
         "direction string",
     )
+
+
+#: Three-bar labels of the 61-CDL set (candles.py "---- three-bar ----").
+CDL_TRIPLES = (
+    "three_white_soldiers", "advance_block", "stalled_pattern",
+    "three_inside", "three_outside", "three_stars_in_south",
+    "identical_three_crows", "two_crows", "upside_gap_two_crows",
+    "morning_doji_star", "morning_star", "evening_doji_star",
+    "evening_star", "abandoned_baby", "tristar", "unique_three_river",
+    "stick_sandwich", "tasuki_gap", "gap_side_side_white",
+    "xside_gap_three_methods", "hikkake",
+)
+
+
+def _cdl_triples_oracle() -> str:
+    mb = {s: _cdl_mean("cbody", "body", 10, x)
+          for s, x in (("", "i"), ("1", "i - 1"), ("2", "i - 2"))}
+    mh = {s: _cdl_mean("chl", "hl", 10, x)
+          for s, x in (("", "i"), ("1", "i - 1"), ("2", "i - 2"))}
+    ms = {s: _cdl_mean("cshad", "shad", 10, x)
+          for s, x in (("", "i"), ("1", "i - 1"))}
+    m5 = {s: _cdl_mean("chl", "hl", 5, x)
+          for s, x in (("1", "i - 1"), ("2", "i - 2"))}
+    geo = []
+    for s, x in (("", "i"), ("1", "i - 1"), ("2", "i - 2")):
+        geo += [
+            f"os[{x}] AS o{s}, hs[{x}] AS h{s}, ls[{x}] AS l{s}, "
+            f"cs[{x}] AS c{s}",
+            f"body[{x}] AS bd{s}",
+            f"GREATEST(os[{x}], cs[{x}]) AS tops{s}",
+            f"LEAST(os[{x}], cs[{x}]) AS bots{s}",
+            f"hs[{x}] - GREATEST(os[{x}], cs[{x}]) AS upsh{s}",
+            f"LEAST(os[{x}], cs[{x}]) - ls[{x}] AS losh{s}",
+            f"cs[{x}] > os[{x}] AS white{s}",
+            f"cs[{x}] < os[{x}] AS black{s}",
+            f"body[{x}] <= 0.1 * {mh[s]} AS doji{s}",
+            f"body[{x}] > {mb[s]} AS longb{s}",
+            f"body[{x}] < {mb[s]} AS shortb{s}",
+            f"hs[{x}] - GREATEST(os[{x}], cs[{x}]) < 0.1 * {mh[s]} "
+            f"AS tinyu{s}",
+            f"LEAST(os[{x}], cs[{x}]) - ls[{x}] < 0.1 * {mh[s]} "
+            f"AS tinyl{s}",
+        ]
+    geo += [
+        f"hs[i] - GREATEST(os[i], cs[i]) < {ms['']} / 2.0 AS shortu",
+        f"hs[i-1] - GREATEST(os[i-1], cs[i-1]) < {ms['1']} / 2.0 "
+        f"AS shortu1",
+        f"LEAST(os[i-2], cs[i-2]) - ls[i-2] > body[i-2] AS longl2",
+        f"0.2 * {m5['1']} AS near1",
+        f"0.2 * {m5['2']} AS near2",
+        f"0.6 * {m5['2']} AS far2",
+        f"0.05 * {m5['1']} AS eq1v",
+        f"0.05 * {m5['2']} AS eq2v",
+    ]
+    preds = (
+        "  SELECT event_type, i, bs[i] AS b,\n    "
+        + ",\n    ".join(geo)
+        + "\n  FROM rows_ WHERE i >= 3"
+    )
+    allwhite = "white2 AND white1 AND white"
+    rising = "c2 < c1 AND c1 < c"
+    sws = (f"{allwhite} AND tinyu2 AND tinyu1 AND tinyu AND {rising} "
+           "AND o2 < o1 AND o1 < c2 + near2 AND o1 < o AND o < c1 + near1 "
+           "AND bd1 > bd2 - near2 AND bd > bd1 - near1")
+    adv = (f"{allwhite} AND {rising} AND o2 < o1 AND o1 < c2 "
+           "AND o1 < o AND o < c1 AND longb2 AND bd1 < bd2 - far2 "
+           "AND bd < bd1 + near1 AND (NOT shortu OR NOT shortu1)")
+    stall = (f"{allwhite} AND {rising} AND longb2 AND longb1 AND tinyu1 "
+             "AND o1 < o2 + bd2 AND shortb AND o >= c1 - bd - near1")
+    labels = [
+        ("three_white_soldiers", sws, "'bull'"),
+        ("advance_block", f"NOT ({sws}) AND {adv}", "'bear'"),
+        ("stalled_pattern",
+         f"NOT ({sws}) AND NOT ({adv}) AND {stall}", "'bear'"),
+        ("three_inside",
+         "longb2 AND shortb1 AND tops1 < tops2 AND bots1 > bots2 "
+         "AND black2 AND white AND c > o2", "'bull'"),
+        ("three_inside",
+         "longb2 AND shortb1 AND tops1 < tops2 AND bots1 > bots2 "
+         "AND NOT (black2 AND white AND c > o2) "
+         "AND white2 AND black AND c < o2", "'bear'"),
+        ("three_outside",
+         "white1 AND black2 AND c1 > o2 AND o1 < c2 AND c > c1",
+         "'bull'"),
+        ("three_outside",
+         "NOT (white1 AND black2 AND c1 > o2 AND o1 < c2 AND c > c1) "
+         "AND black1 AND white2 AND c1 < o2 AND o1 > c2 AND c < c1",
+         "'bear'"),
+        ("three_stars_in_south",
+         "black2 AND longb2 AND longl2 AND black1 AND bd1 < bd2 "
+         "AND c2 < o1 AND o1 < o2 AND l1 > l2 AND NOT tinyl1 "
+         "AND black AND shortb AND tinyl AND tinyu "
+         "AND l >= l1 AND h <= h1", "'bull'"),
+        ("identical_three_crows",
+         "black2 AND black1 AND black AND c2 > c1 AND c1 > c "
+         "AND ABS(o1 - c2) <= eq2v AND ABS(o - c1) <= eq1v", "'bear'"),
+        ("two_crows",
+         "white2 AND longb2 AND black1 AND bots1 > tops2 AND black "
+         "AND c1 < o AND o < o1 AND o2 < c AND c < c2", "'bear'"),
+        ("upside_gap_two_crows",
+         "white2 AND longb2 AND black1 AND bots1 > tops2 AND black "
+         "AND o > o1 AND c < c1 AND c > c2", "'bear'"),
+        ("morning_doji_star",
+         "black2 AND longb2 AND tops1 < bots2 AND white "
+         "AND c > c2 + 0.3 * bd2 AND doji1", "'bull'"),
+        ("morning_star",
+         "black2 AND longb2 AND tops1 < bots2 AND white "
+         "AND c > c2 + 0.3 * bd2 AND NOT doji1 AND shortb1", "'bull'"),
+        ("evening_doji_star",
+         "white2 AND longb2 AND bots1 > tops2 AND black "
+         "AND c < c2 - 0.3 * bd2 AND doji1", "'bear'"),
+        ("evening_star",
+         "white2 AND longb2 AND bots1 > tops2 AND black "
+         "AND c < c2 - 0.3 * bd2 AND NOT doji1 AND shortb1", "'bear'"),
+        ("abandoned_baby",
+         "doji1 AND black2 AND longb2 AND h1 < l2 AND white AND l > h1 "
+         "AND c > c2 + 0.3 * bd2", "'bull'"),
+        ("abandoned_baby",
+         "doji1 AND NOT (black2 AND longb2 AND h1 < l2 AND white "
+         "AND l > h1 AND c > c2 + 0.3 * bd2) "
+         "AND white2 AND longb2 AND l1 > h2 AND black AND h < l1 "
+         "AND c < c2 - 0.3 * bd2", "'bear'"),
+        ("tristar",
+         "doji2 AND doji1 AND doji AND bots1 > tops2 AND tops < tops1",
+         "'bear'"),
+        ("tristar",
+         "doji2 AND doji1 AND doji "
+         "AND NOT (bots1 > tops2 AND tops < tops1) "
+         "AND tops1 < bots2 AND bots > bots1", "'bull'"),
+        ("unique_three_river",
+         "black2 AND longb2 AND black1 AND o1 < o2 AND c1 > c2 "
+         "AND l1 < l2 AND white AND shortb AND o > l1 AND c < c1",
+         "'bull'"),
+        ("stick_sandwich",
+         "black2 AND white1 AND l1 > c2 AND black "
+         "AND ABS(c - c2) <= eq2v", "'bull'"),
+        ("tasuki_gap",
+         "bots1 > tops2 AND white1 AND black AND bots1 < o AND o < tops1 "
+         "AND tops2 < c AND c < bots1 AND ABS(bd - bd1) < near1",
+         "'bull'"),
+        ("tasuki_gap",
+         "NOT (bots1 > tops2 AND white1 AND black AND bots1 < o "
+         "AND o < tops1 AND tops2 < c AND c < bots1 "
+         "AND ABS(bd - bd1) < near1) "
+         "AND tops1 < bots2 AND black1 AND white AND bots1 < o "
+         "AND o < tops1 AND bots2 > c AND c > tops1 "
+         "AND ABS(bd - bd1) < near1", "'bear'"),
+        ("gap_side_side_white",
+         "white1 AND white AND ABS(bd - bd1) < near1 "
+         "AND ABS(o - o1) < near1 AND bots1 > tops2 AND bots > tops2",
+         "'bull'"),
+        ("gap_side_side_white",
+         "white1 AND white AND ABS(bd - bd1) < near1 "
+         "AND ABS(o - o1) < near1 "
+         "AND NOT (bots1 > tops2 AND bots > tops2) "
+         "AND tops1 < bots2 AND tops < bots2", "'bear'"),
+        ("xside_gap_three_methods",
+         "bots1 > tops2 AND white2 AND white1 AND black "
+         "AND bots1 < o AND o < tops1 AND bots2 < c AND c < tops2",
+         "'bull'"),
+        ("xside_gap_three_methods",
+         "NOT (bots1 > tops2 AND white2 AND white1 AND black "
+         "AND bots1 < o AND o < tops1 AND bots2 < c AND c < tops2) "
+         "AND tops1 < bots2 AND black2 AND black1 AND white "
+         "AND bots1 < o AND o < tops1 AND bots2 < c AND c < tops2",
+         "'bear'"),
+        ("hikkake",
+         "h1 < h2 AND l1 > l2 AND h < h1 AND l < l1", "'bull'"),
+        ("hikkake",
+         "h1 < h2 AND l1 > l2 AND NOT (h < h1 AND l < l1) "
+         "AND h > h1 AND l > l1", "'bear'"),
+    ]
+    unions = "\nUNION ALL\n".join(
+        f"SELECT event_type, b, '{name}' AS pattern, {direction} AS "
+        f"direction FROM preds WHERE {cond}"
+        for name, cond, direction in labels
+    )
+    return f"""
+WITH bars_all AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS b,
+    min_by(value, ts) AS open, MAX(value) AS high,
+    MIN(value) AS low, max_by(value, ts) AS close
+  FROM events GROUP BY 1, 2
+),
+bars AS (
+  SELECT event_type, b, open, high, low, close FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY event_type ORDER BY b DESC) AS rnd
+    FROM bars_all
+  ) WHERE rnd <= {_CDL_TAIL}
+),
+s AS (
+  SELECT event_type,
+    list(b ORDER BY b) AS bs, list(open ORDER BY b) AS os,
+    list(high ORDER BY b) AS hs, list(low ORDER BY b) AS ls,
+    list(close ORDER BY b) AS cs
+  FROM bars GROUP BY event_type
+),
+g AS (
+  SELECT *,
+    list_transform(range(1, len(cs) + 1),
+      i -> ABS(cs[i] - os[i])) AS body,
+    list_transform(range(1, len(cs) + 1), i -> hs[i] - ls[i]) AS hl,
+    list_transform(range(1, len(cs) + 1),
+      i -> (hs[i] - GREATEST(os[i], cs[i]))
+         + (LEAST(os[i], cs[i]) - ls[i])) AS shad
+  FROM s
+),
+cm AS (
+  SELECT *, {_cdl_scan("body")} AS cbody, {_cdl_scan("hl")} AS chl,
+    {_cdl_scan("shad")} AS cshad
+  FROM g
+),
+rows_ AS (
+  SELECT event_type, bs, os, hs, ls, cs, body, hl, shad,
+    cbody, chl, cshad,
+    unnest(range(1, len(cs) + 1)) AS i
+  FROM cm
+),
+preds AS (
+{preds}
+)
+SELECT event_type,
+  strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_ts, pattern, direction
+FROM ({unions})
+"""
+
+
+@query(
+    "ind_cdl_triples_parity",
+    survey="§2.9 k_pattern fidelity (batch/k_pattern.py:9-48): the "
+    "numpy detector's THREE-bar subset (soldiers/stars/crows/inside/"
+    "outside/tristar/tasuki/hikkake families) hash-checked against an "
+    "independent SQL replay, elif-chain negations included",
+    description="21 three-bar CDL labels from the numpy detector, SQL-replayed",
+    oracle=_cdl_triples_oracle(),
+)
+def ind_cdl_triples_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same construction as the singles/pairs gates over the detector's
+    three-bar section — 21 labels whose conditions span three bars'
+    geometry, three bars' trailing-mean thresholds, and the if/elif
+    precedence (soldiers > advance_block > stalled_pattern), which the
+    oracle reproduces by negating each earlier condition verbatim."""
+    import pandas as pd
+
+    from tradecat_spark.indicators.candles import Candles
+
+    triples = set(CDL_TRIPLES)
+    e = load_table(spark, sf_dir, "events")
+    bars = e.groupBy(
+        "event_type",
+        F.timestamp_seconds(
+            (F.col("ts").cast("long") / 3600).cast("long") * 3600
+        ).alias("bucket_ts"),
+    ).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+    )
+    wdesc = Window.partitionBy("event_type").orderBy(F.desc("bucket_ts"))
+    bars = (
+        bars.withColumn("_rnd", F.row_number().over(wdesc))
+        .filter(F.col("_rnd") <= _CDL_TAIL)
+        .drop("_rnd")
+    )
+
+    def detect(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_ts")
+        cd = Candles(
+            pdf["open"].to_numpy(), pdf["high"].to_numpy(),
+            pdf["low"].to_numpy(), pdf["close"].to_numpy(),
+        )
+        key = pdf["event_type"].iloc[0]
+        ts = pdf["bucket_ts"].dt.strftime("%Y-%m-%d %H:%M:%S").tolist()
+        rows = []
+        for i in range(len(pdf)):
+            for name, direction in cd.detect(i):
+                if name in triples:
+                    rows.append((key, ts[i], name, direction))
+        return pd.DataFrame(
+            rows,
+            columns=["event_type", "bucket_ts", "pattern", "direction"],
+        )
+
+    return bars.repartition("event_type").groupBy("event_type").applyInPandas(
+        detect,
+        "event_type string, bucket_ts string, pattern string, "
+        "direction string",
+    )
