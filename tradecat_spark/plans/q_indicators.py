@@ -4112,3 +4112,222 @@ def ind_cdl_triples_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, bucket_ts string, pattern string, "
         "direction string",
     )
+
+
+#: Four- and five-bar labels of the 61-CDL set (the exotic tail).
+CDL_WIDE = (
+    "breakaway", "ladder_bottom", "mat_hold", "rise_fall_three_methods",
+    "concealing_baby_swallow", "three_line_strike", "three_black_crows",
+    "hikkake_mod",
+)
+
+
+def _cdl_wide_oracle() -> str:
+    sfx = (("", "i"), ("1", "i - 1"), ("2", "i - 2"),
+           ("3", "i - 3"), ("4", "i - 4"))
+    mb = {s: _cdl_mean("cbody", "body", 10, x) for s, x in sfx}
+    mh = {s: _cdl_mean("chl", "hl", 10, x) for s, x in sfx[:4]}
+    m5 = {s: _cdl_mean("chl", "hl", 5, x) for s, x in sfx[1:4]}
+    geo = []
+    for s, x in sfx:
+        geo += [
+            f"os[{x}] AS o{s}, hs[{x}] AS h{s}, ls[{x}] AS l{s}, "
+            f"cs[{x}] AS c{s}",
+            f"body[{x}] AS bd{s}",
+            f"GREATEST(os[{x}], cs[{x}]) AS tops{s}",
+            f"LEAST(os[{x}], cs[{x}]) AS bots{s}",
+            f"cs[{x}] > os[{x}] AS white{s}",
+            f"cs[{x}] < os[{x}] AS black{s}",
+            f"body[{x}] > {mb[s]} AS longb{s}",
+            f"body[{x}] < {mb[s]} AS shortb{s}",
+        ]
+    for s, x in sfx[:4]:
+        geo += [
+            f"hs[{x}] - GREATEST(os[{x}], cs[{x}]) < 0.1 * {mh[s]} "
+            f"AS tinyu{s}",
+            f"LEAST(os[{x}], cs[{x}]) - ls[{x}] < 0.1 * {mh[s]} "
+            f"AS tinyl{s}",
+        ]
+    for s in ("1", "2", "3"):
+        geo.append(f"0.2 * {m5[s]} AS near{s}v")
+    preds = (
+        "  SELECT event_type, i, bs[i] AS b,\n    "
+        + ",\n    ".join(geo)
+        + "\n  FROM rows_ WHERE i >= 4"
+    )
+    brk_b = ("i >= 5 AND black4 AND longb4 AND black3 AND tops3 < bots4 "
+             "AND bots2 < bots3 AND black1 AND c1 < c2 AND white "
+             "AND tops3 < c AND c < bots4")
+    brk_s = ("i >= 5 AND white4 AND longb4 AND white3 AND bots3 > tops4 "
+             "AND tops2 > tops3 AND white1 AND c1 > c2 AND black "
+             "AND tops4 < c AND c < bots3")
+    smalls_in = ("shortb3 AND shortb2 AND shortb1 "
+                 "AND GREATEST(h3, h2, h1) < h4 "
+                 "AND LEAST(l3, l2, l1) > l4")
+    rf_b = (f"i >= 5 AND white4 AND longb4 AND {smalls_in} "
+            "AND black3 AND black2 AND black1 "
+            "AND c3 > c2 AND c2 > c1 AND white AND longb "
+            "AND o > c1 AND c > c4")
+    rf_s = (f"i >= 5 AND black4 AND longb4 AND {smalls_in} "
+            "AND white3 AND white2 AND white1 "
+            "AND c3 < c2 AND c2 < c1 AND black AND longb "
+            "AND o < c1 AND c < c4")
+    tls_b = ("white3 AND white2 AND white1 AND c3 < c2 AND c2 < c1 "
+             "AND bots3 - near3v <= o2 AND o2 <= tops3 + near3v "
+             "AND bots2 - near2v <= o1 AND o1 <= tops2 + near2v "
+             "AND black AND o > c1 AND c < o3")
+    tls_s = ("black3 AND black2 AND black1 AND c3 > c2 AND c2 > c1 "
+             "AND bots3 - near3v <= o2 AND o2 <= tops3 + near3v "
+             "AND bots2 - near2v <= o1 AND o1 <= tops2 + near2v "
+             "AND white AND o < c1 AND c > o3")
+    labels = [
+        ("breakaway", brk_b, "'bull'"),
+        ("breakaway", f"NOT ({brk_b}) AND {brk_s}", "'bear'"),
+        ("ladder_bottom",
+         "i >= 5 AND black4 AND black3 AND black2 AND black1 "
+         "AND o3 < o4 AND o2 < o3 AND c3 < c4 AND c2 < c3 "
+         "AND NOT tinyu1 AND white AND o > o1", "'bull'"),
+        ("mat_hold",
+         "i >= 5 AND white4 AND longb4 AND bots3 > tops4 "
+         "AND shortb3 AND shortb2 AND shortb1 "
+         "AND LEAST(bots3, bots2, bots1) > c4 - 0.5 * bd4 "
+         "AND white AND o > c1 AND c > GREATEST(h3, h2, h1)", "'bull'"),
+        ("rise_fall_three_methods", rf_b, "'bull'"),
+        ("rise_fall_three_methods",
+         f"NOT ({rf_b}) AND {rf_s}", "'bear'"),
+        ("concealing_baby_swallow",
+         "black3 AND black2 AND black1 AND black "
+         "AND longb3 AND tinyu3 AND tinyl3 "
+         "AND longb2 AND tinyu2 AND tinyl2 "
+         "AND tops1 < bots2 AND h1 > c2 AND h >= h1 AND c < l1",
+         "'bull'"),
+        ("three_line_strike", tls_b, "'bull'"),
+        ("three_line_strike", f"NOT ({tls_b}) AND {tls_s}", "'bear'"),
+        ("three_black_crows",
+         "white3 AND black2 AND black1 AND black "
+         "AND tinyl2 AND tinyl1 AND tinyl "
+         "AND c2 > c1 AND c1 > c AND c2 < o1 AND o1 < o2 "
+         "AND c1 < o AND o < o1", "'bear'"),
+        ("hikkake_mod",
+         "h1 < h2 AND l1 > l2 AND c1 <= l1 + near1v "
+         "AND h < h1 AND l < l1", "'bull'"),
+        ("hikkake_mod",
+         "h1 < h2 AND l1 > l2 "
+         "AND NOT (c1 <= l1 + near1v AND h < h1 AND l < l1) "
+         "AND c1 >= h1 - near1v AND h > h1 AND l > l1", "'bear'"),
+    ]
+    unions = "\nUNION ALL\n".join(
+        f"SELECT event_type, b, '{name}' AS pattern, {direction} AS "
+        f"direction FROM preds WHERE {cond}"
+        for name, cond, direction in labels
+    )
+    return f"""
+WITH bars_all AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS b,
+    min_by(value, ts) AS open, MAX(value) AS high,
+    MIN(value) AS low, max_by(value, ts) AS close
+  FROM events GROUP BY 1, 2
+),
+bars AS (
+  SELECT event_type, b, open, high, low, close FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY event_type ORDER BY b DESC) AS rnd
+    FROM bars_all
+  ) WHERE rnd <= {_CDL_TAIL}
+),
+s AS (
+  SELECT event_type,
+    list(b ORDER BY b) AS bs, list(open ORDER BY b) AS os,
+    list(high ORDER BY b) AS hs, list(low ORDER BY b) AS ls,
+    list(close ORDER BY b) AS cs
+  FROM bars GROUP BY event_type
+),
+g AS (
+  SELECT *,
+    list_transform(range(1, len(cs) + 1),
+      i -> ABS(cs[i] - os[i])) AS body,
+    list_transform(range(1, len(cs) + 1), i -> hs[i] - ls[i]) AS hl
+  FROM s
+),
+cm AS (
+  SELECT *, {_cdl_scan("body")} AS cbody, {_cdl_scan("hl")} AS chl
+  FROM g
+),
+rows_ AS (
+  SELECT event_type, bs, os, hs, ls, cs, body, hl, cbody, chl,
+    unnest(range(1, len(cs) + 1)) AS i
+  FROM cm
+),
+preds AS (
+{preds}
+)
+SELECT event_type,
+  strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_ts, pattern, direction
+FROM ({unions})
+"""
+
+
+@query(
+    "ind_cdl_wide_parity",
+    survey="§2.9 k_pattern fidelity (batch/k_pattern.py:9-48): the "
+    "numpy detector's four- and five-bar tail (breakaway, ladder "
+    "bottom, mat hold, rising/falling three methods, concealing baby "
+    "swallow, three-line strike, three black crows, hikkake mod) — "
+    "completing the hash-gated coverage of all 61 CDL names",
+    description="8 four/five-bar CDL labels from the numpy detector, "
+    "SQL-replayed",
+    oracle=_cdl_wide_oracle(),
+)
+def ind_cdl_wide_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deepest-lookback patterns: conditions span up to five bars'
+    geometry, five trailing-mean threshold positions, and two
+    marubozu-pair requirements. With singles/pairs/triples this closes
+    the loop — every one of the 61 CDL names now has an
+    independent-engine replay of its exact firing condition."""
+    import pandas as pd
+
+    from tradecat_spark.indicators.candles import Candles
+
+    wide = set(CDL_WIDE)
+    e = load_table(spark, sf_dir, "events")
+    bars = e.groupBy(
+        "event_type",
+        F.timestamp_seconds(
+            (F.col("ts").cast("long") / 3600).cast("long") * 3600
+        ).alias("bucket_ts"),
+    ).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+    )
+    wdesc = Window.partitionBy("event_type").orderBy(F.desc("bucket_ts"))
+    bars = (
+        bars.withColumn("_rnd", F.row_number().over(wdesc))
+        .filter(F.col("_rnd") <= _CDL_TAIL)
+        .drop("_rnd")
+    )
+
+    def detect(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_ts")
+        cd = Candles(
+            pdf["open"].to_numpy(), pdf["high"].to_numpy(),
+            pdf["low"].to_numpy(), pdf["close"].to_numpy(),
+        )
+        key = pdf["event_type"].iloc[0]
+        ts = pdf["bucket_ts"].dt.strftime("%Y-%m-%d %H:%M:%S").tolist()
+        rows = []
+        for i in range(len(pdf)):
+            for name, direction in cd.detect(i):
+                if name in wide:
+                    rows.append((key, ts[i], name, direction))
+        return pd.DataFrame(
+            rows,
+            columns=["event_type", "bucket_ts", "pattern", "direction"],
+        )
+
+    return bars.repartition("event_type").groupBy("event_type").applyInPandas(
+        detect,
+        "event_type string, bucket_ts string, pattern string, "
+        "direction string",
+    )
