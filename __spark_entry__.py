@@ -86,6 +86,7 @@ _GATE_PRIORITY = (
     "ind_cdl_pairs_parity",
     "ind_cdl_triples_parity",
     "ind_cdl_wide_parity",
+    "ind_chart_patterns_parity",
     # simple cumsum folds, restart-parity-tested
     "streaming_obv_parity",
     "streaming_cvd_parity",

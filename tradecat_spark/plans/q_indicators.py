@@ -4331,3 +4331,190 @@ def ind_cdl_wide_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, bucket_ts string, pattern string, "
         "direction string",
     )
+
+
+def _chart_oracle() -> str:
+    """SQL replay of library._chart_pattern: 3-radius strict pivot
+    extraction, then the exact decision chain (head-and-shoulders >
+    double top/bottom > the two-trendline classifier)."""
+    def piv(arr: str, op: str) -> str:
+        conds = " AND ".join(
+            f"{arr}[p - {k}] {op} {arr}[p] AND {arr}[p + {k}] {op} {arr}[p]"
+            for k in (1, 2, 3)
+        )
+        return (
+            f"list_transform(list_filter(range(4, len({arr}) - 2), "
+            f"p -> {conds}), p -> {arr}[p])"
+        )
+    return f"""
+WITH bars_all AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS b,
+    MAX(value) AS high, MIN(value) AS low, max_by(value, ts) AS close
+  FROM events GROUP BY 1, 2
+),
+bars AS (
+  SELECT event_type, b, high, low, close FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY event_type ORDER BY b DESC) AS rnd
+    FROM bars_all
+  ) WHERE rnd <= {_CDL_TAIL}
+),
+s AS (
+  SELECT event_type,
+    list(high ORDER BY b) AS hv, list(low ORDER BY b) AS lv,
+    list(close ORDER BY b) AS cv
+  FROM bars GROUP BY event_type
+),
+pv AS (
+  SELECT event_type, cv[-1] AS c,
+    {piv('hv', '<')} AS ph,
+    {piv('lv', '>')} AS pl
+  FROM s
+),
+m AS (
+  SELECT event_type, c, ph, pl, len(ph) AS nh, len(pl) AS nl,
+    ph[-3] AS h3, ph[-2] AS h2, ph[-1] AS h1,
+    pl[-3] AS l3, pl[-2] AS l2, pl[-1] AS l1
+  FROM pv
+),
+d AS (
+  SELECT *,
+    nh >= 3 AND h2 > h3 AND h2 > h1
+      AND ABS(h3 - h1) / h2 < 0.02 AS hst,
+    nl >= 3 AND l2 < l3 AND l2 < l1
+      AND ABS(l3 - l1) / (CASE WHEN l2 = 0 THEN 1.0 ELSE l2 END) < 0.02
+      AS hsb
+  FROM m
+),
+d2 AS (
+  SELECT *,
+    NOT (hst OR hsb) AND nh >= 2
+      AND ABS(h2 - h1) / GREATEST(h2, h1) < 0.015
+      AND c < LEAST(h2, h1)
+      AND c < (CASE WHEN nl >= 1 THEN l1 ELSE LEAST(h2, h1) END) AS dtop
+  FROM d
+),
+d3 AS (
+  SELECT *,
+    NOT (hst OR hsb OR dtop) AND nl >= 2
+      AND ABS(l2 - l1) / GREATEST(l2, l1, 1e-12) < 0.015
+      AND c > GREATEST(l2, l1)
+      AND c > (CASE WHEN nh >= 1 THEN h1 ELSE GREATEST(l2, l1) END)
+      AS dbot
+  FROM d2
+),
+t AS (
+  SELECT *,
+    NOT (hst OR hsb OR dtop OR dbot) AND nh >= 2 AND nl >= 2 AS tready,
+    ABS(h2 - h1) / GREATEST(h2, h1, 1e-12) < 0.015 AS hiflat,
+    ABS(l2 - l1) / GREATEST(l2, l1, 1e-12) < 0.015 AS loflat,
+    (h1 - l1) < 0.9 * (h2 - l2) AS narrowing
+  FROM d3
+),
+t2 AS (
+  SELECT *,
+    NOT hiflat AND h1 > h2 AS hirise,
+    NOT hiflat AND h1 < h2 AS hifall,
+    NOT loflat AND l1 > l2 AS lorise,
+    NOT loflat AND l1 < l2 AS lofall
+  FROM t
+),
+fired AS (
+  SELECT event_type, 'head_shoulders_top' AS pattern, 'bear' AS direction
+  FROM t2 WHERE hst
+  UNION ALL
+  SELECT event_type, 'head_shoulders_bottom', 'bull' FROM t2 WHERE hsb
+  UNION ALL
+  SELECT event_type, 'double_top', 'bear' FROM t2 WHERE dtop
+  UNION ALL
+  SELECT event_type, 'double_bottom', 'bull' FROM t2 WHERE dbot
+  UNION ALL
+  SELECT event_type,
+    CASE
+      WHEN hiflat AND lorise THEN 'ascending_triangle'
+      WHEN hifall AND loflat THEN 'descending_triangle'
+      WHEN hifall AND lorise THEN 'symmetrical_triangle'
+      WHEN hirise AND lorise AND narrowing THEN 'rising_wedge'
+      WHEN hirise AND lorise THEN 'rising_channel'
+      WHEN hifall AND lofall AND narrowing THEN 'falling_wedge'
+      WHEN hifall AND lofall THEN 'falling_channel'
+      WHEN hiflat AND loflat THEN 'horizontal_channel'
+    END,
+    CASE
+      WHEN hiflat AND lorise THEN 'bull'
+      WHEN hifall AND loflat THEN 'bear'
+      WHEN hifall AND lorise THEN 'bull'
+      WHEN hirise AND lorise AND narrowing THEN 'bear'
+      WHEN hirise AND lorise THEN 'bull'
+      WHEN hifall AND lofall AND narrowing THEN 'bull'
+      WHEN hifall AND lofall THEN 'bear'
+      WHEN hiflat AND loflat THEN 'bull'
+    END
+  FROM t2
+  WHERE tready AND (
+    (hiflat AND lorise) OR (hifall AND loflat) OR (hifall AND lorise)
+    OR (hirise AND lorise) OR (hifall AND lofall) OR (hiflat AND loflat)
+  )
+)
+SELECT event_type, pattern, direction FROM fired
+UNION ALL
+SELECT s.event_type, 'none', 'neutral' FROM s
+WHERE s.event_type NOT IN (SELECT event_type FROM fired)
+"""
+
+
+@query(
+    "ind_chart_patterns_parity",
+    survey="§2.9 k_pattern fidelity (batch/k_pattern.py:35-52,89-190 "
+    "chart patterns): the REAL numpy chart-pattern classifier "
+    "(library._chart_pattern — pivots, head-and-shoulders, double "
+    "top/bottom, triangle/wedge/channel chain) hash-checked against "
+    "an independent SQL replay",
+    description="Per-key chart-pattern label from the numpy classifier, "
+    "SQL-replayed",
+    oracle=_chart_oracle(),
+)
+def ind_chart_patterns_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark runs the library's actual classifier over each key's
+    500-bar tail; the oracle re-derives the labels from scratch —
+    3-radius strict pivot extraction, then the exact precedence chain
+    (head-and-shoulders before double top/bottom before the
+    two-trendline triangle/wedge/channel classifier). Keys with no
+    pattern emit an explicit 'none' row so absence is also checked."""
+    import pandas as pd
+
+    from tradecat_spark.indicators.library import _chart_pattern
+
+    e = load_table(spark, sf_dir, "events")
+    bars = e.groupBy(
+        "event_type",
+        F.timestamp_seconds(
+            (F.col("ts").cast("long") / 3600).cast("long") * 3600
+        ).alias("bucket_ts"),
+    ).agg(
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+    )
+    wdesc = Window.partitionBy("event_type").orderBy(F.desc("bucket_ts"))
+    bars = (
+        bars.withColumn("_rnd", F.row_number().over(wdesc))
+        .filter(F.col("_rnd") <= _CDL_TAIL)
+        .drop("_rnd")
+    )
+
+    def detect(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_ts")
+        labels = _chart_pattern(pdf)
+        key = pdf["event_type"].iloc[0]
+        rows = [(key, n, d) for n, d in labels] or [
+            (key, "none", "neutral")
+        ]
+        return pd.DataFrame(
+            rows, columns=["event_type", "pattern", "direction"]
+        )
+
+    return bars.repartition("event_type").groupBy("event_type").applyInPandas(
+        detect,
+        "event_type string, pattern string, direction string",
+    )
