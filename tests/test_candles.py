@@ -370,3 +370,42 @@ def test_chart_pattern_fires_on_canonical_shape(name):
     hits = dict(_chart_pattern(_zigzag(*targets, tail=tail)))
     assert name in hits, f"{name} not in {sorted(hits)}"
     assert hits[name] == direction
+
+
+def test_cdl_parity_queries_survive_short_history(spark, tmp_path):
+    """1/6/10-bar keys: every CDL/chart parity oracle must run (no
+    empty-list or index crashes in the scan/pivot machinery) and still
+    hash-match the detector, which emits nothing (or 'none') there."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as E
+    from tests.oracle_utils import assert_frames_match
+
+    rows, eid = [], 0
+    for key, n_hours in (("one", 1), ("six", 6), ("ten", 10)):
+        for hh in range(n_hours):
+            eid += 1
+            rows.append({
+                "event_id": eid,
+                "ts": pd.Timestamp("2025-03-01") + pd.Timedelta(hours=hh),
+                "user_id": 1,
+                "event_type": key,
+                "value": 100.0 + ((hh * 37) % 11) + hh * 0.01,
+                "props": "{}",
+            })
+    pd.DataFrame(rows).to_parquet(str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    q, o = E.queries(), E.oracle_sql()
+    for name in (
+        "ind_cdl_singles_parity", "ind_cdl_pairs_parity",
+        "ind_cdl_triples_parity", "ind_cdl_wide_parity",
+        "ind_chart_patterns_parity",
+    ):
+        spdf = q[name](spark, str(tmp_path)).toPandas()
+        odf = con.execute(o[name]).df()
+        assert_frames_match(spdf, odf, f"{name}_short")
