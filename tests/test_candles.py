@@ -12,6 +12,7 @@ and pure-preamble bars must stay quiet for multi-bar reversals.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from tradecat_spark.indicators.candles import CDL_LABELS, Candles
@@ -409,3 +410,106 @@ def test_cdl_parity_queries_survive_short_history(spark, tmp_path):
         spdf = q[name](spark, str(tmp_path)).toPandas()
         odf = con.execute(o[name]).df()
         assert_frames_match(spdf, odf, f"{name}_short")
+
+
+def _fixture_events(tmp_path):
+    """One events corpus where each key's hourly bars replay a fixture
+    (the CDL preamble + pattern bars), so every label's POSITIVE case
+    reaches the parity queries — an oracle condition mis-transcribed
+    into something unfirable would hash-mismatch here instead of
+    matching empty-vs-empty."""
+    rows, eid = [], 0
+    base = pd.Timestamp("2025-03-01")
+    last_ts = {}
+    for name, (_, pattern_bars) in FIXTURES.items():
+        bars = _PRE + [tuple(map(float, b)) for b in pattern_bars]
+        for j, (o, h, l, c) in enumerate(bars):  # noqa: E741
+            t0 = base + pd.Timedelta(hours=j)
+            for off, v in ((0, o), (15, h), (30, l), (45, c)):
+                eid += 1
+                rows.append({
+                    "event_id": eid, "ts": t0 + pd.Timedelta(minutes=off),
+                    "user_id": 1, "event_type": name, "value": v,
+                    "props": "{}",
+                })
+        last_ts[name] = (
+            base + pd.Timedelta(hours=len(bars) - 1)
+        ).strftime("%Y-%m-%d %H:%M:%S")
+    pd.DataFrame(rows).to_parquet(str(tmp_path / "events.parquet"))
+    return last_ts
+
+
+def test_cdl_parity_oracles_fire_on_every_fixture(spark, tmp_path):
+    import duckdb
+
+    import __spark_entry__ as E
+    from tests.oracle_utils import assert_frames_match
+    from tradecat_spark.plans.q_indicators import (
+        CDL_PAIRS,
+        CDL_SINGLES,
+        CDL_TRIPLES,
+        CDL_WIDE,
+    )
+
+    last_ts = _fixture_events(tmp_path)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    q, o = E.queries(), E.oracle_sql()
+    for qname, label_set in (
+        ("ind_cdl_singles_parity", CDL_SINGLES),
+        ("ind_cdl_pairs_parity", CDL_PAIRS),
+        ("ind_cdl_triples_parity", CDL_TRIPLES),
+        ("ind_cdl_wide_parity", CDL_WIDE),
+    ):
+        spdf = q[qname](spark, str(tmp_path)).toPandas()
+        odf = con.execute(o[qname]).df()
+        assert_frames_match(spdf, odf, f"{qname}_fixtures")
+        for label in label_set:
+            if label not in FIXTURES:
+                continue
+            direction = FIXTURES[label][0]
+            hit = spdf[
+                (spdf.event_type == label) & (spdf.pattern == label)
+                & (spdf.bucket_ts == last_ts[label])
+            ]
+            assert len(hit) >= 1, f"{qname}: {label} fixture did not fire"
+            assert (hit.direction == direction).all(), label
+
+
+def test_chart_parity_oracle_fires_on_every_fixture(spark, tmp_path):
+    import duckdb
+
+    import __spark_entry__ as E
+    from tests.oracle_utils import assert_frames_match
+
+    rows, eid = [], 0
+    base = pd.Timestamp("2025-03-01")
+    for name, (_, targets, tail) in CHART_FIXTURES.items():
+        frame = _zigzag(*targets, tail=tail)
+        for j, r in frame.iterrows():
+            t0 = base + pd.Timedelta(hours=int(j))
+            for off, v in ((0, r.open), (15, r.high), (30, r.low),
+                           (45, r.close)):
+                eid += 1
+                rows.append({
+                    "event_id": eid, "ts": t0 + pd.Timedelta(minutes=off),
+                    "user_id": 1, "event_type": name, "value": float(v),
+                    "props": "{}",
+                })
+    pd.DataFrame(rows).to_parquet(str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    q, o = E.queries(), E.oracle_sql()
+    spdf = q["ind_chart_patterns_parity"](spark, str(tmp_path)).toPandas()
+    odf = con.execute(o["ind_chart_patterns_parity"]).df()
+    assert_frames_match(spdf, odf, "chart_parity_fixtures")
+    for name, (direction, _, _) in CHART_FIXTURES.items():
+        hit = spdf[(spdf.event_type == name) & (spdf.pattern == name)]
+        assert len(hit) == 1, f"chart fixture {name} did not fire"
+        assert hit.direction.iloc[0] == direction, name
