@@ -422,3 +422,31 @@ def test_asof_directions_match_pandas(spark, lsec, rsec, direction):
             assert pd.isna(g_v)
         else:
             assert e_v == g_v
+
+
+@given(closes=_prices)
+@settings(max_examples=25, deadline=None)
+def test_emagc_obv_cvd_folds_match_pandas(closes):
+    from tradecat_spark.streaming.incremental import (
+        CvdSpec,
+        EmaGcSpec,
+        ObvSpec,
+    )
+
+    c = pd.Series(closes)
+    got = _fold(EmaGcSpec(), pd.DataFrame({"close": c}))
+    for n in (7, 25, 99):
+        exp = c.ewm(span=n, adjust=False).mean()
+        assert _bitwise_eq(got[f"ema{n}"], exp)
+
+    vol = (c * 0.25).abs()
+    pdf = pd.DataFrame({"close": c, "volume": vol})
+    got_obv = _fold(ObvSpec(), pdf)
+    direction = np.sign(c.diff()).fillna(0)
+    assert _bitwise_eq(got_obv["obv"], (direction * vol).cumsum())
+
+    buy = vol * 0.75
+    pdf2 = pd.DataFrame({"volume": vol, "taker_buy_volume": buy})
+    got_cvd = _fold(CvdSpec(), pdf2)
+    sell = (vol - buy).clip(lower=0.0)
+    assert _bitwise_eq(got_cvd["cvd"], (buy - sell).cumsum())
