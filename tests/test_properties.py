@@ -450,3 +450,30 @@ def test_emagc_obv_cvd_folds_match_pandas(closes):
     got_cvd = _fold(CvdSpec(), pdf2)
     sell = (vol - buy).clip(lower=0.0)
     assert _bitwise_eq(got_cvd["cvd"], (buy - sell).cumsum())
+
+
+@given(
+    big_rows=st.lists(
+        st.tuples(st.integers(1, 6), st.integers(0, 1000)),
+        min_size=1, max_size=40,
+    ),
+    small_keys=st.sets(st.integers(1, 8), min_size=1, max_size=8),
+    how=st.sampled_from(["inner", "left"]),
+)
+@SETTINGS
+def test_salted_join_equals_plain_join(spark, big_rows, small_keys, how):
+    """salted_join ≡ plain join for arbitrary key overlap, duplicate
+    big rows, unmatched keys, and both join types."""
+    from tradecat_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        pd.DataFrame(big_rows, columns=["k", "v"])
+    )
+    small = spark.createDataFrame(
+        pd.DataFrame({"k": sorted(small_keys),
+                      "tag": [f"t{k}" for k in sorted(small_keys)]})
+    )
+    got = salted_join(big, small, ["k"], salts=4, how=how)
+    plain = big.join(small, "k", how)
+    cols = ["k", "v", "tag"]
+    assert _rows(got, cols) == _rows(plain, cols)
