@@ -110,6 +110,7 @@ _GATE_PRIORITY = (
     "range_bin_join_law",
     "cluster_assignments",
     "asof_direction_variants",
+    "ntile_value_quartiles",
     # checked r01 only — re-verify under the current data generation
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q5_region_revenue", "top_customers_by_spend",

@@ -166,3 +166,41 @@ def unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "n_events",
     )
+
+
+@query(
+    "ntile_value_quartiles",
+    survey="window-function breadth: NTILE bucketing — per-key value "
+    "quartiles with a total-order tiebreak so bucket boundaries are "
+    "engine-stable",
+    description="Quartile summary of value per event_type via NTILE(4)",
+    oracle="""
+SELECT event_type, CAST(q AS BIGINT) AS quartile,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  MIN(value) AS lo, MAX(value) AS hi
+FROM (
+  SELECT event_type, value,
+    NTILE(4) OVER (PARTITION BY event_type
+                   ORDER BY value, event_id) AS q
+  FROM events
+)
+GROUP BY event_type, q
+""",
+)
+def ntile_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE assigns equal-size buckets over the ordered partition; with
+    duplicate values the bucket boundary depends on row order, so the
+    ordering carries the unique event_id as a tiebreak — the split is
+    then identical on every engine. One shuffle on the partition key."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    q = e.withColumn("q", F.ntile(4).over(w))
+    return q.groupBy("event_type", F.col("q").cast("long").alias("quartile")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
