@@ -28,66 +28,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #: then the round-1-only rows (every r02-checked row was green and
 #: unchanged, so they rotate to the back and re-enter next round).
 _GATE_PRIORITY = (
-    # new this round (r3)
-    "signal_pack_sql_rules",  # re-check: snapshot grew to all 129 rules
-    "streaming_macd_parity",
-    "streaming_atr_parity",
-    "streaming_kdj_parity",
-    "streaming_emagc_parity",
-    "cluster_kmeans_lloyd",
-    "cluster_semdedup_candidates",
-    # never driver-checked (flagged in r2 verdict) — must make the cap
-    "sample_stratified_split",
-    "pack_context_windows",
-    "ind_volume_ratio",
-    "ind_support_resistance",
-    "ind_base_data",
-    "ind_buy_sell_ratio",
-    "ind_data_monitor",
-    "ind_futures_gap_monitor",
-    "ind_futures_risk_score",
-    "ind_market_share_rank",
-    "quality_unigram_logprob",
-    "text_scrub_patterns",
-    "token_length_histogram",
-    "sample_temperature_mix",
-    "embedding_norms_quality",
-    "quality_ingest_batches",
-    "quality_anomaly_log",
-    "quality_alert_rules_eval",
-    "quality_backfill_tasks",
-    "quality_lineage_closure",
-    "pg_realtime_checks",
-    "text_repetition_stats",
-    "decontaminate_ngram_overlap",
-    "corpus_source_stats",
-    "ind_liquidity_profile",
-    "ind_fib_vwma_bands",
-    "ind_harmonic_score",
-    "ind_scalping_emas",
-    "ind_trend_cloud_side",
-    "ind_zero_lag_bands",
-    "ind_adx_di",
-    "ind_supertrend_fold",
-    "ind_ema_gc_regime",
-    "ind_heikin_long_short",
-    "ind_madrid_ribbon",
-    "ind_smc_structure",
-    "ind_precision_trend",
-    "ind_trend_line",
-    "ind_smart_rsi",
-    # new last round, never driver-checked yet
-    "retention_policy_plan",
-    "chart_market_vpvr_heat",
-    "chart_vpvr_zone_strip",
-    "chart_kline_envelope",
-    # first in line for r4
+    # --- slots 1-28: the r3 additions that have NEVER been driver-checked
+    # (sat at positions 51-78 last round, past the 50-slot cap — r3
+    # verdict item 2). First in line until they get a hash_match row.
     "ind_cdl_singles_parity",
     "ind_cdl_pairs_parity",
     "ind_cdl_triples_parity",
     "ind_cdl_wide_parity",
     "ind_chart_patterns_parity",
-    # simple cumsum folds, restart-parity-tested
     "streaming_obv_parity",
     "streaming_cvd_parity",
     "text_tfidf_topk",
@@ -96,7 +44,7 @@ _GATE_PRIORITY = (
     "sessionize_user_events",
     "streaming_session_windows",
     "cohort_retention",
-    "approx_quantiles_sample",
+    "approx_quantiles_sample",  # re-shaped r4: sample-only production plan
     "funnel_conversion",
     "skew_salted_join_law",
     "data_contract_expectations",
@@ -111,7 +59,20 @@ _GATE_PRIORITY = (
     "cluster_assignments",
     "asof_direction_variants",
     "ntile_value_quartiles",
-    # checked r01 only — re-verify under the current data generation
+    # --- r3's one red row, re-queued after its oracle fix (the window
+    # SUM now CASTs to BIGINT; values were verified equal at sf0.01)
+    "pack_context_windows",
+    # --- never in the tuple at all (ledger-found r4): heavyweight
+    # Python-surface queries; oracle-less rows get the rows-only check
+    "indicator_batch_150x7",
+    "indicator_surface_1h",
+    "signal_rule_events",
+    "signal_rule_pack_129",
+    # --- new this round (r4) — names uncommented here as they land:
+    # streaming_session_append, instruments_asof_enrich,
+    # ai_context_assembly
+    "quantile_error_eval",
+    # --- checked r01 only — re-verify under current data generation
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q5_region_revenue", "top_customers_by_spend",
     "orders_with_discounted_lines", "customers_without_orders",
@@ -130,6 +91,48 @@ _GATE_PRIORITY = (
     "dedup_clusters", "dedup_ngram_jaccard", "dedup_simhash",
     "text_token_stats", "text_lang_id", "text_quality_score",
     "text_fingerprint", "ann_cosine_topk",
+    # --- green r3 (CORRECTNESS_r03.json), unchanged code → back of line
+    "signal_pack_sql_rules",
+    "streaming_macd_parity", "streaming_atr_parity",
+    "streaming_kdj_parity", "streaming_emagc_parity",
+    "cluster_kmeans_lloyd", "cluster_semdedup_candidates",
+    "sample_stratified_split",
+    "ind_volume_ratio", "ind_support_resistance", "ind_base_data",
+    "ind_buy_sell_ratio", "ind_data_monitor", "ind_futures_gap_monitor",
+    "ind_futures_risk_score", "ind_market_share_rank",
+    "quality_unigram_logprob", "text_scrub_patterns",
+    "token_length_histogram", "sample_temperature_mix",
+    "embedding_norms_quality", "quality_ingest_batches",
+    "quality_anomaly_log", "quality_alert_rules_eval",
+    "quality_backfill_tasks", "quality_lineage_closure",
+    "pg_realtime_checks", "text_repetition_stats",
+    "decontaminate_ngram_overlap", "corpus_source_stats",
+    "ind_liquidity_profile", "ind_fib_vwma_bands", "ind_harmonic_score",
+    "ind_scalping_emas", "ind_trend_cloud_side", "ind_zero_lag_bands",
+    "ind_adx_di", "ind_supertrend_fold", "ind_ema_gc_regime",
+    "ind_heikin_long_short", "ind_madrid_ribbon", "ind_smc_structure",
+    "ind_precision_trend", "ind_trend_line", "ind_smart_rsi",
+    "retention_policy_plan", "chart_market_vpvr_heat",
+    "chart_vpvr_zone_strip", "chart_kline_envelope",
+    # --- green r1/r2, previously resolved via the registry fallthrough;
+    # listed explicitly so the gate order is fully deterministic
+    "ai_context_snapshot", "ann_ivf_search", "ann_label_centroids",
+    "ann_lsh_buckets", "ann_multiprobe_search", "ann_recall_eval",
+    "approx_distinct_kmv", "chart_bb_zone_strip", "chart_cvd_cumulative",
+    "chart_equity_drawdown", "chart_intraday_volatility",
+    "chart_intraday_volume_heatmap", "chart_kline_ma_volume",
+    "chart_long_short_ratio", "chart_macd_series", "chart_oi_change",
+    "chart_taker_ratio_heatmap", "chart_vpvr_ridge",
+    "dedup_canonical_corpus", "dedup_embedding_cosine", "freshness_gate",
+    "global_totals_latest", "ind_atr_wilder_fold", "ind_donchian_williams",
+    "metrics_cascade_1d", "mm_decode_features", "mm_frame_sample",
+    "mm_resize_images", "ohlcv_cascade_1M", "orderbook_depth_bands",
+    "orderbook_depth_hourly", "orderbook_l1_stats", "quality_filter_funnel",
+    "ranking_card_1h", "ranking_card_rendered", "rest_ohlc_history",
+    "rest_oi_history", "rest_supported_coins", "serving_retention_trim",
+    "signal_threshold_cross_sql", "single_token_panel",
+    "stats_profile_by_type", "streaming_rollup_5m",
+    "streaming_signals_parity", "text_vocab_topk",
 )
 
 

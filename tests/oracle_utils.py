@@ -33,7 +33,30 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Collapse a dtype to the class the driver's value-hash is sensitive
+    to: an oracle returning float64 where Spark returns int64 hashes
+    differently even when every value matches (the r3
+    ``pack_context_windows`` red row — DuckDB HUGEINT widening)."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
 def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
+    for c in sorted(set(spark_pdf.columns) & set(oracle_pdf.columns)):
+        ka, kb = _dtype_kind(spark_pdf[c]), _dtype_kind(oracle_pdf[c])
+        assert ka == kb, (
+            f"{name}.{c}: dtype-kind mismatch spark={ka}({spark_pdf[c].dtype})"
+            f" vs oracle={kb}({oracle_pdf[c].dtype}) — the driver hash is "
+            f"representation-sensitive; CAST in the oracle (HUGEINT gotcha)"
+        )
     a, b = normalize(spark_pdf), normalize(oracle_pdf)
     assert list(a.columns) == list(b.columns), (
         f"{name}: column mismatch {list(a.columns)} vs {list(b.columns)}"

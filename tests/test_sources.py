@@ -250,3 +250,49 @@ def test_compact_max_files_spreads_output(spark, tmp_path):
     ]
     assert 1 < len(files) <= 4
     assert spark.read.parquet(store).count() == 5000
+
+
+def test_compact_unescapes_hive_partition_values(spark, tmp_path):
+    """Hive URL-escapes partition directory names (space → %20, ':'
+    → %3A); the value filter must use the UNESCAPED value or escaped
+    partitions are rewritten with zero matching rows (r3 advice)."""
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from tradecat_spark.operators.storage import compact_time_partitions
+
+    store = str(tmp_path / "store")
+    rows = pd.DataFrame({
+        "id": range(2000),
+        "part_date": ["2025-03-01 10:00"] * 1000 + ["plain"] * 1000,
+    })
+    (
+        spark.createDataFrame(rows).repartition(6)
+        .write.partitionBy("part_date").parquet(store)
+    )
+    escaped = [
+        e for e in os.listdir(store) if e.startswith("part_date=")
+    ]
+    assert any("%" in e for e in escaped)  # precondition: Hive-escaped
+
+    before = sorted(
+        map(tuple, spark.read.parquet(store).select("id").collect())
+    )
+    assert compact_time_partitions(spark, store) == [
+        "2025-03-01 10:00", "plain",
+    ]
+    after = sorted(
+        map(tuple, spark.read.parquet(store).select("id").collect())
+    )
+    assert after == before
+    for e in escaped:
+        n = sum(
+            1 for f in os.listdir(os.path.join(store, e))
+            if f.endswith(".parquet")
+        )
+        assert n == 1, e
+
+    with pytest.raises(ValueError, match="local paths"):
+        compact_time_partitions(spark, "s3://bucket/store")

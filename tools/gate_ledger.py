@@ -1,0 +1,95 @@
+"""Cumulative driver-gate ledger (r3 verdict item 8).
+
+The verify driver hash-checks only the first 50 resolvable names of
+``_GATE_PRIORITY`` each round, so rotation debt — queries that have
+never had a driver check — is invisible unless tracked. This tool scans
+every ``CORRECTNESS_r*.json`` artifact and writes ``GATE_LEDGER.json``:
+
+    {query_name: {"last_checked_round": N, "hash_match": bool,
+                  "rows_match": bool}}
+
+Run after each round's artifacts land (and after editing the gate
+tuple) to see what the next round's top-50 must contain::
+
+    python tools/gate_ledger.py
+
+``tests/test_gate_rotation.py`` asserts the invariant from the ledger:
+every registered query that has never been hash-checked (or whose last
+check was red) must occupy one of the 50 gate slots.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+GATE_CAP = 50
+
+
+def build_ledger() -> dict[str, dict]:
+    ledger: dict[str, dict] = {}
+    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path.name)
+        rnd = int(m.group(1)) if m else -1
+        data = json.loads(path.read_text())
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            ledger[name] = {
+                "last_checked_round": rnd,
+                "hash_match": bool(row.get("hash_match")),
+                "rows_match": bool(row.get("rows_match")),
+            }
+    return ledger
+
+
+def gate_slots() -> list[str]:
+    """The names the driver will actually check: first 50 that resolve."""
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as entry
+
+    specs = set(entry.queries())
+    return [n for n in entry._GATE_PRIORITY if n in specs][:GATE_CAP]
+
+
+def unchecked(ledger: dict[str, dict], registered: set[str]) -> set[str]:
+    """Registered queries with no green hash/rows row in any round."""
+    return {
+        n
+        for n in registered
+        if not (
+            ledger.get(n, {}).get("hash_match")
+            or ledger.get(n, {}).get("rows_match")
+        )
+    }
+
+
+def main() -> int:
+    ledger = build_ledger()
+    (REPO / "GATE_LEDGER.json").write_text(
+        json.dumps(ledger, indent=1, sort_keys=True) + "\n"
+    )
+    slots = gate_slots()
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as entry
+
+    registered = set(entry.queries())
+    debt = unchecked(ledger, registered)
+    missing = sorted(debt - set(slots))
+    print(f"ledger: {len(ledger)} queries checked across rounds")
+    print(f"registered: {len(registered)}; never-green: {len(debt)}")
+    print(f"gate[:{GATE_CAP}]: {len(slots)} slots filled")
+    if missing:
+        print(f"ROTATION DEBT — never-green but OUTSIDE the gate window:")
+        for n in missing:
+            print(f"  - {n}")
+        return 1
+    print("rotation OK: every never-green query is inside the gate window")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -107,8 +107,12 @@ def asof_join(
         pick_ts = F.col("_fw_ts")
         pick = {v: F.col(f"_fw_{v}") for v in right_vals}
     else:  # nearest, ties prefer backward
-        d_b = F.col("_ts").cast("double") - F.col("_b_ts").cast("double")
-        d_f = F.col("_fw_ts").cast("double") - F.col("_ts").cast("double")
+        # integer microseconds, not double casts: a timestamp→double
+        # cast has ~0.5 µs ULP at current epochs, so near-equidistant
+        # matches could resolve to a different side than the integer-
+        # exact DuckDB oracle (r3 advice item 3)
+        d_b = F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("_b_ts"))
+        d_f = F.unix_micros(F.col("_fw_ts")) - F.unix_micros(F.col("_ts"))
         use_b = F.col("_fw_ts").isNull() | (
             F.col("_b_ts").isNotNull() & (d_b <= d_f)
         )
@@ -120,9 +124,10 @@ def asof_join(
         }
 
     if tolerance_sec is not None:
+        # same integer-µs rule as the nearest tie-break above
         within = (
-            F.abs(F.col("_ts").cast("double") - pick_ts.cast("double"))
-            <= F.lit(tolerance_sec)
+            F.abs(F.unix_micros(F.col("_ts")) - F.unix_micros(pick_ts))
+            <= F.lit(int(round(tolerance_sec * 1_000_000)))
         )
         return out.select(
             *lcols,

@@ -115,18 +115,35 @@ def compact_time_partitions(
 
     NULL-valued partitions (``__HIVE_DEFAULT_PARTITION__``) are left
     alone — a NULL key can't round-trip through the value filter.
+
+    Directory enumeration uses ``os.listdir``, so this operator only
+    handles LOCAL paths (``/...`` or ``file:``) — for object stores,
+    list via the transaction log (Delta OPTIMIZE) instead; a non-local
+    URI raises rather than silently finding zero partitions. Directory
+    names are Hive URL-escaped (space → ``%20``, ``:``/``%`` likewise),
+    so values are unquoted before the ``isin`` filter — otherwise such
+    partitions would be "rewritten" with zero matching rows (r3 advice
+    item 5).
     """
     import os
+    from urllib.parse import unquote
+
+    if "://" in path and not path.startswith("file:"):
+        raise ValueError(
+            f"compact_time_partitions lists via os.listdir and only "
+            f"supports local paths, got {path!r}"
+        )
+    local = path[len("file:"):] if path.startswith("file:") else path
 
     frag = []
-    for entry in os.listdir(path):
+    for entry in os.listdir(local):
         if not entry.startswith(f"{partition_col}="):
             continue
-        val = entry.split("=", 1)[1]
+        val = unquote(entry.split("=", 1)[1])
         if val == "__HIVE_DEFAULT_PARTITION__":
             continue
         n = sum(
-            1 for f in os.listdir(os.path.join(path, entry))
+            1 for f in os.listdir(os.path.join(local, entry))
             if f.endswith(".parquet")
         )
         if n > max_files:

@@ -156,41 +156,83 @@ def _interp_sql(arr: str, p: str, k: str) -> str:
     )
 
 
-@query(
-    "approx_quantiles_sample",
-    survey="§4 approx family: deterministic quantile sketch — KMV-style "
-    "min-hash-rank sample (k=256) + manual linear interpolation, the "
-    "estimate AND its error vs the exact quantile both oracle-matched "
-    "(approx_percentile/t-digest is the non-checkable production twin)",
-    description="p50/p90/p99 of value per event_type: hash-sample estimate vs exact",
-    oracle=f"""
-WITH r AS (
-  SELECT event_type, value,
-    ROW_NUMBER() OVER (PARTITION BY event_type
-      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rnk
+_NSHARD = 32  # level-1 shards for the distributed min-k
+
+
+def _md5_col():
+    return F.md5(F.col("event_id").cast("string"))
+
+
+def _shard_col(h):
+    # trailing 8 hex chars so the shard key is independent of the rank
+    # prefix; any sharding is CORRECT for min-k (global top-k is a
+    # subset of the union of per-shard top-k), this just balances it
+    return F.conv(F.substring(h, 25, 8), 16, 10).cast("bigint") % _NSHARD
+
+
+def _minhash_sample(e: DataFrame) -> DataFrame:
+    """k rows with the smallest md5(event_id) per group, computed as a
+    TWO-LEVEL min-k: level 1 ranks within (group, shard) — 32 parallel
+    sorts whose outputs are each capped at k rows — level 2 ranks the
+    ≤32·k survivors per group. No task ever sorts a whole group, so the
+    plan survives a group of any size (the r3 verdict's scale-killer was
+    a single ``row_number`` over the full per-group sort)."""
+    h = _md5_col()
+    t = e.select(
+        "event_type", "value", "event_id",
+        h.alias("h"), _shard_col(h).alias("shard"),
+    )
+    w1 = Window.partitionBy("event_type", "shard").orderBy("h", "event_id")
+    w2 = Window.partitionBy("event_type").orderBy("h", "event_id")
+    return (
+        t.withColumn("rnk", F.row_number().over(w1))
+        .filter(F.col("rnk") <= QK)
+        .withColumn("rnk2", F.row_number().over(w2))
+        .filter(F.col("rnk2") <= QK)
+    )
+
+
+_MINHASH_SAMPLE_SQL = f"""
+h AS (
+  SELECT event_type, value, event_id,
+    md5(CAST(event_id AS VARCHAR)) AS h,
+    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 25, 8))::BIGINT
+      % {_NSHARD} AS shard
   FROM events
+),
+c1 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, shard
+    ORDER BY h, event_id) AS rnk
+  FROM h
+),
+c2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+    ORDER BY h, event_id) AS rnk2
+  FROM c1 WHERE rnk <= {QK}
 ),
 samp AS (
   SELECT event_type,
     list(value ORDER BY value, 1) AS sv,
     CAST(COUNT(*) AS BIGINT) AS k
-  FROM r WHERE rnk <= {QK} GROUP BY event_type
-),
-ex AS (
-  SELECT event_type,
-    list(value ORDER BY value, 1) AS ev,
-    CAST(COUNT(*) AS BIGINT) AS n
-  FROM events GROUP BY event_type
-)
-SELECT s.event_type, s.k, e.n,
-  ROUND({_interp_sql('sv', '0.5', 's.k')}, 6) AS est_p50,
-  ROUND({_interp_sql('sv', '0.9', 's.k')}, 6) AS est_p90,
-  ROUND({_interp_sql('sv', '0.99', 's.k')}, 6) AS est_p99,
-  ROUND({_interp_sql('ev', '0.5', 'e.n')}, 6) AS exact_p50,
-  ROUND({_interp_sql('ev', '0.9', 'e.n')}, 6) AS exact_p90,
-  ROUND(ABS(ROUND({_interp_sql('sv', '0.5', 's.k')}, 6)
-          - ROUND({_interp_sql('ev', '0.5', 'e.n')}, 6)), 6) AS err_p50
-FROM samp s JOIN ex e USING (event_type)
+  FROM c2 WHERE rnk2 <= {QK} GROUP BY event_type
+)"""
+
+
+@query(
+    "approx_quantiles_sample",
+    survey="§4 approx family: deterministic quantile sketch — KMV-style "
+    "min-hash-rank sample (k=256) + manual linear interpolation "
+    "(approx_percentile/t-digest is the non-checkable production twin); "
+    "sample-only since r4 — the exact-error baseline lives in "
+    "quantile_error_eval",
+    description="p50/p90/p99 of value per event_type from a k=256 hash sample",
+    oracle=f"""
+WITH {_MINHASH_SAMPLE_SQL}
+SELECT event_type, k,
+  ROUND({_interp_sql('sv', '0.5', 'k')}, 6) AS est_p50,
+  ROUND({_interp_sql('sv', '0.9', 'k')}, 6) AS est_p90,
+  ROUND({_interp_sql('sv', '0.99', 'k')}, 6) AS est_p99
+FROM samp
 """,
 )
 def approx_quantiles_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,40 +240,131 @@ def approx_quantiles_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     group — a uniform sample that needs no RNG state and is identical
     on every engine and rerun (the KMV trick applied to quantiles).
     Estimates interpolate over the k-row sorted sample, so per-group
-    state is O(k) however large the group; the exact side (full
-    per-group sort) exists only as the error baseline — at 100 TB you
-    ship the sample column and drop the exact branch. Ties in value
-    sort safely: equal doubles interpolate to the same result
-    regardless of order."""
+    state is O(k) however large the group. PRODUCTION PLAN IS
+    SAMPLE-ONLY (r3 verdict item 3): the only collected array is the
+    ≤256-element sample, the min-k itself is sharded (see
+    ``_minhash_sample``), and the exact baseline moved to
+    ``quantile_error_eval``. Ties in value sort safely: equal doubles
+    interpolate to the same result regardless of order."""
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    w = Window.partitionBy("event_type").orderBy(
-        F.md5(F.col("event_id").cast("string")), "event_id"
+    samp = _minhash_sample(e).groupBy("event_type").agg(
+        F.array_sort(F.collect_list("value")).alias("sv"),
+        F.count(F.lit(1)).alias("k"),
     )
-    samp = (
-        e.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= QK)
-        .groupBy("event_type")
-        .agg(
-            F.array_sort(F.collect_list("value")).alias("sv"),
-            F.count(F.lit(1)).alias("k"),
-        )
-    )
-    ex = e.groupBy("event_type").agg(
-        F.array_sort(F.collect_list("value")).alias("ev"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    k, n = F.col("k"), F.col("n")
-    sv, ev = F.col("sv"), F.col("ev")
-    est50 = F.round(_interp(sv, 0.5, k), 6)
-    ex50 = F.round(_interp(ev, 0.5, n), 6)
-    return samp.join(ex, "event_type").select(
-        "event_type", "k", "n",
-        est50.alias("est_p50"),
+    k, sv = F.col("k"), F.col("sv")
+    return samp.select(
+        "event_type", "k",
+        F.round(_interp(sv, 0.5, k), 6).alias("est_p50"),
         F.round(_interp(sv, 0.9, k), 6).alias("est_p90"),
         F.round(_interp(sv, 0.99, k), 6).alias("est_p99"),
-        ex50.alias("exact_p50"),
-        F.round(_interp(ev, 0.9, n), 6).alias("exact_p90"),
-        F.round(F.abs(est50 - ex50), 6).alias("err_p50"),
+    )
+
+
+@query(
+    "quantile_error_eval",
+    survey="§4 approx family: error evaluation for the quantile sketch — "
+    "exact side via distributed window-rank interpolation, NO collected "
+    "arrays anywhere (the r3 'exact branch collect_lists the whole "
+    "group' finding)",
+    description="sketch p50/p90 vs exact (window-rank interpolated) + abs error",
+    oracle=f"""
+WITH {_MINHASH_SAMPLE_SQL},
+est AS (
+  SELECT event_type, k,
+    ROUND({_interp_sql('sv', '0.5', 'k')}, 6) AS est_p50,
+    ROUND({_interp_sql('sv', '0.9', 'k')}, 6) AS est_p90
+  FROM samp
+),
+rk AS (
+  SELECT event_type, value,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id)
+      AS r,
+    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM events
+),
+ex AS (
+  SELECT event_type, MAX(n) AS n,
+    ROUND(
+      MAX(CASE WHEN r = CAST(FLOOR((n - 1) * 0.5) AS BIGINT) + 1
+          THEN value END)
+      + (MAX(CASE WHEN r = LEAST(CAST(FLOOR((n - 1) * 0.5) AS BIGINT) + 2,
+                                 n) THEN value END)
+         - MAX(CASE WHEN r = CAST(FLOOR((n - 1) * 0.5) AS BIGINT) + 1
+               THEN value END))
+      * MAX((n - 1) * 0.5 - FLOOR((n - 1) * 0.5)), 6) AS exact_p50,
+    ROUND(
+      MAX(CASE WHEN r = CAST(FLOOR((n - 1) * 0.9) AS BIGINT) + 1
+          THEN value END)
+      + (MAX(CASE WHEN r = LEAST(CAST(FLOOR((n - 1) * 0.9) AS BIGINT) + 2,
+                                 n) THEN value END)
+         - MAX(CASE WHEN r = CAST(FLOOR((n - 1) * 0.9) AS BIGINT) + 1
+               THEN value END))
+      * MAX((n - 1) * 0.9 - FLOOR((n - 1) * 0.9)), 6) AS exact_p90
+  FROM rk GROUP BY event_type
+)
+SELECT e.event_type, s.k, e.n,
+  s.est_p50, e.exact_p50,
+  ROUND(ABS(s.est_p50 - e.exact_p50), 6) AS err_p50,
+  s.est_p90, e.exact_p90,
+  ROUND(ABS(s.est_p90 - e.exact_p90), 6) AS err_p90
+FROM ex e JOIN est s USING (event_type)
+""",
+)
+def quantile_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-vs-sketch error report. The exact side interpolates between
+    the two RANKED rows flanking (n-1)·p — a distributed window sort
+    (sort-based WindowExec spills to disk; per-task state is a spill
+    buffer, never an in-memory array of the whole group) followed by a
+    conditional MAX aggregate. Parallelism is bounded by the number of
+    groups, which is fine for an EVALUATION query; the production
+    estimator (``approx_quantiles_sample``) never pays this sort."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    samp = _minhash_sample(e).groupBy("event_type").agg(
+        F.array_sort(F.collect_list("value")).alias("sv"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    k, sv = F.col("k"), F.col("sv")
+    est = samp.select(
+        "event_type", "k",
+        F.round(_interp(sv, 0.5, k), 6).alias("est_p50"),
+        F.round(_interp(sv, 0.9, k), 6).alias("est_p90"),
+    )
+
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    rk = e.select(
+        "event_type", "value",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+
+    def exact(p: float):
+        n = F.col("n")
+        idx = (n - F.lit(1)).cast("double") * F.lit(p)
+        lo_pos = F.floor(idx).cast("bigint") + 1
+        hi_pos = F.least(lo_pos + 1, n)
+        frac = idx - F.floor(idx)
+        lo = F.max(F.when(F.col("r") == lo_pos, F.col("value")))
+        hi = F.max(F.when(F.col("r") == hi_pos, F.col("value")))
+        # frac is constant within the group (it only depends on n)
+        return F.round(lo + (hi - lo) * F.max(frac), 6)
+
+    ex = rk.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        exact(0.5).alias("exact_p50"),
+        exact(0.9).alias("exact_p90"),
+    )
+    j = ex.join(est, "event_type")
+    return j.select(
+        "event_type", "k", "n",
+        "est_p50", "exact_p50",
+        F.round(F.abs(F.col("est_p50") - F.col("exact_p50")), 6)
+        .alias("err_p50"),
+        "est_p90", "exact_p90",
+        F.round(F.abs(F.col("est_p90") - F.col("exact_p90")), 6)
+        .alias("err_p90"),
     )

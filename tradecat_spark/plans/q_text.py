@@ -947,7 +947,11 @@ SELECT doc_id, shard, n_tok,
   ((cum_tok - 1) // 256) > ((cum_tok - n_tok) // 256) AS crosses_boundary
 FROM (
   SELECT shard, doc_id, n_tok,
-    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS cum_tok
+    -- CAST back: DuckDB widens windowed SUM(BIGINT) to HUGEINT, which
+    -- lands in pandas as float64/object and breaks the dtype-sensitive
+    -- driver hash even when every value matches (r3 verdict item 1).
+    CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT)
+      AS cum_tok
   FROM (
     SELECT doc_id,
       ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
