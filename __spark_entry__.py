@@ -68,10 +68,18 @@ _GATE_PRIORITY = (
     "indicator_surface_1h",
     "signal_rule_events",
     "signal_rule_pack_129",
-    # --- new this round (r4) — names uncommented here as they land:
-    # streaming_session_append, instruments_asof_enrich,
-    # ai_context_assembly
+    # --- new this round (r4)
     "quantile_error_eval",
+    "ai_context_assembly",
+    "streaming_session_append",
+    "instruments_scd2_dim",
+    "instruments_asof_enrich",
+    "tpch_q4_order_priority",
+    "tpch_q12_priority_class",
+    "tpch_q18_large_orders",
+    "tpch_q19_bracket_revenue",
+    "bloom_prejoin_law",
+    "zorder_curve_layout",
     # --- checked r01 only — re-verify under current data generation
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q5_region_revenue", "top_customers_by_spend",

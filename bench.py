@@ -127,26 +127,36 @@ def main() -> None:
     next(iter(bench_specs.values())).fn(spark, sf_dir).count()
     _warm_python_workers(spark)
 
-    # Per-query latency = min over N runs: single-run numbers on this
-    # box carry multi-second I/O noise (cold page cache on a fresh VM;
-    # measured ann_cosine_topk 1.15 s vs 5.7 s for the identical plan
-    # back-to-back). Min-of-N is the standard steady-state estimator.
+    # Two numbers per query, so round-over-round comparisons are
+    # self-describing and a regression can't hide behind the min
+    # (round-3 methodology finding):
+    #   cold   = the FIRST run after process warm-up — no shuffle-stage
+    #            or page-cache reuse from a prior run of the same plan;
+    #   steady = min over N runs, the warm-service regime BASELINE.md's
+    #            reference numbers come from (single-run numbers on this
+    #            box carry multi-second cold-page-cache I/O noise —
+    #            measured ann_cosine_topk 1.15 s vs 5.7 s back-to-back).
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     for name, spec in bench_specs.items():
-        best = float("inf")
+        runs = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        cold[name] = round(runs[0], 3)
+        timings[name] = round(min(runs), 3)
 
-    stream_runs = [_bench_streaming(spark, warm=True)]
-    for _ in range(repeats - 1):
+    # streaming: the first cycle (no prior stream on this session) IS
+    # the cold number — it pays stream-query planning + state-store
+    # init; later cycles are the long-running service's steady state
+    stream_runs = [_bench_streaming(spark)]
+    for _ in range(max(repeats - 1, 1)):
         stream_runs.append(_bench_streaming(spark))
-    timings.update(
-        {k: min(r[k] for r in stream_runs) for k in stream_runs[0]}
-    )
+    for k in stream_runs[0]:
+        cold[k] = stream_runs[0][k]
+        timings[k] = min(r[k] for r in stream_runs[1:])
 
     total = round(sum(timings.values()), 3)
     print(
@@ -156,6 +166,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "value_cold": round(sum(cold.values()), 3),
+                "queries_cold": cold,
+                "methodology": (
+                    "queries=steady state (min of "
+                    f"{repeats}, warm workers); queries_cold=first run "
+                    "after process warm-up"
+                ),
                 "sf": sf,
             }
         )

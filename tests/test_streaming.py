@@ -975,3 +975,35 @@ def test_streaming_dedup_never_duplicates_across_batches(spark, tmp_path):
     n, nd = got.count(), got.select("event_id").distinct().count()
     assert n == nd  # the invariant: never a duplicate emission
     assert nd <= 200
+
+
+def test_session_append_exactly_once_and_finished_subset(spark, sf_dir):
+    """Append-mode sessions must be (a) emitted exactly once, and
+    (b) precisely the complete-mode sessions whose window end has
+    passed the watermark (max event time - 1 min, inclusive)."""
+    from pyspark.sql import functions as F
+
+    from tradecat_spark.catalog import load_table
+    from tradecat_spark.plans.registry import load_all
+
+    specs = load_all()
+    ap = specs["streaming_session_append"].fn(spark, sf_dir).toPandas()
+    comp = (
+        specs["streaming_session_windows"].fn(spark, sf_dir).toPandas()
+    )
+    assert not ap.duplicated(["user_id", "session_start_us"]).any()
+
+    mx_us = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max(F.unix_micros("ts")))
+        .collect()[0][0]
+    )
+    finished = comp[comp["window_end_us"] <= mx_us - 60_000_000]
+    key = ["user_id", "session_start_us", "window_end_us", "n_events"]
+    a = ap[key].sort_values(key).reset_index(drop=True)
+    b = finished[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b), (
+        f"append rows != watermark-finished complete rows "
+        f"({len(a)} vs {len(b)})"
+    )
+    assert 0 < len(a) < len(comp)  # some finished, some still open

@@ -519,3 +519,199 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
     )
     return agg.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+
+
+@query(
+    "tpch_q4_order_priority",
+    survey="§2.3 semi-join family: TPC-H Q4 shape — EXISTS with a "
+    "correlated inter-column predicate, adapted to the driver schema "
+    "(no l_commitdate/l_receiptdate; 'late line' = shipped >= 90 days "
+    "after the order date)",
+    description="TPC-H Q4 (adapted): 1996-H1 order counts per priority "
+    "where some lineitem shipped >= 90 days after ordering",
+    oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+""",
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS compiles to a LEFT SEMI join on the order key with the
+    90-day lag as a residual join condition — one shuffle on orderkey,
+    no row multiplication however many lines match, and the half-year
+    scan predicate pushes to the orders parquet scan."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate")
+         >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate")
+           < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"]
+           >= o["o_orderdate"] + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "tpch_q12_priority_class",
+    survey="§2.4 conditional-CASE aggregation over a fact-fact join: "
+    "TPC-H Q12 shape, adapted (no l_shipmode; classes come from "
+    "l_returnflag, priority split unchanged)",
+    description="TPC-H Q12 (adapted): high/low-priority line counts per "
+    "return flag for 1996 shipments",
+    oracle="""
+SELECT l_returnflag,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+""",
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year predicate pushes to the lineitem scan BEFORE the join, so
+    the shuffle carries only the matching year; both CASE counts ride
+    the same partial aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate")
+         >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate")
+           < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    survey="§2.4 HAVING-filtered aggregate joined back to dims + §2.6 "
+    "top-K: TPC-H Q18 — large-quantity orders (threshold 180 for the "
+    "driver's quantity domain)",
+    description="TPC-H Q18 (adapted): top-20 orders with total quantity "
+    "> 180, with customer and order info",
+    oracle="""
+SELECT c_name, c_custkey, o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+  ROUND(CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DOUBLE), 6)
+    AS o_totalprice,
+  SUM(l_quantity) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING SUM(l_quantity) > 180
+ORDER BY total_qty DESC, o_orderkey ASC
+LIMIT 20
+""",
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantity rollup happens FIRST on the narrow (orderkey, qty)
+    projection and the >180 HAVING prunes before any join — the
+    surviving order set is tiny, so the orders and customer joins are
+    effectively dim joins and the final top-20 is a TakeOrdered.
+    Quantities are integer-valued doubles (< 2^53), so the sum is
+    order-independent-exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 180)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    j = (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    )
+    return j.select(
+        "c_name", "c_custkey", "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        F.round(_money("o_totalprice").cast("double"), 6)
+        .alias("o_totalprice"),
+        "total_qty",
+    ).orderBy(F.desc("total_qty"), F.asc("o_orderkey")).limit(20)
+
+
+@query(
+    "tpch_q19_bracket_revenue",
+    survey="§2.2 disjunctive predicate pushdown + §2.3 broadcast join: "
+    "TPC-H Q19 — OR'd brand/size/quantity brackets (no p_container in "
+    "the driver schema; size stands in)",
+    description="TPC-H Q19 (adapted): revenue from three OR'd "
+    "brand/size/quantity brackets",
+    oracle="""
+SELECT
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+      * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE), 6)
+    AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE
+     (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      AND l_quantity BETWEEN 1 AND 11)
+  OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+      AND l_quantity BETWEEN 10 AND 20)
+  OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 35
+      AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The brand∈{12,13,14} and quantity<=30 implied conjuncts are
+    derivable from the disjunction, so Catalyst pushes them below the
+    join (constraint propagation); part broadcasts; the full OR runs
+    as the residual join filter."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    bracket = (
+        ((brand == "Brand#12") & size.between(1, 15) & qty.between(1, 11))
+        | ((brand == "Brand#13") & size.between(1, 25) & qty.between(10, 20))
+        | ((brand == "Brand#14") & size.between(1, 35) & qty.between(20, 30))
+    )
+    disc_price = _money("l_extendedprice") * (1 - _rate("l_discount"))
+    return j.filter(bracket).agg(
+        F.round(F.sum(disc_price).cast("double"), 6).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

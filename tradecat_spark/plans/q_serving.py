@@ -437,6 +437,108 @@ def ai_context_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ai_context_assembly",
+    survey="§3.3 AI context assembly, full shape "
+    "(ai-service/src/data/fetcher.py:53-353): for EVERY (symbol, "
+    "interval, indicator-table) the latest row — the reference's "
+    "per-table `GROUP BY 周期 HAVING 数据时间=MAX(数据时间)` loop as ONE "
+    "Spark pass (closes the r3 'multi-interval HAVING-max not "
+    "registered' gap; ai_context_snapshot covers intervals only)",
+    description="Latest row per (symbol, interval, indicator table): "
+    "3 intervals × 3 tables matrix",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type, interval_label, bucket_ts, close, flow, hi, lo
+  FROM (
+    SELECT event_type, '1h' AS interval_label,
+           time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+           max_by(value, ts) AS close, {FLOW6_SQL} AS flow,
+           MAX(value) AS hi, MIN(value) AS lo
+    FROM events GROUP BY 1, 3
+    UNION ALL
+    SELECT event_type, '4h',
+           time_bucket(INTERVAL '4 hours', ts),
+           max_by(value, ts), {FLOW6_SQL}, MAX(value), MIN(value)
+    FROM events GROUP BY 1, 3
+    UNION ALL
+    SELECT event_type, '1d',
+           time_bucket(INTERVAL '1 day', ts),
+           max_by(value, ts), {FLOW6_SQL}, MAX(value), MIN(value)
+    FROM events GROUP BY 1, 3
+  )
+),
+latest AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY event_type, interval_label
+      ORDER BY bucket_ts DESC) AS rn,
+    CAST(COUNT(*) OVER (PARTITION BY event_type, interval_label)
+      AS BIGINT) AS n_buckets
+  FROM b
+)
+SELECT event_type, interval_label, t.panel_table,
+  strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS data_ts,
+  CASE t.panel_table WHEN 'candles' THEN close
+                     WHEN 'volume' THEN flow
+                     ELSE hi - lo END AS main_value,
+  n_buckets
+FROM latest, (SELECT UNNEST(['candles', 'volume', 'range'])
+              AS panel_table) t
+WHERE rn = 1
+""",
+)
+def ai_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference loops over every SQLite indicator table running
+    ``GROUP BY 周期 HAVING 数据时间=MAX(...)`` per table (fetcher.py:
+    116-129 of the shape cited above) — N tables × M intervals point
+    queries. Spark-first that collapses to: one multi-interval rollup
+    union, ONE window pass marking each (symbol, interval)'s latest
+    bucket, then ``stack`` unpivots the indicator families into
+    one-row-per-table — the same output contract (each table's latest
+    row per interval) with a single scan of the fact table and no
+    driver-side loop. Every value column is order-independent
+    (max_by/decimal-sum/min/max), so the driver hash is stable."""
+    e = _events(spark, sf_dir)
+    parts = []
+    for label, iv in [("1h", "1 hour"), ("4h", "4 hours"), ("1d", "1 day")]:
+        parts.append(
+            e.groupBy(
+                "event_type", F.window("ts", iv).start.alias("bucket_ts")
+            )
+            .agg(
+                F.max_by("value", "ts").alias("close"),
+                _flow6().alias("flow"),
+                F.max("value").alias("hi"),
+                F.min("value").alias("lo"),
+            )
+            .withColumn("interval_label", F.lit(label))
+        )
+    allb = parts[0]
+    for p in parts[1:]:
+        allb = allb.unionByName(p)
+    grp = Window.partitionBy("event_type", "interval_label")
+    latest = (
+        allb.withColumn(
+            "n_buckets", F.count(F.lit(1)).over(grp).cast("bigint")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(grp.orderBy(F.desc("bucket_ts"))),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return latest.selectExpr(
+        "event_type", "interval_label",
+        "stack(3, 'candles', close, 'volume', flow, 'range', hi - lo)"
+        " AS (panel_table, main_value)",
+        "date_format(bucket_ts, 'yyyy-MM-dd HH:mm:ss') AS data_ts",
+        "n_buckets",
+    ).select(
+        "event_type", "interval_label", "panel_table", "data_ts",
+        "main_value", "n_buckets",
+    )
+
+
+@query(
     "freshness_gate",
     survey="§2.2 P2/P3 freshness filter (sqlite_engine.py:138-147, "
     "pg_engine.py:510-519): drop rows older than 1.5× interval",

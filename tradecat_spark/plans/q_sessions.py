@@ -165,6 +165,66 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_session_append",
+    survey="§2.11 production emission path for session windows: append "
+    "mode + watermark — each session emitted EXACTLY ONCE when it can "
+    "no longer grow (closes the r3 'complete-mode-only drain' gap)",
+    description="Append-mode session windows: only watermark-finished "
+    "sessions, emitted once",
+    oracle=_BATCH_LAW + f"""
+, mx AS (SELECT MAX(epoch_us(ts)) AS mx_us FROM events)
+SELECT user_id, session_start_us,
+  session_end_us + {_GAP_US} AS window_end_us, n_events
+FROM sess, mx
+WHERE session_end_us + {_GAP_US} <= mx_us - 60000000
+""",
+)
+def streaming_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION emission path (complete mode re-emits the whole
+    result every trigger; append writes each finished session once).
+
+    Semantics, verified empirically and mirrored in the oracle: a
+    session window is emitted when ``window.end <= watermark``
+    (inclusive — a window ending exactly AT the watermark is flushed),
+    where after an ``availableNow`` drain the watermark is
+    ``max(event time) - delay`` (the post-drain no-data batch flushes
+    eligible state). Sessions still inside the watermark stay in the
+    state store awaiting growth — exactly the long-running deployment
+    contract: state per live session is a few scalars, the watermark
+    bounds how long a quiet session holds state, and the sink only ever
+    receives immutable finished rows (no revisions to compact away).
+    """
+    src = tempfile.mkdtemp(prefix="tc_sessap_src_")
+    ckpt = tempfile.mkdtemp(prefix="tc_sessap_ckpt_")
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    e.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy("user_id", F.session_window("ts", f"{GAP_SEC} seconds"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = f"tc_sessap_{uuid.uuid4().hex[:10]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros("session_window.start").alias("session_start_us"),
+        F.unix_micros("session_window.end").alias("window_end_us"),
+        "n_events",
+    )
+
+
+@query(
     "cohort_retention",
     survey="beyond-reference generic operator: cohort retention — the "
     "canonical product-analytics triangle (first-seen day cohorts x "

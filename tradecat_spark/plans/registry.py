@@ -77,6 +77,8 @@ def load_all() -> dict[str, QuerySpec]:
         q_cluster,
         q_sessions,
         q_reshape,
+        q_instruments,
+        q_scale,
     )
 
     return REGISTRY
