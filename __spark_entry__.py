@@ -80,6 +80,7 @@ _GATE_PRIORITY = (
     "tpch_q19_bracket_revenue",
     "bloom_prejoin_law",
     "zorder_curve_layout",
+    "streaming_stream_join",
     # --- checked r01 only — re-verify under current data generation
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q5_region_revenue", "top_customers_by_spend",

@@ -323,3 +323,33 @@ def test_q10_top20_is_take_ordered(spark, sf_dir):
     sort + limit."""
     plan = _plan(spark, "tpch_q10_returned_items", sf_dir)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q4_exists_is_left_semi(spark, sf_dir):
+    """The EXISTS must compile to one LEFT SEMI join (no row
+    multiplication however many lineitems match an order)."""
+    plan = _plan(spark, "tpch_q4_order_priority", sf_dir)
+    assert "LeftSemi" in plan, plan[:400]
+
+
+def test_q18_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, "tpch_q18_large_orders", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan[:400]
+    assert "BroadcastHashJoin" in plan  # customer dim never shuffles
+
+
+def test_instruments_enrich_broadcasts_dim(spark, sf_dir):
+    """SCD2 validity-window join: equi-key broadcast hash join with the
+    range as residual — never a SortMergeJoin or nested loop."""
+    plan = _plan(spark, "instruments_asof_enrich", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:400]
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_probe_has_no_fact_shuffle_for_filter(spark, sf_dir):
+    """The bloom filter must reach the probe side as a broadcast (the
+    whole point: membership testing without shuffling the fact side)."""
+    plan = _plan(spark, "bloom_prejoin_law", sf_dir)
+    assert "BroadcastExchange" in plan, plan[:400]
+    assert "SortMergeJoin" not in plan

@@ -715,3 +715,102 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events")
     )
+
+
+@query(
+    "streaming_stream_join",
+    survey="§2.11-adjacent marquee feature: watermarked STREAM-STREAM "
+    "interval join (state on both sides, time-range condition bounding "
+    "state cleanup) — clicks joined to purchases within the preceding "
+    "hour, hash-checked against the batch interval-join law",
+    description="Stream-stream join: per-user clicks within 1h before "
+    "each purchase, aggregated to pair counts and gap bounds",
+    oracle="""
+SELECT p.user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(COUNT(DISTINCT p.event_id) AS BIGINT) AS n_purchases,
+  MIN(epoch_us(p.ts) - epoch_us(c.ts)) AS min_gap_us,
+  MAX(epoch_us(p.ts) - epoch_us(c.ts)) AS max_gap_us
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+  AND c.ts >= p.ts - INTERVAL 1 HOUR
+  AND c.ts <= p.ts
+GROUP BY p.user_id
+""",
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both sides are unbounded streams with their own watermarks; the
+    time-range join condition (`click in [purchase - 1h, purchase]`)
+    is what lets Spark BOUND both state stores — a click older than
+    (click watermark + 1h) can never match a future purchase and is
+    evicted, the canonical stream-stream join contract. An INNER join
+    emits pairs as they match, independent of watermark passage, so an
+    availableNow drain yields exactly the batch interval join and the
+    result is hash-comparable. (Outer stream-stream joins emit their
+    NULL rows only on watermark expiry — the append-sessions query
+    covers that emission discipline.)
+
+    Scale: state is per-user rows inside a 1h sliding band, shuffled
+    once on user_id for both sides (co-partitioned by the join key);
+    eviction keeps each store O(events/hour), not O(history)."""
+    src = tempfile.mkdtemp(prefix="tc_ssj_src_")
+    ckpt = tempfile.mkdtemp(prefix="tc_ssj_ckpt_")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "ts"
+    )
+    e.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    # Stateful shuffles can't use AQE, so a 200-partition default means
+    # 200 state stores PER SIDE for a per-user join — pure task/commit
+    # overhead at gate scale (measured 23 s → ~5 s at 32). The width is
+    # fixed at the FIRST micro-batch by the checkpoint, so pin it
+    # before .start() and restore after the drain. At 100 TB you size
+    # this to cluster cores once, for the life of the checkpoint.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+    def side(flt, alias_prefix):
+        s = (
+            spark.readStream.schema(schema).parquet(src)
+            .filter(flt)
+            .withWatermark("ts", "10 minutes")
+        )
+        return s.select(
+            *[F.col(c).alias(f"{alias_prefix}_{c}") for c in s.columns]
+        )
+
+    p = side(F.col("event_type") == "purchase", "p")
+    c = side(F.col("event_type") == "click", "c")
+    joined = p.join(
+        c,
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    name = f"tc_ssj_{uuid.uuid4().hex[:10]}"
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    gap = F.unix_micros("p_ts") - F.unix_micros("c_ts")
+    return spark.table(name).groupBy(
+        F.col("p_user_id").alias("user_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("p_event_id").alias("n_purchases"),
+        F.min(gap).alias("min_gap_us"),
+        F.max(gap).alias("max_gap_us"),
+    )
