@@ -1,0 +1,126 @@
+"""Laws for the scale-path operators (plans/q_scale.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tradecat_spark.plans.q_scale import (
+    _BUCKET_DIV,
+    _M,
+    _WORD_BITS,
+    _ZDOM,
+    _z_expr,
+)
+
+
+def _morton_py(x: int, y: int) -> int:
+    z = 0
+    for i in range(8):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@given(
+    st.integers(min_value=0, max_value=_ZDOM - 1),
+    st.integers(min_value=0, max_value=_ZDOM - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_zorder_sql_expr_matches_bit_interleave(x, y):
+    """The div/mod arithmetic rendering must equal true bit
+    interleaving, and deinterleaving must round-trip (the property that
+    makes per-bucket x/y spans tight)."""
+    con = duckdb.connect()
+    (z,) = con.execute(
+        f"SELECT {_z_expr(str(x), str(y), '//')}"
+    ).fetchone()
+    assert z == _morton_py(x, y)
+    # deinterleave: even bits → x, odd bits → y
+    xr = sum(((z >> (2 * i)) & 1) << i for i in range(8))
+    yr = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
+    assert (xr, yr) == (x, y)
+
+
+def test_zorder_buckets_are_tiles():
+    """Every 256-code bucket is one 16×16 (x, y) tile: all codes in a
+    bucket share their high interleaved bits, so both key spans are
+    bounded by 16 — THE locality guarantee the gated query reports."""
+    tile = {}
+    for x in range(_ZDOM):
+        for y in range(0, _ZDOM, 7):
+            b = _morton_py(x, y) // _BUCKET_DIV
+            lo_x, hi_x, lo_y, hi_y = tile.get(
+                b, (x, x, y, y)
+            )
+            tile[b] = (
+                min(lo_x, x), max(hi_x, x), min(lo_y, y), max(hi_y, y)
+            )
+    for b, (lo_x, hi_x, lo_y, hi_y) in tile.items():
+        assert hi_x - lo_x < 16, b
+        assert hi_y - lo_y < 16, b
+
+
+def test_zorder_beats_single_key_layout_for_cross_predicates(spark):
+    """A selective x-range predicate must overlap strictly fewer
+    Z-buckets than day-only buckets (where every bucket spans all x) —
+    the file-skipping win the layout buys. Needs sf0.01: at sf0.001 the
+    user domain fits ONE 16-wide x tile and the ratio is undefined."""
+    from tradecat_spark.plans.registry import load_all
+
+    rows = (
+        load_all()["zorder_curve_layout"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    assert len(rows) > 3
+    x0, x1 = 0, 15  # one x tile
+    z_overlap = sum(
+        1 for r in rows if not (r.x_max < x0 or r.x_min > x1)
+    )
+    # day-bucketing baseline: every day bucket holds (almost) the full
+    # x range, so the same predicate overlaps every bucket
+    assert z_overlap < len(rows) / 2, (z_overlap, len(rows))
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=10**6), max_size=40),
+    st.lists(st.integers(min_value=0, max_value=10**6), max_size=40),
+)
+@settings(max_examples=30, deadline=None)
+def test_bloom_never_false_negative(keys, probes):
+    """For ANY key set, every inserted key must test positive — the law
+    the gated query's n_missed = 0 row asserts on the driver data."""
+    con = duckdb.connect()
+
+    def positions(k: int) -> list[int]:
+        out = []
+        for i in range(3):
+            (p,) = con.execute(
+                f"SELECT ('0x' || substr(md5('{k}'), {1 + 8 * i}, 8))"
+                f"::BIGINT % {_M}"
+            ).fetchone()
+            out.append(p)
+        return out
+
+    words: dict[int, int] = {}
+    for k in keys:
+        for p in positions(k):
+            words[p // _WORD_BITS] = words.get(p // _WORD_BITS, 0) | (
+                1 << (p % _WORD_BITS)
+            )
+
+    def member(k: int) -> bool:
+        return all(
+            words.get(p // _WORD_BITS, 0) & (1 << (p % _WORD_BITS))
+            for p in positions(k)
+        )
+
+    for k in keys:
+        assert member(k)
+    for q in probes:
+        if q in keys:
+            assert member(q)
+        # non-members may false-positive; that's the contract
