@@ -40,18 +40,15 @@ def _warm_python_workers(spark) -> None:
     spark.range(0, nparts, 1, nparts).mapInPandas(_touch, "id long").count()
 
 
-def _bench_streaming(spark, n_symbols: int = 600, warm: bool = False) -> dict[str, float]:
+def _bench_streaming(spark, n_symbols: int = 600) -> dict[str, float]:
     """End-to-end streaming freshness at the reference's burst shape.
 
     BASELINE targets: 1m ingest→queryable < 5 s (600 symbols closing per
     minute), rollup freshness < 10 s. Measures one full micro-batch
     cycle of the real machinery: file source → foreachBatch merge-upsert
-    store, and the watermarked 5m rollup of the same bars.
-
-    ``warm=True`` runs the identical machinery at 1/100 scale first so
-    the timed cycle measures the micro-batch, not one-time stream-query
-    planning/state-store init (a warm service's steady state — the
-    reference's ingest loop and CA refresh are long-running processes).
+    store, and the watermarked 5m rollup of the same bars. The FIRST
+    call of a session pays stream-query planning/state-store init and
+    is reported as the cold number; later calls are steady state.
     """
     import tempfile
 
@@ -59,9 +56,6 @@ def _bench_streaming(spark, n_symbols: int = 600, warm: bool = False) -> dict[st
 
     from tradecat_spark.streaming.ingest import start_candle_ingest
     from tradecat_spark.streaming.rollup import streaming_ohlcv
-
-    if warm:
-        _bench_streaming(spark, n_symbols=max(n_symbols // 100, 1))
 
     base = tempfile.mkdtemp(prefix="tc_bench_stream_")
     src, store = f"{base}/src", f"{base}/store"
@@ -121,10 +115,10 @@ def main() -> None:
     specs = load_all()
     bench_specs = {n: s for n, s in specs.items() if s.bench}
 
-    # warm the JVM/catalog and the Python worker pool once so per-query
-    # numbers measure the queries (steady state of a long-lived service),
-    # not one-time process startup
-    next(iter(bench_specs.values())).fn(spark, sf_dir).count()
+    # warm the JVM (codegen, session state) and the Python worker pool
+    # with THROWAWAY work only — warming with a benched query would
+    # pre-heat its page cache and make its "cold" number warm
+    spark.range(0, 1_000_000).selectExpr("sum(id)").collect()
     _warm_python_workers(spark)
 
     # Two numbers per query, so round-over-round comparisons are

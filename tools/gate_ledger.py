@@ -31,9 +31,15 @@ GATE_CAP = 50
 
 def build_ledger() -> dict[str, dict]:
     ledger: dict[str, dict] = {}
-    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
-        m = re.search(r"r(\d+)", path.name)
-        rnd = int(m.group(1)) if m else -1
+    # sort by the PARSED round number, not filename: lexicographic order
+    # breaks on unpadded names (r4 after r05..r09) and at r100 vs r11+,
+    # letting a stale round overwrite a newer one
+    paths = sorted(
+        REPO.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    for path in paths:
+        rnd = int(re.search(r"r(\d+)", path.name).group(1))
         data = json.loads(path.read_text())
         for name, row in data.items():
             if not isinstance(row, dict):

@@ -770,7 +770,6 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # before .start() and restore after the drain. At 100 TB you size
     # this to cluster cores once, for the life of the checkpoint.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
 
     def side(flt, alias_prefix):
         s = (
@@ -793,6 +792,9 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"tc_ssj_{uuid.uuid4().hex[:10]}"
     try:
+        # set inside the try so an AnalysisException during stream start
+        # can't leak the narrowed width into the shared driver session
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
