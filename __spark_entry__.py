@@ -81,6 +81,7 @@ _GATE_PRIORITY = (
     "bloom_prejoin_law",
     "zorder_curve_layout",
     "streaming_stream_join",
+    "streaming_stream_outer_join",
     # --- checked r01 only — re-verify under current data generation
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q5_region_revenue", "top_customers_by_spend",

@@ -816,3 +816,144 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(gap).alias("min_gap_us"),
         F.max(gap).alias("max_gap_us"),
     )
+
+
+@query(
+    "streaming_stream_outer_join",
+    survey="§2.11-adjacent: LEFT OUTER stream-stream join — NULL rows "
+    "materialize only on watermark expiry (matched rows emit "
+    "immediately), the second half of the stream-join emission "
+    "discipline streaming_stream_join's inner case can't show",
+    description="Left-outer stream-stream join: matched rows plus "
+    "unmatched purchases finalized by the two-sided global watermark",
+    oracle="""
+WITH wm AS (
+  SELECT LEAST(
+    (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'purchase'),
+    (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'click')
+  ) - 600000000 AS wm_us
+),
+p AS (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT p.user_id, p.ts AS p_ts, c.ts AS c_ts
+  FROM p LEFT JOIN c
+    ON c.user_id = p.user_id
+    AND c.ts >= p.ts - INTERVAL 1 HOUR
+    AND c.ts <= p.ts
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN c_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_unmatched,
+  COALESCE(MIN(epoch_us(p_ts) - epoch_us(c_ts)), -1) AS min_gap_us,
+  COALESCE(MAX(epoch_us(p_ts) - epoch_us(c_ts)), -1) AS max_gap_us
+FROM j, wm
+WHERE c_ts IS NOT NULL OR epoch_us(p_ts) < wm_us
+GROUP BY user_id
+""",
+)
+def streaming_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER adds the delayed half of the emission contract:
+    matched pairs emit in the micro-batch that matches them; an
+    unmatched left row becomes a NULL-padded output only once the
+    watermark proves no future click can land in its window.
+
+    The flush boundary is the query's GLOBAL watermark, which with two
+    watermarked sides is the MIN over both nodes of (that side's max
+    event time − delay) — NOT the overall max. Derived empirically
+    across three parameterizations (what first looked like an
+    "interval/2 margin" was exactly the purchase side's own lagging
+    max): a NULL row emits iff ``p_ts < min(max_p, max_c) − delay``,
+    STRICT (a purchase exactly at the global watermark is held). The
+    oracle reproduces that two-sided minimum, so the full outer result
+    is hash-gated with no excluded band.
+
+    Scale posture is the inner join's (both stores watermark-bounded);
+    the extra cost of outer emission is one eviction scan per batch.
+    ``COALESCE(.., -1)`` keeps the gap columns BIGINT on both engines —
+    an all-NULL aggregate would dtype-flip to float64 and break the
+    representation-sensitive driver hash."""
+    src = tempfile.mkdtemp(prefix="tc_ssoj_src_")
+    ckpt = tempfile.mkdtemp(prefix="tc_ssoj_ckpt_")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "ts"
+    )
+    e.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def side(flt, alias_prefix):
+        s = (
+            spark.readStream.schema(schema).parquet(src)
+            .filter(flt)
+            .withWatermark("ts", "10 minutes")
+        )
+        return s.select(
+            *[F.col(c).alias(f"{alias_prefix}_{c}") for c in s.columns]
+        )
+
+    p = side(F.col("event_type") == "purchase", "p")
+    c = side(F.col("event_type") == "click", "c")
+    joined = p.join(
+        c,
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    )
+    name = f"tc_ssoj_{uuid.uuid4().hex[:10]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    gap = F.unix_micros("p_ts") - F.unix_micros("c_ts")
+    wm = e.agg(
+        (
+            F.least(
+                F.max(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.unix_micros("ts"),
+                    )
+                ),
+                F.max(
+                    F.when(
+                        F.col("event_type") == "click",
+                        F.unix_micros("ts"),
+                    )
+                ),
+            )
+            - F.lit(600_000_000)
+        ).alias("wm_us")
+    )
+    finalized = (
+        spark.table(name)
+        .crossJoin(F.broadcast(wm))
+        .filter(
+            F.col("c_ts").isNotNull()
+            | (F.unix_micros("p_ts") < F.col("wm_us"))
+        )
+    )
+    return finalized.groupBy(
+        F.col("p_user_id").alias("user_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("c_ts").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_unmatched"),
+        F.coalesce(F.min(gap), F.lit(-1).cast("bigint"))
+        .alias("min_gap_us"),
+        F.coalesce(F.max(gap), F.lit(-1).cast("bigint"))
+        .alias("max_gap_us"),
+    )
