@@ -82,6 +82,7 @@ _GATE_PRIORITY = (
     "zorder_curve_layout",
     "streaming_stream_join",
     "streaming_stream_outer_join",
+    "streaming_chained_stateful",
     # --- checked r01 only — re-verify under current data generation
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q5_region_revenue", "top_customers_by_spend",

@@ -957,3 +957,104 @@ def streaming_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.max(gap), F.lit(-1).cast("bigint"))
         .alias("max_gap_us"),
     )
+
+
+@query(
+    "streaming_chained_stateful",
+    survey="§2.11-adjacent: CHAINED stateful operators in one streaming "
+    "query (stream-stream join feeding a windowed aggregation — legal "
+    "since Spark 3.5/4.x watermark propagation), daily pair counts "
+    "emitted on window finalization",
+    description="Stream-stream join piped into a tumbling 1-day append "
+    "aggregation in a single streaming query",
+    oracle="""
+WITH wm AS (
+  SELECT LEAST(
+    (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'purchase'),
+    (SELECT MAX(epoch_us(ts)) FROM events WHERE event_type = 'click')
+  ) - 600000000 AS wm_us
+),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+pairs AS (
+  SELECT p.ts AS p_ts
+  FROM p JOIN c
+    ON c.user_id = p.user_id
+    AND c.ts >= p.ts - INTERVAL 1 HOUR
+    AND c.ts <= p.ts
+),
+w AS (
+  SELECT time_bucket(INTERVAL '1 day', p_ts) AS wstart,
+    CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY 1
+)
+SELECT epoch_us(wstart) AS window_start_us,
+  epoch_us(wstart + INTERVAL 1 DAY) AS window_end_us,
+  n_pairs
+FROM w, wm
+WHERE epoch_us(wstart + INTERVAL 1 DAY) <= wm_us
+""",
+)
+def streaming_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO stateful operators in ONE streaming query — the interval
+    join's two state stores feed a tumbling-window aggregation's store
+    downstream, exercising cross-operator watermark propagation (the
+    join must forward ``p_ts`` as a valid event-time column for the agg
+    to window on). Append mode finalizes a day window once the global
+    watermark passes its end (inclusive, like session windows); the
+    global watermark follows the two-sided law documented on
+    ``streaming_stream_outer_join`` — min over both watermark nodes of
+    (side max − delay). One pipeline, three state stores, zero
+    intermediate sinks: the batch re-derivation (join → group →
+    watermark filter) is the oracle."""
+    src = tempfile.mkdtemp(prefix="tc_chain_src_")
+    ckpt = tempfile.mkdtemp(prefix="tc_chain_ckpt_")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "ts"
+    )
+    e.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def side(flt, alias_prefix):
+        s = (
+            spark.readStream.schema(schema).parquet(src)
+            .filter(flt)
+            .withWatermark("ts", "10 minutes")
+        )
+        return s.select(
+            *[F.col(c).alias(f"{alias_prefix}_{c}") for c in s.columns]
+        )
+
+    p = side(F.col("event_type") == "purchase", "p")
+    c = side(F.col("event_type") == "click", "c")
+    joined = p.join(
+        c,
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    daily = joined.groupBy(F.window("p_ts", "1 day")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    name = f"tc_chain_{uuid.uuid4().hex[:10]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        q = (
+            daily.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name).select(
+        F.unix_micros("window.start").alias("window_start_us"),
+        F.unix_micros("window.end").alias("window_end_us"),
+        "n_pairs",
+    )
