@@ -78,6 +78,8 @@ _GATE_PRIORITY = (
     "tpch_q12_priority_class",
     "tpch_q18_large_orders",
     "tpch_q19_bracket_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
     "bloom_prejoin_law",
     "zorder_curve_layout",
     "streaming_stream_join",

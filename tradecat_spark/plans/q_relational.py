@@ -715,3 +715,193 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(disc_price).cast("double"), 6).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    survey="§2.3 two-path dim resolution on one fact row: TPC-H Q7 — "
+    "supplier nation × customer nation trade volume per year "
+    "(NATION_1/NATION_2 stand in for FRANCE/GERMANY)",
+    description="TPC-H Q7 (adapted): bilateral NATION_1/NATION_2 "
+    "shipping volume per ship year",
+    oracle="""
+SELECT supp_nation, cust_nation, l_year,
+  ROUND(CAST(SUM(volume) AS DOUBLE), 6) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+    CAST(l_extendedprice AS DECIMAL(18,6))
+      * (1 - CAST(l_discount AS DECIMAL(8,6))) AS volume
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+)
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One fact row resolves TWO independent dimension paths (supplier
+    nation and customer nation); all four dims broadcast, the nation
+    pair disjunction runs as a residual after the joins, and the
+    two-year range pushes to the lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate")
+         >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate")
+           < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount",
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    j = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cu), o["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    volume = _money("l_extendedprice") * (1 - _rate("l_discount"))
+    return j.groupBy(
+        "supp_nation", "cust_nation",
+        F.year("l_shipdate").cast("bigint").alias("l_year"),
+    ).agg(
+        F.round(F.sum(volume).cast("double"), 6).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    survey="§2.4 conditional share-of-total over a 5-dim star: TPC-H Q8 "
+    "— NATION_1's share of AMERICA-customer revenue per year for one "
+    "part type",
+    description="TPC-H Q8 (adapted): NATION_1 supplier market share in "
+    "AMERICA per order year",
+    oracle=f"""
+SELECT l_year,
+  {ratio6_sql(
+      "CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_1' "
+      "THEN volume ELSE CAST(0 AS DECIMAL(18,6)) END) * 100) AS BIGINT)",
+      "CAST(ROUND(SUM(volume) * 100) AS BIGINT)",
+  )} AS mkt_share,
+  ROUND(CAST(SUM(volume) AS DOUBLE), 6) AS total_volume,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS l_year,
+    n1.n_name AS supp_nation,
+    CAST(l_extendedprice AS DECIMAL(18,6))
+      * (1 - CAST(l_discount AS DECIMAL(8,6))) AS volume
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  WHERE r_name = 'AMERICA'
+    AND p_type LIKE 'PROMO%'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+)
+GROUP BY l_year
+""",
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five broadcast dims around one fact scan; the share is a
+    conditional decimal sum over the total decimal sum, computed via
+    the exact scaled-integer ``ratio6`` so the Spark/DuckDB midpoint
+    behavior is identical (volumes are DECIMAL(·,6), so ×100 … the
+    cents trick generalized — keeps both operands exact int64)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount",
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type").like("PROMO%")
+    ).select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate")
+         >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate")
+           < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    n2 = n.join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    ).select(F.col("n_nationkey").alias("n2_key"))
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cu), o["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+    )
+    volume = _money("l_extendedprice") * (1 - _rate("l_discount"))
+    nation_vol = F.sum(
+        F.when(F.col("supp_nation") == "NATION_1", volume)
+        .otherwise(F.lit(0).cast("decimal(18,6)"))
+    )
+    total_vol = F.sum(volume)
+    return j.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("l_year")
+    ).agg(
+        ratio6(
+            F.round(nation_vol * 100).cast("bigint"),
+            F.round(total_vol * 100).cast("bigint"),
+        ).alias("mkt_share"),
+        F.round(total_vol.cast("double"), 6).alias("total_volume"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
