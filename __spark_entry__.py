@@ -80,6 +80,7 @@ _GATE_PRIORITY = (
     "tpch_q19_bracket_revenue",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
+    "tpch_q22_global_sales_opportunity",
     "bloom_prejoin_law",
     "zorder_curve_layout",
     "streaming_stream_join",
@@ -146,6 +147,22 @@ _GATE_PRIORITY = (
     "signal_threshold_cross_sql", "single_token_panel",
     "stats_profile_by_type", "streaming_rollup_5m",
     "streaming_signals_parity", "text_vocab_topk",
+    # r4 overflow — see _ACKNOWLEDGED_OVERFLOW
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+)
+
+#: Round 4 registered 51 never-driver-checked queries — one more than
+#: the 50-slot gate window holds. These two are the documented
+#: overflow: the simplest of the round's additions (single-fact
+#: broadcast shapes), each verified by the sf0.01 driver-mimic AND the
+#: sf0.001 pytest oracle this round. FIRST IN LINE for round 5's
+#: window; tools/gate_ledger.py keeps printing them until they get a
+#: driver row, and tests/test_gate_rotation.py fails on any stranded
+#: query NOT named here.
+_ACKNOWLEDGED_OVERFLOW = (
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
 )
 
 

@@ -84,16 +84,23 @@ def main() -> int:
 
     registered = set(entry.queries())
     debt = unchecked(ledger, registered)
+    acked = set(getattr(entry, "_ACKNOWLEDGED_OVERFLOW", ()))
     missing = sorted(debt - set(slots))
     print(f"ledger: {len(ledger)} queries checked across rounds")
     print(f"registered: {len(registered)}; never-green: {len(debt)}")
     print(f"gate[:{GATE_CAP}]: {len(slots)} slots filled")
-    if missing:
-        print(f"ROTATION DEBT — never-green but OUTSIDE the gate window:")
-        for n in missing:
+    unacked = [n for n in missing if n not in acked]
+    for n in missing:
+        tag = "acknowledged overflow" if n in acked else "UNACKED"
+        print(f"  debt: {n} ({tag})")
+    if unacked:
+        print("ROTATION DEBT — never-green, outside the window, "
+              "NOT acknowledged:")
+        for n in unacked:
             print(f"  - {n}")
         return 1
-    print("rotation OK: every never-green query is inside the gate window")
+    print("rotation OK: all never-green queries are in the gate window "
+          "or explicitly acknowledged for next round")
     return 0
 
 

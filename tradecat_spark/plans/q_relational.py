@@ -905,3 +905,158 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(total_vol.cast("double"), 6).alias("total_volume"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    survey="§2.4/§2.6 share-the-aggregate shape: TPC-H Q15 — the "
+    "revenue 'view' reused for both the per-supplier rows and the "
+    "MAX threshold (no second scan of the fact table)",
+    description="TPC-H Q15 (adapted): supplier(s) with maximum "
+    "1996-Q1 revenue",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+    ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+        * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE), 6)
+      AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quarter revenue rollup is computed ONCE and reused for both
+    sides of the classic Q15 shape: the per-supplier rows and the
+    scalar MAX threshold (a 1-row broadcast join, not a rescan).
+    Comparing the ROUNDED doubles keeps the equality test identical on
+    both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate")
+         >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate")
+           < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    disc_price = _money("l_extendedprice") * (1 - _rate("l_discount"))
+    revenue = li.groupBy(
+        F.col("l_suppkey").alias("supplier_no")
+    ).agg(
+        F.round(F.sum(disc_price).cast("double"), 6)
+        .alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx_rev"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "tpch_q17_small_qty_revenue",
+    survey="§2.4 correlated-average subquery: TPC-H Q17 — lines under "
+    "20% of their part's average quantity, as ONE window pass instead "
+    "of a per-part rescan",
+    description="TPC-H Q17 (adapted): weekly-ized revenue of "
+    "small-quantity orders for one brand",
+    oracle="""
+SELECT
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+    / 7.0, 6) AS avg_yearly,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM (
+  SELECT l_extendedprice, l_quantity,
+    AVG(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#12'
+)
+WHERE l_quantity < 0.2 * avg_qty
+""",
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic correlated ``l_quantity < 0.2 * (SELECT AVG ...)``
+    decorrelates into one window average per part over the
+    brand-pruned join — no per-part rescan, no second shuffle beyond
+    the window's own. Quantities are integer-valued doubles, so the
+    window AVG (exact sum / count) is order-independent and the 0.2×
+    comparison lands identically on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#12"
+    ).select("p_partkey")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    w = Window.partitionBy("l_partkey")
+    small = j.withColumn(
+        "avg_qty", F.avg("l_quantity").over(w)
+    ).filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    return small.agg(
+        F.round(
+            F.sum(_money("l_extendedprice")).cast("double") / 7.0, 6
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "tpch_q22_global_sales_opportunity",
+    survey="§2.3 anti-join + scalar-subquery threshold: TPC-H Q22 — "
+    "rich never-ordered customers per segment (c_custkey % 7 stands in "
+    "for the phone country code the driver schema lacks)",
+    description="TPC-H Q22 (adapted): above-average-balance customers "
+    "with no orders, counted per derived segment",
+    oracle="""
+WITH thresh AS (
+  SELECT AVG(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0
+)
+SELECT CAST(c_custkey % 7 AS BIGINT) AS cntrycode,
+  CAST(COUNT(*) AS BIGINT) AS numcust,
+  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 6)
+    AS totacctbal
+FROM customer, thresh
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY 1
+""",
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar AVG threshold broadcasts as a 1-row side; NOT EXISTS is a
+    LEFT ANTI join on the customer key against the date-pruned orders
+    scan (no RECENT orders — lapsed customers; 'no orders ever' is
+    empty on the driver data and would gate a trivial hash). c_acctbal is 2dp so the decimal
+    totals are exact; the threshold comparison itself runs on the same
+    double on both engines (exact sum / count)."""
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    thresh = cu.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate")
+        >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    rich = cu.crossJoin(F.broadcast(thresh)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    never = rich.join(
+        o, rich["c_custkey"] == o["o_custkey"], "left_anti"
+    )
+    return never.groupBy(
+        (F.col("c_custkey") % 7).cast("bigint").alias("cntrycode")
+    ).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum(_money("c_acctbal")).cast("double"), 6)
+        .alias("totacctbal"),
+    )
