@@ -353,3 +353,30 @@ def test_bloom_probe_has_no_fact_shuffle_for_filter(spark, sf_dir):
     plan = _plan(spark, "bloom_prejoin_law", sf_dir)
     assert "BroadcastExchange" in plan, plan[:400]
     assert "SortMergeJoin" not in plan
+
+
+def test_instruments_windows_partition_every_event(spark, sf_dir):
+    """SCD2 law: the version validity windows partition [min_ts, ∞) per
+    symbol, so EVERY hourly bar resolves to exactly one version — no
+    dropped bars (a window gap) and no duplicates (an overlap)."""
+    from pyspark.sql import functions as F
+
+    from tradecat_spark.catalog import load_table
+    from tradecat_spark.plans.registry import load_all
+
+    enriched = load_all()["instruments_asof_enrich"].fn(spark, sf_dir)
+    n_enriched = enriched.count()
+    e = load_table(spark, sf_dir, "events")
+    n_bars = (
+        e.select("event_type", F.date_trunc("hour", "ts").alias("b"))
+        .distinct()
+        .count()
+    )
+    assert n_enriched == n_bars, (n_enriched, n_bars)
+    dup = (
+        enriched.groupBy("event_type", "bucket_us")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0

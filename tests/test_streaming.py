@@ -1007,3 +1007,78 @@ def test_session_append_exactly_once_and_finished_subset(spark, sf_dir):
         f"({len(a)} vs {len(b)})"
     )
     assert 0 < len(a) < len(comp)  # some finished, some still open
+
+
+def test_stream_join_state_survives_checkpoint_restart(spark, tmp_path):
+    """An interval-join match that STRADDLES a restart (click stored in
+    run 1's state, purchase arriving in run 2) must still emit — the
+    join state stores live in the checkpoint, not the process."""
+    src = str(tmp_path / "ssj_src")
+    ckpt = str(tmp_path / "ssj_ckpt")
+    out = str(tmp_path / "ssj_out")
+    t0 = pd.Timestamp("2025-01-01 00:00:00")
+
+    def write(rows):
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["event_type", "user_id", "ts"])
+        ).write.mode("append").parquet(src)
+
+    def run():
+        schema = "event_type string, user_id long, ts timestamp"
+
+        def side(t, p):
+            s = (
+                spark.readStream.schema(schema).parquet(src)
+                .filter(F.col("event_type") == t)
+                .withWatermark("ts", "10 minutes")
+            )
+            return s.select(
+                *[F.col(c).alias(f"{p}_{c}") for c in s.columns]
+            )
+
+        j = side("purchase", "p").join(
+            side("click", "c"),
+            (F.col("c_user_id") == F.col("p_user_id"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+            "inner",
+        )
+        q = (
+            j.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    m = pd.Timedelta  # minutes helper
+    # run 1: a click that will match a FUTURE purchase, plus one
+    # same-batch pair for user 2
+    write([
+        ("click", 1, t0 + m("60m")),
+        ("click", 2, t0 + m("90m")),
+        ("purchase", 2, t0 + m("100m")),
+    ])
+    run()
+    # run 2 (same checkpoint): purchase 50 min after user 1's stored
+    # click — cross-restart match; in-order arrival (>= run-1 max)
+    write([
+        ("purchase", 1, t0 + m("110m")),
+        ("click", 3, t0 + m("115m")),
+        ("purchase", 3, t0 + m("120m")),
+    ])
+    run()
+
+    got = sorted(
+        (r.p_user_id, r.p_ts, r.c_ts)
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted([
+        (1, t0 + m("110m"), t0 + m("60m")),   # straddles the restart
+        (2, t0 + m("100m"), t0 + m("90m")),
+        (3, t0 + m("120m"), t0 + m("115m")),
+    ])
+    assert got == want, got
