@@ -56,3 +56,29 @@ def ratio6_sql(num_sql: str, den_sql: str) -> str:
 
 def cents_sql(col_sql: str) -> str:
     return f"CAST(ROUND(({col_sql}) * 100) AS BIGINT)"
+
+
+def mean6(col6: Column) -> Column:
+    """Aggregate: ``round(avg(col6), 6)`` with half-away-from-zero ties,
+    exact in int64, for a column ALREADY rounded to 6dp.
+
+    ``ROUND(SUM(decimal)/COUNT, 6)`` in doubles hits decimal midpoints
+    systematically — sums of 6dp-rounded values over integer counts —
+    and Spark/DuckDB round() land on opposite sides (found by the r4
+    sf0.1 mimic on the bigram LM scorer). Since col6·1e6 is an exact
+    integer, the micro-unit mean is one integer division."""
+    s6 = F.sum(F.round(col6 * 1_000_000).cast("long"))
+    n = F.count(F.lit(1))
+    sign = F.when(s6 >= 0, F.lit(1)).otherwise(F.lit(-1))
+    micros = F.call_function("div", F.abs(s6) * 2 + n, n * 2)
+    return sign * micros / F.lit(1_000_000.0)
+
+
+def mean6_sql(col_sql: str) -> str:
+    """DuckDB rendering of the same exact 6dp mean (aggregate context)."""
+    s6 = f"CAST(SUM(CAST(ROUND(({col_sql}) * 1000000) AS BIGINT)) AS BIGINT)"
+    return (
+        f"(CASE WHEN {s6} >= 0 THEN 1 ELSE -1 END)"
+        f" * ((ABS({s6}) * 2 + COUNT(*)) // (2 * COUNT(*)))"
+        f" / 1000000.0"
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tradecat_spark.catalog import load_table
+from tradecat_spark.plans.exact import mean6
 from tradecat_spark.plans.registry import query
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -588,8 +589,10 @@ SELECT label,
   CAST(COUNT(*) AS BIGINT) AS n_vecs,
   CAST(MAX(dim) AS BIGINT) AS dim,
   CAST(MIN(dim) = MAX(dim) AS BOOLEAN) AS dim_consistent,
-  ROUND(CAST(SUM(CAST(norm6 AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6)
-    AS mean_norm,
+  (CASE WHEN CAST(SUM(CAST(ROUND((norm6) * 1000000) AS BIGINT)) AS BIGINT) >= 0
+    THEN 1 ELSE -1 END)
+    * ((ABS(CAST(SUM(CAST(ROUND((norm6) * 1000000) AS BIGINT)) AS BIGINT)) * 2
+        + COUNT(*)) // (2 * COUNT(*))) / 1000000.0 AS mean_norm,
   MIN(norm6) AS min_norm,
   MAX(norm6) AS max_norm,
   CAST(SUM(CASE WHEN norm6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
@@ -619,11 +622,9 @@ def embedding_norms_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         F.max("dim").cast("long").alias("dim"),
         (F.min("dim") == F.max("dim")).alias("dim_consistent"),
-        F.round(
-            F.sum(F.col("norm6").cast("decimal(18,8)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("mean_norm"),
+        # exact micro-unit mean (see exact.mean6: the double-ROUND
+        # form hits engine-divergent midpoints at larger SF)
+        mean6(F.col("norm6")).alias("mean_norm"),
         F.min("norm6").alias("min_norm"),
         F.max("norm6").alias("max_norm"),
         F.sum(F.when(F.col("norm6") == 0, 1).otherwise(0)).cast("long")

@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tradecat_spark.catalog import load_table
-from tradecat_spark.plans.exact import ratio6_sql
+from tradecat_spark.plans.exact import mean6, ratio6_sql
 from tradecat_spark.plans.registry import query
 
 N_SEEDS = 8          # minhash permutations
@@ -1440,8 +1440,7 @@ d AS (
 ),
 agg AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-    ROUND(CAST(SUM(CAST(lp AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6)
-      AS avg_logprob
+    (CASE WHEN CAST(SUM(CAST(ROUND((lp) * 1000000) AS BIGINT)) AS BIGINT) >= 0 THEN 1 ELSE -1 END) * ((ABS(CAST(SUM(CAST(ROUND((lp) * 1000000) AS BIGINT)) AS BIGINT)) * 2 + COUNT(*)) // (2 * COUNT(*))) / 1000000.0 AS avg_logprob
   FROM d GROUP BY doc_id
 )
 SELECT doc_id, n_tokens, avg_logprob,
@@ -1471,11 +1470,9 @@ def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = lp.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.round(
-            F.sum(F.col("lp").cast("decimal(18,8)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("avg_logprob"),
+        # exact micro-unit mean: ROUND(sum/count, 6) in doubles hits
+        # engine-divergent midpoints at larger SF (see exact.mean6)
+        mean6(F.col("lp")).alias("avg_logprob"),
     )
     wr = Window.orderBy("avg_logprob")
     return agg.select(
@@ -1579,13 +1576,17 @@ lp AS (
   SELECT bg.doc_id,
     ROUND(ln((bc.c2 + 1.0) / (uc.c1 + v.vocab)), 6) AS lp
   FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+    -- exact micro-unit mean (see exact.mean6_sql: double ROUND of
+    -- sum/count hits engine-divergent midpoints at larger SF)
+    (CASE WHEN CAST(SUM(CAST(ROUND((lp) * 1000000) AS BIGINT)) AS BIGINT) >= 0 THEN 1 ELSE -1 END) * ((ABS(CAST(SUM(CAST(ROUND((lp) * 1000000) AS BIGINT)) AS BIGINT)) * 2 + COUNT(*)) // (2 * COUNT(*))) / 1000000.0 AS avg_logprob
+  FROM lp GROUP BY doc_id
 )
-SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-  ROUND(CAST(SUM(CAST(lp AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6)
-    AS avg_logprob,
-  ROUND(exp(-ROUND(CAST(SUM(CAST(lp AS DECIMAL(18,8))) AS DOUBLE)
-        / COUNT(*), 6)), 4) AS ppl_proxy
-FROM lp GROUP BY doc_id
+SELECT doc_id, n_bigrams, avg_logprob,
+  ROUND(exp(-avg_logprob), 4) AS ppl_proxy
+FROM agg
 """,
 )
 def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1626,11 +1627,9 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lp"),
         )
     )
-    avg = F.round(
-        F.sum(F.col("lp").cast("decimal(18,8)")).cast("double")
-        / F.count(F.lit(1)),
-        6,
-    )
+    # lp is 6dp-rounded → exact micro-unit mean (see exact.mean6; the
+    # double-ROUND form disagreed between engines at sf0.1, r4 find)
+    avg = mean6(F.col("lp"))
     return lp.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         avg.alias("avg_logprob"),
