@@ -152,8 +152,9 @@ _GATE_PRIORITY = (
     "tpch_q17_small_qty_revenue",
 )
 
-#: Round 4 registered 51 never-driver-checked queries — one more than
-#: the 50-slot gate window holds. These two are the documented
+#: Round 4's debt (51 never-checked + the r3 hash-red
+#: pack_context_windows = 52 queries owing a result) exceeds the
+#: 50-slot window by two. These two are the documented
 #: overflow: the simplest of the round's additions (single-fact
 #: broadcast shapes), each verified by the sf0.01 driver-mimic AND the
 #: sf0.001 pytest oracle this round. FIRST IN LINE for round 5's

@@ -33,13 +33,14 @@ def build_ledger() -> dict[str, dict]:
     ledger: dict[str, dict] = {}
     # sort by the PARSED round number, not filename: lexicographic order
     # breaks on unpadded names (r4 after r05..r09) and at r100 vs r11+,
-    # letting a stale round overwrite a newer one
-    paths = sorted(
-        REPO.glob("CORRECTNESS_r*.json"),
-        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
-    )
-    for path in paths:
-        rnd = int(re.search(r"r(\d+)", path.name).group(1))
+    # letting a stale round overwrite a newer one; names the glob hits
+    # but the regex can't parse are skipped, not crashed on
+    parsed = []
+    for path in REPO.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"r(\d+)", path.name)
+        if m:
+            parsed.append((int(m.group(1)), path))
+    for rnd, path in sorted(parsed):
         data = json.loads(path.read_text())
         for name, row in data.items():
             if not isinstance(row, dict):
@@ -62,15 +63,24 @@ def gate_slots() -> list[str]:
 
 
 def unchecked(ledger: dict[str, dict], registered: set[str]) -> set[str]:
-    """Registered queries with no green hash/rows row in any round."""
-    return {
-        n
-        for n in registered
-        if not (
-            ledger.get(n, {}).get("hash_match")
-            or ledger.get(n, {}).get("rows_match")
-        )
-    }
+    """Registered queries that still owe the gate a result: never
+    checked in any round, or last checked with a RED hash (a rows-only
+    green does not retire hash debt for a query that HAS an oracle —
+    e.g. pack_context_windows was rows-green/hash-red in r3 and
+    absolutely still needed a slot)."""
+    import __spark_entry__ as entry
+
+    oracles = set(entry.oracle_sql())
+    out = set()
+    for n in registered:
+        row = ledger.get(n)
+        if row is None:
+            out.add(n)
+        elif n in oracles and not row.get("hash_match"):
+            out.add(n)
+        elif n not in oracles and not row.get("rows_match"):
+            out.add(n)
+    return out
 
 
 def main() -> int:

@@ -931,11 +931,13 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 """,
 )
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The quarter revenue rollup is computed ONCE and reused for both
-    sides of the classic Q15 shape: the per-supplier rows and the
-    scalar MAX threshold (a 1-row broadcast join, not a rescan).
-    Comparing the ROUNDED doubles keeps the equality test identical on
-    both engines."""
+    """The classic Q15 'view reused twice' shape realized as ONE
+    physical pass: the MAX threshold is an unpartitioned window over
+    the |suppliers|-row rollup output (tiny — never the fact table), so
+    the quarter's lineitem scan and aggregation execute exactly once
+    (a broadcast-join formulation would re-execute the rollup subtree
+    for the scalar side). Comparing the ROUNDED doubles keeps the
+    equality test identical on both engines."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate")
          >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -949,14 +951,15 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(disc_price).cast("double"), 6)
         .alias("total_revenue")
     )
-    mx = revenue.agg(F.max("total_revenue").alias("mx_rev"))
     s = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name"
     )
+    w = Window.partitionBy()  # over the rollup output, not the fact
+    top = revenue.withColumn(
+        "mx_rev", F.max("total_revenue").over(w)
+    ).filter(F.col("total_revenue") == F.col("mx_rev"))
     return (
-        revenue.crossJoin(F.broadcast(mx))
-        .filter(F.col("total_revenue") == F.col("mx_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        top.join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 

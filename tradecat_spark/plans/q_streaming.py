@@ -717,6 +717,85 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Shared scaffolding for the stream-stream interval-join family
+# ---------------------------------------------------------------------------
+_SSJ_INTERVAL = "INTERVAL 1 HOUR"
+_SSJ_DELAY = "10 minutes"
+
+
+def _interval_join_stream(spark: SparkSession, sf_dir: str, how: str):
+    """Two watermarked sides (purchases, clicks) of the events stream
+    joined on user within the preceding-hour band. Returns
+    ``(joined, src_dir)`` — the caller drains and then removes the
+    source dir. One definition so the three join queries (inner,
+    left-outer, chained) can never diverge on the condition, delay, or
+    column aliasing."""
+    src = tempfile.mkdtemp(prefix="tc_ssj_src_")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "ts"
+    )
+    e.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def side(flt, alias_prefix):
+        s = (
+            spark.readStream.schema(schema).parquet(src)
+            .filter(flt)
+            .withWatermark("ts", _SSJ_DELAY)
+        )
+        return s.select(
+            *[F.col(c).alias(f"{alias_prefix}_{c}") for c in s.columns]
+        )
+
+    p = side(F.col("event_type") == "purchase", "p")
+    c = side(F.col("event_type") == "click", "c")
+    joined = p.join(
+        c,
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(_SSJ_INTERVAL))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        how,
+    )
+    return joined, src
+
+
+def _drain_append(spark: SparkSession, sdf: DataFrame, prefix: str,
+                  src: str) -> DataFrame:
+    """availableNow append drain to a memory sink with the stateful
+    shuffle width pinned (AQE can't touch stateful shuffles; the
+    200-partition default is per-store commit overhead — set INSIDE the
+    try so an analysis error can't leak the narrowed width into the
+    shared driver session, restored after). The source and checkpoint
+    dirs are removed post-drain — the memory sink holds the rows, so
+    repeated gate/bench/mimic cycles don't accumulate /tmp copies of
+    the events table."""
+    import shutil
+
+    ckpt = tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
+    name = f"{prefix}_{uuid.uuid4().hex[:10]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.table(name)
+
+
 @query(
     "streaming_stream_join",
     survey="§2.11-adjacent marquee feature: watermarked STREAM-STREAM "
@@ -755,60 +834,10 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: state is per-user rows inside a 1h sliding band, shuffled
     once on user_id for both sides (co-partitioned by the join key);
     eviction keeps each store O(events/hour), not O(history)."""
-    src = tempfile.mkdtemp(prefix="tc_ssj_src_")
-    ckpt = tempfile.mkdtemp(prefix="tc_ssj_ckpt_")
-    e = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type", "user_id", "ts"
-    )
-    e.write.mode("overwrite").parquet(src)
-    schema = spark.read.parquet(src).schema
-
-    # Stateful shuffles can't use AQE, so a 200-partition default means
-    # 200 state stores PER SIDE for a per-user join — pure task/commit
-    # overhead at gate scale (measured 23 s → ~5 s at 32). The width is
-    # fixed at the FIRST micro-batch by the checkpoint, so pin it
-    # before .start() and restore after the drain. At 100 TB you size
-    # this to cluster cores once, for the life of the checkpoint.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-
-    def side(flt, alias_prefix):
-        s = (
-            spark.readStream.schema(schema).parquet(src)
-            .filter(flt)
-            .withWatermark("ts", "10 minutes")
-        )
-        return s.select(
-            *[F.col(c).alias(f"{alias_prefix}_{c}") for c in s.columns]
-        )
-
-    p = side(F.col("event_type") == "purchase", "p")
-    c = side(F.col("event_type") == "click", "c")
-    joined = p.join(
-        c,
-        (F.col("c_user_id") == F.col("p_user_id"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("c_ts") <= F.col("p_ts")),
-        "inner",
-    )
-    name = f"tc_ssj_{uuid.uuid4().hex[:10]}"
-    try:
-        # set inside the try so an AnalysisException during stream start
-        # can't leak the narrowed width into the shared driver session
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-        q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    joined, src = _interval_join_stream(spark, sf_dir, "inner")
+    drained = _drain_append(spark, joined, "tc_ssj", src)
     gap = F.unix_micros("p_ts") - F.unix_micros("c_ts")
-    return spark.table(name).groupBy(
+    return drained.groupBy(
         F.col("p_user_id").alias("user_id")
     ).agg(
         F.count(F.lit(1)).alias("n_pairs"),
@@ -875,49 +904,9 @@ def streaming_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``COALESCE(.., -1)`` keeps the gap columns BIGINT on both engines —
     an all-NULL aggregate would dtype-flip to float64 and break the
     representation-sensitive driver hash."""
-    src = tempfile.mkdtemp(prefix="tc_ssoj_src_")
-    ckpt = tempfile.mkdtemp(prefix="tc_ssoj_ckpt_")
-    e = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type", "user_id", "ts"
-    )
-    e.write.mode("overwrite").parquet(src)
-    schema = spark.read.parquet(src).schema
-
-    def side(flt, alias_prefix):
-        s = (
-            spark.readStream.schema(schema).parquet(src)
-            .filter(flt)
-            .withWatermark("ts", "10 minutes")
-        )
-        return s.select(
-            *[F.col(c).alias(f"{alias_prefix}_{c}") for c in s.columns]
-        )
-
-    p = side(F.col("event_type") == "purchase", "p")
-    c = side(F.col("event_type") == "click", "c")
-    joined = p.join(
-        c,
-        (F.col("c_user_id") == F.col("p_user_id"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("c_ts") <= F.col("p_ts")),
-        "left_outer",
-    )
-    name = f"tc_ssoj_{uuid.uuid4().hex[:10]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-        q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    joined, src = _interval_join_stream(spark, sf_dir, "left_outer")
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    drained = _drain_append(spark, joined, "tc_ssoj", src)
     gap = F.unix_micros("p_ts") - F.unix_micros("c_ts")
     wm = e.agg(
         (
@@ -939,7 +928,7 @@ def streaming_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wm_us")
     )
     finalized = (
-        spark.table(name)
+        drained
         .crossJoin(F.broadcast(wm))
         .filter(
             F.col("c_ts").isNotNull()
@@ -1007,53 +996,12 @@ def streaming_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     (side max − delay). One pipeline, three state stores, zero
     intermediate sinks: the batch re-derivation (join → group →
     watermark filter) is the oracle."""
-    src = tempfile.mkdtemp(prefix="tc_chain_src_")
-    ckpt = tempfile.mkdtemp(prefix="tc_chain_ckpt_")
-    e = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type", "user_id", "ts"
-    )
-    e.write.mode("overwrite").parquet(src)
-    schema = spark.read.parquet(src).schema
-
-    def side(flt, alias_prefix):
-        s = (
-            spark.readStream.schema(schema).parquet(src)
-            .filter(flt)
-            .withWatermark("ts", "10 minutes")
-        )
-        return s.select(
-            *[F.col(c).alias(f"{alias_prefix}_{c}") for c in s.columns]
-        )
-
-    p = side(F.col("event_type") == "purchase", "p")
-    c = side(F.col("event_type") == "click", "c")
-    joined = p.join(
-        c,
-        (F.col("c_user_id") == F.col("p_user_id"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("c_ts") <= F.col("p_ts")),
-        "inner",
-    )
+    joined, src = _interval_join_stream(spark, sf_dir, "inner")
     daily = joined.groupBy(F.window("p_ts", "1 day")).agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
-    name = f"tc_chain_{uuid.uuid4().hex[:10]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
-        q = (
-            daily.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-        q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name).select(
+    drained = _drain_append(spark, daily, "tc_chain", src)
+    return drained.select(
         F.unix_micros("window.start").alias("window_start_us"),
         F.unix_micros("window.end").alias("window_end_us"),
         "n_pairs",
