@@ -68,6 +68,10 @@ def main() -> int:
         try:
             sdf = qs[name](spark, sf_dir).toPandas()
             if name not in oracles:
+                # the real driver's rows check fails empty results —
+                # mirror it or the mimic green-lights a regression
+                if len(sdf) == 0:
+                    raise AssertionError("rows-only query returned 0 rows")
                 results[name] = f"rows-only ({len(sdf)} rows)"
             else:
                 odf = con.execute(oracles[name]).fetchdf()

@@ -721,8 +721,9 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q7_volume_shipping",
     survey="§2.3 two-path dim resolution on one fact row: TPC-H Q7 — "
     "supplier nation × customer nation trade volume per year "
-    "(NATION_1/NATION_2 stand in for FRANCE/GERMANY)",
-    description="TPC-H Q7 (adapted): bilateral NATION_1/NATION_2 "
+    "(NATION_12/NATION_11 stand in for FRANCE/GERMANY — chosen "
+    "non-empty even at sf0.001 so the local oracle test is not vacuous)",
+    description="TPC-H Q7 (adapted): bilateral NATION_12/NATION_11 "
     "shipping volume per ship year",
     oracle="""
 SELECT supp_nation, cust_nation, l_year,
@@ -739,8 +740,8 @@ FROM (
   JOIN customer ON c_custkey = o_custkey
   JOIN nation n1 ON s_nationkey = n1.n_nationkey
   JOIN nation n2 ON c_nationkey = n2.n_nationkey
-  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_11')
+      OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_12'))
     AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
 )
@@ -789,12 +790,12 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
             (
-                (F.col("supp_nation") == "NATION_1")
-                & (F.col("cust_nation") == "NATION_2")
+                (F.col("supp_nation") == "NATION_12")
+                & (F.col("cust_nation") == "NATION_11")
             )
             | (
-                (F.col("supp_nation") == "NATION_2")
-                & (F.col("cust_nation") == "NATION_1")
+                (F.col("supp_nation") == "NATION_11")
+                & (F.col("cust_nation") == "NATION_12")
             )
         )
     )
@@ -1020,38 +1021,44 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with no orders, counted per derived segment",
     oracle="""
 WITH thresh AS (
-  SELECT AVG(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pos,
+    CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s_cents
+  FROM customer WHERE c_acctbal > 0.0
 )
 SELECT CAST(c_custkey % 7 AS BIGINT) AS cntrycode,
   CAST(COUNT(*) AS BIGINT) AS numcust,
   ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 6)
     AS totacctbal
 FROM customer, thresh
-WHERE c_acctbal > avg_bal
+WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * n_pos > s_cents
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
     AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
 GROUP BY 1
 """,
 )
 def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar AVG threshold broadcasts as a 1-row side; NOT EXISTS is a
+    """Scalar threshold broadcasts as a 1-row side; NOT EXISTS is a
     LEFT ANTI join on the customer key against the date-pruned orders
     scan (no RECENT orders — lapsed customers; 'no orders ever' is
-    empty on the driver data and would gate a trivial hash). c_acctbal is 2dp so the decimal
-    totals are exact; the threshold comparison itself runs on the same
-    double on both engines (exact sum / count)."""
+    empty on the driver data and would gate a trivial hash). The
+    'balance above average' test is INTEGER-exact:
+    ``cents(bal) · n_pos > Σcents`` avoids both the order-dependent
+    double SUM and the division — a double AVG threshold can flip a
+    borderline customer between engines (the same midpoint/ulp class
+    exact.mean6 exists for); c_acctbal is 2dp so cents are exact."""
     cu = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_acctbal"
     )
     thresh = cu.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum(cents(F.col("c_acctbal"))).alias("s_cents"),
     )
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate")
         >= F.lit("1999-01-01 00:00:00").cast("timestamp")
     ).select("o_custkey")
     rich = cu.crossJoin(F.broadcast(thresh)).filter(
-        F.col("c_acctbal") > F.col("avg_bal")
+        cents(F.col("c_acctbal")) * F.col("n_pos") > F.col("s_cents")
     )
     never = rich.join(
         o, rich["c_custkey"] == o["o_custkey"], "left_anti"

@@ -115,6 +115,34 @@ def sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _session_drain(spark: SparkSession, sf_dir: str, prefix: str,
+                   output_mode: str) -> DataFrame:
+    """Shared session-window drain: events → file stream →
+    session_window(GAP) count agg → memory sink via the join family's
+    ``_drain_append`` (pinned stateful shuffle width, completion
+    assert, src/ckpt cleanup — the scaffolding q_streaming centralized
+    in r4)."""
+    from tradecat_spark.plans.q_streaming import _drain_append
+
+    src = tempfile.mkdtemp(prefix=f"{prefix}_src_")
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    e.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy("user_id", F.session_window("ts", f"{GAP_SEC} seconds"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    t = _drain_append(spark, agg, prefix, src, output_mode=output_mode)
+    return t.select(
+        "user_id",
+        F.unix_micros("session_window.start").alias("session_start_us"),
+        F.unix_micros("session_window.end").alias("window_end_us"),
+        "n_events",
+    )
+
+
 @query(
     "streaming_session_windows",
     survey="§2.11-adjacent: REAL F.session_window streaming aggregation "
@@ -134,34 +162,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     window end opens a NEW session) matches the batch law's
     ``diff >= gap`` break. See the module docstring for why complete
     mode (update is rejected for merging windows)."""
-    src = tempfile.mkdtemp(prefix="tc_sess_src_")
-    ckpt = tempfile.mkdtemp(prefix="tc_sess_ckpt_")
-    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    e.write.mode("overwrite").parquet(src)
-    schema = spark.read.parquet(src).schema
-    stream = spark.readStream.schema(schema).parquet(src)
-    agg = (
-        stream.withWatermark("ts", "1 minute")
-        .groupBy("user_id", F.session_window("ts", f"{GAP_SEC} seconds"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
-    name = f"tc_sess_{uuid.uuid4().hex[:10]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
-    return spark.table(name).select(
-        "user_id",
-        F.unix_micros("session_window.start").alias("session_start_us"),
-        F.unix_micros("session_window.end").alias("window_end_us"),
-        "n_events",
-    )
+    return _session_drain(spark, sf_dir, "tc_sess", "complete")
 
 
 @query(
@@ -194,34 +195,7 @@ def streaming_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds how long a quiet session holds state, and the sink only ever
     receives immutable finished rows (no revisions to compact away).
     """
-    src = tempfile.mkdtemp(prefix="tc_sessap_src_")
-    ckpt = tempfile.mkdtemp(prefix="tc_sessap_ckpt_")
-    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    e.write.mode("overwrite").parquet(src)
-    schema = spark.read.parquet(src).schema
-    stream = spark.readStream.schema(schema).parquet(src)
-    agg = (
-        stream.withWatermark("ts", "1 minute")
-        .groupBy("user_id", F.session_window("ts", f"{GAP_SEC} seconds"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
-    name = f"tc_sessap_{uuid.uuid4().hex[:10]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    q.stop()
-    return spark.table(name).select(
-        "user_id",
-        F.unix_micros("session_window.start").alias("session_start_us"),
-        F.unix_micros("session_window.end").alias("window_end_us"),
-        "n_events",
-    )
+    return _session_drain(spark, sf_dir, "tc_sessap", "append")
 
 
 @query(

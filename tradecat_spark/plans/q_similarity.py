@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tradecat_spark.catalog import load_table
-from tradecat_spark.plans.exact import mean6
+from tradecat_spark.plans.exact import mean6, mean6_sql
 from tradecat_spark.plans.registry import query
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -577,7 +577,7 @@ def ann_multiprobe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "L2-norm stats, zero/near-unit vector counts, dimension check "
     "(the pre-index sanity pass an ANN build runs first)",
     description="Per-label embedding norm statistics and degenerate-vector counts",
-    oracle="""
+    oracle=f"""
 WITH n AS (
   SELECT label, len(embedding) AS dim,
     ROUND(sqrt(list_reduce(
@@ -589,10 +589,7 @@ SELECT label,
   CAST(COUNT(*) AS BIGINT) AS n_vecs,
   CAST(MAX(dim) AS BIGINT) AS dim,
   CAST(MIN(dim) = MAX(dim) AS BOOLEAN) AS dim_consistent,
-  (CASE WHEN CAST(SUM(CAST(ROUND((norm6) * 1000000) AS BIGINT)) AS BIGINT) >= 0
-    THEN 1 ELSE -1 END)
-    * ((ABS(CAST(SUM(CAST(ROUND((norm6) * 1000000) AS BIGINT)) AS BIGINT)) * 2
-        + COUNT(*)) // (2 * COUNT(*))) / 1000000.0 AS mean_norm,
+  {mean6_sql('norm6')} AS mean_norm,
   MIN(norm6) AS min_norm,
   MAX(norm6) AS max_norm,
   CAST(SUM(CASE WHEN norm6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,

@@ -763,7 +763,7 @@ def _interval_join_stream(spark: SparkSession, sf_dir: str, how: str):
 
 
 def _drain_append(spark: SparkSession, sdf: DataFrame, prefix: str,
-                  src: str) -> DataFrame:
+                  src: str, output_mode: str = "append") -> DataFrame:
     """availableNow append drain to a memory sink with the stateful
     shuffle width pinned (AQE can't touch stateful shuffles; the
     200-partition default is per-store commit overhead — set INSIDE the
@@ -782,13 +782,16 @@ def _drain_append(spark: SparkSession, sdf: DataFrame, prefix: str,
         q = (
             sdf.writeStream.format("memory")
             .queryName(name)
-            .outputMode("append")
+            .outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
         q.stop()
+        # a timed-out drain would leave a PARTIAL memory table — an
+        # inscrutable hash red downstream; fail loudly instead
+        assert finished, "streaming drain did not finish within 300s"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(ckpt, ignore_errors=True)

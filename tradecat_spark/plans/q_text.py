@@ -18,6 +18,12 @@ from pyspark.sql import functions as F
 
 from tradecat_spark.catalog import load_table
 from tradecat_spark.plans.exact import mean6, ratio6_sql
+from tradecat_spark.plans.exact import mean6_sql
+
+#: shared rendering of the exact 6dp mean of the per-token log-prob —
+#: interpolated into the unigram and bigram oracles so the SQL can't
+#: drift from the Spark-side exact.mean6
+_MEAN6_LP = mean6_sql("lp")
 from tradecat_spark.plans.registry import query
 
 N_SEEDS = 8          # minhash permutations
@@ -1428,7 +1434,7 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "proxy + bottom-decile flag (the cheap stand-in for the KenLM "
     "perplexity filters real pipelines run)",
     description="Per-doc unigram log-prob, perplexity proxy, low-quality flag",
-    oracle="""
+    oracle=f"""
 WITH w AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
 ),
@@ -1440,7 +1446,7 @@ d AS (
 ),
 agg AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-    (CASE WHEN CAST(SUM(CAST(ROUND((lp) * 1000000) AS BIGINT)) AS BIGINT) >= 0 THEN 1 ELSE -1 END) * ((ABS(CAST(SUM(CAST(ROUND((lp) * 1000000) AS BIGINT)) AS BIGINT)) * 2 + COUNT(*)) // (2 * COUNT(*))) / 1000000.0 AS avg_logprob
+    {_MEAN6_LP} AS avg_logprob
   FROM d GROUP BY doc_id
 )
 SELECT doc_id, n_tokens, avg_logprob,
@@ -1560,7 +1566,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the KenLM filters than the unigram proxy; same rounding "
     "discipline)",
     description="Per-doc smoothed bigram log-prob + perplexity proxy",
-    oracle="""
+    oracle=f"""
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
 ),
@@ -1581,7 +1587,7 @@ agg AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
     -- exact micro-unit mean (see exact.mean6_sql: double ROUND of
     -- sum/count hits engine-divergent midpoints at larger SF)
-    (CASE WHEN CAST(SUM(CAST(ROUND((lp) * 1000000) AS BIGINT)) AS BIGINT) >= 0 THEN 1 ELSE -1 END) * ((ABS(CAST(SUM(CAST(ROUND((lp) * 1000000) AS BIGINT)) AS BIGINT)) * 2 + COUNT(*)) // (2 * COUNT(*))) / 1000000.0 AS avg_logprob
+    {_MEAN6_LP} AS avg_logprob
   FROM lp GROUP BY doc_id
 )
 SELECT doc_id, n_bigrams, avg_logprob,
