@@ -28,65 +28,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: then the round-1-only rows (every r02-checked row was green and
 #: unchanged, so they rotate to the back and re-enter next round).
 _GATE_PRIORITY = (
-    # --- slots 1-28: the r3 additions that have NEVER been driver-checked
-    # (sat at positions 51-78 last round, past the 50-slot cap — r3
-    # verdict item 2). First in line until they get a hash_match row.
-    "ind_cdl_singles_parity",
-    "ind_cdl_pairs_parity",
-    "ind_cdl_triples_parity",
-    "ind_cdl_wide_parity",
-    "ind_chart_patterns_parity",
-    "streaming_obv_parity",
-    "streaming_cvd_parity",
-    "text_tfidf_topk",
-    "mm_audio_windows",
-    "quality_bigram_logprob",
-    "sessionize_user_events",
-    "streaming_session_windows",
-    "cohort_retention",
-    "approx_quantiles_sample",  # re-shaped r4: sample-only production plan
-    "funnel_conversion",
-    "skew_salted_join_law",
-    "data_contract_expectations",
-    "tpch_q6_forecast_revenue",
-    "tpch_q14_promo_effect",
-    "tpch_q10_returned_items",
-    "pivot_event_matrix",
-    "rollup_region_revenue",
-    "unpivot_daily_metrics",
-    "streaming_dedup_ingest",
-    "range_bin_join_law",
-    "cluster_assignments",
-    "asof_direction_variants",
-    "ntile_value_quartiles",
-    # --- r3's one red row, re-queued after its oracle fix (the window
-    # SUM now CASTs to BIGINT; values were verified equal at sf0.01)
-    "pack_context_windows",
-    # --- never in the tuple at all (ledger-found r4): heavyweight
-    # Python-surface queries; oracle-less rows get the rows-only check
-    "indicator_batch_150x7",
-    "indicator_surface_1h",
-    "signal_rule_events",
-    "signal_rule_pack_129",
-    # --- new this round (r4)
-    "quantile_error_eval",
-    "ai_context_assembly",
-    "streaming_session_append",
-    "instruments_scd2_dim",
-    "instruments_asof_enrich",
-    "tpch_q4_order_priority",
-    "tpch_q12_priority_class",
-    "tpch_q18_large_orders",
-    "tpch_q19_bracket_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q22_global_sales_opportunity",
-    "bloom_prejoin_law",
-    "zorder_curve_layout",
-    "streaming_stream_join",
-    "streaming_stream_outer_join",
-    "streaming_chained_stateful",
-    # --- checked r01 only — re-verify under current data generation
+    # --- slots 1-2: round 4's acknowledged overflow, first in line
+    # (r4 verdict item 1b) — never driver-checked, builder-mimic green
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    # --- new r5 queries (inserted here as they land this round)
+    # --- r1-vintage re-verification (r4 verdict item 4): these 49 rows
+    # were hash-green in round 1 only, under the oldest data generation;
+    # rotate them through until no query has last_checked_round == 1.
+    # ~34 fit this round behind the new additions; the tail re-enters r6.
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q5_region_revenue", "top_customers_by_spend",
     "orders_with_discounted_lines", "customers_without_orders",
@@ -105,6 +55,60 @@ _GATE_PRIORITY = (
     "dedup_clusters", "dedup_ngram_jaccard", "dedup_simhash",
     "text_token_stats", "text_lang_id", "text_quality_score",
     "text_fingerprint", "ann_cosine_topk",
+    # --- oracle-less Python-surface queries: rows-only debt RETIRED in
+    # r4 (spark_rows > 0, err=no_oracle — tools/gate_ledger.py rule);
+    # value-gated by their checksum twins + pytest pandas oracles
+    "indicator_batch_150x7",
+    "indicator_surface_1h",
+    "signal_rule_events",
+    "signal_rule_pack_129",
+    # --- green r4 (CORRECTNESS_r04.json), unchanged code → back of line
+    "ind_cdl_singles_parity",
+    "ind_cdl_pairs_parity",
+    "ind_cdl_triples_parity",
+    "ind_cdl_wide_parity",
+    "ind_chart_patterns_parity",
+    "streaming_obv_parity",
+    "streaming_cvd_parity",
+    "text_tfidf_topk",
+    "mm_audio_windows",
+    "quality_bigram_logprob",
+    "sessionize_user_events",
+    "streaming_session_windows",
+    "cohort_retention",
+    "approx_quantiles_sample",
+    "funnel_conversion",
+    "skew_salted_join_law",
+    "data_contract_expectations",
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_effect",
+    "tpch_q10_returned_items",
+    "pivot_event_matrix",
+    "rollup_region_revenue",
+    "unpivot_daily_metrics",
+    "streaming_dedup_ingest",
+    "range_bin_join_law",
+    "cluster_assignments",
+    "asof_direction_variants",
+    "ntile_value_quartiles",
+    "pack_context_windows",
+    "quantile_error_eval",
+    "ai_context_assembly",
+    "streaming_session_append",
+    "instruments_scd2_dim",
+    "instruments_asof_enrich",
+    "tpch_q4_order_priority",
+    "tpch_q12_priority_class",
+    "tpch_q18_large_orders",
+    "tpch_q19_bracket_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q22_global_sales_opportunity",
+    "bloom_prejoin_law",
+    "zorder_curve_layout",
+    "streaming_stream_join",
+    "streaming_stream_outer_join",
+    "streaming_chained_stateful",
     # --- green r3 (CORRECTNESS_r03.json), unchanged code → back of line
     "signal_pack_sql_rules",
     "streaming_macd_parity", "streaming_atr_parity",
@@ -147,24 +151,13 @@ _GATE_PRIORITY = (
     "signal_threshold_cross_sql", "single_token_panel",
     "stats_profile_by_type", "streaming_rollup_5m",
     "streaming_signals_parity", "text_vocab_topk",
-    # r4 overflow — see _ACKNOWLEDGED_OVERFLOW
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
 )
 
-#: Round 4's debt (51 never-checked + the r3 hash-red
-#: pack_context_windows = 52 queries owing a result) exceeds the
-#: 50-slot window by two. These two are the documented
-#: overflow: the simplest of the round's additions (single-fact
-#: broadcast shapes), each verified by the sf0.01 driver-mimic AND the
-#: sf0.001 pytest oracle this round. FIRST IN LINE for round 5's
-#: window; tools/gate_ledger.py keeps printing them until they get a
-#: driver row, and tests/test_gate_rotation.py fails on any stranded
-#: query NOT named here.
-_ACKNOWLEDGED_OVERFLOW = (
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-)
+#: Empty since round 5: the r4 overflow pair (tpch_q15/q17) rotated
+#: into slots 1-2, and the gate-ledger retirement rule for oracle-less
+#: rows (tools/gate_ledger.py) means debt can no longer exceed the
+#: window unless a round adds >50 genuinely new queries.
+_ACKNOWLEDGED_OVERFLOW = ()
 
 
 def _ordered_specs():

@@ -49,6 +49,8 @@ def build_ledger() -> dict[str, dict]:
                 "last_checked_round": rnd,
                 "hash_match": bool(row.get("hash_match")),
                 "rows_match": bool(row.get("rows_match")),
+                "spark_rows": row.get("spark_rows"),
+                "err": row.get("err"),
             }
     return ledger
 
@@ -67,7 +69,16 @@ def unchecked(ledger: dict[str, dict], registered: set[str]) -> set[str]:
     checked in any round, or last checked with a RED hash (a rows-only
     green does not retire hash debt for a query that HAS an oracle —
     e.g. pack_context_windows was rows-green/hash-red in r3 and
-    absolutely still needed a slot)."""
+    absolutely still needed a slot).
+
+    Retirement rule for oracle-less queries (r4 verdict item 1c): the
+    driver records ``rows_match: None, err: 'no_oracle'`` for a query
+    with no ``oracle_sql()`` entry — the strongest result the driver can
+    ever produce for it. A row with ``spark_rows > 0`` under that err
+    therefore RETIRES the debt (the query ran and returned rows; its
+    values are gated by its checksum twin + pytest). Without this rule
+    those queries pin gate slots forever and the saturation invariant in
+    tests/test_gate_rotation.py can never hold again."""
     import __spark_entry__ as entry
 
     oracles = set(entry.oracle_sql())
@@ -79,7 +90,12 @@ def unchecked(ledger: dict[str, dict], registered: set[str]) -> set[str]:
         elif n in oracles and not row.get("hash_match"):
             out.add(n)
         elif n not in oracles and not row.get("rows_match"):
-            out.add(n)
+            rows_only_green = (
+                row.get("err") == "no_oracle"
+                and (row.get("spark_rows") or 0) > 0
+            )
+            if not rows_only_green:
+                out.add(n)
     return out
 
 
