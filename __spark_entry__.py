@@ -33,6 +33,9 @@ _GATE_PRIORITY = (
     "tpch_q15_top_supplier",
     "tpch_q17_small_qty_revenue",
     # --- new r5 queries (inserted here as they land this round)
+    "indicator_surface_checksum",
+    "indicator_batch_checksum",
+    "signal_rule_events_checksum",
     # --- r1-vintage re-verification (r4 verdict item 4): these 49 rows
     # were hash-green in round 1 only, under the oldest data generation;
     # rotate them through until no query has last_checked_round == 1.
