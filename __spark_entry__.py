@@ -36,6 +36,8 @@ _GATE_PRIORITY = (
     "indicator_surface_checksum",
     "indicator_batch_checksum",
     "signal_rule_events_checksum",
+    "tpch_q20_excess_shippers",
+    "tpch_q21_suppliers_kept_waiting",
     # --- r1-vintage re-verification (r4 verdict item 4): these 49 rows
     # were hash-green in round 1 only, under the oldest data generation;
     # rotate them through until no query has last_checked_round == 1.

@@ -380,3 +380,24 @@ def test_instruments_windows_partition_every_event(spark, sf_dir):
         .count()
     )
     assert dup == 0
+
+
+def test_q20_in_chain_is_semi_joined(spark, sf_dir):
+    """Both IN-subqueries must compile to semi joins: the part prune as
+    a broadcast semi into the lineitem scan, the qualifying pair set as
+    a left-semi against the supplier dim — never row-multiplying inner
+    joins or a cartesian."""
+    plan = _plan(spark, "tpch_q20_excess_shippers", sf_dir)
+    assert "LeftSemi" in plan, plan[:400]
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_exists_pair_is_semi_plus_anti(spark, sf_dir):
+    """Q21's EXISTS → LEFT SEMI, NOT EXISTS → LEFT ANTI, both keyed on
+    l_orderkey with the suppkey inequality as a residual; the top-100
+    must be a TakeOrderedAndProject over per-supplier counts."""
+    plan = _plan(spark, "tpch_q21_suppliers_kept_waiting", sf_dir)
+    assert "LeftSemi" in plan, plan[:400]
+    assert "LeftAnti" in plan, plan[:400]
+    assert "TakeOrderedAndProject" in plan, plan[:400]
+    assert "CartesianProduct" not in plan

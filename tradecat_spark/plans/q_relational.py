@@ -1070,3 +1070,149 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(_money("c_acctbal")).cast("double"), 6)
         .alias("totacctbal"),
     )
+
+
+@query(
+    "tpch_q20_excess_shippers",
+    survey="§2.3/§2.4 nested correlated aggregate + IN-chain: TPC-H "
+    "Q20 — the part→partsupp→supplier subquery ladder re-expressed on "
+    "the reduced schema (availqty stands in as the pair's all-time "
+    "shipped quantity; the 0.5× correlated SUM survives verbatim)",
+    description="TPC-H Q20 (adapted): suppliers whose 1996 shipments "
+    "of 'red' parts exceed half the pair's all-time volume",
+    oracle="""
+SELECT s_suppkey, s_name, n_name, s_acctbal
+FROM supplier JOIN nation ON n_nationkey = s_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+  GROUP BY l_suppkey, l_partkey
+  HAVING COUNT(*) >= 3
+     AND SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                  THEN l_quantity ELSE 0 END) > 0.5 * SUM(l_quantity)
+)
+""",
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20's two IN-subqueries decorrelate into (a) a broadcast semi of
+    the name-pruned part keys into the lineitem scan and (b) ONE
+    (supplier, part) aggregation whose HAVING carries the correlated
+    ``> 0.5 * SUM`` test as a conditional sum — no per-pair rescan.
+    The qualifying pair set collapses to distinct supplier keys (tiny:
+    bounded by |supplier|), which drives a left-semi against the
+    supplier dim. Quantities are integer-valued doubles, so the sums
+    and the 0.5× comparison are exact on both engines. At 100 TB the
+    only wide shuffle is the pair aggregation, keyed by (suppkey,
+    partkey) — naturally high-cardinality, skew-free."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    red = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    in_96 = (
+        (F.col("l_shipdate")
+         >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate")
+           < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    pairs = (
+        li.join(F.broadcast(red), li["l_partkey"] == red["p_partkey"],
+                "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(in_96, F.col("l_quantity")).otherwise(0.0))
+            .alias("qty_96"),
+            F.sum("l_quantity").alias("qty_all"),
+        )
+        .filter((F.col("n_lines") >= 3)
+                & (F.col("qty_96") > 0.5 * F.col("qty_all")))
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(pairs, s["s_suppkey"] == pairs["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_suppkey", "s_name", "n_name", "s_acctbal")
+    )
+
+
+@query(
+    "tpch_q21_suppliers_kept_waiting",
+    survey="§2.3 triple-correlated EXISTS/NOT EXISTS: TPC-H Q21 — "
+    "multi-supplier failed orders where exactly this supplier shipped "
+    "late (lateness adapted to shipdate > orderdate + 90 days; the "
+    "reduced lineitem has no commit/receipt dates)",
+    description="TPC-H Q21 (adapted): suppliers who alone were late "
+    "on failed multi-supplier orders, top 100 by wait count",
+    oracle="""
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hardest TPC-H join shape: l1 (late lines of failed orders)
+    survives an EXISTS (another supplier on the order → LEFT SEMI on
+    orderkey with a suppkey≠ residual) and a NOT EXISTS (no OTHER late
+    supplier → LEFT ANTI against the same late set). Both correlations
+    compile to single shuffle joins keyed on l_orderkey — no per-row
+    rescans, no cartesian (plan-asserted). The anti join's right side
+    reuses the already-filtered late set, so its input is the small
+    side. Top-100 is a TakeOrderedAndProject over the per-supplier
+    counts (|suppliers| rows), never a global sort of the fact."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    late = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    kept = (
+        late.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        kept.join(F.broadcast(s), kept["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
