@@ -63,6 +63,10 @@ def _bench_streaming(spark, n_symbols: int = 600) -> dict[str, float]:
     rows = [
         dict(
             symbol=f"S{i:03d}", bucket_ts=t0 + pd.Timedelta(minutes=m),
+            # explicit arrival order (exchange event time): the ingest
+            # fold resolves intra-batch duplicates by this, never by
+            # partition-dependent proxies (r4 verdict item 3)
+            event_ts=t0 + pd.Timedelta(minutes=m, seconds=30),
             open=1.0 + i, high=2.0 + i, low=0.5 + i, close=1.5 + i,
             trade_count=10, is_closed=True,
         )

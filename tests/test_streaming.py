@@ -87,17 +87,20 @@ def test_ingest_merge_law(spark, tmp_path):
     t0 = pd.Timestamp("2025-01-01 00:00:00")
     partial = spark.createDataFrame(
         pd.DataFrame([
-            dict(symbol="BTC", bucket_ts=t0, open=100.0, high=105.0,
-                 low=99.0, close=104.0, trade_count=10, is_closed=False),
+            dict(symbol="BTC", bucket_ts=t0, event_ts=t0, open=100.0,
+                 high=105.0, low=99.0, close=104.0, trade_count=10,
+                 is_closed=False),
         ])
     )
     closing = spark.createDataFrame(
         pd.DataFrame([
             # same bar arrives again: higher high, lower low, closed
-            dict(symbol="BTC", bucket_ts=t0, open=101.0, high=107.0,
-                 low=98.0, close=106.0, trade_count=25, is_closed=True),
-            dict(symbol="ETH", bucket_ts=t0, open=10.0, high=11.0,
-                 low=9.0, close=10.5, trade_count=5, is_closed=True),
+            dict(symbol="BTC", bucket_ts=t0, event_ts=t0, open=101.0,
+                 high=107.0, low=98.0, close=106.0, trade_count=25,
+                 is_closed=True),
+            dict(symbol="ETH", bucket_ts=t0, event_ts=t0, open=10.0,
+                 high=11.0, low=9.0, close=10.5, trade_count=5,
+                 is_closed=True),
         ])
     )
     upsert_batch(spark, partial, store, keys)
@@ -128,15 +131,23 @@ def test_ingest_intra_batch_duplicates(spark, tmp_path):
     t0 = pd.Timestamp("2025-01-01 00:00:00")
     batch = spark.createDataFrame(
         pd.DataFrame([
-            # three partial updates + the close, all for (BTC, t0)
-            dict(symbol="BTC", bucket_ts=t0, open=100.0, high=101.0,
-                 low=99.5, close=100.5, trade_count=3, is_closed=False),
-            dict(symbol="BTC", bucket_ts=t0, open=100.1, high=103.0,
-                 low=99.0, close=102.0, trade_count=7, is_closed=False),
-            dict(symbol="BTC", bucket_ts=t0, open=100.2, high=104.0,
-                 low=98.5, close=103.5, trade_count=12, is_closed=True),
-            dict(symbol="ETH", bucket_ts=t0, open=10.0, high=11.0,
-                 low=9.0, close=10.5, trade_count=5, is_closed=False),
+            # three partial updates + the close, all for (BTC, t0);
+            # event_ts is the arrival order (auto-detected by upsert)
+            dict(symbol="BTC", bucket_ts=t0,
+                 event_ts=t0 + pd.Timedelta(seconds=1), open=100.0,
+                 high=101.0, low=99.5, close=100.5, trade_count=3,
+                 is_closed=False),
+            dict(symbol="BTC", bucket_ts=t0,
+                 event_ts=t0 + pd.Timedelta(seconds=2), open=100.1,
+                 high=103.0, low=99.0, close=102.0, trade_count=7,
+                 is_closed=False),
+            dict(symbol="BTC", bucket_ts=t0,
+                 event_ts=t0 + pd.Timedelta(seconds=3), open=100.2,
+                 high=104.0, low=98.5, close=103.5, trade_count=12,
+                 is_closed=True),
+            dict(symbol="ETH", bucket_ts=t0, event_ts=t0, open=10.0,
+                 high=11.0, low=9.0, close=10.5, trade_count=5,
+                 is_closed=False),
         ])
     )
     upsert_batch(spark, batch, store, keys, order_col=None)
@@ -169,8 +180,9 @@ def test_ingest_rewrites_only_touched_partitions(spark, tmp_path):
     d2 = pd.Timestamp("2025-01-02 00:00:00")
 
     def bar(sym, ts, px):
-        return dict(symbol=sym, bucket_ts=ts, open=px, high=px, low=px,
-                    close=px, trade_count=1, is_closed=True)
+        return dict(symbol=sym, bucket_ts=ts, event_ts=ts, open=px,
+                    high=px, low=px, close=px, trade_count=1,
+                    is_closed=True)
 
     upsert_batch(
         spark, spark.createDataFrame(pd.DataFrame([bar("BTC", d1, 1.0)])),
@@ -455,8 +467,9 @@ def test_ingest_crash_before_commit_leaves_store_intact(spark, tmp_path, monkeyp
 
     def bars(close):
         return spark.createDataFrame(pd.DataFrame([
-            dict(symbol="BTC", bucket_ts=t0, open=100.0, high=105.0,
-                 low=99.0, close=close, trade_count=10, is_closed=False),
+            dict(symbol="BTC", bucket_ts=t0, event_ts=t0, open=100.0,
+                 high=105.0, low=99.0, close=close, trade_count=10,
+                 is_closed=False),
         ]))
 
     ing.upsert_batch(spark, bars(101.0), store, keys)
@@ -866,6 +879,7 @@ def test_drop_expired_partitions_is_metadata_only(spark, tmp_path):
     days = [f"2025-01-{d:02d}" for d in (1, 2, 3, 4)]
     rows = [
         dict(symbol="BTC", bucket_ts=pd.Timestamp(f"{d} 00:00:00"),
+             event_ts=pd.Timestamp(f"{d} 00:00:00"),
              open=100.0, high=105.0, low=99.0, close=101.0 + i,
              trade_count=10, is_closed=True)
         for i, d in enumerate(days)
@@ -1082,3 +1096,65 @@ def test_stream_join_state_survives_checkpoint_restart(spark, tmp_path):
         (3, t0 + m("120m"), t0 + m("115m")),
     ])
     assert got == want, got
+
+
+def test_fold_batch_straddling_partitions_latest_event_time_wins(spark, tmp_path):
+    """One key's updates spread across MANY input partitions must still
+    resolve latest-write-wins by EVENT TIME, not by partition order
+    (r4 verdict item 3). The rows are deliberately laid out so the
+    highest event_ts sits in the FIRST partition — a partition-index
+    proxy would pick the wrong close."""
+    from tradecat_spark.streaming.ingest import read_store, upsert_batch
+
+    store = str(tmp_path / "straddle_store")
+    keys = ["symbol", "bucket_ts"]
+    t0 = pd.Timestamp("2025-01-01 00:00:00")
+    # arrival order 3, 1, 2 by layout; event_ts says the close=300 row
+    # (first in layout) is the NEWEST
+    rows = [
+        dict(symbol="BTC", bucket_ts=t0,
+             event_ts=t0 + pd.Timedelta(seconds=3), open=100.3,
+             high=104.0, low=98.0, close=300.0, trade_count=30,
+             is_closed=True),
+        dict(symbol="BTC", bucket_ts=t0,
+             event_ts=t0 + pd.Timedelta(seconds=1), open=100.1,
+             high=102.0, low=99.0, close=100.0, trade_count=10,
+             is_closed=False),
+        dict(symbol="BTC", bucket_ts=t0,
+             event_ts=t0 + pd.Timedelta(seconds=2), open=100.2,
+             high=103.0, low=98.5, close=200.0, trade_count=20,
+             is_closed=False),
+    ]
+    batch = spark.createDataFrame(
+        pd.DataFrame(rows)
+    ).repartition(3)  # straddle: each update in its own partition
+    upsert_batch(spark, batch, store, keys)  # event_ts auto-detected
+    got = read_store(spark, store).collect()
+    assert len(got) == 1
+    r = got[0]
+    # latest-by-event-time wins for close; open follows the sequential
+    # law (newer non-NULL opens win until the bar closes → 100.3, the
+    # open of the event-time-latest row, which also closed the bar);
+    # spans for high/low
+    assert r["close"] == 300.0
+    assert r["open"] == 100.3
+    assert r["high"] == 104.0 and r["low"] == 98.0
+    assert r["trade_count"] == 30 and r["is_closed"] is True
+
+
+def test_fold_batch_multi_partition_without_order_is_an_error(spark):
+    """No order_col + no event_ts + multi-partition batch must raise —
+    the monotonically_increasing_id proxy cannot represent arrival
+    order across partitions, and silently guessing corrupts the
+    latest-write-wins law."""
+    from tradecat_spark.operators.merge import fold_batch
+
+    t0 = pd.Timestamp("2025-01-01 00:00:00")
+    batch = spark.createDataFrame(pd.DataFrame([
+        dict(symbol="BTC", bucket_ts=t0, open=1.0, high=1.0, low=1.0,
+             close=1.0, trade_count=1, is_closed=False),
+        dict(symbol="BTC", bucket_ts=t0, open=2.0, high=2.0, low=2.0,
+             close=2.0, trade_count=2, is_closed=False),
+    ])).repartition(2)
+    with pytest.raises(ValueError, match="order_col"):
+        fold_batch(batch, ["symbol", "bucket_ts"])

@@ -103,7 +103,14 @@ def upsert_batch(
        pruning on ``_part``), merge with the folded batch.
     3. Stage the merged partitions once, then commit them by directory
        rename (or, on a Delta store, skip 2-3 for one atomic MERGE).
+
+    Intra-batch ordering: the fold needs an arrival order per key. Pass
+    ``order_col`` (event time / Kafka offset); a column named
+    ``event_ts`` is auto-detected when none is given. A multi-partition
+    batch with no resolvable order is an error (see fold_batch).
     """
+    if order_col is None and "event_ts" in batch.columns:
+        order_col = "event_ts"
     extra = [order_col] if order_col is not None else []
     batch = fold_batch(
         batch.select(*keys, *MERGE_COLS, *extra), keys, order_col
@@ -194,18 +201,25 @@ def start_candle_ingest(
     checkpoint: str,
     trigger_sec: int = 3,
     available_now: bool = False,
+    order_col: str | None = None,
 ):
     """Start the ingest query: 3 s trigger == the reference flush window.
 
     ``stream`` must already be shaped as key + MERGE_COLS rows (use
-    ``candles_from_events`` or a source adapter).
+    ``candles_from_events`` or a source adapter). Sources whose batches
+    can carry several updates of one bar should expose the event time /
+    offset as ``order_col`` (an ``event_ts`` column is auto-detected) —
+    micro-batches are multi-partition in general, and arrival order
+    within a key is only defined by such a column.
     """
     spark = stream.sparkSession
+    if order_col is None and "event_ts" in stream.columns:
+        order_col = "event_ts"
 
     def _sink(batch: DataFrame, _batch_id: int) -> None:
         if batch.isEmpty():
             return
-        upsert_batch(spark, batch, store_path, keys)
+        upsert_batch(spark, batch, store_path, keys, order_col=order_col)
 
     writer = (
         stream.writeStream.foreachBatch(_sink)
