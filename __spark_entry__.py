@@ -38,6 +38,8 @@ _GATE_PRIORITY = (
     "signal_rule_events_checksum",
     "tpch_q20_excess_shippers",
     "tpch_q21_suppliers_kept_waiting",
+    # re-check: reference side re-bounded to the REF_K min-k set in r5
+    "quantile_error_eval",
     # --- r1-vintage re-verification (r4 verdict item 4): these 49 rows
     # were hash-green in round 1 only, under the oldest data generation;
     # rotate them through until no query has last_checked_round == 1.
@@ -97,7 +99,6 @@ _GATE_PRIORITY = (
     "asof_direction_variants",
     "ntile_value_quartiles",
     "pack_context_windows",
-    "quantile_error_eval",
     "ai_context_assembly",
     "streaming_session_append",
     "instruments_scd2_dim",

@@ -401,3 +401,16 @@ def test_q21_exists_pair_is_semi_plus_anti(spark, sf_dir):
     assert "LeftAnti" in plan, plan[:400]
     assert "TakeOrderedAndProject" in plan, plan[:400]
     assert "CartesianProduct" not in plan
+
+
+def test_quantile_eval_reference_lane_is_bounded(spark, sf_dir):
+    """The eval's 'exact' side must rank a BOUNDED min-k reference set
+    (r4 verdict item 6): the plan has to carry both rank-cap filters
+    (sketch k=256 and reference REF_K=16384) so no window sorts a whole
+    group. The value-rank window's input is the filtered reference set,
+    never the raw events scan."""
+    from tradecat_spark.plans.q_sketch import QK, REF_K
+
+    plan = _plan(spark, "quantile_error_eval", sf_dir)
+    assert str(REF_K) in plan, "reference-set rank cap missing from plan"
+    assert str(QK) in plan, "sketch rank cap missing from plan"

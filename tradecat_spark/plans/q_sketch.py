@@ -170,7 +170,7 @@ def _shard_col(h):
     return F.conv(F.substring(h, 25, 8), 16, 10).cast("bigint") % _NSHARD
 
 
-def _minhash_sample(e: DataFrame) -> DataFrame:
+def _minhash_sample(e: DataFrame, k: int = QK) -> DataFrame:
     """k rows with the smallest md5(event_id) per group, computed as a
     TWO-LEVEL min-k: level 1 ranks within (group, shard) — 32 parallel
     sorts whose outputs are each capped at k rows — level 2 ranks the
@@ -186,13 +186,15 @@ def _minhash_sample(e: DataFrame) -> DataFrame:
     w2 = Window.partitionBy("event_type").orderBy("h", "event_id")
     return (
         t.withColumn("rnk", F.row_number().over(w1))
-        .filter(F.col("rnk") <= QK)
+        .filter(F.col("rnk") <= k)
         .withColumn("rnk2", F.row_number().over(w2))
-        .filter(F.col("rnk2") <= QK)
+        .filter(F.col("rnk2") <= k)
     )
 
 
-_MINHASH_SAMPLE_SQL = f"""
+def _minhash_sample_sql(k: int = QK) -> str:
+    """SQL twin of ``_minhash_sample`` at sample size ``k``."""
+    return f"""
 h AS (
   SELECT event_type, value, event_id,
     md5(CAST(event_id AS VARCHAR)) AS h,
@@ -208,13 +210,13 @@ c1 AS (
 c2 AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
     ORDER BY h, event_id) AS rnk2
-  FROM c1 WHERE rnk <= {QK}
+  FROM c1 WHERE rnk <= {k}
 ),
 samp AS (
   SELECT event_type,
     list(value ORDER BY value, 1) AS sv,
     CAST(COUNT(*) AS BIGINT) AS k
-  FROM c2 WHERE rnk2 <= {QK} GROUP BY event_type
+  FROM c2 WHERE rnk2 <= {k} GROUP BY event_type
 )"""
 
 
@@ -227,7 +229,7 @@ samp AS (
     "quantile_error_eval",
     description="p50/p90/p99 of value per event_type from a k=256 hash sample",
     oracle=f"""
-WITH {_MINHASH_SAMPLE_SQL}
+WITH {_minhash_sample_sql()}
 SELECT event_type, k,
   ROUND({_interp_sql('sv', '0.5', 'k')}, 6) AS est_p50,
   ROUND({_interp_sql('sv', '0.9', 'k')}, 6) AS est_p90,
@@ -262,64 +264,95 @@ def approx_quantiles_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REF_K = 16_384  # reference-set size for the error eval (64x the sketch)
+
+
 @query(
     "quantile_error_eval",
     survey="§4 approx family: error evaluation for the quantile sketch — "
-    "exact side via distributed window-rank interpolation, NO collected "
-    "arrays anywhere (the r3 'exact branch collect_lists the whole "
-    "group' finding)",
-    description="sketch p50/p90 vs exact (window-rank interpolated) + abs error",
+    "reference side via window-rank interpolation over a BOUNDED "
+    "deterministic min-k reference set (64x the sketch), so even the "
+    "eval lane never sorts a whole group (r4 verdict item 6)",
+    description="sketch p50/p90 vs bounded-reference quantiles + abs error",
     oracle=f"""
-WITH {_MINHASH_SAMPLE_SQL},
+WITH {_minhash_sample_sql()},
 est AS (
   SELECT event_type, k,
     ROUND({_interp_sql('sv', '0.5', 'k')}, 6) AS est_p50,
     ROUND({_interp_sql('sv', '0.9', 'k')}, 6) AS est_p90
   FROM samp
 ),
+rh AS (
+  SELECT event_type, value, event_id,
+    md5(CAST(event_id AS VARCHAR)) AS h,
+    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 25, 8))::BIGINT
+      % {_NSHARD} AS shard
+  FROM events
+),
+rc1 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, shard
+    ORDER BY h, event_id) AS rnk
+  FROM rh
+),
+ref AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      ORDER BY h, event_id) AS rnk2
+    FROM rc1 WHERE rnk <= {REF_K}
+  ) WHERE rnk2 <= {REF_K}
+),
 rk AS (
   SELECT event_type, value,
     ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id)
       AS r,
-    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
-  FROM events
+    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+  FROM ref
 ),
 ex AS (
-  SELECT event_type, MAX(n) AS n,
+  SELECT event_type, MAX(m) AS m,
     ROUND(
-      MAX(CASE WHEN r = CAST(FLOOR((n - 1) * 0.5) AS BIGINT) + 1
+      MAX(CASE WHEN r = CAST(FLOOR((m - 1) * 0.5) AS BIGINT) + 1
           THEN value END)
-      + (MAX(CASE WHEN r = LEAST(CAST(FLOOR((n - 1) * 0.5) AS BIGINT) + 2,
-                                 n) THEN value END)
-         - MAX(CASE WHEN r = CAST(FLOOR((n - 1) * 0.5) AS BIGINT) + 1
+      + (MAX(CASE WHEN r = LEAST(CAST(FLOOR((m - 1) * 0.5) AS BIGINT) + 2,
+                                 m) THEN value END)
+         - MAX(CASE WHEN r = CAST(FLOOR((m - 1) * 0.5) AS BIGINT) + 1
                THEN value END))
-      * MAX((n - 1) * 0.5 - FLOOR((n - 1) * 0.5)), 6) AS exact_p50,
+      * MAX((m - 1) * 0.5 - FLOOR((m - 1) * 0.5)), 6) AS exact_p50,
     ROUND(
-      MAX(CASE WHEN r = CAST(FLOOR((n - 1) * 0.9) AS BIGINT) + 1
+      MAX(CASE WHEN r = CAST(FLOOR((m - 1) * 0.9) AS BIGINT) + 1
           THEN value END)
-      + (MAX(CASE WHEN r = LEAST(CAST(FLOOR((n - 1) * 0.9) AS BIGINT) + 2,
-                                 n) THEN value END)
-         - MAX(CASE WHEN r = CAST(FLOOR((n - 1) * 0.9) AS BIGINT) + 1
+      + (MAX(CASE WHEN r = LEAST(CAST(FLOOR((m - 1) * 0.9) AS BIGINT) + 2,
+                                 m) THEN value END)
+         - MAX(CASE WHEN r = CAST(FLOOR((m - 1) * 0.9) AS BIGINT) + 1
                THEN value END))
-      * MAX((n - 1) * 0.9 - FLOOR((n - 1) * 0.9)), 6) AS exact_p90
+      * MAX((m - 1) * 0.9 - FLOOR((m - 1) * 0.9)), 6) AS exact_p90
   FROM rk GROUP BY event_type
+),
+cnt AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type
 )
-SELECT e.event_type, s.k, e.n,
+SELECT e.event_type, s.k, c.n, e.m,
   s.est_p50, e.exact_p50,
   ROUND(ABS(s.est_p50 - e.exact_p50), 6) AS err_p50,
   s.est_p90, e.exact_p90,
   ROUND(ABS(s.est_p90 - e.exact_p90), 6) AS err_p90
-FROM ex e JOIN est s USING (event_type)
+FROM ex e JOIN est s USING (event_type) JOIN cnt c USING (event_type)
 """,
 )
 def quantile_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-vs-sketch error report. The exact side interpolates between
-    the two RANKED rows flanking (n-1)·p — a distributed window sort
-    (sort-based WindowExec spills to disk; per-task state is a spill
-    buffer, never an in-memory array of the whole group) followed by a
-    conditional MAX aggregate. Parallelism is bounded by the number of
-    groups, which is fine for an EVALUATION query; the production
-    estimator (``approx_quantiles_sample``) never pays this sort."""
+    """Sketch-vs-reference error report with a 100 TB-safe exact lane.
+
+    The reference side ranks a BOUNDED deterministic min-hash set of
+    REF_K = 16384 rows per group (the same two-level sharded min-k the
+    sketch uses, 64x larger): for any group with n ≤ REF_K this is the
+    EXACT distribution — true at every driver/test scale factor — and
+    beyond that it degrades gracefully into a 64x-oversampled reference
+    estimate instead of sorting the whole group (the r4 verdict flagged
+    the previous full per-group WindowExec sort; per-task state is now
+    ≤ 32·REF_K rows however large the group). ``n`` is the true group
+    count (one scan aggregate), ``m`` the reference-set size actually
+    ranked."""
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
@@ -334,33 +367,37 @@ def quantile_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_interp(sv, 0.9, k), 6).alias("est_p90"),
     )
 
+    ref = _minhash_sample(e, REF_K)
     wr = Window.partitionBy("event_type").orderBy("value", "event_id")
     wn = Window.partitionBy("event_type")
-    rk = e.select(
+    rk = ref.select(
         "event_type", "value",
         F.row_number().over(wr).alias("r"),
-        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("m"),
     )
 
     def exact(p: float):
-        n = F.col("n")
-        idx = (n - F.lit(1)).cast("double") * F.lit(p)
+        m = F.col("m")
+        idx = (m - F.lit(1)).cast("double") * F.lit(p)
         lo_pos = F.floor(idx).cast("bigint") + 1
-        hi_pos = F.least(lo_pos + 1, n)
+        hi_pos = F.least(lo_pos + 1, m)
         frac = idx - F.floor(idx)
         lo = F.max(F.when(F.col("r") == lo_pos, F.col("value")))
         hi = F.max(F.when(F.col("r") == hi_pos, F.col("value")))
-        # frac is constant within the group (it only depends on n)
+        # frac is constant within the group (it only depends on m)
         return F.round(lo + (hi - lo) * F.max(frac), 6)
 
     ex = rk.groupBy("event_type").agg(
-        F.max("n").alias("n"),
+        F.max("m").alias("m"),
         exact(0.5).alias("exact_p50"),
         exact(0.9).alias("exact_p90"),
     )
-    j = ex.join(est, "event_type")
+    cnt = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    j = ex.join(est, "event_type").join(cnt, "event_type")
     return j.select(
-        "event_type", "k", "n",
+        "event_type", "k", "n", "m",
         "est_p50", "exact_p50",
         F.round(F.abs(F.col("est_p50") - F.col("exact_p50")), 6)
         .alias("err_p50"),
