@@ -83,8 +83,14 @@ def drop_expired_partitions(
         spark, store_path, horizon_date, part_col
     )
     for value in expired:
-        shutil.rmtree(
-            os.path.join(store_path, f"{part_col}={value}"),
-            ignore_errors=True,
-        )
+        path = os.path.join(store_path, f"{part_col}={value}")
+        if os.path.islink(path):
+            # symlink-swap store layout (streaming.ingest): remove the
+            # published link first (atomic disappearance for readers),
+            # then the versioned data directory behind it
+            target = os.path.join(store_path, os.readlink(path))
+            os.unlink(path)
+            shutil.rmtree(target, ignore_errors=True)
+        else:
+            shutil.rmtree(path, ignore_errors=True)
     return expired

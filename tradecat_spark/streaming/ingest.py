@@ -134,11 +134,17 @@ def upsert_batch(
         return
 
     if not os.path.exists(store_path):
-        # Bootstrap fast path: no store yet, so there is nothing to merge
-        # and the store path is not an input of this write — write the
-        # folded batch straight to the final layout. A crash mid-write is
-        # replayed by the unadvanced checkpoint and simply overwrites.
-        batch.write.mode("overwrite").partitionBy(PART_COL).parquet(store_path)
+        # Bootstrap: no store yet, nothing to merge — but still publish
+        # through the staging + symlink commit so the store is in the
+        # atomic-swap layout from its first byte (a crash mid-write is
+        # replayed by the unadvanced checkpoint and simply overwrites).
+        staging = f"{store_path}.staging"
+        batch.write.mode("overwrite").partitionBy(PART_COL).parquet(staging)
+        os.makedirs(store_path, exist_ok=True)
+        try:
+            _commit_staging(spark, staging, store_path)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
         return
 
     # Touched partition values: one tiny distinct over the folded batch
@@ -159,39 +165,105 @@ def upsert_batch(
         shutil.rmtree(staging, ignore_errors=True)
 
 
-def _commit_staging(spark: SparkSession, staging: str, store_path: str) -> None:
-    """Swap the staged partition directories into the store by rename.
+#: Test seam: called once per partition right before its atomic swap.
+#: Lets the chaos test freeze the commit mid-flight while a concurrent
+#: reader hammers the store. Never set in production.
+_COMMIT_PAUSE = None
 
-    One metadata operation per touched partition — the data was already
-    written once by the staging job, so a micro-batch costs exactly one
-    Spark write (the r2 design paid a second full write here via
-    dynamic-partition-overwrite). The displaced directory is parked
-    under a dot-prefixed name (invisible to parquet readers) before the
-    swap, so a reader never sees a half-replaced partition and a crash
-    mid-commit leaves only ignorable debris plus old/new partitions —
-    which the replayed micro-batch reconverges under the idempotent
-    merge law.
+
+def _commit_staging(spark: SparkSession, staging: str, store_path: str) -> None:
+    """Publish the staged partition directories via atomic symlink swap.
+
+    Layout: each live partition entry ``_part=X`` is a SYMLINK to a
+    dot-prefixed versioned directory (``.v<id>-_part=X``, invisible to
+    parquet readers). Committing a partition is then:
+
+      1. move the staged dir into the store as a new versioned dir
+         (same-filesystem rename — metadata only);
+      2. build a temp symlink and ``os.rename`` it over ``_part=X`` —
+         on POSIX, rename over an existing symlink atomically replaces
+         it, so a reader resolving the partition sees the OLD target or
+         the NEW target, never a missing or half-replaced directory
+         (the r4 protocol parked the old dir first, which exposed a
+         window where the partition did not exist at all);
+      3. retire the displaced version by parking it dot-prefixed; it is
+         deleted on the NEXT commit of that partition (one-commit grace
+         so an in-flight reader of the old files can finish).
+
+    A reader that LISTED old files and reads them after the next-commit
+    cleanup can still observe FileNotFound — the documented limit of
+    the rename store versus the Delta path (upsert_batch docstring); a
+    read that starts between commits always sees one consistent
+    version. A crash anywhere leaves dot-prefixed debris plus old/new
+    partitions, and the replayed micro-batch reconverges under the
+    idempotent merge law.
 
     Separated so the crash seam is explicit (and testable): a failure
     anywhere before this call leaves the store byte-identical.
     ``spark`` is unused here but kept so the seam's signature is stable
     for both commit strategies."""
+    import uuid
+
+    ver = uuid.uuid4().hex[:12]
     for entry in os.listdir(staging):
         if not entry.startswith(f"{PART_COL}="):
             continue  # _SUCCESS markers etc.
         src = os.path.join(staging, entry)
         dst = os.path.join(store_path, entry)
-        parked = os.path.join(store_path, f".old-{entry}")
-        shutil.rmtree(parked, ignore_errors=True)  # debris from a crash
-        if os.path.exists(dst):
-            os.rename(dst, parked)
-        os.rename(src, dst)
-        shutil.rmtree(parked, ignore_errors=True)
+        real_name = f".v{ver}-{entry}"
+        real = os.path.join(store_path, real_name)
+        os.rename(src, real)
+        tmp_link = os.path.join(store_path, f".link-{ver}-{entry}")
+        # relative target keeps the store relocatable
+        os.symlink(real_name, tmp_link)
+        if _COMMIT_PAUSE is not None:
+            _COMMIT_PAUSE(entry)
+        old_target = None
+        if os.path.islink(dst):
+            old_target = os.readlink(dst)
+        elif os.path.isdir(dst):
+            # legacy real-dir partition (bootstrap layout): park it so
+            # the swap below is a plain create — one transient-missing
+            # window only ever on the first upgrade of a partition
+            os.rename(dst, os.path.join(store_path, f".old-{ver}-{entry}"))
+        os.rename(tmp_link, dst)  # atomic publish (replaces symlink)
+        # retire every stale version of THIS partition except the one
+        # just published and the one just displaced (one-commit grace)
+        keep = {real_name, old_target}
+        for stale in os.listdir(store_path):
+            if stale in keep or not stale.startswith("."):
+                continue
+            if stale.endswith(f"-{entry}") and stale.split("-", 1)[0][1:]:
+                shutil.rmtree(
+                    os.path.join(store_path, stale), ignore_errors=True
+                )
 
 
 def read_store(spark: SparkSession, store_path: str) -> DataFrame:
-    """Read the candle store without the internal layout column."""
-    return spark.read.parquet(store_path).drop(PART_COL)
+    """Read the candle store without the internal layout column.
+
+    Reader contract for the symlink-swap layout: resolve each partition
+    symlink to its versioned directory AT LIST TIME and read those real
+    paths. The versioned dir a reader pins survives until the NEXT
+    commit of that partition (one-commit grace), so a read that starts
+    between commits always sees one consistent version — holding
+    symlink-relative paths instead would race the swap (glob old name,
+    open after swap → FileNotFound). External readers (DuckDB etc.)
+    should do the same realpath-after-listing."""
+    entries = sorted(
+        e for e in os.listdir(store_path) if e.startswith(f"{PART_COL}=")
+    )
+    targets = [
+        os.path.realpath(os.path.join(store_path, e)) for e in entries
+    ]
+    if not targets or not any(os.path.islink(os.path.join(store_path, e))
+                              for e in entries):
+        # legacy real-dir layout (or empty store): plain partitioned read
+        return spark.read.parquet(store_path).drop(PART_COL)
+    # PART_COL lives in directory names only (partitionBy excludes it
+    # from the data files), so reading the resolved dirs directly drops
+    # it for free.
+    return spark.read.parquet(*targets)
 
 
 def start_candle_ingest(
