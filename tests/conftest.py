@@ -33,3 +33,15 @@ def duck():
         )
     yield con
     con.close()
+
+
+@pytest.fixture(scope="session")
+def sf001_dir() -> str:
+    """The sf0.01 dataset, for tests whose law is degenerate at
+    sf0.001; skip cleanly on machines without the driver testdata."""
+    import os
+
+    path = "/root/testdata/sf0.01"
+    if not os.path.isdir(path):
+        pytest.skip("sf0.01 testdata not available on this machine")
+    return path

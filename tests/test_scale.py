@@ -63,7 +63,7 @@ def test_zorder_buckets_are_tiles():
         assert hi_y - lo_y < 16, b
 
 
-def test_zorder_beats_single_key_layout_for_cross_predicates(spark):
+def test_zorder_beats_single_key_layout_for_cross_predicates(spark, sf001_dir):
     """A selective x-range predicate must overlap strictly fewer
     Z-buckets than day-only buckets (where every bucket spans all x) —
     the file-skipping win the layout buys. Needs sf0.01: at sf0.001 the
@@ -72,7 +72,7 @@ def test_zorder_beats_single_key_layout_for_cross_predicates(spark):
 
     rows = (
         load_all()["zorder_curve_layout"]
-        .fn(spark, "/root/testdata/sf0.01")
+        .fn(spark, sf001_dir)
         .collect()
     )
     assert len(rows) > 3

@@ -17,14 +17,13 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tradecat_spark.catalog import load_table
-from tradecat_spark.plans.exact import mean6, ratio6_sql
-from tradecat_spark.plans.exact import mean6_sql
+from tradecat_spark.plans.exact import mean6, mean6_sql, ratio6_sql
+from tradecat_spark.plans.registry import query
 
 #: shared rendering of the exact 6dp mean of the per-token log-prob —
 #: interpolated into the unigram and bigram oracles so the SQL can't
 #: drift from the Spark-side exact.mean6
 _MEAN6_LP = mean6_sql("lp")
-from tradecat_spark.plans.registry import query
 
 N_SEEDS = 8          # minhash permutations
 BAND_ROWS = 2        # rows per LSH band → 4 bands
