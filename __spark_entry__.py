@@ -38,6 +38,11 @@ _GATE_PRIORITY = (
     "signal_rule_events_checksum",
     "tpch_q20_excess_shippers",
     "tpch_q21_suppliers_kept_waiting",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q16_parts_supplier_counts",
     # re-check: reference side re-bounded to the REF_K min-k set in r5
     "quantile_error_eval",
     # --- r1-vintage re-verification (r4 verdict item 4): these 49 rows

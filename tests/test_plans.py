@@ -414,3 +414,26 @@ def test_quantile_eval_reference_lane_is_bounded(spark, sf_dir):
     plan = _plan(spark, "quantile_error_eval", sf_dir)
     assert str(REF_K) in plan, "reference-set rank cap missing from plan"
     assert str(QK) in plan, "sketch rank cap missing from plan"
+
+
+def test_q2_best_cost_is_window_over_pruned_candidates(spark, sf_dir):
+    """Q2's correlated MIN must be ONE window over the filtered
+    candidate set with broadcast dims — no per-part rescan join, no
+    cartesian; top-100 is TakeOrderedAndProject."""
+    plan = _plan(spark, "tpch_q2_min_cost_supplier", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:400]
+    assert "TakeOrderedAndProject" in plan, plan[:400]
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_star_broadcasts_every_dim(spark, sf_dir):
+    """Q9's part/supplier/nation sides must broadcast; the only
+    non-broadcast edge is lineitem-orders on the order key."""
+    plan = _plan(spark, "tpch_q9_product_type_profit", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:400]
+
+
+def test_q16_exclusion_is_left_anti(spark, sf_dir):
+    plan = _plan(spark, "tpch_q16_parts_supplier_counts", sf_dir)
+    assert "LeftAnti" in plan, plan[:400]
+    assert "CartesianProduct" not in plan

@@ -1216,3 +1216,301 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    survey="§2.3/§2.4 correlated-MIN subquery over a 4-dim join chain: "
+    "TPC-H Q2 — supply cost re-derived as the pair's minimum observed "
+    "unit price (the reduced schema has no partsupp)",
+    description="TPC-H Q2 (adapted): cheapest ASIA supplier per "
+    "LARGE size-25 part, top 100 by balance",
+    oracle="""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+    MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+),
+asia AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'ASIA'
+),
+cand AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+    unit_cost,
+    MIN(unit_cost) OVER (PARTITION BY p_partkey) AS best
+  FROM part
+  JOIN cost ON l_partkey = p_partkey
+  JOIN asia ON s_suppkey = l_suppkey
+  WHERE p_size = 25 AND p_type = 'LARGE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+  ROUND(unit_cost, 6) AS unit_cost
+FROM cand WHERE unit_cost = best
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2's correlated ``= (SELECT MIN(ps_supplycost) ...)`` becomes a
+    window MIN over the per-part candidate set — computed once, after
+    the region/size/type filters prune the candidates, never as a
+    per-part rescan. The unit cost is a deterministic selection (MIN of
+    identical doubles on both engines). Supplier/nation/region dims
+    broadcast; the one wide shuffle is the (part, supplier) cost
+    rollup. Top-100 is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+        .alias("unit_cost")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 25) & (F.col("p_type") == "LARGE")
+    ).select("p_partkey", "p_name")
+    cand = (
+        cost.join(F.broadcast(p), cost["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(asia), cost["l_suppkey"] == asia["s_suppkey"])
+    )
+    w = Window.partitionBy("p_partkey")
+    best = cand.withColumn("best", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("best")
+    )
+    return (
+        best.select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q9_product_type_profit",
+    survey="§2.4 multi-fact star + derived-cost aggregation: TPC-H Q9 "
+    "— profit per (nation, year), supply cost re-derived as 60% of "
+    "the part's retail price (deterministic, decimal-exact)",
+    description="TPC-H Q9 (adapted): profit on 'blue' parts per "
+    "supplier nation and order year",
+    oracle="""
+SELECT n_name AS nation,
+  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+  ROUND(CAST(SUM(
+    CAST(l_extendedprice AS DECIMAL(18,6))
+      * (1 - CAST(l_discount AS DECIMAL(8,6)))
+    - CAST(p_retailprice AS DECIMAL(18,6)) * CAST(0.6 AS DECIMAL(8,6))
+      * CAST(l_quantity AS DECIMAL(18,6))
+  ) AS DOUBLE), 6) AS sum_profit,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%blue%'
+GROUP BY 1, 2
+""",
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-table star around one lineitem scan: orders joins on the
+    order key (the only fact-fact edge), part/supplier/nation all
+    broadcast. The profit expression runs entirely in DECIMAL so the
+    per-group sums are exact and partition-order-independent. The
+    name-LIKE filter prunes via the broadcast part side before any
+    arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%blue%")
+    ).select("p_partkey", "p_retailprice")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = (
+        _money("l_extendedprice") * (1 - _rate("l_discount"))
+        - _money("p_retailprice") * F.lit(0.6).cast(RATE)
+        * _money("l_quantity")
+    )
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+    ).agg(
+        F.round(F.sum(profit).cast("double"), 6).alias("sum_profit"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    survey="§2.4 scalar-subquery threshold over a grouped value: TPC-H "
+    "Q11 — per-part value share vs a global fraction, the compare kept "
+    "decimal-exact (no double AVG midpoints)",
+    description="TPC-H Q11 (adapted): parts holding >0.1% of NATION_3 "
+    "suppliers' traded value",
+    oracle="""
+WITH natval AS (
+  SELECT l_partkey,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS val
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY 1
+),
+total AS (SELECT SUM(val) AS tot FROM natval)
+SELECT l_partkey AS p_partkey,
+  ROUND(CAST(val AS DOUBLE), 6) AS part_value
+FROM natval, total
+WHERE val * 1000 > tot
+""",
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic 'GROUP BY HAVING > (scalar subquery)': the per-part
+    rollup materializes ONCE; the threshold is an aggregate of that
+    tiny rollup broadcast back as a 1-row side (never a second fact
+    scan). The share test multiplies the DECIMAL sum by the integer
+    1000 instead of comparing against a double fraction of the total —
+    exact on both engines by construction."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    ).select("n_nationkey")
+    nat_sup = s.join(
+        F.broadcast(n), s["s_nationkey"] == n["n_nationkey"], "left_semi"
+    )
+    natval = (
+        li.join(F.broadcast(nat_sup), li["l_suppkey"] == nat_sup["s_suppkey"],
+                "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(_money("l_extendedprice")).alias("val"))
+    )
+    total = natval.agg(F.sum("val").alias("tot"))
+    return (
+        natval.crossJoin(F.broadcast(total))
+        .filter(F.col("val") * 1000 > F.col("tot"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("val").cast("double"), 6).alias("part_value"),
+        )
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    survey="§2.3/§2.4 outer join + double aggregation: TPC-H Q13 — "
+    "order-count distribution incl. zero-order customers (the comment "
+    "exclusion adapted to priority, the reduced schema has no "
+    "o_comment)",
+    description="TPC-H Q13 (adapted): distribution of per-customer "
+    "non-urgent order counts",
+    oracle="""
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filter lives INSIDE the outer join condition (a WHERE would
+    silently drop the zero-order customers the query exists to count).
+    Two aggregations: per-customer count, then the count histogram —
+    the second group-by input is |customers| rows, so its shuffle is
+    trivial at any scale."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    j = c.join(
+        o,
+        (c["c_custkey"] == o["o_custkey"])
+        & (o["o_orderpriority"] != "1-URGENT"),
+        "left_outer",
+    )
+    per_cust = j.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@query(
+    "tpch_q16_parts_supplier_counts",
+    survey="§2.3/§2.4 anti-join + COUNT DISTINCT rollup: TPC-H Q16 — "
+    "supplier variety per part family, the complaint exclusion adapted "
+    "to negative balance (no s_comment in the reduced schema)",
+    description="TPC-H Q16 (adapted): distinct good-standing suppliers "
+    "per (brand, type, size) part family",
+    oracle="""
+SELECT p_brand, p_type, p_size,
+  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_type <> 'SMALL'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY 1, 2, 3
+""",
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN compiles to a LEFT ANTI against the (tiny) excluded
+    supplier set; the part family filters ride the broadcast dim into
+    the distinct-pair rollup. COUNT(DISTINCT) over the deduplicated
+    pair set shuffles once on the family key."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    ).distinct()
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "SMALL")
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    kept = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"],
+              "left_anti")
+    )
+    return kept.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt")
+    )
