@@ -36,6 +36,7 @@ _GATE_PRIORITY = (
     "indicator_surface_checksum",
     "indicator_batch_checksum",
     "signal_rule_events_checksum",
+    "signal_pack_subset_checksum",
     "tpch_q20_excess_shippers",
     "tpch_q21_suppliers_kept_waiting",
     "tpch_q2_min_cost_supplier",

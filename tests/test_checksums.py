@@ -21,6 +21,9 @@ TWINS = (
     "indicator_surface_checksum",
     "indicator_batch_checksum",
     "signal_rule_events_checksum",
+    # may be EMPTY at sf0.001 (no subset rule fires on 15-user data);
+    # the sf0.01 driver gate carries the non-trivial rows
+    "signal_pack_subset_checksum",
 )
 
 
@@ -28,7 +31,8 @@ TWINS = (
 def test_checksum_twin_matches_oracle(spark, duck, sf_dir, name):
     spec = load_all()[name]
     sp = spec.fn(spark, sf_dir).toPandas()
-    assert len(sp) > 0
+    if name != "signal_pack_subset_checksum":
+        assert len(sp) > 0
     first = duck.execute(spec.oracle).fetchdf()
     assert_frames_match(sp, first, name)
     again = duck.execute(spec.oracle).fetchdf()

@@ -256,28 +256,25 @@ def _checksum_cols() -> list[tuple[str, str, bool, int]]:
     ]
 
 
-def _indicator_oracle(bars_sql: str, keys: list[str]) -> str:
-    """Full oracle: tail-500 per key, window selections, the struct
-    fold, and the guarded final projection."""
+def _surface_chain(bars_sql: str, keys: list[str], px: str = "") -> str:
+    """CTE chain (prefix ``px``) ending in ``{px}out``: keys + n_bars +
+    RAW min_data-guarded field values (no rounding — callers round for
+    the hash projection, or compare raw for rule replays)."""
     k = ", ".join(keys)
     selects = []
-    for name, expr, r6, min_data in _checksum_cols():
-        guarded = f"CASE WHEN f.n >= {min_data} THEN ({expr}) END"
-        if r6:
-            # + 0.0 normalizes -0.0 → +0.0, matching Spark's F.round
-            # (BigDecimal drops the sign of zero; DuckDB ROUND keeps it)
-            guarded = f"ROUND({guarded}, 6) + 0.0"
-        selects.append(f"  {guarded} AS {name}")
+    for name, expr, _r6, min_data in _checksum_cols():
+        selects.append(
+            f"  CASE WHEN f.n >= {min_data} THEN ({expr}) END AS {name}"
+        )
     sel = ",\n".join(selects)
     key_sel = ", ".join(f"f.{c} AS {c}" for c in keys)
-    return f"""
-WITH base AS ({bars_sql}),
-tb AS (
+    return f"""{px}base AS ({bars_sql}),
+{px}tb AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY {k} ORDER BY bucket_ts DESC) AS rnd
-  FROM base
+  FROM {px}base
 ),
-bars AS (SELECT * FROM tb WHERE rnd <= 500),
-wn AS (
+{px}bars AS (SELECT * FROM {px}tb WHERE rnd <= 500),
+{px}wn AS (
   SELECT *,
     ROW_NUMBER() OVER pk AS rn,
     COUNT(*) OVER (PARTITION BY {k}) AS n,
@@ -289,56 +286,80 @@ wn AS (
     (MAX(h) OVER (pk ROWS 51 PRECEDING) + MIN(l) OVER (pk ROWS 51 PRECEDING)) / 2 AS spanb,
     MAX(h) OVER (pk ROWS 13 PRECEDING) AS hh14,
     MIN(l) OVER (pk ROWS 13 PRECEDING) AS ll14
-  FROM bars
+  FROM {px}bars
   WINDOW pk AS (PARTITION BY {k} ORDER BY bucket_ts)
 ),
-fin AS (SELECT * FROM wn WHERE rn = n),
-run AS (
+{px}fin AS (SELECT * FROM {px}wn WHERE rn = n),
+{px}run AS (
   SELECT {k}, MAX(CASE WHEN c - pc <= 0 THEN rn END) AS last_bad
-  FROM wn WHERE rn >= 2 GROUP BY {k}
+  FROM {px}wn WHERE rn >= 2 GROUP BY {k}
 ),
-pr AS (
+{px}pr AS (
   SELECT b.*, f2.c AS last_c, f2.n AS grp_n
-  FROM bars b JOIN fin f2 USING ({k})
+  FROM {px}bars b JOIN {px}fin f2 USING ({k})
 ),
-prr AS (
+{px}prr AS (
   SELECT {k},
     CAST(SUM(CASE WHEN c <= last_c THEN 1 ELSE 0 END) AS DOUBLE)
       / ANY_VALUE(grp_n) AS pctl
-  FROM pr GROUP BY {k}
+  FROM {px}pr GROUP BY {k}
 ),
-folds AS (
+{px}folds AS (
   SELECT {k},
     list(struct_pack(o := o, h := h, l := l, c := c) ORDER BY bucket_ts) AS bs
-  FROM bars GROUP BY {k}
+  FROM {px}bars GROUP BY {k}
 ),
 -- The two folds MUST evaluate in separate (materialized) scans:
 -- DuckDB 1.0 executes lambda bodies in-place over shared vectors, and
 -- two list_reduce calls in one projection corrupt each other's state
 -- (observed: macd_hist scaled wrong the moment ap was added inline).
-accs AS MATERIALIZED (
+{px}accs AS MATERIALIZED (
   SELECT {k},
     list_reduce(list_transform(bs, {_seed_lambda()}), {_fold_lambda()}) AS a
-  FROM folds
+  FROM {px}folds
 ),
-accsp AS MATERIALIZED (
+{px}accsp AS MATERIALIZED (
   SELECT {k},
     CASE WHEN len(bs) >= 2 THEN
       list_reduce(
         list_transform(list_slice(bs, 1, len(bs) - 1), {_seed_lambda()}),
         {_fold_lambda()})
     END AS ap
-  FROM folds
-)
+  FROM {px}folds
+),
+{px}out AS (
+  SELECT
+    {key_sel},
+    f.n AS n_bars,
+{sel}
+  FROM {px}fin f
+  JOIN {px}accs USING ({k})
+  JOIN {px}accsp USING ({k})
+  LEFT JOIN {px}run r USING ({k})
+  JOIN {px}prr p USING ({k})
+)"""
+
+
+def _indicator_oracle(bars_sql: str, keys: list[str]) -> str:
+    """Full oracle: tail-500 per key, window selections, the list fold,
+    and the rounded hash projection over the raw surface chain."""
+    selects = []
+    for name, _expr, r6, _md in _checksum_cols():
+        if r6:
+            # + 0.0 normalizes -0.0 → +0.0, matching Spark's F.round
+            # (BigDecimal drops the sign of zero; DuckDB ROUND keeps it)
+            selects.append(f"  ROUND({name}, 6) + 0.0 AS {name}")
+        else:
+            selects.append(f"  {name}")
+    sel = ",\n".join(selects)
+    key_sel = ", ".join(keys)
+    return f"""
+WITH {_surface_chain(bars_sql, keys)}
 SELECT
   {key_sel},
-  f.n AS n_bars,
+  n_bars,
 {sel}
-FROM fin f
-JOIN accs USING ({k})
-JOIN accsp USING ({k})
-LEFT JOIN run r USING ({k})
-JOIN prr p USING ({k})
+FROM out
 """
 
 
@@ -536,3 +557,74 @@ def indicator_batch_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_bars = bars_multi_interval(e, "user_id", _BATCH_INTERVALS)
     surf = compute_all(all_bars, ["user_id", "interval"], tail=500)
     return _checksum_select(surf, ["user_id", "interval"])
+
+
+def _pack_subset_rules():
+    """The pack rules whose condition fields all live in the exact
+    checksum column set — replayable in SQL over the curr/prev surface
+    chains with zero tolerance."""
+    from tradecat_spark.signals.pack import ALL_RULES
+    from tradecat_spark.signals.rules import condition_fields, condition_sql
+
+    avail = {n for n, _, _, _ in _checksum_cols()}
+    return [
+        r for r in ALL_RULES
+        if condition_fields(r) <= avail and condition_sql(r) is not None
+    ]
+
+
+def _pack_subset_oracle() -> str:
+    """curr = surface over all 1h bars; prev = surface over bars at or
+    before the GLOBAL latest bucket minus one hour (exactly the
+    horizon signal_rule_pack_129 broadcasts); every subset rule replays
+    via condition_sql over <field>/prev_<field>."""
+    from tradecat_spark.signals.rules import condition_sql
+
+    fields = [n for n, _, _, _ in _checksum_cols()]
+    prev_bars = f"""
+  SELECT * FROM ({_SURFACE_BARS_SQL}) b
+  WHERE bucket_ts <= (
+    SELECT MAX(bucket_ts) - INTERVAL 1 HOUR FROM ({_SURFACE_BARS_SQL})
+  )"""
+    prev_cols = ",\n".join(f"    p.{n} AS prev_{n}" for n in fields)
+    curr_cols = ",\n".join(f"    c.{n}" for n in fields)
+    cands = "\n  UNION ALL\n".join(
+        f"  SELECT event_type, '{r.name}' AS rule, "
+        f"'{r.category}' AS category, '{r.direction}' AS direction, "
+        f"CAST({r.strength} AS BIGINT) AS strength "
+        f"FROM snap WHERE {condition_sql(r)}"
+        for r in _pack_subset_rules()
+    )
+    return f"""
+WITH {_surface_chain(_SURFACE_BARS_SQL, ["event_type"], "c_")},
+{_surface_chain(prev_bars, ["event_type"], "p_")},
+snap AS (
+  SELECT c.event_type,
+{curr_cols},
+{prev_cols}
+  FROM c_out c JOIN p_out p USING (event_type)
+)
+{cands}
+"""
+
+
+@query(
+    "signal_pack_subset_checksum",
+    survey="§2.10 checksum twin of signal_rule_pack_129 (r4 verdict "
+    "item 2): the pack rules whose fields are exactly SQL-derivable "
+    "replayed over curr/prev Python surfaces and hash-checked "
+    "(engines/sqlite_engine.py:215-333 prev/curr comparison law)",
+    description="Exact-field subset of the 129-rule pack over real "
+    "prev/curr indicator surfaces",
+    oracle=_pack_subset_oracle(),
+)
+def signal_pack_subset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the REAL signal_rule_pack_129 pipeline — two applyInPandas
+    surface snapshots + all 129 compiled conditions — then keeps the
+    rules whose fields the checksum column set derives exactly, so the
+    driver hashes actual prev/curr rule firings end-to-end."""
+    from tradecat_spark.plans.registry import REGISTRY
+
+    names = [r.name for r in _pack_subset_rules()]
+    fired = REGISTRY["signal_rule_pack_129"].fn(spark, sf_dir)
+    return fired.filter(F.col("rule").isin(names))
