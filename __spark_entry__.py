@@ -44,6 +44,9 @@ _GATE_PRIORITY = (
     "tpch_q11_important_stock",
     "tpch_q13_customer_distribution",
     "tpch_q16_parts_supplier_counts",
+    "sample_dsir_importance",
+    "embedding_random_projection",
+    "rp_recall_eval",
     # re-check: reference side re-bounded to the REF_K min-k set in r5
     "quantile_error_eval",
     # --- r1-vintage re-verification (r4 verdict item 4): these 49 rows

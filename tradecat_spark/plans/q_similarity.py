@@ -629,3 +629,208 @@ def embedding_norms_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.abs(F.col("norm6") - 1) < 0.01, 1).otherwise(0))
         .cast("long").alias("n_near_unit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss signed random projection (deterministic signs)
+# ---------------------------------------------------------------------------
+_RP_K = 16  # projected dimensions
+
+
+@query(
+    "embedding_random_projection",
+    survey="north-star similarity: JL signed random projection — "
+    "64→16 dims with md5-parity signs (no RNG state), the compression "
+    "step in front of an ANN index build; Achlioptas 2003 ±1 scheme",
+    description=f"{_RP_K}-dim signed random projection of every embedding",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+j AS (SELECT range AS pj FROM range({_RP_K})),
+proj AS (
+  SELECT vec_id, pj,
+    list_reduce(
+      list_transform(range(len(v)), i ->
+        v[i + 1] * (1 - 2 * (('0x' || substr(
+            md5(CAST(i AS VARCHAR) || '_' || CAST(pj AS VARCHAR)),
+          1, 8))::BIGINT % 2))),
+      (a, b) -> a + b) AS coord
+  FROM e CROSS JOIN j
+)
+SELECT vec_id, CAST(pj AS BIGINT) AS proj_dim,
+  ROUND(coord, 6) AS coord
+FROM proj
+""",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The projection matrix never materializes: sign(i, j) is the
+    parity of md5(i_j) — identical in both engines, no RNG state, and
+    any worker can recompute any entry, so at 100 TB the stage is
+    map-only (explode 16 projection rows per vector, one sequential
+    fold per row — the same order DuckDB's list_reduce uses, so the
+    sums are bit-comparable). Downstream ANN probes run on the 16-dim
+    vectors at 1/4 the dot-product cost."""
+    e = _emb(spark, sf_dir)
+    pj = F.explode(F.sequence(F.lit(0), F.lit(_RP_K - 1))).alias("pj")
+    x = e.select("vec_id", "vec", pj)
+    sign = lambda i: 1 - 2 * (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(i.cast("string"), F.lit("_"),
+                               F.col("pj").cast("string"))), 1, 8
+            ), 16, 10
+        ).cast("bigint") % 2
+    )
+    coord = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.size("vec") - 1),
+            lambda i: F.element_at(F.col("vec"), i + 1) * sign(i),
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return x.select(
+        "vec_id",
+        F.col("pj").cast("bigint").alias("proj_dim"),
+        F.round(coord, 6).alias("coord"),
+    )
+
+
+@query(
+    "rp_recall_eval",
+    survey="north-star similarity: JL-projection recall — top-5 by "
+    "16-dim projected cosine vs exact 64-dim top-5, the accept/reject "
+    "metric for running ANN probes on compressed vectors",
+    description=f"Per-query recall@{TOP_K} of the {_RP_K}-dim "
+    "projection against exact cosine",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+j AS (SELECT range AS pj FROM range({_RP_K})),
+proj AS (
+  SELECT vec_id, pj,
+    list_reduce(
+      list_transform(range(len(v)), i ->
+        v[i + 1] * (1 - 2 * (('0x' || substr(
+            md5(CAST(i AS VARCHAR) || '_' || CAST(pj AS VARCHAR)),
+          1, 8))::BIGINT % 2))),
+      (a, b) -> a + b) AS coord
+  FROM e CROSS JOIN j
+),
+pv AS (
+  SELECT vec_id, list(coord ORDER BY pj) AS p FROM proj GROUP BY vec_id
+),
+exact_sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    ROUND(list_dot_product(q.v, c.v)
+      / NULLIF(sqrt(list_dot_product(q.v, q.v))
+               * sqrt(list_dot_product(c.v, c.v)), 0), 6) AS s
+  FROM e q, e c
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+),
+exact_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY s DESC, neighbor_id) AS rn FROM exact_sims
+  ) WHERE rn <= {TOP_K}
+),
+rp_sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    ROUND(list_dot_product(q.p, c.p)
+      / NULLIF(sqrt(list_dot_product(q.p, q.p))
+               * sqrt(list_dot_product(c.p, c.p)), 0), 6) AS s
+  FROM pv q, pv c
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+),
+rp_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY s DESC, neighbor_id) AS rn FROM rp_sims
+  ) WHERE rn <= {TOP_K}
+)
+SELECT e.query_id,
+  CAST(COUNT(r.neighbor_id) AS BIGINT) AS n_hit,
+  ROUND(COUNT(r.neighbor_id) / CAST({TOP_K} AS DOUBLE), 6) AS recall
+FROM exact_top e
+LEFT JOIN rp_top r USING (query_id, neighbor_id)
+GROUP BY e.query_id
+""",
+)
+def rp_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both rankings come from the same deterministic machinery (rounded
+    sims + id tiebreaks); the projected vectors reuse
+    embedding_random_projection's map-only fold, collected to a 16-long
+    array per vector. The projected all-pairs term is |queries|×|corpus|
+    at 1/4 dot cost — the point of the compression; recall per query is
+    an exact integer ratio.
+
+    Expected values on the driver's SYNTHETIC embeddings are low
+    (~0.2 at sf0.01): i.i.d.-random vectors have razor-thin neighbor
+    margins, which 4× JL distortion swamps — that is the measurement
+    this eval exists to surface (on clustered real embeddings the same
+    16 dims preserve neighborhoods far better). The query gates the
+    MACHINERY exactly; the number is data-honest."""
+    e = _emb(spark, sf_dir)
+    pj = F.explode(F.sequence(F.lit(0), F.lit(_RP_K - 1))).alias("pj")
+    x = e.select("vec_id", "vec", pj)
+    sign = lambda i: 1 - 2 * (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(i.cast("string"), F.lit("_"),
+                               F.col("pj").cast("string"))), 1, 8
+            ), 16, 10
+        ).cast("bigint") % 2
+    )
+    coord = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.size("vec") - 1),
+            lambda i: F.element_at(F.col("vec"), i + 1) * sign(i),
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    pv = (
+        x.select("vec_id", "pj", coord.alias("coord"))
+        .groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pj", "coord"))).alias("ps"))
+        .select(
+            "vec_id",
+            F.transform(F.col("ps"), lambda s: s["coord"]).alias("p"),
+        )
+    )
+
+    def topk(df, col):
+        q = df.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col(col).alias("qv")
+        )
+        c = df.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col(col).alias("cv"))
+        sims = (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id", "neighbor_id",
+                F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("s"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("s"), F.asc("neighbor_id")
+        )
+        return (
+            sims.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    exact_top = topk(e.withColumnRenamed("vec", "v"), "v")
+    rp_top = topk(pv, "p")
+    hit = exact_top.join(
+        rp_top.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"],
+        "left",
+    )
+    return hit.groupBy("query_id").agg(
+        F.count("hit").alias("n_hit"),
+        F.round(F.count("hit") / F.lit(float(TOP_K)), 6).alias("recall"),
+    )

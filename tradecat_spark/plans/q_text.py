@@ -1640,3 +1640,120 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg.alias("avg_logprob"),
         F.round(F.exp(-avg), 4).alias("ppl_proxy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023, arXiv:2302.03169)
+# ---------------------------------------------------------------------------
+_DSIR_B = 4096  # hashed feature buckets
+
+
+@query(
+    "sample_dsir_importance",
+    survey="north-star curation: DSIR importance weighting — hashed "
+    "unigram features, add-one-smoothed target-vs-raw log-likelihood "
+    "ratio per doc, deterministic top-quartile keep flag (the "
+    "data-selection step before pretraining mixes)",
+    description="Per-doc DSIR log importance weight (target = English "
+    "slice) with keep flag",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+f AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(word), 1, 8))::BIGINT % {_DSIR_B} AS b
+  FROM w
+),
+tgt AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS ct
+  FROM f JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY b
+),
+raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM f GROUP BY b),
+tot AS (
+  SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM f
+     JOIN documents USING (doc_id) WHERE lang = 'en') AS nt,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM f) AS nr
+),
+lam AS (
+  SELECT raw.b,
+    ROUND(
+      ln((COALESCE(tgt.ct, 0) + 1) / CAST(nt + {_DSIR_B} AS DOUBLE))
+      - ln((raw.cr + 1) / CAST(nr + {_DSIR_B} AS DOUBLE)), 6) AS lam
+  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot
+),
+scored AS (
+  SELECT f.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    CAST(SUM(CAST(ROUND(lam * 1000000) AS BIGINT)) AS BIGINT) AS micro
+  FROM f JOIN lam USING (b) GROUP BY f.doc_id
+)
+SELECT s.doc_id, d.lang, s.n_tokens,
+  s.micro / 1000000.0 AS dsir_logweight,
+  PERCENT_RANK() OVER (ORDER BY s.micro, s.doc_id) >= 0.75 AS keep
+FROM scored s JOIN documents d USING (doc_id)
+""",
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR re-expressed Spark-first: ONE explode of the corpus into
+    hashed unigram features (md5 % B — engine-identical), two bucket
+    count aggregates (target slice vs raw, both map-side partial), the
+    per-bucket log-likelihood ratio λ(b) rounded ONCE to 6dp, then the
+    per-doc weight as an exact micro-integer sum of λ over the doc's
+    features (order-free — no double accumulation). The keep flag is
+    the deterministic analogue of DSIR's importance resampling: top
+    quartile by (weight, doc_id). At 100 TB the λ table is B ≤ 4096
+    rows (broadcast); the corpus explode shuffles once on the bucket
+    key for counts and joins λ map-side."""
+    d = _docs(spark, sf_dir)
+    w = d.select("doc_id", "lang", F.explode(_words()).alias("word"))
+    b = (
+        F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("bigint")
+        % _DSIR_B
+    )
+    f = w.select("doc_id", "lang", b.alias("b"))
+    tgt = f.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    raw = f.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tot = f.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
+        F.count(F.lit(1)).alias("nr"),
+    )
+    lam = (
+        raw.join(tgt, "b", "left")
+        .join(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                    / (F.col("nt") + F.lit(_DSIR_B)).cast("double")
+                )
+                - F.log(
+                    (F.col("cr") + 1)
+                    / (F.col("nr") + F.lit(_DSIR_B)).cast("double")
+                ),
+                6,
+            ).alias("lam"),
+        )
+    )
+    scored = (
+        f.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.round(F.col("lam") * 1_000_000).cast("long"))
+            .alias("micro"),
+        )
+    )
+    wr = Window.orderBy("micro", "doc_id")
+    return (
+        scored.join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id", "lang", "n_tokens",
+            (F.col("micro") / F.lit(1_000_000.0)).alias("dsir_logweight"),
+            (F.percent_rank().over(wr) >= 0.75).alias("keep"),
+        )
+    )
