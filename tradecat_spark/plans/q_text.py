@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tradecat_spark.catalog import load_table
-from tradecat_spark.plans.exact import mean6, mean6_sql, ratio6_sql
+from tradecat_spark.plans.exact import mean6, mean6_sql, ratio6, ratio6_sql
 from tradecat_spark.plans.registry import query
 
 #: shared rendering of the exact 6dp mean of the per-token log-prob —
@@ -1756,4 +1756,97 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("micro") / F.lit(1_000_000.0)).alias("dsir_logweight"),
             (F.percent_rank().over(wr) >= 0.75).alias("keep"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span detection (Lee et al. 2022, arXiv:2107.06499 —
+# bounded n-gram form of the suffix-array substring dedup)
+# ---------------------------------------------------------------------------
+_SPAN_WORDS = 10  # exact-match span width (tokens)
+
+
+@query(
+    "dedup_substring_spans",
+    survey="north-star dedup: exact duplicated-span detection — the "
+    "bounded n-gram form of suffix-array substring dedup (every "
+    "10-token span occurring in >1 document), per-doc contamination "
+    "fraction + trim candidate flag",
+    description=f"Docs containing {_SPAN_WORDS}-token spans that also "
+    "occur in other documents, with duplicated-span fraction",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+sp AS (
+  SELECT doc_id,
+    unnest(list_transform(
+      range(len(ws) - {_SPAN_WORDS} + 1),
+      i -> md5(list_aggregate(ws[i + 1 : i + {_SPAN_WORDS}], 'string_agg', ' '))
+    )) AS h
+  FROM w WHERE len(ws) >= {_SPAN_WORDS}
+),
+docs_per_span AS (
+  SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM sp GROUP BY h
+),
+per_doc AS (
+  SELECT sp.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_spans,
+    CAST(SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_dup_spans
+  FROM sp JOIN docs_per_span d USING (h)
+  GROUP BY sp.doc_id
+)
+SELECT doc_id, n_spans, n_dup_spans,
+  {ratio6_sql('n_dup_spans * 1000000', 'n_spans * 1000000')} AS dup_fraction,
+  n_dup_spans * 5 > n_spans AS trim_candidate
+FROM per_doc
+WHERE n_dup_spans > 0
+""",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The suffix-array dedup's semantics at fixed width: hash every
+    10-token sliding span (map-only explode), count DISTINCT docs per
+    span hash (one shuffle keyed on the hash — high-cardinality,
+    skew-free), and join the >1-doc verdict back to flag documents by
+    duplicated-span fraction. The 20%-threshold trim flag is an exact
+    integer comparison; the fraction itself uses the scaled-integer
+    ratio (no double-division midpoints). At 100 TB this is the same
+    two-aggregate shape as the vocab queries — no all-pairs term
+    anywhere; span width bounds memory per row."""
+    d = _docs(spark, sf_dir)
+    w = d.select("doc_id", _words().alias("ws")).filter(
+        F.size("ws") >= _SPAN_WORDS
+    )
+    idx = F.sequence(F.lit(0), F.size("ws") - _SPAN_WORDS)
+    sp = w.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("ws"), i + 1, _SPAN_WORDS))
+                ),
+            )
+        ).alias("h"),
+    )
+    per_span = sp.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    per_doc = (
+        sp.join(per_span, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .alias("n_dup_spans"),
+        )
+    )
+    return per_doc.filter(F.col("n_dup_spans") > 0).select(
+        "doc_id", "n_spans", "n_dup_spans",
+        ratio6(
+            F.col("n_dup_spans") * 1_000_000, F.col("n_spans") * 1_000_000
+        ).alias("dup_fraction"),
+        (F.col("n_dup_spans") * 5 > F.col("n_spans")).alias("trim_candidate"),
     )
