@@ -437,3 +437,25 @@ def test_q16_exclusion_is_left_anti(spark, sf_dir):
     plan = _plan(spark, "tpch_q16_parts_supplier_counts", sf_dir)
     assert "LeftAnti" in plan, plan[:400]
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_lambda_table_broadcasts(spark, sf_dir):
+    """The per-bucket log-ratio table is <= 4096 rows and must reach
+    the corpus-feature join as a broadcast — shuffling the exploded
+    corpus against it would be the 100 TB mistake."""
+    plan = _plan(spark, "sample_dsir_importance", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:400]
+
+
+def test_random_projection_is_shuffle_free(spark, sf_dir):
+    """The projection never materializes a matrix or shuffles: signs
+    are recomputed from md5 parity inside the fold, so the plan is one
+    scan + explode + projection (no Exchange at all)."""
+    plan = _plan(spark, "embedding_random_projection", sf_dir)
+    assert "Exchange" not in plan, plan[:600]
+
+
+def test_substring_spans_has_no_allpairs(spark, sf_dir):
+    plan = _plan(spark, "dedup_substring_spans", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
