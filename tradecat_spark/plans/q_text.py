@@ -1850,3 +1850,75 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_fraction"),
         (F.col("n_dup_spans") * 5 > F.col("n_spans")).alias("trim_candidate"),
     )
+
+
+def _manifest_oracle() -> str:
+    """Composed VERBATIM from the three constituent hash-green oracles
+    (registry lookups at import time) — the manifest cannot drift from
+    the lanes it summarizes."""
+    from tradecat_spark.plans.registry import REGISTRY
+
+    return f"""
+WITH qscore AS ({REGISTRY['quality_unigram_logprob'].oracle}),
+clus AS ({REGISTRY['dedup_clusters'].oracle}),
+dsir AS ({REGISTRY['sample_dsir_importance'].oracle})
+SELECT d.doc_id, d.source, dsir.lang,
+  clus.is_canonical, qscore.low_quality, dsir.keep AS dsir_keep,
+  (clus.is_canonical AND NOT qscore.low_quality AND dsir.keep)
+    AS keep_final,
+  CASE WHEN NOT clus.is_canonical THEN 'duplicate'
+       WHEN qscore.low_quality THEN 'low_quality'
+       WHEN NOT dsir.keep THEN 'off_target'
+       ELSE 'kept' END AS decision
+FROM documents d
+JOIN qscore USING (doc_id)
+JOIN clus USING (doc_id)
+JOIN dsir USING (doc_id)
+"""
+
+
+@query(
+    "corpus_training_manifest",
+    survey="north-star curation capstone: the end-to-end keep/drop "
+    "manifest — duplicate-cluster canonicals × LM quality decile × "
+    "DSIR target match, one decision per document with drop reason "
+    "(the artifact a pretraining mix actually consumes)",
+    description="Per-doc training-mix decision from dedup + quality + "
+    "DSIR lanes",
+    oracle=_manifest_oracle(),
+)
+def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DAG composes the three curation lanes — connected-component
+    canonical flags, unigram-LM bottom-decile flags, DSIR top-quartile
+    keep — into the per-document decision, with reason precedence
+    duplicate > low_quality > off_target. Every constituent is
+    individually hash-green; the composition is three doc-keyed joins
+    (all |corpus|-row sides, co-partitioned on doc_id at scale). The
+    oracle nests the constituent oracle SQL verbatim, so Spark plan and
+    oracle derive from the same single sources of truth."""
+    from tradecat_spark.plans.registry import REGISTRY
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    q = REGISTRY["quality_unigram_logprob"].fn(spark, sf_dir).select(
+        "doc_id", "low_quality"
+    )
+    c = REGISTRY["dedup_clusters"].fn(spark, sf_dir).select(
+        "doc_id", "is_canonical"
+    )
+    s = REGISTRY["sample_dsir_importance"].fn(spark, sf_dir).select(
+        "doc_id", "lang", F.col("keep").alias("dsir_keep")
+    )
+    j = d.join(q, "doc_id").join(c, "doc_id").join(s, "doc_id")
+    keep = (
+        F.col("is_canonical") & ~F.col("low_quality") & F.col("dsir_keep")
+    )
+    return j.select(
+        "doc_id", "source", "lang",
+        "is_canonical", "low_quality", "dsir_keep",
+        keep.alias("keep_final"),
+        F.when(~F.col("is_canonical"), "duplicate")
+        .when(F.col("low_quality"), "low_quality")
+        .when(~F.col("dsir_keep"), "off_target")
+        .otherwise("kept")
+        .alias("decision"),
+    )
