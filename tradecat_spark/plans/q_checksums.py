@@ -8,10 +8,13 @@ twins close the loop: each runs the SAME Python surface, then projects
 the subset of output columns whose math is expressible exactly in
 DuckDB — selections (OHLC picks, rolling max/min), integer-derived
 stats (counts, runs, percentile ranks), and sequential float folds
-(EMA / Wilder / MACD / RSI recurrences), which are bit-identical
-between pandas ``ewm(adjust=False)`` and an explicit
-``list_reduce`` fold (verified: the plain ``acc*(1-a) + x*a``
-recurrence reproduces pandas bit-for-bit for every span used here).
+(EMA / Wilder / MACD / RSI recurrences), where pandas
+``ewm(adjust=False)`` and the explicit ``list_reduce`` fold run the
+same op sequence (the plain ``acc*(1-a) + x*a`` recurrence reproduces
+pandas bit-for-bit in pure Python for every span used here; DuckDB may
+contract the fold step into an FMA, drifting ~1 ulp/step on some
+series — the twins' ROUND(·,6) absorbs that, and
+tests/test_checksums.py pins the tolerance at 1e-9).
 
 Reference anchors: the surfaces mirror the scheduled indicator batch
 (services/trading-service/src/core/engine.py:121-255) and the signal
