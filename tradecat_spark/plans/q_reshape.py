@@ -204,3 +204,38 @@ def ntile_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
     )
+
+
+@query(
+    "cube_corpus_stats",
+    survey="§2.4 grouping sets: CUBE over (source, lang) — all four "
+    "grouping combinations in one aggregation pass (completes the "
+    "ROLLUP/pivot/unpivot reshape family)",
+    description="Doc counts and char sums for every (source, lang) "
+    "grouping-set combination",
+    oracle="""
+SELECT source, lang,
+  CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY CUBE (source, lang)
+""",
+)
+def cube_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hash-aggregate emits all four grouping sets (map-side
+    partials apply per set); grouping_id disambiguates a genuine NULL
+    key from an aggregated-out dimension, rendered with the same
+    bit order (leftmost column = most significant) on both engines."""
+    from tradecat_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.cube("source", "lang")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select("source", "lang", "gid", "n_docs", "total_chars")
+    )

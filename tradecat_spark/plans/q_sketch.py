@@ -405,3 +405,97 @@ def quantile_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(F.col("est_p90") - F.col("exact_p90")), 6)
         .alias("err_p90"),
     )
+
+
+@query(
+    "kmv_merge_law",
+    survey="§4 approx family: KMV MERGEABILITY — per-shard synopses "
+    "(k smallest hashes) unioned and re-minned must equal the sketch "
+    "computed directly over all rows; the partial-aggregation law that "
+    "makes the sketch a 100 TB map-side combiner",
+    description="Per-key kth-hash from merged shard synopses vs direct "
+    "— must be identical",
+    oracle=f"""
+WITH h AS (
+  SELECT DISTINCT event_type, user_id % 4 AS shard,
+    md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+shard_syn AS (
+  SELECT event_type, shard, h FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, shard
+      ORDER BY h) AS rn
+    FROM h
+  ) WHERE rn <= {K}
+),
+merged AS (
+  SELECT event_type, MAX(CASE WHEN rn = {K} THEN h END) AS kth_merged,
+    CAST(COUNT(*) AS BIGINT) AS syn_size
+  FROM (
+    SELECT event_type, h, ROW_NUMBER() OVER (PARTITION BY event_type
+      ORDER BY h) AS rn
+    FROM (SELECT DISTINCT event_type, h FROM shard_syn)
+  ) WHERE rn <= {K}
+  GROUP BY event_type
+),
+direct AS (
+  SELECT event_type, MAX(CASE WHEN rn = {K} THEN h END) AS kth_direct
+  FROM (
+    SELECT event_type, h, ROW_NUMBER() OVER (PARTITION BY event_type
+      ORDER BY h) AS rn
+    FROM (SELECT DISTINCT event_type, h FROM h)
+  ) GROUP BY event_type
+)
+SELECT m.event_type, m.syn_size,
+  m.kth_merged, d.kth_direct,
+  COALESCE(m.kth_merged = d.kth_direct,
+           m.kth_merged IS NULL AND d.kth_direct IS NULL) AS law_holds
+FROM merged m JOIN direct d USING (event_type)
+""",
+)
+def kmv_merge_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The law that lets KMV partial-aggregate: every shard keeps only
+    its k smallest hashes, and the k smallest of the UNION of shard
+    synopses equal the k smallest of the full set (any global top-k
+    element is in its shard's top-k). The query materializes both sides
+    and asserts equality of the k-th hash per key — the driver hashes
+    the law's outcome, so a broken combiner is a red row, not a silent
+    estimate drift. Shapes: two bounded window ranks (per-shard ≤ k
+    rows survive level 1, ≤ 4k rows reach level 2) — the same two-level
+    min-k the quantile sampler uses."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    h = e.select(
+        "event_type",
+        (F.col("user_id") % 4).alias("shard"),
+        F.md5(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    w1 = Window.partitionBy("event_type", "shard").orderBy("h")
+    syn = h.withColumn("rn", F.row_number().over(w1)).filter(
+        F.col("rn") <= K
+    ).select("event_type", "h").distinct()
+    w2 = Window.partitionBy("event_type").orderBy("h")
+    merged = (
+        syn.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= K)
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("rn") == K, F.col("h"))).alias("kth_merged"),
+            F.count(F.lit(1)).alias("syn_size"),
+        )
+    )
+    direct = (
+        h.select("event_type", "h").distinct()
+        .withColumn("rn", F.row_number().over(w2))
+        .groupBy("event_type")
+        .agg(F.max(F.when(F.col("rn") == K, F.col("h"))).alias("kth_direct"))
+    )
+    j = merged.join(direct, "event_type")
+    return j.select(
+        "event_type", "syn_size", "kth_merged", "kth_direct",
+        F.coalesce(
+            F.col("kth_merged") == F.col("kth_direct"),
+            F.col("kth_merged").isNull() & F.col("kth_direct").isNull(),
+        ).alias("law_holds"),
+    )
