@@ -1263,3 +1263,40 @@ def test_commit_concurrent_reader_sees_old_or_new_never_mixed(spark, tmp_path):
         f"illegal snapshots observed: {set(observed) - legal}"
     )
     assert observed[-1] == frozenset(new_state)
+
+
+def test_legacy_real_dir_store_reads_and_upgrades(spark, tmp_path):
+    """A store written by the pre-symlink layout (real partition
+    directories) must read through read_store unchanged, and the first
+    upsert against it must upgrade the touched partition to the
+    symlink-swap layout while preserving the merge law."""
+    from tradecat_spark.streaming import ingest as ing
+
+    store = str(tmp_path / "legacy_store")
+    keys = ["symbol", "bucket_ts"]
+    t0 = pd.Timestamp("2025-01-01 00:00:00")
+    legacy = spark.createDataFrame(pd.DataFrame([
+        dict(symbol="BTC", bucket_ts=t0, open=100.0, high=105.0,
+             low=99.0, close=101.0, trade_count=10, is_closed=False),
+    ])).withColumn("_part", F.date_format("bucket_ts", "yyyy-MM-dd"))
+    # the old bootstrap wrote real partition dirs straight to the store
+    legacy.write.mode("overwrite").partitionBy("_part").parquet(store)
+    assert not os.path.islink(os.path.join(store, "_part=2025-01-01"))
+
+    got = ing.read_store(spark, store).collect()
+    assert len(got) == 1 and got[0]["close"] == 101.0
+
+    update = spark.createDataFrame(pd.DataFrame([
+        dict(symbol="BTC", bucket_ts=t0, event_ts=t0, open=100.5,
+             high=107.0, low=98.0, close=106.0, trade_count=25,
+             is_closed=True),
+    ]))
+    ing.upsert_batch(spark, update, store, keys)
+    assert os.path.islink(os.path.join(store, "_part=2025-01-01"))
+    row = ing.read_store(spark, store).collect()[0]
+    # merge law across the upgrade: target bar was open → source open
+    # wins; high/low span; close from source; closed OR'd
+    assert (row["open"], row["high"], row["low"], row["close"]) == (
+        100.5, 107.0, 98.0, 106.0,
+    )
+    assert row["is_closed"] is True and row["trade_count"] == 25
