@@ -104,6 +104,10 @@ def main() -> int:
     (REPO / "GATE_LEDGER.json").write_text(
         json.dumps(ledger, indent=1, sort_keys=True) + "\n"
     )
+    # keep the human-readable inventory's driver-check column in step
+    import gen_query_index
+
+    (REPO / "QUERIES.md").write_text(gen_query_index.render())
     slots = gate_slots()
     sys.path.insert(0, str(REPO))
     import __spark_entry__ as entry
