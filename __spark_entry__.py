@@ -51,6 +51,7 @@ _GATE_PRIORITY = (
     "corpus_training_manifest",
     "kmv_merge_law",
     "cube_corpus_stats",
+    "bucketed_colocated_join",
     # re-check: reference side re-bounded to the REF_K min-k set in r5
     "quantile_error_eval",
     # --- r1-vintage re-verification (r4 verdict item 4): these 49 rows

@@ -459,3 +459,19 @@ def test_substring_spans_has_no_allpairs(spark, sf_dir):
     plan = _plan(spark, "dedup_substring_spans", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_subtree_is_exchange_free(spark, sf_dir):
+    """The whole point of the bucketed layout: the lineitem-orders
+    SortMergeJoin must read both bucketed tables WITHOUT any Exchange
+    in its subtree (the post-join aggregation may shuffle its tiny
+    grouped rows). Formatted explain prints the tree top-down, so the
+    join's subtree is everything from the SortMergeJoin line to the end
+    of the TREE section (details follow after a blank line)."""
+    plan = _plan(spark, "bucketed_colocated_join", sf_dir)
+    tree = plan.split("\n\n", 1)[0]
+    smj = tree.find("SortMergeJoin")
+    assert smj >= 0, tree
+    assert "Exchange" not in tree[smj:], tree[smj:]
+    # exactly ONE exchange in the whole tree: the post-join aggregation
+    assert tree.count("Exchange") == 1, tree

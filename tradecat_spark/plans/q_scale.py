@@ -307,3 +307,84 @@ def zorder_curve_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("x") - F.min("x")).alias("x_span"),
         (F.max("y") - F.min("y")).alias("y_span"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join — the shuffle-free fact-fact join the README
+# promises at 100 TB, demonstrated and gated
+# ---------------------------------------------------------------------------
+_N_BUCKETS = 8
+
+
+@query(
+    "bucketed_colocated_join",
+    survey="§2.3 scale posture: bucketed co-located fact-fact join — "
+    "lineitem and orders pre-bucketed on the order key join WITHOUT a "
+    "shuffle (plan-asserted exchange-free), the Spark bucketing story "
+    "that replaces the reference's single-node locality",
+    description="Revenue by order priority via a bucket-co-located "
+    "lineitem-orders join",
+    oracle="""
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+      * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE), 6) AS revenue
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY 1
+""",
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writes both facts bucketBy(8, orderkey) + sortBy into the
+    session catalog (idempotent overwrite, spark-warehouse/), then
+    joins the bucketed tables: same bucketing on both sides means the
+    join plans with NO Exchange and NO extra Sort — each bucket pair
+    merges locally. At 100 TB this is the one-time layout investment
+    that removes the recurring fact-fact shuffle from every downstream
+    join on the key; tests/test_plans.py pins the exchange-free plan.
+    The aggregate result is decimal-exact against the plain-join
+    oracle, proving the relayout changed the PLAN, not the answer."""
+    import re
+
+    import shutil
+
+    tag = re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    li_t, o_t = f"tc_bkt_lineitem_{tag}", f"tc_bkt_orders_{tag}"
+    # the in-memory catalog forgets tables between sessions but their
+    # warehouse directories persist; clear both so overwrite is truly
+    # idempotent across driver runs
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in (li_t, o_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    (
+        li.write.mode("overwrite").format("parquet")
+        .bucketBy(_N_BUCKETS, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(li_t)
+    )
+    (
+        o.write.mode("overwrite").format("parquet")
+        .bucketBy(_N_BUCKETS, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(o_t)
+    )
+    bl, bo = spark.table(li_t), spark.table(o_t)
+    from tradecat_spark.plans.q_relational import _money, _rate
+
+    # merge hint: at driver/test scale the planner would broadcast the
+    # small side and never touch the bucketed path; at 100 TB both
+    # sides are facts and SMJ-over-buckets is the plan we are proving
+    j = bl.hint("merge").join(bo, bl["l_orderkey"] == bo["o_orderkey"])
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(_money("l_extendedprice") * (1 - _rate("l_discount")))
+            .cast("double"), 6,
+        ).alias("revenue"),
+    )
