@@ -30,6 +30,8 @@ correctness gate covers.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -342,7 +344,12 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     that removes the recurring fact-fact shuffle from every downstream
     join on the key; tests/test_plans.py pins the exchange-free plan.
     The aggregate result is decimal-exact against the plain-join
-    oracle, proving the relayout changed the PLAN, not the answer."""
+    oracle, proving the relayout changed the PLAN, not the answer.
+
+    Single-writer contract: the rewrite-then-read is NOT safe against a
+    concurrent invocation rewriting the same layout — the same contract
+    a real OPTIMIZE/relayout job has (the verify driver runs queries
+    sequentially; a deployment serializes relayout per table)."""
     import re
 
     import shutil
@@ -352,12 +359,15 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the in-memory catalog forgets tables between sessions but their
     # warehouse directories persist; clear both so overwrite is truly
     # idempotent across driver runs
-    wh = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    ).removeprefix("file:")
+    # explicit location INSIDE the repo: the driver's session may have
+    # any cwd, and the default warehouse dir follows cwd — an external
+    # table path keeps the layout exactly where the repo owns it
+    base = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "spark-warehouse")
+    paths = {t: os.path.join(base, t) for t in (li_t, o_t)}
     for t in (li_t, o_t):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+        shutil.rmtree(paths[t], ignore_errors=True)
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
@@ -366,11 +376,13 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     (
         li.write.mode("overwrite").format("parquet")
+        .option("path", paths[li_t])
         .bucketBy(_N_BUCKETS, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable(li_t)
     )
     (
         o.write.mode("overwrite").format("parquet")
+        .option("path", paths[o_t])
         .bucketBy(_N_BUCKETS, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable(o_t)
     )
