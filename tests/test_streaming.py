@@ -1223,13 +1223,9 @@ def test_commit_concurrent_reader_sees_old_or_new_never_mixed(spark, tmp_path):
                 observed.append(frozenset((r[0], r[1]) for r in rows))
             except Exception as e:  # torn read (file disappeared mid-read)
                 errors.append(e)
-        # one final read after the commit finished
-        files = snapshot_files()
-        import duckdb as _d
-        rows = _d.sql(
-            f"SELECT close, trade_count FROM read_parquet({files!r})"
-        ).fetchall()
-        observed.append(frozenset((r[0], r[1]) for r in rows))
+        # (the post-commit state is asserted by the MAIN thread after
+        # writer.join() — reading it here would race the commit, which
+        # resumes only when release fires)
 
     monkey_prev = ing._COMMIT_PAUSE
     ing._COMMIT_PAUSE = pause
@@ -1262,7 +1258,12 @@ def test_commit_concurrent_reader_sees_old_or_new_never_mixed(spark, tmp_path):
     assert observed and set(observed) <= legal, (
         f"illegal snapshots observed: {set(observed) - legal}"
     )
-    assert observed[-1] == frozenset(new_state)
+    # post-commit state, read AFTER the writer finished
+    import duckdb as _d
+    final = _d.sql(
+        f"SELECT close, trade_count FROM read_parquet({snapshot_files()!r})"
+    ).fetchall()
+    assert frozenset((r[0], r[1]) for r in final) == frozenset(new_state)
 
 
 def test_legacy_real_dir_store_reads_and_upgrades(spark, tmp_path):
