@@ -1078,8 +1078,9 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Q20 — the part→partsupp→supplier subquery ladder re-expressed on "
     "the reduced schema (availqty stands in as the pair's all-time "
     "shipped quantity; the 0.5× correlated SUM survives verbatim)",
-    description="TPC-H Q20 (adapted): suppliers whose 1996 shipments "
-    "of 'red' parts exceed half the pair's all-time volume",
+    description="TPC-H Q20 (adapted): suppliers with 1996-concentrated "
+    "'red' part shipments (year share > 25%, ~1.75x uniform — "
+    "scale-free: the fixed-0.5 form went empty at sf0.1)",
     oracle="""
 SELECT s_suppkey, s_name, n_name, s_acctbal
 FROM supplier JOIN nation ON n_nationkey = s_nationkey
@@ -1090,7 +1091,7 @@ WHERE s_suppkey IN (
   HAVING COUNT(*) >= 3
      AND SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
                    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-                  THEN l_quantity ELSE 0 END) > 0.5 * SUM(l_quantity)
+                  THEN l_quantity ELSE 0 END) * 4 > SUM(l_quantity)
 )
 """,
 )
@@ -1128,7 +1129,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_quantity").alias("qty_all"),
         )
         .filter((F.col("n_lines") >= 3)
-                & (F.col("qty_96") > 0.5 * F.col("qty_all")))
+                & (F.col("qty_96") * 4 > F.col("qty_all")))
         .select("l_suppkey")
     )
     s = load_table(spark, sf_dir, "supplier")
@@ -1370,8 +1371,9 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="§2.4 scalar-subquery threshold over a grouped value: TPC-H "
     "Q11 — per-part value share vs a global fraction, the compare kept "
     "decimal-exact (no double AVG midpoints)",
-    description="TPC-H Q11 (adapted): parts holding >0.1% of NATION_3 "
-    "suppliers' traded value",
+    description="TPC-H Q11 (adapted): parts whose NATION_3 traded "
+    "value exceeds 3x the per-part average (the classic 0.0001/SF "
+    "scale-relative threshold; a fixed fraction went empty at sf0.1)",
     oracle="""
 WITH natval AS (
   SELECT l_partkey,
@@ -1382,11 +1384,13 @@ WITH natval AS (
   WHERE n_name = 'NATION_3'
   GROUP BY 1
 ),
-total AS (SELECT SUM(val) AS tot FROM natval)
+total AS (
+  SELECT SUM(val) AS tot, CAST(COUNT(*) AS BIGINT) AS n_parts FROM natval
+)
 SELECT l_partkey AS p_partkey,
   ROUND(CAST(val AS DOUBLE), 6) AS part_value
 FROM natval, total
-WHERE val * 1000 > tot
+WHERE val * n_parts > 3 * tot
 """,
 )
 def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1414,10 +1418,12 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(_money("l_extendedprice")).alias("val"))
     )
-    total = natval.agg(F.sum("val").alias("tot"))
+    total = natval.agg(
+        F.sum("val").alias("tot"), F.count(F.lit(1)).alias("n_parts")
+    )
     return (
         natval.crossJoin(F.broadcast(total))
-        .filter(F.col("val") * 1000 > F.col("tot"))
+        .filter(F.col("val") * F.col("n_parts") > 3 * F.col("tot"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
             F.round(F.col("val").cast("double"), 6).alias("part_value"),

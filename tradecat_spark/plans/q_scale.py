@@ -329,8 +329,13 @@ _N_BUCKETS = 8
     oracle="""
 SELECT o_orderpriority,
   CAST(COUNT(*) AS BIGINT) AS n_lines,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-      * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE), 6) AS revenue
+  -- the exact decimal rendered at fixed scale: neither ROUND(double,6)
+  -- (x*1e6 near 2^53 at this magnitude) nor a decimal->double cast
+  -- (engines round the int128/10^scale division differently) is
+  -- ulp-stable for ~6e9 sums; the scale-12 string IS the exact value
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+      * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DECIMAL(38,12))
+    AS VARCHAR) AS revenue
 FROM lineitem JOIN orders ON o_orderkey = l_orderkey
 GROUP BY 1
 """,
@@ -395,8 +400,6 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = bl.hint("merge").join(bo, bl["l_orderkey"] == bo["o_orderkey"])
     return j.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.round(
-            F.sum(_money("l_extendedprice") * (1 - _rate("l_discount")))
-            .cast("double"), 6,
-        ).alias("revenue"),
+        F.sum(_money("l_extendedprice") * (1 - _rate("l_discount")))
+        .cast("decimal(38,12)").cast("string").alias("revenue"),
     )
