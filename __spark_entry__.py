@@ -54,6 +54,10 @@ _GATE_PRIORITY = (
     "bucketed_colocated_join",
     # re-check: reference side re-bounded to the REF_K min-k set in r5
     "quantile_error_eval",
+    # re-check: ulp-hardened in r5 after the sf0.1 sweep (exact mean /
+    # per-row rounded spread)
+    "chart_intraday_volatility",
+    "orderbook_l1_stats",
     # --- r1-vintage re-verification (r4 verdict item 4): these 49 rows
     # were hash-green in round 1 only, under the oldest data generation;
     # rotate them through until no query has last_checked_round == 1.
@@ -157,7 +161,7 @@ _GATE_PRIORITY = (
     "ai_context_snapshot", "ann_ivf_search", "ann_label_centroids",
     "ann_lsh_buckets", "ann_multiprobe_search", "ann_recall_eval",
     "approx_distinct_kmv", "chart_bb_zone_strip", "chart_cvd_cumulative",
-    "chart_equity_drawdown", "chart_intraday_volatility",
+    "chart_equity_drawdown",
     "chart_intraday_volume_heatmap", "chart_kline_ma_volume",
     "chart_long_short_ratio", "chart_macd_series", "chart_oi_change",
     "chart_taker_ratio_heatmap", "chart_vpvr_ridge",
@@ -165,7 +169,7 @@ _GATE_PRIORITY = (
     "global_totals_latest", "ind_atr_wilder_fold", "ind_donchian_williams",
     "metrics_cascade_1d", "mm_decode_features", "mm_frame_sample",
     "mm_resize_images", "ohlcv_cascade_1M", "orderbook_depth_bands",
-    "orderbook_depth_hourly", "orderbook_l1_stats", "quality_filter_funnel",
+    "orderbook_depth_hourly", "quality_filter_funnel",
     "ranking_card_1h", "ranking_card_rendered", "rest_ohlc_history",
     "rest_oi_history", "rest_supported_coins", "serving_retention_trim",
     "signal_threshold_cross_sql", "single_token_panel",

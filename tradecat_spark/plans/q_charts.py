@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from tradecat_spark.catalog import load_table
 from tradecat_spark.operators.rollup import ohlcv_rollup
+from tradecat_spark.plans.exact import ratio6, ratio6_sql
 from tradecat_spark.plans.registry import query
 
 DEC = "decimal(18,8)"
@@ -216,7 +217,12 @@ amp AS (
 SELECT
   event_type, hod,
   CAST(COUNT(amplitude) AS BIGINT) AS n_bars,
-  CAST(SUM(amplitude) AS DOUBLE) / COUNT(amplitude) AS mean_amplitude
+  -- exact integer ratio: the scale-8 decimal sum is integral in 1e-8
+  -- units, so round(sum/count, 6) runs entirely in int64 (a
+  -- decimal->double cast differs across engines at ulps; sf0.1 sweep)
+  {ratio6_sql('CAST(SUM(amplitude) * 100000000 AS BIGINT)',
+               'COUNT(amplitude) * 100000000')}
+    AS mean_amplitude
 FROM amp
 GROUP BY 1, 2
 """,
@@ -236,8 +242,9 @@ def chart_intraday_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return amp.groupBy("event_type", "hod").agg(
         F.count("amplitude").alias("n_bars"),
-        (
-            F.sum("amplitude").cast("double") / F.count("amplitude")
+        ratio6(
+            (F.sum("amplitude") * 100_000_000).cast("long"),
+            F.count("amplitude") * 100_000_000,
         ).alias("mean_amplitude"),
     )
 

@@ -590,9 +590,12 @@ l1 AS (
     event_type, ts,
     (bid_price + ask_price) / 2 AS mid,
     ask_price - bid_price AS spread,
-    CASE WHEN (bid_price + ask_price) / 2 > 0
+    -- per-row ROUND: engines may contract the mul/div chain into FMA,
+    -- drifting single rows by an ulp; extremes mask it, the discrete
+    -- median does not (found by the sf0.1 sweep)
+    ROUND(CASE WHEN (bid_price + ask_price) / 2 > 0
          THEN (ask_price - bid_price) / ((bid_price + ask_price) / 2) * 10000
-    END AS spread_bps,
+    END, 6) AS spread_bps,
     CASE WHEN bid_qty + ask_qty > 0
          THEN (bid_qty - ask_qty) / (bid_qty + ask_qty) END AS imbalance
   FROM ticks
@@ -628,7 +631,12 @@ def orderbook_l1_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") % 7 + 1).cast("double").alias("bid_qty"),
         (F.col("event_id") % 5 + 1).cast("double").alias("ask_qty"),
     )
-    l1 = l1_projection(ticks)
+    # per-row round BEFORE aggregating: FMA contraction can drift a
+    # single row's spread by an ulp across engines; extremes mask it,
+    # the discrete median does not (sf0.1 sweep finding)
+    l1 = l1_projection(ticks).withColumn(
+        "spread_bps", F.round("spread_bps", 6)
+    )
     agg = l1.groupBy(
         "event_type", F.window("ts", "1 hour").start.alias("b")
     ).agg(
