@@ -1922,3 +1922,37 @@ def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("kept")
         .alias("decision"),
     )
+
+
+@query(
+    "sample_per_group_reservoir",
+    survey="north-star curation: balanced per-group sampling — k docs "
+    "per source by md5 rank (the deterministic reservoir every "
+    "training-mix builder needs; complements the fraction-based "
+    "stratified split)",
+    description="Deterministic 10-doc reservoir per source",
+    oracle="""
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT doc_id, source,
+    ROW_NUMBER() OVER (PARTITION BY source
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+) WHERE rk <= 10
+""",
+)
+def sample_per_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k-per-group without RNG state: rank by md5(doc_id)
+    within each source and keep the top 10 — rerun- and engine-stable,
+    and at 100 TB it is the same two-level min-k shape as the quantile
+    sampler if a single group ever outgrows one task (here the rank
+    window is per-source and k is tiny, so one pass suffices)."""
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("doc_id", "source", F.col("rk").cast("bigint").alias("rk"))
+    )

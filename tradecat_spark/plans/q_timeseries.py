@@ -939,3 +939,73 @@ def asof_direction_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("f_ts").alias("fwd_us"),
         F.unix_micros("n_ts").alias("nearest_us"),
     )
+
+
+@query(
+    "gapfill_locf_1h",
+    survey="§2.4 A7-adjacent: time_bucket_gapfill + locf — the "
+    "TimescaleDB dense-calendar forward-fill "
+    "(004_continuous_aggregates.sql consumers render gapless series), "
+    "as a generated hourly spine + LAST_VALUE IGNORE NULLS",
+    description="Dense hourly close series per event_type, LOCF-filled "
+    "with fill provenance",
+    oracle="""
+WITH bars AS (
+  SELECT event_type,
+    time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+    max_by(value, ts) AS close
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi
+  FROM bars GROUP BY 1
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+    AS bucket_ts
+  FROM bounds
+),
+joined AS (
+  SELECT s.event_type, s.bucket_ts, b.close
+  FROM spine s LEFT JOIN bars b USING (event_type, bucket_ts)
+)
+SELECT event_type, bucket_ts,
+  LAST_VALUE(close IGNORE NULLS) OVER (
+    PARTITION BY event_type ORDER BY bucket_ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_filled,
+  close IS NULL AS is_filled
+FROM joined
+""",
+)
+def gapfill_locf_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gapfill spine generates per-key (sequence between the key's
+    own min and max bucket — no global calendar join), so spine size is
+    O(span/interval) per key and the left join is co-keyed. The fill is
+    one window pass with last_value(ignoreNulls=True); close values
+    are selections (max_by), so the filled series is exact on both
+    engines. ``is_filled`` keeps provenance — downstream consumers can
+    tell observation from carry-forward (the locf contract)."""
+    e = load_table(spark, sf_dir, "events")
+    bars = ohlcv_rollup(
+        e, ["event_type"], "ts", "value", interval_sec=3600
+    ).select("event_type", "bucket_ts", "close")
+    bounds = bars.groupBy("event_type").agg(
+        F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket_ts"),
+    )
+    joined = spine.join(bars, ["event_type", "bucket_ts"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type", "bucket_ts",
+        F.last("close", ignorenulls=True).over(w).alias("close_filled"),
+        F.col("close").isNull().alias("is_filled"),
+    )
