@@ -38,3 +38,62 @@ def test_repetition_flags_on_crafted_docs(spark, monkeypatch):
     assert bool(out.loc[3, "is_repetitive"]) is True
     # 39 bigrams: 20x "a b", 19x "b a" → dup = (39-2)/39
     assert abs(out.loc[3, "dup_2gram_frac"] - 37 / 39) < 1e-6
+
+
+def test_gapfill_locf_laws(spark, sf_dir):
+    """Gap-fill contract: the spine is dense (every hour between each
+    key's bounds), close_filled is non-null from the first observation
+    on, carry-forward rows are flagged, and observed rows pass their
+    close through unchanged."""
+    import pandas as pd
+
+    from tradecat_spark.plans.registry import load_all
+
+    df = load_all()["gapfill_locf_1h"].fn(spark, sf_dir).toPandas()
+    assert df.close_filled.notna().all()  # first spine row is observed
+    for et, g in df.groupby("event_type"):
+        g = g.sort_values("bucket_ts")
+        span = pd.date_range(g.bucket_ts.min(), g.bucket_ts.max(),
+                             freq="1h")
+        assert len(g) == len(span) and (g.bucket_ts.values ==
+                                        span.values).all(), et
+        # carry-forward == previous filled value
+        filled = g[g.is_filled]
+        prev = g.close_filled.shift(1)
+        assert (filled.close_filled.values ==
+                prev[g.is_filled].values).all(), et
+
+
+def test_reservoir_exact_k_per_group(spark, sf_dir):
+    """Exactly min(10, |source|) docs per source, ranks 1..k, and the
+    selection is stable across reruns (hash order, no RNG)."""
+    from tradecat_spark.plans.registry import load_all
+
+    fn = load_all()["sample_per_group_reservoir"].fn
+    a = fn(spark, sf_dir).toPandas().sort_values(["source", "rk"])
+    sizes = a.groupby("source").size()
+    assert (sizes <= 10).all() and (sizes > 0).all()
+    assert (a.groupby("source").rk.max() == sizes).all()
+    b = fn(spark, sf_dir).toPandas().sort_values(["source", "rk"])
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_manifest_decision_precedence(spark, sf_dir):
+    """Every manifest row's decision must follow the documented
+    precedence (duplicate > low_quality > off_target > kept) and
+    keep_final must equal decision == 'kept'."""
+    from tradecat_spark.plans.registry import load_all
+
+    df = load_all()["corpus_training_manifest"].fn(spark, sf_dir).toPandas()
+    assert len(df) > 0
+    for _, r in df.iterrows():
+        if not r.is_canonical:
+            want = "duplicate"
+        elif r.low_quality:
+            want = "low_quality"
+        elif not r.dsir_keep:
+            want = "off_target"
+        else:
+            want = "kept"
+        assert r.decision == want, dict(r)
+        assert r.keep_final == (want == "kept"), dict(r)
