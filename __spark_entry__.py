@@ -54,6 +54,8 @@ _GATE_PRIORITY = (
     "bucketed_colocated_join",
     "gapfill_locf_1h",
     "sample_per_group_reservoir",
+    "cms_frequency_law",
+    "pagerank_similarity_graph",
     # re-check: reference side re-bounded to the REF_K min-k set in r5
     "quantile_error_eval",
     # re-check: ulp-hardened in r5 after the sf0.1 sweep (exact mean /

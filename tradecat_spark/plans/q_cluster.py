@@ -289,3 +289,117 @@ def cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").alias("cluster_id"),
         F.col("d2r").alias("dist2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the MinHash similarity graph (Page et al. 1999) —
+# integer-exact power iteration, oracle replayed step for step
+# ---------------------------------------------------------------------------
+_PR_SCALE = 10**12  # fixed-point: pr mass in 1e-12 units
+_PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    from tradecat_spark.plans.q_text import _PAIRS_CTES
+
+    its = []
+    prev = "pr0"
+    for i in range(1, _PR_ITERS + 1):
+        its.append(f"""
+contrib{i} AS (
+  SELECT e.dst, SUM(p.pr // dg.deg) AS inflow
+  FROM edges e
+  JOIN {prev} p ON p.doc_id = e.src
+  JOIN deg dg ON dg.src = e.src
+  GROUP BY e.dst
+),
+pr{i} AS (
+  SELECT d.doc_id,
+    (15 * {_PR_SCALE} // (100 * nn.n))
+      + (85 * COALESCE(c.inflow, 0)) // 100 AS pr
+  FROM docs d CROSS JOIN nn
+  LEFT JOIN contrib{i} c ON c.dst = d.doc_id
+)""")
+        prev = f"pr{i}"
+    return f"""
+WITH RECURSIVE {_PAIRS_CTES},
+docs AS (SELECT doc_id FROM documents),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docs),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+pr0 AS (
+  SELECT doc_id, {_PR_SCALE} // nn.n AS pr FROM docs CROSS JOIN nn
+),{",".join(its)}
+SELECT d.doc_id,
+  CAST(COALESCE(dg.deg, 0) AS BIGINT) AS degree,
+  CAST(p.pr AS BIGINT) AS pr_micro
+FROM docs d
+LEFT JOIN deg dg ON dg.src = d.doc_id
+JOIN {prev} p USING (doc_id)
+"""
+
+
+@query(
+    "pagerank_similarity_graph",
+    survey="north-star clustering/graph: PageRank centrality over the "
+    "MinHash candidate-pair graph — the canonical-doc prior real dedup "
+    "pipelines use instead of min-id; 3 power iterations in EXACT "
+    "fixed-point int64 so the iterative algorithm sits in the value-"
+    "hash gate (like cluster_kmeans_lloyd)",
+    description="3-iteration fixed-point PageRank per document over "
+    "the duplicate-candidate graph",
+    oracle=_pagerank_oracle(),
+)
+def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every float hazard is designed out: pr mass lives in int64
+    micro-units (SCALE=1e12), the damping step is (85*x)//100, the
+    share each node sends a neighbor is pr//deg (floor division —
+    associativity-free), and the base term (15*SCALE)//(100*N) is one
+    fixed expression on both engines. Mass lost to flooring and to
+    dangling nodes is NOT redistributed (documented variant — the law
+    under test is the propagation structure, bit-for-bit). Shapes: the
+    edge list is the bounded LSH candidate set (never all-pairs); each
+    iteration is one join + one sum shuffle keyed on the destination,
+    lineage truncated per round exactly like cluster_kmeans_lloyd."""
+    from tradecat_spark.plans.q_text import _docs, dedup_minhash_pairs
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.count()
+    base = (15 * _PR_SCALE) // (100 * n)
+    p = dedup_minhash_pairs(spark, sf_dir)
+    edges = (
+        p.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(p.select(F.col("doc_b").alias("src"),
+                        F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    pr = d.select("doc_id", F.lit(_PR_SCALE // n).alias("pr"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(pr, edges["src"] == pr["doc_id"])
+            .join(deg, "src")
+            .select("dst", F.expr("pr div deg").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("inflow"))
+        )
+        pr = (
+            d.join(contrib, d["doc_id"] == contrib["dst"], "left")
+            .select(
+                "doc_id",
+                (F.lit(base)
+                 + F.expr(f"85 * coalesce(inflow, 0L) div 100"))
+                .alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    out = pr.join(deg, pr["doc_id"] == deg["src"], "left").select(
+        "doc_id",
+        F.coalesce("deg", F.lit(0)).cast("bigint").alias("degree"),
+        F.col("pr").cast("bigint").alias("pr_micro"),
+    )
+    return out

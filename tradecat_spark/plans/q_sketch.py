@@ -499,3 +499,121 @@ def kmv_merge_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("kth_merged").isNull() & F.col("kth_direct").isNull(),
         ).alias("law_holds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (Cormode & Muthukrishnan 2005) — order-independent
+# frequency sketch, mergeable by addition
+# ---------------------------------------------------------------------------
+_CMS_D = 4    # hash rows
+_CMS_W = 512  # buckets per row
+
+
+def _cms_bucket_sql(d: int, key: str) -> str:
+    return (f"('0x' || substr(md5('{d}_' || CAST({key} AS VARCHAR)), 1, 8))"
+            f"::BIGINT % {_CMS_W}")
+
+
+@query(
+    "cms_frequency_law",
+    survey="§4 approx family: Count-Min frequency sketch — 4x512 "
+    "counter grid (plain conditional counts: order-independent, "
+    "mergeable by addition = map-side combinable at 100 TB), per-key "
+    "estimate vs truth with the no-undercount law gated",
+    description="CMS(4x512) user-frequency estimates vs exact counts; "
+    "overcount >= 0 always",
+    oracle=f"""
+WITH items AS (
+  SELECT user_id FROM events WHERE user_id IS NOT NULL
+),
+cms AS (
+  SELECT d.d,
+    CASE d.d
+      WHEN 0 THEN {_cms_bucket_sql(0, 'user_id')}
+      WHEN 1 THEN {_cms_bucket_sql(1, 'user_id')}
+      WHEN 2 THEN {_cms_bucket_sql(2, 'user_id')}
+      WHEN 3 THEN {_cms_bucket_sql(3, 'user_id')}
+    END AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM items CROSS JOIN (SELECT unnest(range({_CMS_D})) AS d) d
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+  FROM items GROUP BY 1
+),
+est AS (
+  SELECT t.user_id, t.true_cnt, MIN(c.cnt) AS est_cms
+  FROM truth t
+  CROSS JOIN (SELECT unnest(range({_CMS_D})) AS d) d
+  JOIN cms c ON c.d = d.d AND c.bucket = CASE d.d
+      WHEN 0 THEN {_cms_bucket_sql(0, 't.user_id')}
+      WHEN 1 THEN {_cms_bucket_sql(1, 't.user_id')}
+      WHEN 2 THEN {_cms_bucket_sql(2, 't.user_id')}
+      WHEN 3 THEN {_cms_bucket_sql(3, 't.user_id')}
+    END
+  GROUP BY 1, 2
+)
+SELECT user_id, true_cnt, est_cms,
+  est_cms - true_cnt AS overcount,
+  est_cms >= true_cnt AS no_undercount
+FROM est
+""",
+)
+def cms_frequency_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch is a plain conditional count grid — no per-row state,
+    so partial aggregation merges sketches for free (the 100 TB
+    map-side combine), and everything is int64-exact on both engines.
+    The gated law: the min-over-rows estimate can only OVERcount
+    (collisions add, never subtract); the driver hashes every user's
+    estimate, truth, and the law's outcome."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    ).select("user_id")
+
+    def bucket(d: int, key):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{d}_"), key.cast("string"))),
+                    1, 8,
+                ), 16, 10,
+            ).cast("bigint") % _CMS_W
+        )
+
+    rows = e.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    bucket(d, F.col("user_id")).alias("bucket"),
+                )
+                for d in range(_CMS_D)
+            ])
+        ).alias("x")
+    ).select("x.d", "x.bucket")
+    cms = rows.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+    truth = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    probes = truth.select(
+        "user_id", "true_cnt",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    bucket(d, F.col("user_id")).alias("bucket"),
+                )
+                for d in range(_CMS_D)
+            ])
+        ).alias("x"),
+    ).select("user_id", "true_cnt", "x.d", "x.bucket")
+    est = (
+        probes.join(F.broadcast(cms), ["d", "bucket"])
+        .groupBy("user_id", "true_cnt")
+        .agg(F.min("cnt").alias("est_cms"))
+    )
+    return est.select(
+        "user_id", "true_cnt", "est_cms",
+        (F.col("est_cms") - F.col("true_cnt")).alias("overcount"),
+        (F.col("est_cms") >= F.col("true_cnt")).alias("no_undercount"),
+    )
