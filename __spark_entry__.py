@@ -56,6 +56,7 @@ _GATE_PRIORITY = (
     "sample_per_group_reservoir",
     "cms_frequency_law",
     "pagerank_similarity_graph",
+    "cdc_incremental_equivalence",
     # re-check: reference side re-bounded to the REF_K min-k set in r5
     "quantile_error_eval",
     # re-check: ulp-hardened in r5 after the sf0.1 sweep (exact mean /

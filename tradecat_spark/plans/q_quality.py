@@ -686,3 +686,111 @@ def data_contract_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@query(
+    "cdc_incremental_equivalence",
+    survey="§2.4 A3-adjacent law: incremental view maintenance — "
+    "applying the post-cutoff changelog onto the cutoff snapshot must "
+    "equal the full recompute, per key and column (the TimescaleDB "
+    "continuous-aggregate / Delta CDF refresh contract, gated as data)",
+    description="snapshot(T0) + changes(T0..now) == snapshot(now), "
+    "checked per user",
+    oracle="""
+WITH full_state AS (
+  SELECT user_id,
+    max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                  || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+      AS last_value,
+    MAX(ts) AS last_ts,
+    CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+base AS (
+  SELECT user_id,
+    max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                  || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+      AS last_value,
+    MAX(ts) AS last_ts,
+    CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1
+),
+delta AS (
+  SELECT user_id,
+    max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                  || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+      AS last_value,
+    MAX(ts) AS last_ts,
+    CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1
+),
+merged AS (
+  SELECT COALESCE(d.user_id, b.user_id) AS user_id,
+    COALESCE(d.last_value, b.last_value) AS last_value,
+    COALESCE(d.last_ts, b.last_ts) AS last_ts,
+    COALESCE(b.n_events, 0) + COALESCE(d.n_events, 0) AS n_events
+  FROM base b FULL OUTER JOIN delta d USING (user_id)
+)
+SELECT f.user_id, f.last_value, f.last_ts, f.n_events,
+  m.last_value = f.last_value
+    AND m.last_ts = f.last_ts
+    AND m.n_events = f.n_events AS law_holds
+FROM full_state f JOIN merged m USING (user_id)
+""",
+)
+def cdc_incremental_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The refresh law every incremental pipeline silently relies on,
+    made a hashed row per key: the cutoff snapshot (latest-by-(ts,id)
+    + counts), the post-cutoff delta in the same shape, a latest-wins
+    FULL OUTER merge — and equality against the full recompute. All
+    aggregates are selections and integer counts (order-free, engine-
+    exact). At scale the merge is the cheap side: base and delta are
+    one row per key, so the outer join is keyed and narrow — the law
+    justifies never rescanning history on refresh."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+
+    def state(df):
+        # zero-padded (epoch_us, event_id) string: a total order both
+        # engines' max_by accept (DuckDB 1.0 rejects struct keys)
+        key = F.concat(
+            F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        )
+        return df.groupBy("user_id").agg(
+            F.max_by("value", key).alias("last_value"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+
+    full_state = state(e)
+    base = state(e.filter(F.col("ts") < cut)).select(
+        "user_id",
+        F.col("last_value").alias("b_value"),
+        F.col("last_ts").alias("b_ts"),
+        F.col("n_events").alias("b_n"),
+    )
+    delta = state(e.filter(F.col("ts") >= cut)).select(
+        "user_id",
+        F.col("last_value").alias("d_value"),
+        F.col("last_ts").alias("d_ts"),
+        F.col("n_events").alias("d_n"),
+    )
+    merged = base.join(delta, "user_id", "full_outer").select(
+        "user_id",
+        F.coalesce("d_value", "b_value").alias("m_value"),
+        F.coalesce("d_ts", "b_ts").alias("m_ts"),
+        (F.coalesce("b_n", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
+        .alias("m_n"),
+    )
+    j = full_state.join(merged, "user_id")
+    return j.select(
+        "user_id", "last_value", "last_ts", "n_events",
+        (
+            (F.col("m_value") == F.col("last_value"))
+            & (F.col("m_ts") == F.col("last_ts"))
+            & (F.col("m_n") == F.col("n_events"))
+        ).alias("law_holds"),
+    )
