@@ -124,3 +124,34 @@ def test_bloom_never_false_negative(keys, probes):
         if q in keys:
             assert member(q)
         # non-members may false-positive; that's the contract
+
+
+def test_law_queries_hold_on_driver_data(spark, sf_dir):
+    """The r5 law-query family must report its law TRUE on every row —
+    the driver hashes the outcomes, this pins them in pytest too."""
+    from tradecat_spark.plans.registry import load_all
+
+    specs = load_all()
+    kmv = specs["kmv_merge_law"].fn(spark, sf_dir).toPandas()
+    assert len(kmv) > 0 and kmv.law_holds.all()
+    cms = specs["cms_frequency_law"].fn(spark, sf_dir).toPandas()
+    assert len(cms) > 0 and cms.no_undercount.all()
+    cdc = specs["cdc_incremental_equivalence"].fn(spark, sf_dir).toPandas()
+    assert len(cdc) > 0 and cdc.law_holds.all()
+
+
+def test_pagerank_mass_and_floor_laws(spark, sf_dir):
+    """Fixed-point PageRank invariants: total mass never exceeds SCALE
+    (flooring only loses), every isolated node sits exactly at the base
+    term, and connected nodes sit at or above it."""
+    from tradecat_spark.plans.q_cluster import _PR_SCALE
+    from tradecat_spark.plans.registry import load_all
+
+    df = load_all()["pagerank_similarity_graph"].fn(spark, sf_dir).toPandas()
+    n = len(df)
+    assert n > 0
+    base = (15 * _PR_SCALE) // (100 * n)
+    assert df.pr_micro.sum() <= _PR_SCALE
+    isolated = df[df.degree == 0]
+    assert (isolated.pr_micro == base).all()
+    assert (df.pr_micro >= base).all()
