@@ -66,7 +66,9 @@ _GATE_PRIORITY = (
     # --- r1-vintage re-verification (r4 verdict item 4): these 49 rows
     # were hash-green in round 1 only, under the oldest data generation;
     # rotate them through until no query has last_checked_round == 1.
-    # ~34 fit this round behind the new additions; the tail re-enters r6.
+    # With the r5 additions ahead of them, ~21 fit this round's 50-slot
+    # window; the remaining ~28 re-enter in r6 (run tools/gate_ledger.py
+    # for the authoritative count — do not plan off this comment).
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q5_region_revenue", "top_customers_by_spend",
     "orders_with_discounted_lines", "customers_without_orders",

@@ -1301,3 +1301,81 @@ def test_legacy_real_dir_store_reads_and_upgrades(spark, tmp_path):
         100.5, 107.0, 98.0, 106.0,
     )
     assert row["is_closed"] is True and row["trade_count"] == 25
+
+
+def test_crash_mid_legacy_upgrade_replay_keeps_history(spark, tmp_path, monkeypatch):
+    """Review finding: a crash between parking a legacy real-dir
+    partition and publishing its symlink left the partition invisible,
+    and the replay's merge saw nothing — silently dropping history.
+    With per-partition crash recovery (_partition_data_dir), the replay
+    must re-read the displaced data and converge to history + update."""
+    from tradecat_spark.streaming import ingest as ing
+
+    store = str(tmp_path / "legacy_crash")
+    keys = ["symbol", "bucket_ts"]
+    t0 = pd.Timestamp("2025-01-01 00:00:00")
+    legacy = spark.createDataFrame(pd.DataFrame([
+        # historical row the crash must NOT lose
+        dict(symbol="ETH", bucket_ts=t0, open=10.0, high=11.0, low=9.0,
+             close=10.5, trade_count=5, is_closed=True),
+        dict(symbol="BTC", bucket_ts=t0, open=100.0, high=105.0,
+             low=99.0, close=101.0, trade_count=10, is_closed=False),
+    ])).withColumn("_part", F.date_format("bucket_ts", "yyyy-MM-dd"))
+    legacy.write.mode("overwrite").partitionBy("_part").parquet(store)
+
+    update = spark.createDataFrame(pd.DataFrame([
+        dict(symbol="BTC", bucket_ts=t0, event_ts=t0, open=100.5,
+             high=107.0, low=98.0, close=106.0, trade_count=25,
+             is_closed=True),
+    ]))
+
+    real_rename = os.rename
+
+    def crash_on_publish(src, dst):
+        if ".link-" in os.path.basename(src):
+            raise RuntimeError("simulated crash between park and publish")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(ing.os, "rename", crash_on_publish)
+    with pytest.raises(RuntimeError, match="park and publish"):
+        ing.upsert_batch(spark, update, store, keys)
+    monkeypatch.undo()
+    # partition entry is gone, displaced data survives dot-prefixed
+    assert not os.path.exists(os.path.join(store, "_part=2025-01-01"))
+
+    ing.upsert_batch(spark, update, store, keys)  # checkpoint replay
+    rows = {r["symbol"]: r for r in ing.read_store(spark, store).collect()}
+    assert rows["ETH"]["close"] == 10.5          # history preserved
+    assert rows["BTC"]["close"] == 106.0         # update applied
+    assert rows["BTC"]["high"] == 107.0 and rows["BTC"]["low"] == 98.0
+
+
+def test_bootstrap_crash_replay_recovers(spark, tmp_path, monkeypatch):
+    """Review finding: a first-batch crash after the store directory
+    appeared but before any partition published used to wedge every
+    replay (the merge path read an empty store and threw). The single
+    merge-path with per-partition recovery must replay cleanly."""
+    from tradecat_spark.streaming import ingest as ing
+
+    store = str(tmp_path / "boot_crash")
+    keys = ["symbol", "bucket_ts"]
+    t0 = pd.Timestamp("2025-01-01 00:00:00")
+    batch = spark.createDataFrame(pd.DataFrame([
+        dict(symbol="BTC", bucket_ts=t0, event_ts=t0, open=100.0,
+             high=105.0, low=99.0, close=101.0, trade_count=10,
+             is_closed=False),
+    ]))
+
+    def crash(_entry):
+        raise RuntimeError("simulated bootstrap crash before publish")
+
+    monkeypatch.setattr(ing, "_COMMIT_PAUSE", crash)
+    with pytest.raises(RuntimeError, match="bootstrap crash"):
+        ing.upsert_batch(spark, batch, store, keys)
+    monkeypatch.setattr(ing, "_COMMIT_PAUSE", None)
+    assert os.path.isdir(store)  # the wedge precondition
+    assert not any(e.startswith("_part=") for e in os.listdir(store))
+
+    ing.upsert_batch(spark, batch, store, keys)  # replay must succeed
+    rows = ing.read_store(spark, store).collect()
+    assert len(rows) == 1 and rows[0]["close"] == 101.0

@@ -185,7 +185,13 @@ def fold_batch(
         open_fold.alias("open"),
         F.max("high").alias("high"),
         F.min("low").alias("low"),
-        F.max_by("close", seq).alias("close"),
+        # seq ties (e.g. several updates in one event_ts second) break
+        # on the close value itself, so the pick is DETERMINISTIC under
+        # any execution order — an event-time column is an order, not a
+        # total order, and max_by alone would choose execution-
+        # dependent rows on ties (the open fold below is already
+        # tie-deterministic: array_sort orders the full struct).
+        F.max_by("close", F.struct(seq, F.col("close"))).alias("close"),
         F.max("trade_count").alias("trade_count"),
         F.max("is_closed").alias("is_closed"),
     )

@@ -83,14 +83,26 @@ def drop_expired_partitions(
         spark, store_path, horizon_date, part_col
     )
     for value in expired:
-        path = os.path.join(store_path, f"{part_col}={value}")
+        entry = f"{part_col}={value}"
+        path = os.path.join(store_path, entry)
         if os.path.islink(path):
             # symlink-swap store layout (streaming.ingest): remove the
-            # published link first (atomic disappearance for readers),
-            # then the versioned data directory behind it
-            target = os.path.join(store_path, os.readlink(path))
+            # published link first (atomic disappearance for readers)
             os.unlink(path)
-            shutil.rmtree(target, ignore_errors=True)
         else:
             shutil.rmtree(path, ignore_errors=True)
+        # then EVERY retired version of the partition — the current
+        # target plus grace-parked older versions (.v*/.old-*), which
+        # nothing else will ever reclaim once the partition stops being
+        # committed (the disk-leak the review found)
+        for stale in os.listdir(store_path):
+            if stale.startswith(".") and stale.endswith(f"-{entry}"):
+                stale_path = os.path.join(store_path, stale)
+                if os.path.islink(stale_path):
+                    try:
+                        os.unlink(stale_path)
+                    except OSError:
+                        pass
+                else:
+                    shutil.rmtree(stale_path, ignore_errors=True)
     return expired

@@ -1397,9 +1397,10 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The classic 'GROUP BY HAVING > (scalar subquery)': the per-part
     rollup materializes ONCE; the threshold is an aggregate of that
     tiny rollup broadcast back as a 1-row side (never a second fact
-    scan). The share test multiplies the DECIMAL sum by the integer
-    1000 instead of comparing against a double fraction of the total —
-    exact on both engines by construction."""
+    scan). The share test compares DECIMAL-sum × integer part-count
+    against 3 × the DECIMAL total — all integer/decimal arithmetic, no
+    double fraction — so it is exact on both engines AND
+    scale-relative (a fixed fraction went empty at sf0.1)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice"
     )

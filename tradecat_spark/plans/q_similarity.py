@@ -637,14 +637,34 @@ def embedding_norms_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RP_K = 16  # projected dimensions
 
 
-@query(
-    "embedding_random_projection",
-    survey="north-star similarity: JL signed random projection — "
-    "64→16 dims with md5-parity signs (no RNG state), the compression "
-    "step in front of an ANN index build; Achlioptas 2003 ±1 scheme",
-    description=f"{_RP_K}-dim signed random projection of every embedding",
-    oracle=f"""
-WITH e AS (
+def _rp_sign(i, pj="pj"):
+    """±1 from md5(i_j) parity — the implicit projection matrix entry."""
+    return 1 - 2 * (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(i.cast("string"), F.lit("_"),
+                               F.col(pj).cast("string"))), 1, 8
+            ), 16, 10
+        ).cast("bigint") % 2
+    )
+
+
+def _rp_coord(vec="vec"):
+    """One projected coordinate: sequential signed fold over the dims
+    (same order as DuckDB list_reduce, so sums are bit-comparable)."""
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.size(vec) - 1),
+            lambda i: F.element_at(F.col(vec), i + 1) * _rp_sign(i),
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+
+
+def _rp_proj_sql() -> str:
+    """The e/j/proj CTE chain both RP oracles share (single source)."""
+    return f"""e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 j AS (SELECT range AS pj FROM range({_RP_K})),
@@ -657,7 +677,17 @@ proj AS (
           1, 8))::BIGINT % 2))),
       (a, b) -> a + b) AS coord
   FROM e CROSS JOIN j
-)
+)"""
+
+
+@query(
+    "embedding_random_projection",
+    survey="north-star similarity: JL signed random projection — "
+    "64→16 dims with md5-parity signs (no RNG state), the compression "
+    "step in front of an ANN index build; Achlioptas 2003 ±1 scheme",
+    description=f"{_RP_K}-dim signed random projection of every embedding",
+    oracle=f"""
+WITH {_rp_proj_sql()}
 SELECT vec_id, CAST(pj AS BIGINT) AS proj_dim,
   ROUND(coord, 6) AS coord
 FROM proj
@@ -674,26 +704,10 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     pj = F.explode(F.sequence(F.lit(0), F.lit(_RP_K - 1))).alias("pj")
     x = e.select("vec_id", "vec", pj)
-    sign = lambda i: 1 - 2 * (  # noqa: E731
-        F.conv(
-            F.substring(
-                F.md5(F.concat(i.cast("string"), F.lit("_"),
-                               F.col("pj").cast("string"))), 1, 8
-            ), 16, 10
-        ).cast("bigint") % 2
-    )
-    coord = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), F.size("vec") - 1),
-            lambda i: F.element_at(F.col("vec"), i + 1) * sign(i),
-        ),
-        F.lit(0.0),
-        lambda a, b: a + b,
-    )
     return x.select(
         "vec_id",
         F.col("pj").cast("bigint").alias("proj_dim"),
-        F.round(coord, 6).alias("coord"),
+        F.round(_rp_coord(), 6).alias("coord"),
     )
 
 
@@ -705,20 +719,7 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     description=f"Per-query recall@{TOP_K} of the {_RP_K}-dim "
     "projection against exact cosine",
     oracle=f"""
-WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-),
-j AS (SELECT range AS pj FROM range({_RP_K})),
-proj AS (
-  SELECT vec_id, pj,
-    list_reduce(
-      list_transform(range(len(v)), i ->
-        v[i + 1] * (1 - 2 * (('0x' || substr(
-            md5(CAST(i AS VARCHAR) || '_' || CAST(pj AS VARCHAR)),
-          1, 8))::BIGINT % 2))),
-      (a, b) -> a + b) AS coord
-  FROM e CROSS JOIN j
-),
+WITH {_rp_proj_sql()},
 pv AS (
   SELECT vec_id, list(coord ORDER BY pj) AS p FROM proj GROUP BY vec_id
 ),
@@ -775,24 +776,8 @@ def rp_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     pj = F.explode(F.sequence(F.lit(0), F.lit(_RP_K - 1))).alias("pj")
     x = e.select("vec_id", "vec", pj)
-    sign = lambda i: 1 - 2 * (  # noqa: E731
-        F.conv(
-            F.substring(
-                F.md5(F.concat(i.cast("string"), F.lit("_"),
-                               F.col("pj").cast("string"))), 1, 8
-            ), 16, 10
-        ).cast("bigint") % 2
-    )
-    coord = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), F.size("vec") - 1),
-            lambda i: F.element_at(F.col("vec"), i + 1) * sign(i),
-        ),
-        F.lit(0.0),
-        lambda a, b: a + b,
-    )
     pv = (
-        x.select("vec_id", "pj", coord.alias("coord"))
+        x.select("vec_id", "pj", _rp_coord().alias("coord"))
         .groupBy("vec_id")
         .agg(F.array_sort(F.collect_list(F.struct("pj", "coord"))).alias("ps"))
         .select(

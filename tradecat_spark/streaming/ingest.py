@@ -133,36 +133,64 @@ def upsert_batch(
         )
         return
 
-    if not os.path.exists(store_path):
-        # Bootstrap: no store yet, nothing to merge — but still publish
-        # through the staging + symlink commit so the store is in the
-        # atomic-swap layout from its first byte (a crash mid-write is
-        # replayed by the unadvanced checkpoint and simply overwrites).
-        staging = f"{store_path}.staging"
-        batch.write.mode("overwrite").partitionBy(PART_COL).parquet(staging)
-        os.makedirs(store_path, exist_ok=True)
-        try:
-            _commit_staging(spark, staging, store_path)
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
-        return
-
     # Touched partition values: one tiny distinct over the folded batch
     # (bounded by symbols × dates in a 3 s window, not by row count).
+    # Each touched partition's CURRENT data dir is resolved individually
+    # (published entry, or the newest crash-orphaned version — see
+    # _partition_data_dir), so a replay after ANY crash point re-reads
+    # whatever survived and reconverges under the idempotent merge law;
+    # an empty/missing store is just the zero-partitions case of the
+    # same path (no special bootstrap branch to crash out of).
     touched = [r[0] for r in batch.select(PART_COL).distinct().collect()]
-
-    target = spark.read.parquet(store_path).where(
-        F.col(PART_COL).isin(touched)
-    )
+    dirs = []
+    if os.path.isdir(store_path):
+        for v in touched:
+            d = _partition_data_dir(store_path, f"{PART_COL}={v}")
+            if d is not None:
+                dirs.append(d)
+    if dirs:
+        # data files carry keys + MERGE_COLS only (partitionBy excludes
+        # the layout column), so reading the resolved dirs directly is
+        # both prune-exact and parse-free
+        target = spark.read.parquet(*dirs)
+    else:
+        target = batch.select(*keys, *MERGE_COLS).limit(0)
     merged = merge_candles(target, batch, keys)
     merged = merged.withColumn(PART_COL, _part_expr(merged, keys))
 
     staging = f"{store_path}.staging"
     merged.write.mode("overwrite").partitionBy(PART_COL).parquet(staging)
+    os.makedirs(store_path, exist_ok=True)
     try:
         _commit_staging(spark, staging, store_path)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+def _partition_data_dir(store_path: str, entry: str) -> str | None:
+    """The directory holding ``entry``'s current data, crash-tolerant.
+
+    Normal case: the published ``_part=X`` entry (symlink resolved, or
+    a legacy real dir). Recovery case: the entry is missing because a
+    commit crashed mid-swap — fall back to the NEWEST dot-prefixed
+    version of the partition (``.v*``/``.old-*``); whichever of the
+    displaced/new versions is picked, the replayed batch re-merges on
+    top and the result reconverges, because the merge law is
+    idempotent and latest-write-wins (what must never happen is
+    reading NOTHING while displaced data still exists — that was the
+    data-loss window the review found in the legacy-upgrade path)."""
+    dst = os.path.join(store_path, entry)
+    if os.path.isdir(dst):  # follows a symlink
+        return os.path.realpath(dst)
+    cands = [
+        os.path.join(store_path, n)
+        for n in os.listdir(store_path)
+        if n.startswith(".") and n.endswith(f"-{entry}")
+        and os.path.isdir(os.path.join(store_path, n))
+    ]
+    if not cands:
+        return None
+    return max(cands, key=os.path.getmtime)
 
 
 #: Test seam: called once per partition right before its atomic swap.
@@ -219,24 +247,36 @@ def _commit_staging(spark: SparkSession, staging: str, store_path: str) -> None:
         if _COMMIT_PAUSE is not None:
             _COMMIT_PAUSE(entry)
         old_target = None
+        parked_name = None
         if os.path.islink(dst):
             old_target = os.readlink(dst)
         elif os.path.isdir(dst):
-            # legacy real-dir partition (bootstrap layout): park it so
+            # legacy real-dir partition (pre-symlink layout): park it so
             # the swap below is a plain create — one transient-missing
-            # window only ever on the first upgrade of a partition
-            os.rename(dst, os.path.join(store_path, f".old-{ver}-{entry}"))
+            # window only ever on the first upgrade of a partition (a
+            # crash inside it is recovered by _partition_data_dir)
+            parked_name = f".old-{ver}-{entry}"
+            os.rename(dst, os.path.join(store_path, parked_name))
         os.rename(tmp_link, dst)  # atomic publish (replaces symlink)
         # retire every stale version of THIS partition except the one
-        # just published and the one just displaced (one-commit grace)
-        keep = {real_name, old_target}
+        # just published and the one just displaced — whether that was
+        # a symlink target or a parked legacy dir, it gets the same
+        # one-commit grace for in-flight readers
+        keep = {real_name, old_target, parked_name}
         for stale in os.listdir(store_path):
             if stale in keep or not stale.startswith("."):
                 continue
-            if stale.endswith(f"-{entry}") and stale.split("-", 1)[0][1:]:
-                shutil.rmtree(
-                    os.path.join(store_path, stale), ignore_errors=True
-                )
+            if stale.endswith(f"-{entry}"):
+                stale_path = os.path.join(store_path, stale)
+                if os.path.islink(stale_path):
+                    # crash-orphaned .link-* temp symlink: rmtree
+                    # refuses symlinks, so unlink explicitly
+                    try:
+                        os.unlink(stale_path)
+                    except OSError:
+                        pass
+                else:
+                    shutil.rmtree(stale_path, ignore_errors=True)
 
 
 def read_store(spark: SparkSession, store_path: str) -> DataFrame:
