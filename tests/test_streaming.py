@@ -1379,3 +1379,40 @@ def test_bootstrap_crash_replay_recovers(spark, tmp_path, monkeypatch):
     ing.upsert_batch(spark, batch, store, keys)  # replay must succeed
     rows = ing.read_store(spark, store).collect()
     assert len(rows) == 1 and rows[0]["close"] == 101.0
+
+
+def test_fold_batch_tied_event_times_fold_deterministically(spark):
+    """Review finding: an event-time order column is not a TOTAL order —
+    several updates can share one timestamp. The fold must produce the
+    same result regardless of physical layout; rerunning the same tied
+    batch under different partitionings must agree on every column."""
+    from tradecat_spark.operators.merge import fold_batch
+
+    t0 = pd.Timestamp("2025-01-01 00:00:00")
+    rows = [
+        # three updates of one bar, ALL with the same event_ts
+        dict(symbol="BTC", bucket_ts=t0, event_ts=t0, open=100.0,
+             high=101.0, low=99.5, close=100.5, trade_count=3,
+             is_closed=False),
+        dict(symbol="BTC", bucket_ts=t0, event_ts=t0, open=100.1,
+             high=103.0, low=99.0, close=102.0, trade_count=7,
+             is_closed=False),
+        dict(symbol="BTC", bucket_ts=t0, event_ts=t0, open=100.2,
+             high=104.0, low=98.5, close=103.5, trade_count=12,
+             is_closed=True),
+    ]
+    outs = []
+    for nparts in (1, 2, 3):
+        df = spark.createDataFrame(pd.DataFrame(rows)).repartition(nparts)
+        out = fold_batch(
+            df.select("symbol", "bucket_ts", "open", "high", "low",
+                      "close", "trade_count", "is_closed", "event_ts"),
+            ["symbol", "bucket_ts"], order_col="event_ts",
+        ).collect()
+        assert len(out) == 1
+        outs.append(out[0].asDict())
+    assert outs[0] == outs[1] == outs[2], outs
+    # the deterministic tie rule: max close among tied seq
+    assert outs[0]["close"] == 103.5
+    assert outs[0]["high"] == 104.0 and outs[0]["low"] == 98.5
+    assert outs[0]["is_closed"] is True and outs[0]["trade_count"] == 12
