@@ -475,3 +475,33 @@ def test_bucketed_join_subtree_is_exchange_free(spark, sf_dir):
     assert "Exchange" not in tree[smj:], tree[smj:]
     # exactly ONE exchange in the whole tree: the post-join aggregation
     assert tree.count("Exchange") == 1, tree
+
+
+_WINDOW_NODE = re.compile(r"Window \[.*?\](?:, \[([^\]]*)\])?, \[([^\]]*)\]$")
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["quality_unigram_logprob", "sample_dsir_importance",
+     "corpus_training_manifest"],
+)
+def test_no_corpus_global_window(spark, sf_dir, name):
+    """r5 verdict item 1: the decile/quartile flags must never funnel
+    the corpus through a single-partition WindowExec. After the rankcut
+    rewrite the ONLY unpartitioned ordered window allowed in these
+    plans is the bucket-total cumulative (input rows = non-empty score
+    buckets, value-range-proportional); every other window must carry a
+    partition spec. percent_rank must be gone entirely."""
+    df = SPECS[name].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "percent_rank" not in plan, name
+    for line in plan.splitlines():
+        if "Window [" not in line:
+            continue
+        m = _WINDOW_NODE.search(line.rstrip())
+        assert m, f"unparsed Window node in {name}: {line}"
+        part, order = m.group(1), m.group(2)
+        if part is None:  # unpartitioned ordered window
+            assert order.startswith("bkt#"), (
+                f"{name}: corpus-global window over {order!r}"
+            )
