@@ -28,47 +28,39 @@ def entry(spark: SparkSession) -> DataFrame:
 #: then the round-1-only rows (every r02-checked row was green and
 #: unchanged, so they rotate to the back and re-enter next round).
 _GATE_PRIORITY = (
-    # --- slots 1-2: round 4's acknowledged overflow, first in line
-    # (r4 verdict item 1b) — never driver-checked, builder-mimic green
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    # --- new r5 queries (inserted here as they land this round)
-    "indicator_surface_checksum",
-    "indicator_batch_checksum",
-    "signal_rule_events_checksum",
-    "signal_pack_subset_checksum",
-    "tpch_q20_excess_shippers",
-    "tpch_q21_suppliers_kept_waiting",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
-    "tpch_q13_customer_distribution",
-    "tpch_q16_parts_supplier_counts",
-    "sample_dsir_importance",
-    "embedding_random_projection",
-    "rp_recall_eval",
-    "dedup_substring_spans",
+    # --- new r6 queries are inserted HERE as they land (never-checked
+    # names must sit inside the 50-slot window — tools/gate_ledger.py
+    # and tests/test_gate_rotation.py enforce it)
+    # --- re-check first: the rankcut rewrite changed these three plans
+    # this round (oracles unchanged, builder-mimic green at sf0.01+0.1)
+    "quality_unigram_logprob", "sample_dsir_importance",
     "corpus_training_manifest",
-    "kmv_merge_law",
-    "cube_corpus_stats",
-    "bucketed_colocated_join",
-    "gapfill_locf_1h",
-    "sample_per_group_reservoir",
-    "cms_frequency_law",
-    "pagerank_similarity_graph",
-    "cdc_incremental_equivalence",
-    # re-check: reference side re-bounded to the REF_K min-k set in r5
-    "quantile_error_eval",
-    # re-check: ulp-hardened in r5 after the sf0.1 sweep (exact mean /
-    # per-row rounded spread)
-    "chart_intraday_volatility",
-    "orderbook_l1_stats",
-    # --- r1-vintage re-verification (r4 verdict item 4): these 49 rows
-    # were hash-green in round 1 only, under the oldest data generation;
-    # rotate them through until no query has last_checked_round == 1.
-    # With the r5 additions ahead of them, ~21 fit this round's 50-slot
-    # window; the remaining ~28 re-enter in r6 (run tools/gate_ledger.py
-    # for the authoritative count — do not plan off this comment).
+    # --- r1-vintage rotation, FINAL tranche (r4 verdict item 4 bar:
+    # no last_checked_round == 1 after r6) — the 28 remaining rows
+    "ann_cosine_topk", "backfill_plan_days", "dedup_clusters",
+    "dedup_exact_groups", "dedup_minhash_bands", "dedup_minhash_pairs",
+    "dedup_ngram_jaccard", "dedup_simhash", "ind_bollinger",
+    "ind_candle_patterns", "ind_cci", "ind_ema20_fold", "ind_ichimoku",
+    "ind_kdj_fold", "ind_keltner_fold", "ind_mfi", "ind_obv_cvd",
+    "ind_pivot_points", "ind_regr_slope", "ind_sma_cross_signals",
+    "ind_vpvr_profile", "ind_vwap_bands", "ind_zscore_percentile",
+    "metrics_weighted_ratio_1h", "text_fingerprint", "text_lang_id",
+    "text_quality_score", "text_token_stats",
+    # --- r5 cohort first re-check (green at birth in r5; standard
+    # rotation policy, fills the window behind the vintage tranche)
+    "tpch_q15_top_supplier", "tpch_q17_small_qty_revenue",
+    "indicator_surface_checksum", "indicator_batch_checksum",
+    "signal_rule_events_checksum", "signal_pack_subset_checksum",
+    "tpch_q20_excess_shippers", "tpch_q21_suppliers_kept_waiting",
+    "tpch_q2_min_cost_supplier", "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock", "tpch_q13_customer_distribution",
+    "tpch_q16_parts_supplier_counts", "embedding_random_projection",
+    "rp_recall_eval", "dedup_substring_spans", "kmv_merge_law",
+    "cube_corpus_stats", "bucketed_colocated_join", "gapfill_locf_1h",
+    "sample_per_group_reservoir", "cms_frequency_law",
+    "pagerank_similarity_graph", "cdc_incremental_equivalence",
+    "quantile_error_eval", "chart_intraday_volatility", "orderbook_l1_stats",
+    # --- previously green, unchanged code -> back of the line
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q5_region_revenue", "top_customers_by_spend",
     "orders_with_discounted_lines", "customers_without_orders",
@@ -77,110 +69,59 @@ _GATE_PRIORITY = (
     "meta_join_1h", "latest_event_per_user", "top3_events_per_user",
     "lead_gaps_10m", "calendar_completeness", "daily_market_share",
     "asof_purchase_context", "partial_bar_merge", "ind_tail_runs",
-    "realtime_union_view", "metrics_weighted_ratio_1h",
-    "backfill_plan_days", "ind_bollinger", "ind_obv_cvd",
-    "ind_vwap_bands", "ind_sma_cross_signals", "ind_pivot_points",
-    "ind_zscore_percentile", "ind_regr_slope", "ind_ema20_fold",
-    "ind_vpvr_profile", "ind_candle_patterns", "ind_mfi",
-    "ind_ichimoku", "ind_cci", "ind_kdj_fold", "ind_keltner_fold",
-    "dedup_exact_groups", "dedup_minhash_bands", "dedup_minhash_pairs",
-    "dedup_clusters", "dedup_ngram_jaccard", "dedup_simhash",
-    "text_token_stats", "text_lang_id", "text_quality_score",
-    "text_fingerprint", "ann_cosine_topk",
-    # --- oracle-less Python-surface queries: rows-only debt RETIRED in
-    # r4 (spark_rows > 0, err=no_oracle — tools/gate_ledger.py rule);
-    # value-gated by their checksum twins + pytest pandas oracles
-    "indicator_batch_150x7",
-    "indicator_surface_1h",
-    "signal_rule_events",
-    "signal_rule_pack_129",
-    # --- green r4 (CORRECTNESS_r04.json), unchanged code → back of line
-    "ind_cdl_singles_parity",
-    "ind_cdl_pairs_parity",
-    "ind_cdl_triples_parity",
-    "ind_cdl_wide_parity",
-    "ind_chart_patterns_parity",
-    "streaming_obv_parity",
-    "streaming_cvd_parity",
-    "text_tfidf_topk",
-    "mm_audio_windows",
-    "quality_bigram_logprob",
-    "sessionize_user_events",
-    "streaming_session_windows",
-    "cohort_retention",
-    "approx_quantiles_sample",
-    "funnel_conversion",
-    "skew_salted_join_law",
-    "data_contract_expectations",
-    "tpch_q6_forecast_revenue",
-    "tpch_q14_promo_effect",
-    "tpch_q10_returned_items",
-    "pivot_event_matrix",
-    "rollup_region_revenue",
-    "unpivot_daily_metrics",
-    "streaming_dedup_ingest",
-    "range_bin_join_law",
-    "cluster_assignments",
-    "asof_direction_variants",
-    "ntile_value_quartiles",
-    "pack_context_windows",
-    "ai_context_assembly",
-    "streaming_session_append",
-    "instruments_scd2_dim",
-    "instruments_asof_enrich",
-    "tpch_q4_order_priority",
-    "tpch_q12_priority_class",
-    "tpch_q18_large_orders",
-    "tpch_q19_bracket_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q22_global_sales_opportunity",
-    "bloom_prejoin_law",
-    "zorder_curve_layout",
-    "streaming_stream_join",
-    "streaming_stream_outer_join",
-    "streaming_chained_stateful",
-    # --- green r3 (CORRECTNESS_r03.json), unchanged code → back of line
-    "signal_pack_sql_rules",
-    "streaming_macd_parity", "streaming_atr_parity",
-    "streaming_kdj_parity", "streaming_emagc_parity",
-    "cluster_kmeans_lloyd", "cluster_semdedup_candidates",
-    "sample_stratified_split",
+    "realtime_union_view", "indicator_batch_150x7", "indicator_surface_1h",
+    "signal_rule_events", "signal_rule_pack_129", "ind_cdl_singles_parity",
+    "ind_cdl_pairs_parity", "ind_cdl_triples_parity", "ind_cdl_wide_parity",
+    "ind_chart_patterns_parity", "streaming_obv_parity",
+    "streaming_cvd_parity", "text_tfidf_topk", "mm_audio_windows",
+    "quality_bigram_logprob", "sessionize_user_events",
+    "streaming_session_windows", "cohort_retention",
+    "approx_quantiles_sample", "funnel_conversion", "skew_salted_join_law",
+    "data_contract_expectations", "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_effect", "tpch_q10_returned_items", "pivot_event_matrix",
+    "rollup_region_revenue", "unpivot_daily_metrics",
+    "streaming_dedup_ingest", "range_bin_join_law", "cluster_assignments",
+    "asof_direction_variants", "ntile_value_quartiles",
+    "pack_context_windows", "ai_context_assembly", "streaming_session_append",
+    "instruments_scd2_dim", "instruments_asof_enrich",
+    "tpch_q4_order_priority", "tpch_q12_priority_class",
+    "tpch_q18_large_orders", "tpch_q19_bracket_revenue",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q22_global_sales_opportunity", "bloom_prejoin_law",
+    "zorder_curve_layout", "streaming_stream_join",
+    "streaming_stream_outer_join", "streaming_chained_stateful",
+    "signal_pack_sql_rules", "streaming_macd_parity", "streaming_atr_parity",
+    "streaming_kdj_parity", "streaming_emagc_parity", "cluster_kmeans_lloyd",
+    "cluster_semdedup_candidates", "sample_stratified_split",
     "ind_volume_ratio", "ind_support_resistance", "ind_base_data",
     "ind_buy_sell_ratio", "ind_data_monitor", "ind_futures_gap_monitor",
-    "ind_futures_risk_score", "ind_market_share_rank",
-    "quality_unigram_logprob", "text_scrub_patterns",
+    "ind_futures_risk_score", "ind_market_share_rank", "text_scrub_patterns",
     "token_length_histogram", "sample_temperature_mix",
     "embedding_norms_quality", "quality_ingest_batches",
     "quality_anomaly_log", "quality_alert_rules_eval",
-    "quality_backfill_tasks", "quality_lineage_closure",
-    "pg_realtime_checks", "text_repetition_stats",
-    "decontaminate_ngram_overlap", "corpus_source_stats",
-    "ind_liquidity_profile", "ind_fib_vwma_bands", "ind_harmonic_score",
-    "ind_scalping_emas", "ind_trend_cloud_side", "ind_zero_lag_bands",
-    "ind_adx_di", "ind_supertrend_fold", "ind_ema_gc_regime",
-    "ind_heikin_long_short", "ind_madrid_ribbon", "ind_smc_structure",
-    "ind_precision_trend", "ind_trend_line", "ind_smart_rsi",
-    "retention_policy_plan", "chart_market_vpvr_heat",
-    "chart_vpvr_zone_strip", "chart_kline_envelope",
-    # --- green r1/r2, previously resolved via the registry fallthrough;
-    # listed explicitly so the gate order is fully deterministic
-    "ai_context_snapshot", "ann_ivf_search", "ann_label_centroids",
-    "ann_lsh_buckets", "ann_multiprobe_search", "ann_recall_eval",
-    "approx_distinct_kmv", "chart_bb_zone_strip", "chart_cvd_cumulative",
-    "chart_equity_drawdown",
+    "quality_backfill_tasks", "quality_lineage_closure", "pg_realtime_checks",
+    "text_repetition_stats", "decontaminate_ngram_overlap",
+    "corpus_source_stats", "ind_liquidity_profile", "ind_fib_vwma_bands",
+    "ind_harmonic_score", "ind_scalping_emas", "ind_trend_cloud_side",
+    "ind_zero_lag_bands", "ind_adx_di", "ind_supertrend_fold",
+    "ind_ema_gc_regime", "ind_heikin_long_short", "ind_madrid_ribbon",
+    "ind_smc_structure", "ind_precision_trend", "ind_trend_line",
+    "ind_smart_rsi", "retention_policy_plan", "chart_market_vpvr_heat",
+    "chart_vpvr_zone_strip", "chart_kline_envelope", "ai_context_snapshot",
+    "ann_ivf_search", "ann_label_centroids", "ann_lsh_buckets",
+    "ann_multiprobe_search", "ann_recall_eval", "approx_distinct_kmv",
+    "chart_bb_zone_strip", "chart_cvd_cumulative", "chart_equity_drawdown",
     "chart_intraday_volume_heatmap", "chart_kline_ma_volume",
     "chart_long_short_ratio", "chart_macd_series", "chart_oi_change",
-    "chart_taker_ratio_heatmap", "chart_vpvr_ridge",
-    "dedup_canonical_corpus", "dedup_embedding_cosine", "freshness_gate",
-    "global_totals_latest", "ind_atr_wilder_fold", "ind_donchian_williams",
-    "metrics_cascade_1d", "mm_decode_features", "mm_frame_sample",
-    "mm_resize_images", "ohlcv_cascade_1M", "orderbook_depth_bands",
-    "orderbook_depth_hourly", "quality_filter_funnel",
-    "ranking_card_1h", "ranking_card_rendered", "rest_ohlc_history",
-    "rest_oi_history", "rest_supported_coins", "serving_retention_trim",
-    "signal_threshold_cross_sql", "single_token_panel",
-    "stats_profile_by_type", "streaming_rollup_5m",
+    "chart_taker_ratio_heatmap", "chart_vpvr_ridge", "dedup_canonical_corpus",
+    "dedup_embedding_cosine", "freshness_gate", "global_totals_latest",
+    "ind_atr_wilder_fold", "ind_donchian_williams", "metrics_cascade_1d",
+    "mm_decode_features", "mm_frame_sample", "mm_resize_images",
+    "ohlcv_cascade_1M", "orderbook_depth_bands", "orderbook_depth_hourly",
+    "quality_filter_funnel", "ranking_card_1h", "ranking_card_rendered",
+    "rest_ohlc_history", "rest_oi_history", "rest_supported_coins",
+    "serving_retention_trim", "signal_threshold_cross_sql",
+    "single_token_panel", "stats_profile_by_type", "streaming_rollup_5m",
     "streaming_signals_parity", "text_vocab_topk",
 )
 
