@@ -34,7 +34,7 @@ _GATE_PRIORITY = (
     # --- re-check first: the rankcut rewrite changed these three plans
     # this round (oracles unchanged, builder-mimic green at sf0.01+0.1)
     "quality_unigram_logprob", "sample_dsir_importance",
-    "corpus_training_manifest",
+    "corpus_training_manifest", "partial_bar_merge",
     # --- r1-vintage rotation, FINAL tranche (r4 verdict item 4 bar:
     # no last_checked_round == 1 after r6) — the 28 remaining rows
     "ann_cosine_topk", "backfill_plan_days", "dedup_clusters",
@@ -68,7 +68,7 @@ _GATE_PRIORITY = (
     "flagship_rank_24h_change", "ohlcv_rollup_5m", "ohlcv_cascade_1h",
     "meta_join_1h", "latest_event_per_user", "top3_events_per_user",
     "lead_gaps_10m", "calendar_completeness", "daily_market_share",
-    "asof_purchase_context", "partial_bar_merge", "ind_tail_runs",
+    "asof_purchase_context", "ind_tail_runs",
     "realtime_union_view", "indicator_batch_150x7", "indicator_surface_1h",
     "signal_rule_events", "signal_rule_pack_129", "ind_cdl_singles_parity",
     "ind_cdl_pairs_parity", "ind_cdl_triples_parity", "ind_cdl_wide_parity",

@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -134,14 +135,14 @@ def main() -> None:
     #            reference numbers come from (single-run numbers on this
     #            box carry multi-second cold-page-cache I/O noise —
     #            measured ann_cosine_topk 1.15 s vs 5.7 s back-to-back).
-    # default raised 2 → 3 in r5: the r4 artifact flagged three
-    # sub-second "regressions" (ann_cosine_topk +19%, dedup_minhash
-    # +15%, ind_bollinger +9%) that a repeats=4 re-measure showed to be
-    # single-run VM noise (all at or under their r3 steady numbers);
-    # one extra repeat makes the published min materially more stable
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # default raised 3 → 4 in r6 (r5 verdict item 7): publishing
+    # median+min+n per query makes a real regression distinguishable
+    # from single-run VM noise without a dedicated re-measure round
+    # (r4's flagged trio and r5's ingest delta both needed one)
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "4"))
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
+    stats: dict[str, dict] = {}
     for name, spec in bench_specs.items():
         runs = []
         for _ in range(repeats):
@@ -150,6 +151,11 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
+        stats[name] = {
+            "min": round(min(runs), 3),
+            "median": round(statistics.median(runs), 3),
+            "n": len(runs),
+        }
 
     # streaming: the first cycle (no prior stream on this session) IS
     # the cold number — it pays stream-query planning + state-store
@@ -163,6 +169,11 @@ def main() -> None:
         # the single (cold) run instead of forcing a second cycle
         warm = stream_runs[1:] or stream_runs
         timings[k] = min(r[k] for r in warm)
+        stats[k] = {
+            "min": round(min(r[k] for r in warm), 3),
+            "median": round(statistics.median(r[k] for r in warm), 3),
+            "n": len(warm),
+        }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -172,11 +183,14 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_stats": stats,
                 "value_cold": round(sum(cold.values()), 3),
                 "queries_cold": cold,
                 "methodology": (
                     "queries=steady state (min of "
-                    f"{repeats}, warm workers); queries_cold=first run "
+                    f"{repeats}, warm workers); queries_stats=per-"
+                    "query {min, median, n} over the same runs (r5 "
+                    "verdict item 7); queries_cold=first run "
                     "after process warm-up. Caveat: queries share ~10 "
                     "parquet tables and run sequentially, so every "
                     "cold number after the first query still reads a "

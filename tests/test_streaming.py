@@ -497,55 +497,90 @@ def test_ingest_crash_before_commit_leaves_store_intact(spark, tmp_path, monkeyp
     assert final["BTC"]["high"] == 105.0
 
 
-def test_merge_closed_null_open_backfills_from_source(spark):
-    """A closed target bar whose stored open is NULL still COALESCEs the
-    source's open (the ON CONFLICT law treats open as an optional field;
-    closed only decides precedence, not presence)."""
+def test_merge_reference_on_conflict_parity(spark):
+    """The exact reference ON CONFLICT branches the r5 advice flagged
+    (001_timescaledb.sql:106-119): a closed target keeps its open ONLY
+    against a partial update — a re-sent CLOSED bar overwrites it — and
+    trade_count is COALESCE(EXCLUDED, target), not GREATEST."""
     from tradecat_spark.operators.merge import merge_candles
 
     t0 = pd.Timestamp("2025-01-01 00:00:00")
+    t1 = t0 + pd.Timedelta(minutes=1)
+    t2 = t0 + pd.Timedelta(minutes=2)
     target = spark.createDataFrame(
         pd.DataFrame([
-            dict(symbol="BTC", bucket_ts=t0, open=None, high=105.0,
-                 low=99.0, close=104.0, trade_count=10, is_closed=True),
+            # closed bar, partial update incoming → open frozen
+            dict(symbol="BTC", bucket_ts=t0, open=100.0, high=105.0,
+                 low=99.0, close=104.0, trade_count=50, is_closed=True),
+            # closed bar, CLOSED correction incoming → open overwritten
+            dict(symbol="BTC", bucket_ts=t1, open=200.0, high=205.0,
+                 low=199.0, close=204.0, trade_count=60, is_closed=True),
+            # closed bar with NULL stored open, partial incoming →
+            # stays NULL (the reference never back-fills a frozen open)
+            dict(symbol="BTC", bucket_ts=t2, open=None, high=305.0,
+                 low=299.0, close=304.0, trade_count=70, is_closed=True),
         ])
     )
     source = spark.createDataFrame(
         pd.DataFrame([
             dict(symbol="BTC", bucket_ts=t0, open=101.0, high=102.0,
-                 low=100.0, close=101.5, trade_count=12, is_closed=False),
-        ])
+                 low=100.0, close=101.5, trade_count=None,
+                 is_closed=False),
+            dict(symbol="BTC", bucket_ts=t1, open=201.0, high=202.0,
+                 low=200.0, close=201.5, trade_count=61, is_closed=True),
+            dict(symbol="BTC", bucket_ts=t2, open=301.0, high=302.0,
+                 low=300.0, close=301.5, trade_count=None,
+                 is_closed=False),
+        ]),
+        schema=("symbol string, bucket_ts timestamp, open double, "
+                "high double, low double, close double, "
+                "trade_count bigint, is_closed boolean"),
     )
-    r = merge_candles(target, source, ["symbol", "bucket_ts"]).collect()[0]
-    assert r["open"] == 101.0   # closed, but NULL → backfill from source
-    assert r["close"] == 101.5 and r["is_closed"] is True
+    rows = {
+        r["bucket_ts"]: r
+        for r in merge_candles(
+            target, source, ["symbol", "bucket_ts"]
+        ).collect()
+    }
+    r0 = rows[t0]
+    assert r0["open"] == 100.0        # closed + partial → frozen
+    assert r0["trade_count"] == 50    # COALESCE(NULL, 50)
+    assert r0["close"] == 101.5 and r0["is_closed"] is True
+    r1 = rows[t1]
+    assert r1["open"] == 201.0        # closed + closed → resend wins
+    assert r1["trade_count"] == 61    # COALESCE(61, 60)
+    r2 = rows[t2]
+    assert r2["open"] is None         # frozen NULL stays NULL
 
 
-def test_fold_batch_open_sequential_coalesce_law(spark):
-    """fold_batch's open must equal the sequential ON CONFLICT fold with
-    COALESCE semantics: newer non-NULL opens win until the bar closes;
-    after closing the open is frozen but still back-fills while NULL."""
+def test_fold_batch_open_sequential_law(spark):
+    """fold_batch's open must equal the sequential ON CONFLICT fold:
+    every row overwrites open until the bar closes; afterwards only
+    CLOSED rows overwrite — so the result is the open of the last
+    closed row (or of the last row when the bar never closes)."""
     from tradecat_spark.operators.merge import fold_batch
 
     t0 = pd.Timestamp("2025-01-01 00:00:00")
     rows = [
-        # key A: open=None → 101 wins → closes with NULL open (101 stays
-        # frozen) → later 55 must NOT override
-        dict(symbol="A", bucket_ts=t0, seq=1, open=None, high=1.0,
+        # key A: closes at seq=3 → open freezes at the closed row's
+        # open; the later partial 55 must NOT override
+        dict(symbol="A", bucket_ts=t0, seq=1, open=99.0, high=1.0,
              low=1.0, close=1.0, trade_count=1, is_closed=False),
         dict(symbol="A", bucket_ts=t0, seq=2, open=101.0, high=2.0,
              low=0.5, close=2.0, trade_count=2, is_closed=False),
-        dict(symbol="A", bucket_ts=t0, seq=3, open=None, high=3.0,
+        dict(symbol="A", bucket_ts=t0, seq=3, open=102.0, high=3.0,
              low=0.4, close=3.0, trade_count=3, is_closed=True),
         dict(symbol="A", bucket_ts=t0, seq=4, open=55.0, high=4.0,
              low=0.3, close=4.0, trade_count=4, is_closed=False),
-        # key B: closes first with NULL open → back-fills from the later
-        # row even though the bar is already closed
-        dict(symbol="B", bucket_ts=t0, seq=1, open=None, high=1.0,
+        # key B: closes twice — the LATER closed row's open wins (a
+        # closed resend overwrites, exactly the ON CONFLICT branch)
+        dict(symbol="B", bucket_ts=t0, seq=1, open=70.0, high=1.0,
              low=1.0, close=1.0, trade_count=1, is_closed=True),
         dict(symbol="B", bucket_ts=t0, seq=2, open=77.0, high=2.0,
-             low=0.5, close=2.0, trade_count=2, is_closed=False),
-        # key C: never closes → last non-NULL open wins
+             low=0.5, close=2.0, trade_count=2, is_closed=True),
+        dict(symbol="B", bucket_ts=t0, seq=3, open=88.0, high=3.0,
+             low=0.5, close=3.0, trade_count=None, is_closed=False),
+        # key C: never closes → last row's open wins, even NULL
         dict(symbol="C", bucket_ts=t0, seq=1, open=10.0, high=1.0,
              low=1.0, close=1.0, trade_count=1, is_closed=False),
         dict(symbol="C", bucket_ts=t0, seq=2, open=20.0, high=2.0,
@@ -553,17 +588,24 @@ def test_fold_batch_open_sequential_coalesce_law(spark):
         dict(symbol="C", bucket_ts=t0, seq=3, open=None, high=3.0,
              low=0.4, close=3.0, trade_count=3, is_closed=False),
     ]
-    batch = spark.createDataFrame(pd.DataFrame(rows)).repartition(4)
+    batch = spark.createDataFrame(
+        pd.DataFrame(rows),
+        schema=("symbol string, bucket_ts timestamp, seq bigint, "
+                "open double, high double, low double, close double, "
+                "trade_count bigint, is_closed boolean"),
+    ).repartition(4)
     out = {
         r["symbol"]: r
         for r in fold_batch(
             batch, ["symbol", "bucket_ts"], order_col="seq"
         ).collect()
     }
-    assert out["A"]["open"] == 101.0
+    assert out["A"]["open"] == 102.0
     assert out["A"]["close"] == 4.0 and out["A"]["is_closed"] is True
     assert out["B"]["open"] == 77.0 and out["B"]["is_closed"] is True
-    assert out["C"]["open"] == 20.0 and out["C"]["is_closed"] is False
+    # trade_count: last NON-NULL (sequential COALESCE), not max
+    assert out["B"]["trade_count"] == 2
+    assert out["C"]["open"] is None and out["C"]["is_closed"] is False
 
 
 def test_streaming_macd_multi_chunk_groups(spark, tmp_path):

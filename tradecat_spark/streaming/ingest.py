@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from tradecat_spark.operators.merge import (
     DELTA_MERGE_SET,
     MERGE_COLS,
+    detect_order_col,
     fold_batch,
     merge_candles,
 )
@@ -105,45 +106,54 @@ def upsert_batch(
        rename (or, on a Delta store, skip 2-3 for one atomic MERGE).
 
     Intra-batch ordering: the fold needs an arrival order per key. Pass
-    ``order_col`` (event time / Kafka offset); a column named
-    ``event_ts`` is auto-detected when none is given. A multi-partition
-    batch with no resolvable order is an error (see fold_batch).
+    ``order_col`` (event time / Kafka offset); a conventional column
+    (``ORDER_COL_CANDIDATES``: event_ts, kafka_offset) is auto-detected
+    when none is given. A multi-partition batch with no resolvable
+    order is an error (see fold_batch).
     """
-    if order_col is None and "event_ts" in batch.columns:
-        order_col = "event_ts"
+    if order_col is None:
+        order_col = detect_order_col(batch.columns)
     extra = [order_col] if order_col is not None else []
-    batch = fold_batch(
+    folded = fold_batch(
         batch.select(*keys, *MERGE_COLS, *extra), keys, order_col
     )
-    batch = batch.withColumn(PART_COL, _part_expr(batch, keys))
 
     dt = _delta_table(spark, store_path)
     if dt is not None:
         # Atomic transaction-log commit; the _part equality lets Delta
         # prune the merge to the touched partitions.
+        src = folded.withColumn(PART_COL, _part_expr(folded, keys))
         cond = " AND ".join(
             [f"t.{k} = s.{k}" for k in keys] + [f"t.{PART_COL} = s.{PART_COL}"]
         )
         (
             dt.alias("t")
-            .merge(batch.alias("s"), cond)
+            .merge(src.alias("s"), cond)
             .whenMatchedUpdate(set=DELTA_MERGE_SET)
             .whenNotMatchedInsertAll()
             .execute()
         )
         return
 
-    # Touched partition values: one tiny distinct over the folded batch
-    # (bounded by symbols × dates in a 3 s window, not by row count).
+    # Touched partition values: one tiny distinct over the RAW batch —
+    # the fold never changes keys and _part_expr depends only on keys,
+    # so the probe job is a cheap map-side-combined distinct that never
+    # executes the fold (r5 bench flagged the probe re-running it).
+    # Bounded by symbols × dates in a 3 s window, not by row count.
     # Each touched partition's CURRENT data dir is resolved individually
     # (published entry, or the newest crash-orphaned version — see
     # _partition_data_dir), so a replay after ANY crash point re-reads
     # whatever survived and reconverges under the idempotent merge law;
     # an empty/missing store is just the zero-partitions case of the
     # same path (no special bootstrap branch to crash out of).
-    touched = [r[0] for r in batch.select(PART_COL).distinct().collect()]
     dirs = []
     if os.path.isdir(store_path):
+        touched = [
+            r[0]
+            for r in batch.select(_part_expr(batch, keys).alias(PART_COL))
+            .distinct()
+            .collect()
+        ]
         for v in touched:
             d = _partition_data_dir(store_path, f"{PART_COL}={v}")
             if d is not None:
@@ -152,10 +162,14 @@ def upsert_batch(
         # data files carry keys + MERGE_COLS only (partitionBy excludes
         # the layout column), so reading the resolved dirs directly is
         # both prune-exact and parse-free
-        target = spark.read.parquet(*dirs)
+        merged = merge_candles(spark.read.parquet(*dirs), folded, keys)
     else:
-        target = batch.select(*keys, *MERGE_COLS).limit(0)
-    merged = merge_candles(target, batch, keys)
+        # merge law over an EMPTY target is the folded batch itself
+        # (pure source-side pass-through): skip the outer-join stage.
+        # The recovery probe above already looked for crash-orphaned
+        # versions, so empty here really means no prior data for the
+        # touched partitions.
+        merged = folded.select(*keys, *MERGE_COLS)
     merged = merged.withColumn(PART_COL, _part_expr(merged, keys))
 
     staging = f"{store_path}.staging"
@@ -249,7 +263,13 @@ def _commit_staging(spark: SparkSession, staging: str, store_path: str) -> None:
         old_target = None
         parked_name = None
         if os.path.islink(dst):
-            old_target = os.readlink(dst)
+            # normalize to the bare version-dir NAME: external tooling
+            # or manual repair may have written an absolute or
+            # non-canonical target, and the keep set below compares
+            # against listdir names — an unnormalized target would get
+            # its just-displaced version rmtree'd immediately, exposing
+            # in-flight readers (r5 advice)
+            old_target = os.path.basename(os.path.realpath(dst))
         elif os.path.isdir(dst):
             # legacy real-dir partition (pre-symlink layout): park it so
             # the swap below is a plain create — one transient-missing
@@ -293,12 +313,38 @@ def read_store(spark: SparkSession, store_path: str) -> DataFrame:
     entries = sorted(
         e for e in os.listdir(store_path) if e.startswith(f"{PART_COL}=")
     )
+    if not entries:
+        # crash before the FIRST publish of every partition: the store
+        # dir exists but holds only dot-prefixed versioned dirs (data
+        # renamed in, symlink never swapped). Recover the newest
+        # version per partition — the same rule upsert_batch's probe
+        # applies — instead of falling into the legacy branch, whose
+        # schema inference fails on a dot-only directory (r5 advice).
+        newest: dict[str, str] = {}
+        for n in os.listdir(store_path):
+            p = os.path.join(store_path, n)
+            if (
+                not n.startswith(".")
+                or f"-{PART_COL}=" not in n
+                or os.path.islink(p)
+                or not os.path.isdir(p)
+            ):
+                continue
+            entry = f"{PART_COL}=" + n.split(f"-{PART_COL}=", 1)[1]
+            if entry not in newest or (
+                os.path.getmtime(p) > os.path.getmtime(newest[entry])
+            ):
+                newest[entry] = p
+        if newest:
+            return spark.read.parquet(*sorted(newest.values()))
     targets = [
         os.path.realpath(os.path.join(store_path, e)) for e in entries
     ]
     if not targets or not any(os.path.islink(os.path.join(store_path, e))
                               for e in entries):
-        # legacy real-dir layout (or empty store): plain partitioned read
+        # legacy real-dir layout (or truly empty store — no debris, no
+        # schema anywhere on disk, so erroring is honest): plain
+        # partitioned read
         return spark.read.parquet(store_path).drop(PART_COL)
     # PART_COL lives in directory names only (partitionBy excludes it
     # from the data files), so reading the resolved dirs directly drops
@@ -320,13 +366,14 @@ def start_candle_ingest(
     ``stream`` must already be shaped as key + MERGE_COLS rows (use
     ``candles_from_events`` or a source adapter). Sources whose batches
     can carry several updates of one bar should expose the event time /
-    offset as ``order_col`` (an ``event_ts`` column is auto-detected) —
+    offset as ``order_col`` (conventional columns — event_ts,
+    kafka_offset — are auto-detected) —
     micro-batches are multi-partition in general, and arrival order
     within a key is only defined by such a column.
     """
     spark = stream.sparkSession
-    if order_col is None and "event_ts" in stream.columns:
-        order_col = "event_ts"
+    if order_col is None:
+        order_col = detect_order_col(stream.columns)
 
     def _sink(batch: DataFrame, _batch_id: int) -> None:
         if batch.isEmpty():
