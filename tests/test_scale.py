@@ -155,3 +155,39 @@ def test_pagerank_mass_and_floor_laws(spark, sf_dir):
     isolated = df[df.degree == 0]
     assert (isolated.pr_micro == base).all()
     assert (df.pr_micro >= base).all()
+
+
+def test_iterative_ops_reliable_checkpoint_parity(spark, sf_dir, tmp_path):
+    """r5 verdict item 4: the iterative ops' reliable-checkpoint mode
+    (per-iteration parquet write-read, fault-tolerant at scale) must be
+    byte-equivalent to the default localCheckpoint mode — the lineage
+    cut is an execution detail, never a semantics knob."""
+    from tradecat_spark.plans.q_cluster import (
+        _lloyd,
+        pagerank_similarity_graph,
+    )
+
+    pr_default = sorted(
+        map(tuple, pagerank_similarity_graph(spark, sf_dir).collect())
+    )
+    pr_reliable = sorted(
+        map(
+            tuple,
+            pagerank_similarity_graph(
+                spark, sf_dir, checkpoint_dir=str(tmp_path / "pr")
+            ).collect(),
+        )
+    )
+    assert pr_default == pr_reliable and len(pr_default) > 0
+    # the reliable run actually committed per-iteration parquet
+    assert (tmp_path / "pr" / "pr_edges").is_dir()
+    assert (tmp_path / "pr" / "pr_iter_0").is_dir()
+
+    _, cent_default = _lloyd(spark, sf_dir)
+    _, cent_reliable = _lloyd(
+        spark, sf_dir, checkpoint_dir=str(tmp_path / "km")
+    )
+    cd = {r["cid"]: (r["cv"], r["n_members"]) for r in cent_default.collect()}
+    cr = {r["cid"]: (r["cv"], r["n_members"]) for r in cent_reliable.collect()}
+    assert cd == cr and len(cd) > 0
+    assert (tmp_path / "km" / "lloyd_cent_0").is_dir()

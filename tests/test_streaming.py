@@ -1458,3 +1458,75 @@ def test_fold_batch_tied_event_times_fold_deterministically(spark):
     assert outs[0]["close"] == 103.5
     assert outs[0]["high"] == 104.0 and outs[0]["low"] == 98.5
     assert outs[0]["is_closed"] is True and outs[0]["trade_count"] == 12
+
+
+def test_delta_merge_branch_law_parity(tmp_path):
+    """r5 verdict item 6: when delta-spark is importable, upsert_batch's
+    Delta MERGE branch must resolve the same batch sequence to the same
+    store rows as the rename-commit branch (DELTA_MERGE_SET and
+    merge_candles are two renderings of one ON CONFLICT law, and the
+    fold in front of both is shared).
+
+    This container ships no delta-spark (documented in _delta_table's
+    docstring), so the test skips with that reason; in a lakehouse
+    deployment it runs for real — it builds its own Delta-enabled
+    session because the shared fixture's session has no Delta
+    extensions.
+    """
+    delta = pytest.importorskip(
+        "delta", reason="delta-spark not installed in this container"
+    )
+    from pyspark.sql import SparkSession
+
+    from tradecat_spark.streaming.ingest import read_store, upsert_batch
+
+    builder = (
+        SparkSession.builder.master("local[4]")
+        .appName("delta-merge-parity")
+        .config("spark.sql.extensions",
+                "io.delta.sql.DeltaSparkSessionExtension")
+        .config("spark.sql.catalog.spark_catalog",
+                "org.apache.spark.sql.delta.catalog.DeltaSparkCatalog")
+        .config("spark.ui.enabled", "false")
+    )
+    spark = delta.configure_spark_with_delta_pip(builder).getOrCreate()
+    try:
+        keys = ["symbol", "bucket_ts"]
+        t0 = pd.Timestamp("2025-01-01 00:00:00")
+        batches = [
+            pd.DataFrame([
+                dict(symbol="BTC", bucket_ts=t0, event_ts=t0, open=100.0,
+                     high=105.0, low=99.0, close=104.0, trade_count=10,
+                     is_closed=False),
+            ]),
+            pd.DataFrame([
+                dict(symbol="BTC", bucket_ts=t0,
+                     event_ts=t0 + pd.Timedelta(seconds=1), open=101.0,
+                     high=107.0, low=98.0, close=106.0, trade_count=25,
+                     is_closed=True),
+                dict(symbol="ETH", bucket_ts=t0, event_ts=t0, open=10.0,
+                     high=11.0, low=9.0, close=10.5, trade_count=5,
+                     is_closed=True),
+            ]),
+        ]
+        parquet_store = str(tmp_path / "parquet_store")
+        delta_store = str(tmp_path / "delta_store")
+        # seed the Delta store as a Delta table so _delta_table picks it
+        spark.createDataFrame(batches[0]).limit(0).drop("event_ts").write \
+            .format("delta").save(delta_store)
+        for b in batches:
+            upsert_batch(spark, spark.createDataFrame(b), parquet_store, keys)
+            upsert_batch(spark, spark.createDataFrame(b), delta_store, keys)
+        cols = ["symbol", "bucket_ts", "open", "high", "low", "close",
+                "trade_count", "is_closed"]
+        via_rename = sorted(
+            map(tuple, read_store(spark, parquet_store).select(cols).collect())
+        )
+        via_delta = sorted(
+            map(tuple,
+                spark.read.format("delta").load(delta_store)
+                .select(cols).collect())
+        )
+        assert via_rename == via_delta and len(via_rename) == 2
+    finally:
+        spark.stop()

@@ -23,9 +23,11 @@ Scale notes: the only non-broadcast shuffles are the per-vector argmin
 window (keyed by vec_id — perfectly spread) and the (cid, component)
 mean (K×dim groups).  Pairwise similarity only materializes inside a
 cluster, so K is the knob that bounds the quadratic term (K ~ N/5000
-in the paper); at 100 TB each iteration's assignment output should be
-checkpointed to parquet to cut the unrolled lineage — the loop below
-keeps lineage because T=3 and the corpus is small.
+in the paper); at 100 TB each iteration's output must be checkpointed
+to parquet to cut the unrolled lineage — ``_lloyd`` and the PageRank
+below take an optional ``checkpoint_dir`` for exactly that
+(``_cut_lineage``); the registry entries default to keeping lineage /
+localCheckpoint because T=3 and the test corpus is small.
 
 Determinism contract (why this hash-matches across engines):
 - init = vec_id < K (no RNG);
@@ -38,6 +40,8 @@ Determinism contract (why this hash-matches across engines):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -48,6 +52,27 @@ from tradecat_spark.plans.q_similarity import cosine, dot
 K = 8          # clusters; at scale K ~ corpus_size / target_cluster_size
 N_ITERS = 3    # unrolled Lloyd iterations
 TOP_PRUNE = 3  # SemDeDup candidates emitted per cluster
+
+
+def _cut_lineage(
+    df: DataFrame, checkpoint_dir: str | None, tag: str
+) -> DataFrame:
+    """Per-iteration lineage cut for the iterative ops.
+
+    Default (``checkpoint_dir=None``, the test-scale mode): eager
+    ``localCheckpoint`` — blocks stored on executors, NOT fault-
+    tolerant; an executor loss kills the job instead of recomputing.
+    Reliable mode (r5 verdict item 4): write-read parquet under
+    ``checkpoint_dir`` — the iteration output survives any executor
+    loss and the next iteration replans from a clean scan, which is the
+    only safe lineage cut for a 1000-executor 100 TB run. The query
+    registry entries run the default; callers at scale (and the law
+    test) pass a directory."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint()
+    path = os.path.join(checkpoint_dir, tag)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,17 +131,29 @@ def _recompute(asg: DataFrame) -> DataFrame:
     )
 
 
-def _lloyd(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def _lloyd(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Run N_ITERS Lloyd iterations; return (final assignment, final
-    centroids)."""
+    centroids).
+
+    With ``checkpoint_dir`` set, each iteration's K×dim centroid table
+    is committed to parquet (``_cut_lineage``) so the unrolled lineage
+    never exceeds one iteration and an executor loss replays from the
+    last committed centroids — the "checkpoint to parquet at scale"
+    posture the module docstring promises. Default keeps full lineage:
+    T=3 and the centroid table is tiny, so cutting it at test scale
+    would only add filesystem traffic."""
     e = _emb(spark, sf_dir)
     cent = e.filter(F.col("vec_id") < K).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     asg = None
-    for _ in range(N_ITERS):
+    for i in range(N_ITERS):
         asg = _assign(e, cent)
         cent = _recompute(asg)
+        if checkpoint_dir is not None and i < N_ITERS - 1:
+            cent = _cut_lineage(cent, checkpoint_dir, f"lloyd_cent_{i}")
     return asg, cent
 
 
@@ -354,7 +391,9 @@ JOIN {prev} p USING (doc_id)
     "the duplicate-candidate graph",
     oracle=_pagerank_oracle(),
 )
-def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pagerank_similarity_graph(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Every float hazard is designed out: pr mass lives in int64
     micro-units (SCALE=1e12), the damping step is (85*x)//100, the
     share each node sends a neighbor is pr//deg (floor division —
@@ -364,7 +403,10 @@ def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     under test is the propagation structure, bit-for-bit). Shapes: the
     edge list is the bounded LSH candidate set (never all-pairs); each
     iteration is one join + one sum shuffle keyed on the destination,
-    lineage truncated per round exactly like cluster_kmeans_lloyd."""
+    lineage truncated per round via ``_cut_lineage`` — localCheckpoint
+    by default (test scale), reliable parquet write-read when
+    ``checkpoint_dir`` is given (the only fault-tolerant cut for a
+    long-running 100 TB job; r5 verdict item 4)."""
     from tradecat_spark.plans.q_text import _docs, dedup_minhash_pairs
 
     d = _docs(spark, sf_dir).select("doc_id")
@@ -375,11 +417,11 @@ def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(p.select(F.col("doc_b").alias("src"),
                         F.col("doc_a").alias("dst")))
-        .localCheckpoint()
     )
+    edges = _cut_lineage(edges, checkpoint_dir, "pr_edges")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     pr = d.select("doc_id", F.lit(_PR_SCALE // n).alias("pr"))
-    for _ in range(_PR_ITERS):
+    for it in range(_PR_ITERS):
         contrib = (
             edges.join(pr, edges["src"] == pr["doc_id"])
             .join(deg, "src")
@@ -395,8 +437,8 @@ def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + F.expr(f"85 * coalesce(inflow, 0L) div 100"))
                 .alias("pr"),
             )
-            .localCheckpoint()
         )
+        pr = _cut_lineage(pr, checkpoint_dir, f"pr_iter_{it}")
     out = pr.join(deg, pr["doc_id"] == deg["src"], "left").select(
         "doc_id",
         F.coalesce("deg", F.lit(0)).cast("bigint").alias("degree"),
