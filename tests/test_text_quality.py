@@ -97,3 +97,35 @@ def test_manifest_decision_precedence(spark, sf_dir):
             want = "kept"
         assert r.decision == want, dict(r)
         assert r.keep_final == (want == "kept"), dict(r)
+
+
+def test_span_trim_ranges_cut_real_duplicated_text(spark, sf_dir):
+    """The trim ranges must be APPLICABLE: text[char_start:char_end]
+    reconstructs exactly ' '.join(tokens[tok_start:tok_end]), islands
+    within a (doc, width) never overlap, and every island is at least
+    one span wide."""
+    from tradecat_spark.plans.registry import load_all
+
+    specs = load_all()
+    ranges = specs["dedup_span_trim_ranges"].fn(spark, sf_dir).collect()
+    assert len(ranges) > 0
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text").collect()
+    }
+    by_doc_w: dict = {}
+    for r in ranges:
+        assert r["width"] in (10, 25, 50)
+        assert r["tok_end"] - r["tok_start"] >= r["width"]
+        text = texts[r["doc_id"]]
+        toks = text.split(" ")
+        expect = " ".join(toks[r["tok_start"]:r["tok_end"]])
+        assert text[r["char_start"]:r["char_end"]] == expect, r
+        by_doc_w.setdefault((r["doc_id"], r["width"]), []).append(
+            (r["tok_start"], r["tok_end"])
+        )
+    for spans in by_doc_w.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert s2 > e1  # maximal islands: disjoint AND non-adjacent

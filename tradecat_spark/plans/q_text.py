@@ -1920,6 +1920,188 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRIM_WIDTHS = (10, 25, 50)  # span widths (tokens), one corpus pass
+
+
+def _trim_oracle() -> str:
+    spans = "\nUNION ALL\n".join(
+        f"""  SELECT doc_id, CAST({w} AS BIGINT) AS width,
+    CAST(unnest(range(len(ws) - {w} + 1)) AS BIGINT) AS i,
+    unnest(list_transform(range(len(ws) - {w} + 1),
+      j -> md5(list_aggregate(ws[j + 1 : j + {w}], 'string_agg', ' '))))
+      AS h
+  FROM w WHERE len(ws) >= {w}"""
+        for w in _TRIM_WIDTHS
+    )
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (
+  SELECT doc_id, generate_subscripts(ws, 1) AS pos1, unnest(ws) AS word
+  FROM w
+),
+off AS (
+  SELECT doc_id, pos1, word,
+    COALESCE(SUM(len(word) + 1) OVER (PARTITION BY doc_id ORDER BY pos1
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cs
+  FROM tok
+),
+sp AS (
+{spans}
+),
+dup AS (
+  SELECT width, h FROM sp GROUP BY width, h
+  HAVING COUNT(DISTINCT doc_id) > 1
+),
+d AS (SELECT sp.doc_id, sp.width, sp.i FROM sp JOIN dup USING (width, h)),
+isl AS (
+  SELECT doc_id, width, i,
+    CASE WHEN MAX(i + width) OVER (PARTITION BY doc_id, width ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         OR i > MAX(i + width) OVER (PARTITION BY doc_id, width ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    THEN 1 ELSE 0 END AS ni
+  FROM d
+),
+isl2 AS (
+  SELECT *, SUM(ni) OVER (PARTITION BY doc_id, width ORDER BY i
+    ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+),
+rng AS (
+  SELECT doc_id, width, island,
+    CAST(MIN(i) AS BIGINT) AS tok_start,
+    CAST(MAX(i) + width AS BIGINT) AS tok_end
+  FROM isl2 GROUP BY doc_id, width, island
+)
+SELECT r.doc_id, r.width, r.tok_start, r.tok_end,
+  CAST(o1.cs AS BIGINT) AS char_start,
+  CAST(o2.cs + len(o2.word) AS BIGINT) AS char_end
+FROM rng r
+JOIN off o1 ON o1.doc_id = r.doc_id AND o1.pos1 = r.tok_start + 1
+JOIN off o2 ON o2.doc_id = r.doc_id AND o2.pos1 = r.tok_end
+"""
+
+
+@query(
+    "dedup_span_trim_ranges",
+    survey="north-star dedup: the Lee et al. 2022 substring-dedup "
+    "OUTPUT — adjacent duplicated spans merged into maximal per-doc "
+    "intervals with character trim offsets, at widths 10/25/50 tokens "
+    "in ONE corpus pass (the artifact a dedup pipeline actually "
+    "applies: cut text[char_start:char_end])",
+    description="Per-doc merged duplicated-span trim ranges "
+    "(token + char offsets) at widths 10/25/50",
+    oracle=_trim_oracle(),
+)
+def dedup_span_trim_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extends ``dedup_substring_spans`` from a per-doc flag to the
+    paper's trim semantics. ONE explode builds every (width, start,
+    span-hash) for all three widths together (per-width guarded
+    sequences flattened — no second corpus scan); duplicated spans are
+    the >1-distinct-doc hashes (one shuffle keyed on (width, hash));
+    per (doc, width) the surviving starts merge into maximal islands
+    via the gaps-and-islands running-max — windows partitioned by
+    (doc_id, width), bounded by one document's spans, never
+    corpus-global. Character offsets come from the per-token running
+    length sum (same per-doc-bounded window), joined back at the
+    island's first and last token. Everything is integer-exact: token
+    indices, cumulative character lengths, island ids.
+
+    Oracle note: DuckDB replays the same construction with 1-based
+    ``generate_subscripts`` positions; both engines publish the same
+    0-based ``tok_start``/``tok_end`` (end-exclusive) and character
+    offsets over the single-space tokenization."""
+    d = _docs(spark, sf_dir)
+    base = d.select("doc_id", _words().alias("ws"))
+
+    def spans_for(w: int):
+        idx = F.when(
+            F.size("ws") >= w, F.sequence(F.lit(0), F.size("ws") - w)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.lit(w).cast("bigint").alias("width"),
+                i.cast("bigint").alias("i"),
+                F.md5(
+                    F.concat_ws(" ", F.slice(F.col("ws"), i + 1, w))
+                ).alias("h"),
+            ),
+        )
+
+    sp = base.select(
+        "doc_id",
+        F.explode(
+            F.flatten(F.array(*[spans_for(w) for w in _TRIM_WIDTHS]))
+        ).alias("s"),
+    ).select("doc_id", "s.width", "s.i", "s.h")
+
+    dup = (
+        sp.groupBy("width", "h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("width", "h")
+    )
+    dsp = sp.join(dup, ["width", "h"]).select("doc_id", "width", "i")
+
+    w_prev = (
+        Window.partitionBy("doc_id", "width")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cur = (
+        Window.partitionBy("doc_id", "width")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run_end = F.max(F.col("i") + F.col("width")).over(w_prev)
+    new_island = (run_end.isNull() | (F.col("i") > run_end)).cast("int")
+    isl = dsp.withColumn(
+        "island", F.sum(new_island).over(w_cur)
+    )
+    rng = isl.groupBy("doc_id", "width", "island").agg(
+        F.min("i").cast("bigint").alias("tok_start"),
+        (F.max("i") + F.col("width")).cast("bigint").alias("tok_end"),
+    )
+
+    tok = base.select(
+        "doc_id", F.posexplode("ws").alias("pos", "word")
+    )
+    w_off = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = tok.withColumn(
+        "cs", F.coalesce(F.sum(F.length("word") + 1).over(w_off), F.lit(0))
+    )
+    o1 = off.select(
+        F.col("doc_id").alias("d1"), F.col("pos").alias("p1"),
+        F.col("cs").alias("cs1"),
+    )
+    o2 = off.select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("p2"),
+        (F.col("cs") + F.length("word")).alias("ce2"),
+    )
+    return (
+        rng.join(
+            o1,
+            (F.col("doc_id") == F.col("d1"))
+            & (F.col("tok_start") == F.col("p1")),
+        )
+        .join(
+            o2,
+            (F.col("doc_id") == F.col("d2"))
+            & (F.col("tok_end") - 1 == F.col("p2")),
+        )
+        .select(
+            "doc_id", "width", "tok_start", "tok_end",
+            F.col("cs1").cast("bigint").alias("char_start"),
+            F.col("ce2").cast("bigint").alias("char_end"),
+        )
+    )
+
+
 def _manifest_oracle() -> str:
     """Composed VERBATIM from the three constituent hash-green oracles
     (registry lookups at import time) — the manifest cannot drift from
