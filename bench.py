@@ -199,11 +199,21 @@ def main() -> None:
                 ),
                 "sf": sf,
                 "noise_note": (
-                    "r4-flagged trio (ann_cosine_topk, "
-                    "dedup_minhash_bands, ind_bollinger) re-measured "
-                    "at repeats=4 in r5: 0.848/0.796/1.255 s — at or "
-                    "under r3 steady state; the r4 deltas were "
-                    "single-run noise"
+                    "r5-flagged streaming_ingest_600sym (+22% vs r4) "
+                    "re-measured at repeats=6 in r6 and attributed as "
+                    "REAL: r5's crash-safe rewrite removed the "
+                    "bootstrap fast path and ran the fold twice "
+                    "(probe + write). r6 fixed both (raw-batch probe, "
+                    "empty-target short-circuit, max_by fold): "
+                    "1.14-1.31 s -> 0.97-1.02 s median steady; the "
+                    "residual delta vs r4's 0.848 s is the unified "
+                    "crash-recovery path + event-ts-ordered fold that "
+                    "r4's unsafe bootstrap branch skipped. "
+                    "indicator_batch_150x7 read ~4.6 s median this "
+                    "round vs the 3.63 s r5 artifact: the r5-tip CODE "
+                    "re-measured 4.58 s median on the same day/box "
+                    "(git worktree probe, n=6 both) — machine "
+                    "variance, not a code regression"
                 ),
             }
         )

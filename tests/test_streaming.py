@@ -1530,3 +1530,63 @@ def test_delta_merge_branch_law_parity(tmp_path):
         assert via_rename == via_delta and len(via_rename) == 2
     finally:
         spark.stop()
+
+
+def test_read_store_recovers_pre_first_publish_crash(spark, tmp_path):
+    """r5 advice: a store dir left by a crash BEFORE any partition was
+    ever published (versioned .v*-_part= dirs exist, no _part= entries)
+    must be readable — the legacy branch's schema inference dies on a
+    dot-only directory and serving readers would error until a replay."""
+    import tradecat_spark.streaming.ingest as ing
+
+    t0 = pd.Timestamp("2025-01-01 00:00:00")
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    # simulate the crash point: data renamed in, symlink never swapped
+    debris = os.path.join(store, ".vdeadbeef0001-_part=2025-01-01")
+    spark.createDataFrame(
+        pd.DataFrame([
+            dict(symbol="BTC", bucket_ts=t0, open=1.0, high=2.0, low=0.5,
+                 close=1.5, trade_count=3, is_closed=True),
+        ])
+    ).write.parquet(debris)
+    got = ing.read_store(spark, store).collect()
+    assert len(got) == 1 and got[0]["symbol"] == "BTC"
+
+
+def test_commit_grace_survives_noncanonical_symlink_target(spark, tmp_path):
+    """r5 advice: when external tooling rewrote a partition symlink with
+    an ABSOLUTE target, the next commit must still give the displaced
+    version its one-commit grace (the keep set compares bare names, so
+    an unnormalized readlink would rmtree it immediately)."""
+    import tradecat_spark.streaming.ingest as ing
+
+    t0 = pd.Timestamp("2025-01-01 00:00:00")
+    store = str(tmp_path / "store")
+    keys = ["symbol", "bucket_ts"]
+
+    def bar(close):
+        return spark.createDataFrame(
+            pd.DataFrame([
+                dict(symbol="BTC", bucket_ts=t0, event_ts=t0, open=1.0,
+                     high=2.0, low=0.5, close=close, trade_count=3,
+                     is_closed=False),
+            ])
+        )
+
+    ing.upsert_batch(spark, bar(1.5), store, keys)
+    entry = "_part=2025-01-01"
+    dst = os.path.join(store, entry)
+    assert os.path.islink(dst)
+    displaced_version = os.path.basename(os.path.realpath(dst))
+    # external repair: same target, but written as an absolute path
+    os.unlink(dst)
+    os.symlink(os.path.join(store, displaced_version), dst)
+    ing.upsert_batch(spark, bar(2.5), store, keys)
+    # the displaced version survives this commit (grace), despite the
+    # absolute target
+    assert displaced_version in os.listdir(store)
+    # and is retired on the NEXT commit of the partition
+    ing.upsert_batch(spark, bar(3.5), store, keys)
+    assert displaced_version not in os.listdir(store)
+    assert ing.read_store(spark, store).collect()[0]["close"] == 3.5
