@@ -483,7 +483,8 @@ _WINDOW_NODE = re.compile(r"Window \[.*?\](?:, \[([^\]]*)\])?, \[([^\]]*)\]$")
 @pytest.mark.parametrize(
     "name",
     ["quality_unigram_logprob", "sample_dsir_importance",
-     "corpus_training_manifest"],
+     "corpus_training_manifest", "token_decile_tiers",
+     "corpus_exact_quantiles"],
 )
 def test_no_corpus_global_window(spark, sf_dir, name):
     """r5 verdict item 1: the decile/quartile flags must never funnel

@@ -129,3 +129,30 @@ def test_span_trim_ranges_cut_real_duplicated_text(spark, sf_dir):
         spans.sort()
         for (s1, e1), (s2, _) in zip(spans, spans[1:]):
             assert s2 > e1  # maximal islands: disjoint AND non-adjacent
+
+
+def test_decile_tiers_and_exact_quantiles_laws(spark, sf_dir):
+    """Integer rank laws, verified against a driver-side sort of the
+    same values: tier == (10 * rank0) // N with ties sharing, and each
+    exact quantile equals the value at sorted position k."""
+    from tradecat_spark.plans.registry import load_all
+
+    specs = load_all()
+    tiers = specs["token_decile_tiers"].fn(spark, sf_dir).collect()
+    n = len(tiers)
+    assert n > 0
+    vals = sorted(r["n_tokens"] for r in tiers)
+    first_rank = {}
+    for i, v in enumerate(vals):
+        first_rank.setdefault(v, i)
+    for r in tiers:
+        assert r["tier"] == (10 * first_rank[r["n_tokens"]]) // n, r
+    qs = {
+        r["quantile"]: r
+        for r in specs["corpus_exact_quantiles"].fn(spark, sf_dir).collect()
+    }
+    assert set(qs) == {"p50", "p90", "p99"}
+    for lbl, num, den in (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)):
+        k = (num * (n - 1)) // den
+        assert qs[lbl]["k"] == k and qs[lbl]["n"] == n
+        assert qs[lbl]["value"] == vals[k], (lbl, qs[lbl], vals[k])

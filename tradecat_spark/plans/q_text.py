@@ -2206,3 +2206,183 @@ def sample_per_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("doc_id", "source", F.col("rk").cast("bigint").alias("rk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact global rank statistics WITHOUT global windows (rankcut reuse)
+# ---------------------------------------------------------------------------
+_DOCLEN_SQL = (
+    "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
+    "AS n_tokens FROM documents"
+)
+
+
+@query(
+    "token_decile_tiers",
+    survey="north-star curation: exact decile tiers over a corpus "
+    "statistic (doc token count) with rank()-tie semantics, computed "
+    "as a map-only classification against a broadcast 9-value "
+    "boundary array — the scalable form of the NTILE-style bucketing "
+    "every mix builder wants, no corpus-global window anywhere",
+    description="Per-doc token-count decile tier (0-9, ties share)",
+    oracle=f"""
+WITH a AS ({_DOCLEN_SQL}),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM a)
+SELECT doc_id, n_tokens,
+  CAST((10 * (RANK() OVER (ORDER BY n_tokens) - 1)) // n.n AS BIGINT)
+    AS tier
+FROM a CROSS JOIN n
+""",
+)
+def token_decile_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact decile law: tier(v) = (10 * cb(v)) div N, where
+    cb is the shared 0-based rank of the value (ties share a tier,
+    exactly RANK()-1). Computed from the bounded ``value_cb``
+    histogram; the per-value tiers collapse to NINE boundary scalars
+    (T_d = largest value still in tier <= d, d = 0..8 — always
+    defined, monotone), broadcast as one array, and every doc
+    classifies itself map-side as the COUNT of boundaries strictly
+    below its value. No corpus shuffle beyond the histogram aggregate;
+    bit-identical to the oracle's RANK() arithmetic."""
+    d = _docs(spark, sf_dir)
+    a = d.select("doc_id", F.size(_words()).cast("bigint").alias("n_tokens"))
+    hist = value_cb(a.select("n_tokens"), "n_tokens", 256)
+    nrow = hist.agg(F.sum("cnt").cast("long").alias("n"))
+    hb = hist.join(F.broadcast(nrow))
+    tier = F.call_function("div", F.col("cb") * 10, F.col("n"))
+    bounds = hb.agg(
+        *[
+            F.max(F.when(tier <= dd, F.col("n_tokens"))).alias(f"t{dd}")
+            for dd in range(9)
+        ]
+    ).select(F.array(*[f"t{dd}" for dd in range(9)]).alias("bounds"))
+    return a.join(F.broadcast(bounds)).select(
+        "doc_id", "n_tokens",
+        F.size(
+            F.filter(F.col("bounds"), lambda b: b < F.col("n_tokens"))
+        ).cast("bigint").alias("tier"),
+    )
+
+
+_QUANTS = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+
+@query(
+    "corpus_exact_quantiles",
+    survey="§4 approx family counterpart: EXACT global order "
+    "statistics (p50/p90/p99 of doc token counts) at 100 TB — the "
+    "bounded value-histogram replaces the global sort, the quantile "
+    "is the value whose [cb, cb+cnt) rank block contains "
+    "k = (q_num*(N-1)) div q_den; the exact reference the sketch "
+    "error eval wishes it had at corpus scale",
+    description="Exact p50/p90/p99 of per-doc token counts, no sort",
+    oracle=f"""
+WITH a AS ({_DOCLEN_SQL}),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM a),
+r AS (
+  SELECT n_tokens,
+    ROW_NUMBER() OVER (ORDER BY n_tokens) - 1 AS rk
+  FROM a
+)
+"""
+    + "\nUNION ALL\n".join(
+        f"""SELECT '{lbl}' AS quantile,
+  CAST(({num} * (n.n - 1)) // {den} AS BIGINT) AS k,
+  CAST(r.n_tokens AS BIGINT) AS value, n.n AS n
+FROM r CROSS JOIN n WHERE r.rk = ({num} * (n.n - 1)) // {den}"""
+        for lbl, num, den in _QUANTS
+    ),
+)
+def corpus_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact selection: one histogram aggregate, then each
+    quantile's value is max(v : cb(v) <= k) — cb is monotone, so the
+    max lands on the unique value whose rank block contains k. The
+    oracle proves exactness by brute global sort (fine single-node);
+    the Spark side never sorts more than the bounded histogram."""
+    d = _docs(spark, sf_dir)
+    a = d.select(F.size(_words()).cast("bigint").alias("n_tokens"))
+    hist = value_cb(a, "n_tokens", 256)
+    nrow = hist.agg(F.sum("cnt").cast("long").alias("n"))
+    hb = hist.join(F.broadcast(nrow))
+
+    def kq(num: int, den: int):
+        return F.call_function(
+            "div", (F.col("n") - 1) * num, F.lit(den)
+        )
+
+    scal = hb.agg(
+        F.max("n").alias("n"),
+        *[
+            F.max(
+                F.when(F.col("cb") <= kq(num, den), F.col("n_tokens"))
+            ).alias(f"v_{lbl}")
+            for lbl, num, den in _QUANTS
+        ],
+    )
+    rows = scal.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lbl).alias("quantile"),
+                        F.call_function(
+                            "div", (F.col("n") - 1) * num, F.lit(den)
+                        ).cast("bigint").alias("k"),
+                        F.col(f"v_{lbl}").cast("bigint").alias("value"),
+                        F.col("n").alias("n"),
+                    )
+                    for lbl, num, den in _QUANTS
+                ]
+            )
+        ).alias("q")
+    )
+    return rows.select("q.quantile", "q.k", "q.value", "q.n")
+
+
+@query(
+    "corpus_trim_stats",
+    survey="north-star dedup: per-doc trim IMPACT summary — ranges, "
+    "tokens and characters removed per width, trimmed fraction of the "
+    "document (the report a dedup run publishes before anyone applies "
+    "the cuts)",
+    description="Per-(doc, width) trim totals + trimmed char fraction",
+    oracle=f"""
+SELECT r.doc_id, r.width,
+  CAST(COUNT(*) AS BIGINT) AS n_ranges,
+  CAST(SUM(r.tok_end - r.tok_start) AS BIGINT) AS tokens_trimmed,
+  CAST(SUM(r.char_end - r.char_start) AS BIGINT) AS chars_trimmed,
+  CAST(MIN(len(d.text)) AS BIGINT) AS doc_chars,
+  {ratio6_sql('SUM(r.char_end - r.char_start) * 1000000',
+              'MIN(len(d.text)) * 1000000')} AS trim_fraction
+FROM ({{trim}}) r
+JOIN documents d USING (doc_id)
+GROUP BY r.doc_id, r.width
+""".format(trim=_trim_oracle()),
+)
+def corpus_trim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes ``dedup_span_trim_ranges`` (the oracle nests the trim
+    oracle verbatim, so the two queries cannot drift) into per-(doc,
+    width) totals with the trimmed-character fraction as an exact
+    scaled-integer ratio. One extra doc-keyed aggregate + a broadcast-
+    size join against doc lengths."""
+    from tradecat_spark.plans.registry import REGISTRY
+
+    r = REGISTRY["dedup_span_trim_ranges"].fn(spark, sf_dir)
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("bigint").alias("doc_chars")
+    )
+    agg = r.groupBy("doc_id", "width").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranges"),
+        F.sum(F.col("tok_end") - F.col("tok_start"))
+        .cast("bigint").alias("tokens_trimmed"),
+        F.sum(F.col("char_end") - F.col("char_start"))
+        .cast("bigint").alias("chars_trimmed"),
+    )
+    return agg.join(d, "doc_id").select(
+        "doc_id", "width", "n_ranges", "tokens_trimmed", "chars_trimmed",
+        "doc_chars",
+        ratio6(
+            F.col("chars_trimmed") * 1_000_000,
+            F.col("doc_chars") * 1_000_000,
+        ).alias("trim_fraction"),
+    )
