@@ -37,6 +37,7 @@ _GATE_PRIORITY = (
     # this round (oracles unchanged, builder-mimic green at sf0.01+0.1)
     "quality_unigram_logprob", "sample_dsir_importance",
     "corpus_training_manifest", "partial_bar_merge",
+    "sample_per_group_reservoir",
     # --- r1-vintage rotation, FINAL tranche (r4 verdict item 4 bar:
     # no last_checked_round == 1 after r6) — the 28 remaining rows
     "ann_cosine_topk", "backfill_plan_days", "dedup_clusters",
@@ -59,7 +60,7 @@ _GATE_PRIORITY = (
     "tpch_q16_parts_supplier_counts", "embedding_random_projection",
     "rp_recall_eval", "dedup_substring_spans", "kmv_merge_law",
     "cube_corpus_stats", "bucketed_colocated_join", "gapfill_locf_1h",
-    "sample_per_group_reservoir", "cms_frequency_law",
+    "cms_frequency_law",
     "pagerank_similarity_graph", "cdc_incremental_equivalence",
     "quantile_error_eval", "chart_intraday_volatility", "orderbook_l1_stats",
     # --- previously green, unchanged code -> back of the line

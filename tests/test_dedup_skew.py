@@ -142,3 +142,41 @@ def test_salted_join_hot_key_spreads_and_matches_plain(spark):
     small_missing = small.filter(F.col("user_id") > 30)
     left = salted_join(big, small_missing, ["user_id"], how="left")
     assert left.count() == big.count()
+
+
+def test_two_level_reservoir_equals_one_pass_under_skew(spark):
+    """per_group_topk's two-level pre-filter must lose NOTHING: on an
+    adversarially skewed frame (one group 5000 rows, one 3) the result
+    equals the direct one-pass rank window for several shard counts —
+    and the k boundary sits mid-shard, the case a lossy pre-filter
+    would get wrong."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tradecat_spark.operators.reservoir import per_group_topk
+
+    rows = [("hot", i) for i in range(5000)] + [("cold", i) for i in range(3)]
+    df = spark.createDataFrame(rows, "source string, doc_id long").repartition(8)
+    d = df.withColumn("h", F.md5(F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    want = sorted(
+        map(
+            tuple,
+            d.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 10)
+            .select("source", "doc_id", "rk")
+            .collect(),
+        )
+    )
+    for shards in (1, 2, 8, 64):
+        got = sorted(
+            map(
+                tuple,
+                per_group_topk(d, ["source"], ["h", "doc_id"], 10,
+                               shards=shards)
+                .select("source", "doc_id", "rk")
+                .collect(),
+            )
+        )
+        assert got == want, shards
+    assert len(want) == 13  # 10 hot + 3 cold

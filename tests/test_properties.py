@@ -477,3 +477,37 @@ def test_salted_join_equals_plain_join(spark, big_rows, small_keys, how):
     plain = big.join(small, "k", how)
     cols = ["k", "v", "tag"]
     assert _rows(got, cols) == _rows(plain, cols)
+
+
+# ---------------------------------------------------------------------------
+# rankcut.value_cb vs brute force — the exact-count-below histogram that
+# replaced every corpus-global percent_rank window (r5 verdict item 1)
+# ---------------------------------------------------------------------------
+@given(
+    vals=st.lists(
+        st.integers(min_value=-30_000, max_value=30_000),
+        min_size=1,
+        max_size=60,
+    ),
+    bucket=st.sampled_from([1, 7, 100, 10_000]),
+)
+@SETTINGS
+def test_value_cb_matches_brute_force(spark, vals, bucket):
+    """cb(v) must equal the brute count of rows strictly below v for
+    ANY value multiset and bucket width (negative values exercise the
+    floor-division bucketing; bucket=1 degenerates to one value per
+    bucket, large buckets to one global bucket)."""
+    from tradecat_spark.plans.rankcut import value_cb
+
+    df = spark.createDataFrame(
+        [(int(v),) for v in vals], schema="x long"
+    ).repartition(4)
+    got = {
+        r["x"]: (r["cnt"], r["cb"])
+        for r in value_cb(df, "x", bucket).collect()
+    }
+    assert set(got) == set(vals)
+    for v in set(vals):
+        want_cnt = sum(1 for u in vals if u == v)
+        want_cb = sum(1 for u in vals if u < v)
+        assert got[v] == (want_cnt, want_cb), (v, bucket, got[v])
