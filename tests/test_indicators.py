@@ -379,3 +379,51 @@ def test_smart_rsi_query_matches_library(spark, duck, sf_dir):
         r = i_smart_rsi(pdf)
         assert r["rsi_divergence"] != "none"
         compare(out, r)
+
+
+def test_recompute_dirty_equals_full_recompute(spark, sf_dir):
+    """Incremental maintenance law: recomputing ONLY the keys whose
+    bars changed, unioned with the cached rows for clean keys, must
+    equal a full recompute over the current bars — bit-for-bit (same
+    kernels, same tails)."""
+    import pandas.testing as pdt
+    from pyspark.sql import functions as F
+
+    from tradecat_spark.catalog import load_table
+    from tradecat_spark.indicators.engine import (
+        bars_from_events,
+        compute_all,
+        recompute_dirty,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    cutoff = e.agg(
+        (F.max("ts") - F.expr("INTERVAL 2 DAYS")).alias("c")
+    ).collect()[0]["c"]
+    bars_old = bars_from_events(
+        e.filter(F.col("ts") < F.lit(cutoff)), "event_type", 3600
+    )
+    bars_new = bars_from_events(e, "event_type", 3600)
+    # dirty = keys whose bar set changed between the two states
+    dirty = (
+        bars_new.select("event_type", "bucket_ts")
+        .exceptAll(bars_old.select("event_type", "bucket_ts"))
+        .select("event_type")
+        .distinct()
+    )
+    assert 0 < dirty.count() <= bars_new.select("event_type").distinct().count()
+
+    cached = compute_all(bars_old, ["event_type"])
+    got = (
+        recompute_dirty(bars_new, cached, dirty, ["event_type"])
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    want = (
+        compute_all(bars_new, ["event_type"])
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    pdt.assert_frame_equal(got, want, check_exact=True)

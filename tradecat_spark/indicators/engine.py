@@ -155,3 +155,36 @@ def bars_multi_interval(
         F.sum("_v").alias("volume"),
         F.count(F.lit(1)).alias("trade_count"),
     )
+
+
+def recompute_dirty(
+    bars: DataFrame,
+    cached_surface: DataFrame,
+    dirty_keys: DataFrame,
+    keys: list[str],
+    ts: str = "bucket_ts",
+    tail: int = 500,
+    metas: dict[str, IndicatorMeta] | None = None,
+) -> DataFrame:
+    """Incremental surface maintenance — the reference's scheduler only
+    recomputes (symbol, interval) tasks whose candles changed
+    (core/engine.py:121-255 walks the dirty task queue, not the world);
+    this is that behavior as one declarative plan:
+
+    - dirty side: LEFT SEMI join prunes the bars scan to changed keys
+      (broadcast — a trigger's dirty set is symbols × intervals, tiny)
+      and recomputes their tails with the same ``compute_all``;
+    - clean side: LEFT ANTI join keeps the cached surface rows.
+
+    Maintenance law (pinned by tests/test_indicators.py): if
+    ``cached_surface`` was a full compute of the previous bar state and
+    only ``dirty_keys``' bars have since changed, the union equals
+    ``compute_all`` over the full current bars — so a 100 TB serving
+    surface is maintained by work proportional to the CHANGE, never a
+    full recompute per trigger."""
+    fresh = compute_all(
+        bars.join(F.broadcast(dirty_keys), keys, "semi"),
+        keys, ts=ts, tail=tail, metas=metas,
+    )
+    kept = cached_surface.join(F.broadcast(dirty_keys), keys, "anti")
+    return kept.unionByName(fresh)
