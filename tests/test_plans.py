@@ -484,7 +484,7 @@ _WINDOW_NODE = re.compile(r"Window \[.*?\](?:, \[([^\]]*)\])?, \[([^\]]*)\]$")
     "name",
     ["quality_unigram_logprob", "sample_dsir_importance",
      "corpus_training_manifest", "token_decile_tiers",
-     "corpus_exact_quantiles"],
+     "corpus_exact_quantiles", "embedding_component_quantiles"],
 )
 def test_no_corpus_global_window(spark, sf_dir, name):
     """r5 verdict item 1: the decile/quartile flags must never funnel

@@ -819,3 +819,105 @@ def rp_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("hit").alias("n_hit"),
         F.round(F.count("hit") / F.lit(float(TOP_K)), 6).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-component exact quantiles (embedding winsorization bounds)
+# ---------------------------------------------------------------------------
+_COMP_QUANTS = (("p01", 1, 100), ("p50", 1, 2), ("p99", 99, 100))
+
+
+@query(
+    "embedding_component_quantiles",
+    survey="north-star similarity/quality: exact per-component "
+    "p01/p50/p99 of the embedding distribution — the winsorization/"
+    "clipping bounds a vector-quality pass needs, computed per "
+    "component from the bounded value histogram (rankcut.group_value_cb"
+    ") with no per-component sort of the corpus",
+    description="Exact per-component p01/p50/p99 of embedding values "
+    "(6dp micro-units)",
+    oracle=f"""
+WITH c AS (
+  SELECT generate_subscripts(embedding, 1) AS component,
+    CAST(ROUND(unnest(CAST(embedding AS DOUBLE[])) * 1000000) AS BIGINT)
+      AS m
+  FROM embeddings
+),
+n AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY component
+),
+r AS (
+  SELECT component, m,
+    ROW_NUMBER() OVER (PARTITION BY component ORDER BY m) - 1 AS rk
+  FROM c
+)
+"""
+    + "\nUNION ALL\n".join(
+        f"""SELECT r.component, '{lbl}' AS quantile,
+  CAST(({num} * (n.n - 1)) // {den} AS BIGINT) AS k,
+  CAST(r.m AS BIGINT) AS value_micro, n.n AS n
+FROM r JOIN n USING (component)
+WHERE r.rk = ({num} * (n.n - 1)) // {den}"""
+        for lbl, num, den in _COMP_QUANTS
+    ),
+)
+def embedding_component_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distributed exact selection PER GROUP: one posexplode of the
+    embedding corpus into (component, 6dp micro value), one grouped
+    histogram (``group_value_cb`` — every window partition bounded by
+    the value range, the component count only widens parallelism), and
+    each quantile is max(m : cb(m) <= k) per component. The brute
+    per-component sort lives only in the oracle. Values are published
+    as micro-unit BIGINTs: float->double cast is exact and both
+    engines round identically, so the gate stays integer-only."""
+    from tradecat_spark.plans.rankcut import group_value_cb
+
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("pos", "x")
+    ).select(
+        (F.col("pos") + 1).cast("bigint").alias("component"),
+        F.round(F.col("x") * 1_000_000).cast("long").alias("m"),
+    )
+    hist = group_value_cb(comp, ["component"], "m", 10_000)
+    nrow = hist.groupBy("component").agg(
+        F.sum("cnt").cast("long").alias("n")
+    )
+    hb = hist.join(nrow, "component")
+
+    def kq(num: int, den: int):
+        return F.call_function("div", (F.col("n") - 1) * num, F.lit(den))
+
+    scal = hb.groupBy("component").agg(
+        F.max("n").alias("n"),
+        *[
+            F.max(F.when(F.col("cb") <= kq(num, den), F.col("m")))
+            .alias(f"v_{lbl}")
+            for lbl, num, den in _COMP_QUANTS
+        ],
+    )
+    rows = scal.select(
+        "component",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lbl).alias("quantile"),
+                        F.call_function(
+                            "div", (F.col("n") - 1) * num, F.lit(den)
+                        ).cast("bigint").alias("k"),
+                        F.col(f"v_{lbl}").cast("bigint")
+                        .alias("value_micro"),
+                        F.col("n").alias("n"),
+                    )
+                    for lbl, num, den in _COMP_QUANTS
+                ]
+            )
+        ).alias("q"),
+    )
+    return rows.select(
+        "component", "q.quantile", "q.k", "q.value_micro", "q.n"
+    )

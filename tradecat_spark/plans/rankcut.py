@@ -39,47 +39,63 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def value_cb(scored: DataFrame, col: str, bucket_width: int) -> DataFrame:
-    """Per-distinct-value histogram with exact count-below.
+def group_value_cb(
+    scored: DataFrame, groups: list[str], col: str, bucket_width: int
+) -> DataFrame:
+    """Per-(group, distinct value) histogram with exact count-below.
 
-    Input: any DataFrame with an integer-valued ``col`` (one row per
-    corpus element). Output: one row per DISTINCT value of ``col`` with
-    columns ``(col, cnt, cb)`` where ``cnt`` = rows carrying the value
-    and ``cb`` = rows strictly below it.
+    Input: any DataFrame with grouping columns and an integer-valued
+    ``col``. Output: one row per (group, DISTINCT value) with columns
+    ``(*groups, col, cnt, cb)`` where ``cnt`` = group rows carrying the
+    value and ``cb`` = group rows strictly below it.
 
-    Scale shape: one hash aggregate on ``col`` (map-side combining),
-    then windows whose partitions are bounded by ``bucket_width``
-    distinct values (within-bucket) and by the value range divided by
-    ``bucket_width`` (bucket totals) — no corpus-sized partition
-    anywhere. Pick ``bucket_width`` so range/bucket_width stays in the
-    thousands for the score's domain.
+    Scale shape: one hash aggregate on (groups, col) (map-side
+    combining), then windows whose partitions are bounded by
+    ``bucket_width`` distinct values (within-bucket) and by the value
+    range divided by ``bucket_width`` (per-group bucket totals) — no
+    corpus-sized partition anywhere. Pick ``bucket_width`` so
+    range/bucket_width stays in the thousands for the score's domain.
     """
-    hist = scored.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+    hist = scored.groupBy(*groups, col).agg(F.count(F.lit(1)).alias("cnt"))
     # floor-division bucketing (works for negative values: floor, not
     # truncation); at most `bucket_width` distinct col values per bucket
     hist = hist.withColumn(
         "bkt", F.floor(F.col(col) / F.lit(bucket_width)).cast("long")
     )
     w_in = (
-        Window.partitionBy("bkt")
+        Window.partitionBy(*groups, "bkt")
         .orderBy(col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     hist = hist.withColumn(
         "cb_in", F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
     )
-    btot = hist.groupBy("bkt").agg(F.sum("cnt").alias("btot"))
-    # the ONLY unpartitioned window: |non-empty buckets| rows — value-
-    # range-proportional, corpus-size-independent
-    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    btot = hist.groupBy(*groups, "bkt").agg(F.sum("cnt").alias("btot"))
+    # the ONLY per-group-unpartitioned window: |non-empty buckets| rows
+    # per group — value-range-proportional, corpus-size-independent
+    w_b = (
+        Window.partitionBy(*groups)
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     btot = btot.withColumn(
         "cb_bkt", F.coalesce(F.sum("btot").over(w_b), F.lit(0))
     )
-    return hist.join(btot.select("bkt", "cb_bkt"), "bkt").select(
+    return hist.join(
+        btot.select(*groups, "bkt", "cb_bkt"), [*groups, "bkt"]
+    ).select(
+        *groups,
         col,
         "cnt",
         (F.col("cb_bkt") + F.col("cb_in")).cast("long").alias("cb"),
     )
+
+
+def value_cb(scored: DataFrame, col: str, bucket_width: int) -> DataFrame:
+    """Ungrouped ``group_value_cb``: one histogram over the whole
+    input; the bucket-totals window is then the single unpartitioned
+    window whose input is bounded by the value range."""
+    return group_value_cb(scored, [], col, bucket_width)
 
 
 def pct_of(cb: Column, n: Column) -> Column:
