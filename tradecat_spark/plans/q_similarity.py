@@ -921,3 +921,93 @@ def embedding_component_quantiles(
     return rows.select(
         "component", "q.quantile", "q.k", "q.value_micro", "q.n"
     )
+
+
+def _winsor_oracle() -> str:
+    from tradecat_spark.plans.registry import REGISTRY
+
+    return f"""
+WITH q AS ({REGISTRY['embedding_component_quantiles'].oracle}),
+b AS (
+  SELECT component,
+    MAX(CASE WHEN quantile = 'p01' THEN value_micro END) AS lo,
+    MAX(CASE WHEN quantile = 'p99' THEN value_micro END) AS hi
+  FROM q GROUP BY component
+),
+c AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS component,
+    CAST(ROUND(unnest(CAST(embedding AS DOUBLE[])) * 1000000) AS BIGINT)
+      AS m
+  FROM embeddings
+),
+cl AS (
+  SELECT c.vec_id, LEAST(GREATEST(c.m, b.lo), b.hi) AS mc,
+    CASE WHEN c.m < b.lo OR c.m > b.hi THEN 1 ELSE 0 END AS clipped
+  FROM c JOIN b USING (component)
+)
+SELECT vec_id,
+  CAST(COUNT(*) AS BIGINT) AS n_comp,
+  CAST(SUM(clipped) AS BIGINT) AS n_clipped,
+  CAST(SUM(mc * mc) AS BIGINT) AS sq_norm_micro2
+FROM cl GROUP BY vec_id
+"""
+
+
+@query(
+    "embedding_winsorized_stats",
+    survey="north-star similarity/quality: APPLY the per-component "
+    "p01/p99 bounds — winsorize every vector, count clipped "
+    "components, and publish the clipped squared norm in exact "
+    "micro^2 integers (the outlier-robust magnitude a vector-quality "
+    "gate thresholds on); oracle nests the quantile oracle verbatim",
+    description="Per-vector winsorized stats: clipped-component count "
+    "+ exact clipped squared norm",
+    oracle=_winsor_oracle(),
+)
+def embedding_winsorized_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Composes ``embedding_component_quantiles`` (the oracle nests its
+    oracle, so bounds cannot drift): the <=dim-row bounds table pivots
+    to (component, lo, hi) and BROADCASTS; every vector clips map-side
+    and aggregates count + exact integer squared norm (micro^2 * dim
+    fits int64 with orders of magnitude to spare). One posexplode, one
+    broadcast join, one vec-keyed aggregate — nothing corpus-global."""
+    from tradecat_spark.plans.registry import REGISTRY
+
+    bounds = (
+        REGISTRY["embedding_component_quantiles"]
+        .fn(spark, sf_dir)
+        .groupBy("component")
+        .agg(
+            F.max(
+                F.when(F.col("quantile") == "p01", F.col("value_micro"))
+            ).alias("lo"),
+            F.max(
+                F.when(F.col("quantile") == "p99", F.col("value_micro"))
+            ).alias("hi"),
+        )
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("pos", "x"),
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("bigint").alias("component"),
+        F.round(F.col("x") * 1_000_000).cast("long").alias("m"),
+    )
+    cl = comp.join(F.broadcast(bounds), "component").select(
+        "vec_id",
+        F.least(F.greatest(F.col("m"), F.col("lo")), F.col("hi"))
+        .alias("mc"),
+        ((F.col("m") < F.col("lo")) | (F.col("m") > F.col("hi")))
+        .cast("int").alias("clipped"),
+    )
+    return cl.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_comp"),
+        F.sum("clipped").cast("bigint").alias("n_clipped"),
+        F.sum(F.col("mc") * F.col("mc")).cast("bigint")
+        .alias("sq_norm_micro2"),
+    )
