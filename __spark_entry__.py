@@ -34,6 +34,7 @@ _GATE_PRIORITY = (
     "dedup_span_trim_ranges", "corpus_trim_stats",
     "token_decile_tiers", "corpus_exact_quantiles",
     "embedding_component_quantiles", "embedding_winsorized_stats",
+    "embedding_sq8_error", "ann_sq8_recall",
     # --- re-check first: the rankcut rewrite changed these three plans
     # this round (oracles unchanged, builder-mimic green at sf0.01+0.1)
     "quality_unigram_logprob", "sample_dsir_importance",

@@ -1011,3 +1011,273 @@ def embedding_winsorized_stats(
         F.sum(F.col("mc") * F.col("mc")).cast("bigint")
         .alias("sq_norm_micro2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 8-bit scalar quantization (SQ8) over the winsorized bounds
+# ---------------------------------------------------------------------------
+# The classic ANN memory-compression step (the scalar cousin of Jegou
+# 2011 product quantization): each component maps to a 0..255 code over
+# the robust [p01, p99] range, 4x smaller than float32. Codes and
+# reconstructions are defined in exact integer micro-units with half-up
+# integer division, so both engines agree bit-for-bit and the recall
+# ranking below never touches a float until the final cosine of exact
+# integer dot products.
+
+
+def _sq8_sql() -> str:
+    """Shared CTE chain: bounds (nests the quantile oracle verbatim) ->
+    per-component micro values -> exact integer SQ8 reconstruction."""
+    from tradecat_spark.plans.registry import REGISTRY
+
+    return f"""q AS ({REGISTRY['embedding_component_quantiles'].oracle}),
+b AS (
+  SELECT component,
+    MAX(CASE WHEN quantile = 'p01' THEN value_micro END) AS lo,
+    MAX(CASE WHEN quantile = 'p99' THEN value_micro END) AS hi
+  FROM q GROUP BY component
+),
+c AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS component,
+    CAST(ROUND(unnest(CAST(embedding AS DOUBLE[])) * 1000000) AS BIGINT)
+      AS m
+  FROM embeddings
+),
+xh AS (
+  SELECT c.vec_id, c.component, c.m,
+    CASE WHEN b.hi > b.lo THEN
+      b.lo + ((2 * ((510 * (LEAST(GREATEST(c.m, b.lo), b.hi) - b.lo)
+                     + (b.hi - b.lo)) // (2 * (b.hi - b.lo)))
+               * (b.hi - b.lo) + 255) // 510)
+    ELSE b.lo END AS xhat
+  FROM c JOIN b USING (component)
+)"""
+
+
+def _sq8_bounds_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE row holding the lo/hi micro bounds as component-ordered
+    arrays — the broadcastable model artifact (dim entries, never
+    corpus-sized), so quantization stays a map-only crossJoin instead
+    of a posexplode + per-vector regroup shuffle of the corpus."""
+    from tradecat_spark.plans.registry import REGISTRY
+
+    bounds = (
+        REGISTRY["embedding_component_quantiles"]
+        .fn(spark, sf_dir)
+        .groupBy("component")
+        .agg(
+            F.max(
+                F.when(F.col("quantile") == "p01", F.col("value_micro"))
+            ).alias("lo"),
+            F.max(
+                F.when(F.col("quantile") == "p99", F.col("value_micro"))
+            ).alias("hi"),
+        )
+    )
+    return bounds.agg(
+        F.array_sort(
+            F.collect_list(F.struct("component", "lo", "hi"))
+        ).alias("b")
+    ).select(
+        F.transform(F.col("b"), lambda s: s["lo"]).alias("los"),
+        F.transform(F.col("b"), lambda s: s["hi"]).alias("his"),
+    )
+
+
+def _sq8_xhat(vec: Column, los: Column, his: Column) -> Column:
+    """Exact integer SQ8 reconstruction of every component: code =
+    half-up((255*(clip(m)-lo))/span), xhat = lo + half-up(code*span/255).
+    Half-up integer division is (2a+b) div (2b) — nonneg operands only,
+    identical to the oracle's `//` form. span clamps to >=1 inside the
+    dead branch so ANSI mode never sees a div-by-zero."""
+
+    def f(x: Column, i: Column) -> Column:
+        lo = F.element_at(los, i + 1)
+        hi = F.element_at(his, i + 1)
+        span = hi - lo
+        safe = F.greatest(span, F.lit(1))
+        m = F.round(x * 1_000_000).cast("long")
+        mc = F.least(F.greatest(m, lo), hi)
+        code = F.call_function(
+            "div", F.lit(510) * (mc - lo) + safe, 2 * safe
+        )
+        off = F.call_function("div", 2 * code * safe + 255, F.lit(510))
+        return F.when(hi > lo, lo + off).otherwise(lo)
+
+    return F.transform(vec, f)
+
+
+def _lsum(arr: Column) -> Column:
+    """Exact int64 sequential fold sum over a long array."""
+    return F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+@query(
+    "embedding_sq8_error",
+    survey="north-star similarity: SQ8 quantizer fidelity — exact "
+    "per-vector reconstruction error of the 8-bit code over the "
+    "winsorized [p01,p99] range (the accept gate before swapping an "
+    "ANN index to 4x-compressed codes)",
+    description="Per-vector exact integer reconstruction error of the "
+    "SQ8 quantizer",
+    oracle=f"""
+WITH {_sq8_sql()}
+SELECT vec_id,
+  CAST(SUM((xhat - m) * (xhat - m)) AS BIGINT) AS sq_err_micro2,
+  CAST(MAX(ABS(xhat - m)) AS BIGINT) AS max_abs_err_micro
+FROM xh GROUP BY vec_id
+""",
+)
+def embedding_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantize map-side (one-row bounds broadcast, transform over the
+    components — the corpus never shuffles), then fold the exact
+    integer error per vector. Per-vector sums stay under 2^53 by
+    construction (dim * (2*max|m|)^2), so no decimal widening is
+    needed at any scale factor."""
+    brow = _sq8_bounds_row(spark, sf_dir)
+    e = _emb(spark, sf_dir).crossJoin(F.broadcast(brow))
+    m_arr = F.transform(
+        F.col("vec"), lambda x: F.round(x * 1_000_000).cast("long")
+    )
+    err = F.zip_with(
+        _sq8_xhat(F.col("vec"), F.col("los"), F.col("his")),
+        m_arr,
+        lambda a, b: a - b,
+    )
+    return e.select(
+        "vec_id",
+        _lsum(F.transform(err, lambda v: v * v)).alias("sq_err_micro2"),
+        F.array_max(F.transform(err, F.abs)).alias("max_abs_err_micro"),
+    )
+
+
+def _sq8_recall_oracle() -> str:
+    from tradecat_spark.plans.registry import REGISTRY
+
+    return f"""
+WITH {_sq8_sql()},
+sd AS (
+  SELECT vec_id, CAST(SUM(xhat * xhat) AS BIGINT) AS s2
+  FROM xh GROUP BY vec_id
+),
+ad AS (
+  SELECT qx.vec_id AS query_id, cx.vec_id AS neighbor_id,
+    CAST(SUM(qx.xhat * cx.xhat) AS BIGINT) AS d
+  FROM xh qx JOIN xh cx USING (component)
+  WHERE qx.vec_id < {N_QUERIES} AND qx.vec_id <> cx.vec_id
+  GROUP BY 1, 2
+),
+approx_sims AS (
+  SELECT query_id, neighbor_id,
+    ROUND(CAST(d AS DOUBLE) / NULLIF(
+      sqrt(CAST(q2.s2 AS DOUBLE) * CAST(c2.s2 AS DOUBLE)), 0), 6) AS s
+  FROM ad
+  JOIN sd q2 ON q2.vec_id = ad.query_id
+  JOIN sd c2 ON c2.vec_id = ad.neighbor_id
+),
+approx_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY s DESC, neighbor_id) AS rn FROM approx_sims
+  ) WHERE rn <= {TOP_K}
+),
+exact_top AS (
+  SELECT query_id, neighbor_id
+  FROM ({REGISTRY['ann_cosine_topk'].oracle}) t
+)
+SELECT e.query_id,
+  CAST(COUNT(r.neighbor_id) AS BIGINT) AS n_hit,
+  ROUND(COUNT(r.neighbor_id) / CAST({TOP_K} AS DOUBLE), 6) AS recall
+FROM exact_top e
+LEFT JOIN approx_top r USING (query_id, neighbor_id)
+GROUP BY e.query_id
+"""
+
+
+@query(
+    "ann_sq8_recall",
+    survey="north-star similarity: recall@5 of SQ8-compressed cosine "
+    "vs exact float cosine — the quality bar for serving ANN from "
+    "4x-compressed codes; ranking derives from exact integer dot "
+    "products so the cutoff is engine-deterministic",
+    description=f"Per-query recall@{TOP_K} of SQ8-quantized cosine "
+    "against exact cosine",
+    oracle=_sq8_recall_oracle(),
+)
+def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx ranking: quantize map-side (bounds broadcast), carry the
+    exact int64 self-dot per vector, broadcast the {N_QUERIES}-row query
+    side, and fold exact integer cross-dots per (query, candidate) —
+    the cosine's inputs are identical integers in both engines, so the
+    double sqrt/divide is bit-identical too. Exact ranking reuses
+    ann_cosine_topk. One |queries| x |corpus| map stage + two top-k
+    windows + one {TOP_K}*{N_QUERIES}-row join: nothing corpus-global."""
+    from tradecat_spark.plans.registry import REGISTRY
+
+    brow = _sq8_bounds_row(spark, sf_dir)
+    xv = (
+        _emb(spark, sf_dir)
+        .crossJoin(F.broadcast(brow))
+        .select(
+            "vec_id",
+            _sq8_xhat(F.col("vec"), F.col("los"), F.col("his"))
+            .alias("xhat"),
+        )
+        .select(
+            "vec_id", "xhat",
+            _lsum(F.transform(F.col("xhat"), lambda v: v * v))
+            .alias("s2"),
+        )
+    )
+    q = xv.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("xhat").alias("qx"),
+        F.col("s2").alias("qs2"),
+    )
+    sims = (
+        xv.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _lsum(
+                    F.zip_with(
+                        F.col("qx"), F.col("xhat"), lambda a, b: a * b
+                    )
+                ).cast("double")
+                / F.nullif(
+                    F.sqrt(
+                        F.col("qs2").cast("double")
+                        * F.col("s2").cast("double")
+                    ),
+                    F.lit(0),
+                ),
+                6,
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("s"), F.asc("neighbor_id")
+    )
+    approx_top = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    exact_top = (
+        REGISTRY["ann_cosine_topk"]
+        .fn(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+    )
+    hit = exact_top.join(
+        approx_top.withColumn("hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return hit.groupBy("query_id").agg(
+        F.count("hit").cast("bigint").alias("n_hit"),
+        F.round(F.count("hit") / F.lit(float(TOP_K)), 6).alias("recall"),
+    )
