@@ -35,6 +35,7 @@ _GATE_PRIORITY = (
     "token_decile_tiers", "corpus_exact_quantiles",
     "embedding_component_quantiles", "embedding_winsorized_stats",
     "embedding_sq8_error", "ann_sq8_recall",
+    "heavy_hitters_exact", "bpe_pair_candidates",
     # --- re-check first: the rankcut rewrite changed these three plans
     # this round (oracles unchanged, builder-mimic green at sf0.01+0.1)
     "quality_unigram_logprob", "sample_dsir_importance",

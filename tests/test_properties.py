@@ -511,3 +511,40 @@ def test_value_cb_matches_brute_force(spark, vals, bucket):
         want_cnt = sum(1 for u in vals if u == v)
         want_cb = sum(1 for u in vals if u < v)
         assert got[v] == (want_cnt, want_cb), (v, bucket, got[v])
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries candidate superset law — heavy_hitters_exact's pass 1
+# guarantees its candidate union covers every true heavy hitter for
+# ANY split of the stream into partitions and batches
+# ---------------------------------------------------------------------------
+@given(
+    toks=st.lists(
+        st.integers(min_value=0, max_value=25),
+        min_size=1,
+        max_size=400,
+    ),
+    k=st.sampled_from([1, 2, 3, 5, 8]),
+    cuts=st.lists(
+        st.integers(min_value=0, max_value=400), max_size=6
+    ),
+)
+@SETTINGS
+def test_mg_candidates_superset(toks, k, cuts):
+    """Union of per-partition capacity-k MG summaries must contain
+    every token with global count*k > n, however the stream is cut
+    into partitions (each partition further batch-merged one element
+    at a time — the worst case for the trim)."""
+    from tradecat_spark.plans.q_text import mg_update
+
+    bounds = sorted({0, len(toks), *[c % (len(toks) + 1) for c in cuts]})
+    cands: set[int] = set()
+    for lo, hi in zip(bounds, bounds[1:]):
+        summ = pd.Series(dtype="int64")
+        for t in toks[lo:hi]:
+            summ = mg_update(summ, pd.Series({t: 1}), k)
+        cands |= set(summ.index)
+    n = len(toks)
+    for t in set(toks):
+        if toks.count(t) * k > n:
+            assert t in cands, (t, k, bounds)

@@ -2397,3 +2397,153 @@ def corpus_trim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_chars") * 1_000_000,
         ).alias("trim_fraction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-pass exact heavy hitters (Misra-Gries candidates + exact recount)
+# ---------------------------------------------------------------------------
+HH_K = 800  # support threshold: freq * HH_K > total  (and MG capacity)
+
+_BIGRAM_SQL = """
+  SELECT unnest(list_transform(range(1, len(ws)),
+    i -> ws[i] || ' ' || ws[i+1])) AS bigram
+  FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents)
+"""
+
+
+def mg_update(summ, vc, k):
+    """One Misra-Gries batch merge: add the batch's counts, and if the
+    summary exceeds capacity k, subtract the (k+1)-th largest count
+    from everything and drop non-positives (Agarwal 2013 mergeable
+    trim). Invariant: any key with true count > n/(k+1) over the
+    stream so far survives in the summary (tests/test_properties.py
+    pins this for arbitrary stream splits)."""
+    summ = summ.add(vc, fill_value=0)
+    if len(summ) > k:
+        cut = summ.nlargest(k + 1).iloc[-1]
+        summ = summ.sub(cut)
+        summ = summ[summ > 0]
+    return summ
+
+
+def _bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram stream (map-only explode; empty tokens dropped)."""
+    ws = F.filter(_words(), lambda x: x != "")
+    bg = F.when(
+        F.size(ws) > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return _spread(_docs(spark, sf_dir)).select(
+        F.explode(bg).alias("bigram")
+    )
+
+
+@query(
+    "heavy_hitters_exact",
+    survey="north-star text analysis: exact heavy hitters over word "
+    "bigrams via the two-pass Misra-Gries pattern (Misra-Gries 1982 / "
+    "Agarwal 2013 mergeable summaries) — candidates from bounded "
+    "per-partition summaries, then an exact recount of candidates "
+    "only, so the aggregation shuffle is bounded by capacity x "
+    "partitions instead of distinct-keys x partitions",
+    description=f"Bigrams with frequency > total/{HH_K}, exact counts "
+    "via MG-candidate recount",
+    oracle=f"""
+WITH bg AS ({_BIGRAM_SQL}),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM bg)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS freq, n.n_total
+FROM bg, n
+GROUP BY bigram, n.n_total
+HAVING COUNT(*) * {HH_K} > n.n_total
+""",
+)
+def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pass 1 streams each partition through a capacity-{HH_K}
+    Misra-Gries summary (batch-merged: add the batch's value_counts,
+    then subtract the (K+1)-th largest and drop non-positives — the
+    mergeable-summaries trim, undercount <= n_p/(K+1)). Any bigram
+    with global freq > N/K exceeds n_p/K on some partition by
+    averaging, so the candidate union is a PROVABLE superset of the
+    true heavy hitters for every partition layout. Pass 2 semi-joins
+    the stream against the broadcast candidate set and recounts
+    exactly, so the output is exact and layout-independent — the MG
+    summaries only bound the recount's shuffle (capacity x partitions,
+    never distinct x partitions). The oracle is the brute full
+    group-count it replaces."""
+    import pandas as pd
+
+    bg = _bigrams(spark, sf_dir)
+    k = HH_K
+
+    def mg(batches):
+        summ = pd.Series(dtype="int64")
+        for pdf in batches:
+            summ = mg_update(summ, pdf["bigram"].value_counts(), k)
+        yield pd.DataFrame({"bigram": summ.index.astype(str)})
+
+    cand = bg.mapInPandas(mg, schema="bigram string").distinct()
+    n_row = bg.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return (
+        bg.join(F.broadcast(cand), "bigram")
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .crossJoin(F.broadcast(n_row))
+        .filter(F.col("freq") * k > F.col("n_total"))
+    )
+
+
+@query(
+    "bpe_pair_candidates",
+    survey="north-star text analysis: the first BPE merge step "
+    "(Sennrich 2016) — corpus-wide adjacent character-pair counts, "
+    "the argmax of which is the first learned merge; complements "
+    "text_vocab_topk as the tokenizer-build surface",
+    description="Top-20 adjacent character pairs across all words",
+    oracle="""
+WITH w AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+    AS word
+  FROM documents
+),
+p AS (
+  SELECT unnest(list_transform(range(1, len(word)),
+    i -> substr(word, CAST(i AS INTEGER), 2))) AS pair
+  FROM w
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS freq
+FROM p GROUP BY pair
+ORDER BY freq DESC, pair ASC
+LIMIT 20
+""",
+)
+def bpe_pair_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only double explode (words, then adjacent char pairs) into
+    one hash-aggregate with map-side partial combine, then a global
+    top-k via TakeOrderedAndProject — the cheapest shape for the BPE
+    merge-candidate scan; at 100 TB the shuffle carries only
+    (pair, partial count) rows, bounded by |alphabet|^2 x partitions."""
+    d = _spread(_docs(spark, sf_dir))
+    word = F.explode(
+        F.filter(_words(), lambda x: x != "")
+    ).alias("word")
+    w = d.select(word)
+    pairs = F.when(
+        F.length("word") > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.length("word") - 1),
+            lambda i: F.substr(F.col("word"), i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    p = w.select(F.explode(pairs).alias("pair"))
+    return (
+        p.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(20)
+    )
