@@ -2547,3 +2547,113 @@ def bpe_pair_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("pair"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+def _incr_oracle() -> str:
+    from tradecat_spark.plans.registry import REGISTRY
+
+    return f"""
+WITH sig AS ({REGISTRY['dedup_minhash_bands'].oracle}),
+d0 AS (SELECT doc_id, md5(text) AS h FROM documents),
+delta AS (SELECT * FROM d0 WHERE doc_id % 10 = 0),
+base AS (SELECT * FROM d0 WHERE doc_id % 10 <> 0),
+ex AS (
+  SELECT dl.doc_id, MIN(b.doc_id) AS exact_base
+  FROM delta dl JOIN base b USING (h) GROUP BY dl.doc_id
+),
+cand AS (
+  SELECT DISTINCT ds.doc_id, bs.doc_id AS base_doc
+  FROM sig ds JOIN sig bs
+    ON ds.band = bs.band AND ds.band_sig = bs.band_sig
+  WHERE ds.doc_id % 10 = 0 AND bs.doc_id % 10 <> 0
+),
+cagg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lsh_candidates,
+         MIN(base_doc) AS min_cand
+  FROM cand GROUP BY doc_id
+)
+SELECT dl.doc_id,
+  (ex.exact_base IS NOT NULL) AS is_exact_dup,
+  COALESCE(cagg.n_lsh_candidates, 0) AS n_lsh_candidates,
+  LEAST(COALESCE(ex.exact_base, cagg.min_cand),
+        COALESCE(cagg.min_cand, ex.exact_base)) AS first_match,
+  CASE WHEN ex.exact_base IS NOT NULL THEN 'exact'
+       WHEN cagg.n_lsh_candidates > 0 THEN 'near_candidate'
+       ELSE 'unique' END AS verdict
+FROM delta dl
+LEFT JOIN ex ON ex.doc_id = dl.doc_id
+LEFT JOIN cagg ON cagg.doc_id = dl.doc_id
+"""
+
+
+@query(
+    "dedup_incremental_delta",
+    survey="north-star dedup: INCREMENTAL dedup — screen an arriving "
+    "batch (doc_id % 10 = 0 simulates it) against the existing corpus "
+    "via exact-hash and LSH-band joins, so ingest never re-dedups the "
+    "base: the delta side broadcasts and the base is probed, the only "
+    "shape that holds when the base is 100 TB and the batch is GBs",
+    description="Per new-batch doc: exact-dup flag, LSH candidate "
+    "count, first base match, verdict",
+    oracle=_incr_oracle(),
+)
+def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The band signatures come from the SAME single pass as
+    dedup_minhash_bands (in production the base half is the stored
+    silver sig table — computed once at its own ingest, never
+    recomputed; tradecat analog: the idempotent upsert path,
+    services/ingest kline_ws_service.py:214-258). Both probe joins
+    BROADCAST the delta side (batch ≪ corpus), so the base streams
+    through map-side hash joins: no base self-join, no base shuffle.
+    Short docs (<5 words, no shingles) still get exact-hash screening
+    via the md5 lane."""
+    is_delta = F.col("doc_id") % 10 == 0
+    d0 = _docs(spark, sf_dir).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    delta = d0.filter(is_delta)
+    base = d0.filter(~is_delta)
+    ex = (
+        base.join(F.broadcast(delta.select("doc_id", "h")
+                              .withColumnRenamed("doc_id", "d_id")), "h")
+        .groupBy("d_id")
+        .agg(F.min("doc_id").alias("exact_base"))
+        .withColumnRenamed("d_id", "doc_id")
+    )
+    sig = dedup_minhash_bands(spark, sf_dir)
+    ds = sig.filter(is_delta).select(
+        F.col("doc_id").alias("d_id"), "band", "band_sig"
+    )
+    bs = sig.filter(~is_delta)
+    cand = (
+        bs.join(F.broadcast(ds), ["band", "band_sig"])
+        .select(F.col("d_id").alias("doc_id"),
+                F.col("doc_id").alias("base_doc"))
+        .distinct()
+    )
+    cagg = cand.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lsh_candidates"),
+        F.min("base_doc").alias("min_cand"),
+    )
+    out = (
+        delta.select("doc_id")
+        .join(ex, "doc_id", "left")
+        .join(cagg, "doc_id", "left")
+    )
+    return out.select(
+        "doc_id",
+        F.col("exact_base").isNotNull().alias("is_exact_dup"),
+        F.coalesce(F.col("n_lsh_candidates"), F.lit(0)).cast("bigint")
+        .alias("n_lsh_candidates"),
+        F.least(
+            F.coalesce(F.col("exact_base"), F.col("min_cand")),
+            F.coalesce(F.col("min_cand"), F.col("exact_base")),
+        ).alias("first_match"),
+        F.when(F.col("exact_base").isNotNull(), F.lit("exact"))
+        .when(F.col("n_lsh_candidates") > 0, F.lit("near_candidate"))
+        .otherwise(F.lit("unique"))
+        .alias("verdict"),
+    )
