@@ -968,48 +968,35 @@ def embedding_winsorized_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Composes ``embedding_component_quantiles`` (the oracle nests its
-    oracle, so bounds cannot drift): the <=dim-row bounds table pivots
-    to (component, lo, hi) and BROADCASTS; every vector clips map-side
-    and aggregates count + exact integer squared norm (micro^2 * dim
-    fits int64 with orders of magnitude to spare). One posexplode, one
-    broadcast join, one vec-keyed aggregate — nothing corpus-global."""
-    from tradecat_spark.plans.registry import REGISTRY
+    oracle, so bounds cannot drift): the bounds collapse to ONE row of
+    component-ordered lo/hi arrays (``_sq8_bounds_row``) and broadcast,
+    so every vector clips, counts, and folds its exact integer squared
+    norm MAP-SIDE — no posexplode and, critically, no dim-times-
+    amplified corpus regroup shuffle (micro^2 * dim fits int64 with
+    orders of magnitude to spare). The output is one narrow row per
+    vector straight off the scan."""
+    brow = _sq8_bounds_row(spark, sf_dir)
+    e = _emb(spark, sf_dir).crossJoin(F.broadcast(brow))
 
-    bounds = (
-        REGISTRY["embedding_component_quantiles"]
-        .fn(spark, sf_dir)
-        .groupBy("component")
-        .agg(
-            F.max(
-                F.when(F.col("quantile") == "p01", F.col("value_micro"))
-            ).alias("lo"),
-            F.max(
-                F.when(F.col("quantile") == "p99", F.col("value_micro"))
-            ).alias("hi"),
+    def per_comp(f):
+        return F.transform(
+            F.col("vec"),
+            lambda x, i: f(
+                F.round(x * 1_000_000).cast("long"),
+                F.element_at(F.col("los"), i + 1),
+                F.element_at(F.col("his"), i + 1),
+            ),
         )
+
+    mc = per_comp(lambda m, lo, hi: F.least(F.greatest(m, lo), hi))
+    clip = per_comp(
+        lambda m, lo, hi: ((m < lo) | (m > hi)).cast("long")
     )
-    e = load_table(spark, sf_dir, "embeddings")
-    comp = e.select(
+    return e.select(
         "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>"))
-        .alias("pos", "x"),
-    ).select(
-        "vec_id",
-        (F.col("pos") + 1).cast("bigint").alias("component"),
-        F.round(F.col("x") * 1_000_000).cast("long").alias("m"),
-    )
-    cl = comp.join(F.broadcast(bounds), "component").select(
-        "vec_id",
-        F.least(F.greatest(F.col("m"), F.col("lo")), F.col("hi"))
-        .alias("mc"),
-        ((F.col("m") < F.col("lo")) | (F.col("m") > F.col("hi")))
-        .cast("int").alias("clipped"),
-    )
-    return cl.groupBy("vec_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_comp"),
-        F.sum("clipped").cast("bigint").alias("n_clipped"),
-        F.sum(F.col("mc") * F.col("mc")).cast("bigint")
-        .alias("sq_norm_micro2"),
+        F.size("vec").cast("bigint").alias("n_comp"),
+        _lsum(clip).alias("n_clipped"),
+        _lsum(F.transform(mc, lambda v: v * v)).alias("sq_norm_micro2"),
     )
 
 
