@@ -36,7 +36,7 @@ _GATE_PRIORITY = (
     "embedding_component_quantiles", "embedding_winsorized_stats",
     "embedding_sq8_error", "ann_sq8_recall",
     "heavy_hitters_exact", "bpe_pair_candidates",
-    "dedup_incremental_delta",
+    "dedup_incremental_delta", "chunk_compression_plan",
     # --- re-check first: the rankcut rewrite changed these three plans
     # this round (oracles unchanged, builder-mimic green at sf0.01+0.1)
     "quality_unigram_logprob", "sample_dsir_importance",

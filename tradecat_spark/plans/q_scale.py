@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tradecat_spark.catalog import load_table
@@ -402,4 +402,104 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(_money("l_extendedprice") * (1 - _rate("l_discount")))
         .cast("decimal(38,12)").cast("string").alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chunk compression / compaction planner
+# ---------------------------------------------------------------------------
+HOT_DAYS = 3            # reference: compress chunks older than 3 days
+ROW_BYTES = 100         # documented row-size estimate for planning
+GROUP_BYTES = 262_144   # toy 256 KiB stand-in for the 128 MiB target
+
+
+@query(
+    "chunk_compression_plan",
+    survey="S9/layout maintenance: the chunk-compression policy plan — "
+    "the reference converts hypertable chunks older than 3 days to "
+    "columnar compressed form segmented by symbol "
+    "(001_timescaledb.sql:37-47, SURVEY hot/cold layout); here the "
+    "same policy emits a declarative day-chunk plan plus a cumulative "
+    "bin-pack of cold chunks into fixed-byte compaction groups (the "
+    "OPTIMIZE/compact job a Parquet lake runs instead)",
+    description="Per day-chunk: rows, segments, age, hot/compress "
+    "action, estimated bytes, compaction group",
+    oracle=f"""
+WITH c AS (
+  SELECT CAST(ts AS DATE) AS chunk_date,
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_segments
+  FROM events GROUP BY 1
+),
+m AS (SELECT MAX(chunk_date) AS now_d FROM c),
+aged AS (
+  SELECT c.*, CAST(datediff('day', chunk_date, m.now_d) AS BIGINT)
+      AS age_days,
+    n_rows * {ROW_BYTES} AS est_bytes
+  FROM c, m
+),
+packed AS (
+  SELECT *,
+    CASE WHEN age_days > {HOT_DAYS} THEN
+      COALESCE(SUM(est_bytes) FILTER (age_days > {HOT_DAYS}) OVER (
+        ORDER BY chunk_date
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      // {GROUP_BYTES}
+    END AS compaction_group
+  FROM aged
+)
+SELECT strftime(chunk_date, '%Y-%m-%d') AS chunk_date,
+  n_rows, n_segments, age_days,
+  CASE WHEN age_days > {HOT_DAYS} THEN 'compress'
+       ELSE 'keep_hot' END AS action,
+  CAST(est_bytes AS BIGINT) AS est_bytes,
+  CAST(compaction_group AS BIGINT) AS compaction_group
+FROM packed
+""",
+)
+def chunk_compression_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One day-grain aggregate of the fact table (map-side partial
+    combine; the plan table is O(days) rows from then on), a one-row
+    broadcast of the data's 'now', and the bin-pack runs a running sum
+    over the AGGREGATE — a window over day-count rows, never the
+    corpus. Cold chunks pack into groups by cumulative estimated bytes
+    (integer div, exact), which is exactly the file-list math a
+    Parquet-lake OPTIMIZE job does; hot chunks stay row-oriented per
+    the reference's 3-day policy."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy(F.to_date("ts").alias("chunk_date")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("event_type").cast("bigint").alias("n_segments"),
+    )
+    m = c.agg(F.max("chunk_date").alias("now_d"))
+    aged = c.crossJoin(F.broadcast(m)).select(
+        "*",
+        F.datediff(F.col("now_d"), F.col("chunk_date")).cast("bigint")
+        .alias("age_days"),
+        (F.col("n_rows") * ROW_BYTES).alias("est_bytes"),
+    )
+    cold_bytes = F.when(F.col("age_days") > HOT_DAYS, F.col("est_bytes"))
+    w = (
+        Window.orderBy("chunk_date")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = aged.select(
+        "*",
+        F.when(
+            F.col("age_days") > HOT_DAYS,
+            F.call_function(
+                "div",
+                F.coalesce(F.sum(cold_bytes).over(w), F.lit(0)),
+                F.lit(GROUP_BYTES),
+            ),
+        ).alias("compaction_group"),
+    )
+    return packed.select(
+        F.date_format("chunk_date", "yyyy-MM-dd").alias("chunk_date"),
+        "n_rows", "n_segments", "age_days",
+        F.when(F.col("age_days") > HOT_DAYS, F.lit("compress"))
+        .otherwise(F.lit("keep_hot")).alias("action"),
+        F.col("est_bytes").cast("bigint").alias("est_bytes"),
+        F.col("compaction_group").cast("bigint")
+        .alias("compaction_group"),
     )
