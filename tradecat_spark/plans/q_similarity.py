@@ -1268,3 +1268,181 @@ def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("hit").cast("bigint").alias("n_hit"),
         F.round(F.count("hit") / F.lit(float(TOP_K)), 6).alias("recall"),
     )
+
+
+def _ivf_sq8_oracle() -> str:
+    return f"""
+WITH {_sq8_sql()},
+sd AS (
+  SELECT vec_id, CAST(SUM(xhat * xhat) AS BIGINT) AS s2
+  FROM xh GROUP BY vec_id
+),
+qm AS (
+  SELECT vec_id AS query_id, component, m
+  FROM c WHERE vec_id < {N_QUERIES}
+),
+qs AS (
+  SELECT query_id, CAST(SUM(m * m) AS BIGINT) AS qs2
+  FROM qm GROUP BY query_id
+),
+cent AS (
+  SELECT label, list(cc ORDER BY dim) AS cv FROM (
+    SELECT label, i AS dim,
+      ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS cc
+    FROM embeddings,
+         LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+    GROUP BY label, i
+  ) GROUP BY label
+),
+qv AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+assign AS (
+  SELECT query_id, label AS cell_label FROM (
+    SELECT q.query_id, c2.label,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        ROUND(list_dot_product(q.v, q.v)
+              - 2 * list_dot_product(q.v, c2.cv)
+              + list_dot_product(c2.cv, c2.cv), 6) ASC,
+        c2.label ASC) AS rn
+    FROM qv q, cent c2
+  ) WHERE rn = 1
+),
+lbl AS (SELECT vec_id, label FROM embeddings),
+ad AS (
+  SELECT a.query_id, a.cell_label, l.vec_id AS neighbor_id,
+    CAST(SUM(qm.m * xh.xhat) AS BIGINT) AS d
+  FROM assign a
+  JOIN lbl l ON l.label = a.cell_label AND l.vec_id <> a.query_id
+  JOIN xh ON xh.vec_id = l.vec_id
+  JOIN qm ON qm.query_id = a.query_id AND qm.component = xh.component
+  GROUP BY 1, 2, 3
+),
+sims AS (
+  SELECT ad.query_id, ad.cell_label, ad.neighbor_id,
+    ROUND(CAST(ad.d AS DOUBLE) / NULLIF(
+      sqrt(CAST(qs.qs2 AS DOUBLE) * CAST(sd.s2 AS DOUBLE)), 0), 6)
+      AS adc_sim
+  FROM ad
+  JOIN qs USING (query_id)
+  JOIN sd ON sd.vec_id = ad.neighbor_id
+)
+SELECT query_id, cell_label, neighbor_id, adc_sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY adc_sim DESC, neighbor_id ASC) AS rn
+  FROM sims
+) WHERE rn <= 3
+"""
+
+
+@query(
+    "ann_ivf_sq8_search",
+    survey="north-star similarity search: the production ANN stack in "
+    "one plan — IVF coarse-quantizer cell pruning (ann_ivf_search) "
+    "over SQ8-compressed codes (embedding_sq8_error), ranked by "
+    "asymmetric distance (exact-micro query x reconstructed candidate "
+    "— Jegou 2011 ADC), all dots exact int64",
+    description="Top-3 per query from the nearest IVF cell, ranked by "
+    "SQ8 ADC similarity",
+    oracle=_ivf_sq8_oracle(),
+)
+def ann_ivf_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full compressed-index search: the corpus is stored once as
+    SQ8 codes partitioned by IVF cell; a query (a) assigns to its
+    nearest centroid on a broadcast |labels|-row table, (b) equi-joins
+    the ONE cell's codes — never the corpus — and (c) ranks by ADC:
+    the UNquantized query (exact micro ints) against reconstructed
+    candidates, the standard accuracy repair for quantized indexes.
+    Every dot is an exact int64 fold, so both engines rank
+    identically; the only broadcasts are centroids, bounds, and the
+    10-row query side."""
+    brow = _sq8_bounds_row(spark, sf_dir)
+    e = _emb(spark, sf_dir)
+    xv = (
+        e.crossJoin(F.broadcast(brow))
+        .select(
+            "vec_id", "label",
+            _sq8_xhat(F.col("vec"), F.col("los"), F.col("his"))
+            .alias("xhat"),
+        )
+        .select(
+            "vec_id", "label", "xhat",
+            _lsum(F.transform(F.col("xhat"), lambda v: v * v))
+            .alias("s2"),
+        )
+    )
+    m_arr = F.transform(
+        F.col("vec"), lambda x: F.round(x * 1_000_000).cast("long")
+    )
+    cent = (
+        e.select("label", F.posexplode("vec").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cv")
+        )
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qv"),
+        m_arr.alias("qm"),
+        _lsum(
+            F.transform(m_arr, lambda v: v * v)
+        ).alias("qs2"),
+    )
+    dist2 = F.round(
+        dot(F.col("qv"), F.col("qv"))
+        - 2 * dot(F.col("qv"), F.col("cv"))
+        + dot(F.col("cv"), F.col("cv")),
+        6,
+    )
+    aw = Window.partitionBy("query_id").orderBy(
+        F.asc("d2"), F.asc("label")
+    )
+    assign = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "qm", "qs2", "label", dist2.alias("d2"))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id", "qm", "qs2",
+            F.col("label").alias("cell_label"),
+        )
+    )
+    sims = (
+        xv.withColumnRenamed("label", "cell_label")
+        .join(F.broadcast(assign), "cell_label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "cell_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _lsum(
+                    F.zip_with(
+                        F.col("qm"), F.col("xhat"), lambda a, b: a * b
+                    )
+                ).cast("double")
+                / F.nullif(
+                    F.sqrt(
+                        F.col("qs2").cast("double")
+                        * F.col("s2").cast("double")
+                    ),
+                    F.lit(0),
+                ),
+                6,
+            ).alias("adc_sim"),
+        )
+    )
+    sw = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(sw))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
