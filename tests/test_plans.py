@@ -506,3 +506,43 @@ def test_no_corpus_global_window(spark, sf_dir, name):
             assert order.startswith("bkt#"), (
                 f"{name}: corpus-global window over {order!r}"
             )
+
+
+# ---------------------------------------------------------------------------
+# r6 scale-shape pins: the new embedding/dedup/HH ops must keep their
+# map-side / broadcast shapes (regressing to a corpus shuffle would
+# still pass the value gate — only the plan shows it)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize(
+    "name",
+    ["embedding_winsorized_stats", "embedding_sq8_error"],
+)
+def test_embedding_stats_no_regroup_shuffle(spark, sf_dir, name):
+    """The winsorized/SQ8 per-vector stats must compute map-side off
+    the one-row bounds broadcast: no exchange keyed on vec_id (the
+    posexplode + regroup form would amplify the corpus shuffle by the
+    vector dimension)."""
+    df = SPECS[name].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(vec_id" not in plan, name
+
+
+def test_heavy_hitters_recount_is_broadcast(spark, sf_dir):
+    """Pass 2 must probe the Misra-Gries candidate set via a broadcast
+    hash join — a shuffled join here would defeat the two-pass
+    pattern's entire point (bounding the shuffle by capacity x
+    partitions)."""
+    df = SPECS["heavy_hitters_exact"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin [bigram" in plan
+
+
+def test_incremental_dedup_probes_broadcast_delta(spark, sf_dir):
+    """Both screening probes (exact md5, LSH band) must broadcast the
+    delta side so the base corpus streams through map-side hash joins
+    and is never shuffled or self-joined."""
+    df = SPECS["dedup_incremental_delta"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin [band" not in plan
+    assert "SortMergeJoin [h" not in plan
