@@ -37,7 +37,7 @@ _GATE_PRIORITY = (
     "embedding_sq8_error", "ann_sq8_recall",
     "heavy_hitters_exact", "bpe_pair_candidates",
     "dedup_incremental_delta", "chunk_compression_plan",
-    "ann_ivf_sq8_search",
+    "ann_ivf_sq8_search", "source_overlap_matrix",
     # --- re-check first: the rankcut rewrite changed these three plans
     # this round (oracles unchanged, builder-mimic green at sf0.01+0.1)
     "quality_unigram_logprob", "sample_dsir_importance",

@@ -2657,3 +2657,117 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("unique"))
         .alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap matrix (data-card redundancy / contamination)
+# ---------------------------------------------------------------------------
+@query(
+    "source_overlap_matrix",
+    survey="training-pipeline op: pairwise cross-source 8-gram Jaccard "
+    "— the data-card redundancy matrix a corpus mix review reads "
+    "before weighting sources (complements decontaminate_ngram_overlap"
+    ", which screens train-vs-test; this screens source-vs-source)",
+    description="All source pairs: distinct-8-gram counts, exact "
+    "intersection/union, 6dp Jaccard",
+    oracle=f"""
+WITH g AS (
+  SELECT DISTINCT source,
+    unnest(list_distinct(list_transform(
+      range(1, len(string_split(text, ' ')) - 6),
+      i -> array_to_string(string_split(text, ' ')[i:i+7], ' ')
+    ))) AS gram
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 8
+),
+per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY source
+),
+inter AS (
+  SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS i
+  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT pa.source AS source_a, pb.source AS source_b,
+  pa.n AS n_grams_a, pb.n AS n_grams_b,
+  COALESCE(inter.i, 0) AS n_inter,
+  pa.n + pb.n - COALESCE(inter.i, 0) AS n_union,
+  {ratio6_sql('COALESCE(inter.i, 0)',
+              'pa.n + pb.n - COALESCE(inter.i, 0)')} AS jaccard
+FROM per pa
+JOIN per pb ON pa.source < pb.source
+LEFT JOIN inter ON inter.sa = pa.source AND inter.sb = pb.source
+""",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Never a gram-table self-join: distinct (source, gram) rows group
+    BY GRAM into a sorted source set (one gram-keyed shuffle with
+    map-side distinct), and each gram explodes only its own in-set
+    pairs — bounded by C(|sources|,2) per gram, zero for the
+    single-source majority. Pair intersections then aggregate over
+    those tiny rows, and the final matrix is a |sources|^2 broadcast
+    cross of the per-source totals. The oracle runs the brute
+    gram-equality self-join this shape replaces."""
+    d = _docs(spark, sf_dir)
+    grams8 = F.array_distinct(
+        F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 8),"
+            " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 8)))"
+        )
+    )
+    g = (
+        _spread(d.filter(F.size(_words()) >= 8))
+        .select("source", F.explode(grams8).alias("gram"))
+        .distinct()
+    )
+    per = g.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ss = F.col("ss")
+    n = F.size(ss)
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, n - 1),
+                lambda j: F.struct(
+                    F.element_at(ss, i + 1).alias("sa"),
+                    F.element_at(ss, j + 1).alias("sb"),
+                ),
+            ),
+        )
+    )
+    inter = (
+        g.groupBy("gram")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.sa").alias("sa"), F.col("p.sb").alias("sb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    pa = per.select(
+        F.col("source").alias("source_a"), F.col("n").alias("n_grams_a")
+    )
+    pb = per.select(
+        F.col("source").alias("source_b"), F.col("n").alias("n_grams_b")
+    )
+    matrix = (
+        pa.crossJoin(pb)
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(
+            F.broadcast(inter),
+            (F.col("sa") == F.col("source_a"))
+            & (F.col("sb") == F.col("source_b")),
+            "left",
+        )
+    )
+    n_inter = F.coalesce(F.col("i"), F.lit(0)).cast("bigint")
+    n_union = (
+        F.col("n_grams_a") + F.col("n_grams_b") - n_inter
+    ).cast("bigint")
+    return matrix.select(
+        "source_a", "source_b", "n_grams_a", "n_grams_b",
+        n_inter.alias("n_inter"),
+        n_union.alias("n_union"),
+        ratio6(n_inter, n_union).alias("jaccard"),
+    )
