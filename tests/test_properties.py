@@ -548,3 +548,41 @@ def test_mg_candidates_superset(toks, k, cuts):
     for t in set(toks):
         if toks.count(t) * k > n:
             assert t in cands, (t, k, bounds)
+
+
+def test_merge_null_open_takes_law_branch(spark):
+    """A matched row whose open is legitimately NULL must still resolve
+    through the merge law (row presence = _t/_s flags, never payload
+    nullness): closed target with NULL open vs partial source keeps the
+    NULL (t.open wins); NULL-open partial source over an open target
+    overwrites with NULL (s.open wins). Regression for the r6 review
+    finding that the oracle's payload-COALESCE fallback diverged here."""
+    cols = ["symbol", "bucket_ts", *MERGE_COLS]
+    t = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                dict(symbol="A", bucket_ts=T0, open=None, high=5.0,
+                     low=1.0, close=2.0, trade_count=3, is_closed=True),
+                dict(symbol="B", bucket_ts=T0, open=100.0, high=5.0,
+                     low=1.0, close=2.0, trade_count=3, is_closed=False),
+            ],
+            columns=cols,
+        )
+    )
+    s = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                dict(symbol="A", bucket_ts=T0, open=7.0, high=6.0,
+                     low=2.0, close=3.0, trade_count=4, is_closed=False),
+                dict(symbol="B", bucket_ts=T0, open=None, high=6.0,
+                     low=2.0, close=3.0, trade_count=4, is_closed=False),
+            ],
+            columns=cols,
+        )
+    )
+    got = {
+        r["symbol"]: r["open"]
+        for r in merge_candles(t, s, ["symbol", "bucket_ts"]).collect()
+    }
+    assert got["A"] is None   # closed target + partial source -> t.open
+    assert got["B"] is None   # matched -> s.open even when NULL

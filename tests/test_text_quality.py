@@ -156,3 +156,33 @@ def test_decile_tiers_and_exact_quantiles_laws(spark, sf_dir):
         k = (num * (n - 1)) // den
         assert qs[lbl]["k"] == k and qs[lbl]["n"] == n
         assert qs[lbl]["value"] == vals[k], (lbl, qs[lbl], vals[k])
+
+
+def test_dsir_single_doc_corpus(spark, tmp_path):
+    """Degenerate n==1 corpus: percent_rank of a single row is 0 in
+    both engines, so keep must be False — and under ANSI mode (Spark 4
+    default) the 0/(n-1) division must never evaluate (pct_of is a
+    lazy CASE). Regression for the r6 review finding."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1],
+            "text": ["one tiny document about spark windows"],
+            "lang": ["en"],
+            "source": ["src0"],
+            "n_chars": [37],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from tradecat_spark.plans.registry import load_all
+
+    rows = (
+        load_all()["sample_dsir_importance"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    )
+    assert len(rows) == 1
+    assert rows[0]["keep"] is False

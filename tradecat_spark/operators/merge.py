@@ -66,9 +66,11 @@ def merge_candles(
 
     Row presence is tracked with explicit ``_t``/``_s`` flags, not
     payload-column nullness: a present row whose optional ``open`` is
-    legitimately NULL must still take the merge-law branch (the
-    reference law COALESCEs optional fields, it never treats them as
-    row-existence markers).
+    legitimately NULL must still take the merge-law branch — the
+    reference's ON CONFLICT fires on key collision alone and never
+    inspects payload nullness to decide WHICH law applies (only
+    trade_count's own law is a COALESCE). The partial_bar_merge oracle
+    renders presence the same way (join-key nullness).
     """
     t = (
         target.select(*keys, *MERGE_COLS)

@@ -1781,9 +1781,8 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = value_cb(scored.select("micro"), "micro", 1_000_000)
     nrow = hist.agg(F.sum("cnt").cast("long").alias("n"))
     hb = hist.join(F.broadcast(nrow))
-    # a value group spans 0-based ranks [cb, cb+cnt-1]; with n==1 both
-    # pct_of terms are NaN -> both keeps false, matching the engines'
-    # percent_rank(single row) == 0 (< 0.75)
+    # a value group spans 0-based ranks [cb, cb+cnt-1]; pct_of is total
+    # (n==1 -> 0.0, the engines' percent_rank of a single row)
     lo_keep = pct_of(F.col("cb"), F.col("n")) >= F.lit(0.75)
     hi_keep = (
         pct_of(F.col("cb") + F.col("cnt") - 1, F.col("n")) >= F.lit(0.75)
@@ -1795,34 +1794,46 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(hi_keep & ~lo_keep, F.col("cb"))).alias("b_cb"),
         F.max("n").alias("n"),
     )
-    # rank ONLY the boundary tie set (rows sharing b_micro) by doc_id —
-    # window partitioned on the value, input is a broadcast-filtered
-    # handful of rows, never the corpus
+    # resolve the ONE boundary value group (the tie set the cutoff rank
+    # lands inside) without assuming it is small: keep is monotone in
+    # doc_id rank within the set, so the whole resolution reduces to
+    # the FIRST kept doc_id — an order statistic computed with the same
+    # bounded value_cb machinery (doc_ids unique -> local 0-based rank
+    # == cb), then broadcast as ONE scalar. No per-value row window, no
+    # broadcast of the tie rows: a degenerate corpus where millions of
+    # docs share the cutoff weight still never forms a giant partition.
     boundary = scored.join(F.broadcast(scal)).where(
         F.col("micro") == F.col("b_micro")
     )
-    w_tie = Window.partitionBy("micro").orderBy("doc_id")
-    bkeep = boundary.select(
-        "doc_id",
-        (
-            pct_of(
-                F.col("b_cb") + F.row_number().over(w_tie) - 1, F.col("n")
-            )
-            >= F.lit(0.75)
-        ).alias("keep_b"),
+    tie_hist = value_cb(boundary.select("doc_id"), "doc_id", 1_000_000)
+    dstar = (
+        tie_hist.join(F.broadcast(scal))
+        .agg(
+            F.min(
+                F.when(
+                    pct_of(F.col("b_cb") + F.col("cb"), F.col("n"))
+                    >= F.lit(0.75),
+                    F.col("doc_id"),
+                )
+            ).alias("d_star")
+        )
     )
     return (
         scored.join(d.select("doc_id", "lang"), "doc_id")
         .join(F.broadcast(scal))
-        .join(F.broadcast(bkeep), "doc_id", "left")
+        .join(F.broadcast(dstar))
         .select(
             "doc_id", "lang", "n_tokens",
             (F.col("micro") / F.lit(1_000_000.0)).alias("dsir_logweight"),
-            F.coalesce(
-                F.col("keep_b"),
+            F.when(
+                F.col("micro") == F.col("b_micro"),
+                F.col("doc_id") >= F.col("d_star"),
+            )
+            .otherwise(
                 F.col("t_full").isNotNull()
-                & (F.col("micro") >= F.col("t_full")),
-            ).alias("keep"),
+                & (F.col("micro") >= F.col("t_full"))
+            )
+            .alias("keep"),
         )
     )
 

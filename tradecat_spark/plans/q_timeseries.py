@@ -497,22 +497,31 @@ src AS (
 SELECT
   COALESCE(t.event_type, s.event_type) AS event_type,
   COALESCE(t.bucket_ts, s.bucket_ts) AS bucket_ts,
-  CASE WHEN t.open IS NOT NULL AND s.open IS NOT NULL
+  -- row presence = join-key nullness (bucket_ts is non-null in every
+  -- real row), mirroring merge_candles' _t/_s flags exactly: a present
+  -- row whose payload column is legitimately NULL must still take the
+  -- merge-law branch, never a payload-COALESCE fallback
+  CASE WHEN t.bucket_ts IS NOT NULL AND s.bucket_ts IS NOT NULL
        THEN CASE WHEN t.is_closed AND NOT s.is_closed
                  THEN t.open ELSE s.open END
-       ELSE COALESCE(t.open, s.open) END AS open,
-  CASE WHEN t.high IS NOT NULL AND s.high IS NOT NULL
-       THEN GREATEST(t.high, s.high) ELSE COALESCE(t.high, s.high) END AS high,
-  CASE WHEN t.low IS NOT NULL AND s.low IS NOT NULL
-       THEN LEAST(t.low, s.low) ELSE COALESCE(t.low, s.low) END AS low,
-  CASE WHEN t.close IS NOT NULL AND s.close IS NOT NULL
-       THEN s.close ELSE COALESCE(t.close, s.close) END AS close,
-  CASE WHEN t.trade_count IS NOT NULL AND s.trade_count IS NOT NULL
+       WHEN t.bucket_ts IS NOT NULL THEN t.open ELSE s.open END AS open,
+  CASE WHEN t.bucket_ts IS NOT NULL AND s.bucket_ts IS NOT NULL
+       THEN GREATEST(t.high, s.high)
+       WHEN t.bucket_ts IS NOT NULL THEN t.high ELSE s.high END AS high,
+  CASE WHEN t.bucket_ts IS NOT NULL AND s.bucket_ts IS NOT NULL
+       THEN LEAST(t.low, s.low)
+       WHEN t.bucket_ts IS NOT NULL THEN t.low ELSE s.low END AS low,
+  CASE WHEN t.bucket_ts IS NOT NULL AND s.bucket_ts IS NOT NULL
+       THEN s.close
+       WHEN t.bucket_ts IS NOT NULL THEN t.close ELSE s.close END AS close,
+  CASE WHEN t.bucket_ts IS NOT NULL AND s.bucket_ts IS NOT NULL
        THEN COALESCE(s.trade_count, t.trade_count)
-       ELSE COALESCE(t.trade_count, s.trade_count) END AS trade_count,
-  CASE WHEN t.is_closed IS NOT NULL AND s.is_closed IS NOT NULL
+       WHEN t.bucket_ts IS NOT NULL THEN t.trade_count
+       ELSE s.trade_count END AS trade_count,
+  CASE WHEN t.bucket_ts IS NOT NULL AND s.bucket_ts IS NOT NULL
        THEN t.is_closed OR s.is_closed
-       ELSE COALESCE(t.is_closed, s.is_closed) END AS is_closed
+       WHEN t.bucket_ts IS NOT NULL THEN t.is_closed
+       ELSE s.is_closed END AS is_closed
 FROM tgt t
 FULL OUTER JOIN src s
   ON t.event_type = s.event_type AND t.bucket_ts = s.bucket_ts

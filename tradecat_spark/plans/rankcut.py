@@ -101,6 +101,10 @@ def value_cb(scored: DataFrame, col: str, bucket_width: int) -> DataFrame:
 def pct_of(cb: Column, n: Column) -> Column:
     """The exact double ``percent_rank`` both engines compute for a row
     whose 0-based rank is ``cb`` out of ``n`` rows: ``cb / (n - 1)`` in
-    IEEE doubles (NaN when n == 1 — guard at the call site to match
-    the engines' defined percent_rank(single row) == 0)."""
-    return cb.cast("double") / (n - F.lit(1)).cast("double")
+    IEEE doubles. Total by construction: n == 1 returns 0.0 — the
+    engines' defined percent_rank of a single row — via a lazy CASE
+    branch, so ANSI mode (Spark 4 default) can never see the 0/0
+    division a bare quotient would evaluate."""
+    return F.when(
+        n > 1, cb.cast("double") / (n - F.lit(1)).cast("double")
+    ).otherwise(F.lit(0.0))
