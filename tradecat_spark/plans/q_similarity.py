@@ -46,6 +46,50 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.nullif(F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)), F.lit(0))
 
 
+def _ivf_centroids(e: DataFrame) -> DataFrame:
+    """|labels|-row table of centroid ARRAYS (dims averaged, rounded
+    once, re-assembled in order) — the IVF coarse quantizer shared by
+    ann_ivf_search / ann_ivf_sq8_search; ann_label_centroids exposes
+    the same aggregate as a flat surface. ONE rendering of the
+    determinism-critical round(avg, 6) so the copies cannot drift."""
+    return (
+        e.select("label", F.posexplode("vec").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cv")
+        )
+    )
+
+
+def _ivf_nearest_cell(q: DataFrame, cent: DataFrame) -> DataFrame:
+    """Assign each query row (must carry ``query_id`` and a ``qv``
+    vector; any extra columns ride along) to its nearest centroid via
+    the rounded |q|² − 2q·c + |c|² fold — identical on both engines so
+    the argmin is stable. Returns q's columns + ``cell_label``."""
+    dist2 = F.round(
+        dot(F.col("qv"), F.col("qv"))
+        - 2 * dot(F.col("qv"), F.col("cv"))
+        + dot(F.col("cv"), F.col("cv")),
+        6,
+    )
+    aw = Window.partitionBy("query_id").orderBy(
+        F.asc("d2"), F.asc("label")
+    )
+    return (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("d2", dist2)
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .drop("d2", "rn", "cv")
+        .withColumnRenamed("label", "cell_label")
+    )
+
+
 @query(
     "ann_cosine_topk",
     survey="north-star similarity search: brute-force cosine top-k baseline",
@@ -269,36 +313,10 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist² uses the rounded centroids and the identical
     |q|² − 2q·c + |c|² fold on both engines so the argmin is stable."""
     e = _emb(spark, sf_dir)
-    # centroid arrays per label, dims averaged then re-assembled in order
-    cent = (
-        e.select("label", F.posexplode("vec").alias("pos", "x"))
-        .groupBy("label", "pos")
-        .agg(F.round(F.avg("x"), 6).alias("c"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                lambda s: s["c"],
-            ).alias("cv")
-        )
-    )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qv")
     )
-    dist2 = F.round(
-        dot(F.col("qv"), F.col("qv"))
-        - 2 * dot(F.col("qv"), F.col("cv"))
-        + dot(F.col("cv"), F.col("cv")),
-        6,
-    )
-    aw = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("label"))
-    assign = (
-        q.crossJoin(F.broadcast(cent))
-        .select("query_id", "qv", "label", dist2.alias("d2"))
-        .withColumn("rn", F.row_number().over(aw))
-        .filter(F.col("rn") == 1)
-        .select("query_id", "qv", F.col("label").alias("cell_label"))
-    )
+    assign = _ivf_nearest_cell(q, _ivf_centroids(e))
     cand = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("cell_label"),
@@ -872,7 +890,7 @@ def embedding_component_quantiles(
     per-component sort lives only in the oracle. Values are published
     as micro-unit BIGINTs: float->double cast is exact and both
     engines round identically, so the gate stays integer-only."""
-    from tradecat_spark.plans.rankcut import group_value_cb
+    from tradecat_spark.plans.rankcut import exact_quantiles, group_value_cb
 
     e = load_table(spark, sf_dir, "embeddings")
     comp = e.select(
@@ -883,51 +901,19 @@ def embedding_component_quantiles(
         F.round(F.col("x") * 1_000_000).cast("long").alias("m"),
     )
     hist = group_value_cb(comp, ["component"], "m", 10_000)
-    nrow = hist.groupBy("component").agg(
-        F.sum("cnt").cast("long").alias("n")
-    )
-    hb = hist.join(nrow, "component")
-
-    def kq(num: int, den: int):
-        return F.call_function("div", (F.col("n") - 1) * num, F.lit(den))
-
-    scal = hb.groupBy("component").agg(
-        F.max("n").alias("n"),
-        *[
-            F.max(F.when(F.col("cb") <= kq(num, den), F.col("m")))
-            .alias(f"v_{lbl}")
-            for lbl, num, den in _COMP_QUANTS
-        ],
-    )
-    rows = scal.select(
-        "component",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(lbl).alias("quantile"),
-                        F.call_function(
-                            "div", (F.col("n") - 1) * num, F.lit(den)
-                        ).cast("bigint").alias("k"),
-                        F.col(f"v_{lbl}").cast("bigint")
-                        .alias("value_micro"),
-                        F.col("n").alias("n"),
-                    )
-                    for lbl, num, den in _COMP_QUANTS
-                ]
-            )
-        ).alias("q"),
-    )
-    return rows.select(
-        "component", "q.quantile", "q.k", "q.value_micro", "q.n"
+    return exact_quantiles(
+        hist, ["component"], "m", _COMP_QUANTS, "value_micro"
     )
 
 
-def _winsor_oracle() -> str:
+def _bounds_sql() -> str:
+    """The q/b/c CTE chain every winsorize/SQ8 oracle shares — ONE
+    rendering of the bounds definition (nests the quantile oracle
+    verbatim), so the lo/hi pivot and the micro-unit rounding cannot
+    drift between the consumers."""
     from tradecat_spark.plans.registry import REGISTRY
 
-    return f"""
-WITH q AS ({REGISTRY['embedding_component_quantiles'].oracle}),
+    return f"""q AS ({REGISTRY['embedding_component_quantiles'].oracle}),
 b AS (
   SELECT component,
     MAX(CASE WHEN quantile = 'p01' THEN value_micro END) AS lo,
@@ -939,7 +925,12 @@ c AS (
     CAST(ROUND(unnest(CAST(embedding AS DOUBLE[])) * 1000000) AS BIGINT)
       AS m
   FROM embeddings
-),
+)"""
+
+
+def _winsor_oracle() -> str:
+    return f"""
+WITH {_bounds_sql()},
 cl AS (
   SELECT c.vec_id, LEAST(GREATEST(c.m, b.lo), b.hi) AS mc,
     CASE WHEN c.m < b.lo OR c.m > b.hi THEN 1 ELSE 0 END AS clipped
@@ -1013,23 +1004,9 @@ def embedding_winsorized_stats(
 
 
 def _sq8_sql() -> str:
-    """Shared CTE chain: bounds (nests the quantile oracle verbatim) ->
-    per-component micro values -> exact integer SQ8 reconstruction."""
-    from tradecat_spark.plans.registry import REGISTRY
-
-    return f"""q AS ({REGISTRY['embedding_component_quantiles'].oracle}),
-b AS (
-  SELECT component,
-    MAX(CASE WHEN quantile = 'p01' THEN value_micro END) AS lo,
-    MAX(CASE WHEN quantile = 'p99' THEN value_micro END) AS hi
-  FROM q GROUP BY component
-),
-c AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) AS component,
-    CAST(ROUND(unnest(CAST(embedding AS DOUBLE[])) * 1000000) AS BIGINT)
-      AS m
-  FROM embeddings
-),
+    """Shared CTE chain: the common bounds rendering (``_bounds_sql``)
+    -> exact integer SQ8 reconstruction."""
+    return f"""{_bounds_sql()},
 xh AS (
   SELECT c.vec_id, c.component, c.m,
     CASE WHEN b.hi > b.lo THEN
@@ -1375,18 +1352,6 @@ def ann_ivf_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     m_arr = F.transform(
         F.col("vec"), lambda x: F.round(x * 1_000_000).cast("long")
     )
-    cent = (
-        e.select("label", F.posexplode("vec").alias("pos", "x"))
-        .groupBy("label", "pos")
-        .agg(F.round(F.avg("x"), 6).alias("c"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                lambda s: s["c"],
-            ).alias("cv")
-        )
-    )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qv"),
@@ -1395,24 +1360,8 @@ def ann_ivf_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(m_arr, lambda v: v * v)
         ).alias("qs2"),
     )
-    dist2 = F.round(
-        dot(F.col("qv"), F.col("qv"))
-        - 2 * dot(F.col("qv"), F.col("cv"))
-        + dot(F.col("cv"), F.col("cv")),
-        6,
-    )
-    aw = Window.partitionBy("query_id").orderBy(
-        F.asc("d2"), F.asc("label")
-    )
-    assign = (
-        q.crossJoin(F.broadcast(cent))
-        .select("query_id", "qm", "qs2", "label", dist2.alias("d2"))
-        .withColumn("rn", F.row_number().over(aw))
-        .filter(F.col("rn") == 1)
-        .select(
-            "query_id", "qm", "qs2",
-            F.col("label").alias("cell_label"),
-        )
+    assign = _ivf_nearest_cell(q, _ivf_centroids(e)).select(
+        "query_id", "qm", "qs2", "cell_label"
     )
     sims = (
         xv.withColumnRenamed("label", "cell_label")

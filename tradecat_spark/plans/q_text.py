@@ -2321,44 +2321,12 @@ def corpus_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     max lands on the unique value whose rank block contains k. The
     oracle proves exactness by brute global sort (fine single-node);
     the Spark side never sorts more than the bounded histogram."""
+    from tradecat_spark.plans.rankcut import exact_quantiles
+
     d = _docs(spark, sf_dir)
     a = d.select(F.size(_words()).cast("bigint").alias("n_tokens"))
     hist = value_cb(a, "n_tokens", 256)
-    nrow = hist.agg(F.sum("cnt").cast("long").alias("n"))
-    hb = hist.join(F.broadcast(nrow))
-
-    def kq(num: int, den: int):
-        return F.call_function(
-            "div", (F.col("n") - 1) * num, F.lit(den)
-        )
-
-    scal = hb.agg(
-        F.max("n").alias("n"),
-        *[
-            F.max(
-                F.when(F.col("cb") <= kq(num, den), F.col("n_tokens"))
-            ).alias(f"v_{lbl}")
-            for lbl, num, den in _QUANTS
-        ],
-    )
-    rows = scal.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(lbl).alias("quantile"),
-                        F.call_function(
-                            "div", (F.col("n") - 1) * num, F.lit(den)
-                        ).cast("bigint").alias("k"),
-                        F.col(f"v_{lbl}").cast("bigint").alias("value"),
-                        F.col("n").alias("n"),
-                    )
-                    for lbl, num, den in _QUANTS
-                ]
-            )
-        ).alias("q")
-    )
-    return rows.select("q.quantile", "q.k", "q.value", "q.n")
+    return exact_quantiles(hist, [], "n_tokens", _QUANTS, "value")
 
 
 @query(

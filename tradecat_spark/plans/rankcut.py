@@ -108,3 +108,63 @@ def pct_of(cb: Column, n: Column) -> Column:
     return F.when(
         n > 1, cb.cast("double") / (n - F.lit(1)).cast("double")
     ).otherwise(F.lit(0.0))
+
+
+def exact_quantiles(
+    hist: DataFrame,
+    groups: list[str],
+    col: str,
+    quants: tuple,
+    value_alias: str,
+) -> DataFrame:
+    """Exact order statistics off a ``value_cb``/``group_value_cb``
+    histogram — the ONE rendering of the selection law ``k = (num *
+    (N-1)) div den; value = max(v : cb(v) <= k)`` (cb is monotone, so
+    the max lands on the unique value whose [cb, cb+cnt) rank block
+    contains k). ``quants`` is a tuple of (label, num, den).
+
+    Output: ``(*groups, quantile, k, <value_alias>, n)`` — one row per
+    (group, quantile). Scale shape: one grouped aggregate over the
+    bounded histogram plus a per-group explode of |quants| structs;
+    nothing corpus-sized after the histogram.
+    """
+    if groups:
+        nrow = hist.groupBy(*groups).agg(
+            F.sum("cnt").cast("long").alias("n")
+        )
+        hb = hist.join(nrow, groups)
+    else:
+        nrow = hist.agg(F.sum("cnt").cast("long").alias("n"))
+        hb = hist.join(F.broadcast(nrow))
+
+    def kq(num: int, den: int) -> Column:
+        return F.call_function("div", (F.col("n") - 1) * num, F.lit(den))
+
+    scal = hb.groupBy(*groups).agg(
+        F.max("n").alias("n"),
+        *[
+            F.max(F.when(F.col("cb") <= kq(num, den), F.col(col)))
+            .alias(f"v_{lbl}")
+            for lbl, num, den in quants
+        ],
+    )
+    rows = scal.select(
+        *groups,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lbl).alias("quantile"),
+                        kq(num, den).cast("bigint").alias("k"),
+                        F.col(f"v_{lbl}").cast("bigint")
+                        .alias(value_alias),
+                        F.col("n").alias("n"),
+                    )
+                    for lbl, num, den in quants
+                ]
+            )
+        ).alias("q"),
+    )
+    return rows.select(
+        *groups, "q.quantile", "q.k", f"q.{value_alias}", "q.n"
+    )
