@@ -617,3 +617,91 @@ def cms_frequency_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est_cms") - F.col("true_cnt")).alias("overcount"),
         (F.col("est_cms") >= F.col("true_cnt")).alias("no_undercount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL-style register sketch: max-rank registers + merge law
+# ---------------------------------------------------------------------------
+HLL_BUCKETS = 256  # 2 hex digits of the hash pick the register
+
+
+@query(
+    "hll_register_law",
+    survey="§4 approx family: HyperLogLog registers (Flajolet 2007) — "
+    "per-bucket max leading-zero rank over md5(user), per event type; "
+    "MAX is the merge, so shard registers max-merged must equal the "
+    "direct registers (the law that makes HLL a map-side combiner at "
+    "100 TB, completing the sketch family next to KMV/CMS/quantile)",
+    description="Per-(event_type, bucket) HLL register: direct vs "
+    "8-shard max-merge, law flag",
+    oracle=f"""
+WITH h AS (
+  SELECT DISTINCT event_type, user_id % 8 AS shard,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT
+      AS bucket,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT
+      AS x
+  FROM events WHERE user_id IS NOT NULL
+),
+r AS (
+  SELECT event_type, shard, bucket,
+    CASE WHEN x = 0 THEN 49 ELSE 49 - length(bin(x)) END AS rank
+  FROM h
+),
+shard_reg AS (
+  SELECT event_type, shard, bucket, MAX(rank) AS reg
+  FROM r GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT event_type, bucket, CAST(MAX(reg) AS BIGINT) AS r_merged,
+    CAST(COUNT(*) AS BIGINT) AS n_shards_hit
+  FROM shard_reg GROUP BY 1, 2
+),
+direct AS (
+  SELECT event_type, bucket, CAST(MAX(rank) AS BIGINT) AS r_direct
+  FROM r GROUP BY 1, 2
+)
+SELECT m.event_type, m.bucket, m.n_shards_hit, m.r_merged, d.r_direct,
+  m.r_merged = d.r_direct AS law_holds
+FROM merged m JOIN direct d USING (event_type, bucket)
+""",
+)
+def hll_register_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The register rank is pure integer algebra shared by both
+    engines: bucket = first 2 hex digits of md5(user), x = the next 48
+    bits, rank = 49 - bitlen(x) (= leading zeros + 1; bitlen via the
+    minimal binary string both engines render identically, x = 0
+    capped at 49). Registers are MAX aggregates — mergeable by MAX, so
+    partial aggregation IS the sketch merge; the query materializes
+    8 shard sketches, max-merges them, and asserts equality with the
+    direct registers per (event_type, bucket). Everything after the
+    one distinct pass is bounded by 8 x 256 rows per key."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    md = F.md5(F.col("user_id").cast("string"))
+    h = e.select(
+        "event_type",
+        (F.col("user_id") % 8).alias("shard"),
+        F.conv(F.substring(md, 1, 2), 16, 10).cast("bigint")
+        .alias("bucket"),
+        F.conv(F.substring(md, 3, 12), 16, 10).cast("bigint").alias("x"),
+    ).distinct()
+    rank = F.when(F.col("x") == 0, F.lit(49)).otherwise(
+        F.lit(49) - F.length(F.bin(F.col("x")))
+    )
+    r = h.select("event_type", "shard", "bucket", rank.alias("rank"))
+    shard_reg = r.groupBy("event_type", "shard", "bucket").agg(
+        F.max("rank").alias("reg")
+    )
+    merged = shard_reg.groupBy("event_type", "bucket").agg(
+        F.max("reg").cast("bigint").alias("r_merged"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shards_hit"),
+    )
+    direct = r.groupBy("event_type", "bucket").agg(
+        F.max("rank").cast("bigint").alias("r_direct")
+    )
+    return merged.join(direct, ["event_type", "bucket"]).select(
+        "event_type", "bucket", "n_shards_hit", "r_merged", "r_direct",
+        (F.col("r_merged") == F.col("r_direct")).alias("law_holds"),
+    )
