@@ -586,3 +586,61 @@ def test_merge_null_open_takes_law_branch(spark):
     }
     assert got["A"] is None   # closed target + partial source -> t.open
     assert got["B"] is None   # matched -> s.open even when NULL
+
+
+# ---------------------------------------------------------------------------
+# exact_quantiles law — the factored selection helper must agree with
+# the brute sorted-order statistic for ANY value multiset
+# ---------------------------------------------------------------------------
+@given(
+    vals=st.lists(
+        st.integers(min_value=-5_000, max_value=5_000),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_exact_quantiles_matches_brute(spark, vals):
+    from tradecat_spark.plans.rankcut import exact_quantiles, value_cb
+
+    quants = (("p25", 1, 4), ("p50", 1, 2), ("p99", 99, 100))
+    df = spark.createDataFrame([(int(v),) for v in vals], schema="x long")
+    got = {
+        r["quantile"]: (r["k"], r["value"], r["n"])
+        for r in exact_quantiles(
+            value_cb(df, "x", 100), [], "x", quants, "value"
+        ).collect()
+    }
+    srt, n = sorted(vals), len(vals)
+    for lbl, num, den in quants:
+        k = (num * (n - 1)) // den
+        assert got[lbl] == (k, srt[k], n), (lbl, vals)
+
+
+def test_sq8_reconstruction_bound(spark):
+    """The SQ8 code/reconstruction law on a hand-built vector + bounds
+    row: every xhat lies inside [lo, hi] and within one quantization
+    step (span/510, i.e. half of span/255) plus the reconstruction
+    half-up of the CLIPPED value — integer form:
+    |xhat - clip(m)| * 510 <= span + 510. Degenerate span (hi == lo)
+    must pin xhat to lo without evaluating a zero division (ANSI)."""
+    from tradecat_spark.plans.q_similarity import _sq8_xhat
+
+    import pandas as pd
+
+    vec = [0.0, 1.0, -1.0, 0.123456, 2.5, -2.5, 0.9999995]
+    lo = [-1_000_000] * 6 + [500_000]
+    hi = [1_000_000] * 6 + [500_000]  # last component degenerate
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec": [vec], "los": [lo], "his": [hi]})
+    )
+    out = df.select(
+        _sq8_xhat(F.col("vec"), F.col("los"), F.col("his")).alias("xh")
+    ).collect()[0]["xh"]
+    for x, l, h, xh in zip(vec, lo, hi, out):
+        m = round(x * 1_000_000)
+        mc = min(max(m, l), h)
+        span = h - l
+        assert l <= xh <= h, (x, xh)
+        assert abs(xh - mc) * 510 <= span + 510, (x, xh, mc)
+    assert out[-1] == 500_000  # degenerate span pins to lo
