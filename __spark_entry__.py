@@ -38,7 +38,7 @@ _GATE_PRIORITY = (
     "heavy_hitters_exact", "bpe_pair_candidates",
     "dedup_incremental_delta", "chunk_compression_plan",
     "ann_ivf_sq8_search", "source_overlap_matrix",
-    "hll_register_law",
+    "hll_register_law", "mix_epoch_plan",
     # --- re-check first: the rankcut rewrite changed these three plans
     # this round (oracles unchanged, builder-mimic green at sf0.01+0.1)
     "quality_unigram_logprob", "sample_dsir_importance",

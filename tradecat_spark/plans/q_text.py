@@ -2750,3 +2750,63 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_union.alias("n_union"),
         ratio6(n_inter, n_union).alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch sampling plan over the curated corpus
+# ---------------------------------------------------------------------------
+def _epoch_plan_oracle() -> str:
+    from tradecat_spark.plans.registry import REGISTRY
+
+    return f"""
+WITH m AS ({REGISTRY['corpus_training_manifest'].oracle}),
+s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+    CAST(COUNT(*) FILTER (keep_final) AS BIGINT) AS n_kept
+  FROM m GROUP BY source
+)
+SELECT source, n_total, n_kept,
+  ROUND(sqrt(n_kept * 1.0) / SUM(sqrt(n_kept * 1.0)) OVER (), 6)
+    AS p_half,
+  CAST(ROUND(ROUND(sqrt(n_kept * 1.0)
+        / SUM(sqrt(n_kept * 1.0)) OVER (), 6) * 10000, 0) AS BIGINT)
+    AS quota_per_10k
+FROM s
+"""
+
+
+@query(
+    "mix_epoch_plan",
+    survey="north-star curation capstone #2: the per-source EPOCH "
+    "SAMPLING PLAN over the curated corpus — temperature-weighted "
+    "(alpha=0.5) quotas computed from the manifest's kept docs, i.e. "
+    "sample_temperature_mix applied AFTER dedup x quality x DSIR "
+    "instead of to the raw corpus; the number a data loader actually "
+    "draws per source per epoch",
+    description="Per-source kept-doc counts and temperature-weighted "
+    "per-10k epoch quotas",
+    oracle=_epoch_plan_oracle(),
+)
+def mix_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes the manifest (oracle nested verbatim, so the keep
+    decision cannot drift) into one source-grain aggregate; the
+    renormalizing window spans only the |sources| rows. Exponent
+    restricted to sqrt (IEEE correctly-rounded in both engines),
+    weights rounded once, quota integerized from the rounded weight —
+    the same float-safety contract as sample_temperature_mix. A
+    source whose docs are all dropped gets weight 0, not a NULL."""
+    from tradecat_spark.plans.registry import REGISTRY
+
+    m = REGISTRY["corpus_training_manifest"].fn(spark, sf_dir)
+    s = m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.count_if(F.col("keep_final")).cast("bigint").alias("n_kept"),
+    )
+    w = Window.partitionBy()
+    wk = F.sqrt(F.col("n_kept") * 1.0)
+    p6 = F.round(wk / F.sum(wk).over(w), 6)
+    return s.select(
+        "source", "n_total", "n_kept",
+        p6.alias("p_half"),
+        F.round(p6 * 10000, 0).cast("long").alias("quota_per_10k"),
+    )
