@@ -186,3 +186,31 @@ def test_dsir_single_doc_corpus(spark, tmp_path):
     )
     assert len(rows) == 1
     assert rows[0]["keep"] is False
+
+
+def test_epoch_plan_all_dropped_corpus(spark, tmp_path):
+    """A corpus where every doc is dropped (single short doc -> DSIR
+    keep=False -> manifest keep_final=False) must yield all-zero
+    weights and quotas, not an ANSI DIVIDE_BY_ZERO or NULLs.
+    Regression for the r6 second-pass review finding."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1],
+            "text": ["one tiny document about spark windows"],
+            "lang": ["en"],
+            "source": ["src0"],
+            "n_chars": [37],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from tradecat_spark.plans.registry import load_all
+
+    rows = load_all()["mix_epoch_plan"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_kept"] == 0
+    assert rows[0]["p_half"] == 0.0
+    assert rows[0]["quota_per_10k"] == 0

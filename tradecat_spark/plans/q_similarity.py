@@ -446,33 +446,11 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket.alias("n_bucket"),
     )
 
-    cent = (
-        e.select("label", F.posexplode("vec").alias("pos", "x"))
-        .groupBy("label", (F.col("pos") + 1).alias("dim"))
-        .agg(F.round(F.avg("x"), 6).alias("ce"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "ce"))),
-                lambda s: s["ce"],
-            ).alias("cv")
-        )
-    )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qv")
     )
-    d2 = F.round(
-        dot(F.col("qv"), F.col("qv"))
-        - 2 * dot(F.col("qv"), F.col("cv"))
-        + dot(F.col("cv"), F.col("cv")),
-        6,
-    )
-    wq = Window.partitionBy("query_id").orderBy(d2.asc(), F.col("label").asc())
-    assign = (
-        q.crossJoin(F.broadcast(cent))
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") == 1)
-        .select("query_id", F.col("label").alias("cell_label"))
+    assign = _ivf_nearest_cell(q, _ivf_centroids(e)).select(
+        "query_id", "cell_label"
     )
 
     joined = (

@@ -1494,10 +1494,7 @@ def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrow = hist.agg(F.sum("cnt").cast("long").alias("n"))
     flagged = (
         hist.join(F.broadcast(nrow))
-        .where(
-            (F.col("n") <= 1)
-            | (pct_of(F.col("cb"), F.col("n")) <= F.lit(0.1))
-        )
+        .where(pct_of(F.col("cb"), F.col("n")) <= F.lit(0.1))
         .agg(F.max("q_micro").alias("t_micro"))
     )
     return scored.join(F.broadcast(flagged)).select(
@@ -2766,11 +2763,14 @@ s AS (
   FROM m GROUP BY source
 )
 SELECT source, n_total, n_kept,
-  ROUND(sqrt(n_kept * 1.0) / SUM(sqrt(n_kept * 1.0)) OVER (), 6)
-    AS p_half,
-  CAST(ROUND(ROUND(sqrt(n_kept * 1.0)
-        / SUM(sqrt(n_kept * 1.0)) OVER (), 6) * 10000, 0) AS BIGINT)
-    AS quota_per_10k
+  CASE WHEN SUM(sqrt(n_kept * 1.0)) OVER () > 0
+       THEN ROUND(sqrt(n_kept * 1.0)
+                  / SUM(sqrt(n_kept * 1.0)) OVER (), 6)
+       ELSE 0.0 END AS p_half,
+  CAST(ROUND(CASE WHEN SUM(sqrt(n_kept * 1.0)) OVER () > 0
+       THEN ROUND(sqrt(n_kept * 1.0)
+                  / SUM(sqrt(n_kept * 1.0)) OVER (), 6)
+       ELSE 0.0 END * 10000, 0) AS BIGINT) AS quota_per_10k
 FROM s
 """
 
@@ -2794,7 +2794,11 @@ def mix_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     restricted to sqrt (IEEE correctly-rounded in both engines),
     weights rounded once, quota integerized from the rounded weight —
     the same float-safety contract as sample_temperature_mix. A
-    source whose docs are all dropped gets weight 0, not a NULL."""
+    source whose docs are all dropped gets weight 0, not a NULL — and
+    the degenerate corpus where EVERY source's kept count is 0 yields
+    all-zero quotas via a lazy CASE, so ANSI mode (Spark 4 default)
+    never evaluates the 0/0 division (the same total-function contract
+    as rankcut.pct_of)."""
     from tradecat_spark.plans.registry import REGISTRY
 
     m = REGISTRY["corpus_training_manifest"].fn(spark, sf_dir)
@@ -2804,7 +2808,8 @@ def mix_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy()
     wk = F.sqrt(F.col("n_kept") * 1.0)
-    p6 = F.round(wk / F.sum(wk).over(w), 6)
+    tot = F.sum(wk).over(w)
+    p6 = F.when(tot > 0, F.round(wk / tot, 6)).otherwise(F.lit(0.0))
     return s.select(
         "source", "n_total", "n_kept",
         p6.alias("p_half"),
