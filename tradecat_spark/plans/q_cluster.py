@@ -41,6 +41,8 @@ Determinism contract (why this hash-matches across engines):
 from __future__ import annotations
 
 import os
+import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -72,6 +74,18 @@ def _cut_lineage(
         return df.localCheckpoint()
     path = os.path.join(checkpoint_dir, tag)
     df.write.mode("overwrite").parquet(path)
+    # GC the previous iteration's cut once this one is committed: the
+    # write above consumed it, so `<stem>_{N-1}` is dead the moment
+    # `<stem>_{N}` exists — without this a long iterative run (1000s of
+    # PageRank rounds at 100 TB) accumulates one full snapshot per
+    # iteration under checkpoint_dir. Non-numbered tags (pr_edges) are
+    # reused across iterations and are never collected.
+    m = re.match(r"^(.*_)(\d+)$", tag)
+    if m and int(m.group(2)) > 0:
+        prev = os.path.join(
+            checkpoint_dir, f"{m.group(1)}{int(m.group(2)) - 1}"
+        )
+        shutil.rmtree(prev, ignore_errors=True)
     return df.sparkSession.read.parquet(path)
 
 

@@ -1225,22 +1225,13 @@ def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_sq8_oracle() -> str:
-    return f"""
-WITH {_sq8_sql()},
-sd AS (
-  SELECT vec_id, CAST(SUM(xhat * xhat) AS BIGINT) AS s2
-  FROM xh GROUP BY vec_id
-),
-qm AS (
-  SELECT vec_id AS query_id, component, m
-  FROM c WHERE vec_id < {N_QUERIES}
-),
-qs AS (
-  SELECT query_id, CAST(SUM(m * m) AS BIGINT) AS qs2
-  FROM qm GROUP BY query_id
-),
-cent AS (
+def _ivf_assign_sql() -> str:
+    """IVF coarse-quantizer CTE fragment shared by the SQ8 and PQ
+    search oracles: per-label centroids, the query vectors, the
+    rounded-argmin cell assignment, and the member-label table — ONE
+    rendering so the assignment semantics cannot drift between the
+    two compressed-index searches."""
+    return f"""cent AS (
   SELECT label, list(cc ORDER BY dim) AS cv FROM (
     SELECT label, i AS dim,
       ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS cc
@@ -1264,7 +1255,25 @@ assign AS (
     FROM qv q, cent c2
   ) WHERE rn = 1
 ),
-lbl AS (SELECT vec_id, label FROM embeddings),
+lbl AS (SELECT vec_id, label FROM embeddings)"""
+
+
+def _ivf_sq8_oracle() -> str:
+    return f"""
+WITH {_sq8_sql()},
+sd AS (
+  SELECT vec_id, CAST(SUM(xhat * xhat) AS BIGINT) AS s2
+  FROM xh GROUP BY vec_id
+),
+qm AS (
+  SELECT vec_id AS query_id, component, m
+  FROM c WHERE vec_id < {N_QUERIES}
+),
+qs AS (
+  SELECT query_id, CAST(SUM(m * m) AS BIGINT) AS qs2
+  FROM qm GROUP BY query_id
+),
+{_ivf_assign_sql()},
 ad AS (
   SELECT a.query_id, a.cell_label, l.vec_id AS neighbor_id,
     CAST(SUM(qm.m * xh.xhat) AS BIGINT) AS d
@@ -1363,6 +1372,534 @@ def ann_ivf_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 6,
             ).alias("adc_sim"),
+        )
+    )
+    sw = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(sw))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance search (Jegou 2011 §II)
+# ---------------------------------------------------------------------------
+# The sub-vector generalization of SQ8 above: split each 64-d vector
+# into PQ_M=8 subspaces, learn a PQ_KS=16-centroid Lloyd codebook per
+# subspace, store each vector as 8 one-byte codes (32x smaller than
+# float32), and rank candidates by ADC — the query stays exact while
+# candidates are looked up in a per-query table of precomputed
+# query x centroid dots. All determinism-critical arithmetic follows
+# the SQ8/IVF precedent: centroid components are decimal-mean doubles,
+# assignment distances round to 6dp with lower-code tie-break, and
+# every ADC dot is an exact int64 fold over micro-unit integers, so
+# both engines rank identically.
+
+PQ_M = 8       # subspaces
+PQ_DSUB = 8    # dims per subspace (embeddings are 64-d)
+PQ_KS = 16     # centroids per subspace codebook
+PQ_ITERS = 2   # Lloyd iterations per codebook
+
+
+def _d2f(a: Column, b: Column) -> Column:
+    """Squared L2 as a sequential fold (mirrors the oracle's
+    list_reduce order; same idiom as q_cluster._d2)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_train(e: DataFrame) -> DataFrame:
+    """Per-subspace Lloyd codebooks: (sub, cid, cv array<double>).
+
+    Training is the only stage allowed to explode the corpus (x8
+    subvector rows, x16 broadcast candidates through a bounded
+    (sub, vec_id) window) — at 100 TB codebooks train on a bounded
+    SAMPLE (they are a dim x ks model artifact, not a data product),
+    while the serving path below is strictly map-side over one
+    broadcast codebook row. Seeds are the first PQ_KS vectors'
+    subvectors; recompute is the decimal-exact mean (q_cluster
+    idiom), so centroids are bit-identical across engines."""
+    sv = e.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s"),
+        "vec",
+    ).select(
+        "vec_id",
+        F.col("s").cast("bigint").alias("sub"),
+        F.slice("vec", F.col("s") * PQ_DSUB + 1, PQ_DSUB).alias("sv"),
+    )
+    cent = sv.filter(F.col("vec_id") < PQ_KS).select(
+        "sub",
+        F.col("vec_id").cast("bigint").alias("cid"),
+        F.col("sv").alias("cv"),
+    )
+    w = Window.partitionBy("sub", "vec_id").orderBy(
+        F.asc("d2r"), F.asc("cid")
+    )
+    for _ in range(PQ_ITERS):
+        asg = (
+            sv.join(F.broadcast(cent), "sub")
+            .withColumn("d2r", F.round(_d2f(F.col("sv"), F.col("cv")), 6))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("sub", "cid", "sv")
+        )
+        cent = (
+            asg.select("sub", "cid", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "cid", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(25,14)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+            .groupBy("sub", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda st: st["m"],
+                ).alias("cv")
+            )
+        )
+    return cent
+
+
+def _pq_codebook_row(cent: DataFrame) -> DataFrame:
+    """ONE broadcastable row holding the full codebook as maps keyed
+    by ``sub*PQ_KS + cid``: ``cb`` (double centroids, for assignment),
+    ``cbm`` (micro-int centroids, for LUT dots), ``c2m`` (micro-int
+    centroid self-dots, for reconstructed norms). M x KS entries —
+    a model artifact, never corpus-sized; dead cells (clusters that
+    lost all members) are simply absent and looked up as NULL."""
+    ent = cent.select(
+        (F.col("sub") * PQ_KS + F.col("cid")).alias("idx"),
+        "cv",
+        F.transform(
+            "cv", lambda x: F.round(x * 1_000_000).cast("long")
+        ).alias("cvm"),
+    ).withColumn(
+        "c2", _lsum(F.transform("cvm", lambda v: v * v))
+    )
+    return ent.agg(
+        F.map_from_entries(F.collect_list(F.struct("idx", "cv"))).alias("cb"),
+        F.map_from_entries(F.collect_list(F.struct("idx", "cvm"))).alias("cbm"),
+        F.map_from_entries(F.collect_list(F.struct("idx", "c2"))).alias("c2m"),
+    )
+
+
+def _pq_codes_col(v: Column, cb: Column) -> Column:
+    """PQ-encode one vector MAP-SIDE: array of PQ_M structs
+    (sub, code, d2r) — for each subspace, fold over the 16 candidate
+    centroids tracking the strict-min rounded distance (first winner
+    stays, so ties break to the lower code exactly like the oracle's
+    ROW_NUMBER ... ORDER BY d2r, cid). No explode, no shuffle, no
+    window: encoding a 100 TB corpus is a pure scan + broadcast."""
+
+    def best(s: Column) -> Column:
+        sv = F.slice(v, s * PQ_DSUB + 1, PQ_DSUB)
+
+        def step(acc: Column, cid: Column) -> Column:
+            cv = F.try_element_at(cb, (s * PQ_KS + cid).cast("bigint"))
+            d2r = F.round(_d2f(sv, cv), 6)
+            better = cv.isNotNull() & (
+                acc["d"].isNull() | (d2r < acc["d"])
+            )
+            return F.when(
+                better,
+                F.struct(
+                    d2r.alias("d"), cid.cast("bigint").alias("code")
+                ),
+            ).otherwise(acc)
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(PQ_KS - 1)),
+            F.struct(
+                F.lit(None).cast("double").alias("d"),
+                F.lit(None).cast("bigint").alias("code"),
+            ),
+            step,
+            lambda acc: F.struct(
+                s.cast("bigint").alias("sub"),
+                acc["code"].alias("code"),
+                acc["d"].alias("d2r"),
+            ),
+        )
+
+    return F.transform(F.sequence(F.lit(0), F.lit(PQ_M - 1)), best)
+
+
+_PQD2 = (
+    "list_reduce(list_transform(range(1, len({v}) + 1), "
+    "i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), (a, b) -> a + b)"
+)
+
+
+def _pq_assign_sql(label: str, prev: str) -> str:
+    """One per-subspace assignment CTE: nearest ``prev`` centroid per
+    (sub, vec_id), rounded-distance argmin, lower-cid tie-break."""
+    d2 = _PQD2.format(v="s.sv", c="k.cv")
+    return f"""{label} AS (
+  SELECT vec_id, sub, sv, cid, d2r FROM (
+    SELECT s.vec_id, s.sub, s.sv, k.cid, ROUND({d2}, 6) AS d2r,
+      ROW_NUMBER() OVER (PARTITION BY s.sub, s.vec_id
+        ORDER BY ROUND({d2}, 6) ASC, k.cid ASC) AS rn
+    FROM sv s JOIN {prev} k USING (sub)
+  ) WHERE rn = 1
+)"""
+
+
+def _pq_sql() -> str:
+    """CTE chain replaying the per-subspace Lloyd unroll + the final
+    code assignment: ends with ``pqc`` (vec_id, sub, code, d2r) and
+    ``pc{PQ_ITERS}`` (the final codebook)."""
+    ctes = [
+        "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings)",
+        f"""sv AS (
+  SELECT vec_id, CAST(s AS BIGINT) AS sub,
+    v[s*{PQ_DSUB}+1 : s*{PQ_DSUB}+{PQ_DSUB}] AS sv
+  FROM c, LATERAL (SELECT unnest(range(0, {PQ_M})) AS s) t
+)""",
+        f"pc0 AS (SELECT sub, CAST(vec_id AS BIGINT) AS cid, sv AS cv "
+        f"FROM sv WHERE vec_id < {PQ_KS})",
+    ]
+    for t in range(1, PQ_ITERS + 1):
+        ctes.append(_pq_assign_sql(f"pa{t}", f"pc{t - 1}"))
+        ctes.append(f"""pc{t} AS (
+  SELECT sub, cid, list(m ORDER BY pos) AS cv FROM (
+    SELECT sub, cid, pos,
+      CAST(SUM(CAST(x AS DECIMAL(25,14))) AS DOUBLE) / COUNT(*) AS m
+    FROM (SELECT sub, cid, unnest(sv) AS x,
+                 generate_subscripts(sv, 1) AS pos
+          FROM pa{t})
+    GROUP BY sub, cid, pos
+  ) GROUP BY sub, cid
+)""")
+    final = _pq_assign_sql("pqa", f"pc{PQ_ITERS}")
+    ctes.append(final)
+    ctes.append("pqc AS (SELECT vec_id, sub, cid AS code, d2r FROM pqa)")
+    return ",\n".join(ctes)
+
+
+def _pq_adc_sql() -> str:
+    """ADC CTE chain on top of ``_pq_sql``: micro-int codebook, the
+    per-query LUT of exact int64 query x centroid dots, candidate
+    scores as LUT sums, reconstructed norms, and the cosine-analog
+    ``adc`` similarity table (query_id, neighbor_id, adc_sim)."""
+    lsum = "(a, b) -> a + b"
+    return f"""centm AS (
+  SELECT sub, cid,
+    list_transform(cv, x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS cvm
+  FROM pc{PQ_ITERS}
+),
+c2t AS (
+  SELECT sub, cid,
+    CAST(list_reduce(list_transform(cvm, x -> x * x), {lsum}) AS BIGINT)
+      AS c2
+  FROM centm
+),
+qmi AS (
+  SELECT vec_id AS query_id,
+    list_transform(v, x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS qm
+  FROM c WHERE vec_id < {N_QUERIES}
+),
+qst AS (
+  SELECT query_id,
+    CAST(list_reduce(list_transform(qm, x -> x * x), {lsum}) AS BIGINT)
+      AS qs2
+  FROM qmi
+),
+lut AS (
+  SELECT q.query_id, m.sub, m.cid,
+    CAST(list_reduce(list_transform(range(1, {PQ_DSUB} + 1),
+      i -> q.qm[m.sub * {PQ_DSUB} + i] * m.cvm[i]), {lsum}) AS BIGINT)
+      AS ld
+  FROM qmi q, centm m
+),
+rst AS (
+  SELECT k.vec_id, CAST(SUM(c2t.c2) AS BIGINT) AS rs2
+  FROM pqc k JOIN c2t ON c2t.sub = k.sub AND c2t.cid = k.code
+  GROUP BY 1
+),
+sct AS (
+  SELECT l.query_id, k.vec_id AS neighbor_id, CAST(SUM(l.ld) AS BIGINT) AS d
+  FROM pqc k JOIN lut l ON l.sub = k.sub AND l.cid = k.code
+  WHERE l.query_id <> k.vec_id
+  GROUP BY 1, 2
+),
+adc AS (
+  SELECT sct.query_id, sct.neighbor_id,
+    ROUND(CAST(sct.d AS DOUBLE) / NULLIF(
+      sqrt(CAST(qst.qs2 AS DOUBLE) * CAST(rst.rs2 AS DOUBLE)), 0), 6)
+      AS adc_sim
+  FROM sct
+  JOIN qst USING (query_id)
+  JOIN rst ON rst.vec_id = sct.neighbor_id
+)"""
+
+
+@query(
+    "embedding_pq_codes",
+    survey="north-star similarity: product-quantization encoding "
+    "(Jegou 2011 §II) — per-subspace Lloyd codebooks (m=8, ks=16) "
+    "learned with the decimal-exact k-means idiom, then every vector "
+    "encoded MAP-SIDE against one broadcast codebook row (the 32x "
+    "compressed index a 100 TB ANN corpus actually stores)",
+    description=f"PQ codes: per (vector, subspace) nearest-centroid "
+    f"code + rounded distance (m={PQ_M}, ks={PQ_KS})",
+    oracle=f"WITH {_pq_sql()}\n"
+    "SELECT vec_id, sub, code, d2r FROM pqc",
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook training is the bounded-sample stage (``_pq_train``);
+    encoding is a pure scan: one crossJoin with the ONE-row codebook
+    (maps keyed sub*ks+cid) and a per-row fold — no per-dimension
+    explode of the corpus, no shuffle, no window. The only explode is
+    the x{PQ_M} unnest of the RESULT rows."""
+    e = _emb(spark, sf_dir)
+    brow = _pq_codebook_row(_pq_train(e))
+    return (
+        e.crossJoin(F.broadcast(brow))
+        .select(
+            "vec_id",
+            F.explode(
+                _pq_codes_col(F.col("vec"), F.col("cb"))
+            ).alias("z"),
+        )
+        .select(
+            "vec_id",
+            F.col("z.sub").alias("sub"),
+            F.col("z.code").alias("code"),
+            F.col("z.d2r").alias("d2r"),
+        )
+    )
+
+
+def _pq_candidates(e: DataFrame, brow: DataFrame) -> DataFrame:
+    """Corpus side of ADC search: per vector its m-entry code array
+    and the reconstructed self-dot (sum of its centroids' exact
+    micro-int self-dots) — all map-side off the broadcast codebook."""
+    return (
+        e.crossJoin(F.broadcast(brow))
+        .select(
+            "vec_id", "label",
+            F.transform(
+                _pq_codes_col(F.col("vec"), F.col("cb")),
+                lambda z: z["code"],
+            ).alias("codes"),
+            "c2m",
+        )
+        .select(
+            "vec_id", "label", "codes",
+            _lsum(
+                F.transform(
+                    F.col("codes"),
+                    lambda c, s: F.try_element_at(
+                        F.col("c2m"),
+                        (s.cast("bigint") * PQ_KS + c),
+                    ),
+                )
+            ).alias("rs2"),
+        )
+    )
+
+
+def _pq_query_rows(e: DataFrame, brow: DataFrame) -> DataFrame:
+    """Query side of ADC search: {N_QUERIES} rows carrying the exact
+    micro-int self-dot and the flat m*ks LUT of query x centroid int64
+    dots (Jegou 2011's per-query distance table — candidate scoring
+    becomes m array lookups, no vector math per pair)."""
+    qm = F.transform(
+        F.col("vec"), lambda x: F.round(x * 1_000_000).cast("long")
+    )
+    def lut_entry(idx):
+        sub = F.call_function(
+            "div", idx.cast("long"), F.lit(PQ_KS).cast("long")
+        )
+        cvm = F.try_element_at(F.col("cbm"), idx.cast("long"))
+        qsub = F.slice(F.col("qm"), sub * PQ_DSUB + 1, PQ_DSUB)
+        return F.when(
+            cvm.isNotNull(),
+            _lsum(F.zip_with(qsub, cvm, lambda a, b: a * b)),
+        ).otherwise(F.lit(None).cast("long"))
+
+    return (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(brow))
+        .select(
+            F.col("vec_id").alias("query_id"), qm.alias("qm"), "cbm"
+        )
+        .select(
+            "query_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M * PQ_KS - 1)), lut_entry
+            ).alias("lut"),
+            _lsum(
+                F.transform(F.col("qm"), lambda v: v * v)
+            ).alias("qs2"),
+        )
+    )
+
+
+def _pq_adc_sim() -> Column:
+    """ADC cosine-analog for one (candidate row x query row) pair:
+    sum of m LUT lookups over exact int64, normalized by the exact
+    query/reconstruction norms, rounded once."""
+    d = _lsum(
+        F.transform(
+            F.col("codes"),
+            lambda c, s: F.element_at(
+                F.col("lut"),
+                (s.cast("bigint") * PQ_KS + c + 1).cast("int"),
+            ),
+        )
+    )
+    return F.round(
+        d.cast("double")
+        / F.nullif(
+            F.sqrt(
+                F.col("qs2").cast("double") * F.col("rs2").cast("double")
+            ),
+            F.lit(0),
+        ),
+        6,
+    )
+
+
+def _pq_recall_oracle() -> str:
+    from tradecat_spark.plans.registry import REGISTRY
+
+    return f"""
+WITH {_pq_sql()},
+{_pq_adc_sql()},
+approx_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY adc_sim DESC, neighbor_id) AS rn FROM adc
+  ) WHERE rn <= {TOP_K}
+),
+exact_top AS (
+  SELECT query_id, neighbor_id
+  FROM ({REGISTRY['ann_cosine_topk'].oracle}) t
+)
+SELECT e.query_id,
+  CAST(COUNT(r.neighbor_id) AS BIGINT) AS n_hit,
+  ROUND(COUNT(r.neighbor_id) / CAST({TOP_K} AS DOUBLE), 6) AS recall
+FROM exact_top e
+LEFT JOIN approx_top r USING (query_id, neighbor_id)
+GROUP BY e.query_id
+"""
+
+
+@query(
+    "ann_pq_recall",
+    survey="north-star similarity: recall@5 of PQ/ADC ranking vs "
+    "exact float cosine — the quality gate before serving ANN from "
+    "32x-compressed codes; every dot is an exact int64 LUT sum so "
+    "the cutoff is engine-deterministic",
+    description=f"Per-query recall@{TOP_K} of PQ ADC ranking against "
+    "exact cosine",
+    oracle=_pq_recall_oracle(),
+)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus ADC as the recall baseline: candidates carry codes
+    + reconstructed norms (map-side), the 10 query rows broadcast
+    their LUTs, and scoring is m integer lookups per pair — one
+    |queries| x |corpus| map stage, one top-k window, one tiny join;
+    nothing corpus-global. Exact side reuses ann_cosine_topk."""
+    from tradecat_spark.plans.registry import REGISTRY
+
+    e = _emb(spark, sf_dir)
+    brow = _pq_codebook_row(_pq_train(e))
+    sims = (
+        _pq_candidates(e, brow)
+        .crossJoin(F.broadcast(_pq_query_rows(e, brow)))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _pq_adc_sim().alias("adc_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_sim"), F.asc("neighbor_id")
+    )
+    approx_top = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    exact_top = (
+        REGISTRY["ann_cosine_topk"]
+        .fn(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+    )
+    hit = exact_top.join(
+        approx_top.withColumn("hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return hit.groupBy("query_id").agg(
+        F.count("hit").cast("bigint").alias("n_hit"),
+        F.round(F.count("hit") / F.lit(float(TOP_K)), 6).alias("recall"),
+    )
+
+
+@query(
+    "ann_ivf_pq_search",
+    survey="north-star similarity search: the production compressed "
+    "index — IVF cell pruning over PQ codes ranked by ADC lookup "
+    "tables (Jegou 2011 IVFADC); codebooks, LUTs and queries all "
+    "broadcast, the corpus never exploded per-dimension",
+    description="Top-3 per query from the nearest IVF cell, ranked by "
+    "PQ ADC similarity",
+    oracle=f"""
+WITH {_pq_sql()},
+{_pq_adc_sql()},
+{_ivf_assign_sql()}
+SELECT query_id, cell_label, neighbor_id, adc_sim FROM (
+  SELECT a.query_id, a.cell_label, l.vec_id AS neighbor_id,
+    adc.adc_sim,
+    ROW_NUMBER() OVER (PARTITION BY a.query_id
+      ORDER BY adc.adc_sim DESC, l.vec_id ASC) AS rn
+  FROM assign a
+  JOIN lbl l ON l.label = a.cell_label AND l.vec_id <> a.query_id
+  JOIN adc ON adc.query_id = a.query_id AND adc.neighbor_id = l.vec_id
+) WHERE rn <= 3
+""",
+)
+def ann_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC: a query (a) assigns to its nearest coarse cell on the
+    broadcast |labels|-row centroid table, (b) equi-joins that ONE
+    cell's PQ codes, (c) ranks by ADC LUT sums — at 100 TB the store
+    is m one-byte codes per vector partitioned by cell, the probe
+    reads one cell, and every per-pair score is m array lookups."""
+    e = _emb(spark, sf_dir)
+    brow = _pq_codebook_row(_pq_train(e))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv")
+    )
+    assign = _ivf_nearest_cell(q, _ivf_centroids(e)).select(
+        "query_id", "cell_label"
+    )
+    qrows = _pq_query_rows(e, brow).join(
+        F.broadcast(assign), "query_id"
+    )
+    sims = (
+        _pq_candidates(e, brow)
+        .withColumnRenamed("label", "cell_label")
+        .join(F.broadcast(qrows), "cell_label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "cell_label",
+            F.col("vec_id").alias("neighbor_id"),
+            _pq_adc_sim().alias("adc_sim"),
         )
     )
     sw = Window.partitionBy("query_id").orderBy(

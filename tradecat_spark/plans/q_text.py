@@ -2395,7 +2395,11 @@ def mg_update(summ, vc, k):
     trim). Invariant: any key with true count > n/(k+1) over the
     stream so far survives in the summary (tests/test_properties.py
     pins this for arbitrary stream splits)."""
-    summ = summ.add(vc, fill_value=0)
+    # .add(fill_value=0) over disjoint indexes upcasts to float64;
+    # counts are bounded by the partition row count so the cast back
+    # to int64 is always exact (keeps the summary integer-exact, r6
+    # advice)
+    summ = summ.add(vc, fill_value=0).astype("int64")
     if len(summ) > k:
         cut = summ.nlargest(k + 1).iloc[-1]
         summ = summ.sub(cut)

@@ -204,7 +204,10 @@ def _partition_data_dir(store_path: str, entry: str) -> str | None:
     ]
     if not cands:
         return None
-    return max(cands, key=os.path.getmtime)
+    # newest by mtime, name-ordered tie-break: version names carry a
+    # time_ns prefix (see _commit_staging), so equal-mtime versions
+    # resolve to the later publish instead of an arbitrary winner
+    return max(cands, key=lambda p: (os.path.getmtime(p), os.path.basename(p)))
 
 
 #: Test seam: called once per partition right before its atomic swap.
@@ -244,9 +247,16 @@ def _commit_staging(spark: SparkSession, staging: str, store_path: str) -> None:
     anywhere before this call leaves the store byte-identical.
     ``spark`` is unused here but kept so the seam's signature is stable
     for both commit strategies."""
+    import time
     import uuid
 
-    ver = uuid.uuid4().hex[:12]
+    # Version token is nanosecond-time-prefixed so dir NAMES sort in
+    # publish order: the crash-recovery probes pick the newest version
+    # by (mtime, name), and on filesystems with coarse mtime
+    # granularity two versions published within the same tick would
+    # otherwise tie with the winner arbitrary — the name breaks the
+    # tie deterministically toward the later publish (r6 advice).
+    ver = f"{time.time_ns():020d}{uuid.uuid4().hex[:6]}"
     for entry in os.listdir(staging):
         if not entry.startswith(f"{PART_COL}="):
             continue  # _SUCCESS markers etc.
@@ -331,8 +341,12 @@ def read_store(spark: SparkSession, store_path: str) -> DataFrame:
             ):
                 continue
             entry = f"{PART_COL}=" + n.split(f"-{PART_COL}=", 1)[1]
+            # same (mtime, name) ordering as _partition_data_dir: the
+            # time_ns-prefixed version names break coarse-mtime ties
             if entry not in newest or (
-                os.path.getmtime(p) > os.path.getmtime(newest[entry])
+                (os.path.getmtime(p), n)
+                > (os.path.getmtime(newest[entry]),
+                   os.path.basename(newest[entry]))
             ):
                 newest[entry] = p
         if newest:
