@@ -625,17 +625,31 @@ def cms_frequency_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 HLL_BUCKETS = 256  # 2 hex digits of the hash pick the register
 
 
-@query(
-    "hll_register_law",
-    survey="§4 approx family: HyperLogLog registers (Flajolet 2007) — "
-    "per-bucket max leading-zero rank over md5(user), per event type; "
-    "MAX is the merge, so shard registers max-merged must equal the "
-    "direct registers (the law that makes HLL a map-side combiner at "
-    "100 TB, completing the sketch family next to KMV/CMS/quantile)",
-    description="Per-(event_type, bucket) HLL register: direct vs "
-    "8-shard max-merge, law flag",
-    oracle=f"""
-WITH h AS (
+def _hll_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_hll_r_sql``: one distinct pass to per-user
+    (event_type, shard, bucket, rank) rows."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    md = F.md5(F.col("user_id").cast("string"))
+    h = e.select(
+        "event_type",
+        (F.col("user_id") % 8).alias("shard"),
+        F.conv(F.substring(md, 1, 2), 16, 10).cast("bigint")
+        .alias("bucket"),
+        F.conv(F.substring(md, 3, 12), 16, 10).cast("bigint").alias("x"),
+    ).distinct()
+    rank = F.when(F.col("x") == 0, F.lit(49)).otherwise(
+        F.lit(49) - F.length(F.bin(F.col("x")))
+    )
+    return h.select("event_type", "shard", "bucket", rank.alias("rank"))
+
+
+def _hll_r_sql() -> str:
+    """The h/r register-rank CTEs shared by the HLL law, estimate and
+    error eval — ONE rendering of the bucket/rank integer algebra so
+    the three queries cannot drift."""
+    return """h AS (
   SELECT DISTINCT event_type, user_id % 8 AS shard,
     ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT
       AS bucket,
@@ -647,7 +661,20 @@ r AS (
   SELECT event_type, shard, bucket,
     CASE WHEN x = 0 THEN 49 ELSE 49 - length(bin(x)) END AS rank
   FROM h
-),
+)"""
+
+
+@query(
+    "hll_register_law",
+    survey="§4 approx family: HyperLogLog registers (Flajolet 2007) — "
+    "per-bucket max leading-zero rank over md5(user), per event type; "
+    "MAX is the merge, so shard registers max-merged must equal the "
+    "direct registers (the law that makes HLL a map-side combiner at "
+    "100 TB, completing the sketch family next to KMV/CMS/quantile)",
+    description="Per-(event_type, bucket) HLL register: direct vs "
+    "8-shard max-merge, law flag",
+    oracle=f"""
+WITH {_hll_r_sql()},
 shard_reg AS (
   SELECT event_type, shard, bucket, MAX(rank) AS reg
   FROM r GROUP BY 1, 2, 3
@@ -676,21 +703,7 @@ def hll_register_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 shard sketches, max-merges them, and asserts equality with the
     direct registers per (event_type, bucket). Everything after the
     one distinct pass is bounded by 8 x 256 rows per key."""
-    e = load_table(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull()
-    )
-    md = F.md5(F.col("user_id").cast("string"))
-    h = e.select(
-        "event_type",
-        (F.col("user_id") % 8).alias("shard"),
-        F.conv(F.substring(md, 1, 2), 16, 10).cast("bigint")
-        .alias("bucket"),
-        F.conv(F.substring(md, 3, 12), 16, 10).cast("bigint").alias("x"),
-    ).distinct()
-    rank = F.when(F.col("x") == 0, F.lit(49)).otherwise(
-        F.lit(49) - F.length(F.bin(F.col("x")))
-    )
-    r = h.select("event_type", "shard", "bucket", rank.alias("rank"))
+    r = _hll_ranks(spark, sf_dir)
     shard_reg = r.groupBy("event_type", "shard", "bucket").agg(
         F.max("rank").alias("reg")
     )
@@ -704,4 +717,146 @@ def hll_register_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.join(direct, ["event_type", "bucket"]).select(
         "event_type", "bucket", "n_shards_hit", "r_merged", "r_direct",
         (F.col("r_merged") == F.col("r_direct")).alias("law_holds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL estimator + error eval (completing the law+eval pairing)
+# ---------------------------------------------------------------------------
+HLL_M = 256  # registers (bucket = first 2 md5 hex digits)
+#: alpha_m * m^2 * 2^49 precomputed in Python and embedded as the SAME
+#: double literal in both engines, so the only runtime float ops are
+#: one divide (+ ln on the linear-counting branch) — Flajolet 2007 §4
+#: bias correction for m >= 128: alpha_m = 0.7213 / (1 + 1.079 / m).
+_HLL_C = 0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M * 2.0**49
+
+
+def _hll_est_sql() -> str:
+    """Estimate CTE chain on top of ``_hll_r_sql``: per-event_type
+    register aggregate -> integer-scaled harmonic sum -> bias-corrected
+    estimate with the small-range linear-counting branch."""
+    return f"""{_hll_r_sql()},
+reg AS (
+  SELECT event_type, bucket, MAX(rank) AS reg FROM r GROUP BY 1, 2
+),
+ag AS (
+  SELECT event_type,
+    CAST({HLL_M} - COUNT(*) AS BIGINT) AS v_zero,
+    CAST(SUM(1::BIGINT << (49 - reg))
+         + ({HLL_M} - COUNT(*)) * (1::BIGINT << 49) AS BIGINT) AS z_scaled
+  FROM reg GROUP BY event_type
+),
+est AS (
+  SELECT event_type, v_zero, z_scaled,
+    ROUND({_HLL_C!r} / z_scaled, 6) AS raw6,
+    CASE WHEN {_HLL_C!r} / z_scaled <= 2.5 * {HLL_M} AND v_zero > 0
+         THEN TRUE ELSE FALSE END AS linear_counting,
+    ROUND(CASE WHEN {_HLL_C!r} / z_scaled <= 2.5 * {HLL_M}
+                    AND v_zero > 0
+               THEN {HLL_M} * ln({HLL_M}.0 / v_zero)
+               ELSE {_HLL_C!r} / z_scaled END, 6) AS est6
+  FROM ag
+)"""
+
+
+@query(
+    "hll_estimate",
+    survey="§4 approx family: the HLL cardinality estimator on top of "
+    "the register law (Flajolet 2007) — bias-corrected harmonic mean "
+    "of 256 registers with the small-range linear-counting branch; "
+    "the harmonic sum is an exact integer (2^(49-reg) scaled) so both "
+    "engines divide identical operands",
+    description="Per-event_type HLL distinct estimate: zero-register "
+    "count, integer harmonic sum, 6dp estimate",
+    oracle=f"""
+WITH {_hll_est_sql()}
+SELECT event_type, v_zero, z_scaled, raw6, linear_counting, est6
+FROM est
+""",
+)
+def hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registers aggregate map-side (MAX is the combine), the harmonic
+    sum Z is kept as the exact integer sum of 2^(49-reg) (empty
+    registers contribute 2^49), and the estimate is ONE double divide
+    of the shared precomputed constant by Z — no float accumulation
+    anywhere, so the 6dp publish is engine-identical. The linear-
+    counting branch (raw <= 2.5m with empty registers) uses ln at 6dp,
+    the precedent quality_unigram_logprob established. Per event_type
+    the state is <= 256 registers: a 100 TB stream folds into KB."""
+    r = _hll_ranks(spark, sf_dir)
+    reg = r.groupBy("event_type", "bucket").agg(
+        F.max("rank").alias("reg")
+    )
+    two49 = 1 << 49
+    ag = reg.groupBy("event_type").agg(
+        (F.lit(HLL_M) - F.count(F.lit(1))).cast("bigint").alias("v_zero"),
+        (
+            F.sum(F.expr("shiftleft(cast(1 as bigint), "
+                         "cast(49 - reg as int))"))
+            + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(two49)
+        ).cast("bigint").alias("z_scaled"),
+    )
+    raw = F.lit(_HLL_C) / F.col("z_scaled")
+    lc = (raw <= 2.5 * HLL_M) & (F.col("v_zero") > 0)
+    est = F.when(
+        lc,
+        F.lit(HLL_M)
+        * F.log(F.lit(float(HLL_M)) / F.col("v_zero")),
+    ).otherwise(raw)
+    return ag.select(
+        "event_type", "v_zero", "z_scaled",
+        F.round(raw, 6).alias("raw6"),
+        lc.alias("linear_counting"),
+        F.round(est, 6).alias("est6"),
+    )
+
+
+@query(
+    "hll_error_eval",
+    survey="§4 approx family: HLL estimate vs exact count_distinct "
+    "with the bounded relative-error flag — the same law+eval pairing "
+    "as KMV/CMS/quantile_error_eval (3 sigma of the 1.04/sqrt(m) "
+    "standard error at m=256 is 19.5%)",
+    description="HLL estimate vs exact distinct users per event_type: "
+    "relative error + 3-sigma bound flag",
+    oracle=f"""
+WITH {_hll_est_sql()},
+exact AS (
+  SELECT event_type,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+)
+SELECT x.event_type, est.est6, x.exact_distinct,
+  ROUND(ABS(est.est6 - x.exact_distinct) / x.exact_distinct, 6)
+    AS rel_err6,
+  ABS(est.est6 - x.exact_distinct) / x.exact_distinct <= 0.195
+    AS within_3sigma
+FROM exact x JOIN est USING (event_type)
+""",
+)
+def hll_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes ``hll_estimate`` (same registry fn, so the estimate
+    cannot drift) against the exact distinct count. est6 is already an
+    engine-identical 6dp double and the exact count an int64, so the
+    relative error divides identical operands. The exact side is one
+    distinct aggregate — the thing HLL exists to avoid at 100 TB, kept
+    here as the eval harness only."""
+    from tradecat_spark.plans.registry import REGISTRY
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    est = REGISTRY["hll_estimate"].fn(spark, sf_dir).select(
+        "event_type", "est6"
+    )
+    rel = F.abs(F.col("est6") - F.col("exact_distinct")) / F.col(
+        "exact_distinct"
+    )
+    return exact.join(est, "event_type").select(
+        "event_type", "est6", "exact_distinct",
+        F.round(rel, 6).alias("rel_err6"),
+        (rel <= 0.195).alias("within_3sigma"),
     )

@@ -2819,3 +2819,86 @@ def mix_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         p6.alias("p_half"),
         F.round(p6 * 10000, 0).cast("long").alias("quota_per_10k"),
     )
+
+
+_EPOCH_DRAW = 100  # docs drawn per epoch (test-scale epoch size)
+
+
+def _epoch_manifest_oracle() -> str:
+    from tradecat_spark.plans.registry import REGISTRY
+
+    return f"""
+WITH p AS ({REGISTRY['mix_epoch_plan'].oracle}),
+m AS ({REGISTRY['corpus_training_manifest'].oracle}),
+d AS (
+  SELECT source,
+    LEAST(n_kept, CAST(ROUND(p_half * {_EPOCH_DRAW}, 0) AS BIGINT))
+      AS draw_n
+  FROM p
+),
+r AS (
+  SELECT doc_id, source,
+    ROW_NUMBER() OVER (PARTITION BY source
+      ORDER BY md5('ep1-' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM m WHERE keep_final
+)
+SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk, d.draw_n
+FROM r JOIN d USING (source)
+WHERE r.rk <= d.draw_n
+"""
+
+
+@query(
+    "mix_epoch_manifest",
+    survey="north-star curation capstone #3: the ACTUAL per-epoch "
+    "draw — mix_epoch_plan's temperature quotas realized as a "
+    "deterministic document list: per source, the quota-many kept "
+    "docs with the lowest epoch-seeded md5 rank (the reservoir "
+    "lane's seeding idiom, epoch-tagged so each epoch permutes "
+    "independently); oracle nests the plan's oracle verbatim",
+    description=f"Epoch-1 draw list: per-source hash-ranked kept docs "
+    f"up to the temperature quota (epoch size {_EPOCH_DRAW})",
+    oracle=_epoch_manifest_oracle(),
+)
+def mix_epoch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realizes the plan: draw_n = min(n_kept, round(p_half * epoch))
+    per source (a |sources|-row broadcast), and the draw itself is the
+    bottom-draw_n kept docs by md5('ep1-' || doc_id) — rerun- and
+    engine-stable, a fresh independent permutation per epoch seed.
+    Ranking runs through the two-level giant-group-safe min-k
+    (``operators.reservoir.per_group_topk`` with k = epoch size, a
+    constant), so no task ever materializes a whole source even when
+    one source holds half of 100 TB; the quota filter then trims each
+    source to its draw_n."""
+    from tradecat_spark.operators.reservoir import per_group_topk
+    from tradecat_spark.plans.registry import REGISTRY
+
+    plan = REGISTRY["mix_epoch_plan"].fn(spark, sf_dir)
+    d = plan.select(
+        "source",
+        F.least(
+            F.col("n_kept"),
+            F.round(F.col("p_half") * _EPOCH_DRAW, 0).cast("bigint"),
+        ).alias("draw_n"),
+    )
+    kept = (
+        REGISTRY["corpus_training_manifest"]
+        .fn(spark, sf_dir)
+        .filter(F.col("keep_final"))
+        .select(
+            "doc_id", "source",
+            F.md5(
+                F.concat(F.lit("ep1-"), F.col("doc_id").cast("string"))
+            ).alias("h"),
+        )
+    )
+    r = per_group_topk(kept, ["source"], ["h", "doc_id"], _EPOCH_DRAW)
+    return (
+        r.join(F.broadcast(d), "source")
+        .filter(F.col("rk") <= F.col("draw_n"))
+        .select(
+            "doc_id", "source",
+            F.col("rk").cast("bigint").alias("rk"),
+            "draw_n",
+        )
+    )
