@@ -1590,3 +1590,149 @@ def test_commit_grace_survives_noncanonical_symlink_target(spark, tmp_path):
     ing.upsert_batch(spark, bar(3.5), store, keys)
     assert displaced_version not in os.listdir(store)
     assert ing.read_store(spark, store).collect()[0]["close"] == 3.5
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental dedup (silver sig store + micro-batch screen)
+# ---------------------------------------------------------------------------
+def _dedup_fixtures(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    is_delta = F.col("doc_id") % 10 == 0
+    return docs.filter(~is_delta), docs.filter(is_delta)
+
+
+def _seed_base_store(spark, base, sig_store):
+    from tradecat_spark.operators.minhash import doc_sigs
+    from tradecat_spark.streaming.dedup import upsert_sigs
+
+    upsert_sigs(
+        spark,
+        doc_sigs(base).withColumn("batch_id", F.lit(-1).cast("long")),
+        sig_store,
+    )
+
+
+def _verdict_pdf(spark, verdict_path):
+    return (
+        spark.read.parquet(verdict_path)
+        .drop("batch_id")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_streaming_incremental_dedup_matches_batch_query(
+    spark, sf_dir, tmp_path
+):
+    """Batch-parity law: streaming the delta docs through the sig-store
+    screen must reproduce dedup_incremental_delta (same split, same
+    signature algebra, base persisted instead of recomputed)."""
+    from tradecat_spark.plans.registry import REGISTRY, load_all
+    from tradecat_spark.streaming.dedup import start_dedup_screen
+
+    load_all()
+    base, delta = _dedup_fixtures(spark, sf_dir)
+    sig_store = str(tmp_path / "sigs")
+    verdicts = str(tmp_path / "verdicts")
+    src = str(tmp_path / "src")
+    _seed_base_store(spark, base, sig_store)
+    delta.write.mode("overwrite").parquet(src)
+    q = start_dedup_screen(
+        spark.readStream.schema(delta.schema).parquet(src),
+        sig_store,
+        verdicts,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = _verdict_pdf(spark, verdicts)
+    want = (
+        REGISTRY["dedup_incremental_delta"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=True
+    )
+
+
+def test_dedup_screen_crash_seam_and_replay_idempotence(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Crash between the verdict write and the sig commit, then replay:
+    verdicts must be byte-stable across the crash replay AND across a
+    post-commit replay (at-least-once redelivery), and the store must
+    hold the batch's signatures exactly once."""
+    from tradecat_spark.operators.minhash import doc_sigs
+    from tradecat_spark.streaming import dedup as sd
+    from tradecat_spark.streaming.ingest import read_store
+
+    base, delta = _dedup_fixtures(spark, sf_dir)
+    sig_store = str(tmp_path / "sigs")
+    verdicts = str(tmp_path / "verdicts")
+    _seed_base_store(spark, base, sig_store)
+    n_base_rows = read_store(spark, sig_store).count()
+
+    real = sd.upsert_sigs
+    monkeypatch.setattr(
+        sd, "upsert_sigs",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        sd.screen_and_persist(spark, delta, 7, sig_store, verdicts)
+    v_crash = _verdict_pdf(spark, verdicts)
+    assert len(v_crash) == delta.count()
+    # store untouched by the crashed attempt
+    assert read_store(spark, sig_store).count() == n_base_rows
+
+    monkeypatch.setattr(sd, "upsert_sigs", real)
+    sd.screen_and_persist(spark, delta, 7, sig_store, verdicts)
+    v_replay = _verdict_pdf(spark, verdicts)
+    pd.testing.assert_frame_equal(v_crash, v_replay)
+    store = read_store(spark, sig_store)
+    n_delta_rows = doc_sigs(delta).count()
+    assert store.count() == n_base_rows + n_delta_rows
+
+    # at-least-once redelivery AFTER a full commit: the batch's own
+    # signatures are now in the store, but self-exclusion keeps the
+    # screened base identical, so verdicts and store are unchanged
+    sd.screen_and_persist(spark, delta, 7, sig_store, verdicts)
+    pd.testing.assert_frame_equal(v_crash, _verdict_pdf(spark, verdicts))
+    assert read_store(spark, sig_store).count() == n_base_rows + n_delta_rows
+
+
+def test_dedup_screen_sequential_batches_accumulate_base(
+    spark, sf_dir, tmp_path
+):
+    """Second batch screens against base + first batch: a doc
+    duplicating a batch-1 text must now screen as an exact dup."""
+    from tradecat_spark.streaming import dedup as sd
+    from tradecat_spark.streaming.ingest import read_store
+
+    base, delta = _dedup_fixtures(spark, sf_dir)
+    sig_store = str(tmp_path / "sigs")
+    verdicts = str(tmp_path / "verdicts")
+    _seed_base_store(spark, base, sig_store)
+
+    b1 = delta.limit(20)
+    sd.screen_and_persist(spark, b1, 0, sig_store, verdicts)
+    # batch 2: fresh ids carrying batch-1 texts
+    b2 = b1.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    sd.screen_and_persist(spark, b2, 1, sig_store, verdicts)
+    v2 = (
+        spark.read.parquet(f"{verdicts}/batch_id=1")
+        .toPandas()
+    )
+    assert (v2["verdict"] == "exact").all()
+    # and their first_match points at the batch-1 doc (or an older
+    # base doc with the same text), never at themselves
+    assert (v2["first_match"] < 1_000_000).all()
+    assert read_store(spark, sig_store).count() > 0

@@ -26,9 +26,16 @@ from tradecat_spark.plans.registry import query
 #: drift from the Spark-side exact.mean6
 _MEAN6_LP = mean6_sql("lp")
 
-N_SEEDS = 8          # minhash permutations
-BAND_ROWS = 2        # rows per LSH band → 4 bands
-SHINGLE_WORDS = 5    # word-shingle width
+# minhash constants live in operators.minhash (shared with the
+# streaming screen); re-exported here because every LSH oracle
+# f-string renders them
+from tradecat_spark.operators.minhash import (  # noqa: E402
+    BAND_ROWS,
+    N_SEEDS,
+    SHINGLE_WORDS,
+    band_rows,
+)
+
 BAND_CAP = 64        # max bucket size for all-pairs; beyond → star pairs
 
 
@@ -71,16 +78,9 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
-def _spread(d: DataFrame) -> DataFrame:
-    """Round-robin repartition ahead of CPU-heavy string/hash stages.
-
-    The documents table is one small parquet file → ONE input partition,
-    which would serialize shingling + hashing on a single core (measured
-    5 s single-core vs <1 s spread at sf0.1). REPARTITION_BY_NUM is
-    AQE-coalesce-exempt; 2n+1 avoids colliding with
-    spark.sql.shuffle.partitions (see indicators/engine.py)."""
-    nparts = 2 * d.sparkSession.sparkContext.defaultParallelism + 1
-    return d.repartition(nparts)
+# _spread: single-sourced in operators.minhash (measured 5 s
+# single-core vs <1 s spread at sf0.1; see that docstring)
+from tradecat_spark.operators.minhash import spread as _spread  # noqa: E402
 
 
 def _shingles(d: DataFrame) -> DataFrame:
@@ -141,40 +141,7 @@ def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(docs), not O(shingles × seeds). Hashes are
     min(md5(seed|shingle)) compared lexicographically, identical in both
     engines; candidate pairs equi-join on band_sig (dedup_minhash_pairs)."""
-    d = _docs(spark, sf_dir)
-    w = _words()
-    n = F.size(w)
-    idx = F.sequence(F.lit(0), n - SHINGLE_WORDS)
-    sh = _spread(d.filter(n >= SHINGLE_WORDS)).select(
-        "doc_id",
-        F.explode(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, SHINGLE_WORDS)))
-        ).alias("shingle"),
-    )
-    wide = sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")).cast("binary"))
-            ).alias(f"mh{s}")
-            for s in range(N_SEEDS)
-        ]
-    )
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(i).cast("int").alias("band"),
-                F.md5(
-                    F.concat(
-                        *[F.col(f"mh{j}") for j in range(i * BAND_ROWS, (i + 1) * BAND_ROWS)]
-                    ).cast("binary")
-                ).alias("band_sig"),
-            )
-            for i in range(N_SEEDS // BAND_ROWS)
-        ]
-    )
-    return wide.select("doc_id", F.explode(bands).alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig")
-    )
+    return band_rows(_docs(spark, sf_dir))
 
 
 _PAIRS_CTES = f"""
@@ -2589,54 +2556,17 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     BROADCAST the delta side (batch ≪ corpus), so the base streams
     through map-side hash joins: no base self-join, no base shuffle.
     Short docs (<5 words, no shingles) still get exact-hash screening
-    via the md5 lane."""
+    via the md5 lane.
+
+    Since r7 the signature algebra and the screen itself live in
+    ``operators.minhash`` (doc_sigs / screen_delta), shared verbatim
+    with the streaming screen (``streaming/dedup.py``) — this query IS
+    the batch-parity law surface for that stream."""
+    from tradecat_spark.operators.minhash import doc_sigs, screen_delta
+
     is_delta = F.col("doc_id") % 10 == 0
-    d0 = _docs(spark, sf_dir).select(
-        "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
-    )
-    delta = d0.filter(is_delta)
-    base = d0.filter(~is_delta)
-    ex = (
-        base.join(F.broadcast(delta.select("doc_id", "h")
-                              .withColumnRenamed("doc_id", "d_id")), "h")
-        .groupBy("d_id")
-        .agg(F.min("doc_id").alias("exact_base"))
-        .withColumnRenamed("d_id", "doc_id")
-    )
-    sig = dedup_minhash_bands(spark, sf_dir)
-    ds = sig.filter(is_delta).select(
-        F.col("doc_id").alias("d_id"), "band", "band_sig"
-    )
-    bs = sig.filter(~is_delta)
-    cand = (
-        bs.join(F.broadcast(ds), ["band", "band_sig"])
-        .select(F.col("d_id").alias("doc_id"),
-                F.col("doc_id").alias("base_doc"))
-        .distinct()
-    )
-    cagg = cand.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_lsh_candidates"),
-        F.min("base_doc").alias("min_cand"),
-    )
-    out = (
-        delta.select("doc_id")
-        .join(ex, "doc_id", "left")
-        .join(cagg, "doc_id", "left")
-    )
-    return out.select(
-        "doc_id",
-        F.col("exact_base").isNotNull().alias("is_exact_dup"),
-        F.coalesce(F.col("n_lsh_candidates"), F.lit(0)).cast("bigint")
-        .alias("n_lsh_candidates"),
-        F.least(
-            F.coalesce(F.col("exact_base"), F.col("min_cand")),
-            F.coalesce(F.col("min_cand"), F.col("exact_base")),
-        ).alias("first_match"),
-        F.when(F.col("exact_base").isNotNull(), F.lit("exact"))
-        .when(F.col("n_lsh_candidates") > 0, F.lit("near_candidate"))
-        .otherwise(F.lit("unique"))
-        .alias("verdict"),
-    )
+    sigs = doc_sigs(_docs(spark, sf_dir).select("doc_id", "text"))
+    return screen_delta(sigs.filter(is_delta), sigs.filter(~is_delta))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,147 @@
+"""Streaming incremental dedup: silver signature store + micro-batch screen.
+
+Wires the batch shape `dedup_incremental_delta` proves (broadcast-delta
+probes against a base that never self-joins or shuffles) into ingest:
+each arriving micro-batch of documents is signature-encoded
+(`operators.minhash.doc_sigs` — the SAME function the batch query
+uses), screened against the persisted signature store, its verdicts
+written to a per-batch sink partition, and its signatures committed to
+the store through the generic idempotent upsert
+(`streaming.ingest.upsert_partitions`).
+
+Exactly-once-by-idempotence story, mirroring the candle ingest:
+
+* The verdict sink overwrites its OWN batch directory
+  (``batch_id=N``), so a replayed batch replaces rather than appends.
+* The signature store partitions BY BATCH (``part_expr = the batch
+  id``), so a replay rewrites exactly one partition through the
+  crash-safe symlink-swap commit; the merge is insert-if-absent per
+  doc, so re-inserting identical rows is a no-op.
+* Screening EXCLUDES base rows whose doc_id appears in the batch
+  (one broadcast anti-join — delta-sized). A replay whose previous
+  attempt crashed mid-commit would otherwise see its own
+  partially-persisted signatures as "base" and flip verdicts from
+  unique to exact-dup; with the exclusion, the screened base is the
+  pre-batch base under any crash/replay interleaving, so verdicts are
+  stable and the law test against `dedup_incremental_delta` holds.
+
+Scale posture: per-trigger work is O(batch) for encoding + one
+streaming pass of the base through map-side hash joins for the screen.
+At 100 TB the base side is the stored sig table (computed once at its
+own ingest, never recomputed) and the per-batch store partitions are
+compacted on the retention schedule (`operators/storage.py`), same as
+the candle store.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tradecat_spark.operators.minhash import doc_sigs, screen_delta
+from tradecat_spark.streaming.ingest import (
+    PART_COL,
+    read_store,
+    upsert_partitions,
+)
+
+SIG_KEYS = ["doc_id", "band"]
+
+
+def upsert_sigs(
+    spark: SparkSession, sigs: DataFrame, store_path: str
+) -> None:
+    """Commit one batch's signature rows (must carry ``batch_id``).
+
+    Partitioned by batch id: a trigger touches exactly ONE store
+    partition however the doc ids hash, and a replay rewrites that
+    partition idempotently (insert-if-absent keeps the first attempt's
+    rows — signatures are deterministic functions of the text, so the
+    re-inserted rows are identical anyway)."""
+
+    def _merge(existing: DataFrame | None, f: DataFrame) -> DataFrame:
+        if existing is None:
+            return f
+        return existing.unionByName(
+            f.join(
+                existing.select("doc_id").distinct(), "doc_id",
+                "left_anti",
+            )
+        )
+
+    upsert_partitions(
+        spark, sigs, sigs, store_path, SIG_KEYS, _merge,
+        part_expr=F.concat(
+            F.lit("b"), F.col("batch_id").cast("string")
+        ),
+    )
+
+
+def _store_has_data(store_path: str) -> bool:
+    return os.path.isdir(store_path) and any(
+        e.startswith((f"{PART_COL}=", ".")) for e in os.listdir(store_path)
+    )
+
+
+def screen_and_persist(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    sig_store: str,
+    verdict_path: str,
+) -> None:
+    """The foreachBatch body, exposed for tests: encode -> screen
+    against the pre-batch base -> write verdicts (idempotent per-batch
+    overwrite) -> commit signatures. A crash anywhere leaves either a
+    re-screenable batch (checkpoint not advanced) or a fully committed
+    one; both replay to the same verdicts and store content."""
+    sigs = doc_sigs(batch.select("doc_id", "text")).withColumn(
+        "batch_id", F.lit(batch_id).cast("long")
+    )
+    # from the RAW batch, not the sig rows: the probe must not pay the
+    # shingle/minhash pass a second time (same reasoning as the candle
+    # ingest's raw-batch partition probe)
+    batch_ids = batch.select("doc_id").distinct()
+    if _store_has_data(sig_store):
+        base = read_store(spark, sig_store).join(
+            F.broadcast(batch_ids), "doc_id", "left_anti"
+        )
+    else:
+        base = sigs.filter(F.lit(False))
+    verdicts = screen_delta(sigs, base).withColumn(
+        "batch_id", F.lit(batch_id).cast("long")
+    )
+    verdicts.write.mode("overwrite").parquet(
+        f"{verdict_path}/batch_id={batch_id}"
+    )
+    upsert_sigs(spark, sigs, sig_store)
+
+
+def start_dedup_screen(
+    stream: DataFrame,
+    sig_store: str,
+    verdict_path: str,
+    checkpoint: str,
+    trigger_sec: int = 3,
+    available_now: bool = False,
+):
+    """Start the screening query over a (doc_id, text) stream."""
+    spark = stream.sparkSession
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        screen_and_persist(spark, batch, batch_id, sig_store, verdict_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_sec} seconds")
+    return writer.start()

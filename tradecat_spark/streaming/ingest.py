@@ -135,22 +135,51 @@ def upsert_batch(
         )
         return
 
-    # Touched partition values: one tiny distinct over the RAW batch —
-    # the fold never changes keys and _part_expr depends only on keys,
-    # so the probe job is a cheap map-side-combined distinct that never
-    # executes the fold (r5 bench flagged the probe re-running it).
-    # Bounded by symbols × dates in a 3 s window, not by row count.
-    # Each touched partition's CURRENT data dir is resolved individually
-    # (published entry, or the newest crash-orphaned version — see
-    # _partition_data_dir), so a replay after ANY crash point re-reads
-    # whatever survived and reconverges under the idempotent merge law;
-    # an empty/missing store is just the zero-partitions case of the
-    # same path (no special bootstrap branch to crash out of).
+    def _merge(existing: DataFrame | None, f: DataFrame) -> DataFrame:
+        if existing is None:
+            # merge law over an EMPTY target is the folded batch itself
+            # (pure source-side pass-through): skip the outer-join
+            # stage. The recovery probe already looked for
+            # crash-orphaned versions, so empty here really means no
+            # prior data for the touched partitions.
+            return f.select(*keys, *MERGE_COLS)
+        return merge_candles(existing, f, keys)
+
+    upsert_partitions(spark, batch, folded, store_path, keys, _merge)
+
+
+def upsert_partitions(
+    spark: SparkSession,
+    probe: DataFrame,
+    folded: DataFrame,
+    store_path: str,
+    keys: list[str],
+    merge_fn,
+    part_expr: Column | None = None,
+) -> None:
+    """Generic partition-scoped staged merge-commit — the idempotent
+    upsert pattern shared by the candle store and any other silver
+    store (the streaming dedup signature store reuses it with an
+    insert-if-absent merge and a per-batch partition expression).
+
+    ``probe`` supplies the touched partition values (one tiny distinct
+    — pass the RAW batch so the probe job never executes the fold;
+    bounded by symbols x dates in a trigger window, not row count).
+    Each touched partition's CURRENT data dir is resolved individually
+    (published entry, or the newest crash-orphaned version — see
+    _partition_data_dir), so a replay after ANY crash point re-reads
+    whatever survived and reconverges as long as ``merge_fn`` is
+    idempotent. ``merge_fn(existing_or_None, folded)`` returns the
+    merged rows (None = no prior data for the touched partitions).
+    ``part_expr`` overrides the layout column (default: date of a
+    timestamp key, else key-hash bucket)."""
+    if part_expr is None:
+        part_expr = _part_expr(probe, keys)
     dirs = []
     if os.path.isdir(store_path):
         touched = [
             r[0]
-            for r in batch.select(_part_expr(batch, keys).alias(PART_COL))
+            for r in probe.select(part_expr.alias(PART_COL))
             .distinct()
             .collect()
         ]
@@ -159,18 +188,13 @@ def upsert_batch(
             if d is not None:
                 dirs.append(d)
     if dirs:
-        # data files carry keys + MERGE_COLS only (partitionBy excludes
+        # data files carry the value columns only (partitionBy excludes
         # the layout column), so reading the resolved dirs directly is
         # both prune-exact and parse-free
-        merged = merge_candles(spark.read.parquet(*dirs), folded, keys)
+        merged = merge_fn(spark.read.parquet(*dirs), folded)
     else:
-        # merge law over an EMPTY target is the folded batch itself
-        # (pure source-side pass-through): skip the outer-join stage.
-        # The recovery probe above already looked for crash-orphaned
-        # versions, so empty here really means no prior data for the
-        # touched partitions.
-        merged = folded.select(*keys, *MERGE_COLS)
-    merged = merged.withColumn(PART_COL, _part_expr(merged, keys))
+        merged = merge_fn(None, folded)
+    merged = merged.withColumn(PART_COL, part_expr)
 
     staging = f"{store_path}.staging"
     merged.write.mode("overwrite").partitionBy(PART_COL).parquet(staging)
