@@ -28,48 +28,59 @@ def entry(spark: SparkSession) -> DataFrame:
 #: then the round-1-only rows (every r02-checked row was green and
 #: unchanged, so they rotate to the back and re-enter next round).
 _GATE_PRIORITY = (
-    # --- new r6 queries are inserted HERE as they land (never-checked
-    # names must sit inside the 50-slot window — tools/gate_ledger.py
-    # and tests/test_gate_rotation.py enforce it)
-    "dedup_span_trim_ranges", "corpus_trim_stats",
-    "token_decile_tiers", "corpus_exact_quantiles",
-    "embedding_component_quantiles", "embedding_winsorized_stats",
-    "embedding_sq8_error", "ann_sq8_recall",
-    "heavy_hitters_exact", "bpe_pair_candidates",
-    "dedup_incremental_delta", "chunk_compression_plan",
-    "ann_ivf_sq8_search", "source_overlap_matrix",
-    "hll_register_law", "mix_epoch_plan",
-    # --- re-check first: the rankcut rewrite changed these three plans
-    # this round (oracles unchanged, builder-mimic green at sf0.01+0.1)
-    "quality_unigram_logprob", "sample_dsir_importance",
+    # --- r7 front (gate cap = 50): the 6 queries born this round
+    # (PQ/IVFADC family, HLL estimator pair, epoch draw manifest),
+    "embedding_pq_codes", "ann_pq_recall", "ann_ivf_pq_search",
+    "hll_estimate", "hll_error_eval", "mix_epoch_manifest",
+    # --- re-checks: the minhash lane was refactored into
+    # operators.minhash this round (results mimic-verified unchanged)
+    "dedup_minhash_bands", "dedup_incremental_delta",
+    # --- r2-cohort rotation (oldest ledger rows; 42 of 43 fit —
+    # text_vocab_topk rotates in r8)
+    "ai_context_snapshot", "ann_ivf_search", "ann_label_centroids",
+    "ann_lsh_buckets", "ann_multiprobe_search", "ann_recall_eval",
+    "approx_distinct_kmv", "chart_bb_zone_strip", "chart_cvd_cumulative",
+    "chart_equity_drawdown", "chart_intraday_volume_heatmap",
+    "chart_kline_ma_volume", "chart_long_short_ratio", "chart_macd_series",
+    "chart_oi_change", "chart_taker_ratio_heatmap", "chart_vpvr_ridge",
+    "dedup_canonical_corpus", "dedup_embedding_cosine", "freshness_gate",
+    "global_totals_latest", "ind_atr_wilder_fold", "ind_donchian_williams",
+    "metrics_cascade_1d", "mm_decode_features", "mm_frame_sample",
+    "mm_resize_images", "ohlcv_cascade_1M", "orderbook_depth_bands",
+    "orderbook_depth_hourly", "quality_filter_funnel", "ranking_card_1h",
+    "ranking_card_rendered", "rest_ohlc_history", "rest_oi_history",
+    "rest_supported_coins", "serving_retention_trim",
+    "signal_threshold_cross_sql", "single_token_panel",
+    "stats_profile_by_type", "streaming_rollup_5m",
+    "streaming_signals_parity",
+    # --- previously green, unchanged code -> back of the line
+    "dedup_span_trim_ranges", "corpus_trim_stats", "token_decile_tiers",
+    "corpus_exact_quantiles", "embedding_component_quantiles",
+    "embedding_winsorized_stats", "embedding_sq8_error", "ann_sq8_recall",
+    "heavy_hitters_exact", "bpe_pair_candidates", "chunk_compression_plan",
+    "ann_ivf_sq8_search", "source_overlap_matrix", "hll_register_law",
+    "mix_epoch_plan", "quality_unigram_logprob", "sample_dsir_importance",
     "corpus_training_manifest", "partial_bar_merge",
-    "sample_per_group_reservoir",
-    # --- r1-vintage rotation, FINAL tranche (r4 verdict item 4 bar:
-    # no last_checked_round == 1 after r6) — the 28 remaining rows
-    "ann_cosine_topk", "backfill_plan_days", "dedup_clusters",
-    "dedup_exact_groups", "dedup_minhash_bands", "dedup_minhash_pairs",
+    "sample_per_group_reservoir", "ann_cosine_topk", "backfill_plan_days",
+    "dedup_clusters", "dedup_exact_groups", "dedup_minhash_pairs",
     "dedup_ngram_jaccard", "dedup_simhash", "ind_bollinger",
     "ind_candle_patterns", "ind_cci", "ind_ema20_fold", "ind_ichimoku",
     "ind_kdj_fold", "ind_keltner_fold", "ind_mfi", "ind_obv_cvd",
     "ind_pivot_points", "ind_regr_slope", "ind_sma_cross_signals",
     "ind_vpvr_profile", "ind_vwap_bands", "ind_zscore_percentile",
     "metrics_weighted_ratio_1h", "text_fingerprint", "text_lang_id",
-    "text_quality_score", "text_token_stats",
-    # --- r5 cohort first re-check (green at birth in r5; standard
-    # rotation policy, fills the window behind the vintage tranche)
-    "tpch_q15_top_supplier", "tpch_q17_small_qty_revenue",
-    "indicator_surface_checksum", "indicator_batch_checksum",
-    "signal_rule_events_checksum", "signal_pack_subset_checksum",
-    "tpch_q20_excess_shippers", "tpch_q21_suppliers_kept_waiting",
-    "tpch_q2_min_cost_supplier", "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock", "tpch_q13_customer_distribution",
-    "tpch_q16_parts_supplier_counts", "embedding_random_projection",
-    "rp_recall_eval", "dedup_substring_spans", "kmv_merge_law",
-    "cube_corpus_stats", "bucketed_colocated_join", "gapfill_locf_1h",
-    "cms_frequency_law",
-    "pagerank_similarity_graph", "cdc_incremental_equivalence",
-    "quantile_error_eval", "chart_intraday_volatility", "orderbook_l1_stats",
-    # --- previously green, unchanged code -> back of the line
+    "text_quality_score", "text_token_stats", "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue", "indicator_surface_checksum",
+    "indicator_batch_checksum", "signal_rule_events_checksum",
+    "signal_pack_subset_checksum", "tpch_q20_excess_shippers",
+    "tpch_q21_suppliers_kept_waiting", "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit", "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution", "tpch_q16_parts_supplier_counts",
+    "embedding_random_projection", "rp_recall_eval", "dedup_substring_spans",
+    "kmv_merge_law", "cube_corpus_stats", "bucketed_colocated_join",
+    "gapfill_locf_1h", "cms_frequency_law", "pagerank_similarity_graph",
+    "cdc_incremental_equivalence", "quantile_error_eval",
+    "chart_intraday_volatility", "orderbook_l1_stats",
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q5_region_revenue", "top_customers_by_spend",
     "orders_with_discounted_lines", "customers_without_orders",
@@ -77,10 +88,10 @@ _GATE_PRIORITY = (
     "flagship_rank_24h_change", "ohlcv_rollup_5m", "ohlcv_cascade_1h",
     "meta_join_1h", "latest_event_per_user", "top3_events_per_user",
     "lead_gaps_10m", "calendar_completeness", "daily_market_share",
-    "asof_purchase_context", "ind_tail_runs",
-    "realtime_union_view", "indicator_batch_150x7", "indicator_surface_1h",
-    "signal_rule_events", "signal_rule_pack_129", "ind_cdl_singles_parity",
-    "ind_cdl_pairs_parity", "ind_cdl_triples_parity", "ind_cdl_wide_parity",
+    "asof_purchase_context", "ind_tail_runs", "realtime_union_view",
+    "indicator_batch_150x7", "indicator_surface_1h", "signal_rule_events",
+    "signal_rule_pack_129", "ind_cdl_singles_parity", "ind_cdl_pairs_parity",
+    "ind_cdl_triples_parity", "ind_cdl_wide_parity",
     "ind_chart_patterns_parity", "streaming_obv_parity",
     "streaming_cvd_parity", "text_tfidf_topk", "mm_audio_windows",
     "quality_bigram_logprob", "sessionize_user_events",
@@ -116,22 +127,7 @@ _GATE_PRIORITY = (
     "ind_ema_gc_regime", "ind_heikin_long_short", "ind_madrid_ribbon",
     "ind_smc_structure", "ind_precision_trend", "ind_trend_line",
     "ind_smart_rsi", "retention_policy_plan", "chart_market_vpvr_heat",
-    "chart_vpvr_zone_strip", "chart_kline_envelope", "ai_context_snapshot",
-    "ann_ivf_search", "ann_label_centroids", "ann_lsh_buckets",
-    "ann_multiprobe_search", "ann_recall_eval", "approx_distinct_kmv",
-    "chart_bb_zone_strip", "chart_cvd_cumulative", "chart_equity_drawdown",
-    "chart_intraday_volume_heatmap", "chart_kline_ma_volume",
-    "chart_long_short_ratio", "chart_macd_series", "chart_oi_change",
-    "chart_taker_ratio_heatmap", "chart_vpvr_ridge", "dedup_canonical_corpus",
-    "dedup_embedding_cosine", "freshness_gate", "global_totals_latest",
-    "ind_atr_wilder_fold", "ind_donchian_williams", "metrics_cascade_1d",
-    "mm_decode_features", "mm_frame_sample", "mm_resize_images",
-    "ohlcv_cascade_1M", "orderbook_depth_bands", "orderbook_depth_hourly",
-    "quality_filter_funnel", "ranking_card_1h", "ranking_card_rendered",
-    "rest_ohlc_history", "rest_oi_history", "rest_supported_coins",
-    "serving_retention_trim", "signal_threshold_cross_sql",
-    "single_token_panel", "stats_profile_by_type", "streaming_rollup_5m",
-    "streaming_signals_parity", "text_vocab_topk",
+    "chart_vpvr_zone_strip", "chart_kline_envelope", "text_vocab_topk",
 )
 
 #: Empty since round 5: the r4 overflow pair (tpch_q15/q17) rotated
