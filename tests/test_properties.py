@@ -644,3 +644,71 @@ def test_sq8_reconstruction_bound(spark):
         assert l <= xh <= h, (x, xh)
         assert abs(xh - mc) * 510 <= span + 510, (x, xh, mc)
     assert out[-1] == 500_000  # degenerate span pins to lo
+
+
+def test_mg_update_preserves_int64():
+    """Series.add(fill_value=0) over disjoint indexes upcasts to
+    float64 — mg_update must cast back so the summary counts stay
+    integer-exact (r6 advice; exactness above 2^53 depends on it)."""
+    from tradecat_spark.plans.q_text import mg_update
+
+    a = pd.Series([5, 3], index=["a", "b"], dtype="int64")
+    b = pd.Series([2, 7], index=["c", "d"], dtype="int64")
+    merged = mg_update(a, b, k=10)          # no-trim path
+    assert merged.dtype == "int64"
+    trimmed = mg_update(a, b, k=3)          # trim path
+    assert trimmed.dtype == "int64"
+    assert (trimmed > 0).all()
+
+
+def test_pq_codes_argmin_law(spark):
+    """Map-side PQ encoding must pick, per subspace, the centroid with
+    the minimal ROUND(d2, 6), lowest code on ties — verified against a
+    numpy recompute from the SAME trained codebook on sf0.001."""
+    import numpy as np
+
+    from tradecat_spark.plans.q_similarity import (
+        PQ_DSUB,
+        PQ_KS,
+        PQ_M,
+        _emb,
+        _pq_codebook_row,
+        _pq_codes_col,
+        _pq_train,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = _emb(spark, sf_dir).limit(40)
+    cent = _pq_train(_emb(spark, sf_dir)).collect()
+    cb = {(r["sub"], r["cid"]): np.array(r["cv"]) for r in cent}
+    brow = _pq_codebook_row(_pq_train(_emb(spark, sf_dir)))
+    got = (
+        e.crossJoin(F.broadcast(brow))
+        .select(
+            "vec_id",
+            "vec",
+            _pq_codes_col(F.col("vec"), F.col("cb")).alias("z"),
+        )
+        .collect()
+    )
+    assert got, "no vectors"
+    for row in got:
+        v = np.array(row["vec"])
+        assert len(row["z"]) == PQ_M
+        for z in row["z"]:
+            s = z["sub"]
+            sv = v[s * PQ_DSUB:(s + 1) * PQ_DSUB]
+            def d2seq(c):
+                # sequential left-to-right adds — the fold's (and the
+                # oracle list_reduce's) exact order, NOT numpy pairwise
+                acc = 0.0
+                for t in sv - cb[(s, c)]:
+                    acc += float(t) * float(t)
+                return round(acc, 6)
+
+            best = min(
+                (d2seq(c), c) for c in range(PQ_KS) if (s, c) in cb
+            )
+            assert (z["code"], z["d2r"]) == (best[1], best[0]), (
+                row["vec_id"], s, z, best,
+            )
