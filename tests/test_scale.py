@@ -179,9 +179,13 @@ def test_iterative_ops_reliable_checkpoint_parity(spark, sf_dir, tmp_path):
         )
     )
     assert pr_default == pr_reliable and len(pr_default) > 0
-    # the reliable run actually committed per-iteration parquet
+    # the reliable run actually committed per-iteration parquet, and
+    # the per-iteration GC collected every superseded cut: only the
+    # LAST iteration survives (plus the reused non-numbered tags)
     assert (tmp_path / "pr" / "pr_edges").is_dir()
-    assert (tmp_path / "pr" / "pr_iter_0").is_dir()
+    assert (tmp_path / "pr" / "pr_iter_2").is_dir()
+    assert not (tmp_path / "pr" / "pr_iter_0").exists()
+    assert not (tmp_path / "pr" / "pr_iter_1").exists()
 
     _, cent_default = _lloyd(spark, sf_dir)
     _, cent_reliable = _lloyd(
@@ -190,4 +194,6 @@ def test_iterative_ops_reliable_checkpoint_parity(spark, sf_dir, tmp_path):
     cd = {r["cid"]: (r["cv"], r["n_members"]) for r in cent_default.collect()}
     cr = {r["cid"]: (r["cv"], r["n_members"]) for r in cent_reliable.collect()}
     assert cd == cr and len(cd) > 0
-    assert (tmp_path / "km" / "lloyd_cent_0").is_dir()
+    # lloyd cuts at i=0,1; committing cent_1 GCs cent_0
+    assert (tmp_path / "km" / "lloyd_cent_1").is_dir()
+    assert not (tmp_path / "km" / "lloyd_cent_0").exists()
