@@ -214,3 +214,55 @@ def test_epoch_plan_all_dropped_corpus(spark, tmp_path):
     assert rows[0]["n_kept"] == 0
     assert rows[0]["p_half"] == 0.0
     assert rows[0]["quota_per_10k"] == 0
+
+
+def test_minhash_estimator_laws_on_crafted_docs(spark, monkeypatch):
+    """Broder estimator sanity on a corpus with known Jaccards:
+    identical docs must estimate J=1 with every seed agreeing; the
+    calibration rows must carry exact true J; the LSH quality row's
+    counts must be consistent and the identical pair must be a hit."""
+    base = [f"w{i}" for i in range(30)]
+    docs = pd.DataFrame(
+        [
+            dict(doc_id=1, text=" ".join(base), lang="en", source="s",
+                 n_chars=0),
+            dict(doc_id=2, text=" ".join(base), lang="en", source="s",
+                 n_chars=0),
+            # doc 1 with the last word changed: only the final 5-gram
+            # differs -> 25 of 26 shingles shared, true J = 25/27
+            dict(doc_id=4, text=" ".join(base[:-1] + ["zz"]), lang="en",
+                 source="s", n_chars=0),
+            # disjoint vocabulary -> never a truth pair
+            dict(doc_id=9, text=" ".join(f"q{i}" for i in range(30)),
+                 lang="en", source="s", n_chars=0),
+        ]
+    )
+    df = spark.createDataFrame(docs)
+    monkeypatch.setattr(Q, "_docs", lambda s, d: df)
+
+    est = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in Q.dedup_minhash_est_jaccard(spark, "unused").collect()
+    }
+    r12 = est[(1, 2)]
+    assert r12["n_matching_seeds"] == 8
+    assert r12["est_jaccard"] == 1.0
+    assert bool(r12["is_near_dup"]) is True
+    assert all(0.0 <= r["est_jaccard"] <= 1.0 for r in est.values())
+
+    cal = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in Q.minhash_jaccard_calibration(spark, "unused").collect()
+    }
+    assert cal[(1, 2)]["true_jaccard"] == 1.0
+    assert cal[(1, 2)]["abs_err"] == 0.0
+    if (1, 4) in cal:
+        assert abs(cal[(1, 4)]["true_jaccard"] - round(25 / 27, 6)) < 1e-9
+    assert all(0.0 <= r["true_jaccard"] <= 1.0 for r in cal.values())
+
+    q = Q.minhash_lsh_quality(spark, "unused").collect()[0]
+    assert q["n_hit"] <= min(q["n_truth"], q["n_candidates"])
+    assert 0.0 <= q["lsh_precision"] <= 1.0
+    assert 0.0 <= q["lsh_recall"] <= 1.0
+    # identical docs share every band, so (1,2) is truth AND candidate
+    assert q["n_truth"] >= 1 and q["n_hit"] >= 1

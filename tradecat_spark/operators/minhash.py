@@ -36,10 +36,10 @@ def spread(d: DataFrame) -> DataFrame:
     return d.repartition(nparts)
 
 
-def band_rows(d: DataFrame, carry: list[str] | tuple = ()) -> DataFrame:
-    """(doc_id, text [, carry...]) -> (doc_id [, carry...], band,
-    band_sig) LSH band rows; docs shorter than SHINGLE_WORDS words
-    drop out (they are screened by the exact-hash lane instead).
+def minhash_wide(d: DataFrame, carry: list[str] | tuple = ()) -> DataFrame:
+    """(doc_id, text [, carry...]) -> (doc_id [, carry...], mh0..mh7)
+    wide minhash signature; docs shorter than SHINGLE_WORDS words drop
+    out (they are screened by the exact-hash lane instead).
 
     All N_SEEDS minima are aggregate COLUMNS in one groupBy(doc_id) —
     no shingle x seed row explosion, and partial aggregation means the
@@ -60,7 +60,7 @@ def band_rows(d: DataFrame, carry: list[str] | tuple = ()) -> DataFrame:
             )
         ).alias("shingle"),
     )
-    wide = sh.groupBy("doc_id", *carry).agg(
+    return sh.groupBy("doc_id", *carry).agg(
         *[
             F.min(
                 F.md5(
@@ -72,6 +72,14 @@ def band_rows(d: DataFrame, carry: list[str] | tuple = ()) -> DataFrame:
             for s in range(N_SEEDS)
         ]
     )
+
+
+def bands_from_wide(wide: DataFrame, carry: list[str] | tuple = ()) -> DataFrame:
+    """(doc_id [, carry...], mh0..mh7) -> (doc_id [, carry...], band,
+    band_sig) LSH band rows: the wide signature re-hashed over
+    adjacent column pairs, exploded into 4 tiny rows per doc. Split out
+    of band_rows so a caller that also needs the wide signature (the
+    per-seed Jaccard estimator) computes it exactly once."""
     bands = F.array(
         *[
             F.struct(
@@ -98,6 +106,13 @@ def band_rows(d: DataFrame, carry: list[str] | tuple = ()) -> DataFrame:
         F.col("b.band").alias("band"),
         F.col("b.band_sig").alias("band_sig"),
     )
+
+
+def band_rows(d: DataFrame, carry: list[str] | tuple = ()) -> DataFrame:
+    """(doc_id, text [, carry...]) -> (doc_id [, carry...], band,
+    band_sig) LSH band rows straight from text (wide signature is an
+    internal intermediate)."""
+    return bands_from_wide(minhash_wide(d, carry), carry)
 
 
 def doc_sigs(d: DataFrame) -> DataFrame:

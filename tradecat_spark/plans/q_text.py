@@ -34,6 +34,8 @@ from tradecat_spark.operators.minhash import (  # noqa: E402
     N_SEEDS,
     SHINGLE_WORDS,
     band_rows,
+    bands_from_wide,
+    minhash_wide,
 )
 
 BAND_CAP = 64        # max bucket size for all-pairs; beyond → star pairs
@@ -297,6 +299,276 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.count(F.lit(1)).over(size).alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator calibration + LSH retrieval quality
+# ---------------------------------------------------------------------------
+#: CTE computing per-candidate-pair signature agreement (reuses
+#: _PAIRS_CTES' mh table: doc_id, seed, mh)
+_SEED_MATCH_CTE = """
+m AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_matching_seeds
+  FROM pairs p
+  JOIN mh a ON a.doc_id = p.doc_a
+  JOIN mh b ON b.doc_id = p.doc_b AND b.seed = a.seed
+  GROUP BY 1, 2
+)"""
+
+
+def _seed_match(wide: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_matching_seeds) from the wide signature: the
+    classic MinHash property — P(min agrees) = Jaccard — so the
+    agreement count over N_SEEDS independent permutations is the
+    estimator numerator. Two doc-id-keyed joins against the O(docs)
+    wide table; the pair side is LSH-bounded, never all-pairs."""
+    a = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(N_SEEDS)],
+    )
+    b = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(N_SEEDS)],
+    )
+    matches = sum(
+        (
+            F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+            for s in range(N_SEEDS)
+        ),
+        F.lit(0),
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            matches.cast("bigint").alias("n_matching_seeds"),
+        )
+    )
+
+
+@query(
+    "dedup_minhash_est_jaccard",
+    survey="north-star dedup: MinHash Jaccard ESTIMATE per LSH candidate "
+    "pair — the screen between 'shared a band' and 'treat as duplicate' "
+    "(Broder 1997 resemblance estimator)",
+    description="Per candidate pair: signature agreement count, estimated "
+    "Jaccard (k/8), near-dup verdict at J>=0.5",
+    oracle=f"""
+WITH {_PAIRS_CTES},
+{_SEED_MATCH_CTE}
+SELECT doc_a, doc_b, n_matching_seeds,
+       n_matching_seeds / {float(N_SEEDS)} AS est_jaccard,
+       2 * n_matching_seeds >= {N_SEEDS} AS is_near_dup
+FROM m
+""",
+)
+def dedup_minhash_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (dedup_minhash_pairs) answers "which pairs are worth
+    looking at"; this answers "how similar" without ever touching the
+    texts again: est J = (matching signature components) / N_SEEDS.
+    The wide signature is computed ONCE (operators.minhash.minhash_wide)
+    and feeds both the band rows and the agreement join. k/8 is a
+    binary-exact double, so both engines hash identically; the verdict
+    threshold J >= 0.5 is evaluated in integers (2k >= 8). Star-capped
+    pairs from degenerate buckets get estimates too — anchor↔member
+    agreement is exactly what decides whether the giant bucket is one
+    duplicate blob or a band collision."""
+    wide = minhash_wide(_docs(spark, sf_dir))
+    pairs = minhash_candidate_pairs(bands_from_wide(wide))
+    sm = _seed_match(wide, pairs)
+    return sm.select(
+        "doc_a",
+        "doc_b",
+        "n_matching_seeds",
+        (F.col("n_matching_seeds") / F.lit(float(N_SEEDS))).alias(
+            "est_jaccard"
+        ),
+        (F.lit(2) * F.col("n_matching_seeds") >= F.lit(N_SEEDS)).alias(
+            "is_near_dup"
+        ),
+    )
+
+
+@query(
+    "minhash_jaccard_calibration",
+    survey="north-star dedup: estimator calibration — MinHash estimate "
+    "vs TRUE 5-gram Jaccard per candidate pair (the error-eval pairing "
+    "every sketch in this repo ships with)",
+    description="Per candidate pair: estimated vs exact shingle Jaccard "
+    "and 6dp absolute error",
+    oracle=f"""
+WITH {_PAIRS_CTES},
+{_SEED_MATCH_CTE},
+sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
+),
+inter AS (
+  SELECT p.doc_a, p.doc_b, CAST(COUNT(sb.shingle) AS BIGINT) AS n_common
+  FROM pairs p
+  LEFT JOIN sh sa ON sa.doc_id = p.doc_a
+  LEFT JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+t AS (
+  SELECT i.doc_a, i.doc_b,
+         m.n_matching_seeds / {float(N_SEEDS)} AS est_jaccard,
+         {ratio6_sql('i.n_common', 'sa.n_sh + sb.n_sh - i.n_common')}
+           AS true_jaccard
+  FROM inter i
+  JOIN m ON m.doc_a = i.doc_a AND m.doc_b = i.doc_b
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard, true_jaccard,
+       ROUND(ABS(est_jaccard - true_jaccard), 6) AS abs_err
+FROM t
+""",
+)
+def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Jaccard is computed ONLY for the LSH-bounded candidate set
+    (pairs ⋈ shingles, never a corpus self-join): intersection counts
+    come from joining each pair's a-side shingles to the b-side on
+    (doc_b, shingle), union from per-doc distinct-shingle counts. Star
+    pairs can intersect empty — LEFT join keeps them at true J = 0, the
+    honest calibration row for a capped bucket. true_jaccard uses the
+    exact int64 6dp ratio (plans/exact.py); est is binary-exact k/8, so
+    abs_err rounds identically in both engines."""
+    d = _docs(spark, sf_dir)
+    wide = minhash_wide(d)
+    pairs = minhash_candidate_pairs(bands_from_wide(wide))
+    sm = _seed_match(wide, pairs)
+    sh = _shingles(d)
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    pa = pairs.join(
+        sh.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left"
+    )
+    inter = (
+        pa.alias("pa")
+        .join(
+            sh.alias("sb"),
+            (F.col("pa.doc_b") == F.col("sb.doc_id"))
+            & (F.col("pa.shingle") == F.col("sb.shingle")),
+            "left",
+        )
+        .groupBy(F.col("pa.doc_a").alias("doc_a"),
+                 F.col("pa.doc_b").alias("doc_b"))
+        .agg(F.count(F.col("sb.shingle")).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb2 = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    est = (F.col("n_matching_seeds") / F.lit(float(N_SEEDS))).alias(
+        "est_jaccard"
+    )
+    true_j = ratio6(
+        F.col("n_common"), F.col("na") + F.col("nb") - F.col("n_common")
+    ).alias("true_jaccard")
+    t = (
+        inter.join(sm, ["doc_a", "doc_b"])
+        .join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb2), "doc_b")
+        .select("doc_a", "doc_b", est, true_j)
+    )
+    return t.select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        "true_jaccard",
+        F.round(F.abs(F.col("est_jaccard") - F.col("true_jaccard")), 6)
+        .alias("abs_err"),
+    )
+
+
+@query(
+    "minhash_lsh_quality",
+    survey="north-star dedup: LSH retrieval quality — candidate-set "
+    "precision/recall against ground-truth near-dups (true 5-gram "
+    "Jaccard >= 0.5), the banding-parameter acceptance test",
+    description="One row: truth/candidate/hit counts, 6dp precision and "
+    "recall of the 4x2 LSH banding",
+    oracle=f"""
+WITH {_PAIRS_CTES},
+sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
+),
+tru0 AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT t.doc_a, t.doc_b
+  FROM tru0 t
+  JOIN sizes sa ON sa.doc_id = t.doc_a
+  JOIN sizes sb ON sb.doc_id = t.doc_b
+  WHERE 3 * t.n_common >= sa.n_sh + sb.n_sh
+),
+hit AS (SELECT doc_a, doc_b FROM truth INTERSECT SELECT doc_a, doc_b FROM pairs),
+c AS (
+  SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+         CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_candidates,
+         CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit
+)
+SELECT n_truth, n_candidates, n_hit,
+       {ratio6_sql('n_hit', 'n_candidates')} AS lsh_precision,
+       {ratio6_sql('n_hit', 'n_truth')} AS lsh_recall
+FROM c
+""",
+)
+def minhash_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground truth: pairs with true distinct-5-gram Jaccard >= 0.5,
+    found through the shared-shingle bucket join (complete for J > 0 —
+    a pair with no shared shingle has J = 0), thresholded in integers
+    (J >= 1/2 ⟺ 3·|∩| >= |A|+|B|, no fp). Candidates: the production
+    star-capped LSH pair set, judged as-is. This is an EVAL: the truth
+    join is quadratic in hot shingles, so at 100 TB it runs on a
+    sampled slice to tune bands×rows — the estimator/screen queries are
+    the scale path. Single-row output via three 1-row aggregates
+    cross-joined (no data-size component)."""
+    d = _docs(spark, sf_dir)
+    pairs = minhash_candidate_pairs(band_rows(d))
+    sh = _shingles(d)
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    tru0 = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    truth = (
+        tru0.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(F.lit(3) * F.col("n_common") >= F.col("na") + F.col("nb"))
+        .select("doc_a", "doc_b")
+    )
+    hit = truth.intersect(pairs.select("doc_a", "doc_b"))
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    np_ = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    nh = hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    c = nt.crossJoin(np_).crossJoin(nh)
+    return c.select(
+        "n_truth",
+        "n_candidates",
+        "n_hit",
+        ratio6(F.col("n_hit"), F.col("n_candidates")).alias("lsh_precision"),
+        ratio6(F.col("n_hit"), F.col("n_truth")).alias("lsh_recall"),
     )
 
 
