@@ -266,3 +266,40 @@ def test_minhash_estimator_laws_on_crafted_docs(spark, monkeypatch):
     assert 0.0 <= q["lsh_recall"] <= 1.0
     # identical docs share every band, so (1,2) is truth AND candidate
     assert q["n_truth"] >= 1 and q["n_hit"] >= 1
+
+
+def test_kmv_jaccard_sketch_laws(spark, sf_dir, monkeypatch):
+    """KMV Jaccard laws: identical gram sets estimate exactly 1,
+    disjoint sets exactly 0; and whenever the union k-min sketch is
+    not full (k_used < KJ) both sketches are complete, so the
+    'estimate' must equal the exact Jaccard."""
+    text_a = " ".join(f"a{i}" for i in range(20))
+    text_z = " ".join(f"z{i}" for i in range(20))
+    docs = pd.DataFrame(
+        [
+            dict(doc_id=1, text=text_a, lang="en", source="sx", n_chars=0),
+            dict(doc_id=2, text=text_a, lang="en", source="sy", n_chars=0),
+            dict(doc_id=3, text=text_z, lang="en", source="sz", n_chars=0),
+        ]
+    )
+    df = spark.createDataFrame(docs)
+    monkeypatch.setattr(Q, "_docs", lambda s, d: df)
+    est = {
+        (r["source_a"], r["source_b"]): r
+        for r in Q.kmv_source_jaccard(spark, "unused").collect()
+    }
+    assert est[("sx", "sy")]["est_jaccard"] == 1.0
+    assert est[("sx", "sz")]["est_jaccard"] == 0.0
+    assert est[("sy", "sz")]["est_jaccard"] == 0.0
+    monkeypatch.undo()
+
+    rows = Q.kmv_jaccard_error_eval(spark, sf_dir).collect()
+    assert len(rows) > 0
+    k = {
+        (r["source_a"], r["source_b"]): r["k_used"]
+        for r in Q.kmv_source_jaccard(spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert bool(r["within_bound"]) is True, r
+        if k[(r["source_a"], r["source_b"])] < Q.KJ:
+            assert r["abs_err"] == 0.0, r
