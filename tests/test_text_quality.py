@@ -303,3 +303,29 @@ def test_kmv_jaccard_sketch_laws(spark, sf_dir, monkeypatch):
         assert bool(r["within_bound"]) is True, r
         if k[(r["source_a"], r["source_b"])] < Q.KJ:
             assert r["abs_err"] == 0.0, r
+
+
+def test_containment_detects_subset_source(spark, monkeypatch):
+    """A source whose grams are a strict subset of another's must show
+    containment 1.0 in the subset direction and flag near_subset, while
+    Jaccard alone stays well under 1 — the case the directional matrix
+    exists to catch."""
+    big = " ".join(f"t{i}" for i in range(40))     # grams t0..  (33 8-grams)
+    small = " ".join(f"t{i}" for i in range(12))   # first 5 8-grams of big
+    docs = pd.DataFrame(
+        [
+            dict(doc_id=1, text=big, lang="en", source="big", n_chars=0),
+            dict(doc_id=2, text=small, lang="en", source="small", n_chars=0),
+        ]
+    )
+    df = spark.createDataFrame(docs)
+    monkeypatch.setattr(Q, "_docs", lambda s, d: df)
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in Q.source_containment_matrix(spark, "unused").collect()
+    }
+    r = rows[("big", "small")]
+    # small ⊂ big: containment of the b-side (small) is 1.0
+    assert r["cont_b_in_a"] == 1.0
+    assert r["cont_a_in_b"] < 1.0
+    assert bool(r["near_subset"]) is True

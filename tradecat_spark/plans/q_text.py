@@ -3152,6 +3152,54 @@ def kmv_jaccard_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "source_containment_matrix",
+    survey="training-pipeline op: directional containment |A∩B|/|A| per "
+    "source pair — Jaccard is symmetric and misses 'small source is a "
+    "SUBSET of big source' (a mirror/re-crawl), which is exactly the "
+    "case a corpus mix review must catch before double-weighting",
+    description="All source pairs: 8-gram containment in both "
+    "directions, 6dp, with a 0.9 near-subset flag evaluated in integers",
+    oracle=None,  # set below: nests the overlap-matrix oracle verbatim
+)
+def source_containment_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure post-processing of source_overlap_matrix's aggregate row set
+    (|sources|² rows — driver-tiny at any corpus size): containment
+    c(A|B) = |∩|/|A| both ways, near-subset when the smaller side is
+    ≥90% contained, thresholded in integers (10·|∩| ≥ 9·min(|A|,|B|))
+    so no fp comparison decides the flag."""
+    m = source_overlap_matrix(spark, sf_dir)
+    return m.select(
+        "source_a",
+        "source_b",
+        "n_inter",
+        ratio6(F.col("n_inter"), F.col("n_grams_a")).alias("cont_a_in_b"),
+        ratio6(F.col("n_inter"), F.col("n_grams_b")).alias("cont_b_in_a"),
+        (
+            F.lit(10) * F.col("n_inter")
+            >= F.lit(9) * F.least(F.col("n_grams_a"), F.col("n_grams_b"))
+        ).alias("near_subset"),
+    )
+
+
+def _containment_oracle() -> str:
+    from tradecat_spark.plans.registry import REGISTRY
+
+    return f"""
+WITH m AS ({REGISTRY['source_overlap_matrix'].oracle})
+SELECT source_a, source_b, n_inter,
+       {ratio6_sql('n_inter', 'n_grams_a')} AS cont_a_in_b,
+       {ratio6_sql('n_inter', 'n_grams_b')} AS cont_b_in_a,
+       10 * n_inter >= 9 * LEAST(n_grams_a, n_grams_b) AS near_subset
+FROM m
+"""
+
+
+from tradecat_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["source_containment_matrix"].oracle = _containment_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Epoch sampling plan over the curated corpus
 # ---------------------------------------------------------------------------
