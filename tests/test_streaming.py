@@ -1736,3 +1736,43 @@ def test_dedup_screen_sequential_batches_accumulate_base(
     # base doc with the same text), never at themselves
     assert (v2["first_match"] < 1_000_000).all()
     assert read_store(spark, sig_store).count() > 0
+
+
+def test_hll_register_store_crash_replay_and_idempotence(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Streaming HLL maintenance laws: a crashed commit leaves no store
+    (replay converges), redelivering the same batch is a no-op (MAX is
+    idempotent), and after all batches the store equals the one-pass
+    batch registers (MAX is associative/commutative)."""
+    from tradecat_spark.catalog import load_table
+    from tradecat_spark.operators.hll import registers
+    from tradecat_spark.streaming import sketch as sk
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    half1 = e.filter(F.col("user_id") % 2 == 0)
+    half2 = e.filter(F.col("user_id") % 2 == 1)
+    store = str(tmp_path / "regs")
+
+    real = sk.upsert_registers
+    monkeypatch.setattr(
+        sk, "upsert_registers",
+        lambda *a: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        sk.update_registers(spark, half1, store)
+    assert not sk.store_exists(store)
+
+    monkeypatch.setattr(sk, "upsert_registers", real)
+    sk.update_registers(spark, half1, store)
+    once = sorted(map(tuple, sk.read_registers(spark, store).collect()))
+    assert len(once) > 0
+    # at-least-once redelivery of an already-committed batch: no-op
+    sk.update_registers(spark, half1, store)
+    again = sorted(map(tuple, sk.read_registers(spark, store).collect()))
+    assert again == once
+
+    sk.update_registers(spark, half2, store)
+    got = sorted(map(tuple, sk.read_registers(spark, store).collect()))
+    want = sorted(map(tuple, registers(e).collect()))
+    assert got == want

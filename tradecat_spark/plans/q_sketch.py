@@ -622,27 +622,18 @@ def cms_frequency_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # HLL-style register sketch: max-rank registers + merge law
 # ---------------------------------------------------------------------------
-HLL_BUCKETS = 256  # 2 hex digits of the hash pick the register
+# register algebra single-sourced in operators.hll (shared with the
+# streaming register maintenance)
+from tradecat_spark.operators.hll import (  # noqa: E402
+    HLL_BUCKETS,
+    event_ranks as _hll_event_ranks,
+)
 
 
 def _hll_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of ``_hll_r_sql``: one distinct pass to per-user
-    (event_type, shard, bucket, rank) rows."""
-    e = load_table(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull()
-    )
-    md = F.md5(F.col("user_id").cast("string"))
-    h = e.select(
-        "event_type",
-        (F.col("user_id") % 8).alias("shard"),
-        F.conv(F.substring(md, 1, 2), 16, 10).cast("bigint")
-        .alias("bucket"),
-        F.conv(F.substring(md, 3, 12), 16, 10).cast("bigint").alias("x"),
-    ).distinct()
-    rank = F.when(F.col("x") == 0, F.lit(49)).otherwise(
-        F.lit(49) - F.length(F.bin(F.col("x")))
-    )
-    return h.select("event_type", "shard", "bucket", rank.alias("rank"))
+    (event_type, shard, bucket, rank) rows (operators.hll)."""
+    return _hll_event_ranks(load_table(spark, sf_dir, "events"))
 
 
 def _hll_r_sql() -> str:

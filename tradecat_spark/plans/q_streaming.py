@@ -717,6 +717,64 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_hll_registers",
+    survey="§2.11-adjacent: streaming sketch maintenance — per-trigger "
+    "max-merge of HLL registers into a persisted store; the store after "
+    "draining a doubled multi-batch source must equal the batch "
+    "registers (MAX merge is idempotent, so at-least-once is a no-op)",
+    description="HLL register store maintained by a 4-trigger stream "
+    "over a duplicated events source, vs the direct batch registers",
+    oracle=None,  # set below: nests q_sketch's register SQL
+)
+def streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The source holds the events TWICE across 8 files, drained 2
+    files per trigger — so the store is built by several partial
+    max-merges with every row delivered at-least-once. The persisted
+    registers must still be byte-identical to one batch register pass
+    (operators/hll.py: MAX is associative + commutative + idempotent —
+    the streaming twin of hll_register_law's shard merge). The
+    estimate lane then reads the O(types x 256) store instead of
+    scanning history — the posture that keeps 'distinct users ever'
+    queryable at 100 TB."""
+    src = tempfile.mkdtemp(prefix="tc_hll_src_")
+    ckpt = tempfile.mkdtemp(prefix="tc_hll_ckpt_")
+    store = tempfile.mkdtemp(prefix="tc_hll_store_") + "/regs"
+    from tradecat_spark.streaming.sketch import (
+        read_registers,
+        start_hll_maintenance,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "ts"
+    )
+    e.repartition(4).write.mode("append").parquet(src)
+    e.repartition(4).write.mode("append").parquet(src)  # redelivery
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = start_hll_maintenance(stream, store, ckpt, available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+    return read_registers(spark, store)
+
+
+def _hll_store_oracle() -> str:
+    from tradecat_spark.plans.q_sketch import _hll_r_sql
+
+    return f"""
+WITH {_hll_r_sql()}
+SELECT event_type, bucket, CAST(MAX(rank) AS BIGINT) AS reg
+FROM r GROUP BY 1, 2
+"""
+
+
+from tradecat_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["streaming_hll_registers"].oracle = _hll_store_oracle()
 
 
 # ---------------------------------------------------------------------------

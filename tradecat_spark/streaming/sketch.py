@@ -1,0 +1,110 @@
+"""Streaming HLL register maintenance: a persisted distinct-count
+sketch updated per micro-batch.
+
+Each arriving events micro-batch folds to its own (event_type, bucket,
+reg) registers (`operators.hll.registers` — the SAME integer algebra
+the batch queries use) and max-merges into a tiny persisted register
+store through the generic idempotent upsert
+(`streaming.ingest.upsert_partitions`, one store partition per event
+type). MAX is associative, commutative, and IDEMPOTENT, so any
+crash/replay/at-least-once interleaving converges to exactly the batch
+registers over all delivered events — the registry query
+`streaming_hll_registers` hash-checks that equality against the DuckDB
+register SQL, and `tests/test_streaming.py` drives the crash seam.
+
+Scale posture: per-trigger work is one map-side-combinable max
+aggregate over the batch (partial aggregation IS the sketch merge);
+the store read/merge/rewrite is O(|event_types| x 256), independent of
+history length. This is what keeps "distinct users ever" queryable at
+100 TB without ever running a count-distinct over the full history:
+the stream maintains the sketch, `plans/q_sketch.hll_estimate`'s
+estimator algebra reads it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tradecat_spark.operators.hll import max_merge, registers
+from tradecat_spark.streaming.ingest import (
+    PART_COL,
+    read_store,
+    upsert_partitions,
+)
+
+REG_KEYS = ["event_type", "bucket"]
+
+
+def upsert_registers(
+    spark: SparkSession, regs: DataFrame, store_path: str
+) -> None:
+    """Max-merge one batch's register rows into the store. Partitioned
+    by event type: a trigger touches exactly the types it carries, and
+    the merge reads only those partitions (each 256 rows)."""
+
+    def _merge(existing: DataFrame | None, f: DataFrame) -> DataFrame:
+        if existing is None:
+            return f.select(*REG_KEYS, "reg")
+        return max_merge(existing, f)
+
+    upsert_partitions(
+        spark, regs, regs, store_path, REG_KEYS, _merge,
+        part_expr=F.col("event_type"),
+    )
+
+
+def update_registers(
+    spark: SparkSession, batch: DataFrame, store_path: str
+) -> None:
+    """The foreachBatch body, exposed for tests: fold the batch to its
+    registers, max-merge into the store. No batch-id bookkeeping is
+    needed — idempotence comes from the merge itself."""
+    regs = registers(batch)
+    if regs.isEmpty():
+        return
+    upsert_registers(spark, regs, store_path)
+
+
+def read_registers(spark: SparkSession, store_path: str) -> DataFrame:
+    """(event_type, bucket, reg) currently persisted."""
+    return read_store(spark, store_path).select(
+        "event_type", F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("reg").cast("bigint").alias("reg"),
+    )
+
+
+def store_exists(store_path: str) -> bool:
+    return os.path.isdir(store_path) and any(
+        e.startswith((f"{PART_COL}=", ".")) for e in os.listdir(store_path)
+    )
+
+
+def start_hll_maintenance(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    trigger_sec: int = 3,
+    available_now: bool = False,
+):
+    """Start register maintenance over an events stream (needs
+    event_type + user_id columns)."""
+    spark = stream.sparkSession
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        update_registers(spark, batch, store_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_sec} seconds")
+    return writer.start()
