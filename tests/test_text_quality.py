@@ -329,3 +329,58 @@ def test_containment_detects_subset_source(spark, monkeypatch):
     assert r["cont_b_in_a"] == 1.0
     assert r["cont_a_in_b"] < 1.0
     assert bool(r["near_subset"]) is True
+
+
+def _ref_bpe(vocab: dict, steps: int):
+    """Pure-Python Sennrich reference: weighted pair stats, argmax with
+    (weight desc, pair asc) ties, greedy left-to-right merge."""
+    seqs = {w: list(w) for w in vocab}
+    merges = []
+    for step in range(steps):
+        stats: dict = {}
+        for w, toks in seqs.items():
+            for i in range(len(toks) - 1):
+                k = (toks[i], toks[i + 1])
+                stats[k] = stats.get(k, 0) + vocab[w]
+        if not stats:
+            break
+        (a, b), wt = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step + 1, a, b, a + b, wt))
+        for w, toks in seqs.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_learn_merges_matches_python_reference(spark, monkeypatch):
+    """The relational greedy application must agree with the sequential
+    reference, including the overlapping-run hazard: 'aaaa' under merge
+    (a,a) must merge positions (1,2) and (3,4), never (2,3)."""
+    words = ["aaaa", "aaaa", "aaaa", "aaa", "abab", "abab", "baaa", "bb"]
+    docs = pd.DataFrame(
+        [
+            dict(doc_id=i + 1, text=w, lang="en", source="s", n_chars=0)
+            for i, w in enumerate(words)
+        ]
+    )
+    vocab: dict = {}
+    for w in words:
+        vocab[w] = vocab.get(w, 0) + 1
+    want = _ref_bpe(vocab, Q.N_BPE_STEPS)
+
+    df = spark.createDataFrame(docs)
+    monkeypatch.setattr(Q, "_docs", lambda s, d: df)
+    got = [
+        (r["step"], r["left_tok"], r["right_tok"], r["merged_tok"],
+         r["pair_weight"])
+        for r in Q.bpe_learn_merges(spark, "unused")
+        .orderBy("step").collect()
+    ]
+    assert got == want, (got, want)

@@ -2769,6 +2769,201 @@ def bpe_pair_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE merge learning (Sennrich 2016 §3.2): iterative greedy merges
+# ---------------------------------------------------------------------------
+N_BPE_STEPS = 3
+
+
+def _bpe_step_sql(p: str, prev: str) -> str:
+    """One BPE merge step as CTEs: count adjacent token pairs weighted
+    by word-type frequency, pick the argmax (ties: lexicographic), and
+    apply it greedily left-to-right. Greedy non-overlap is relational:
+    candidate positions group into islands of consecutive positions
+    (gaps-and-islands via pos - row_number), and within an island every
+    other candidate starting at its head is selected."""
+    return f"""
+{p}adj AS (
+  SELECT word, wcount, pos, tok,
+         LEAD(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM {prev}
+),
+{p}top AS (
+  SELECT tok AS a, nxt AS b, CAST(SUM(wcount) AS BIGINT) AS pair_weight
+  FROM {p}adj WHERE nxt IS NOT NULL
+  GROUP BY tok, nxt
+  ORDER BY pair_weight DESC, a ASC, b ASC
+  LIMIT 1
+),
+{p}cand AS (
+  SELECT j.word, j.pos,
+         j.pos - ROW_NUMBER() OVER (PARTITION BY j.word ORDER BY j.pos)
+           AS island
+  FROM {p}adj j, {p}top t
+  WHERE j.tok = t.a AND j.nxt = t.b
+),
+{p}sel AS (
+  SELECT word, pos FROM (
+    SELECT word, pos,
+           (pos - MIN(pos) OVER (PARTITION BY word, island)) % 2 AS par
+    FROM {p}cand
+  ) q WHERE par = 0
+),
+{p}next AS (
+  SELECT j.word, j.wcount,
+         ROW_NUMBER() OVER (PARTITION BY j.word ORDER BY j.pos) AS pos,
+         CASE WHEN s.pos IS NOT NULL THEN j.tok || t.b ELSE j.tok END AS tok
+  FROM {p}adj j
+  CROSS JOIN {p}top t
+  LEFT JOIN {p}sel s  ON s.word = j.word AND s.pos = j.pos
+  LEFT JOIN {p}sel s2 ON s2.word = j.word AND s2.pos = j.pos - 1
+  WHERE s2.pos IS NULL
+)"""
+
+
+def _bpe_oracle() -> str:
+    steps = "".join(
+        "," + _bpe_step_sql(f"s{k}", "t0" if k == 1 else f"s{k - 1}next")
+        for k in range(1, N_BPE_STEPS + 1)
+    )
+    unions = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS step, a AS left_tok, "
+        f"b AS right_tok, a || b AS merged_tok, pair_weight "
+        f"FROM s{k}top"
+        for k in range(1, N_BPE_STEPS + 1)
+    )
+    return f"""
+WITH v AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS wcount FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      AS word
+    FROM documents
+  ) GROUP BY word
+),
+t0 AS (
+  SELECT word, wcount, CAST(i AS BIGINT) AS pos,
+         substr(word, CAST(i AS INTEGER), 1) AS tok
+  FROM v, LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i) u
+){steps}
+{unions}
+"""
+
+
+def _bpe_step(t: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(top_pair_df, next_token_df) — Spark twin of ``_bpe_step_sql``."""
+    wnd = Window.partitionBy("word").orderBy("pos")
+    adj = t.withColumn("nxt", F.lead("tok").over(wnd))
+    top = (
+        adj.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("tok").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.sum("wcount").cast("bigint").alias("pair_weight"))
+        .orderBy(F.desc("pair_weight"), F.asc("a"), F.asc("b"))
+        .limit(1)
+    )
+    j = adj.crossJoin(F.broadcast(top))
+    cand = (
+        j.filter((F.col("tok") == F.col("a")) & (F.col("nxt") == F.col("b")))
+        .select(
+            "word",
+            "pos",
+            (F.col("pos") - F.row_number().over(wnd)).alias("island"),
+        )
+    )
+    par = (
+        F.col("pos")
+        - F.min("pos").over(Window.partitionBy("word", "island"))
+    ) % 2
+    sel = cand.select("word", "pos", par.alias("par")).filter(
+        F.col("par") == 0
+    ).select("word", "pos")
+    hit = sel.withColumn("hit", F.lit(True))
+    drop = sel.select(
+        "word", (F.col("pos") + 1).alias("pos"), F.lit(True).alias("dropped")
+    )
+    nt = (
+        j.join(hit, ["word", "pos"], "left")
+        .join(drop, ["word", "pos"], "left")
+        .filter(F.col("dropped").isNull())
+        .select(
+            "word",
+            "wcount",
+            "pos",
+            F.when(
+                F.col("hit").isNotNull(), F.concat(F.col("tok"), F.col("b"))
+            )
+            .otherwise(F.col("tok"))
+            .alias("tok"),
+        )
+        .select(
+            "word",
+            "wcount",
+            F.row_number().over(wnd).cast("bigint").alias("pos2"),
+            "tok",
+        )
+        .withColumnRenamed("pos2", "pos")
+    )
+    return top, nt
+
+
+@query(
+    "bpe_learn_merges",
+    survey="north-star text analysis: the BPE LEARNING LOOP (Sennrich "
+    "2016 §3.2) — bpe_pair_candidates is the step-1 candidate scan; "
+    "this runs 3 full merge iterations (argmax pair -> greedy "
+    "left-to-right application over the word-type vocab -> recount), "
+    "the loop a tokenizer build actually executes",
+    description="First 3 learned BPE merges: step, pair, merged token, "
+    "word-frequency-weighted pair count",
+    oracle=None,  # set below (generated 3-step CTE chain)
+)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sennrich's trick makes this scale: after ONE corpus pass for the
+    word-type vocabulary (map-side combinable count), every iteration
+    runs on the vocab — |word types| rows, corpus-size-independent —
+    so 3 unrolled steps are 3 vocab-local window passes, never a
+    corpus re-scan. Greedy non-overlapping application (the part naive
+    relational ports get wrong for runs like 'aaa' under merge (a,a))
+    is exact via gaps-and-islands + even-offset selection, identical
+    integer algebra in both engines; the argmax pair is totally
+    ordered by (weight desc, pair asc) so every step is deterministic."""
+    d = _spread(_docs(spark, sf_dir))
+    w = d.select(
+        F.explode(F.filter(_words(), lambda x: x != "")).alias("word")
+    )
+    v = w.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("wcount"))
+    t = v.select(
+        "word",
+        "wcount",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("posi"),
+    ).select(
+        "word",
+        "wcount",
+        F.col("posi").cast("bigint").alias("pos"),
+        F.substr(F.col("word"), F.col("posi"), F.lit(1)).alias("tok"),
+    )
+    outs = []
+    for k in range(1, N_BPE_STEPS + 1):
+        top, t = _bpe_step(t)
+        outs.append(
+            top.select(
+                F.lit(k).cast("int").alias("step"),
+                F.col("a").alias("left_tok"),
+                F.col("b").alias("right_tok"),
+                F.concat(F.col("a"), F.col("b")).alias("merged_tok"),
+                "pair_weight",
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+from tradecat_spark.plans.registry import REGISTRY as _REG_BPE  # noqa: E402
+
+_REG_BPE["bpe_learn_merges"].oracle = _bpe_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Incremental dedup: new batch vs existing corpus
 # ---------------------------------------------------------------------------
 def _incr_oracle() -> str:
