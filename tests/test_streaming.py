@@ -1776,3 +1776,14 @@ def test_hll_register_store_crash_replay_and_idempotence(
     got = sorted(map(tuple, sk.read_registers(spark, store).collect()))
     want = sorted(map(tuple, registers(e).collect()))
     assert got == want
+
+    # the estimator read off the STORE equals the batch hll_estimate
+    # query over the same events — the consumer path of the sketch
+    from tradecat_spark.operators.hll import estimate_from_registers
+    from tradecat_spark.plans.registry import load_all
+
+    est_store = sorted(map(tuple, estimate_from_registers(
+        sk.read_registers(spark, store)).collect()))
+    est_batch = sorted(map(tuple, load_all()["hll_estimate"]
+                           .fn(spark, sf_dir).collect()))
+    assert est_store == est_batch

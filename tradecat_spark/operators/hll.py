@@ -50,6 +50,42 @@ def registers(e: DataFrame) -> DataFrame:
     )
 
 
+#: alpha_m * m^2 * 2^49 precomputed in Python and embedded as the SAME
+#: double literal in both engines (Flajolet 2007 §4 bias correction
+#: for m >= 128: alpha_m = 0.7213 / (1 + 1.079 / m))
+HLL_C = 0.7213 / (1 + 1.079 / HLL_BUCKETS) * HLL_BUCKETS * HLL_BUCKETS * 2.0**49
+
+
+def estimate_from_registers(reg: DataFrame) -> DataFrame:
+    """(event_type, bucket, reg) register rows -> per-event_type HLL
+    estimate — the algebra `plans/q_sketch.hll_estimate` publishes and
+    the streaming store consumer reads: integer-exact harmonic sum
+    (empty registers contribute 2^49), ONE double divide, linear-
+    counting branch below 2.5m with empty registers."""
+    m = HLL_BUCKETS
+    two49 = 1 << 49
+    ag = reg.groupBy("event_type").agg(
+        (F.lit(m) - F.count(F.lit(1))).cast("bigint").alias("v_zero"),
+        (
+            F.sum(F.expr("shiftleft(cast(1 as bigint), "
+                         "cast(49 - reg as int))"))
+            + (F.lit(m) - F.count(F.lit(1))) * F.lit(two49)
+        ).cast("bigint").alias("z_scaled"),
+    )
+    raw = F.lit(HLL_C) / F.col("z_scaled")
+    lc = (raw <= 2.5 * m) & (F.col("v_zero") > 0)
+    est = F.when(
+        lc,
+        F.lit(m) * F.log(F.lit(float(m)) / F.col("v_zero")),
+    ).otherwise(raw)
+    return ag.select(
+        "event_type", "v_zero", "z_scaled",
+        F.round(raw, 6).alias("raw6"),
+        lc.alias("linear_counting"),
+        F.round(est, 6).alias("est6"),
+    )
+
+
 def max_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """The HLL merge: per-(event_type, bucket) MAX over both register
     sets. Idempotent, so at-least-once redelivery is a no-op."""

@@ -714,12 +714,10 @@ def hll_register_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # HLL estimator + error eval (completing the law+eval pairing)
 # ---------------------------------------------------------------------------
-HLL_M = 256  # registers (bucket = first 2 md5 hex digits)
-#: alpha_m * m^2 * 2^49 precomputed in Python and embedded as the SAME
-#: double literal in both engines, so the only runtime float ops are
-#: one divide (+ ln on the linear-counting branch) — Flajolet 2007 §4
-#: bias correction for m >= 128: alpha_m = 0.7213 / (1 + 1.079 / m).
-_HLL_C = 0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M * 2.0**49
+HLL_M = HLL_BUCKETS  # registers (bucket = first 2 md5 hex digits)
+#: alpha_m * m^2 * 2^49 — single-sourced in operators.hll so the
+#: streaming-store consumer and the batch publisher share one literal
+from tradecat_spark.operators.hll import HLL_C as _HLL_C  # noqa: E402
 
 
 def _hll_est_sql() -> str:
@@ -774,32 +772,13 @@ def hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting branch (raw <= 2.5m with empty registers) uses ln at 6dp,
     the precedent quality_unigram_logprob established. Per event_type
     the state is <= 256 registers: a 100 TB stream folds into KB."""
+    from tradecat_spark.operators.hll import estimate_from_registers
+
     r = _hll_ranks(spark, sf_dir)
     reg = r.groupBy("event_type", "bucket").agg(
         F.max("rank").alias("reg")
     )
-    two49 = 1 << 49
-    ag = reg.groupBy("event_type").agg(
-        (F.lit(HLL_M) - F.count(F.lit(1))).cast("bigint").alias("v_zero"),
-        (
-            F.sum(F.expr("shiftleft(cast(1 as bigint), "
-                         "cast(49 - reg as int))"))
-            + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(two49)
-        ).cast("bigint").alias("z_scaled"),
-    )
-    raw = F.lit(_HLL_C) / F.col("z_scaled")
-    lc = (raw <= 2.5 * HLL_M) & (F.col("v_zero") > 0)
-    est = F.when(
-        lc,
-        F.lit(HLL_M)
-        * F.log(F.lit(float(HLL_M)) / F.col("v_zero")),
-    ).otherwise(raw)
-    return ag.select(
-        "event_type", "v_zero", "z_scaled",
-        F.round(raw, 6).alias("raw6"),
-        lc.alias("linear_counting"),
-        F.round(est, 6).alias("est6"),
-    )
+    return estimate_from_registers(reg)
 
 
 @query(
