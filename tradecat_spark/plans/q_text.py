@@ -826,6 +826,72 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lang_id_confusion",
+    survey="north-star text analysis: language-ID CONFUSION MATRIX — "
+    "predictions vs the labeled lang column, per-cell counts and "
+    "row shares (the accuracy eval a lang-filter rollout reads before "
+    "trusting the heuristic on a new corpus slice)",
+    description="(actual, predicted) doc counts, actual-row totals, 6dp "
+    "row share, diagonal flag",
+    oracle=None,  # set below: nests text_lang_id's oracle
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion cells aggregate the per-doc predictions (one doc-keyed
+    join against the labels, one |langs|² hash agg); row shares use the
+    exact int64 6dp ratio. The matrix is |langs|² rows at any corpus
+    size — the eval is as scalable as the classifier."""
+    pred = text_lang_id(spark, sf_dir).select("doc_id", "lang_pred")
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.col("lang").alias("lang_actual")
+    )
+    m = (
+        d.join(pred, "doc_id")
+        .groupBy("lang_actual", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    t = m.groupBy("lang_actual").agg(
+        F.sum("n_docs").cast("bigint").alias("n_total")
+    )
+    return m.join(F.broadcast(t), "lang_actual").select(
+        "lang_actual",
+        "lang_pred",
+        "n_docs",
+        "n_total",
+        ratio6(F.col("n_docs"), F.col("n_total")).alias("row_share"),
+        (F.col("lang_actual") == F.col("lang_pred")).alias("is_correct"),
+    )
+
+
+def _lang_confusion_oracle() -> str:
+    from tradecat_spark.plans.registry import REGISTRY
+
+    return f"""
+WITH p AS ({REGISTRY['text_lang_id'].oracle}),
+j AS (
+  SELECT d.lang AS lang_actual, p.lang_pred
+  FROM documents d JOIN p ON p.doc_id = d.doc_id
+),
+m AS (
+  SELECT lang_actual, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM j GROUP BY 1, 2
+),
+t AS (
+  SELECT lang_actual, CAST(SUM(n_docs) AS BIGINT) AS n_total
+  FROM m GROUP BY 1
+)
+SELECT m.lang_actual, m.lang_pred, m.n_docs, t.n_total,
+       {ratio6_sql('m.n_docs', 't.n_total')} AS row_share,
+       m.lang_actual = m.lang_pred AS is_correct
+FROM m JOIN t ON t.lang_actual = m.lang_actual
+"""
+
+
+from tradecat_spark.plans.registry import REGISTRY as _REG_LANG  # noqa: E402
+
+_REG_LANG["lang_id_confusion"].oracle = _lang_confusion_oracle()
+
+
+@query(
     "text_quality_score",
     survey="north-star text analysis: quality scoring",
     description="Length/stopword/diversity features + logistic quality score",
