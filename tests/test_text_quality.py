@@ -384,3 +384,28 @@ def test_bpe_learn_merges_matches_python_reference(spark, monkeypatch):
         .orderBy("step").collect()
     ]
     assert got == want, (got, want)
+
+    # compression curve agrees with the reference's post-merge corpus
+    # token counts and is monotone non-increasing
+    seqs = {w: list(w) for w in vocab}
+    ref_tokens = [sum(vocab[w] * len(s) for w, s in seqs.items())]
+    for _, a, b, _, _ in want:
+        for w, toks in seqs.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            seqs[w] = out
+        ref_tokens.append(sum(vocab[w] * len(s) for w, s in seqs.items()))
+    curve = {
+        r["step"]: r["corpus_tokens"]
+        for r in Q.bpe_compression_curve(spark, "unused").collect()
+    }
+    assert [curve[k] for k in sorted(curve)] == ref_tokens
+    assert all(
+        curve[k] <= curve[k - 1] for k in sorted(curve) if k > 0
+    )

@@ -2886,19 +2886,13 @@ def _bpe_step_sql(p: str, prev: str) -> str:
 )"""
 
 
-def _bpe_oracle() -> str:
+def _bpe_ctes() -> str:
+    """The shared WITH body: word vocab, char seed, N unrolled steps."""
     steps = "".join(
         "," + _bpe_step_sql(f"s{k}", "t0" if k == 1 else f"s{k - 1}next")
         for k in range(1, N_BPE_STEPS + 1)
     )
-    unions = "\nUNION ALL ".join(
-        f"SELECT CAST({k} AS INTEGER) AS step, a AS left_tok, "
-        f"b AS right_tok, a || b AS merged_tok, pair_weight "
-        f"FROM s{k}top"
-        for k in range(1, N_BPE_STEPS + 1)
-    )
-    return f"""
-WITH v AS (
+    return f"""v AS (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS wcount FROM (
     SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
       AS word
@@ -2909,7 +2903,18 @@ t0 AS (
   SELECT word, wcount, CAST(i AS BIGINT) AS pos,
          substr(word, CAST(i AS INTEGER), 1) AS tok
   FROM v, LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i) u
-){steps}
+){steps}"""
+
+
+def _bpe_oracle() -> str:
+    unions = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS step, a AS left_tok, "
+        f"b AS right_tok, a || b AS merged_tok, pair_weight "
+        f"FROM s{k}top"
+        for k in range(1, N_BPE_STEPS + 1)
+    )
+    return f"""
+WITH {_bpe_ctes()}
 {unions}
 """
 
@@ -2991,6 +2996,28 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact via gaps-and-islands + even-offset selection, identical
     integer algebra in both engines; the argmax pair is totally
     ordered by (weight desc, pair asc) so every step is deterministic."""
+    _, tops, _ = _bpe_chain(spark, sf_dir)
+    outs = [
+        top.select(
+            F.lit(k).cast("int").alias("step"),
+            F.col("a").alias("left_tok"),
+            F.col("b").alias("right_tok"),
+            F.concat(F.col("a"), F.col("b")).alias("merged_tok"),
+            "pair_weight",
+        )
+        for k, top in enumerate(tops, start=1)
+    ]
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _bpe_chain(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame], list[DataFrame]]:
+    """(t0, [top per step], [token table after each step]) — shared by
+    bpe_learn_merges and bpe_compression_curve."""
     d = _spread(_docs(spark, sf_dir))
     w = d.select(
         F.explode(F.filter(_words(), lambda x: x != "")).alias("word")
@@ -3006,27 +3033,75 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("posi").cast("bigint").alias("pos"),
         F.substr(F.col("word"), F.col("posi"), F.lit(1)).alias("tok"),
     )
-    outs = []
-    for k in range(1, N_BPE_STEPS + 1):
+    t0, tops, ts = t, [], []
+    for _k in range(1, N_BPE_STEPS + 1):
         top, t = _bpe_step(t)
-        outs.append(
-            top.select(
-                F.lit(k).cast("int").alias("step"),
-                F.col("a").alias("left_tok"),
-                F.col("b").alias("right_tok"),
-                F.concat(F.col("a"), F.col("b")).alias("merged_tok"),
-                "pair_weight",
-            )
+        # eager per-step cut: every later step (and every union branch
+        # of the two BPE queries) reuses the materialized table instead
+        # of replaying the whole chain — O(steps), not O(steps²). The
+        # table is vocab-local (word types × tokens), so the
+        # materialization is KBs at test scale, MBs at 100 TB; swap for
+        # a parquet checkpoint_dir cut if executors are preemptible
+        # (same trade documented at q_cluster._cut_lineage).
+        t = t.localCheckpoint()
+        tops.append(top)
+        ts.append(t)
+    return t0, tops, ts
+
+
+@query(
+    "bpe_compression_curve",
+    survey="north-star text analysis: BPE compression curve — corpus "
+    "token count and token-inventory size after each learned merge, "
+    "the fertility metric a tokenizer build tracks per iteration",
+    description="Steps 0..3: weighted corpus token count and distinct "
+    "token types after each BPE merge",
+    oracle=None,  # set below (shared CTE chain)
+)
+def bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each curve point is one aggregate over the vocab-local token
+    table of that step: corpus_tokens = SUM(word count) over token
+    rows (every row is one token slot of a word type), token_types =
+    COUNT(DISTINCT tok). Monotone non-increasing corpus_tokens is the
+    training invariant (each merge removes exactly the occurrences it
+    merged) — pinned by the pytest law."""
+    t0, _, ts = _bpe_chain(spark, sf_dir)
+
+    def point(k: int, t: DataFrame) -> DataFrame:
+        return t.agg(
+            F.sum("wcount").cast("bigint").alias("corpus_tokens"),
+            F.count_distinct(F.col("tok")).cast("bigint")
+            .alias("token_types"),
+        ).select(
+            F.lit(k).cast("int").alias("step"),
+            "corpus_tokens",
+            "token_types",
         )
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionByName(o)
+
+    res = point(0, t0)
+    for k, t in enumerate(ts, start=1):
+        res = res.unionByName(point(k, t))
     return res
+
+
+def _bpe_curve_oracle() -> str:
+    unions = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS step, "
+        f"CAST(SUM(wcount) AS BIGINT) AS corpus_tokens, "
+        f"CAST(COUNT(DISTINCT tok) AS BIGINT) AS token_types "
+        f"FROM {'t0' if k == 0 else f's{k}next'}"
+        for k in range(0, N_BPE_STEPS + 1)
+    )
+    return f"""
+WITH {_bpe_ctes()}
+{unions}
+"""
 
 
 from tradecat_spark.plans.registry import REGISTRY as _REG_BPE  # noqa: E402
 
 _REG_BPE["bpe_learn_merges"].oracle = _bpe_oracle()
+_REG_BPE["bpe_compression_curve"].oracle = _bpe_curve_oracle()
 
 
 # ---------------------------------------------------------------------------
