@@ -409,3 +409,14 @@ def test_bpe_learn_merges_matches_python_reference(spark, monkeypatch):
     assert all(
         curve[k] <= curve[k - 1] for k in sorted(curve) if k > 0
     )
+
+    # encode side: per-doc counts are the reference's final seq lengths
+    fert = {
+        r["doc_id"]: r
+        for r in Q.bpe_encode_fertility(spark, "unused").collect()
+    }
+    for i, w in enumerate(words):
+        r = fert[i + 1]
+        assert r["n_words"] == 1
+        assert r["n_bpe_tokens"] == len(seqs[w])
+        assert r["n_bpe_tokens"] <= r["n_char_tokens"] == len(w)

@@ -3098,10 +3098,79 @@ WITH {_bpe_ctes()}
 """
 
 
+@query(
+    "bpe_encode_fertility",
+    survey="north-star text analysis: APPLY the learned tokenizer — "
+    "per-document BPE token counts and fertility (tokens per word) "
+    "under the 3 learned merges; the encode-side read that decides "
+    "whether a tokenizer fits a corpus slice",
+    description="Per doc: word count, char-token count, BPE token "
+    "count after 3 merges, 6dp fertility",
+    oracle=None,  # set below (shared CTE chain)
+)
+def bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding is a VOCAB join, not a re-tokenization: the final merge
+    table already holds each word type's token count, so per-doc counts
+    are (doc, word) instances joined to a broadcast |word types| map —
+    the same trick that makes training scale makes encoding scale.
+    Fertility = BPE tokens per word at exact 6dp."""
+    _, _, ts = _bpe_chain(spark, sf_dir)
+    per_word = ts[-1].groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+        F.max(F.length("word")).cast("bigint").alias("n_chars_w"),
+    )
+    d = _docs(spark, sf_dir)
+    inst = d.select(
+        "doc_id",
+        F.explode(F.filter(_words(), lambda x: x != "")).alias("word"),
+    )
+    j = inst.join(F.broadcast(per_word), "word")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("n_chars_w").cast("bigint").alias("n_char_tokens"),
+        F.sum("n_toks").cast("bigint").alias("n_bpe_tokens"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "n_char_tokens",
+        "n_bpe_tokens",
+        ratio6(F.col("n_bpe_tokens"), F.col("n_words")).alias("fertility"),
+    )
+
+
+def _bpe_fertility_oracle() -> str:
+    return f"""
+WITH {_bpe_ctes()},
+per_word AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_toks,
+         CAST(MAX(len(word)) AS BIGINT) AS n_chars_w
+  FROM s{N_BPE_STEPS}next GROUP BY word
+),
+inst AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS word
+  FROM documents
+),
+agg AS (
+  SELECT i.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(p.n_chars_w) AS BIGINT) AS n_char_tokens,
+         CAST(SUM(p.n_toks) AS BIGINT) AS n_bpe_tokens
+  FROM inst i JOIN per_word p ON p.word = i.word
+  GROUP BY i.doc_id
+)
+SELECT doc_id, n_words, n_char_tokens, n_bpe_tokens,
+       {ratio6_sql('n_bpe_tokens', 'n_words')} AS fertility
+FROM agg
+"""
+
+
 from tradecat_spark.plans.registry import REGISTRY as _REG_BPE  # noqa: E402
 
 _REG_BPE["bpe_learn_merges"].oracle = _bpe_oracle()
 _REG_BPE["bpe_compression_curve"].oracle = _bpe_curve_oracle()
+_REG_BPE["bpe_encode_fertility"].oracle = _bpe_fertility_oracle()
 
 
 # ---------------------------------------------------------------------------
