@@ -1787,3 +1787,31 @@ def test_hll_register_store_crash_replay_and_idempotence(
     est_batch = sorted(map(tuple, load_all()["hll_estimate"]
                            .fn(spark, sf_dir).collect()))
     assert est_store == est_batch
+
+
+def test_cms_counter_store_replay_never_double_counts(
+    spark, sf_dir, tmp_path
+):
+    """Additive-sketch durability laws: replaying a batch id overwrites
+    its own partial partition (counts unchanged — the hazard an
+    additive merge must dodge), and after disjoint batches the summed
+    store equals the one-pass batch grid."""
+    from tradecat_spark.catalog import load_table
+    from tradecat_spark.operators.cms import cms_counts
+    from tradecat_spark.streaming import sketch as sk
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    half1 = e.filter(F.col("user_id") % 2 == 0)
+    half2 = e.filter(F.col("user_id") % 2 == 1)
+    store = str(tmp_path / "grid")
+
+    sk.update_cms(spark, half1, 0, store)
+    once = sorted(map(tuple, sk.read_cms(spark, store).collect()))
+    assert len(once) > 0
+    sk.update_cms(spark, half1, 0, store)  # at-least-once replay
+    assert sorted(map(tuple, sk.read_cms(spark, store).collect())) == once
+
+    sk.update_cms(spark, half2, 1, store)
+    got = sorted(map(tuple, sk.read_cms(spark, store).collect()))
+    want = sorted(map(tuple, cms_counts(e).collect()))
+    assert got == want

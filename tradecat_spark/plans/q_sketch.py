@@ -505,8 +505,14 @@ def kmv_merge_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Count-Min Sketch (Cormode & Muthukrishnan 2005) — order-independent
 # frequency sketch, mergeable by addition
 # ---------------------------------------------------------------------------
-_CMS_D = 4    # hash rows
-_CMS_W = 512  # buckets per row
+# grid + bucket algebra single-sourced in operators.cms (shared with
+# the streaming counter maintenance)
+from tradecat_spark.operators.cms import (  # noqa: E402
+    CMS_D as _CMS_D,
+    CMS_W as _CMS_W,
+    bucket as _cms_bucket,
+    cms_counts as _cms_counts,
+)
 
 
 def _cms_bucket_sql(d: int, key: str) -> str:
@@ -571,28 +577,8 @@ def cms_frequency_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").isNotNull()
     ).select("user_id")
 
-    def bucket(d: int, key):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{d}_"), key.cast("string"))),
-                    1, 8,
-                ), 16, 10,
-            ).cast("bigint") % _CMS_W
-        )
-
-    rows = e.select(
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(d).alias("d"),
-                    bucket(d, F.col("user_id")).alias("bucket"),
-                )
-                for d in range(_CMS_D)
-            ])
-        ).alias("x")
-    ).select("x.d", "x.bucket")
-    cms = rows.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    bucket = _cms_bucket
+    cms = _cms_counts(e)
 
     truth = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
     probes = truth.select(

@@ -772,9 +772,79 @@ FROM r GROUP BY 1, 2
 """
 
 
+@query(
+    "streaming_cms_counters",
+    survey="§2.11-adjacent: streaming ADDITIVE-sketch maintenance — "
+    "per-batch partial CMS grids persisted as their own partitions and "
+    "summed at read (addition is not idempotent, so the durability "
+    "design inverts vs the HLL register store); the drained store must "
+    "equal the batch counter grid exactly",
+    description="CMS counter grid maintained by a multi-trigger stream "
+    "as per-batch partials, vs the one-pass batch grid",
+    oracle=None,  # set below: nests q_sketch's grid SQL
+)
+def streaming_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exactly-once story an additive sketch needs: each
+    checkpointed batch owns one store partition holding its partial
+    grid — replay overwrites (the partial is a deterministic function
+    of the batch), never re-adds — and the merged sketch is the SUM
+    over partitions, disjoint deliveries by construction. Per-trigger
+    work is one map-side-combinable count over the batch; the store is
+    batches x (4 x 512) rows until compaction folds old partials
+    (operators/storage.py retention machinery, same as the candle
+    store)."""
+    src = tempfile.mkdtemp(prefix="tc_cms_src_")
+    ckpt = tempfile.mkdtemp(prefix="tc_cms_ckpt_")
+    store = tempfile.mkdtemp(prefix="tc_cms_store_") + "/grid"
+    from tradecat_spark.streaming.sketch import (
+        read_cms,
+        start_cms_maintenance,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "ts"
+    )
+    e.repartition(6).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = start_cms_maintenance(stream, store, ckpt, available_now=True)
+    q.awaitTermination(300)
+    q.stop()
+    return read_cms(spark, store)
+
+
+def _cms_store_oracle() -> str:
+    from tradecat_spark.plans.q_sketch import _CMS_D, _cms_bucket_sql
+
+    cases = "\n      ".join(
+        f"WHEN {d} THEN {_cms_bucket_sql(d, 'user_id')}"
+        for d in range(_CMS_D)
+    )
+    return f"""
+WITH items AS (
+  SELECT user_id FROM events WHERE user_id IS NOT NULL
+),
+cms AS (
+  SELECT d.d,
+    CASE d.d
+      {cases}
+    END AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM items CROSS JOIN (SELECT unnest(range({_CMS_D})) AS d) d
+  GROUP BY 1, 2
+)
+SELECT CAST(d AS INTEGER) AS d, bucket, cnt FROM cms
+"""
+
+
 from tradecat_spark.plans.registry import REGISTRY as _REG  # noqa: E402
 
 _REG["streaming_hll_registers"].oracle = _hll_store_oracle()
+_REG["streaming_cms_counters"].oracle = _cms_store_oracle()
 
 
 # ---------------------------------------------------------------------------

@@ -82,6 +82,85 @@ def store_exists(store_path: str) -> bool:
     )
 
 
+# ---------------------------------------------------------------------------
+# CMS counter maintenance — the ADDITIVE sketch, so the durability
+# design inverts: addition is not idempotent, so the store holds one
+# PARTIAL sketch per batch (overwriting your own batch partition is
+# idempotent under replay) and readers SUM over partitions. Contrast
+# with the HLL store above, whose MAX merge lets replays re-merge.
+# ---------------------------------------------------------------------------
+CMS_KEYS = ["d", "bucket"]
+
+
+def update_cms(
+    spark: SparkSession, batch: DataFrame, batch_id: int, store_path: str
+) -> None:
+    """foreachBatch body: fold the batch to its partial counter grid
+    and commit it as the batch's own store partition. A replay
+    recomputes the identical partial and overwrites — never adds."""
+    from tradecat_spark.operators.cms import cms_counts
+
+    part = cms_counts(batch).withColumn(
+        "batch_id", F.lit(batch_id).cast("long")
+    )
+    if part.isEmpty():
+        return
+
+    def _merge(existing: DataFrame | None, f: DataFrame) -> DataFrame:
+        # same-batch replay: REPLACE, never sum — the partial is a
+        # deterministic function of the batch
+        return f.select(*CMS_KEYS, "cnt", "batch_id")
+
+    upsert_partitions(
+        spark, part, part, store_path, CMS_KEYS, _merge,
+        part_expr=F.concat(F.lit("b"), F.col("batch_id").cast("string")),
+    )
+
+
+def read_cms(spark: SparkSession, store_path: str) -> DataFrame:
+    """The merged sketch: SUM of the per-batch partials — disjoint
+    deliveries by construction (one partition per checkpointed batch),
+    so the sum is the exactly-once grid."""
+    return (
+        read_store(spark, store_path)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .select(
+            F.col("d").cast("int").alias("d"),
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "cnt",
+        )
+    )
+
+
+def start_cms_maintenance(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    trigger_sec: int = 3,
+    available_now: bool = False,
+):
+    """Start counter maintenance over an events stream (needs a
+    user_id column)."""
+    spark = stream.sparkSession
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        update_cms(spark, batch, batch_id, store_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_sec} seconds")
+    return writer.start()
+
+
 def start_hll_maintenance(
     stream: DataFrame,
     store_path: str,
