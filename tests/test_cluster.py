@@ -73,3 +73,41 @@ def test_semdedup_identical_vectors_match_oracle(spark, identical_dir):
     assert (got["cos_sim"] == 1.0).all()
     assert_frames_match(got, _oracle(identical_dir, spec.oracle),
                         "semdedup_degenerate")
+
+
+def test_gram_and_power_iteration_laws(spark, sf_dir):
+    """Spectral-family laws: the Gram triangle reconstructs a symmetric
+    PSD-diagonal matrix; the published eigenvalue IS the Rayleigh
+    quotient of the published fixed-point vector (recomputed in exact
+    Python ints with the same truncation); and 3 power steps do not
+    decrease the Rayleigh quotient vs the all-ones start (PSD
+    monotonicity)."""
+    from tradecat_spark.plans.registry import load_all
+
+    specs = load_all()
+    tri = specs["embedding_gram_matrix"].fn(spark, sf_dir).collect()
+    g: dict = {}
+    for r in tri:
+        g[(r["i"], r["j"])] = r["gram_scaled"]
+        g[(r["j"], r["i"])] = r["gram_scaled"]
+    d = max(i for i, _ in g)
+    assert set(g) == {(i, j) for i in range(1, d + 1)
+                      for j in range(1, d + 1)}
+    assert all(g[(i, i)] >= 0 for i in range(1, d + 1))
+
+    rows = specs["embedding_top_pc_power"].fn(spark, sf_dir).collect()
+    v = {r["component"]: r["v_fp"] for r in rows}
+    lam = rows[0]["lambda_scaled"]
+    assert all(r["lambda_scaled"] == lam for r in rows)
+    assert max(abs(x) for x in v.values()) == 1_000_000
+
+    def rayleigh(vec: dict) -> int:
+        nu = sum(vec[i] * g[(i, j)] * vec[j]
+                 for i in range(1, d + 1) for j in range(1, d + 1))
+        de = sum(x * x for x in vec.values())
+        s = 1 if nu >= 0 else -1
+        return s * (abs(nu) // de)
+
+    assert rayleigh(v) == lam
+    ones = {i: 1_000_000 for i in range(1, d + 1)}
+    assert lam >= rayleigh(ones)

@@ -1910,3 +1910,234 @@ def ann_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spectral family: exact integer Gram matrix + fixed-point power
+# iteration for the top principal direction
+# ---------------------------------------------------------------------------
+#: micro CTE shared with the SQ8 lane's `c` (same rounding), full-pair
+#: Gram in HUGEINT, published scaled by 1e6 with sign-safe truncation
+_GRAM_SQL = """c AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS component,
+    CAST(ROUND(unnest(CAST(embedding AS DOUBLE[])) * 1000000) AS BIGINT)
+      AS m
+  FROM embeddings
+),
+gall AS (
+  SELECT CAST(a.component AS INTEGER) AS i, CAST(b.component AS INTEGER) AS j,
+         SUM(CAST(a.m AS HUGEINT) * b.m) AS s
+  FROM c a JOIN c b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT i, j,
+    CAST(CASE WHEN s >= 0 THEN 1 ELSE -1 END
+         * (ABS(s) // 1000000) AS BIGINT) AS gram_scaled
+  FROM gall
+)"""
+
+
+def _sgn(col: Column) -> Column:
+    return F.when(col >= 0, F.lit(1)).otherwise(F.lit(-1))
+
+
+def _dec(col: Column) -> Column:
+    return col.cast("decimal(38,0)")
+
+
+def _gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(i, j, gram_scaled) FULL d x d Gram over micro-unit integer
+    embeddings, entries scaled down by 1e6 with sign-safe truncation
+    (matches DuckDB's ABS-// form). The pair explode amplifies rows d x
+    per component MAP-SIDE only: the hash aggregate has d^2 groups, so
+    partial aggregation collapses everything before the one shuffle —
+    the shuffle carries d^2 x partitions rows at any corpus size (the
+    d^2 n multiplications are inherent to a Gram)."""
+    e = _emb(spark, sf_dir)
+    mv = F.transform(
+        F.col("vec"), lambda x: F.round(x * 1_000_000).cast("long")
+    )
+    # the repartition is a projection-collapse BARRIER, not a layout
+    # choice: without it Catalyst inlines the mv transform into every
+    # element_at of the pair lambda, turning each O(1) array access
+    # into an O(d) re-evaluation (measured 88 s -> ~2 s at sf0.01).
+    # The shuffled payload is the compact (vec_id, 64 x int64) rows.
+    em = (
+        e.select("vec_id", mv.alias("mv"))
+        .repartition(e.sparkSession.sparkContext.defaultParallelism)
+    )
+    d = F.size(F.col("mv"))
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), d),
+            lambda i: F.transform(
+                F.sequence(F.lit(1), d),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (
+                        F.element_at(F.col("mv"), i)
+                        * F.element_at(F.col("mv"), j)
+                    ).alias("prod"),
+                ),
+            ),
+        )
+    )
+    p = (
+        em.select(F.explode(pairs).alias("x"))
+        .select("x.i", "x.j", "x.prod")
+        .groupBy("i", "j")
+        .agg(F.sum(_dec(F.col("prod"))).alias("s"))
+    )
+    g = _sgn(F.col("s")) * F.call_function(
+        "div", F.abs(F.col("s")), F.lit(1_000_000)
+    )
+    return p.select("i", "j", g.cast("bigint").alias("gram_scaled"))
+
+
+@query(
+    "embedding_gram_matrix",
+    survey="north-star similarity: the d x d Gram/scatter matrix over "
+    "micro-unit integer embeddings — the spectral-analysis input (PCA, "
+    "whitening, anisotropy checks) a vector-store review computes "
+    "before trusting cosine geometry; exact in HUGEINT/DECIMAL(38)",
+    description="Upper-triangle Gram entries (i <= j), micro^2 sums "
+    "scaled by 1e6, sign-safe integer truncation",
+    oracle=f"""
+WITH {_GRAM_SQL}
+SELECT i, j, gram_scaled FROM g WHERE i <= j
+""",
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See _gram for the shuffle-bounded shape; published as the upper
+    triangle (the matrix is symmetric by construction — the pytest law
+    asserts it on the full form)."""
+    return _gram(spark, sf_dir).filter(F.col("i") <= F.col("j"))
+
+
+N_PC_ITERS = 3
+_PC_SCALE = 1_000_000  # fixed-point scale of the iterated vector
+
+
+def _pc_iter_sql(k: int, prev: str) -> str:
+    """One power-iteration step in HUGEINT fixed point: w = G v, then
+    renormalize to max|w| = SCALE with sign-safe truncation."""
+    return f"""
+w{k} AS (
+  SELECT g.i, SUM(CAST(g.gram_scaled AS HUGEINT) * v.v) AS w
+  FROM g JOIN {prev} v ON v.k = g.j
+  GROUP BY 1
+),
+m{k} AS (SELECT MAX(ABS(w)) AS mx FROM w{k}),
+v{k} AS (
+  SELECT i AS k,
+         CASE WHEN w >= 0 THEN 1 ELSE -1 END
+           * ((ABS(w) * {_PC_SCALE}) // mx) AS v
+  FROM w{k}, m{k}
+)"""
+
+
+def _pc_oracle() -> str:
+    iters = "".join(
+        "," + _pc_iter_sql(k, "v0" if k == 1 else f"v{k - 1}")
+        for k in range(1, N_PC_ITERS + 1)
+    )
+    last = f"v{N_PC_ITERS}"
+    return f"""
+WITH {_GRAM_SQL},
+v0 AS (
+  SELECT DISTINCT i AS k, CAST({_PC_SCALE} AS HUGEINT) AS v FROM g
+){iters},
+num AS (
+  SELECT SUM(va.v * CAST(g.gram_scaled AS HUGEINT) * vb.v) AS nu
+  FROM g
+  JOIN {last} va ON va.k = g.i
+  JOIN {last} vb ON vb.k = g.j
+),
+den AS (SELECT SUM(v * v) AS de FROM {last})
+SELECT CAST(k AS INTEGER) AS component, CAST(v AS BIGINT) AS v_fp,
+       CAST(CASE WHEN nu >= 0 THEN 1 ELSE -1 END
+            * (ABS(nu) // de) AS BIGINT) AS lambda_scaled
+FROM {last}, num, den
+"""
+
+
+@query(
+    "embedding_top_pc_power",
+    survey="north-star similarity: top principal direction via power "
+    "iteration on the Gram matrix — 3 fixed-point steps, max-abs "
+    "renormalization, Rayleigh-quotient eigenvalue, ALL integer-exact "
+    "(the same fixed-point discipline as the PageRank lane), so the "
+    "spectral read is hash-checkable across engines",
+    description="Per component: fixed-point top-PC coordinate after 3 "
+    "power steps + Rayleigh eigenvalue in gram_scaled units",
+    oracle=None,  # set below (generated iteration chain)
+)
+def embedding_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every step is a d^2-row broadcast-scale join (the Gram is the
+    ONLY corpus-derived input — computed once, then iteration cost is
+    corpus-independent): w = G v in DECIMAL(38) (HUGEINT in the
+    oracle), renormalized to max|w| = 1e6 by sign-safe integer
+    division. Starting from all-ones, 3 steps, the dominant direction
+    at the precision the fixed point carries; the Rayleigh quotient
+    v'Gv / v'v publishes the eigenvalue in gram_scaled units. No
+    floating-point accumulates anywhere, so both engines agree
+    bit-for-bit — the property float PCA can never give the driver
+    gate."""
+    g = _gram(spark, sf_dir).localCheckpoint()
+    v = g.select(F.col("i").alias("k")).distinct().select(
+        "k", F.lit(_PC_SCALE).cast("long").alias("v")
+    )
+    for _t in range(N_PC_ITERS):
+        w = (
+            g.join(v, v["k"] == g["j"])
+            .groupBy("i")
+            .agg(F.sum(_dec(F.col("gram_scaled")) * F.col("v")).alias("w"))
+        )
+        mx = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
+        v = (
+            w.crossJoin(F.broadcast(mx))
+            .select(
+                F.col("i").alias("k"),
+                (
+                    _sgn(F.col("w"))
+                    * F.call_function(
+                        "div",
+                        F.abs(F.col("w")) * F.lit(_PC_SCALE),
+                        F.col("mx"),
+                    )
+                )
+                .cast("long")
+                .alias("v"),
+            )
+        )
+    va = v.select(F.col("k").alias("i"), F.col("v").alias("via"))
+    vb = v.select(F.col("k").alias("j"), F.col("v").alias("vjb"))
+    num = (
+        g.join(F.broadcast(va), "i")
+        .join(F.broadcast(vb), "j")
+        .agg(
+            F.sum(
+                F.col("via") * _dec(F.col("gram_scaled")) * F.col("vjb")
+            ).alias("nu")
+        )
+    )
+    den = v.agg(F.sum(_dec(F.col("v")) * F.col("v")).alias("de"))
+    lam = _sgn(F.col("nu")) * F.call_function(
+        "div", F.abs(F.col("nu")), F.col("de")
+    )
+    return (
+        v.crossJoin(F.broadcast(num))
+        .crossJoin(F.broadcast(den))
+        .select(
+            F.col("k").cast("int").alias("component"),
+            F.col("v").cast("bigint").alias("v_fp"),
+            lam.cast("bigint").alias("lambda_scaled"),
+        )
+    )
+
+
+from tradecat_spark.plans.registry import REGISTRY as _REG_PC  # noqa: E402
+
+_REG_PC["embedding_top_pc_power"].oracle = _pc_oracle()
