@@ -198,11 +198,18 @@ def main() -> None:
     # and parses the JSON line out of that window — if the line ever
     # outgrows it again, shed the secondary sections (colds first,
     # then per-query stats) rather than lose the whole record
+    dropped = []
     for drop in ("queries_cold", "queries_stats"):
         if len(line) <= 1900:
             break
         payload.pop(drop, None)
-        payload["note"] = f"{drop}+ dropped to fit driver window"
+        dropped.append(drop)
+        # ACCUMULATE the shed record — overwriting would erase both the
+        # earlier drop and the methodology pointer from the artifact
+        payload["note"] = (
+            f"{'+'.join(dropped)} dropped to fit driver window; "
+            "methodology: README.md#bench-methodology"
+        )
         line = json.dumps(payload, separators=(",", ":"))
     print(line, flush=True)
     spark.stop()

@@ -35,15 +35,14 @@ the candle store.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tradecat_spark.operators.minhash import doc_sigs, screen_delta
 from tradecat_spark.streaming.ingest import (
-    PART_COL,
     read_store,
+    start_foreach_batch,
+    store_has_data as _store_has_data,
     upsert_partitions,
 )
 
@@ -79,12 +78,6 @@ def upsert_sigs(
     )
 
 
-def _store_has_data(store_path: str) -> bool:
-    return os.path.isdir(store_path) and any(
-        e.startswith((f"{PART_COL}=", ".")) for e in os.listdir(store_path)
-    )
-
-
 def screen_and_persist(
     spark: SparkSession,
     batch: DataFrame,
@@ -97,9 +90,14 @@ def screen_and_persist(
     overwrite) -> commit signatures. A crash anywhere leaves either a
     re-screenable batch (checkpoint not advanced) or a fully committed
     one; both replay to the same verdicts and store content."""
+    # ONE materialization of the CPU-heavy shingle/minhash fold: the
+    # verdict write, the upsert's partition probe, and the staging
+    # write all consume `sigs` — without the cut each would re-execute
+    # the fold (the probe-reruns-the-fold regression the candle path
+    # fixed in r5). A crash during the cut just replays the batch.
     sigs = doc_sigs(batch.select("doc_id", "text")).withColumn(
         "batch_id", F.lit(batch_id).cast("long")
-    )
+    ).localCheckpoint()
     # from the RAW batch, not the sig rows: the probe must not pay the
     # shingle/minhash pass a second time (same reasoning as the candle
     # ingest's raw-batch partition probe)
@@ -110,9 +108,10 @@ def screen_and_persist(
         )
     else:
         base = sigs.filter(F.lit(False))
-    verdicts = screen_delta(sigs, base).withColumn(
-        "batch_id", F.lit(batch_id).cast("long")
-    )
+    # batch_id lives in the directory name ONLY — also writing it as a
+    # data column made every root read warn COLUMN_ALREADY_EXISTS and
+    # stored the value twice
+    verdicts = screen_delta(sigs, base)
     verdicts.write.mode("overwrite").parquet(
         f"{verdict_path}/batch_id={batch_id}"
     )
@@ -131,17 +130,8 @@ def start_dedup_screen(
     spark = stream.sparkSession
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
         screen_and_persist(spark, batch, batch_id, sig_store, verdict_path)
 
-    writer = (
-        stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+    return start_foreach_batch(
+        stream, _sink, checkpoint, trigger_sec, available_now
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime=f"{trigger_sec} seconds")
-    return writer.start()

@@ -390,6 +390,61 @@ def read_store(spark: SparkSession, store_path: str) -> DataFrame:
     return spark.read.parquet(*targets)
 
 
+def store_has_data(store_path: str) -> bool:
+    """True iff the store holds data ``read_store`` can actually read:
+    a published ``_part=`` entry, or a displaced versioned dot-DIR
+    (crash-orphan recovery case). A stray dot FILE or a dangling
+    ``.link-*`` symlink must NOT count — a caller's bootstrap branch
+    would otherwise hand read_store a directory whose recovery scan
+    finds nothing and whose legacy fallback fails schema inference.
+    Single home for the commit-layout knowledge (the sig and sketch
+    stores used to carry their own copies)."""
+    if not os.path.isdir(store_path):
+        return False
+    for n in os.listdir(store_path):
+        p = os.path.join(store_path, n)
+        if n.startswith(f"{PART_COL}="):
+            return True
+        if (
+            n.startswith(".")
+            and f"-{PART_COL}=" in n
+            and os.path.isdir(p)
+            and not os.path.islink(p)
+        ):
+            return True
+    return False
+
+
+def start_foreach_batch(
+    stream: DataFrame,
+    sink,
+    checkpoint: str,
+    trigger_sec: int = 3,
+    available_now: bool = False,
+):
+    """Shared writer scaffolding for every foreachBatch silver-store
+    maintainer (candles, dedup signatures, sketch stores): empty-batch
+    guard, checkpoint location, update mode, availableNow vs
+    processingTime trigger. ``sink(batch, batch_id)`` runs only on
+    non-empty batches."""
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sink(batch, batch_id)
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_sec} seconds")
+    return writer.start()
+
+
 def start_candle_ingest(
     stream: DataFrame,
     store_path: str,
@@ -414,17 +469,8 @@ def start_candle_ingest(
         order_col = detect_order_col(stream.columns)
 
     def _sink(batch: DataFrame, _batch_id: int) -> None:
-        if batch.isEmpty():
-            return
         upsert_batch(spark, batch, store_path, keys, order_col=order_col)
 
-    writer = (
-        stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+    return start_foreach_batch(
+        stream, _sink, checkpoint, trigger_sec, available_now
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime=f"{trigger_sec} seconds")
-    return writer.start()

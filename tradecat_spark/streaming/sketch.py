@@ -23,15 +23,14 @@ estimator algebra reads it.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tradecat_spark.operators.hll import max_merge, registers
 from tradecat_spark.streaming.ingest import (
-    PART_COL,
     read_store,
+    start_foreach_batch,
+    store_has_data,
     upsert_partitions,
 )
 
@@ -61,8 +60,11 @@ def update_registers(
 ) -> None:
     """The foreachBatch body, exposed for tests: fold the batch to its
     registers, max-merge into the store. No batch-id bookkeeping is
-    needed — idempotence comes from the merge itself."""
-    regs = registers(batch)
+    needed — idempotence comes from the merge itself. The fold is
+    materialized ONCE (localCheckpoint, types x 256 rows) so the empty
+    probe, the partition probe, and the staging write don't each
+    re-run the distinct-heavy register aggregation."""
+    regs = registers(batch).localCheckpoint()
     if regs.isEmpty():
         return
     upsert_registers(spark, regs, store_path)
@@ -76,10 +78,8 @@ def read_registers(spark: SparkSession, store_path: str) -> DataFrame:
     )
 
 
-def store_exists(store_path: str) -> bool:
-    return os.path.isdir(store_path) and any(
-        e.startswith((f"{PART_COL}=", ".")) for e in os.listdir(store_path)
-    )
+#: layout knowledge single-sourced in ingest.store_has_data
+store_exists = store_has_data
 
 
 # ---------------------------------------------------------------------------
@@ -100,9 +100,10 @@ def update_cms(
     recomputes the identical partial and overwrites — never adds."""
     from tradecat_spark.operators.cms import cms_counts
 
+    # one materialization (4 x 512 rows max) — see update_registers
     part = cms_counts(batch).withColumn(
         "batch_id", F.lit(batch_id).cast("long")
-    )
+    ).localCheckpoint()
     if part.isEmpty():
         return
 
@@ -145,20 +146,11 @@ def start_cms_maintenance(
     spark = stream.sparkSession
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
         update_cms(spark, batch, batch_id, store_path)
 
-    writer = (
-        stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+    return start_foreach_batch(
+        stream, _sink, checkpoint, trigger_sec, available_now
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime=f"{trigger_sec} seconds")
-    return writer.start()
 
 
 def start_hll_maintenance(
@@ -173,17 +165,8 @@ def start_hll_maintenance(
     spark = stream.sparkSession
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
         update_registers(spark, batch, store_path)
 
-    writer = (
-        stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+    return start_foreach_batch(
+        stream, _sink, checkpoint, trigger_sec, available_now
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime=f"{trigger_sec} seconds")
-    return writer.start()
