@@ -28,7 +28,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: then the round-1-only rows (every r02-checked row was green and
 #: unchanged, so they rotate to the back and re-enter next round).
 _GATE_PRIORITY = (
-    # --- r7 front (gate cap = 50): the 20 queries born this round
+    # --- r7 front (gate cap = 50): the 22 queries born this round
     # (PQ/IVFADC family, HLL estimator pair, epoch draw manifest,
     # MinHash estimator/calibration/LSH-quality, KMV set-similarity),
     "embedding_pq_codes", "ann_pq_recall", "ann_ivf_pq_search",
@@ -39,6 +39,7 @@ _GATE_PRIORITY = (
     "bpe_learn_merges", "lang_id_confusion", "bpe_compression_curve",
     "bpe_encode_fertility", "streaming_cms_counters",
     "embedding_gram_matrix", "embedding_top_pc_power",
+    "dedup_quality_canonical", "embedding_anisotropy",
     # --- re-checks: the minhash lane was refactored into
     # operators.minhash this round (results mimic-verified unchanged)
     "dedup_minhash_bands", "dedup_incremental_delta",

@@ -2141,3 +2141,61 @@ def embedding_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 from tradecat_spark.plans.registry import REGISTRY as _REG_PC  # noqa: E402
 
 _REG_PC["embedding_top_pc_power"].oracle = _pc_oracle()
+
+
+@query(
+    "embedding_anisotropy",
+    survey="north-star similarity: anisotropy diagnostic — top-PC "
+    "share of total variance (lambda / trace of the Gram), the "
+    "one-number embedding-collapse check (a share near 1 means cosine "
+    "geometry has degenerated onto one axis) — rides the hash-green "
+    "Gram + power-iteration pair, all integer-exact",
+    description="One row: Rayleigh eigenvalue, Gram trace, 6dp top-PC "
+    "variance share",
+    oracle=None,  # set below (nests the power-iteration chain)
+)
+def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lambda from the fixed-point power iteration (constant across its
+    64 output rows — reduced by max), trace as the exact sum of the
+    Gram diagonal; the share is the exact int64 6dp ratio. Everything
+    after the one Gram pass is d-bounded."""
+    from tradecat_spark.plans.exact import ratio6
+
+    lam = embedding_top_pc_power(spark, sf_dir).agg(
+        F.max("lambda_scaled").cast("bigint").alias("lambda_scaled")
+    )
+    tr = (
+        _gram(spark, sf_dir)
+        .filter(F.col("i") == F.col("j"))
+        .agg(F.sum("gram_scaled").cast("bigint").alias("trace_scaled"))
+    )
+    return lam.crossJoin(tr).select(
+        "lambda_scaled",
+        "trace_scaled",
+        ratio6(F.col("lambda_scaled"), F.col("trace_scaled")).alias(
+            "top_pc_share"
+        ),
+    )
+
+
+def _anisotropy_oracle() -> str:
+    from tradecat_spark.plans.exact import ratio6_sql
+    from tradecat_spark.plans.registry import REGISTRY
+
+    return f"""
+WITH pc AS ({REGISTRY['embedding_top_pc_power'].oracle}),
+lam AS (
+  SELECT CAST(MAX(lambda_scaled) AS BIGINT) AS lambda_scaled FROM pc
+),
+tr AS (
+  SELECT CAST(SUM(gram_scaled) AS BIGINT) AS trace_scaled
+  FROM ({REGISTRY['embedding_gram_matrix'].oracle}) gm
+  WHERE i = j
+)
+SELECT lambda_scaled, trace_scaled,
+       {ratio6_sql('lambda_scaled', 'trace_scaled')} AS top_pc_share
+FROM lam, tr
+"""
+
+
+_REG_PC["embedding_anisotropy"].oracle = _anisotropy_oracle()

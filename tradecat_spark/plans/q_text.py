@@ -3754,3 +3754,69 @@ def mix_epoch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "draw_n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware canonical selection (keep the BEST, not the first)
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_quality_canonical",
+    survey="north-star dedup: quality-aware keep-one — the canonical "
+    "doc per duplicate cluster is the argmax of the quality score "
+    "(ties: lowest doc_id), which is what a production dedup actually "
+    "keeps; min-doc_id canonicals (dedup_clusters) are the bootstrap "
+    "rule this upgrades",
+    description="Per doc: cluster id, quality score, keep rank, "
+    "quality-canonical flag",
+    oracle=None,  # set below: nests the cluster + quality oracles
+)
+def dedup_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes two hash-green lanes: connected-component cluster ids
+    (dedup_clusters) joined to per-doc quality scores
+    (text_quality_score), then one per-cluster window picks the
+    highest-quality member (score desc, doc_id asc — the 6dp score is
+    engine-identical, so the ordering is too). The window partitions by
+    cluster: bounded by the largest duplicate cluster, never corpus-
+    global. Singleton clusters keep their only member."""
+    from tradecat_spark.plans.registry import REGISTRY
+
+    clus = REGISTRY["dedup_clusters"].fn(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    q = REGISTRY["text_quality_score"].fn(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    j = clus.join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        "quality_score",
+        F.row_number().over(w).cast("bigint").alias("keep_rank"),
+    ).withColumn("is_kept", F.col("keep_rank") == 1)
+
+
+def _quality_canonical_oracle() -> str:
+    from tradecat_spark.plans.registry import REGISTRY
+
+    return f"""
+WITH clus AS ({REGISTRY['dedup_clusters'].oracle}),
+qs AS ({REGISTRY['text_quality_score'].oracle})
+SELECT c.doc_id, c.cluster_id, q.quality_score,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY c.cluster_id
+         ORDER BY q.quality_score DESC, c.doc_id ASC
+       ) AS BIGINT) AS keep_rank,
+       ROW_NUMBER() OVER (
+         PARTITION BY c.cluster_id
+         ORDER BY q.quality_score DESC, c.doc_id ASC
+       ) = 1 AS is_kept
+FROM clus c JOIN qs q ON q.doc_id = c.doc_id
+"""
+
+
+from tradecat_spark.plans.registry import REGISTRY as _REG_QC  # noqa: E402
+
+_REG_QC["dedup_quality_canonical"].oracle = _quality_canonical_oracle()
