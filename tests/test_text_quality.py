@@ -420,3 +420,16 @@ def test_bpe_learn_merges_matches_python_reference(spark, monkeypatch):
         assert r["n_words"] == 1
         assert r["n_bpe_tokens"] == len(seqs[w])
         assert r["n_bpe_tokens"] <= r["n_char_tokens"] == len(w)
+
+
+def test_quality_canonical_keeps_best_per_cluster(spark, sf_dir):
+    """Exactly one kept doc per cluster, and no cluster member strictly
+    out-scores it (doc_id breaks score ties)."""
+    from tradecat_spark.plans.registry import load_all
+
+    df = load_all()["dedup_quality_canonical"].fn(spark, sf_dir).toPandas()
+    assert (df.groupby("cluster_id").is_kept.sum() == 1).all()
+    best = df.groupby("cluster_id").quality_score.max()
+    kept = df[df.is_kept].set_index("cluster_id")
+    assert (kept.quality_score == best.loc[kept.index]).all()
+    assert (df.groupby("cluster_id").keep_rank.min() == 1).all()
