@@ -546,3 +546,18 @@ def test_incremental_dedup_probes_broadcast_delta(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin [band" not in plan
     assert "SortMergeJoin [h" not in plan
+
+
+def test_gram_keeps_projection_collapse_barrier(spark, sf_dir):
+    """The Gram's micro-array transform must stay materialized behind a
+    round-robin exchange: without the barrier Catalyst collapses the
+    projection into the pair lambda and every element_at re-evaluates
+    the whole transform — O(d) per access, a measured 40x regression
+    (q_similarity._gram comment)."""
+    df = SPECS["embedding_gram_matrix"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan
+    # the explode input must reference the materialized column, not an
+    # inlined transform(...) of the raw embedding
+    gen = [ln for ln in plan.splitlines() if "Generate explode" in ln]
+    assert gen and all("transform(vec" not in ln for ln in gen)
