@@ -433,3 +433,58 @@ def test_quality_canonical_keeps_best_per_cluster(spark, sf_dir):
     kept = df[df.is_kept].set_index("cluster_id")
     assert (kept.quality_score == best.loc[kept.index]).all()
     assert (df.groupby("cluster_id").keep_rank.min() == 1).all()
+
+
+def test_bpe_relational_greedy_on_seeded_random_corpus(spark, monkeypatch):
+    """One seeded random corpus over the 2-letter alphabet — the
+    densest possible field of overlapping-candidate runs — must
+    reproduce the sequential reference's merges AND per-word final
+    sequences (checked through bpe_encode_fertility's token counts)."""
+    import random
+
+    rng = random.Random(20260815)
+    words = [
+        "".join(rng.choice("ab") for _ in range(rng.randint(1, 9)))
+        for _ in range(40)
+    ]
+    docs = pd.DataFrame(
+        [
+            dict(doc_id=i + 1, text=w, lang="en", source="s", n_chars=0)
+            for i, w in enumerate(words)
+        ]
+    )
+    vocab: dict = {}
+    for w in words:
+        vocab[w] = vocab.get(w, 0) + 1
+    want = _ref_bpe(vocab, Q.N_BPE_STEPS)
+
+    df = spark.createDataFrame(docs)
+    monkeypatch.setattr(Q, "_docs", lambda s, d: df)
+    got = [
+        (r["step"], r["left_tok"], r["right_tok"], r["merged_tok"],
+         r["pair_weight"])
+        for r in Q.bpe_learn_merges(spark, "unused")
+        .orderBy("step").collect()
+    ]
+    assert got == want, (got, want)
+
+    # replay the reference merges to final sequences and compare the
+    # per-doc BPE token counts
+    seqs = {w: list(w) for w in vocab}
+    for _, a, b, _, _ in want:
+        for w, toks in seqs.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            seqs[w] = out
+    fert = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in Q.bpe_encode_fertility(spark, "unused").collect()
+    }
+    for i, w in enumerate(words):
+        assert fert[i + 1] == len(seqs[w]), (w, seqs[w])
