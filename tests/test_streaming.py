@@ -1815,3 +1815,48 @@ def test_cms_counter_store_replay_never_double_counts(
     got = sorted(map(tuple, sk.read_cms(spark, store).collect()))
     want = sorted(map(tuple, cms_counts(e).collect()))
     assert got == want
+
+
+def test_cms_compaction_coverage_and_crash_safety(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """compact_cms folds covered partials into one base without ever
+    changing what read_cms returns — including at the crash seam
+    between base publish and debris deletion, on re-run, and when a
+    covered batch id is replayed afterwards (checkpoint rollback)."""
+    from tradecat_spark.catalog import load_table
+    from tradecat_spark.operators.cms import cms_counts
+    from tradecat_spark.streaming import sketch as sk
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    thirds = [e.filter(F.col("user_id") % 3 == i) for i in range(3)]
+    store = str(tmp_path / "grid")
+    for i, t in enumerate(thirds):
+        sk.update_cms(spark, t, i, store)
+    want = sorted(map(tuple, cms_counts(e).collect()))
+    assert sorted(map(tuple, sk.read_cms(spark, store).collect())) == want
+
+    # crash AFTER the base publishes, BEFORE any delete runs
+    real_drop = sk._drop_cms_partition
+    monkeypatch.setattr(
+        sk, "_drop_cms_partition",
+        lambda *a: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        sk.compact_cms(spark, store, 1)
+    vals = set(sk._cms_partition_vals(store))
+    assert {"c1", "b0", "b1", "b2"} <= vals  # debris still on disk
+    # the coverage rule already serves the exact grid
+    assert sorted(map(tuple, sk.read_cms(spark, store).collect())) == want
+
+    # re-run completes: identical base, debris gone
+    monkeypatch.setattr(sk, "_drop_cms_partition", real_drop)
+    sk.compact_cms(spark, store, 1)
+    vals = set(sk._cms_partition_vals(store))
+    assert "c1" in vals and "b2" in vals
+    assert not vals & {"b0", "b1"}
+    assert sorted(map(tuple, sk.read_cms(spark, store).collect())) == want
+
+    # a covered batch replayed after compaction is ignored by coverage
+    sk.update_cms(spark, thirds[0], 0, store)
+    assert sorted(map(tuple, sk.read_cms(spark, store).collect())) == want

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from tradecat_spark.operators.hll import max_merge, registers
 from tradecat_spark.streaming.ingest import (
+    PART_COL,
     read_store,
     start_foreach_batch,
     store_has_data,
@@ -118,12 +119,57 @@ def update_cms(
     )
 
 
+def _cms_partition_vals(store_path: str) -> list[str]:
+    import os
+
+    if not os.path.isdir(store_path):
+        return []
+    return [
+        e.split("=", 1)[1]
+        for e in os.listdir(store_path)
+        if e.startswith(f"{PART_COL}=")
+    ]
+
+
+def _cms_live_vals(vals: list[str]) -> list[str]:
+    """Coverage rule shared by the reader and the compactor: the
+    highest ``c<k>`` base covers every partial ``b<j>`` (and older
+    base) with index <= k. Anything covered is DEAD — readable crash
+    debris the compactor deletes lazily. This is what makes
+    compaction crash-safe without a transaction log: publish the new
+    base first, and the reader's selection is already correct before
+    a single delete runs."""
+    cks = [int(v[1:]) for v in vals if v.startswith("c")]
+    cmax = max(cks) if cks else None
+    return [
+        v
+        for v in vals
+        if (v.startswith("b") and (cmax is None or int(v[1:]) > cmax))
+        or (v.startswith("c") and int(v[1:]) == cmax)
+    ]
+
+
+def _cms_read_vals(spark: SparkSession, store_path: str, vals) -> DataFrame:
+    from tradecat_spark.streaming.ingest import _partition_data_dir
+
+    dirs = [
+        d
+        for v in vals
+        if (d := _partition_data_dir(store_path, f"{PART_COL}={v}"))
+        is not None
+    ]
+    return spark.read.parquet(*dirs)
+
+
 def read_cms(spark: SparkSession, store_path: str) -> DataFrame:
-    """The merged sketch: SUM of the per-batch partials — disjoint
-    deliveries by construction (one partition per checkpointed batch),
-    so the sum is the exactly-once grid."""
+    """The merged sketch: SUM of the LIVE partitions — the newest
+    compacted base plus every partial it doesn't cover. Deliveries are
+    disjoint by construction (one partition per checkpointed batch;
+    coverage excludes anything a base already folded), so the sum is
+    the exactly-once grid."""
+    live = _cms_live_vals(_cms_partition_vals(store_path))
     return (
-        read_store(spark, store_path)
+        _cms_read_vals(spark, store_path, live)
         .groupBy("d", "bucket")
         .agg(F.sum("cnt").cast("bigint").alias("cnt"))
         .select(
@@ -132,6 +178,68 @@ def read_cms(spark: SparkSession, store_path: str) -> DataFrame:
             "cnt",
         )
     )
+
+
+def compact_cms(
+    spark: SparkSession, store_path: str, upto_batch: int
+) -> None:
+    """Fold every live partition with index <= ``upto_batch`` into one
+    ``c<upto_batch>`` base partition, then delete what it covers.
+
+    Crash-safe by ordering + the coverage rule: the base publishes
+    through the same staged atomic swap as any partition, and from
+    that instant the reader ignores the covered partials — a crash
+    before any delete leaves only dead debris, and re-running the
+    compaction folds the (already published) base alone into an
+    identical base and finishes the deletes. A covered batch id that
+    gets REPLAYED after compaction writes a ``b<j>`` the reader
+    ignores (j <= k), so even checkpoint rollback cannot double-count.
+    Only pass batch ids the stream's checkpoint has committed.
+
+    This closes the 'store is batches x grid until compaction' growth
+    caveat: a long-running stream's read cost stays O(grid + partials
+    since the last compaction), not O(all history)."""
+    vals = _cms_live_vals(_cms_partition_vals(store_path))
+    src = [v for v in vals if int(v[1:]) <= upto_batch]
+    if not src:
+        return
+    base = (
+        _cms_read_vals(spark, store_path, src)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .withColumn("batch_id", F.lit(upto_batch).cast("long"))
+    )
+
+    def _merge(existing: DataFrame | None, f: DataFrame) -> DataFrame:
+        # re-compaction recomputes the identical base: REPLACE
+        return f.select(*CMS_KEYS, "cnt", "batch_id")
+
+    upsert_partitions(
+        spark, base, base, store_path, CMS_KEYS, _merge,
+        part_expr=F.lit(f"c{upto_batch}"),
+    )
+    # the base is live — everything it covers is now dead debris
+    for v in _cms_partition_vals(store_path):
+        if v == f"c{upto_batch}" or int(v[1:]) > upto_batch:
+            continue
+        _drop_cms_partition(store_path, v)
+
+
+def _drop_cms_partition(store_path: str, v: str) -> None:
+    """Remove a dead partition: the published entry (symlink or legacy
+    dir) and every displaced versioned dot-dir. Lazy-safe: a crash here
+    only leaves debris the coverage rule already ignores."""
+    import os
+    import shutil
+
+    ent = os.path.join(store_path, f"{PART_COL}={v}")
+    if os.path.islink(ent):
+        os.unlink(ent)
+    elif os.path.isdir(ent):
+        shutil.rmtree(ent, ignore_errors=True)
+    for n in os.listdir(store_path):
+        if n.startswith(".") and n.endswith(f"-{PART_COL}={v}"):
+            shutil.rmtree(os.path.join(store_path, n), ignore_errors=True)
 
 
 def start_cms_maintenance(
