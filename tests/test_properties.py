@@ -661,7 +661,7 @@ def test_mg_update_preserves_int64():
     assert (trimmed > 0).all()
 
 
-def test_pq_codes_argmin_law(spark):
+def test_pq_codes_argmin_law(spark, sf_dir):
     """Map-side PQ encoding must pick, per subspace, the centroid with
     the minimal ROUND(d2, 6), lowest code on ties — verified against a
     numpy recompute from the SAME trained codebook on sf0.001."""
@@ -677,7 +677,6 @@ def test_pq_codes_argmin_law(spark):
         _pq_train,
     )
 
-    sf_dir = "/root/testdata/sf0.001"
     e = _emb(spark, sf_dir).limit(40)
     cent = _pq_train(_emb(spark, sf_dir)).collect()
     cb = {(r["sub"], r["cid"]): np.array(r["cv"]) for r in cent}

@@ -1860,3 +1860,40 @@ def test_cms_compaction_coverage_and_crash_safety(
     # a covered batch replayed after compaction is ignored by coverage
     sk.update_cms(spark, thirds[0], 0, store)
     assert sorted(map(tuple, sk.read_cms(spark, store).collect())) == want
+
+
+def test_read_cms_empty_store_yields_empty_grid(spark, tmp_path):
+    """A never-written store (missing OR empty dir) reads as an empty
+    (d, bucket, cnt) grid — the same contract the HLL/dedup readers
+    get from store_has_data — not a zero-path parquet error."""
+    from tradecat_spark.streaming import sketch as sk
+
+    missing = str(tmp_path / "never_written")
+    got = sk.read_cms(spark, missing)
+    assert [f.name for f in got.schema.fields] == ["d", "bucket", "cnt"]
+    assert got.count() == 0
+
+    empty = tmp_path / "empty_dir"
+    empty.mkdir()
+    assert sk.read_cms(spark, str(empty)).count() == 0
+
+
+def test_partition_data_dir_legacy_name_loses_mtime_tie(tmp_path):
+    """Crash-recovery version probe: at equal mtime a time_ns-prefixed
+    version must beat a pre-upgrade uuid-only version even when the
+    hex name sorts lexicographically after the digits (r7 advice)."""
+    import os
+
+    from tradecat_spark.streaming.ingest import _partition_data_dir
+
+    store = tmp_path / "store"
+    store.mkdir()
+    legacy = store / ".vfeedface-_part=x"  # hex > digits lexically
+    timed = store / f".v{'1' * 20}abc123-_part=x"
+    legacy.mkdir()
+    timed.mkdir()
+    t = 1_700_000_000
+    os.utime(legacy, (t, t))
+    os.utime(timed, (t, t))
+    got = _partition_data_dir(str(store), "_part=x")
+    assert got is not None and os.path.basename(got).startswith(".v1")

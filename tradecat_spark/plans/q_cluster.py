@@ -69,7 +69,16 @@ def _cut_lineage(
     loss and the next iteration replans from a clean scan, which is the
     only safe lineage cut for a 1000-executor 100 TB run. The query
     registry entries run the default; callers at scale (and the law
-    test) pass a directory."""
+    test) pass a directory.
+
+    Contract for reliable mode: committing cut ``<stem>_N`` DELETES
+    cut ``<stem>_{N-1}`` from disk, so the DataFrame returned for a
+    prior numbered iteration is invalidated the moment the next one
+    commits — do not retain earlier returned frames past the next
+    call (they would lazily scan deleted parquet and fail at action
+    time). Retain-across-iterations callers must either consume each
+    frame before the next cut or use the default localCheckpoint
+    mode, as ``_bpe_chain`` does."""
     if checkpoint_dir is None:
         return df.localCheckpoint()
     path = os.path.join(checkpoint_dir, tag)

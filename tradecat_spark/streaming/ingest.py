@@ -230,8 +230,19 @@ def _partition_data_dir(store_path: str, entry: str) -> str | None:
         return None
     # newest by mtime, name-ordered tie-break: version names carry a
     # time_ns prefix (see _commit_staging), so equal-mtime versions
-    # resolve to the later publish instead of an arbitrary winner
-    return max(cands, key=lambda p: (os.path.getmtime(p), os.path.basename(p)))
+    # resolve to the later publish instead of an arbitrary winner.
+    # Names WITHOUT the 20-digit time prefix are pre-upgrade
+    # (uuid-only) versions; lexicographic order against them is
+    # meaningless (hex a-f sorts after any digit), so the flag ranks
+    # every time-prefixed name above every legacy one at equal mtime
+    # — a stale pre-upgrade version can never win the tie (r7 advice).
+    def _rank(p: str) -> tuple:
+        name = os.path.basename(p)
+        ver = name[2:]  # strip ".v"
+        timed = len(ver) >= 20 and ver[:20].isdigit()
+        return (os.path.getmtime(p), timed, name)
+
+    return max(cands, key=_rank)
 
 
 #: Test seam: called once per partition right before its atomic swap.

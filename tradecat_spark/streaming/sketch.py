@@ -166,8 +166,12 @@ def read_cms(spark: SparkSession, store_path: str) -> DataFrame:
     compacted base plus every partial it doesn't cover. Deliveries are
     disjoint by construction (one partition per checkpointed batch;
     coverage excludes anything a base already folded), so the sum is
-    the exactly-once grid."""
+    the exactly-once grid. A never-written (or empty) store yields an
+    empty grid rather than an unreadable zero-path parquet scan, the
+    same contract ``store_has_data`` gives the HLL/dedup readers."""
     live = _cms_live_vals(_cms_partition_vals(store_path))
+    if not live:
+        return spark.createDataFrame([], "d int, bucket bigint, cnt bigint")
     return (
         _cms_read_vals(spark, store_path, live)
         .groupBy("d", "bucket")
