@@ -180,3 +180,39 @@ def test_two_level_reservoir_equals_one_pass_under_skew(spark):
         )
         assert got == want, shards
     assert len(want) == 13  # 10 hot + 3 cold
+
+
+def test_quality_canonical_skew_free_on_identical_corpus(spark, tmp_path):
+    """All-identical corpus: every doc collapses into ONE duplicate
+    cluster, so a per-cluster row_number window would sort the whole
+    corpus in a single task. The canonical query's aggregate form must
+    (a) still pick exactly one winner — the lowest doc_id, since all
+    quality scores tie — and (b) carry NO Window/Sort over the corpus
+    in its optimized plan (the aggregate partial-combines map-side)."""
+    from tradecat_spark.plans.q_text import BAND_CAP
+    from tradecat_spark.plans.registry import load_all
+
+    n = BAND_CAP * 2  # beyond the star cap: the degenerate bucket
+    text = "the same document body repeated everywhere " * 8
+    docs = pd.DataFrame(
+        dict(
+            doc_id=range(1, n + 1),
+            text=[text] * n,
+            lang=["en"] * n,
+            source=["s"] * n,
+            n_chars=[len(text)] * n,
+        )
+    )
+    sf = tmp_path / "sf_adversarial"
+    sf.mkdir()
+    docs.to_parquet(sf / "documents.parquet")
+
+    fn = load_all()["dedup_quality_canonical"].fn
+    out = fn(spark, str(sf))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan, plan
+    got = out.toPandas()
+    assert len(got) == n
+    assert got.cluster_id.nunique() == 1
+    kept = got[got.is_kept]
+    assert len(kept) == 1 and kept.doc_id.iloc[0] == 1

@@ -432,7 +432,15 @@ def test_quality_canonical_keeps_best_per_cluster(spark, sf_dir):
     best = df.groupby("cluster_id").quality_score.max()
     kept = df[df.is_kept].set_index("cluster_id")
     assert (kept.quality_score == best.loc[kept.index]).all()
-    assert (df.groupby("cluster_id").keep_rank.min() == 1).all()
+
+    # the windowed twin agrees doc-for-doc on is_kept and adds the rank
+    rk = load_all()["dedup_quality_keep_rank"].fn(spark, sf_dir).toPandas()
+    assert (rk.groupby("cluster_id").keep_rank.min() == 1).all()
+    merged = df.merge(rk[["doc_id", "keep_rank", "is_kept"]],
+                      on="doc_id", suffixes=("", "_w"))
+    assert len(merged) == len(df)
+    assert (merged.is_kept == merged.is_kept_w).all()
+    assert (merged[merged.is_kept].keep_rank == 1).all()
 
 
 def test_bpe_relational_greedy_on_seeded_random_corpus(spark, monkeypatch):

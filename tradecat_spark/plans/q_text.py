@@ -3759,25 +3759,10 @@ def mix_epoch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Quality-aware canonical selection (keep the BEST, not the first)
 # ---------------------------------------------------------------------------
-@query(
-    "dedup_quality_canonical",
-    survey="north-star dedup: quality-aware keep-one — the canonical "
-    "doc per duplicate cluster is the argmax of the quality score "
-    "(ties: lowest doc_id), which is what a production dedup actually "
-    "keeps; min-doc_id canonicals (dedup_clusters) are the bootstrap "
-    "rule this upgrades",
-    description="Per doc: cluster id, quality score, keep rank, "
-    "quality-canonical flag",
-    oracle=None,  # set below: nests the cluster + quality oracles
-)
-def dedup_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composes two hash-green lanes: connected-component cluster ids
-    (dedup_clusters) joined to per-doc quality scores
-    (text_quality_score), then one per-cluster window picks the
-    highest-quality member (score desc, doc_id asc — the 6dp score is
-    engine-identical, so the ordering is too). The window partitions by
-    cluster: bounded by the largest duplicate cluster, never corpus-
-    global. Singleton clusters keep their only member."""
+def _quality_cluster_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id, quality_score) — the two hash-green lanes
+    (connected-component cluster ids + per-doc quality scores) every
+    quality-canonical form starts from."""
     from tradecat_spark.plans.registry import REGISTRY
 
     clus = REGISTRY["dedup_clusters"].fn(spark, sf_dir).select(
@@ -3786,7 +3771,70 @@ def dedup_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = REGISTRY["text_quality_score"].fn(spark, sf_dir).select(
         "doc_id", "quality_score"
     )
-    j = clus.join(q, "doc_id")
+    return clus.join(q, "doc_id")
+
+
+@query(
+    "dedup_quality_canonical",
+    survey="north-star dedup: quality-aware keep-one — the canonical "
+    "doc per duplicate cluster is the argmax of the quality score "
+    "(ties: lowest doc_id), which is what a production dedup actually "
+    "keeps; min-doc_id canonicals (dedup_clusters) are the bootstrap "
+    "rule this upgrades",
+    description="Per doc: cluster id, quality score, "
+    "quality-canonical flag (skew-free argmax aggregate)",
+    oracle=None,  # set below: nests the cluster + quality oracles
+)
+def dedup_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-free scale form (r7 verdict): the per-cluster winner is a
+    ``min_by(doc_id, struct(-quality_score, doc_id))`` AGGREGATE —
+    lexicographic min of (-score, doc_id) = highest score, lowest
+    doc_id on ties, identical to the windowed ordering (the 6dp score
+    is engine-identical, so the negation is too). Unlike a
+    ``row_number`` window, the aggregate partial-combines map-side and
+    never sorts a cluster inside one task, so the adversarial
+    all-identical corpus (one cluster = the whole corpus,
+    tests/test_dedup_skew.py) costs a combine, not a corpus-sized
+    single-task sort; the winner join back to the doc rows is AQE
+    skew-splittable. Per-doc ranks for bounded clusters live in the
+    windowed twin ``dedup_quality_keep_rank``."""
+    j = _quality_cluster_join(spark, sf_dir)
+    best = j.groupBy("cluster_id").agg(
+        F.min_by(
+            "doc_id",
+            F.struct(
+                (-F.col("quality_score")).alias("nq"),
+                F.col("doc_id").alias("d"),
+            ),
+        ).alias("keep_doc_id")
+    )
+    return j.join(best, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "quality_score",
+        (F.col("doc_id") == F.col("keep_doc_id")).alias("is_kept"),
+    )
+
+
+@query(
+    "dedup_quality_keep_rank",
+    survey="bounded-cluster companion to dedup_quality_canonical: the "
+    "full per-doc keep ORDER (rank 1 = canonical, rank k = k-th "
+    "fallback), which replacement/sampling policies consume; windowed, "
+    "so only safe where the largest duplicate cluster is bounded",
+    description="Per doc: cluster id, quality score, keep rank, "
+    "quality-canonical flag (windowed; bounded clusters only)",
+    oracle=None,  # set below: nests the cluster + quality oracles
+)
+def dedup_quality_keep_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed form: one per-cluster ``row_number`` (score desc,
+    doc_id asc). The sort is bounded by the largest duplicate cluster —
+    fine for real corpora where clusters are small, DEGENERATE on an
+    all-identical corpus (one task sorts everything; AQE cannot split
+    a window partition). Callers that only need ``is_kept`` must use
+    ``dedup_quality_canonical``, whose aggregate form is skew-free;
+    this twin exists for the rank itself."""
+    j = _quality_cluster_join(spark, sf_dir)
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("quality_score"), F.asc("doc_id")
     )
@@ -3798,17 +3846,18 @@ def dedup_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("is_kept", F.col("keep_rank") == 1)
 
 
-def _quality_canonical_oracle() -> str:
+def _quality_canonical_oracle(with_rank: bool) -> str:
     from tradecat_spark.plans.registry import REGISTRY
 
-    return f"""
-WITH clus AS ({REGISTRY['dedup_clusters'].oracle}),
-qs AS ({REGISTRY['text_quality_score'].oracle})
-SELECT c.doc_id, c.cluster_id, q.quality_score,
+    rank = """
        CAST(ROW_NUMBER() OVER (
          PARTITION BY c.cluster_id
          ORDER BY q.quality_score DESC, c.doc_id ASC
-       ) AS BIGINT) AS keep_rank,
+       ) AS BIGINT) AS keep_rank,""" if with_rank else ""
+    return f"""
+WITH clus AS ({REGISTRY['dedup_clusters'].oracle}),
+qs AS ({REGISTRY['text_quality_score'].oracle})
+SELECT c.doc_id, c.cluster_id, q.quality_score,{rank}
        ROW_NUMBER() OVER (
          PARTITION BY c.cluster_id
          ORDER BY q.quality_score DESC, c.doc_id ASC
@@ -3819,4 +3868,5 @@ FROM clus c JOIN qs q ON q.doc_id = c.doc_id
 
 from tradecat_spark.plans.registry import REGISTRY as _REG_QC  # noqa: E402
 
-_REG_QC["dedup_quality_canonical"].oracle = _quality_canonical_oracle()
+_REG_QC["dedup_quality_canonical"].oracle = _quality_canonical_oracle(False)
+_REG_QC["dedup_quality_keep_rank"].oracle = _quality_canonical_oracle(True)
