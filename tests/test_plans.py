@@ -550,14 +550,23 @@ def test_incremental_dedup_probes_broadcast_delta(spark, sf_dir):
 
 def test_gram_keeps_projection_collapse_barrier(spark, sf_dir):
     """The Gram's micro-array transform must stay materialized behind a
-    round-robin exchange: without the barrier Catalyst collapses the
-    projection into the pair lambda and every element_at re-evaluates
-    the whole transform — O(d) per access, a measured 40x regression
-    (q_similarity._gram comment)."""
+    barrier: without one Catalyst collapses the projection into the
+    pair lambda and every element_at re-evaluates the whole transform —
+    O(d) per access, a measured 40x regression (q_similarity._gram
+    comment). The pin asserts the SHAPE (transform not inlined into the
+    explode) rather than a specific barrier mechanism, so a no-shuffle
+    cut qualifies; it additionally asserts the r7 repartition barrier
+    did NOT sneak back — the corpus must reach the explode without a
+    corpus-width Exchange (r7 verdict item 5)."""
     df = SPECS["embedding_gram_matrix"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "RoundRobinPartitioning" in plan
     # the explode input must reference the materialized column, not an
     # inlined transform(...) of the raw embedding
     gen = [ln for ln in plan.splitlines() if "Generate explode" in ln]
     assert gen and all("transform(vec" not in ln for ln in gen)
+    # barrier is a lineage cut (scan of checkpointed rows), not a shuffle
+    assert "RoundRobinPartitioning" not in plan
+    assert "Scan ExistingRDD" in plan
+    # the ONLY exchange is the d^2-group hash aggregate's
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(i" in plan

