@@ -2019,6 +2019,10 @@ def _gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "before trusting cosine geometry; exact in HUGEINT/DECIMAL(38)",
     description="Upper-triangle Gram entries (i <= j), micro^2 sums "
     "scaled by 1e6, sign-safe integer truncation",
+    # benched (r7 verdict item 6): this is the barrier-sensitive plan —
+    # the 88 s -> 2 s projection-collapse regression the plan pin
+    # guards is also caught by a NUMBER across Spark upgrades
+    bench=True,
     oracle=f"""
 WITH {_GRAM_SQL}
 SELECT i, j, gram_scaled FROM g WHERE i <= j
