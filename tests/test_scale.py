@@ -140,6 +140,35 @@ def test_law_queries_hold_on_driver_data(spark, sf_dir):
     assert len(cdc) > 0 and cdc.law_holds.all()
 
 
+def test_cms_error_eval_consistent_with_law(spark, sf_dir):
+    """The tiered error eval must partition the law query's key set
+    exactly (sum of n_keys = distinct users), report non-negative
+    overcounts bounded by the tier max, and agree with a pandas
+    recompute of the eps*N bound share."""
+    from tradecat_spark.operators.cms import CMS_W
+    from tradecat_spark.plans.registry import load_all
+
+    specs = load_all()
+    law = specs["cms_frequency_law"].fn(spark, sf_dir).toPandas()
+    ev = specs["cms_error_eval"].fn(spark, sf_dir).toPandas()
+    assert ev.n_keys.sum() == len(law)
+    assert (ev.max_overcount >= 0).all()
+    assert ((ev.frac_within_eps >= 0) & (ev.frac_within_eps <= 1)).all()
+    n_total = law.true_cnt.sum()
+    law["tier"] = law.true_cnt.apply(lambda n: int(n).bit_length() - 1)
+    law["within"] = CMS_W * law.overcount <= 2 * n_total
+    want = law.groupby("tier").agg(
+        n_keys=("within", "size"),
+        n_within=("within", "sum"),
+        max_over=("overcount", "max"),
+    )
+    got = ev.set_index("tier").sort_index()
+    assert (got.n_keys == want.n_keys).all()
+    assert (got.n_within_eps == want.n_within).all()
+    assert (got.max_overcount == want.max_over).all()
+    assert (ev.eps_n == round(2 * n_total / CMS_W, 6)).all()
+
+
 def test_pagerank_mass_and_floor_laws(spark, sf_dir):
     """Fixed-point PageRank invariants: total mass never exceeds SCALE
     (flooring only loses), every isolated node sits exactly at the base
