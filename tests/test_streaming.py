@@ -1897,3 +1897,126 @@ def test_partition_data_dir_legacy_name_loses_mtime_tie(tmp_path):
     os.utime(timed, (t, t))
     got = _partition_data_dir(str(store), "_part=x")
     assert got is not None and os.path.basename(got).startswith(".v1")
+
+
+def _pipeline_delta(spark, sf_dir):
+    """Delta docs WITH their source column — the pipeline's stream
+    shape (doc_id, text, source)."""
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "source")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+
+
+def test_ingest_pipeline_four_stores_off_one_stream(
+    spark, sf_dir, tmp_path
+):
+    """r7 verdict item 7 e2e: ONE document stream (two micro-batches
+    via maxFilesPerTrigger=1) drives bronze + dedup screen + HLL +
+    CMS; afterwards every store must satisfy its batch law over the
+    full delivered set — bronze holds exactly the input rows, every
+    doc has exactly one verdict, the register store equals the batch
+    HLL fold of all events, and the summed CMS grid equals the batch
+    counter grid."""
+    from tradecat_spark.operators.cms import cms_counts
+    from tradecat_spark.operators.hll import registers
+    from tradecat_spark.streaming import pipeline as pl
+    from tradecat_spark.streaming import sketch as sk
+
+    base, _ = _dedup_fixtures(spark, sf_dir)
+    delta = _pipeline_delta(spark, sf_dir)
+    root = str(tmp_path / "pipe")
+    dirs = pl.pipeline_dirs(root)
+    _seed_base_store(spark, base, dirs["sig_store"])
+
+    src = tmp_path / "src"
+    src.mkdir()
+    half = F.col("doc_id") % 20 == 0
+    for i, part in enumerate((delta.filter(half), delta.filter(~half))):
+        stage = tmp_path / f"stage{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        pf = next(stage.glob("part-*.parquet"))
+        pf.rename(src / f"f{i}.parquet")
+    src = str(src)
+    q = pl.start_ingest_pipeline(
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        root,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    dpdf = delta.toPandas().sort_values("doc_id").reset_index(drop=True)
+    bronze = (
+        spark.read.parquet(dirs["bronze"]).drop("batch_id")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert bronze[dpdf.columns.tolist()].equals(dpdf)
+
+    v = _verdict_pdf(spark, dirs["verdicts"])
+    assert sorted(v.doc_id) == sorted(dpdf.doc_id)
+
+    ev = pl.events_view(delta)
+    want_regs = sorted(map(tuple, registers(ev).collect()))
+    got_regs = sorted(map(tuple, sk.read_registers(
+        spark, dirs["hll_store"]).collect()))
+    assert got_regs == want_regs
+
+    want_cms = sorted(map(tuple, cms_counts(ev).collect()))
+    got_cms = sorted(map(tuple, sk.read_cms(
+        spark, dirs["cms_store"]).collect()))
+    assert got_cms == want_cms
+
+
+def test_ingest_pipeline_crash_seam_between_sketch_updates(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Crash AFTER the dedup commit but BEFORE the CMS update, then
+    replay the whole batch body (at-least-once): every store must
+    converge to the single-delivery state — verdicts byte-stable,
+    signature store exactly-once, registers unchanged by the double
+    max-merge, CMS grid correct because the replay overwrites the
+    batch's own partial."""
+    from tradecat_spark.operators.cms import cms_counts
+    from tradecat_spark.operators.hll import registers
+    from tradecat_spark.operators.minhash import doc_sigs
+    from tradecat_spark.streaming import pipeline as pl
+    from tradecat_spark.streaming import sketch as sk
+    from tradecat_spark.streaming.ingest import read_store
+
+    base, _ = _dedup_fixtures(spark, sf_dir)
+    delta = _pipeline_delta(spark, sf_dir)
+    root = str(tmp_path / "pipe")
+    dirs = pl.pipeline_dirs(root)
+    _seed_base_store(spark, base, dirs["sig_store"])
+    n_base = read_store(spark, dirs["sig_store"]).count()
+
+    real = pl.update_cms
+    monkeypatch.setattr(
+        pl, "update_cms",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        pl.pipeline_batch(spark, delta, 3, dirs)
+    v_crash = _verdict_pdf(spark, dirs["verdicts"])
+    regs_crash = sorted(map(tuple, sk.read_registers(
+        spark, dirs["hll_store"]).collect()))
+    # CMS never ran — empty grid, not an error (r7 advice guard)
+    assert sk.read_cms(spark, dirs["cms_store"]).count() == 0
+
+    monkeypatch.setattr(pl, "update_cms", real)
+    pl.pipeline_batch(spark, delta, 3, dirs)
+
+    assert _verdict_pdf(spark, dirs["verdicts"]).equals(v_crash)
+    n_delta = doc_sigs(delta.select("doc_id", "text")).count()
+    assert read_store(spark, dirs["sig_store"]).count() == n_base + n_delta
+    ev = pl.events_view(delta)
+    assert sorted(map(tuple, sk.read_registers(
+        spark, dirs["hll_store"]).collect())) == regs_crash
+    assert regs_crash == sorted(map(tuple, registers(ev).collect()))
+    assert sorted(map(tuple, sk.read_cms(
+        spark, dirs["cms_store"]).collect())) == \
+        sorted(map(tuple, cms_counts(ev).collect()))
