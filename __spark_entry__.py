@@ -24,44 +24,70 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Names front-loaded in queries()/oracle_sql() iteration order. The
 #: driver's gate checks the first ~50, so the rotation policy is:
-#: queries added THIS round first, then queries never driver-checked,
-#: then the round-1-only rows (every r02-checked row was green and
-#: unchanged, so they rotate to the back and re-enter next round).
+#: queries added or changed THIS round first, then the oldest ledger
+#: cohort (tools/gate_ledger.py tracks vintages; test_gate_rotation
+#: enforces that nothing never-checked sits past the cap).
 _GATE_PRIORITY = (
-    # --- r7 front (gate cap = 50): the 22 queries born this round
-    # (PQ/IVFADC family, HLL estimator pair, epoch draw manifest,
-    # MinHash estimator/calibration/LSH-quality, KMV set-similarity),
-    "embedding_pq_codes", "ann_pq_recall", "ann_ivf_pq_search",
-    "hll_estimate", "hll_error_eval", "mix_epoch_manifest",
-    "dedup_minhash_est_jaccard", "minhash_jaccard_calibration",
-    "minhash_lsh_quality", "kmv_source_jaccard", "kmv_jaccard_error_eval",
-    "source_containment_matrix", "streaming_hll_registers",
-    "bpe_learn_merges", "lang_id_confusion", "bpe_compression_curve",
-    "bpe_encode_fertility", "streaming_cms_counters",
-    "embedding_gram_matrix", "embedding_top_pc_power",
-    "dedup_quality_canonical", "embedding_anisotropy",
-    # --- re-checks: the minhash lane was refactored into
-    # operators.minhash this round (results mimic-verified unchanged)
-    "dedup_minhash_bands", "dedup_incremental_delta",
-    # --- r2-cohort rotation (oldest ledger rows; 42 of 43 fit —
-    # text_vocab_topk rotates in r8)
-    "ai_context_snapshot", "ann_ivf_search", "ann_label_centroids",
-    "ann_lsh_buckets", "ann_multiprobe_search", "ann_recall_eval",
-    "approx_distinct_kmv", "chart_bb_zone_strip", "chart_cvd_cumulative",
-    "chart_equity_drawdown", "chart_intraday_volume_heatmap",
-    "chart_kline_ma_volume", "chart_long_short_ratio", "chart_macd_series",
-    "chart_oi_change", "chart_taker_ratio_heatmap", "chart_vpvr_ridge",
-    "dedup_canonical_corpus", "dedup_embedding_cosine", "freshness_gate",
-    "global_totals_latest", "ind_atr_wilder_fold", "ind_donchian_williams",
-    "metrics_cascade_1d", "mm_decode_features", "mm_frame_sample",
+    # --- r8 front (gate cap = 50): 6 queries born this round
+    # (residual IVFADC trio, deep BPE, CMS error eval, keep-rank twin),
+    "embedding_pq_residual_codes", "ann_ivfadc_search",
+    "ann_ivfadc_recall", "bpe_learn_merges_deep", "cms_error_eval",
+    "dedup_quality_keep_rank",
+    # --- r8 re-checks: code or oracle changed this round (canonical
+    # rewritten skew-free; gram barrier swapped; PQ chain refactored +
+    # qm column; BPE oracles materialized)
+    "dedup_quality_canonical", "embedding_gram_matrix",
+    "embedding_top_pc_power", "embedding_anisotropy", "embedding_pq_codes",
+    "ann_pq_recall", "ann_ivf_pq_search", "bpe_learn_merges",
+    "bpe_compression_curve", "bpe_encode_fertility",
+    # --- r2-cohort rotation: the 17 rows crowded out of the r7 window
+    # (zero r2-vintage rows remain once the r8 artifact lands)
     "mm_resize_images", "ohlcv_cascade_1M", "orderbook_depth_bands",
     "orderbook_depth_hourly", "quality_filter_funnel", "ranking_card_1h",
     "ranking_card_rendered", "rest_ohlc_history", "rest_oi_history",
     "rest_supported_coins", "serving_retention_trim",
     "signal_threshold_cross_sql", "single_token_panel",
     "stats_profile_by_type", "streaming_rollup_5m",
-    "streaming_signals_parity",
+    "streaming_signals_parity", "text_vocab_topk",
+    # --- r3-cohort rotation begins: first 17 of 48 (alphabetical);
+    # the remaining 31 lead the r9 front
+    "chart_kline_envelope", "chart_market_vpvr_heat",
+    "chart_vpvr_zone_strip", "cluster_kmeans_lloyd",
+    "cluster_semdedup_candidates", "corpus_source_stats",
+    "decontaminate_ngram_overlap", "embedding_norms_quality", "ind_adx_di",
+    "ind_base_data", "ind_buy_sell_ratio", "ind_data_monitor",
+    "ind_ema_gc_regime", "ind_fib_vwma_bands", "ind_futures_gap_monitor",
+    "ind_futures_risk_score", "ind_harmonic_score",
+    # --- r3 cohort remainder (r9 front)
+    "ind_heikin_long_short", "ind_liquidity_profile", "ind_madrid_ribbon",
+    "ind_market_share_rank", "ind_precision_trend", "ind_scalping_emas",
+    "ind_smart_rsi", "ind_smc_structure", "ind_supertrend_fold",
+    "ind_support_resistance", "ind_trend_cloud_side", "ind_trend_line",
+    "ind_volume_ratio", "ind_zero_lag_bands", "pg_realtime_checks",
+    "quality_alert_rules_eval", "quality_anomaly_log",
+    "quality_backfill_tasks", "quality_ingest_batches",
+    "quality_lineage_closure", "retention_policy_plan",
+    "sample_stratified_split", "sample_temperature_mix",
+    "signal_pack_sql_rules", "streaming_atr_parity",
+    "streaming_emagc_parity", "streaming_kdj_parity",
+    "streaming_macd_parity", "text_repetition_stats",
+    "text_scrub_patterns", "token_length_histogram",
     # --- previously green, unchanged code -> back of the line
+    "hll_estimate", "hll_error_eval", "mix_epoch_manifest",
+    "dedup_minhash_est_jaccard", "minhash_jaccard_calibration",
+    "minhash_lsh_quality", "kmv_source_jaccard", "kmv_jaccard_error_eval",
+    "source_containment_matrix", "streaming_hll_registers",
+    "lang_id_confusion", "streaming_cms_counters", "dedup_minhash_bands",
+    "dedup_incremental_delta", "ai_context_snapshot", "ann_ivf_search",
+    "ann_label_centroids", "ann_lsh_buckets", "ann_multiprobe_search",
+    "ann_recall_eval", "approx_distinct_kmv", "chart_bb_zone_strip",
+    "chart_cvd_cumulative", "chart_equity_drawdown",
+    "chart_intraday_volume_heatmap", "chart_kline_ma_volume",
+    "chart_long_short_ratio", "chart_macd_series", "chart_oi_change",
+    "chart_taker_ratio_heatmap", "chart_vpvr_ridge",
+    "dedup_canonical_corpus", "dedup_embedding_cosine", "freshness_gate",
+    "global_totals_latest", "ind_atr_wilder_fold", "ind_donchian_williams",
+    "metrics_cascade_1d", "mm_decode_features", "mm_frame_sample",
     "dedup_span_trim_ranges", "corpus_trim_stats", "token_decile_tiers",
     "corpus_exact_quantiles", "embedding_component_quantiles",
     "embedding_winsorized_stats", "embedding_sq8_error", "ann_sq8_recall",
@@ -84,58 +110,40 @@ _GATE_PRIORITY = (
     "tpch_q21_suppliers_kept_waiting", "tpch_q2_min_cost_supplier",
     "tpch_q9_product_type_profit", "tpch_q11_important_stock",
     "tpch_q13_customer_distribution", "tpch_q16_parts_supplier_counts",
-    "embedding_random_projection", "rp_recall_eval", "dedup_substring_spans",
-    "kmv_merge_law", "cube_corpus_stats", "bucketed_colocated_join",
-    "gapfill_locf_1h", "cms_frequency_law", "pagerank_similarity_graph",
-    "cdc_incremental_equivalence", "quantile_error_eval",
-    "chart_intraday_volatility", "orderbook_l1_stats",
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q5_region_revenue", "top_customers_by_spend",
-    "orders_with_discounted_lines", "customers_without_orders",
-    "priority_symbol_union", "nation_revenue_share",
-    "flagship_rank_24h_change", "ohlcv_rollup_5m", "ohlcv_cascade_1h",
-    "meta_join_1h", "latest_event_per_user", "top3_events_per_user",
-    "lead_gaps_10m", "calendar_completeness", "daily_market_share",
-    "asof_purchase_context", "ind_tail_runs", "realtime_union_view",
-    "indicator_batch_150x7", "indicator_surface_1h", "signal_rule_events",
-    "signal_rule_pack_129", "ind_cdl_singles_parity", "ind_cdl_pairs_parity",
-    "ind_cdl_triples_parity", "ind_cdl_wide_parity",
-    "ind_chart_patterns_parity", "streaming_obv_parity",
-    "streaming_cvd_parity", "text_tfidf_topk", "mm_audio_windows",
-    "quality_bigram_logprob", "sessionize_user_events",
+    "embedding_random_projection", "rp_recall_eval",
+    "dedup_substring_spans", "kmv_merge_law", "cube_corpus_stats",
+    "bucketed_colocated_join", "gapfill_locf_1h", "cms_frequency_law",
+    "pagerank_similarity_graph", "cdc_incremental_equivalence",
+    "quantile_error_eval", "chart_intraday_volatility",
+    "orderbook_l1_stats", "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority", "tpch_q5_region_revenue",
+    "top_customers_by_spend", "orders_with_discounted_lines",
+    "customers_without_orders", "priority_symbol_union",
+    "nation_revenue_share", "flagship_rank_24h_change", "ohlcv_rollup_5m",
+    "ohlcv_cascade_1h", "meta_join_1h", "latest_event_per_user",
+    "top3_events_per_user", "lead_gaps_10m", "calendar_completeness",
+    "daily_market_share", "asof_purchase_context", "ind_tail_runs",
+    "realtime_union_view", "indicator_batch_150x7", "indicator_surface_1h",
+    "signal_rule_events", "signal_rule_pack_129", "ind_cdl_singles_parity",
+    "ind_cdl_pairs_parity", "ind_cdl_triples_parity",
+    "ind_cdl_wide_parity", "ind_chart_patterns_parity",
+    "streaming_obv_parity", "streaming_cvd_parity", "text_tfidf_topk",
+    "mm_audio_windows", "quality_bigram_logprob", "sessionize_user_events",
     "streaming_session_windows", "cohort_retention",
     "approx_quantiles_sample", "funnel_conversion", "skew_salted_join_law",
     "data_contract_expectations", "tpch_q6_forecast_revenue",
-    "tpch_q14_promo_effect", "tpch_q10_returned_items", "pivot_event_matrix",
-    "rollup_region_revenue", "unpivot_daily_metrics",
+    "tpch_q14_promo_effect", "tpch_q10_returned_items",
+    "pivot_event_matrix", "rollup_region_revenue", "unpivot_daily_metrics",
     "streaming_dedup_ingest", "range_bin_join_law", "cluster_assignments",
     "asof_direction_variants", "ntile_value_quartiles",
-    "pack_context_windows", "ai_context_assembly", "streaming_session_append",
-    "instruments_scd2_dim", "instruments_asof_enrich",
-    "tpch_q4_order_priority", "tpch_q12_priority_class",
-    "tpch_q18_large_orders", "tpch_q19_bracket_revenue",
-    "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tpch_q22_global_sales_opportunity", "bloom_prejoin_law",
-    "zorder_curve_layout", "streaming_stream_join",
+    "pack_context_windows", "ai_context_assembly",
+    "streaming_session_append", "instruments_scd2_dim",
+    "instruments_asof_enrich", "tpch_q4_order_priority",
+    "tpch_q12_priority_class", "tpch_q18_large_orders",
+    "tpch_q19_bracket_revenue", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q22_global_sales_opportunity",
+    "bloom_prejoin_law", "zorder_curve_layout", "streaming_stream_join",
     "streaming_stream_outer_join", "streaming_chained_stateful",
-    "signal_pack_sql_rules", "streaming_macd_parity", "streaming_atr_parity",
-    "streaming_kdj_parity", "streaming_emagc_parity", "cluster_kmeans_lloyd",
-    "cluster_semdedup_candidates", "sample_stratified_split",
-    "ind_volume_ratio", "ind_support_resistance", "ind_base_data",
-    "ind_buy_sell_ratio", "ind_data_monitor", "ind_futures_gap_monitor",
-    "ind_futures_risk_score", "ind_market_share_rank", "text_scrub_patterns",
-    "token_length_histogram", "sample_temperature_mix",
-    "embedding_norms_quality", "quality_ingest_batches",
-    "quality_anomaly_log", "quality_alert_rules_eval",
-    "quality_backfill_tasks", "quality_lineage_closure", "pg_realtime_checks",
-    "text_repetition_stats", "decontaminate_ngram_overlap",
-    "corpus_source_stats", "ind_liquidity_profile", "ind_fib_vwma_bands",
-    "ind_harmonic_score", "ind_scalping_emas", "ind_trend_cloud_side",
-    "ind_zero_lag_bands", "ind_adx_di", "ind_supertrend_fold",
-    "ind_ema_gc_regime", "ind_heikin_long_short", "ind_madrid_ribbon",
-    "ind_smc_structure", "ind_precision_trend", "ind_trend_line",
-    "ind_smart_rsi", "retention_policy_plan", "chart_market_vpvr_heat",
-    "chart_vpvr_zone_strip", "chart_kline_envelope", "text_vocab_topk",
 )
 
 #: Empty since round 5: the r4 overflow pair (tpch_q15/q17) rotated
