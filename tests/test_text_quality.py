@@ -551,3 +551,22 @@ def test_bpe_deep_prefix_equals_recount_lane(spark, sf_dir):
         .orderBy("step").collect()
     )
     assert [tuple(r) for r in deep] == [tuple(r) for r in shallow]
+
+
+def test_deep_fertility_monotone_in_merges(spark, sf_dir):
+    """More merges can never lengthen an encoding: per doc,
+    n_bpe_tokens(16 merges) <= n_bpe_tokens(3 merges) <= n_char_tokens,
+    with word/char counts identical across the two lanes."""
+    from tradecat_spark.plans.registry import load_all
+
+    specs = load_all()
+    f3 = specs["bpe_encode_fertility"].fn(spark, sf_dir).toPandas() \
+        .set_index("doc_id").sort_index()
+    f16 = specs["bpe_encode_fertility_deep"].fn(spark, sf_dir).toPandas() \
+        .set_index("doc_id").sort_index()
+    assert f3.index.equals(f16.index)
+    assert (f16.n_words == f3.n_words).all()
+    assert (f16.n_char_tokens == f3.n_char_tokens).all()
+    assert (f16.n_bpe_tokens <= f3.n_bpe_tokens).all()
+    assert (f3.n_bpe_tokens <= f3.n_char_tokens).all()
+    assert (f16.n_bpe_tokens < f3.n_bpe_tokens).any()  # 16 > 3 must bite

@@ -2450,6 +2450,93 @@ def ann_ivfadc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfadc_curve_oracle() -> str:
+    from tradecat_spark.plans.registry import REGISTRY
+
+    blocks = "\nUNION ALL ".join(
+        f"""SELECT CAST({np} AS INTEGER) AS nprobe, e.query_id,
+  CAST(COUNT(r.neighbor_id) AS BIGINT) AS n_hit,
+  ROUND(COUNT(r.neighbor_id) / CAST({TOP_K} AS DOUBLE), 6) AS recall
+FROM exact_top e
+LEFT JOIN (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+      PARTITION BY query_id
+      ORDER BY adc_sim DESC, neighbor_id ASC) AS rn
+    FROM radc WHERE probe_rank <= {np}
+  ) WHERE rn <= {TOP_K}
+) r USING (query_id, neighbor_id)
+GROUP BY e.query_id"""
+        for np in range(1, NPROBE + 1)
+    )
+    return f"""
+WITH {_pqr_sql()},
+{_ivfadc_adc_sql()},
+exact_top AS (
+  SELECT query_id, neighbor_id
+  FROM ({REGISTRY['ann_cosine_topk'].oracle}) t
+)
+{blocks}
+"""
+
+
+@query(
+    "ann_ivfadc_nprobe_curve",
+    survey="north-star similarity: the recall-vs-nprobe curve (the "
+    "standard IVF tuning eval, Jegou 2011 Fig. 8 shape) — per query, "
+    f"recall@{TOP_K} at nprobe = 1..{NPROBE}, all derived from ONE "
+    "scored scan since a cell ranked <= k is also ranked <= k+1",
+    description=f"Per (nprobe 1..{NPROBE}, query): recall@{TOP_K} of "
+    "residual IVFADC against exact cosine",
+    oracle=_ivfadc_curve_oracle(),
+)
+def ann_ivfadc_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe=k candidate set is the probe_rank <= k slice of the
+    nprobe=NPROBE scored rows, so the whole curve reuses one
+    _ivfadc_sims pass (cut once — |queries| x probed-candidates rows,
+    never corpus-sized); each curve point is then a bounded window +
+    a |queries|-row join."""
+    from tradecat_spark.plans.registry import REGISTRY
+
+    sims = _ivfadc_sims(spark, sf_dir).localCheckpoint()
+    exact_top = (
+        REGISTRY["ann_cosine_topk"]
+        .fn(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_sim"), F.asc("neighbor_id")
+    )
+    outs = []
+    for np_ in range(1, NPROBE + 1):
+        at = (
+            sims.filter(F.col("probe_rank") <= np_)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+        hit = exact_top.join(
+            at.withColumn("hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        outs.append(
+            hit.groupBy("query_id").agg(
+                F.count("hit").cast("bigint").alias("n_hit"),
+                F.round(F.count("hit") / F.lit(float(TOP_K)), 6)
+                .alias("recall"),
+            ).select(
+                F.lit(np_).cast("int").alias("nprobe"),
+                "query_id", "n_hit", "recall",
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
 # ---------------------------------------------------------------------------
 # Spectral family: exact integer Gram matrix + fixed-point power
 # iteration for the top principal direction

@@ -3138,13 +3138,13 @@ def bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_fertility_oracle() -> str:
+def _bpe_fertility_oracle(n: int = N_BPE_STEPS) -> str:
     return f"""
-WITH {_bpe_ctes()},
+WITH {_bpe_ctes(n)},
 per_word AS (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS n_toks,
          CAST(MAX(len(word)) AS BIGINT) AS n_chars_w
-  FROM s{N_BPE_STEPS}next GROUP BY word
+  FROM s{n}next GROUP BY word
 ),
 inst AS (
   SELECT doc_id,
@@ -3225,10 +3225,10 @@ def _bpe_apply_col(toks: Column, a: Column, b: Column) -> Column:
 
 def _bpe_deep_chain(
     spark: SparkSession, sf_dir: str, n: int
-) -> list[DataFrame]:
+) -> tuple[list[DataFrame], DataFrame]:
     """n merge steps with incremental pair-count maintenance; returns
-    the per-step argmax rows (1-row DataFrames with a, b,
-    pair_weight).
+    (per-step argmax rows — 1-row DataFrames with a, b, pair_weight —
+    and the final token table (word, wcount, toks)).
 
     State per step: ``t`` (word, wcount, toks array) and ``pc``
     (a, b, w) — both vocab-bounded, both localCheckpoint-cut so the
@@ -3321,7 +3321,7 @@ def _bpe_deep_chain(
         t = merged.select(
             "word", "wcount", F.col("mtoks").alias("toks")
         ).localCheckpoint()
-    return tops
+    return tops, t
 
 
 @query(
@@ -3342,7 +3342,7 @@ def bpe_learn_merges_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     in shape and values to bpe_learn_merges, just deeper — pytest pins
     steps 1..3 equal to the recount lane and the whole prefix equal to
     the sequential reference on seeded random corpora."""
-    tops = _bpe_deep_chain(spark, sf_dir, N_BPE_DEEP)
+    tops, _ = _bpe_deep_chain(spark, sf_dir, N_BPE_DEEP)
     outs = [
         top.select(
             F.lit(k).cast("int").alias("step"),
@@ -3360,6 +3360,54 @@ def bpe_learn_merges_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REG_BPE["bpe_learn_merges_deep"].oracle = _bpe_oracle(N_BPE_DEEP)
+
+
+@query(
+    "bpe_encode_fertility_deep",
+    survey="north-star text analysis: encode under the DEEP (16-merge) "
+    "tokenizer — per-doc BPE token counts and fertility with the "
+    "delta-learned vocab, extending bpe_encode_fertility past the "
+    "3-merge toy depth; same vocab-join encode trick, so the encode "
+    "side scales exactly as before",
+    description=f"Per doc: word count, char-token count, BPE token "
+    f"count after {N_BPE_DEEP} merges, 6dp fertility",
+    oracle=None,  # set below: the recount fertility oracle at 16 steps
+)
+def bpe_encode_fertility_deep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The deep chain's final token table is already one row per word
+    type (array form), so the per-word tokenizer summary needs no
+    aggregation at all — n_toks = size(toks) — and encoding stays a
+    broadcast |word types| join against (doc, word) instances."""
+    _, t = _bpe_deep_chain(spark, sf_dir, N_BPE_DEEP)
+    per_word = t.select(
+        "word",
+        F.size("toks").cast("bigint").alias("n_toks"),
+        F.length("word").cast("bigint").alias("n_chars_w"),
+    )
+    d = _docs(spark, sf_dir)
+    inst = d.select(
+        "doc_id",
+        F.explode(F.filter(_words(), lambda x: x != "")).alias("word"),
+    )
+    j = inst.join(F.broadcast(per_word), "word")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("n_chars_w").cast("bigint").alias("n_char_tokens"),
+        F.sum("n_toks").cast("bigint").alias("n_bpe_tokens"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "n_char_tokens",
+        "n_bpe_tokens",
+        ratio6(F.col("n_bpe_tokens"), F.col("n_words")).alias("fertility"),
+    )
+
+
+_REG_BPE["bpe_encode_fertility_deep"].oracle = _bpe_fertility_oracle(
+    N_BPE_DEEP
+)
 
 
 # ---------------------------------------------------------------------------
