@@ -21,6 +21,34 @@ from tradecat_spark.catalog import load_table
 from tradecat_spark.plans.exact import mean6, mean6_sql
 from tradecat_spark.plans.registry import query
 
+# PQ / IVF algebra single-sourced in operators.ivfadc (shared with the
+# streaming ANN index maintenance) — aliased back to the historical
+# private names so the query lanes and their tests read unchanged
+from tradecat_spark.operators.ivfadc import (  # noqa: E402
+    PQ_DSUB,
+    PQ_ITERS,
+    PQ_KS,
+    PQ_M,
+    d2_fold as _d2f,
+    dot,
+    ivf_cellinfo as _ivf_cellinfo,
+    ivf_cells_row as _ivf_cells_row,
+    ivf_centroids as _ivf_centroids,
+    ivf_probe_cells as _ivf_probe_cells,
+    lsum as _lsum,
+    nearest_cell_col as _nearest_cell_col,
+    pq_codebook_row as _pq_codebook_row,
+    pq_codes_col as _pq_codes_col,
+    pq_query_rows as _pq_query_rows_n,
+    pq_train as _pq_train,
+    residuals as _residuals,
+)
+
+
+def _pq_query_rows(e, brow):
+    """Query-lane shim: the registered queries fix n_queries."""
+    return _pq_query_rows_n(e, brow, N_QUERIES)
+
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
 
@@ -32,38 +60,12 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential fold dot-product (matches DuckDB's list_dot_product
-    evaluation order, so results are comparable without tolerance)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
 
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.nullif(F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)), F.lit(0))
 
 
-def _ivf_centroids(e: DataFrame) -> DataFrame:
-    """|labels|-row table of centroid ARRAYS (dims averaged, rounded
-    once, re-assembled in order) — the IVF coarse quantizer shared by
-    ann_ivf_search / ann_ivf_sq8_search; ann_label_centroids exposes
-    the same aggregate as a flat surface. ONE rendering of the
-    determinism-critical round(avg, 6) so the copies cannot drift."""
-    return (
-        e.select("label", F.posexplode("vec").alias("pos", "x"))
-        .groupBy("label", "pos")
-        .agg(F.round(F.avg("x"), 6).alias("c"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                lambda s: s["c"],
-            ).alias("cv")
-        )
-    )
 
 
 def _ivf_nearest_cell(q: DataFrame, cent: DataFrame) -> DataFrame:
@@ -1049,11 +1051,6 @@ def _sq8_xhat(vec: Column, los: Column, his: Column) -> Column:
     return F.transform(vec, f)
 
 
-def _lsum(arr: Column) -> Column:
-    """Exact int64 sequential fold sum over a long array."""
-    return F.aggregate(
-        arr, F.lit(0).cast("long"), lambda acc, v: acc + v
-    )
 
 
 @query(
@@ -1398,140 +1395,14 @@ def ann_ivf_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every ADC dot is an exact int64 fold over micro-unit integers, so
 # both engines rank identically.
 
-PQ_M = 8       # subspaces
-PQ_DSUB = 8    # dims per subspace (embeddings are 64-d)
-PQ_KS = 16     # centroids per subspace codebook
-PQ_ITERS = 2   # Lloyd iterations per codebook
 
 
-def _d2f(a: Column, b: Column) -> Column:
-    """Squared L2 as a sequential fold (mirrors the oracle's
-    list_reduce order; same idiom as q_cluster._d2)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
 
 
-def _pq_train(e: DataFrame) -> DataFrame:
-    """Per-subspace Lloyd codebooks: (sub, cid, cv array<double>).
-
-    Training is the only stage allowed to explode the corpus (x8
-    subvector rows, x16 broadcast candidates through a bounded
-    (sub, vec_id) window) — at 100 TB codebooks train on a bounded
-    SAMPLE (they are a dim x ks model artifact, not a data product),
-    while the serving path below is strictly map-side over one
-    broadcast codebook row. Seeds are the first PQ_KS vectors'
-    subvectors; recompute is the decimal-exact mean (q_cluster
-    idiom), so centroids are bit-identical across engines."""
-    sv = e.select(
-        "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s"),
-        "vec",
-    ).select(
-        "vec_id",
-        F.col("s").cast("bigint").alias("sub"),
-        F.slice("vec", F.col("s") * PQ_DSUB + 1, PQ_DSUB).alias("sv"),
-    )
-    cent = sv.filter(F.col("vec_id") < PQ_KS).select(
-        "sub",
-        F.col("vec_id").cast("bigint").alias("cid"),
-        F.col("sv").alias("cv"),
-    )
-    w = Window.partitionBy("sub", "vec_id").orderBy(
-        F.asc("d2r"), F.asc("cid")
-    )
-    for _ in range(PQ_ITERS):
-        asg = (
-            sv.join(F.broadcast(cent), "sub")
-            .withColumn("d2r", F.round(_d2f(F.col("sv"), F.col("cv")), 6))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("sub", "cid", "sv")
-        )
-        cent = (
-            asg.select("sub", "cid", F.posexplode("sv").alias("pos", "x"))
-            .groupBy("sub", "cid", "pos")
-            .agg(
-                (
-                    F.sum(F.col("x").cast("decimal(25,14)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("m")
-            )
-            .groupBy("sub", "cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda st: st["m"],
-                ).alias("cv")
-            )
-        )
-    return cent
 
 
-def _pq_codebook_row(cent: DataFrame) -> DataFrame:
-    """ONE broadcastable row holding the full codebook as maps keyed
-    by ``sub*PQ_KS + cid``: ``cb`` (double centroids, for assignment),
-    ``cbm`` (micro-int centroids, for LUT dots), ``c2m`` (micro-int
-    centroid self-dots, for reconstructed norms). M x KS entries —
-    a model artifact, never corpus-sized; dead cells (clusters that
-    lost all members) are simply absent and looked up as NULL."""
-    ent = cent.select(
-        (F.col("sub") * PQ_KS + F.col("cid")).alias("idx"),
-        "cv",
-        F.transform(
-            "cv", lambda x: F.round(x * 1_000_000).cast("long")
-        ).alias("cvm"),
-    ).withColumn(
-        "c2", _lsum(F.transform("cvm", lambda v: v * v))
-    )
-    return ent.agg(
-        F.map_from_entries(F.collect_list(F.struct("idx", "cv"))).alias("cb"),
-        F.map_from_entries(F.collect_list(F.struct("idx", "cvm"))).alias("cbm"),
-        F.map_from_entries(F.collect_list(F.struct("idx", "c2"))).alias("c2m"),
-    )
 
 
-def _pq_codes_col(v: Column, cb: Column) -> Column:
-    """PQ-encode one vector MAP-SIDE: array of PQ_M structs
-    (sub, code, d2r) — for each subspace, fold over the 16 candidate
-    centroids tracking the strict-min rounded distance (first winner
-    stays, so ties break to the lower code exactly like the oracle's
-    ROW_NUMBER ... ORDER BY d2r, cid). No explode, no shuffle, no
-    window: encoding a 100 TB corpus is a pure scan + broadcast."""
-
-    def best(s: Column) -> Column:
-        sv = F.slice(v, s * PQ_DSUB + 1, PQ_DSUB)
-
-        def step(acc: Column, cid: Column) -> Column:
-            cv = F.try_element_at(cb, (s * PQ_KS + cid).cast("bigint"))
-            d2r = F.round(_d2f(sv, cv), 6)
-            better = cv.isNotNull() & (
-                acc["d"].isNull() | (d2r < acc["d"])
-            )
-            return F.when(
-                better,
-                F.struct(
-                    d2r.alias("d"), cid.cast("bigint").alias("code")
-                ),
-            ).otherwise(acc)
-
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(PQ_KS - 1)),
-            F.struct(
-                F.lit(None).cast("double").alias("d"),
-                F.lit(None).cast("bigint").alias("code"),
-            ),
-            step,
-            lambda acc: F.struct(
-                s.cast("bigint").alias("sub"),
-                acc["code"].alias("code"),
-                acc["d"].alias("d2r"),
-            ),
-        )
-
-    return F.transform(F.sequence(F.lit(0), F.lit(PQ_M - 1)), best)
 
 
 _PQD2 = (
@@ -1725,42 +1596,6 @@ def _pq_candidates(e: DataFrame, brow: DataFrame) -> DataFrame:
     )
 
 
-def _pq_query_rows(e: DataFrame, brow: DataFrame) -> DataFrame:
-    """Query side of ADC search: {N_QUERIES} rows carrying the exact
-    micro-int self-dot and the flat m*ks LUT of query x centroid int64
-    dots (Jegou 2011's per-query distance table — candidate scoring
-    becomes m array lookups, no vector math per pair)."""
-    qm = F.transform(
-        F.col("vec"), lambda x: F.round(x * 1_000_000).cast("long")
-    )
-    def lut_entry(idx):
-        sub = F.call_function(
-            "div", idx.cast("long"), F.lit(PQ_KS).cast("long")
-        )
-        cvm = F.try_element_at(F.col("cbm"), idx.cast("long"))
-        qsub = F.slice(F.col("qm"), sub * PQ_DSUB + 1, PQ_DSUB)
-        return F.when(
-            cvm.isNotNull(),
-            _lsum(F.zip_with(qsub, cvm, lambda a, b: a * b)),
-        ).otherwise(F.lit(None).cast("long"))
-
-    return (
-        e.filter(F.col("vec_id") < N_QUERIES)
-        .crossJoin(F.broadcast(brow))
-        .select(
-            F.col("vec_id").alias("query_id"), qm.alias("qm"), "cbm"
-        )
-        .select(
-            "query_id",
-            "qm",  # the residual lane dots this with probed-cell centroids
-            F.transform(
-                F.sequence(F.lit(0), F.lit(PQ_M * PQ_KS - 1)), lut_entry
-            ).alias("lut"),
-            _lsum(
-                F.transform(F.col("qm"), lambda v: v * v)
-            ).alias("qs2"),
-        )
-    )
 
 
 def _pq_adc_sim() -> Column:
@@ -1938,121 +1773,14 @@ def ann_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 NPROBE = 4  # coarse cells probed per query (recall-tuned: 0.34 vs raw lane 0.30 at sf0.01)
 
 
-def _ivf_cells_row(cent: DataFrame) -> Column:
-    """ONE broadcastable row: the coarse codebook as a label-sorted
-    array of (label, cv) structs — the corpus-side assignment then
-    needs no join, no window, no shuffle."""
-    return cent.agg(
-        F.array_sort(F.collect_list(F.struct("label", "cv"))).alias("cells")
-    )
 
 
-def _nearest_cell_col(v: Column) -> Column:
-    """Nearest coarse cell MAP-SIDE: fold over the broadcast ``cells``
-    array tracking the strict-min rounded squared distance (labels
-    iterate ascending, so ties break to the lower label — exactly the
-    oracle's ROW_NUMBER ... ORDER BY d2r, label)."""
-
-    def step(acc: Column, cell: Column) -> Column:
-        d2r = F.round(_d2f(v, cell["cv"]), 6)
-        better = acc["d"].isNull() | (d2r < acc["d"])
-        return F.when(
-            better,
-            F.struct(d2r.alias("d"), cell["label"].alias("lab")),
-        ).otherwise(acc)
-
-    return F.aggregate(
-        F.col("cells"),
-        F.struct(
-            F.lit(None).cast("double").alias("d"),
-            F.lit(None).cast("int").alias("lab"),
-        ),
-        step,
-        lambda acc: acc["lab"],
-    )
 
 
-def _residuals(e: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, label, vec = x - c(label)): each vector ASSIGNED to
-    its nearest coarse cell (a real inverted file — the data labels
-    are NOT geometric cells, measured 0.32 coverage ceiling at
-    nprobe=2 vs ~1.0 for Voronoi assignment), then minus that cell's
-    centroid. Assignment is a map-side fold over one broadcast
-    codebook row; the subtraction a map-side zip against the
-    broadcast |cells|-row table. Double ops are single IEEE
-    instructions, identical in both engines."""
-    asg = e.crossJoin(F.broadcast(_ivf_cells_row(cent))).select(
-        "vec_id", "vec", _nearest_cell_col(F.col("vec")).alias("label")
-    )
-    return asg.join(F.broadcast(cent), "label").select(
-        "vec_id", "label",
-        F.zip_with("vec", "cv", lambda x, c: x - c).alias("vec"),
-    )
 
 
-def _ivf_probe_cells(
-    q: DataFrame, cent: DataFrame, nprobe: int
-) -> DataFrame:
-    """Multi-probe coarse assignment: the ``nprobe`` nearest cells per
-    query (same rounded-distance ordering as ``_ivf_nearest_cell``,
-    which stays the nprobe=1 special case used by the raw lanes).
-    Returns (query_id, cell_label, probe_rank 1..nprobe)."""
-    dist2 = F.round(
-        dot(F.col("qv"), F.col("qv"))
-        - 2 * dot(F.col("qv"), F.col("cv"))
-        + dot(F.col("cv"), F.col("cv")),
-        6,
-    )
-    aw = Window.partitionBy("query_id").orderBy(
-        F.asc("d2"), F.asc("label")
-    )
-    return (
-        q.crossJoin(F.broadcast(cent))
-        .withColumn("d2", dist2)
-        .withColumn("probe_rank", F.row_number().over(aw).cast("bigint"))
-        .filter(F.col("probe_rank") <= nprobe)
-        .select(
-            "query_id",
-            F.col("label").alias("cell_label"),
-            "probe_rank",
-        )
-    )
 
 
-def _ivf_cellinfo(cent: DataFrame, rbrow: DataFrame) -> DataFrame:
-    """|labels|-row broadcastable table of per-cell constants for
-    residual ADC: micro-int centroid ``cm``, its self-dot ``c2``, and
-    ``ccr`` — the m*ks array of centroid-slice x residual-codebook
-    int64 dots, so a candidate's cross term 2*c.r_hat is m array
-    lookups (null entries = dead cells, never looked up by a valid
-    code)."""
-    cm = F.transform(
-        F.col("cv"), lambda x: F.round(x * 1_000_000).cast("long")
-    )
-
-    def ccr_entry(idx):
-        sub = F.call_function(
-            "div", idx.cast("long"), F.lit(PQ_KS).cast("long")
-        )
-        cvm = F.try_element_at(F.col("cbm"), idx.cast("long"))
-        cs = F.slice(F.col("cm"), sub * PQ_DSUB + 1, PQ_DSUB)
-        return F.when(
-            cvm.isNotNull(),
-            _lsum(F.zip_with(cs, cvm, lambda a, b: a * b)),
-        ).otherwise(F.lit(None).cast("long"))
-
-    return (
-        cent.crossJoin(F.broadcast(rbrow))
-        .select("label", cm.alias("cm"), "cbm")
-        .select(
-            "label",
-            "cm",
-            _lsum(F.transform(F.col("cm"), lambda v: v * v)).alias("c2"),
-            F.transform(
-                F.sequence(F.lit(0), F.lit(PQ_M * PQ_KS - 1)), ccr_entry
-            ).alias("ccr"),
-        )
-    )
 
 
 def _ivfadc_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
