@@ -2020,3 +2020,109 @@ def test_ingest_pipeline_crash_seam_between_sketch_updates(
     assert sorted(map(tuple, sk.read_cms(
         spark, dirs["cms_store"]).collect())) == \
         sorted(map(tuple, cms_counts(ev).collect()))
+
+
+def _ann_fixture(spark, sf_dir, tmp_path):
+    from tradecat_spark.streaming import ann
+
+    e_raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = e_raw.filter(F.col("vec_id") % 10 != 0)
+    delta = e_raw.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id", "embedding"
+    )
+    model_dir = str(tmp_path / "model")
+    store = str(tmp_path / "codes")
+    eb = base.select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    ann.train_ann_model(spark, eb, model_dir)
+    model = ann.load_ann_model(spark, model_dir)
+    return ann, model, model_dir, store, base, delta
+
+
+def test_ann_index_replay_and_republication_exactly_once(
+    spark, sf_dir, tmp_path
+):
+    """The code store must converge to one row per vector under BOTH
+    duplication shapes: replaying the SAME batch id (at-least-once)
+    and re-publishing the same vectors under a LATER batch id (a
+    recrawl) — and the store rows must equal a direct batch encode
+    under the frozen model."""
+    ann, model, model_dir, store, base, delta = _ann_fixture(
+        spark, sf_dir, tmp_path
+    )
+    ann.index_batch(spark, base.select("vec_id", "embedding"), -1,
+                    model, store)
+    n_base = ann.read_index(spark, store).count()
+    assert n_base == base.count()
+
+    ann.index_batch(spark, delta, 0, model, store)
+    n_all = ann.read_index(spark, store).count()
+    assert n_all == n_base + delta.count()
+
+    ann.index_batch(spark, delta, 0, model, store)   # same-batch replay
+    assert ann.read_index(spark, store).count() == n_all
+    ann.index_batch(spark, delta, 7, model, store)   # recrawl, new batch
+    assert ann.read_index(spark, store).count() == n_all
+
+    want = (
+        ann.encode_vectors(delta, *model)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    got = (
+        ann.read_index(spark, store)
+        .join(delta.select("vec_id"), "vec_id")
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert (got.vec_id == want.vec_id).all()
+    assert (got.xs2 == want.xs2).all()
+    assert got.codes.apply(list).equals(want.codes.apply(list))
+
+
+def test_ann_index_crash_between_encode_and_commit(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Crash before the commit leaves the store byte-identical; the
+    replay converges, and a search over the recovered store equals a
+    search over a store built with no crash at all."""
+    from tradecat_spark.streaming import ann as ann_mod
+
+    ann, model, model_dir, store, base, delta = _ann_fixture(
+        spark, sf_dir, tmp_path
+    )
+    ann.index_batch(spark, base.select("vec_id", "embedding"), -1,
+                    model, store)
+    n_base = ann.read_index(spark, store).count()
+
+    real = ann_mod.upsert_codes
+    monkeypatch.setattr(
+        ann_mod, "upsert_codes",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        ann_mod.index_batch(spark, delta, 3, model, store)
+    assert ann.read_index(spark, store).count() == n_base
+
+    monkeypatch.setattr(ann_mod, "upsert_codes", real)
+    ann_mod.index_batch(spark, delta, 3, model, store)
+    assert ann.read_index(spark, store).count() == n_base + delta.count()
+
+    q = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+    )
+    got = sorted(map(tuple, ann.search_index(
+        spark, store, model_dir, q, 2, 3).collect()))
+
+    clean_store = str(tmp_path / "codes_clean")
+    ann.index_batch(spark, base.select("vec_id", "embedding"), -1,
+                    model, clean_store)
+    ann.index_batch(spark, delta, 3, model, clean_store)
+    want = sorted(map(tuple, ann.search_index(
+        spark, clean_store, model_dir, q, 2, 3).collect()))
+    assert got == want

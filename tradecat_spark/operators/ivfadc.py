@@ -185,16 +185,16 @@ def pq_codes_col(v: Column, cb: Column) -> Column:
 
     return F.transform(F.sequence(F.lit(0), F.lit(PQ_M - 1)), best)
 
-def pq_query_rows(
-    e: DataFrame, brow: DataFrame, n_queries: int
-) -> DataFrame:
-    """Query side of ADC search: ``n_queries`` rows carrying the exact
-    micro-int self-dot and the flat m*ks LUT of query x centroid int64
-    dots (Jegou 2011's per-query distance table — candidate scoring
-    becomes m array lookups, no vector math per pair)."""
+def adc_query_rows(q: DataFrame, brow: DataFrame) -> DataFrame:
+    """Query side of ADC search over a (query_id, vec) frame: each row
+    carries the exact micro-int self-dot and the flat m*ks LUT of
+    query x centroid int64 dots (Jegou 2011's per-query distance
+    table — candidate scoring becomes m array lookups, no vector math
+    per pair)."""
     qm = F.transform(
         F.col("vec"), lambda x: F.round(x * 1_000_000).cast("long")
     )
+
     def lut_entry(idx):
         sub = F.call_function(
             "div", idx.cast("long"), F.lit(PQ_KS).cast("long")
@@ -207,11 +207,8 @@ def pq_query_rows(
         ).otherwise(F.lit(None).cast("long"))
 
     return (
-        e.filter(F.col("vec_id") < n_queries)
-        .crossJoin(F.broadcast(brow))
-        .select(
-            F.col("vec_id").alias("query_id"), qm.alias("qm"), "cbm"
-        )
+        q.crossJoin(F.broadcast(brow))
+        .select("query_id", qm.alias("qm"), "cbm")
         .select(
             "query_id",
             "qm",  # the residual lane dots this with probed-cell centroids
@@ -221,6 +218,123 @@ def pq_query_rows(
             lsum(
                 F.transform(F.col("qm"), lambda v: v * v)
             ).alias("qs2"),
+        )
+    )
+
+
+def pq_query_rows(
+    e: DataFrame, brow: DataFrame, n_queries: int
+) -> DataFrame:
+    """Corpus-frame convenience: the first ``n_queries`` vec_ids as
+    ADC query rows."""
+    return adc_query_rows(
+        e.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), "vec"
+        ),
+        brow,
+    )
+
+
+def encode_residual_codes(
+    er: DataFrame, rbrow: DataFrame, cellinfo: DataFrame
+) -> DataFrame:
+    """Candidate side of residual ADC: (vec_id, cell_label, codes,
+    xs2) — the m residual codes plus the query-independent int64
+    reconstruction norm |c + r_hat|^2 = |c|^2 + 2 c.r_hat + |r_hat|^2
+    (exact because subspaces are disjoint slices). Pure map-side work
+    against the broadcast codebook row and |cells|-row table; this is
+    the WRITE path of an incremental ANN index (streaming/ann.py) and
+    the scoring input of the batch search lanes."""
+    codes = F.transform(
+        pq_codes_col(F.col("vec"), F.col("cb")), lambda z: z["code"]
+    )
+    ccr_sum = lsum(
+        F.transform(
+            F.col("codes"),
+            lambda c, s: F.element_at(
+                F.col("ccr"), (s.cast("bigint") * PQ_KS + c + 1).cast("int")
+            ),
+        )
+    )
+    rs2 = lsum(
+        F.transform(
+            F.col("codes"),
+            lambda c, s: F.try_element_at(
+                F.col("c2m"), (s.cast("bigint") * PQ_KS + c)
+            ),
+        )
+    )
+    return (
+        er.crossJoin(F.broadcast(rbrow))
+        .join(F.broadcast(cellinfo), "label")
+        .select("vec_id", "label", codes.alias("codes"), "c2m", "ccr", "c2")
+        .select(
+            "vec_id",
+            F.col("label").alias("cell_label"),
+            "codes",
+            (F.col("c2") + 2 * ccr_sum + rs2).alias("xs2"),
+        )
+    )
+
+
+def adc_probe_rows(
+    q: DataFrame, cent: DataFrame, rbrow: DataFrame,
+    cellinfo: DataFrame, nprobe: int,
+) -> DataFrame:
+    """Per (query, probed cell) scoring row: LUT + |q|^2 + the exact
+    q.c dot for the probed cell. q is a (query_id, qv) frame; the
+    output is |queries| x nprobe rows — always broadcastable."""
+    probes = ivf_probe_cells(q, cent, nprobe)
+    qrows = adc_query_rows(
+        q.select("query_id", F.col("qv").alias("vec")), rbrow
+    )
+    return (
+        probes.join(qrows, "query_id")
+        .join(
+            cellinfo.select(F.col("label").alias("cell_label"), "cm"),
+            "cell_label",
+        )
+        .select(
+            "query_id", "cell_label", "probe_rank", "lut", "qs2",
+            lsum(
+                F.zip_with("qm", "cm", lambda a, b: a * b)
+            ).alias("qcd"),
+        )
+    )
+
+
+def residual_adc_scores(cand: DataFrame, prow: DataFrame) -> DataFrame:
+    """Score probed candidates: numerator q.(c + r_hat) = qcd + m LUT
+    lookups, normalized by the exact |q| and reconstruction norms.
+    One broadcast equi-join on cell_label — at scale the code store is
+    partitioned BY CELL, so nprobe cells = nprobe partitions read."""
+    adc_dot = F.col("qcd") + lsum(
+        F.transform(
+            F.col("codes"),
+            lambda c, s: F.element_at(
+                F.col("lut"), (s.cast("bigint") * PQ_KS + c + 1).cast("int")
+            ),
+        )
+    )
+    sim = F.round(
+        adc_dot.cast("double")
+        / F.nullif(
+            F.sqrt(
+                F.col("qs2").cast("double") * F.col("xs2").cast("double")
+            ),
+            F.lit(0),
+        ),
+        6,
+    )
+    return (
+        cand.join(F.broadcast(prow), "cell_label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "probe_rank",
+            "cell_label",
+            F.col("vec_id").alias("neighbor_id"),
+            sim.alias("adc_sim"),
         )
     )
 

@@ -1222,18 +1222,21 @@ def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_assign_sql() -> str:
+def _ivf_assign_sql(train_pred: str | None = None) -> str:
     """IVF coarse-quantizer CTE fragment shared by the SQ8 and PQ
     search oracles: per-label centroids, the query vectors, the
     rounded-argmin cell assignment, and the member-label table — ONE
     rendering so the assignment semantics cannot drift between the
-    two compressed-index searches."""
+    two compressed-index searches. ``train_pred`` restricts the rows
+    the centroids are computed FROM (frozen-model split)."""
+    where = f"WHERE {train_pred}" if train_pred else ""
     return f"""cent AS (
   SELECT label, list(cc ORDER BY dim) AS cv FROM (
     SELECT label, i AS dim,
       ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS cc
     FROM embeddings,
          LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+    {where}
     GROUP BY label, i
   ) GROUP BY label
 ),
@@ -1425,24 +1428,39 @@ def _pq_assign_sql(label: str, prev: str, sv: str = "sv") -> str:
 )"""
 
 
-def _pq_chain_sql(src: str, p: str) -> list[str]:
+def _pq_chain_sql(
+    src: str, p: str, train_pred: str | None = None
+) -> list[str]:
     """The subvector-split + Lloyd-unroll + final-assignment CTE chain
     over vector CTE ``src`` (columns vec_id, v), every CTE name
     prefixed with ``p`` — ONE rendering shared by the raw-vector chain
     (p='') and the IVF-residual chain (p='r'), so the training
     semantics cannot drift between the two PQ lanes. Ends with
-    ``{p}pqc`` (vec_id, sub, code, d2r) and ``{p}pc{PQ_ITERS}``."""
+    ``{p}pqc`` (vec_id, sub, code, d2r) and ``{p}pc{PQ_ITERS}``.
+
+    ``train_pred`` models a FROZEN-model split (streaming_ann_index):
+    the Lloyd iterations (and seeds) see only rows satisfying the
+    predicate, while the final assignment encodes EVERY row — exactly
+    the train-on-base / encode-the-stream semantics of
+    streaming/ann.py."""
+    tsv = f"{p}tsv" if train_pred else f"{p}sv"
     ctes = [
         f"""{p}sv AS (
   SELECT vec_id, CAST(s AS BIGINT) AS sub,
     v[s*{PQ_DSUB}+1 : s*{PQ_DSUB}+{PQ_DSUB}] AS sv
   FROM {src}, LATERAL (SELECT unnest(range(0, {PQ_M})) AS s) t
 )""",
-        f"{p}pc0 AS (SELECT sub, CAST(vec_id AS BIGINT) AS cid, sv AS cv "
-        f"FROM {p}sv WHERE vec_id < {PQ_KS})",
     ]
+    if train_pred:
+        ctes.append(
+            f"{p}tsv AS (SELECT * FROM {p}sv WHERE {train_pred})"
+        )
+    ctes.append(
+        f"{p}pc0 AS (SELECT sub, CAST(vec_id AS BIGINT) AS cid, sv AS cv "
+        f"FROM {tsv} WHERE vec_id < {PQ_KS})"
+    )
     for t in range(1, PQ_ITERS + 1):
-        ctes.append(_pq_assign_sql(f"{p}pa{t}", f"{p}pc{t - 1}", f"{p}sv"))
+        ctes.append(_pq_assign_sql(f"{p}pa{t}", f"{p}pc{t - 1}", tsv))
         ctes.append(f"""{p}pc{t} AS (
   SELECT sub, cid, list(m ORDER BY pos) AS cv FROM (
     SELECT sub, cid, pos,
@@ -1786,121 +1804,45 @@ NPROBE = 4  # coarse cells probed per query (recall-tuned: 0.34 vs raw lane 0.30
 def _ivfadc_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual-ADC similarity rows (query_id, probe_rank, cell_label,
     neighbor_id, adc_sim) over the NPROBE nearest cells per query —
-    the shared core of ann_ivfadc_search and ann_ivfadc_recall.
+    the shared core of ann_ivfadc_search / ann_ivfadc_recall /
+    ann_ivfadc_nprobe_curve, composed entirely from the single-sourced
+    algebra in operators.ivfadc (see encode_residual_codes /
+    adc_probe_rows / residual_adc_scores for the exact int64
+    decompositions and the 100 TB partitioned-by-cell shape). Here the
+    model is trained inline from the corpus; streaming/ann.py runs the
+    SAME operators against a frozen persisted model."""
+    from tradecat_spark.operators.ivfadc import (
+        adc_probe_rows,
+        encode_residual_codes,
+        residual_adc_scores,
+    )
 
-    The reconstruction is x_hat = c + r_hat, so the cosine-analog
-    numerator q.x_hat = q.c + q.r_hat splits into the per-(query,
-    probed cell) int64 dot ``qcd`` plus m LUT lookups, and the
-    candidate norm |x_hat|^2 = |c|^2 + 2 c.r_hat + |r_hat|^2 is a
-    query-independent int64 per candidate (cell self-dot + m ``ccr``
-    lookups + m centroid self-dots) — exact because subspaces are
-    disjoint slices. 100 TB shape: codebooks, cell table, and the
-    10 x NPROBE probe rows broadcast; the corpus-side work is one
-    map-side encode plus an equi-join of the probed cells' partitions
-    (at scale the code store is partitioned BY CELL, so nprobe=2
-    reads two partitions, not the corpus)."""
     e = _emb(spark, sf_dir)
     cent = _ivf_centroids(e)
     er = _residuals(e, cent)
     rbrow = _pq_codebook_row(_pq_train(er))
     cellinfo = _ivf_cellinfo(cent, rbrow)
-
-    # candidate side: residual codes + the query-independent norm
-    codes = F.transform(
-        _pq_codes_col(F.col("vec"), F.col("cb")), lambda z: z["code"]
-    )
-    ccr_sum = _lsum(
-        F.transform(
-            F.col("codes"),
-            lambda c, s: F.element_at(
-                F.col("ccr"), (s.cast("bigint") * PQ_KS + c + 1).cast("int")
-            ),
-        )
-    )
-    rs2 = _lsum(
-        F.transform(
-            F.col("codes"),
-            lambda c, s: F.try_element_at(
-                F.col("c2m"), (s.cast("bigint") * PQ_KS + c)
-            ),
-        )
-    )
-    cand = (
-        er.crossJoin(F.broadcast(rbrow))
-        .join(F.broadcast(cellinfo), "label")
-        .select("vec_id", "label", codes.alias("codes"), "c2m", "ccr", "c2")
-        .select(
-            "vec_id",
-            F.col("label").alias("cell_label"),
-            "codes",
-            (F.col("c2") + 2 * ccr_sum + rs2).alias("xs2"),
-        )
-    )
-
-    # query side: raw-vector LUT vs the RESIDUAL codebook, plus the
-    # per-probed-cell q.c dot
+    cand = encode_residual_codes(er, rbrow, cellinfo)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qv")
     )
-    probes = _ivf_probe_cells(q, cent, NPROBE)
-    prow = (
-        probes.join(_pq_query_rows(e, rbrow), "query_id")
-        .join(
-            cellinfo.select(
-                F.col("label").alias("cell_label"), "cm"
-            ),
-            "cell_label",
-        )
-        .select(
-            "query_id", "cell_label", "probe_rank", "lut", "qs2",
-            _lsum(
-                F.zip_with("qm", "cm", lambda a, b: a * b)
-            ).alias("qcd"),
-        )
-    )
-
-    adc_dot = F.col("qcd") + _lsum(
-        F.transform(
-            F.col("codes"),
-            lambda c, s: F.element_at(
-                F.col("lut"), (s.cast("bigint") * PQ_KS + c + 1).cast("int")
-            ),
-        )
-    )
-    sim = F.round(
-        adc_dot.cast("double")
-        / F.nullif(
-            F.sqrt(
-                F.col("qs2").cast("double") * F.col("xs2").cast("double")
-            ),
-            F.lit(0),
-        ),
-        6,
-    )
-    return (
-        cand.join(F.broadcast(prow), "cell_label")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "probe_rank",
-            "cell_label",
-            F.col("vec_id").alias("neighbor_id"),
-            sim.alias("adc_sim"),
-        )
-    )
+    prow = adc_probe_rows(q, cent, rbrow, cellinfo, NPROBE)
+    return residual_adc_scores(cand, prow)
 
 
-def _pqr_sql() -> str:
+def _pqr_sql(train_pred: str | None = None) -> str:
     """Residual-chain CTEs: coarse quantizer (+ qv from the shared IVF
     fragment), the NEAREST-cell corpus assignment ``xasg`` (a real
     inverted file — Voronoi cells of the coarse codebook, not the
     data labels), the residual vectors, and the prefixed Lloyd/encode
-    chain ending at ``rpqc`` / ``rpc{PQ_ITERS}``."""
+    chain ending at ``rpqc`` / ``rpc{PQ_ITERS}``. With ``train_pred``
+    the coarse centroids and codebooks train on the predicate rows
+    only while every row is assigned/encoded (frozen-model split)."""
     d2 = _PQD2.format(v="c.v", c="ct.cv")
     return ",\n".join([
         "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
         "FROM embeddings)",
-        _ivf_assign_sql(),
+        _ivf_assign_sql(train_pred),
         f"""xasg AS (
   SELECT vec_id, label FROM (
     SELECT c.vec_id, ct.label,
@@ -1915,7 +1857,7 @@ def _pqr_sql() -> str:
   FROM c JOIN xasg l ON l.vec_id = c.vec_id
   JOIN cent ct ON ct.label = l.label
 )""",
-        *_pq_chain_sql("rv", "r"),
+        *_pq_chain_sql("rv", "r", train_pred),
     ])
 
 

@@ -1137,3 +1137,93 @@ def streaming_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("window.end").alias("window_end_us"),
         "n_pairs",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ANN index maintenance (streaming/ann.py) as a graded query
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_ann_index",
+    survey="§2.11-adjacent: streaming ANN INDEX maintenance — a frozen "
+    "IVFADC model (coarse centroids + residual codebooks trained on "
+    "the base split only, persisted as parquet) encodes a redelivered "
+    "multi-trigger embedding stream into a per-batch code store; "
+    "searching the drained store must equal the batch residual-ADC "
+    "search under the same frozen model bit-for-bit (codes are a "
+    "deterministic function of vector x frozen model, so "
+    "insert-if-absent makes at-least-once redelivery a no-op)",
+    description="Top-3 residual-ADC neighbors per query from a code "
+    "store built by streaming the delta split TWICE under a frozen "
+    "base-trained model",
+    oracle=None,  # set below: frozen-split residual chain
+)
+def streaming_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-on-base / encode-the-stream: the model never sees the
+    delta split, the store is seeded with the base encode (batch -1)
+    and then maintained by a stream that delivers every delta vector
+    TWICE across multiple triggers — so the gate simultaneously
+    checks the frozen-model persistence round-trip (parquet doubles
+    are bit-exact), the redelivery idempotence of the code upsert,
+    and the search math against the oracle's one-shot batch replay
+    of the same split. See streaming/ann.py for the store design."""
+    from tradecat_spark.plans.q_similarity import N_QUERIES, NPROBE
+    from tradecat_spark.streaming import ann
+
+    model_dir = tempfile.mkdtemp(prefix="tc_ann_model_")
+    store = tempfile.mkdtemp(prefix="tc_ann_store_") + "/codes"
+    src = tempfile.mkdtemp(prefix="tc_ann_src_")
+    ckpt = tempfile.mkdtemp(prefix="tc_ann_ckpt_")
+
+    e_raw = load_table(spark, sf_dir, "embeddings")
+    base_pred = F.col("vec_id") % 10 != 0
+    base = e_raw.filter(base_pred)
+    delta = e_raw.filter(~base_pred).select("vec_id", "embedding")
+
+    eb = base.select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    ann.train_ann_model(spark, eb, model_dir)
+    model = ann.load_ann_model(spark, model_dir)
+    ann.index_batch(
+        spark, base.select("vec_id", "embedding"), -1, model, store
+    )
+
+    delta.repartition(2).write.mode("append").parquet(src)
+    delta.repartition(2).write.mode("append").parquet(src)  # redelivery
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = ann.start_ann_index_maintenance(
+        stream, model_dir, store, ckpt, available_now=True
+    )
+    q.awaitTermination(300)
+    q.stop()
+
+    qv = e_raw.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    return ann.search_index(spark, store, model_dir, qv, NPROBE, 3)
+
+
+def _ann_index_oracle() -> str:
+    from tradecat_spark.plans.q_similarity import _ivfadc_adc_sql, _pqr_sql
+
+    return f"""
+WITH {_pqr_sql("vec_id % 10 <> 0")},
+{_ivfadc_adc_sql()}
+SELECT query_id, probe_rank, cell_label, neighbor_id, adc_sim FROM (
+  SELECT radc.*, ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY adc_sim DESC, neighbor_id ASC) AS rn
+  FROM radc
+) WHERE rn <= 3
+"""
+
+
+from tradecat_spark.plans.registry import REGISTRY as _REG_ANN  # noqa: E402
+
+_REG_ANN["streaming_ann_index"].oracle = _ann_index_oracle()

@@ -1,0 +1,215 @@
+"""Streaming ANN index maintenance: frozen IVFADC model + code store.
+
+Real ANN serving at corpus scale separates MODEL from INDEX: the
+coarse centroids and residual PQ codebooks are trained ONCE on a
+bounded sample and frozen (retraining would re-encode the world),
+while the index is the ever-growing stream of encoded vectors. This
+module persists the model as parquet — float64 round-trips bit-exactly
+through parquet, so the frozen model (and therefore every code it will
+ever assign) is stable across restarts — and maintains the code store
+per micro-batch with the same idempotence discipline as the dedup
+signature store (`streaming/dedup.py`):
+
+* codes are a DETERMINISTIC function of (vector, frozen model), so
+  a replayed batch rewrites identical rows, and a store-wide screen
+  (see index_batch) drops vectors re-published under later batch ids;
+* each batch commits into its own store partition through the
+  crash-safe symlink-swap upsert (`streaming/ingest.upsert_partitions`);
+* search reads the store and broadcasts per-query probe rows — at
+  scale the store is partitioned BY CELL, so an nprobe search reads
+  nprobe partitions, never the index.
+
+All arithmetic is the single-sourced algebra of `operators/ivfadc.py`
+(the exact int64 ADC decompositions the batch lanes hash-gate), so a
+search over the streamed store is bit-identical to the batch
+`ann_ivfadc_search` run with the same frozen model — the law the
+registered query `streaming_ann_index` (plans/q_streaming.py) gates
+against a DuckDB oracle and `tests/test_streaming.py` drives with
+redelivery and crash seams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tradecat_spark.operators.ivfadc import (
+    adc_probe_rows,
+    encode_residual_codes,
+    ivf_cellinfo,
+    ivf_centroids,
+    pq_codebook_row,
+    pq_train,
+    residual_adc_scores,
+    residuals,
+)
+from tradecat_spark.streaming.ingest import (
+    read_store,
+    start_foreach_batch,
+    store_has_data,
+    upsert_partitions,
+)
+
+CODE_KEYS = ["vec_id"]
+
+
+def train_ann_model(
+    spark: SparkSession, e: DataFrame, model_dir: str
+) -> None:
+    """Train and persist the frozen model from a (vec_id, label, vec)
+    frame: coarse centroids (label means) and residual PQ codebooks
+    (Lloyd on x − c(nearest cell)). At 100 TB ``e`` is a bounded
+    sample — the model is a dims x cells + m x ks artifact, never a
+    data product."""
+    cent = ivf_centroids(e)
+    cent.write.mode("overwrite").parquet(f"{model_dir}/cent")
+    cent = spark.read.parquet(f"{model_dir}/cent")  # train = served copy
+    cb = pq_train(residuals(e, cent))
+    cb.write.mode("overwrite").parquet(f"{model_dir}/codebook")
+
+
+def load_ann_model(
+    spark: SparkSession, model_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(cent, codebook-row, cellinfo) rebuilt from the persisted
+    artifacts; the derived broadcast rows are pure column algebra over
+    the stored doubles, so every consumer derives identical values."""
+    cent = spark.read.parquet(f"{model_dir}/cent")
+    cb = spark.read.parquet(f"{model_dir}/codebook")
+    rbrow = pq_codebook_row(cb)
+    return cent, rbrow, ivf_cellinfo(cent, rbrow)
+
+
+def encode_vectors(
+    batch: DataFrame,
+    cent: DataFrame,
+    rbrow: DataFrame,
+    cellinfo: DataFrame,
+) -> DataFrame:
+    """(vec_id, cell_label, codes, xs2) for a raw (vec_id, embedding)
+    batch under the frozen model — nearest-cell assignment, residual
+    encode, and the reconstruction norm are all map-side folds over
+    broadcast model rows (operators/ivfadc.py)."""
+    e = batch.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    return encode_residual_codes(residuals(e, cent), rbrow, cellinfo)
+
+
+def upsert_codes(
+    spark: SparkSession, enc: DataFrame, store_path: str
+) -> None:
+    """Commit one batch's code rows (must carry ``batch_id``).
+    Insert-if-absent by vec_id: a redelivered vector re-derives the
+    identical codes under the frozen model, so keeping the first
+    attempt's rows loses nothing; partitioning by batch id makes the
+    replay rewrite exactly one partition."""
+
+    def _merge(existing: DataFrame | None, f: DataFrame) -> DataFrame:
+        if existing is None:
+            return f
+        return existing.unionByName(
+            f.join(
+                existing.select("vec_id").distinct(), "vec_id",
+                "left_anti",
+            )
+        )
+
+    upsert_partitions(
+        spark, enc, enc, store_path, CODE_KEYS, _merge,
+        part_expr=F.concat(F.lit("b"), F.col("batch_id").cast("string")),
+    )
+
+
+def read_index(spark: SparkSession, store_path: str) -> DataFrame:
+    """(vec_id, cell_label, codes, xs2) currently indexed."""
+    return read_store(spark, store_path).select(
+        "vec_id", "cell_label", "codes", "xs2"
+    )
+
+
+def search_index(
+    spark: SparkSession,
+    store_path: str,
+    model_dir: str,
+    q: DataFrame,
+    nprobe: int,
+    k: int,
+) -> DataFrame:
+    """Top-k residual-ADC neighbors per (query_id, qv) row from the
+    persisted index: probe rows broadcast against the stored codes —
+    the read side never re-encodes anything."""
+    cent, rbrow, cellinfo = load_ann_model(spark, model_dir)
+    prow = adc_probe_rows(q, cent, rbrow, cellinfo, nprobe)
+    scores = residual_adc_scores(read_index(spark, store_path), prow)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def index_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    model: tuple[DataFrame, DataFrame, DataFrame],
+    store_path: str,
+) -> None:
+    """The foreachBatch body, exposed for tests: encode under the
+    frozen model, screen against the store, commit. The encode is
+    materialized ONCE (localCheckpoint) so the screen, the upsert's
+    partition probe, and the staging write don't re-run the fold (the
+    one-materialization discipline every store maintainer follows).
+
+    The screen is what makes the index exactly-once under BOTH failure
+    shapes: a vector RE-PUBLISHED upstream (same vec_id in a later
+    batch id — a recrawl; the per-partition insert-if-absent cannot
+    see it) is dropped because it already sits in another partition,
+    while a REPLAYED batch id (at-least-once) is NOT self-filtered —
+    the screen excludes the batch's own prior partition rows (the
+    `batch_id != N` filter, the dedup screen's self-exclusion rule),
+    so the replay rewrites its partition with the same rows instead
+    of an empty one. At 100 TB the anti-join prunes to the batch's
+    cells (the store partitions by cell); a key bloom is the standard
+    further cut."""
+    cent, rbrow, cellinfo = model
+    enc = encode_vectors(batch, cent, rbrow, cellinfo).withColumn(
+        "batch_id", F.lit(batch_id).cast("long")
+    ).localCheckpoint()
+    if enc.isEmpty():
+        return
+    if store_has_data(store_path):
+        prior = read_store(spark, store_path).filter(
+            F.col("batch_id") != F.lit(batch_id).cast("long")
+        ).select("vec_id")
+        enc = enc.join(prior, "vec_id", "left_anti").localCheckpoint()
+        if enc.isEmpty():
+            return
+    upsert_codes(spark, enc, store_path)
+
+
+def start_ann_index_maintenance(
+    stream: DataFrame,
+    model_dir: str,
+    store_path: str,
+    checkpoint: str,
+    trigger_sec: int = 3,
+    available_now: bool = False,
+):
+    """Start index maintenance over a (vec_id, embedding) stream. The
+    frozen model is loaded ONCE and captured by the sink closure —
+    per-trigger work is the map-side encode plus one partition
+    commit."""
+    spark = stream.sparkSession
+    model = load_ann_model(spark, model_dir)
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        index_batch(spark, batch, batch_id, model, store_path)
+
+    return start_foreach_batch(
+        stream, _sink, checkpoint, trigger_sec, available_now
+    )
