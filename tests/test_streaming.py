@@ -2126,3 +2126,61 @@ def test_ann_index_crash_between_encode_and_commit(
     want = sorted(map(tuple, ann.search_index(
         spark, clean_store, model_dir, q, 2, 3).collect()))
     assert got == want
+
+
+def test_ann_index_compaction_coverage_and_crash(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Code-store compaction laws, mirroring the CMS protocol: the
+    compacted base serves the identical index, a crash between the
+    base publish and the debris deletes changes nothing the reader
+    sees, re-running completes, and a covered batch replayed after
+    compaction is ignored by coverage."""
+    from tradecat_spark.streaming import ann as ann_mod
+
+    ann, model, model_dir, store, base, delta = _ann_fixture(
+        spark, sf_dir, tmp_path
+    )
+    thirds = [
+        delta.filter(F.col("vec_id") % 3 == i) for i in range(3)
+    ]
+    for i, part in enumerate(thirds):
+        ann.index_batch(spark, part, i, model, store)
+    want = sorted(
+        (r["vec_id"], tuple(r["codes"]), r["xs2"])
+        for r in ann.read_index(spark, store).collect()
+    )
+
+    real_drop = ann_mod.drop_batch_partition
+    monkeypatch.setattr(
+        ann_mod, "drop_batch_partition",
+        lambda *a: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        ann_mod.compact_codes(spark, store, 1)
+    from tradecat_spark.streaming.ingest import batch_partition_vals
+    vals = set(batch_partition_vals(store))
+    assert {"c1", "b0", "b1", "b2"} <= vals  # debris still on disk
+    got = sorted(
+        (r["vec_id"], tuple(r["codes"]), r["xs2"])
+        for r in ann.read_index(spark, store).collect()
+    )
+    assert got == want  # coverage rule already serves the exact index
+
+    monkeypatch.setattr(ann_mod, "drop_batch_partition", real_drop)
+    ann_mod.compact_codes(spark, store, 1)
+    vals = set(batch_partition_vals(store))
+    assert "c1" in vals and "b2" in vals and not vals & {"b0", "b1"}
+    got = sorted(
+        (r["vec_id"], tuple(r["codes"]), r["xs2"])
+        for r in ann.read_index(spark, store).collect()
+    )
+    assert got == want
+
+    # covered batch replayed after compaction: ignored by coverage
+    ann.index_batch(spark, thirds[0], 0, model, store)
+    got = sorted(
+        (r["vec_id"], tuple(r["codes"]), r["xs2"])
+        for r in ann.read_index(spark, store).collect()
+    )
+    assert got == want

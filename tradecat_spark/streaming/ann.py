@@ -44,7 +44,10 @@ from tradecat_spark.operators.ivfadc import (
     residuals,
 )
 from tradecat_spark.streaming.ingest import (
-    read_store,
+    batch_partition_vals,
+    drop_batch_partition,
+    live_batch_vals,
+    read_batch_partitions,
     start_foreach_batch,
     store_has_data,
     upsert_partitions,
@@ -121,11 +124,71 @@ def upsert_codes(
     )
 
 
+_INDEX_SCHEMA = (
+    "vec_id bigint, cell_label int, codes array<bigint>, "
+    "xs2 bigint, batch_id bigint"
+)
+
+
+def _read_live(spark: SparkSession, store_path: str) -> DataFrame:
+    """All columns of the LIVE partitions (newest compacted base +
+    newer partials — the coverage rule shared with the CMS store);
+    empty store reads as an empty frame."""
+    live = live_batch_vals(batch_partition_vals(store_path))
+    if not live:
+        return spark.createDataFrame([], _INDEX_SCHEMA)
+    return read_batch_partitions(spark, store_path, live).select(
+        "vec_id", "cell_label", "codes",
+        F.col("xs2").cast("bigint").alias("xs2"),
+        F.col("batch_id").cast("bigint").alias("batch_id"),
+    )
+
+
 def read_index(spark: SparkSession, store_path: str) -> DataFrame:
     """(vec_id, cell_label, codes, xs2) currently indexed."""
-    return read_store(spark, store_path).select(
+    return _read_live(spark, store_path).select(
         "vec_id", "cell_label", "codes", "xs2"
     )
+
+
+def compact_codes(
+    spark: SparkSession, store_path: str, upto_batch: int
+) -> None:
+    """Fold every live partition with index <= ``upto_batch`` into one
+    ``c<upto_batch>`` base partition, then delete what it covers —
+    the same publish-base-first coverage-rule protocol as
+    ``sketch.compact_cms``, so every crash point either replays to an
+    identical base or leaves debris the reader already ignores. Rows
+    KEEP their original batch_id: the index screen's self-exclusion
+    (`batch_id != N`) then still works against compacted rows, so a
+    contract-violating replay of a covered batch degrades to writing
+    an ignored ``b<j>`` partial rather than corrupting the base. Live
+    partitions hold disjoint vec_ids by construction (the screen), so
+    the fold is a plain pass-through union. Only pass batch ids the
+    stream's checkpoint has committed.
+
+    Closes the growth caveat: read cost stays O(index + partials since
+    the last compaction), not O(one partition per batch ever)."""
+    vals = live_batch_vals(batch_partition_vals(store_path))
+    src = [v for v in vals if int(v[1:]) <= upto_batch]
+    if not src:
+        return
+    base = read_batch_partitions(spark, store_path, src).select(
+        "vec_id", "cell_label", "codes", "xs2", "batch_id"
+    )
+
+    def _merge(existing: DataFrame | None, f: DataFrame) -> DataFrame:
+        # re-compaction recomputes the identical base: REPLACE
+        return f
+
+    upsert_partitions(
+        spark, base, base, store_path, CODE_KEYS, _merge,
+        part_expr=F.lit(f"c{upto_batch}"),
+    )
+    for v in batch_partition_vals(store_path):
+        if v == f"c{upto_batch}" or int(v[1:]) > upto_batch:
+            continue
+        drop_batch_partition(store_path, v)
 
 
 def search_index(
@@ -183,7 +246,7 @@ def index_batch(
     if enc.isEmpty():
         return
     if store_has_data(store_path):
-        prior = read_store(spark, store_path).filter(
+        prior = _read_live(spark, store_path).filter(
             F.col("batch_id") != F.lit(batch_id).cast("long")
         ).select("vec_id")
         enc = enc.join(prior, "vec_id", "left_anti").localCheckpoint()

@@ -401,6 +401,70 @@ def read_store(spark: SparkSession, store_path: str) -> DataFrame:
     return spark.read.parquet(*targets)
 
 
+def batch_partition_vals(store_path: str) -> list[str]:
+    """Partition values of a batch-partitioned store (``b<idx>``
+    partials + ``c<idx>`` compacted bases)."""
+    import os
+
+    if not os.path.isdir(store_path):
+        return []
+    return [
+        e.split("=", 1)[1]
+        for e in os.listdir(store_path)
+        if e.startswith(f"{PART_COL}=")
+    ]
+
+
+def live_batch_vals(vals: list[str]) -> list[str]:
+    """Coverage rule shared by every batch-partitioned store's reader
+    and compactor (CMS counters, ANN codes): the newest compacted base
+    ``c<k>`` covers every partial ``b<j>`` with j <= k, so the live
+    set is that base plus the newer partials. Publish-the-base-first
+    ordering makes this crash-safe: the reader's selection is already
+    correct before a single covered partition is deleted, and a
+    covered batch id REPLAYED after compaction writes a ``b<j>`` the
+    reader ignores."""
+    cks = [int(v[1:]) for v in vals if v.startswith("c")]
+    cmax = max(cks) if cks else None
+    return [
+        v
+        for v in vals
+        if (v.startswith("b") and (cmax is None or int(v[1:]) > cmax))
+        or (v.startswith("c") and int(v[1:]) == cmax)
+    ]
+
+
+def read_batch_partitions(
+    spark: SparkSession, store_path: str, vals: list[str]
+) -> DataFrame:
+    """Read exactly the named partition values (resolving each through
+    the crash-recovery version probe)."""
+    dirs = [
+        d
+        for v in vals
+        if (d := _partition_data_dir(store_path, f"{PART_COL}={v}"))
+        is not None
+    ]
+    return spark.read.parquet(*dirs)
+
+
+def drop_batch_partition(store_path: str, v: str) -> None:
+    """Remove a dead partition: the published entry (symlink or legacy
+    dir) and every displaced versioned dot-dir. Lazy-safe: a crash here
+    only leaves debris the coverage rule already ignores."""
+    import os
+    import shutil
+
+    ent = os.path.join(store_path, f"{PART_COL}={v}")
+    if os.path.islink(ent):
+        os.unlink(ent)
+    elif os.path.isdir(ent):
+        shutil.rmtree(ent, ignore_errors=True)
+    for n in os.listdir(store_path):
+        if n.startswith(".") and n.endswith(f"-{PART_COL}={v}"):
+            shutil.rmtree(os.path.join(store_path, n), ignore_errors=True)
+
+
 def store_has_data(store_path: str) -> bool:
     """True iff the store holds data ``read_store`` can actually read:
     a published ``_part=`` entry, or a displaced versioned dot-DIR

@@ -28,6 +28,10 @@ from pyspark.sql import functions as F
 
 from tradecat_spark.operators.hll import max_merge, registers
 from tradecat_spark.streaming.ingest import (
+    batch_partition_vals,
+    drop_batch_partition,
+    live_batch_vals,
+    read_batch_partitions,
     PART_COL,
     read_store,
     start_foreach_batch,
@@ -119,46 +123,15 @@ def update_cms(
     )
 
 
-def _cms_partition_vals(store_path: str) -> list[str]:
-    import os
-
-    if not os.path.isdir(store_path):
-        return []
-    return [
-        e.split("=", 1)[1]
-        for e in os.listdir(store_path)
-        if e.startswith(f"{PART_COL}=")
-    ]
+#: partition listing / coverage rule / partition reads / drops are
+#: single-sourced in ingest (shared with the ANN code store)
+_cms_partition_vals = batch_partition_vals
 
 
-def _cms_live_vals(vals: list[str]) -> list[str]:
-    """Coverage rule shared by the reader and the compactor: the
-    highest ``c<k>`` base covers every partial ``b<j>`` (and older
-    base) with index <= k. Anything covered is DEAD — readable crash
-    debris the compactor deletes lazily. This is what makes
-    compaction crash-safe without a transaction log: publish the new
-    base first, and the reader's selection is already correct before
-    a single delete runs."""
-    cks = [int(v[1:]) for v in vals if v.startswith("c")]
-    cmax = max(cks) if cks else None
-    return [
-        v
-        for v in vals
-        if (v.startswith("b") and (cmax is None or int(v[1:]) > cmax))
-        or (v.startswith("c") and int(v[1:]) == cmax)
-    ]
+_cms_live_vals = live_batch_vals
 
 
-def _cms_read_vals(spark: SparkSession, store_path: str, vals) -> DataFrame:
-    from tradecat_spark.streaming.ingest import _partition_data_dir
-
-    dirs = [
-        d
-        for v in vals
-        if (d := _partition_data_dir(store_path, f"{PART_COL}={v}"))
-        is not None
-    ]
-    return spark.read.parquet(*dirs)
+_cms_read_vals = read_batch_partitions
 
 
 def read_cms(spark: SparkSession, store_path: str) -> DataFrame:
@@ -229,21 +202,7 @@ def compact_cms(
         _drop_cms_partition(store_path, v)
 
 
-def _drop_cms_partition(store_path: str, v: str) -> None:
-    """Remove a dead partition: the published entry (symlink or legacy
-    dir) and every displaced versioned dot-dir. Lazy-safe: a crash here
-    only leaves debris the coverage rule already ignores."""
-    import os
-    import shutil
-
-    ent = os.path.join(store_path, f"{PART_COL}={v}")
-    if os.path.islink(ent):
-        os.unlink(ent)
-    elif os.path.isdir(ent):
-        shutil.rmtree(ent, ignore_errors=True)
-    for n in os.listdir(store_path):
-        if n.startswith(".") and n.endswith(f"-{PART_COL}={v}"):
-            shutil.rmtree(os.path.join(store_path, n), ignore_errors=True)
+_drop_cms_partition = drop_batch_partition
 
 
 def start_cms_maintenance(
