@@ -2184,3 +2184,20 @@ def test_ann_index_compaction_coverage_and_crash(
         for r in ann.read_index(spark, store).collect()
     )
     assert got == want
+
+
+def test_ann_index_intra_batch_duplicate_collapses(
+    spark, sf_dir, tmp_path
+):
+    """A vector redelivered WITHIN one trigger must be stored once —
+    neither the store screen (other partitions) nor insert-if-absent
+    (existing rows) can catch it, so index_batch dedups the batch
+    itself; a duplicate row would otherwise occupy two top-k slots."""
+    ann, model, model_dir, store, base, delta = _ann_fixture(
+        spark, sf_dir, tmp_path
+    )
+    doubled = delta.unionByName(delta)  # same vec twice in ONE batch
+    ann.index_batch(spark, doubled, 0, model, store)
+    idx = ann.read_index(spark, store).toPandas()
+    assert len(idx) == delta.count()
+    assert idx.vec_id.is_unique

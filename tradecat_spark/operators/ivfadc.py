@@ -245,34 +245,41 @@ def encode_residual_codes(
     against the broadcast codebook row and |cells|-row table; this is
     the WRITE path of an incremental ANN index (streaming/ann.py) and
     the scoring input of the batch search lanes."""
-    codes = F.transform(
-        pq_codes_col(F.col("vec"), F.col("cb")), lambda z: z["code"]
-    )
-    ccr_sum = lsum(
-        F.transform(
-            F.col("codes"),
-            lambda c, s: F.element_at(
-                F.col("ccr"), (s.cast("bigint") * PQ_KS + c + 1).cast("int")
-            ),
+    # ONE fold derives codes, the 2 c.r_hat cross term, and |r_hat|^2
+    # together: Catalyst's CollapseProject inlines a projected column
+    # into every consumer, so expressing these as three expressions
+    # over a `codes` column re-evaluated the expensive per-subspace
+    # encode fold 3x per row (the same projection-collapse class as
+    # the measured 88s->2s _gram regression; r8 review finding).
+    def step(acc: Column, z: Column) -> Column:
+        idx = z["sub"] * PQ_KS + z["code"]
+        return F.struct(
+            F.concat(acc["codes"], F.array(z["code"])).alias("codes"),
+            (acc["cc"] + F.element_at(
+                F.col("ccr"), (idx + 1).cast("int")
+            )).alias("cc"),
+            (acc["r2"] + F.try_element_at(F.col("c2m"), idx)).alias("r2"),
         )
-    )
-    rs2 = lsum(
-        F.transform(
-            F.col("codes"),
-            lambda c, s: F.try_element_at(
-                F.col("c2m"), (s.cast("bigint") * PQ_KS + c)
-            ),
-        )
+
+    enc = F.aggregate(
+        pq_codes_col(F.col("vec"), F.col("cb")),
+        F.struct(
+            F.array().cast("array<bigint>").alias("codes"),
+            F.lit(0).cast("long").alias("cc"),
+            F.lit(0).cast("long").alias("r2"),
+        ),
+        step,
     )
     return (
         er.crossJoin(F.broadcast(rbrow))
         .join(F.broadcast(cellinfo), "label")
-        .select("vec_id", "label", codes.alias("codes"), "c2m", "ccr", "c2")
+        .select("vec_id", "label", "c2", enc.alias("enc"))
         .select(
             "vec_id",
             F.col("label").alias("cell_label"),
-            "codes",
-            (F.col("c2") + 2 * ccr_sum + rs2).alias("xs2"),
+            F.col("enc.codes").alias("codes"),
+            (F.col("c2") + 2 * F.col("enc.cc") + F.col("enc.r2"))
+            .alias("xs2"),
         )
     )
 

@@ -181,8 +181,12 @@ def compact_codes(
         # re-compaction recomputes the identical base: REPLACE
         return f
 
+    # the partition value is a literal, so the touched-partition probe
+    # needs no data: probing with `base` would scan every folded
+    # partition a second time just to discover 'c<k>' (r8 review
+    # finding — 2x read I/O on the op whose purpose is bounding reads)
     upsert_partitions(
-        spark, base, base, store_path, CODE_KEYS, _merge,
+        spark, spark.range(1), base, store_path, CODE_KEYS, _merge,
         part_expr=F.lit(f"c{upto_batch}"),
     )
     for v in batch_partition_vals(store_path):
@@ -240,7 +244,16 @@ def index_batch(
     cells (the store partitions by cell); a key bloom is the standard
     further cut."""
     cent, rbrow, cellinfo = model
-    enc = encode_vectors(batch, cent, rbrow, cellinfo).withColumn(
+    # intra-batch dedup FIRST (r8 review finding): an at-least-once
+    # source can redeliver a vector WITHIN one trigger (neither the
+    # store screen — other partitions only — nor the partition's
+    # insert-if-absent — existing rows only — can see that), and a
+    # duplicated index row would rank at top-k positions 1 AND 2,
+    # displacing a genuine neighbor. Codes are deterministic under the
+    # frozen model, so dropping duplicates is lossless.
+    enc = encode_vectors(
+        batch.dropDuplicates(["vec_id"]), cent, rbrow, cellinfo
+    ).withColumn(
         "batch_id", F.lit(batch_id).cast("long")
     ).localCheckpoint()
     if enc.isEmpty():

@@ -191,8 +191,10 @@ def compact_cms(
         # re-compaction recomputes the identical base: REPLACE
         return f.select(*CMS_KEYS, "cnt", "batch_id")
 
+    # literal partition value: a 1-row probe avoids re-scanning the
+    # folded partials just to discover 'c<k>' (r8 review finding)
     upsert_partitions(
-        spark, base, base, store_path, CMS_KEYS, _merge,
+        spark, spark.range(1), base, store_path, CMS_KEYS, _merge,
         part_expr=F.lit(f"c{upto_batch}"),
     )
     # the base is live — everything it covers is now dead debris
