@@ -570,3 +570,61 @@ def test_gram_keeps_projection_collapse_barrier(spark, sf_dir):
     # the ONLY exchange is the d^2-group hash aggregate's
     assert plan.count("Exchange") == 1
     assert "hashpartitioning(i" in plan
+
+
+def test_ivfadc_search_plan_broadcast_only(spark, sf_dir):
+    """The residual-ADC search must never sort-merge: model rows and
+    probe rows broadcast (BroadcastHashJoin / BroadcastNestedLoop for
+    the 1-row codebook crossJoins), every window is a bounded
+    WindowGroupLimit (<= ks candidates per (sub, vec) in training,
+    <= nprobe cells / top-3 per query), and the corpus side is
+    map-side encode only."""
+    df = SPECS["ann_ivfadc_search"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 2  # 1-row codebooks
+    # every row_number window is preceded by a WindowGroupLimit
+    # pre-filter (k rows per partition survive the sort) and is
+    # partitioned — no global unpartitioned window anywhere
+    assert plan.count("WindowGroupLimit") >= 2
+    for ln in plan.splitlines():
+        if "windowspecdefinition(" in ln:
+            spec = ln.split("windowspecdefinition(", 1)[1]
+            assert spec.split(",")[0].strip().startswith(
+                ("query_id", "sub")
+            ), ln
+
+
+def test_ann_index_search_reads_store_not_reencode(spark, sf_dir, tmp_path):
+    """search_index must consume the persisted codes: its plan scans
+    the store parquet and contains NO residual-encode fold (the
+    aggregate over the codebook maps appears only on the write path)."""
+    from pyspark.sql import functions as F
+
+    from tradecat_spark.streaming import ann
+
+    e_raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eb = e_raw.select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    model_dir = str(tmp_path / "model")
+    store = str(tmp_path / "codes")
+    ann.train_ann_model(spark, eb, model_dir)
+    model = ann.load_ann_model(spark, model_dir)
+    ann.index_batch(spark, e_raw.select("vec_id", "embedding"), 0,
+                    model, store)
+    q = e_raw.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    out = ann.search_index(spark, store, model_dir, q, 2, 3)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the store scan feeds the candidate side...
+    assert "codes" in plan and "xs2" in plan
+    # ...and nothing on the read path touches the raw embedding column
+    # of the corpus (queries project only query_id/qv)
+    assert "SortMergeJoin" not in \
+        out._jdf.queryExecution().executedPlan().toString()
+    rows = out.collect()
+    assert len(rows) == 9  # 3 queries x top-3

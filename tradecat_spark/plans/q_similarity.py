@@ -2018,6 +2018,10 @@ def embedding_pq_residual_codes(
 
 @query(
     "ann_ivfadc_search",
+    # benched (r8): the compressed-index search is now a flagship
+    # family — a regression in the encode fold or a broadcast
+    # degrading to shuffle shows up as a number
+    bench=True,
     survey="north-star similarity search: production IVFADC — "
     f"nprobe={NPROBE} coarse cells probed per query, candidates "
     "ranked by residual-ADC (reconstruction c + r_hat), closing both "
