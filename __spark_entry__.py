@@ -28,13 +28,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: cohort (tools/gate_ledger.py tracks vintages; test_gate_rotation
 #: enforces that nothing never-checked sits past the cap).
 _GATE_PRIORITY = (
-    # --- r8 front (gate cap = 50): 9 queries born this round
+    # --- r8 front (gate cap = 50): 10 queries born this round
     # (residual IVFADC trio + nprobe curve + streaming index, deep BPE
     # learn + encode, CMS error eval, keep-rank twin),
     "embedding_pq_residual_codes", "ann_ivfadc_search",
     "ann_ivfadc_recall", "ann_ivfadc_nprobe_curve", "streaming_ann_index",
     "bpe_learn_merges_deep", "bpe_encode_fertility_deep",
-    "cms_error_eval", "dedup_quality_keep_rank",
+    "bpe_encode_frozen", "cms_error_eval", "dedup_quality_keep_rank",
     # --- r8 re-checks: code or oracle changed this round (canonical
     # rewritten skew-free; gram barrier swapped; PQ chain refactored +
     # qm column; BPE oracles materialized)
@@ -51,15 +51,16 @@ _GATE_PRIORITY = (
     "signal_threshold_cross_sql", "single_token_panel",
     "stats_profile_by_type", "streaming_rollup_5m",
     "streaming_signals_parity", "text_vocab_topk",
-    # --- r3-cohort rotation begins: first 14 of 48 (alphabetical);
-    # the remaining 34 lead the r9 front
+    # --- r3-cohort rotation begins: first 13 of 48 (alphabetical);
+    # the remaining 35 lead the r9 front
     "chart_kline_envelope", "chart_market_vpvr_heat",
     "chart_vpvr_zone_strip", "cluster_kmeans_lloyd",
     "cluster_semdedup_candidates", "corpus_source_stats",
     "decontaminate_ngram_overlap", "embedding_norms_quality", "ind_adx_di",
     "ind_base_data", "ind_buy_sell_ratio", "ind_data_monitor",
-    "ind_ema_gc_regime", "ind_fib_vwma_bands",
+    "ind_ema_gc_regime",
     # --- r3 cohort remainder (r9 front)
+    "ind_fib_vwma_bands",
     "ind_futures_gap_monitor",
     "ind_futures_risk_score", "ind_harmonic_score",
     "ind_heikin_long_short", "ind_liquidity_profile", "ind_madrid_ribbon",

@@ -570,3 +570,83 @@ def test_deep_fertility_monotone_in_merges(spark, sf_dir):
     assert (f16.n_bpe_tokens <= f3.n_bpe_tokens).all()
     assert (f3.n_bpe_tokens <= f3.n_char_tokens).all()
     assert (f16.n_bpe_tokens < f3.n_bpe_tokens).any()  # 16 > 3 must bite
+
+
+def _seq_apply(word: str, merges: list) -> list:
+    """Sequential-in-order frozen apply — the reference for
+    _bpe_apply_merges_col on ANY word, seen or not."""
+    toks = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+def test_frozen_apply_tokenizes_unseen_words(spark, monkeypatch):
+    """The frozen-tokenizer apply must handle words the training
+    corpus NEVER saw (the capability the vocab-join encode lacks):
+    train 16 merges on a seeded random corpus, then fold a disjoint
+    word set through the merge list and compare token sequences
+    against the sequential-apply reference — and seen words must
+    tokenize exactly as the training tables did."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260816)
+    train_words = [
+        "".join(rng.choice("abcd") for _ in range(rng.randint(2, 12)))
+        for _ in range(80)
+    ]
+    docs = pd.DataFrame(
+        [
+            dict(doc_id=i + 1, text=w, lang="en", source="s", n_chars=0)
+            for i, w in enumerate(train_words)
+        ]
+    )
+    df = spark.createDataFrame(docs)
+    monkeypatch.setattr(Q, "_docs", lambda s, d: df)
+    tops, final_t = Q._bpe_deep_chain(spark, "unused", 16)
+    merges = [
+        (r["a"], r["b"]) for t in tops for r in t.collect()
+    ]
+    assert len(merges) == 16
+
+    unseen = [
+        "".join(rng.choice("abcd") for _ in range(rng.randint(2, 14)))
+        for _ in range(60)
+    ]
+    unseen = [w for w in unseen if w not in set(train_words)]
+    assert len(unseen) >= 30, "seed must supply unseen words"
+
+    wdf = spark.createDataFrame(
+        pd.DataFrame({"word": unseen + train_words})
+    ).distinct()
+    mrow = spark.createDataFrame(
+        pd.DataFrame({"merges": [[{"a": a, "b": b} for a, b in merges]]})
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.substr(F.col("word"), i, F.lit(1)),
+    )
+    got = {
+        r["word"]: list(r["enc"])
+        for r in wdf.crossJoin(F.broadcast(mrow)).select(
+            "word",
+            Q._bpe_apply_merges_col(chars, F.col("merges")).alias("enc"),
+        ).collect()
+    }
+    for w in set(unseen) | set(train_words):
+        assert got[w] == _seq_apply(w, merges), w
+
+    # seen words: frozen apply == the training chain's final tokens
+    train_toks = {r["word"]: list(r["toks"]) for r in final_t.collect()}
+    for w, toks in train_toks.items():
+        assert got[w] == toks, w

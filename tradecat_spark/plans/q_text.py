@@ -3410,6 +3410,103 @@ _REG_BPE["bpe_encode_fertility_deep"].oracle = _bpe_fertility_oracle(
 )
 
 
+def _bpe_apply_merges_col(toks: Column, merges: Column) -> Column:
+    """Apply an ORDERED merge list to a raw token array: a nested fold
+    — outer over the merges, inner the greedy left-to-right
+    application (_bpe_apply_col). This is the FROZEN-TOKENIZER apply:
+    it is defined on ANY character sequence, including words the
+    training corpus never saw, which the vocab-join encode
+    (bpe_encode_fertility*) by construction cannot handle. Sequential
+    in-merge-order application replays the learn loop's own
+    applications exactly, so seen words tokenize identically to the
+    training tables; for unseen words it defines the deterministic
+    tokenization pinned by the pytest reference. (The other common
+    apply rule — lowest-RANK-pair-first iteration, subword-nmt/GPT-2
+    style — agrees on seen words and can differ on unseen ones; the
+    sequential rule is the one whose training-parity is provable here,
+    and the docstring records the distinction.)"""
+    return F.aggregate(
+        merges,
+        toks,
+        lambda acc, m: _bpe_apply_col(acc, m["a"], m["b"]),
+    )
+
+
+@query(
+    "bpe_encode_frozen",
+    survey="north-star text analysis: the FROZEN-tokenizer encode — "
+    f"the {N_BPE_DEEP} learned merges applied as an ordered merge "
+    "LIST to raw character sequences (one nested map-side fold per "
+    "word against a 1-row broadcast merge table), the apply path a "
+    "deployed tokenizer runs on text the training corpus never saw; "
+    "the oracle replays the per-step greedy chain, so the gate proves "
+    "list-apply == learn-loop-application parity across engines",
+    description=f"Per doc: word count, char-token count, BPE token "
+    f"count via the frozen {N_BPE_DEEP}-merge list, 6dp fertility",
+    oracle=None,  # set below: the recount fertility oracle at 16 steps
+)
+def bpe_encode_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merges become ONE broadcast row (ordered (a, b) array);
+    each word type's character sequence folds through the list
+    map-side — no vocab lookup, no shuffle, so encoding a stream of
+    NEW text at 100 TB is a pure scan (the tokenizer twin of
+    streaming/ann.py's frozen-model discipline). On the driver corpus
+    every word is seen (closed 31-word synthetic vocabulary), so the
+    hash gate checks machinery parity; the unseen-word behavior is
+    pinned in tests/test_text_quality.py against a sequential-apply
+    Python reference."""
+    tops, _ = _bpe_deep_chain(spark, sf_dir, N_BPE_DEEP)
+    steps = [
+        t.select(F.lit(k).cast("int").alias("k"), "a", "b")
+        for k, t in enumerate(tops, start=1)
+    ]
+    allm = steps[0]
+    for s_ in steps[1:]:
+        allm = allm.unionByName(s_)
+    mrow = allm.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("k", "a", "b"))),
+            lambda s: F.struct(s["a"].alias("a"), s["b"].alias("b")),
+        ).alias("merges")
+    )
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        F.explode(F.filter(_words(), lambda x: x != "")).alias("word")
+    ).distinct()
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.substr(F.col("word"), i, F.lit(1)),
+    )
+    per_word = (
+        words.crossJoin(F.broadcast(mrow))
+        .select(
+            "word",
+            F.size(_bpe_apply_merges_col(chars, F.col("merges")))
+            .cast("bigint").alias("n_toks"),
+            F.length("word").cast("bigint").alias("n_chars_w"),
+        )
+    )
+    inst = d.select(
+        "doc_id",
+        F.explode(F.filter(_words(), lambda x: x != "")).alias("word"),
+    )
+    j = inst.join(F.broadcast(per_word), "word")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("n_chars_w").cast("bigint").alias("n_char_tokens"),
+        F.sum("n_toks").cast("bigint").alias("n_bpe_tokens"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "n_char_tokens",
+        "n_bpe_tokens",
+        ratio6(F.col("n_bpe_tokens"), F.col("n_words")).alias("fertility"),
+    )
+
+
+_REG_BPE["bpe_encode_frozen"].oracle = _bpe_fertility_oracle(N_BPE_DEEP)
+
+
 # ---------------------------------------------------------------------------
 # Incremental dedup: new batch vs existing corpus
 # ---------------------------------------------------------------------------
