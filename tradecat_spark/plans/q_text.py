@@ -3098,6 +3098,40 @@ WITH {_bpe_ctes()}
 """
 
 
+def _char_toks(word: str = "word") -> Column:
+    """Base-token split shared by training and the frozen apply: ONE
+    rendering so the training-parity guarantee (frozen apply == the
+    training tables on seen words, enforced by the hash gate) cannot
+    be broken by the two sides splitting differently."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: F.substr(F.col(word), i, F.lit(1)),
+    )
+
+
+def _fertility_tail(d: DataFrame, per_word: DataFrame) -> DataFrame:
+    """Per-doc fertility from a (word, n_toks, n_chars_w) tokenizer
+    summary: (doc, word) instances broadcast-joined to the summary,
+    then one per-doc aggregate — ONE rendering for all three encode
+    queries, which share one oracle shape."""
+    inst = d.select(
+        "doc_id",
+        F.explode(F.filter(_words(), lambda x: x != "")).alias("word"),
+    )
+    j = inst.join(F.broadcast(per_word), "word")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("n_chars_w").cast("bigint").alias("n_char_tokens"),
+        F.sum("n_toks").cast("bigint").alias("n_bpe_tokens"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "n_char_tokens",
+        "n_bpe_tokens",
+        ratio6(F.col("n_bpe_tokens"), F.col("n_words")).alias("fertility"),
+    )
+
+
 @query(
     "bpe_encode_fertility",
     survey="north-star text analysis: APPLY the learned tokenizer — "
@@ -3119,23 +3153,7 @@ def bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_toks"),
         F.max(F.length("word")).cast("bigint").alias("n_chars_w"),
     )
-    d = _docs(spark, sf_dir)
-    inst = d.select(
-        "doc_id",
-        F.explode(F.filter(_words(), lambda x: x != "")).alias("word"),
-    )
-    j = inst.join(F.broadcast(per_word), "word")
-    return j.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_words"),
-        F.sum("n_chars_w").cast("bigint").alias("n_char_tokens"),
-        F.sum("n_toks").cast("bigint").alias("n_bpe_tokens"),
-    ).select(
-        "doc_id",
-        "n_words",
-        "n_char_tokens",
-        "n_bpe_tokens",
-        ratio6(F.col("n_bpe_tokens"), F.col("n_words")).alias("fertility"),
-    )
+    return _fertility_tail(_docs(spark, sf_dir), per_word)
 
 
 def _bpe_fertility_oracle(n: int = N_BPE_STEPS) -> str:
@@ -3255,12 +3273,7 @@ def _bpe_deep_chain(
         F.count(F.lit(1)).cast("bigint").alias("wcount")
     )
     t = v.select(
-        "word",
-        "wcount",
-        F.transform(
-            F.sequence(F.lit(1), F.length("word")),
-            lambda i: F.substr(F.col("word"), i, F.lit(1)),
-        ).alias("toks"),
+        "word", "wcount", _char_toks().alias("toks")
     ).localCheckpoint()
     pc = (
         t.select("wcount", F.explode(_bpe_pairs_col(F.col("toks"))).alias("p"))
@@ -3386,23 +3399,7 @@ def bpe_encode_fertility_deep(
         F.size("toks").cast("bigint").alias("n_toks"),
         F.length("word").cast("bigint").alias("n_chars_w"),
     )
-    d = _docs(spark, sf_dir)
-    inst = d.select(
-        "doc_id",
-        F.explode(F.filter(_words(), lambda x: x != "")).alias("word"),
-    )
-    j = inst.join(F.broadcast(per_word), "word")
-    return j.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_words"),
-        F.sum("n_chars_w").cast("bigint").alias("n_char_tokens"),
-        F.sum("n_toks").cast("bigint").alias("n_bpe_tokens"),
-    ).select(
-        "doc_id",
-        "n_words",
-        "n_char_tokens",
-        "n_bpe_tokens",
-        ratio6(F.col("n_bpe_tokens"), F.col("n_words")).alias("fertility"),
-    )
+    return _fertility_tail(_docs(spark, sf_dir), per_word)
 
 
 _REG_BPE["bpe_encode_fertility_deep"].oracle = _bpe_fertility_oracle(
@@ -3473,35 +3470,16 @@ def bpe_encode_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.select(
         F.explode(F.filter(_words(), lambda x: x != "")).alias("word")
     ).distinct()
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length("word")),
-        lambda i: F.substr(F.col("word"), i, F.lit(1)),
-    )
     per_word = (
         words.crossJoin(F.broadcast(mrow))
         .select(
             "word",
-            F.size(_bpe_apply_merges_col(chars, F.col("merges")))
+            F.size(_bpe_apply_merges_col(_char_toks(), F.col("merges")))
             .cast("bigint").alias("n_toks"),
             F.length("word").cast("bigint").alias("n_chars_w"),
         )
     )
-    inst = d.select(
-        "doc_id",
-        F.explode(F.filter(_words(), lambda x: x != "")).alias("word"),
-    )
-    j = inst.join(F.broadcast(per_word), "word")
-    return j.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_words"),
-        F.sum("n_chars_w").cast("bigint").alias("n_char_tokens"),
-        F.sum("n_toks").cast("bigint").alias("n_bpe_tokens"),
-    ).select(
-        "doc_id",
-        "n_words",
-        "n_char_tokens",
-        "n_bpe_tokens",
-        ratio6(F.col("n_bpe_tokens"), F.col("n_words")).alias("fertility"),
-    )
+    return _fertility_tail(d, per_word)
 
 
 _REG_BPE["bpe_encode_frozen"].oracle = _bpe_fertility_oracle(N_BPE_DEEP)
