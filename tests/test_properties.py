@@ -787,3 +787,72 @@ def test_ivfadc_sim_matches_numpy_reconstruction(spark, sf_dir):
             6,
         )
         assert r["adc_sim"] == want, (r, want)
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=40), max_size=12),
+    st.sets(st.integers(min_value=0, max_value=40), max_size=4),
+)
+def test_live_batch_vals_coverage_invariants(b_idx, c_idx):
+    """Coverage rule over arbitrary partial/base index sets: at most
+    one base survives (the newest), exactly the partials newer than it
+    survive, and the rule is idempotent (live of live = live)."""
+    from tradecat_spark.streaming.ingest import live_batch_vals
+
+    vals = [f"b{i}" for i in sorted(b_idx)] + [f"c{i}" for i in sorted(c_idx)]
+    live = live_batch_vals(vals)
+    cs = [v for v in live if v.startswith("c")]
+    bs = [v for v in live if v.startswith("b")]
+    if c_idx:
+        assert cs == [f"c{max(c_idx)}"]
+        assert sorted(int(v[1:]) for v in bs) == sorted(
+            i for i in b_idx if i > max(c_idx)
+        )
+    else:
+        assert not cs and sorted(int(v[1:]) for v in bs) == sorted(b_idx)
+    assert sorted(live_batch_vals(live)) == sorted(live)
+
+
+def _greedy_ref(toks: list, a: str, b: str) -> list:
+    out, i = [], 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+def test_bpe_greedy_fold_matches_reference_on_random_sequences(spark):
+    """_bpe_apply_col over random token sequences and random merge
+    pairs (including a==b overlap runs) must equal the sequential
+    while-loop — batched through ONE Spark job so the property sweep
+    stays fast."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tradecat_spark.plans.q_text import _bpe_apply_col
+
+    rng = random.Random(20260817)
+    cases = []
+    for _ in range(300):
+        toks = [rng.choice("ab") for _ in range(rng.randint(0, 12))]
+        a, b = rng.choice("ab"), rng.choice("ab")
+        cases.append((toks, a, b))
+    df = spark.createDataFrame(
+        [(i, t, a, b) for i, (t, a, b) in enumerate(cases)],
+        "i int, toks array<string>, a string, b string",
+    )
+    got = {
+        r["i"]: list(r["m"])
+        for r in df.select(
+            "i",
+            _bpe_apply_col(F.col("toks"), F.col("a"), F.col("b"))
+            .alias("m"),
+        ).collect()
+    }
+    for i, (toks, a, b) in enumerate(cases):
+        assert got[i] == _greedy_ref(toks, a, b), (toks, a, b)
