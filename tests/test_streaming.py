@@ -1899,6 +1899,33 @@ def test_partition_data_dir_legacy_name_loses_mtime_tie(tmp_path):
     assert got is not None and os.path.basename(got).startswith(".v1")
 
 
+def test_read_store_recovery_uses_same_rank_as_partition_probe(
+    spark, tmp_path
+):
+    """read_store's pre-first-publish branch must resolve version ties
+    with the SAME rank key as _partition_data_dir (shared
+    _version_rank, r8 advice): a crashed store holding only dot-
+    prefixed debris — a stale legacy uuid-only version next to an
+    equal-mtime time_ns-prefixed one — must read the TIMED version's
+    data, not the legacy row the plain (mtime, name) tuple would pick
+    (hex sorts after digits)."""
+    import os
+
+    from tradecat_spark.streaming.ingest import read_store
+
+    store = tmp_path / "store"
+    store.mkdir()
+    legacy = store / ".vfeedface-_part=x"
+    timed = store / f".v{'1' * 20}abc123-_part=x"
+    spark.range(1).selectExpr("'legacy' AS who").write.parquet(str(legacy))
+    spark.range(1).selectExpr("'timed' AS who").write.parquet(str(timed))
+    t = 1_700_000_000
+    os.utime(legacy, (t, t))
+    os.utime(timed, (t, t))
+    rows = read_store(spark, str(store)).collect()
+    assert [r.who for r in rows] == ["timed"]
+
+
 def _pipeline_delta(spark, sf_dir):
     """Delta docs WITH their source column — the pipeline's stream
     shape (doc_id, text, source)."""

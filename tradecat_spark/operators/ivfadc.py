@@ -398,15 +398,16 @@ def ivf_probe_cells(
     q: DataFrame, cent: DataFrame, nprobe: int
 ) -> DataFrame:
     """Multi-probe coarse assignment: the ``nprobe`` nearest cells per
-    query (same rounded-distance ordering as ``_ivf_nearest_cell``,
-    which stays the nprobe=1 special case used by the raw lanes).
+    query, ranked by the SAME ``d2_fold`` (x-c)^2 rendering the corpus
+    assignment (``nearest_cell_col`` / ``residuals``) uses — one
+    distance rendering for both sides, so a vector used as a query
+    always probes the cell it was indexed into even at a 6dp rounding
+    boundary (r8 advice; the expanded |q|^2 - 2q.c + |c|^2 form could
+    disagree with the fold there). ``_ivf_nearest_cell`` in the RAW
+    lanes keeps the expanded form — those lanes bucket the corpus by
+    data label, not by geometric assignment, so no parity is at stake.
     Returns (query_id, cell_label, probe_rank 1..nprobe)."""
-    dist2 = F.round(
-        dot(F.col("qv"), F.col("qv"))
-        - 2 * dot(F.col("qv"), F.col("cv"))
-        + dot(F.col("cv"), F.col("cv")),
-        6,
-    )
+    dist2 = F.round(d2_fold(F.col("qv"), F.col("cv")), 6)
     aw = Window.partitionBy("query_id").orderBy(
         F.asc("d2"), F.asc("label")
     )

@@ -1935,13 +1935,13 @@ rlut AS (
   FROM rqmi q, rcentm m
 ),
 passign AS (
+  -- probe ranks by the SAME (x-c)^2 fold as xasg's corpus assignment
+  -- (one distance rendering both sides, mirrors ivf_probe_cells)
   SELECT query_id, label AS cell_label, CAST(rn AS BIGINT) AS probe_rank
   FROM (
     SELECT q.query_id, c2.label,
       ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
-        ROUND(list_dot_product(q.v, q.v)
-              - 2 * list_dot_product(q.v, c2.cv)
-              + list_dot_product(c2.cv, c2.cv), 6) ASC,
+        ROUND({_PQD2.format(v="q.v", c="c2.cv")}, 6) ASC,
         c2.label ASC) AS rn
     FROM qv q, cent c2
   ) WHERE rn <= {NPROBE}

@@ -3288,6 +3288,15 @@ def _bpe_deep_chain(
         ).limit(1).select(
             "a", "b", F.col("w").alias("pair_weight")
         ).localCheckpoint()
+        if top.isEmpty():
+            # Corpus exhausted its mergeable pairs before n steps:
+            # saturate — keep ``t`` at the last merged state and stop
+            # emitting merges. Without this the crossJoin against the
+            # empty argmax silently collapses ``t`` to ZERO rows, and
+            # the oracle's CROSS JOIN collapses identically, so the
+            # hash gate could never catch the degeneracy (r8 advice).
+            # isEmpty on the just-checkpointed 1-row frame is O(1).
+            break
         tops.append(top)
         j = t.crossJoin(F.broadcast(top))
         merged = j.select(
@@ -3356,6 +3365,12 @@ def bpe_learn_merges_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     steps 1..3 equal to the recount lane and the whole prefix equal to
     the sequential reference on seeded random corpora."""
     tops, _ = _bpe_deep_chain(spark, sf_dir, N_BPE_DEEP)
+    if not tops:  # no mergeable pair anywhere (all 1-char words)
+        return spark.createDataFrame(
+            [],
+            "step int, left_tok string, right_tok string, "
+            "merged_tok string, pair_weight bigint",
+        )
     outs = [
         top.select(
             F.lit(k).cast("int").alias("step"),
@@ -3453,19 +3468,25 @@ def bpe_encode_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in tests/test_text_quality.py against a sequential-apply
     Python reference."""
     tops, _ = _bpe_deep_chain(spark, sf_dir, N_BPE_DEEP)
-    steps = [
-        t.select(F.lit(k).cast("int").alias("k"), "a", "b")
-        for k, t in enumerate(tops, start=1)
-    ]
-    allm = steps[0]
-    for s_ in steps[1:]:
-        allm = allm.unionByName(s_)
-    mrow = allm.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("k", "a", "b"))),
-            lambda s: F.struct(s["a"].alias("a"), s["b"].alias("b")),
-        ).alias("merges")
-    )
+    if tops:
+        steps = [
+            t.select(F.lit(k).cast("int").alias("k"), "a", "b")
+            for k, t in enumerate(tops, start=1)
+        ]
+        allm = steps[0]
+        for s_ in steps[1:]:
+            allm = allm.unionByName(s_)
+        mrow = allm.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k", "a", "b"))),
+                lambda s: F.struct(s["a"].alias("a"), s["b"].alias("b")),
+            ).alias("merges")
+        )
+    else:  # saturated at zero merges: frozen encode == char tokens
+        mrow = spark.range(1).select(
+            F.array().cast("array<struct<a:string,b:string>>")
+            .alias("merges")
+        )
     d = _docs(spark, sf_dir)
     words = d.select(
         F.explode(F.filter(_words(), lambda x: x != "")).alias("word")

@@ -228,21 +228,28 @@ def _partition_data_dir(store_path: str, entry: str) -> str | None:
     ]
     if not cands:
         return None
-    # newest by mtime, name-ordered tie-break: version names carry a
-    # time_ns prefix (see _commit_staging), so equal-mtime versions
-    # resolve to the later publish instead of an arbitrary winner.
-    # Names WITHOUT the 20-digit time prefix are pre-upgrade
-    # (uuid-only) versions; lexicographic order against them is
-    # meaningless (hex a-f sorts after any digit), so the flag ranks
-    # every time-prefixed name above every legacy one at equal mtime
-    # — a stale pre-upgrade version can never win the tie (r7 advice).
-    def _rank(p: str) -> tuple:
-        name = os.path.basename(p)
-        ver = name[2:]  # strip ".v"
-        timed = len(ver) >= 20 and ver[:20].isdigit()
-        return (os.path.getmtime(p), timed, name)
+    return max(cands, key=_version_rank)
 
-    return max(cands, key=_rank)
+
+def _version_rank(p: str) -> tuple:
+    """Tie-break key for dot-prefixed versioned partition dirs, shared
+    by every crash-recovery probe (``_partition_data_dir`` and
+    ``read_store``'s pre-first-publish branch — r8 advice: both must
+    use the SAME ordering or a crashed store can resolve differently
+    depending on which probe sees it first).
+
+    Newest by mtime; name-ordered tie-break: version names carry a
+    time_ns prefix (see ``_commit_staging``), so equal-mtime versions
+    resolve to the later publish instead of an arbitrary winner.
+    Names WITHOUT the 20-digit time prefix are pre-upgrade (uuid-only)
+    versions; lexicographic order against them is meaningless (hex a-f
+    sorts after any digit), so the flag ranks every time-prefixed name
+    above every legacy one at equal mtime — a stale pre-upgrade
+    version can never win the tie (r7 advice)."""
+    name = os.path.basename(p)
+    ver = name[2:]  # strip ".v"
+    timed = len(ver) >= 20 and ver[:20].isdigit()
+    return (os.path.getmtime(p), timed, name)
 
 
 #: Test seam: called once per partition right before its atomic swap.
@@ -376,12 +383,11 @@ def read_store(spark: SparkSession, store_path: str) -> DataFrame:
             ):
                 continue
             entry = f"{PART_COL}=" + n.split(f"-{PART_COL}=", 1)[1]
-            # same (mtime, name) ordering as _partition_data_dir: the
-            # time_ns-prefixed version names break coarse-mtime ties
+            # same rank key as _partition_data_dir (shared helper):
+            # time_ns-prefixed names beat legacy uuid-only debris at
+            # equal mtime here too (r8 advice)
             if entry not in newest or (
-                (os.path.getmtime(p), n)
-                > (os.path.getmtime(newest[entry]),
-                   os.path.basename(newest[entry]))
+                _version_rank(p) > _version_rank(newest[entry])
             ):
                 newest[entry] = p
         if newest:
