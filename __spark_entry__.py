@@ -28,38 +28,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #: cohort (tools/gate_ledger.py tracks vintages; test_gate_rotation
 #: enforces that nothing never-checked sits past the cap).
 _GATE_PRIORITY = (
-    # --- r8 front (gate cap = 50): 10 queries born this round
-    # (residual IVFADC trio + nprobe curve + streaming index, deep BPE
-    # learn + encode, CMS error eval, keep-rank twin),
-    "embedding_pq_residual_codes", "ann_ivfadc_search",
-    "ann_ivfadc_recall", "ann_ivfadc_nprobe_curve", "streaming_ann_index",
-    "bpe_learn_merges_deep", "bpe_encode_fertility_deep",
-    "bpe_encode_frozen", "cms_error_eval", "dedup_quality_keep_rank",
-    # --- r8 re-checks: code or oracle changed this round (canonical
-    # rewritten skew-free; gram barrier swapped; PQ chain refactored +
-    # qm column; BPE oracles materialized)
-    "dedup_quality_canonical", "embedding_gram_matrix",
-    "embedding_top_pc_power", "embedding_anisotropy", "embedding_pq_codes",
-    "ann_pq_recall", "ann_ivf_pq_search", "bpe_learn_merges",
-    "bpe_compression_curve", "bpe_encode_fertility",
-    # --- r2-cohort rotation: the 17 rows crowded out of the r7 window
-    # (zero r2-vintage rows remain once the r8 artifact lands)
-    "mm_resize_images", "ohlcv_cascade_1M", "orderbook_depth_bands",
-    "orderbook_depth_hourly", "quality_filter_funnel", "ranking_card_1h",
-    "ranking_card_rendered", "rest_ohlc_history", "rest_oi_history",
-    "rest_supported_coins", "serving_retention_trim",
-    "signal_threshold_cross_sql", "single_token_panel",
-    "stats_profile_by_type", "streaming_rollup_5m",
-    "streaming_signals_parity", "text_vocab_topk",
-    # --- r3-cohort rotation begins: first 13 of 48 (alphabetical);
-    # the remaining 35 lead the r9 front
-    "chart_kline_envelope", "chart_market_vpvr_heat",
-    "chart_vpvr_zone_strip", "cluster_kmeans_lloyd",
-    "cluster_semdedup_candidates", "corpus_source_stats",
-    "decontaminate_ngram_overlap", "embedding_norms_quality", "ind_adx_di",
-    "ind_base_data", "ind_buy_sell_ratio", "ind_data_monitor",
-    "ind_ema_gc_regime",
-    # --- r3 cohort remainder (r9 front)
+    # --- r9 front (gate cap = 50): queries born this round first,
+    "ann_ivfadc_search_frozen", "bpe_learn_merges_64",
+    "streaming_pipeline_stores", "streaming_pipeline_checksum",
+    # then this round's re-checks (IVF probe ranking unified with the
+    # corpus assignment's (x-c)^2 fold on both engines; BPE deep chain
+    # grew the empty-argmax saturation guard),
+    "ann_ivfadc_search", "ann_ivfadc_recall", "ann_ivfadc_nprobe_curve",
+    "streaming_ann_index", "bpe_learn_merges_deep",
+    "bpe_encode_fertility_deep", "bpe_encode_frozen",
+    # then the full remaining r3 cohort (35 — zero r3-vintage rows
+    # remain once the r9 artifact lands),
     "ind_fib_vwma_bands",
     "ind_futures_gap_monitor",
     "ind_futures_risk_score", "ind_harmonic_score",
@@ -76,6 +55,31 @@ _GATE_PRIORITY = (
     "streaming_emagc_parity", "streaming_kdj_parity",
     "streaming_macd_parity", "text_repetition_stats",
     "text_scrub_patterns", "token_length_histogram",
+    # then the checksum twins of the 4 no_oracle rows — their ONLY
+    # hash evidence, pinned into the front so the rows-only queries
+    # never drift past a round with stale twins (r8 verdict item 5)
+    "indicator_surface_checksum", "indicator_batch_checksum",
+    "signal_rule_events_checksum", "signal_pack_subset_checksum",
+    # --- r8 cohort: green in the r8 artifact -> behind the front
+    "embedding_pq_residual_codes", "cms_error_eval",
+    "dedup_quality_keep_rank",
+    "dedup_quality_canonical", "embedding_gram_matrix",
+    "embedding_top_pc_power", "embedding_anisotropy", "embedding_pq_codes",
+    "ann_pq_recall", "ann_ivf_pq_search", "bpe_learn_merges",
+    "bpe_compression_curve", "bpe_encode_fertility",
+    "mm_resize_images", "ohlcv_cascade_1M", "orderbook_depth_bands",
+    "orderbook_depth_hourly", "quality_filter_funnel", "ranking_card_1h",
+    "ranking_card_rendered", "rest_ohlc_history", "rest_oi_history",
+    "rest_supported_coins", "serving_retention_trim",
+    "signal_threshold_cross_sql", "single_token_panel",
+    "stats_profile_by_type", "streaming_rollup_5m",
+    "streaming_signals_parity", "text_vocab_topk",
+    "chart_kline_envelope", "chart_market_vpvr_heat",
+    "chart_vpvr_zone_strip", "cluster_kmeans_lloyd",
+    "cluster_semdedup_candidates", "corpus_source_stats",
+    "decontaminate_ngram_overlap", "embedding_norms_quality", "ind_adx_di",
+    "ind_base_data", "ind_buy_sell_ratio", "ind_data_monitor",
+    "ind_ema_gc_regime",
     # --- previously green, unchanged code -> back of the line
     "hll_estimate", "hll_error_eval", "mix_epoch_manifest",
     "dedup_minhash_est_jaccard", "minhash_jaccard_calibration",
@@ -108,9 +112,7 @@ _GATE_PRIORITY = (
     "ind_vpvr_profile", "ind_vwap_bands", "ind_zscore_percentile",
     "metrics_weighted_ratio_1h", "text_fingerprint", "text_lang_id",
     "text_quality_score", "text_token_stats", "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue", "indicator_surface_checksum",
-    "indicator_batch_checksum", "signal_rule_events_checksum",
-    "signal_pack_subset_checksum", "tpch_q20_excess_shippers",
+    "tpch_q17_small_qty_revenue", "tpch_q20_excess_shippers",
     "tpch_q21_suppliers_kept_waiting", "tpch_q2_min_cost_supplier",
     "tpch_q9_product_type_profit", "tpch_q11_important_stock",
     "tpch_q13_customer_distribution", "tpch_q16_parts_supplier_counts",
