@@ -609,6 +609,25 @@ def test_ivfadc_search_plan_broadcast_only(spark, sf_dir):
             ), ln
 
 
+def test_ivfadc_frozen_search_prunes_store_partitions(spark, sf_dir):
+    """The frozen lane's serving shape: the SECOND call (assets
+    memoized) must read codes from the cell-partitioned store with a
+    dynamic-partition-pruning filter fed by the broadcast probe rows —
+    nprobe cells = nprobe partitions read, never the index — and must
+    not sort-merge anywhere."""
+    fn = SPECS["ann_ivfadc_search_frozen"].fn
+    fn(spark, sf_dir)  # build pass
+    plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "dynamicpruning" in plan.lower()
+    # the pruned scan is the STORE scan (codes columns), not a model one
+    store_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "codes#" in ln and "xs2#" in ln
+    ]
+    assert store_scans
+
+
 def test_ann_index_search_reads_store_not_reencode(spark, sf_dir, tmp_path):
     """search_index must consume the persisted codes: its plan scans
     the store parquet and contains NO residual-encode fold (the

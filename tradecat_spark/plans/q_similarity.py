@@ -2212,6 +2212,127 @@ def ann_ivfadc_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Frozen-model IVFADC: the 100 TB training contract as a gated fact
+# (r8 verdict item 2). The inline lanes above retrain per run — fine
+# for a hash gate, but the scale contract (operators/ivfadc.py:11-14)
+# says codebooks train on a bounded SAMPLE while everything is
+# encoded. This lane gates exactly that: model trained on the
+# _FROZEN_TRAIN_PRED slice, persisted (parquet float64 round-trips
+# bit-exactly), the FULL corpus encoded once into a code store
+# PARTITIONED BY CELL, and the search reading codes from the store —
+# so the bench's steady-state number is pure SEARCH (probe + pruned
+# store read + ADC scoring), the production-relevant latency, while
+# the cold number prices the one-off build.
+# ---------------------------------------------------------------------------
+_FROZEN_TRAIN_PRED = "vec_id % 2 = 0"
+
+#: process-lifetime cache: sf_dir -> (model_dir, store_dir). Training
+#: is deterministic (decimal-exact Lloyd on a fixed slice), so any
+#: rebuild writes byte-identical model artifacts; the cache only
+#: avoids repeating the build, it can never change an answer.
+_FROZEN_ASSETS: dict[str, tuple[str, str]] = {}
+
+
+def _frozen_ivfadc_assets(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """Build-once model + code store for ``sf_dir``: train coarse
+    centroids and residual codebooks on the train slice ONLY
+    (streaming/ann.py's train_ann_model — the same frozen-model
+    machinery the streaming index gates), then encode EVERY vector
+    and persist the codes partitioned by ``cell_label``, so an
+    nprobe-cell search reads nprobe partitions (dynamic partition
+    pruning against the broadcast probe rows), never the index."""
+    if sf_dir in _FROZEN_ASSETS:
+        return _FROZEN_ASSETS[sf_dir]
+    import tempfile
+
+    from tradecat_spark.operators.ivfadc import encode_residual_codes
+    from tradecat_spark.streaming import ann
+
+    model_dir = tempfile.mkdtemp(prefix="tc_ivfadc_model_")
+    store_dir = tempfile.mkdtemp(prefix="tc_ivfadc_store_") + "/codes"
+    e = _emb(spark, sf_dir)
+    ann.train_ann_model(
+        spark, e.filter(F.expr(_FROZEN_TRAIN_PRED)), model_dir
+    )
+    cent, rbrow, cellinfo = ann.load_ann_model(spark, model_dir)
+    cand = encode_residual_codes(_residuals(e, cent), rbrow, cellinfo)
+    cand.write.partitionBy("cell_label").mode("overwrite").parquet(
+        store_dir
+    )
+    _FROZEN_ASSETS[sf_dir] = (model_dir, store_dir)
+    return model_dir, store_dir
+
+
+@query(
+    "ann_ivfadc_search_frozen",
+    # benched: steady-state = SEARCH ONLY against the pre-built frozen
+    # model + cell-partitioned store (the build is memoized per
+    # process, so runs 2..n never retrain); cold = build + search.
+    # Together with the inline ann_ivfadc_search row (which retrains
+    # every run — the BUILD-dominated composite) the bench now prices
+    # build and search separately (r8 verdict item 2).
+    bench=True,
+    survey="north-star similarity search: IVFADC under the 100 TB "
+    f"TRAINING CONTRACT — model trained on the {_FROZEN_TRAIN_PRED} "
+    "sample only, frozen to parquet, full corpus encoded under it "
+    "into a store partitioned BY CELL; search = broadcast probe rows "
+    "+ partition-pruned store read + residual-ADC scoring. The gate "
+    "proves the sample-trained/encode-everything split end-to-end "
+    "(oracle: _pqr_sql(train_pred), the parameterization built for "
+    "exactly this).",
+    description="Top-3 residual-ADC neighbors per query from a "
+    f"frozen model trained on the {_FROZEN_TRAIN_PRED} slice, codes "
+    "read from a cell-partitioned store",
+    oracle=f"""
+WITH {_pqr_sql(_FROZEN_TRAIN_PRED)},
+{_ivfadc_adc_sql()}
+SELECT query_id, probe_rank, cell_label, neighbor_id, adc_sim FROM (
+  SELECT radc.*, ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY adc_sim DESC, neighbor_id ASC) AS rn
+  FROM radc
+) WHERE rn <= 3
+""",
+)
+def ann_ivfadc_search_frozen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Search path only (given the built assets): load the frozen
+    model, broadcast the per-query probe rows, score the store's
+    codes. The store scan carries a dynamic-partition-pruning filter
+    from the cell_label join, so only the probed cells' partitions
+    are read — the registered shape IS the serving shape."""
+    from tradecat_spark.operators.ivfadc import (
+        adc_probe_rows,
+        residual_adc_scores,
+    )
+    from tradecat_spark.streaming.ann import load_ann_model
+
+    model_dir, store_dir = _frozen_ivfadc_assets(spark, sf_dir)
+    cent, rbrow, cellinfo = load_ann_model(spark, model_dir)
+    cand = spark.read.parquet(store_dir).select(
+        "vec_id",
+        F.col("cell_label").cast("int").alias("cell_label"),
+        "codes",
+        "xs2",
+    )
+    q = _emb(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv")
+    )
+    prow = adc_probe_rows(q, cent, rbrow, cellinfo, NPROBE)
+    sims = residual_adc_scores(cand, prow)
+    sw = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(sw))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Spectral family: exact integer Gram matrix + fixed-point power
 # iteration for the top principal direction
 # ---------------------------------------------------------------------------
