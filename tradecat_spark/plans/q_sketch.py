@@ -717,17 +717,23 @@ def _hll_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hll_event_ranks(load_table(spark, sf_dir, "events"))
 
 
-def _hll_r_sql() -> str:
+def _hll_r_sql(
+    src: str = "events", etype: str = "event_type",
+    uid: str = "user_id",
+) -> str:
     """The h/r register-rank CTEs shared by the HLL law, estimate and
     error eval — ONE rendering of the bucket/rank integer algebra so
-    the three queries cannot drift."""
-    return """h AS (
-  SELECT DISTINCT event_type, user_id % 8 AS shard,
-    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT
+    the consumers cannot drift. Parameterized by source table / key
+    columns so the pipeline twin (documents viewed as events:
+    event_type := source, user_id := doc_id) reuses the exact same
+    algebra; output column names stay event_type/x/bucket."""
+    return f"""h AS (
+  SELECT DISTINCT {etype} AS event_type, {uid} % 8 AS shard,
+    ('0x' || substr(md5(CAST({uid} AS VARCHAR)), 1, 2))::BIGINT
       AS bucket,
-    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT
+    ('0x' || substr(md5(CAST({uid} AS VARCHAR)), 3, 12))::BIGINT
       AS x
-  FROM events WHERE user_id IS NOT NULL
+  FROM {src} WHERE {uid} IS NOT NULL
 ),
 r AS (
   SELECT event_type, shard, bucket,

