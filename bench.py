@@ -107,6 +107,33 @@ def _bench_streaming(spark, n_symbols: int = 600) -> dict[str, float]:
     q.stop()
     spark.read.parquet(f"{base}/rollup").count()
     out["streaming_rollup_600sym"] = round(time.perf_counter() - t, 3)
+
+    # streaming-store READ path after compaction (r8 verdict item 7):
+    # build a CMS counter store of 8 per-batch partials directly via
+    # the foreachBatch body (setup, untimed), compact the first 6 into
+    # a base, then time read_cms — the coverage-rule partition
+    # resolution + pruned scan + partial sum. A store-layout or
+    # coverage regression (reading dead debris, losing the base,
+    # scanning all history) moves this number.
+    from pyspark.sql import functions as F
+
+    from tradecat_spark.streaming.sketch import (
+        compact_cms,
+        read_cms,
+        update_cms,
+    )
+
+    cms_store = f"{base}/cms_store"
+    for b in range(8):
+        ev = spark.range(20_000).select(
+            F.lit("bench").alias("event_type"),
+            ((F.col("id") * 37 + b * 101) % 5000).alias("user_id"),
+        )
+        update_cms(spark, ev, b, cms_store)
+    compact_cms(spark, cms_store, 5)
+    t = time.perf_counter()
+    read_cms(spark, cms_store).write.format("noop").mode("overwrite").save()
+    out["streaming_cms_read_compacted"] = round(time.perf_counter() - t, 3)
     return out
 
 

@@ -3260,12 +3260,18 @@ def _bpe_deep_chain(
     per-step full pair aggregate is gone; hash-parity with it is the
     gate (the deep oracle IS the recount chain at n steps).
 
-    Measured (sf0.1, local[8]): 16 delta steps run 15.5 s total
-    (~0.6 s/step, flat); the r7 recount form extended to the same 16
-    steps grows superlinearly per step (0.7 s at step 6, 9.6 s at
-    step 12, 43.8 s at step 13 — runaway before finishing 16), which
-    is exactly the O(merges x corpus-recount) wall the r7 verdict
-    called out."""
+    Measured (sf0.1, local[8], r9 — the >= 64-merge record the r8
+    verdict asked for): 64 delta steps run 35.9 s total, per-step
+    flat 0.44-0.65 s after warm-up, and the per-step changed-word
+    counts (the rows the delta shuffle carries) shrink 5 -> 3 -> 2 ->
+    1 by step 12 and stay 1 — per-step cost tracks changed-word
+    occurrences, not corpus size or merge index. The r7 recount form
+    run side-by-side with identical per-step localCheckpoint cuts is
+    flat ~0.7 s/step to step 10, then blows up superlinearly: 1.4 s
+    (step 11), 2.7 (12), 8.7 (13), 40.1 (14), 196.6 (15) — unable to
+    pass step 16 inside nine minutes of wall, vs the deep chain's
+    36 s for all 64. (r8's 16-step measurement saw the same wall at
+    step 13.)"""
     d = _spread(_docs(spark, sf_dir))
     w = d.select(
         F.explode(F.filter(_words(), lambda x: x != "")).alias("word")
