@@ -650,3 +650,28 @@ def test_frozen_apply_tokenizes_unseen_words(spark, monkeypatch):
     train_toks = {r["word"]: list(r["toks"]) for r in final_t.collect()}
     for w, toks in train_toks.items():
         assert got[w] == toks, w
+
+
+def test_bpe_deep_chain_saturates_on_pair_exhaustion(spark, monkeypatch):
+    """A corpus whose mergeable pairs run out before N_BPE_DEEP steps
+    must SATURATE (r8 advice): the learn lane emits only the supported
+    merges and the frozen encode still sees every word — previously
+    the empty-argmax crossJoin silently collapsed the token table (and
+    therefore the encode output) to zero rows."""
+    docs = pd.DataFrame(
+        [dict(doc_id=1, text="ab ab cd", lang="en", source="s", n_chars=0)]
+    )
+    df = spark.createDataFrame(docs)
+    monkeypatch.setattr(Q, "_docs", lambda s, d: df)
+
+    out = Q.bpe_learn_merges_deep(spark, "unused").orderBy("step").collect()
+    # (a,b) weight 2 merges first, then (c,d) weight 1 — then nothing
+    assert [(r["step"], r["merged_tok"]) for r in out] == [(1, "ab"), (2, "cd")]
+
+    enc = Q.bpe_encode_frozen(spark, "unused").collect()
+    assert len(enc) == 1
+    r = enc[0]
+    assert (r["n_words"], r["n_char_tokens"], r["n_bpe_tokens"]) == (3, 6, 3)
+
+    fert = Q.bpe_encode_fertility_deep(spark, "unused").collect()
+    assert len(fert) == 1 and fert[0]["n_bpe_tokens"] == 3
