@@ -673,3 +673,20 @@ def test_bpe_deep_chain_saturates_on_pair_exhaustion(spark, monkeypatch):
 
     fert = Q.bpe_encode_fertility_deep(spark, "unused").collect()
     assert len(fert) == 1 and fert[0]["n_bpe_tokens"] == 3
+
+    # the ORACLE must saturate identically (r9 advice item 2): the
+    # step CTE's scalar-subquery form keeps the token table intact
+    # when {p}top is empty, where the old CROSS JOIN collapsed it to
+    # zero rows — run the real 16-step-unrolled SQL on the same corpus
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    learn = con.execute(Q._bpe_oracle(Q.N_BPE_DEEP)).df()
+    learn = learn.sort_values("step").reset_index(drop=True)
+    assert list(learn["merged_tok"]) == ["ab", "cd"]
+    f = con.execute(Q._bpe_fertility_oracle(Q.N_BPE_DEEP)).df()
+    assert len(f) == 1
+    assert (
+        int(f.n_words[0]), int(f.n_char_tokens[0]), int(f.n_bpe_tokens[0])
+    ) == (3, 6, 3)

@@ -2875,11 +2875,18 @@ def _bpe_step_sql(p: str, prev: str) -> str:
   ) q WHERE par = 0
 ),
 {p}next AS MATERIALIZED (
+  -- scalar subquery, NOT a CROSS JOIN: when the corpus runs out of
+  -- mergeable pairs {p}top is EMPTY, and a cross join would collapse
+  -- the token table to zero rows while the Spark chain saturates
+  -- (keeps the last merged state). With the empty top, {p}sel is
+  -- empty too, so s.pos is always NULL and the step is the identity
+  -- -- exactly the Spark-side saturation guard (r9 advice item 2).
   SELECT j.word, j.wcount,
          ROW_NUMBER() OVER (PARTITION BY j.word ORDER BY j.pos) AS pos,
-         CASE WHEN s.pos IS NOT NULL THEN j.tok || t.b ELSE j.tok END AS tok
+         CASE WHEN s.pos IS NOT NULL
+              THEN j.tok || (SELECT t.b FROM {p}top t)
+              ELSE j.tok END AS tok
   FROM {p}adj j
-  CROSS JOIN {p}top t
   LEFT JOIN {p}sel s  ON s.word = j.word AND s.pos = j.pos
   LEFT JOIN {p}sel s2 ON s2.word = j.word AND s2.pos = j.pos - 1
   WHERE s2.pos IS NULL
