@@ -170,6 +170,30 @@ def main() -> None:
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     stats: dict[str, dict] = {}
+
+    # CALIBRATION row (r9 verdict item 2b): a pinned synthetic workload
+    # whose true cost cannot change round-over-round — no I/O, no
+    # shuffle, no Python, one codegen'd scan+agg over a fixed range —
+    # so session/machine drift (r9 saw +10-21% on 9 of 14 rows with no
+    # code change) is measurable and per-query regressions become
+    # separable from box variance: normalize any suspect row by
+    # (calibration_r10 / calibration_rN) before adjudicating. Excluded
+    # from the headline total so `value` stays comparable to r<=9.
+    cal_runs = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        spark.range(0, 400_000_000, 1, 64).selectExpr(
+            "sum((id * 2654435761) % 1000003) AS s"
+        ).collect()
+        cal_runs.append(time.perf_counter() - t0)
+    cold["calibration_fixed"] = round(cal_runs[0], 3)
+    timings["calibration_fixed"] = round(min(cal_runs), 3)
+    stats["calibration_fixed"] = {
+        "min": round(min(cal_runs), 3),
+        "median": round(statistics.median(cal_runs), 3),
+        "n": len(cal_runs),
+    }
+
     for name, spec in bench_specs.items():
         runs = []
         for _ in range(repeats):
@@ -202,7 +226,9 @@ def main() -> None:
             "n": len(warm),
         }
 
-    total = round(sum(timings.values()), 3)
+    total = round(
+        sum(v for k, v in timings.items() if k != "calibration_fixed"), 3
+    )
     # ONE compact JSON line, printed first and last (nothing else goes
     # to stdout). r6's line grew past the driver's tail-capture window
     # (BENCH_r06 landed parsed:null) because methodology/noise prose
@@ -215,7 +241,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_stats": stats,
-        "value_cold": round(sum(cold.values()), 3),
+        "value_cold": round(
+            sum(v for k, v in cold.items() if k != "calibration_fixed"), 3
+        ),
         "queries_cold": cold,
         "sf": sf,
         "note": "methodology: README.md#bench-methodology",

@@ -1926,36 +1926,62 @@ def test_read_store_recovery_uses_same_rank_as_partition_probe(
     assert [r.who for r in rows] == ["timed"]
 
 
-def _pipeline_delta(spark, sf_dir):
+def _pipeline_delta(spark, sf_dir, with_embedding=False):
     """Delta docs WITH their source column — the pipeline's stream
-    shape (doc_id, text, source)."""
-    return (
+    shape (doc_id, text, source [, embedding])."""
+    d = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id", "text", "source")
         .filter(F.col("doc_id") % 10 == 0)
     )
+    if with_embedding:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        )
+        d = d.join(emb, "doc_id")
+    return d
 
 
-def test_ingest_pipeline_four_stores_off_one_stream(
+def _pipeline_model(spark, sf_dir, tmp_path) -> str:
+    """Frozen ANN model for the pipeline's 5th store, trained on the
+    vec_id % 2 = 0 slice (the frozen-split discipline)."""
+    from tradecat_spark.streaming import ann
+
+    model_dir = str(tmp_path / "pipe_model")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") % 2 == 0
+    ).select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    ann.train_ann_model(spark, e, model_dir)
+    return model_dir
+
+
+def test_ingest_pipeline_five_stores_off_one_stream(
     spark, sf_dir, tmp_path
 ):
-    """r7 verdict item 7 e2e: ONE document stream (two micro-batches
-    via maxFilesPerTrigger=1) drives bronze + dedup screen + HLL +
-    CMS; afterwards every store must satisfy its batch law over the
-    full delivered set — bronze holds exactly the input rows, every
-    doc has exactly one verdict, the register store equals the batch
-    HLL fold of all events, and the summed CMS grid equals the batch
-    counter grid."""
+    """r7 verdict item 7 e2e (5-store form since r10): ONE document
+    stream (two micro-batches via maxFilesPerTrigger=1) drives bronze
+    + dedup screen + HLL + CMS + frozen-model ANN codes; afterwards
+    every store must satisfy its batch law over the full delivered
+    set — bronze holds exactly the input rows, every doc has exactly
+    one verdict, the register store equals the batch HLL fold of all
+    events, the summed CMS grid equals the batch counter grid, and
+    the code store equals the one-shot batch encode of every delta
+    embedding under the frozen model."""
     from tradecat_spark.operators.cms import cms_counts
     from tradecat_spark.operators.hll import registers
+    from tradecat_spark.streaming import ann
     from tradecat_spark.streaming import pipeline as pl
     from tradecat_spark.streaming import sketch as sk
 
     base, _ = _dedup_fixtures(spark, sf_dir)
-    delta = _pipeline_delta(spark, sf_dir)
+    delta = _pipeline_delta(spark, sf_dir, with_embedding=True)
     root = str(tmp_path / "pipe")
     dirs = pl.pipeline_dirs(root)
     _seed_base_store(spark, base, dirs["sig_store"])
+    model_dir = _pipeline_model(spark, sf_dir, tmp_path)
 
     src = tmp_path / "src"
     src.mkdir()
@@ -1972,9 +1998,24 @@ def test_ingest_pipeline_four_stores_off_one_stream(
         .parquet(src),
         root,
         available_now=True,
+        ann_model_dir=model_dir,
     )
     q.awaitTermination(180)
     q.stop()
+
+    model = ann.load_ann_model(spark, model_dir)
+    want_codes = sorted(
+        (r["vec_id"], r["cell_label"], tuple(r["codes"]), r["xs2"])
+        for r in ann.encode_vectors(
+            delta.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            *model,
+        ).collect()
+    )
+    got_codes = sorted(
+        (r["vec_id"], r["cell_label"], tuple(r["codes"]), r["xs2"])
+        for r in ann.read_index(spark, dirs["ann_store"]).collect()
+    )
+    assert got_codes == want_codes
 
     dpdf = delta.toPandas().sort_values("doc_id").reset_index(drop=True)
     bronze = (
@@ -2047,6 +2088,59 @@ def test_ingest_pipeline_crash_seam_between_sketch_updates(
     assert sorted(map(tuple, sk.read_cms(
         spark, dirs["cms_store"]).collect())) == \
         sorted(map(tuple, cms_counts(ev).collect()))
+
+
+def test_ingest_pipeline_crash_seam_before_ann_update(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """5th-store seam (r10): crash AFTER the CMS commit but BEFORE
+    the ANN code upsert, then replay the whole batch body — the four
+    earlier stores must be byte-stable under the replay (their
+    updaters are idempotent) and the code store must converge to
+    exactly the one-shot batch encode under the frozen model."""
+    from tradecat_spark.streaming import ann
+    from tradecat_spark.streaming import pipeline as pl
+    from tradecat_spark.streaming import sketch as sk
+
+    base, _ = _dedup_fixtures(spark, sf_dir)
+    delta = _pipeline_delta(spark, sf_dir, with_embedding=True)
+    root = str(tmp_path / "pipe")
+    dirs = pl.pipeline_dirs(root)
+    _seed_base_store(spark, base, dirs["sig_store"])
+    model_dir = _pipeline_model(spark, sf_dir, tmp_path)
+    model = ann.load_ann_model(spark, model_dir)
+
+    real = ann.index_batch
+    monkeypatch.setattr(
+        ann, "index_batch",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        pl.pipeline_batch(spark, delta, 3, dirs, ann_model=model)
+    v_crash = _verdict_pdf(spark, dirs["verdicts"])
+    cms_crash = sorted(map(tuple, sk.read_cms(
+        spark, dirs["cms_store"]).collect()))
+    # the ANN update never ran — empty store, not an error
+    assert ann.read_index(spark, dirs["ann_store"]).count() == 0
+
+    monkeypatch.setattr(ann, "index_batch", real)
+    pl.pipeline_batch(spark, delta, 3, dirs, ann_model=model)
+
+    assert _verdict_pdf(spark, dirs["verdicts"]).equals(v_crash)
+    assert sorted(map(tuple, sk.read_cms(
+        spark, dirs["cms_store"]).collect())) == cms_crash
+    want = sorted(
+        (r["vec_id"], r["cell_label"], tuple(r["codes"]), r["xs2"])
+        for r in ann.encode_vectors(
+            delta.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            *model,
+        ).collect()
+    )
+    got = sorted(
+        (r["vec_id"], r["cell_label"], tuple(r["codes"]), r["xs2"])
+        for r in ann.read_index(spark, dirs["ann_store"]).collect()
+    )
+    assert got == want
 
 
 def _ann_fixture(spark, sf_dir, tmp_path):

@@ -866,20 +866,31 @@ def _pipeline_assets(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     split of documents (doc_id % 10 = 0) delivered TWICE across
     several triggers — the same at-least-once shape every single-store
     streaming gate uses — through streaming/pipeline.py's one
-    foreachBatch body."""
+    foreachBatch body. The stream carries each document's embedding
+    (vec_id == doc_id on the driver tables), and the 5th store encodes
+    it under the SAME frozen model the ann_ivfadc_search_frozen lane
+    builds (memoized per process; trained on the vec_id % 2 = 0 slice
+    only) — so the pipeline's code store is gateable against the
+    _pqr_sql frozen-split oracle."""
     if sf_dir in _PIPE_ASSETS:
         return _PIPE_ASSETS[sf_dir]
+    from tradecat_spark.plans.q_similarity import _frozen_ivfadc_assets
     from tradecat_spark.streaming.pipeline import (
         pipeline_dirs,
         start_ingest_pipeline,
     )
 
+    model_dir, _ = _frozen_ivfadc_assets(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="tc_pipe_")
     src = f"{base}/src"
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
     delta = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text", "source")
         .filter(F.col("doc_id") % 10 == 0)
+        .join(emb, "doc_id")
     )
     delta.repartition(2).write.mode("append").parquet(src)
     delta.repartition(2).write.mode("append").parquet(src)  # redelivery
@@ -890,7 +901,8 @@ def _pipeline_assets(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         .parquet(src)
     )
     q = start_ingest_pipeline(
-        stream, f"{base}/stores", available_now=True
+        stream, f"{base}/stores", available_now=True,
+        ann_model_dir=model_dir,
     )
     drained = q.awaitTermination(300)
     q.stop()
@@ -908,17 +920,18 @@ def _pipeline_assets(spark: SparkSession, sf_dir: str) -> dict[str, str]:
 @query(
     "streaming_pipeline_stores",
     survey="§2.11-adjacent: the COMPOSED ingest pipeline — bronze + "
-    "dedup screen + HLL + CMS co-running off ONE document stream "
-    "(streaming/pipeline.py, r7 verdict item 7) — summarized per "
-    "store after draining a doubled multi-trigger source; every row "
-    "is slicing-independent (bronze/verdicts count delivered rows, "
-    "sigs/screen count distinct docs, sketch stores are idempotent or "
-    "additive by design), so the summary is deterministic under any "
-    "micro-batch slicing. Exact store contents are gated by the "
-    "streaming_pipeline_checksum twin",
-    description="Per-store row/key counts of the converged 4-store "
+    "dedup screen + HLL + CMS + frozen-model ANN codes co-running off "
+    "ONE document stream (streaming/pipeline.py; r7 verdict item 7, "
+    "5th store per r9 item 5) — summarized per store after draining a "
+    "doubled multi-trigger source; every row is slicing-independent "
+    "(bronze/verdicts count delivered rows, sigs/screen/ANN count "
+    "distinct docs, sketch stores are idempotent or additive, codes "
+    "are deterministic under the frozen model), so the summary is "
+    "deterministic under any micro-batch slicing. Exact store "
+    "contents are gated by the streaming_pipeline_checksum twin",
+    description="Per-store row/key counts of the converged 5-store "
     "pipeline over a twice-delivered delta stream",
-    oracle=None,  # rows-only by design: five heterogeneous stores;
+    oracle=None,  # rows-only by design: six heterogeneous stores;
     # the SQL-expressible contents are exactly gated by the twin
 )
 def streaming_pipeline_stores(
@@ -929,6 +942,7 @@ def streaming_pipeline_stores(
     reached the sig store first (slicing-dependent), so verdicts are
     summarized by counts only — their laws are pinned by the e2e and
     crash-seam tests (tests/test_streaming.py)."""
+    from tradecat_spark.streaming.ann import read_index
     from tradecat_spark.streaming.dedup import read_store as _read_sigs
     from tradecat_spark.streaming.sketch import read_cms, read_registers
 
@@ -946,6 +960,7 @@ def streaming_pipeline_stores(
     verdicts = spark.read.parquet(dirs["verdicts"])
     hll = read_registers(spark, dirs["hll_store"])
     cms = read_cms(spark, dirs["cms_store"])
+    ann = read_index(spark, dirs["ann_store"])
     rows = [
         _row("bronze", F.lit(bronze.count()),
              F.lit(bronze.select("doc_id").distinct().count())),
@@ -957,6 +972,8 @@ def streaming_pipeline_stores(
              F.lit(hll.select("event_type").distinct().count())),
         _row("cms", F.lit(cms.count()),
              F.lit(cms.select("d").distinct().count())),
+        _row("ann", F.lit(ann.count()),
+             F.lit(ann.select("vec_id").distinct().count())),
     ]
     res = rows[0]
     for r in rows[1:]:
@@ -969,11 +986,16 @@ def streaming_pipeline_stores(
     survey="§2.11-adjacent: the pipeline twin — EXACT contents of the "
     "composed pipeline's slicing-independent stores (bronze per-source "
     "delivered counts, the max-merged HLL register store, the additive "
-    "CMS grid summed over per-batch partials) vs a DuckDB replay of "
-    "the same delta-doubled delivery; hash-green means the co-running "
+    "CMS grid summed over per-batch partials, and the frozen-model ANN "
+    "code store: per-subspace residual codes + cell assignment + exact "
+    "int64 reconstruction norm per delta doc) vs a DuckDB replay of "
+    "the same delta-doubled delivery (the code expectation is the "
+    "_pqr_sql frozen-split chain — the ann_ivfadc_search_frozen "
+    "oracle's own algebra); hash-green means the co-running "
     "composition converged every gated store to its batch law",
     description="(component, k1, k2, val) rows: bronze counts, HLL "
-    "registers, CMS grid of the converged pipeline stores",
+    "registers, CMS grid, ANN codes/cells/norms of the converged "
+    "pipeline stores",
     oracle=None,  # set below (needs q_sketch's SQL fragments)
 )
 def streaming_pipeline_checksum(
@@ -1008,7 +1030,35 @@ def streaming_pipeline_checksum(
             "val",
         )
     )
-    return hll.unionByName(cms).unionByName(bronze)
+    from tradecat_spark.streaming.ann import read_index
+
+    idx = read_index(spark, dirs["ann_store"])
+    ann_code = idx.select(
+        F.lit("ann_code").alias("component"),
+        F.col("vec_id").cast("string").alias("k1"),
+        F.posexplode("codes").alias("k2x", "valx"),
+    ).select(
+        "component", "k1",
+        F.col("k2x").cast("bigint").alias("k2"),
+        F.col("valx").cast("bigint").alias("val"),
+    )
+    ann_cell = idx.select(
+        F.lit("ann_cell").alias("component"),
+        F.col("vec_id").cast("string").alias("k1"),
+        F.lit(-1).cast("bigint").alias("k2"),
+        F.col("cell_label").cast("bigint").alias("val"),
+    )
+    ann_xs2 = idx.select(
+        F.lit("ann_xs2").alias("component"),
+        F.col("vec_id").cast("string").alias("k1"),
+        F.lit(-2).cast("bigint").alias("k2"),
+        F.col("xs2").cast("bigint").alias("val"),
+    )
+    return (
+        hll.unionByName(cms).unionByName(bronze)
+        .unionByName(ann_code).unionByName(ann_cell)
+        .unionByName(ann_xs2)
+    )
 
 
 def _pipeline_checksum_oracle() -> str:
@@ -1017,13 +1067,20 @@ def _pipeline_checksum_oracle() -> str:
         _cms_bucket_sql,
         _hll_r_sql,
     )
+    from tradecat_spark.plans.q_similarity import (
+        _FROZEN_TRAIN_PRED,
+        _ivfadc_adc_sql,
+        _pqr_sql,
+    )
 
     cases = "\n      ".join(
         f"WHEN {d} THEN {_cms_bucket_sql(d, 'doc_id')}"
         for d in range(_CMS_D)
     )
     return f"""
-WITH pdelta AS (
+WITH {_pqr_sql(_FROZEN_TRAIN_PRED)},
+{_ivfadc_adc_sql()},
+pdelta AS (
   SELECT doc_id, source FROM documents WHERE doc_id % 10 = 0
 ),
 {_hll_r_sql("pdelta", "source", "doc_id")},
@@ -1046,10 +1103,32 @@ bronzerow AS (
   SELECT 'bronze' AS component, source AS k1, CAST(0 AS BIGINT) AS k2,
     CAST(2 * COUNT(*) AS BIGINT) AS val
   FROM pdelta GROUP BY 1, 2, 3
+),
+-- ANN code store: per-subspace residual codes, cell assignment, and
+-- exact int64 reconstruction norm of every DELTA doc under the model
+-- trained on the {_FROZEN_TRAIN_PRED} slice (the frozen-split chain
+-- above) — vec_id == doc_id on the driver tables
+anncoderow AS (
+  SELECT 'ann_code' AS component, CAST(k.vec_id AS VARCHAR) AS k1,
+    CAST(k.sub AS BIGINT) AS k2, CAST(k.code AS BIGINT) AS val
+  FROM rpqc k WHERE k.vec_id % 10 = 0
+),
+anncellrow AS (
+  SELECT 'ann_cell' AS component, CAST(vec_id AS VARCHAR) AS k1,
+    CAST(-1 AS BIGINT) AS k2, CAST(label AS BIGINT) AS val
+  FROM xasg WHERE vec_id % 10 = 0
+),
+annxs2row AS (
+  SELECT 'ann_xs2' AS component, CAST(vec_id AS VARCHAR) AS k1,
+    CAST(-2 AS BIGINT) AS k2, CAST(xs2 AS BIGINT) AS val
+  FROM xs2 WHERE vec_id % 10 = 0
 )
 SELECT * FROM hllrow
 UNION ALL SELECT * FROM cmsrow
 UNION ALL SELECT * FROM bronzerow
+UNION ALL SELECT * FROM anncoderow
+UNION ALL SELECT * FROM anncellrow
+UNION ALL SELECT * FROM annxs2row
 """
 
 
