@@ -28,59 +28,78 @@ def entry(spark: SparkSession) -> DataFrame:
 #: cohort (tools/gate_ledger.py tracks vintages; test_gate_rotation
 #: enforces that nothing never-checked sits past the cap).
 _GATE_PRIORITY = (
-    # --- r9 front (gate cap = 50): queries born this round first,
-    "ann_ivfadc_search_frozen", "bpe_learn_merges_64",
+    # --- r10 front (gate cap = 50): the query born this round,
+    "bpe_learn_merges_wide",
+    # then this round's changed lanes — the 5-store pipeline pair
+    # (ANN code store composed in) and every BPE lane (batched driver
+    # round-trips; the oracle step CTE's saturation fix changed ALL
+    # bpe oracles' SQL). Standing policy (r9 verdict item 6): a
+    # rows-only lane's checksum twin re-enters this front whenever
+    # its lane changes — streaming_pipeline_checksum is here for
+    # exactly that reason; the other four no_oracle twins
+    # (indicator_surface/batch, signal_rule_events,
+    # signal_pack_subset) had no lane change in r10 and were all
+    # re-pinned green in the r9 artifact.
     "streaming_pipeline_stores", "streaming_pipeline_checksum",
-    # then this round's re-checks (IVF probe ranking unified with the
-    # corpus assignment's (x-c)^2 fold on both engines; BPE deep chain
-    # grew the empty-argmax saturation guard),
-    "ann_ivfadc_search", "ann_ivfadc_recall", "ann_ivfadc_nprobe_curve",
-    "streaming_ann_index", "bpe_learn_merges_deep",
-    "bpe_encode_fertility_deep", "bpe_encode_frozen",
-    # then the full remaining r3 cohort (35 — zero r3-vintage rows
-    # remain once the r9 artifact lands),
-    "ind_fib_vwma_bands",
-    "ind_futures_gap_monitor",
-    "ind_futures_risk_score", "ind_harmonic_score",
-    "ind_heikin_long_short", "ind_liquidity_profile", "ind_madrid_ribbon",
-    "ind_market_share_rank", "ind_precision_trend", "ind_scalping_emas",
-    "ind_smart_rsi", "ind_smc_structure", "ind_supertrend_fold",
-    "ind_support_resistance", "ind_trend_cloud_side", "ind_trend_line",
-    "ind_volume_ratio", "ind_zero_lag_bands", "pg_realtime_checks",
-    "quality_alert_rules_eval", "quality_anomaly_log",
-    "quality_backfill_tasks", "quality_ingest_batches",
-    "quality_lineage_closure", "retention_policy_plan",
-    "sample_stratified_split", "sample_temperature_mix",
-    "signal_pack_sql_rules", "streaming_atr_parity",
-    "streaming_emagc_parity", "streaming_kdj_parity",
-    "streaming_macd_parity", "text_repetition_stats",
-    "text_scrub_patterns", "token_length_histogram",
-    # then the checksum twins of the 4 no_oracle rows — their ONLY
-    # hash evidence, pinned into the front so the rows-only queries
-    # never drift past a round with stale twins (r8 verdict item 5)
-    "indicator_surface_checksum", "indicator_batch_checksum",
-    "signal_rule_events_checksum", "signal_pack_subset_checksum",
-    # --- r8 cohort: green in the r8 artifact -> behind the front
-    "embedding_pq_residual_codes", "cms_error_eval",
-    "dedup_quality_keep_rank",
-    "dedup_quality_canonical", "embedding_gram_matrix",
-    "embedding_top_pc_power", "embedding_anisotropy", "embedding_pq_codes",
-    "ann_pq_recall", "ann_ivf_pq_search", "bpe_learn_merges",
+    "bpe_learn_merges_64", "bpe_learn_merges_deep", "bpe_encode_frozen",
+    "bpe_encode_fertility_deep", "bpe_learn_merges",
     "bpe_compression_curve", "bpe_encode_fertility",
-    "mm_resize_images", "ohlcv_cascade_1M", "orderbook_depth_bands",
-    "orderbook_depth_hourly", "quality_filter_funnel", "ranking_card_1h",
-    "ranking_card_rendered", "rest_ohlc_history", "rest_oi_history",
-    "rest_supported_coins", "serving_retention_trim",
-    "signal_threshold_cross_sql", "single_token_panel",
-    "stats_profile_by_type", "streaming_rollup_5m",
-    "streaming_signals_parity", "text_vocab_topk",
-    "chart_kline_envelope", "chart_market_vpvr_heat",
-    "chart_vpvr_zone_strip", "cluster_kmeans_lloyd",
-    "cluster_semdedup_candidates", "corpus_source_stats",
-    "decontaminate_ngram_overlap", "embedding_norms_quality", "ind_adx_di",
-    "ind_base_data", "ind_buy_sell_ratio", "ind_data_monitor",
-    "ind_ema_gc_regime",
-    # --- previously green, unchanged code -> back of the line
+    # then 40 of the 49-row r4 cohort (the oldest vintage post-r9;
+    # the 9 deferred to r11 are exactly ones the r9 verdict
+    # independently re-checked MATCH itself — lowest-risk tail)
+    "approx_quantiles_sample", "bloom_prejoin_law", "cluster_assignments",
+    "cohort_retention", "data_contract_expectations", "funnel_conversion",
+    "ind_cdl_pairs_parity", "ind_cdl_singles_parity",
+    "ind_cdl_triples_parity", "ind_chart_patterns_parity",
+    "indicator_batch_150x7", "indicator_surface_1h",
+    "instruments_asof_enrich", "mm_audio_windows", "ntile_value_quartiles",
+    "pack_context_windows", "pivot_event_matrix", "quality_bigram_logprob",
+    "range_bin_join_law", "rollup_region_revenue", "signal_rule_events",
+    "signal_rule_pack_129", "skew_salted_join_law",
+    "streaming_chained_stateful", "streaming_cvd_parity",
+    "streaming_dedup_ingest", "streaming_obv_parity",
+    "streaming_session_windows", "streaming_stream_join",
+    "streaming_stream_outer_join", "text_tfidf_topk",
+    "tpch_q10_returned_items", "tpch_q12_priority_class",
+    "tpch_q14_promo_effect", "tpch_q19_bracket_revenue",
+    "tpch_q22_global_sales_opportunity", "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+    "unpivot_daily_metrics",
+    # --- previously green, unchanged code -> behind the front
+    "ann_ivfadc_search_frozen", "ann_ivfadc_search", "ann_ivfadc_recall",
+    "ann_ivfadc_nprobe_curve", "streaming_ann_index", "ind_fib_vwma_bands",
+    "ind_futures_gap_monitor", "ind_futures_risk_score",
+    "ind_harmonic_score", "ind_heikin_long_short", "ind_liquidity_profile",
+    "ind_madrid_ribbon", "ind_market_share_rank", "ind_precision_trend",
+    "ind_scalping_emas", "ind_smart_rsi", "ind_smc_structure",
+    "ind_supertrend_fold", "ind_support_resistance",
+    "ind_trend_cloud_side", "ind_trend_line", "ind_volume_ratio",
+    "ind_zero_lag_bands", "pg_realtime_checks", "quality_alert_rules_eval",
+    "quality_anomaly_log", "quality_backfill_tasks",
+    "quality_ingest_batches", "quality_lineage_closure",
+    "retention_policy_plan", "sample_stratified_split",
+    "sample_temperature_mix", "signal_pack_sql_rules",
+    "streaming_atr_parity", "streaming_emagc_parity",
+    "streaming_kdj_parity", "streaming_macd_parity",
+    "text_repetition_stats", "text_scrub_patterns",
+    "token_length_histogram", "indicator_surface_checksum",
+    "indicator_batch_checksum", "signal_rule_events_checksum",
+    "signal_pack_subset_checksum", "embedding_pq_residual_codes",
+    "cms_error_eval", "dedup_quality_keep_rank", "dedup_quality_canonical",
+    "embedding_gram_matrix", "embedding_top_pc_power",
+    "embedding_anisotropy", "embedding_pq_codes", "ann_pq_recall",
+    "ann_ivf_pq_search", "mm_resize_images", "ohlcv_cascade_1M",
+    "orderbook_depth_bands", "orderbook_depth_hourly",
+    "quality_filter_funnel", "ranking_card_1h", "ranking_card_rendered",
+    "rest_ohlc_history", "rest_oi_history", "rest_supported_coins",
+    "serving_retention_trim", "signal_threshold_cross_sql",
+    "single_token_panel", "stats_profile_by_type", "streaming_rollup_5m",
+    "streaming_signals_parity", "text_vocab_topk", "chart_kline_envelope",
+    "chart_market_vpvr_heat", "chart_vpvr_zone_strip",
+    "cluster_kmeans_lloyd", "cluster_semdedup_candidates",
+    "corpus_source_stats", "decontaminate_ngram_overlap",
+    "embedding_norms_quality", "ind_adx_di", "ind_base_data",
+    "ind_buy_sell_ratio", "ind_data_monitor", "ind_ema_gc_regime",
     "hll_estimate", "hll_error_eval", "mix_epoch_manifest",
     "dedup_minhash_est_jaccard", "minhash_jaccard_calibration",
     "minhash_lsh_quality", "kmv_source_jaccard", "kmv_jaccard_error_eval",
@@ -129,27 +148,10 @@ _GATE_PRIORITY = (
     "ohlcv_cascade_1h", "meta_join_1h", "latest_event_per_user",
     "top3_events_per_user", "lead_gaps_10m", "calendar_completeness",
     "daily_market_share", "asof_purchase_context", "ind_tail_runs",
-    "realtime_union_view", "indicator_batch_150x7", "indicator_surface_1h",
-    "signal_rule_events", "signal_rule_pack_129", "ind_cdl_singles_parity",
-    "ind_cdl_pairs_parity", "ind_cdl_triples_parity",
-    "ind_cdl_wide_parity", "ind_chart_patterns_parity",
-    "streaming_obv_parity", "streaming_cvd_parity", "text_tfidf_topk",
-    "mm_audio_windows", "quality_bigram_logprob", "sessionize_user_events",
-    "streaming_session_windows", "cohort_retention",
-    "approx_quantiles_sample", "funnel_conversion", "skew_salted_join_law",
-    "data_contract_expectations", "tpch_q6_forecast_revenue",
-    "tpch_q14_promo_effect", "tpch_q10_returned_items",
-    "pivot_event_matrix", "rollup_region_revenue", "unpivot_daily_metrics",
-    "streaming_dedup_ingest", "range_bin_join_law", "cluster_assignments",
-    "asof_direction_variants", "ntile_value_quartiles",
-    "pack_context_windows", "ai_context_assembly",
+    "realtime_union_view", "ind_cdl_wide_parity", "sessionize_user_events",
+    "asof_direction_variants", "ai_context_assembly",
     "streaming_session_append", "instruments_scd2_dim",
-    "instruments_asof_enrich", "tpch_q4_order_priority",
-    "tpch_q12_priority_class", "tpch_q18_large_orders",
-    "tpch_q19_bracket_revenue", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share", "tpch_q22_global_sales_opportunity",
-    "bloom_prejoin_law", "zorder_curve_layout", "streaming_stream_join",
-    "streaming_stream_outer_join", "streaming_chained_stateful",
+    "tpch_q18_large_orders", "tpch_q8_market_share", "zorder_curve_layout",
 )
 
 #: Empty since round 5: the r4 overflow pair (tpch_q15/q17) rotated

@@ -2893,13 +2893,8 @@ def _bpe_step_sql(p: str, prev: str) -> str:
 )"""
 
 
-def _bpe_ctes(n: int = N_BPE_STEPS) -> str:
-    """The shared WITH body: word vocab, char seed, n unrolled steps."""
-    steps = "".join(
-        "," + _bpe_step_sql(f"s{k}", "t0" if k == 1 else f"s{k - 1}next")
-        for k in range(1, n + 1)
-    )
-    return f"""v AS MATERIALIZED (
+#: char-level seed: units are word TYPES, tokens are characters
+_BPE_CHAR_SEED = """v AS MATERIALIZED (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS wcount FROM (
     SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
       AS word
@@ -2910,10 +2905,44 @@ t0 AS MATERIALIZED (
   SELECT word, wcount, CAST(i AS BIGINT) AS pos,
          substr(word, CAST(i AS INTEGER), 1) AS tok
   FROM v, LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i) u
-){steps}"""
+)"""
+
+#: the wide lane's unit = a document's first WIDE_WORDS words (the
+#: truncation bounds the oracle's 256 materialized recount steps;
+#: identical prefixes group into one unit like word types do)
+WIDE_WORDS = 8
+
+#: word-level seed (the WIDE lane): units are truncated document word
+#: sequences, tokens are words — the pair space is word bigrams
+#: (~880 distinct pairs on the driver corpus vs the char seed's ~107
+#: mergeable pairs; capacity ~3.3k merges), which is what lets the
+#: chain run >= 256 merges
+_BPE_WORD_SEED = f"""v AS MATERIALIZED (
+  SELECT array_to_string(l, ' ') AS word, l,
+         CAST(COUNT(*) AS BIGINT) AS wcount
+  FROM (
+    SELECT list_filter(string_split(text, ' '), x -> x <> '')[1:{WIDE_WORDS}]
+      AS l
+    FROM documents
+  ) GROUP BY 1, 2
+),
+t0 AS MATERIALIZED (
+  SELECT word, wcount, CAST(i AS BIGINT) AS pos,
+         l[CAST(i AS INTEGER)] AS tok
+  FROM v, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) u
+)"""
 
 
-def _bpe_oracle(n: int = N_BPE_STEPS) -> str:
+def _bpe_ctes(n: int = N_BPE_STEPS, seed: str = _BPE_CHAR_SEED) -> str:
+    """The shared WITH body: unit vocab seed + n unrolled steps."""
+    steps = "".join(
+        "," + _bpe_step_sql(f"s{k}", "t0" if k == 1 else f"s{k - 1}next")
+        for k in range(1, n + 1)
+    )
+    return f"{seed}{steps}"
+
+
+def _bpe_oracle(n: int = N_BPE_STEPS, seed: str = _BPE_CHAR_SEED) -> str:
     unions = "\nUNION ALL ".join(
         f"SELECT CAST({k} AS INTEGER) AS step, a AS left_tok, "
         f"b AS right_tok, a || b AS merged_tok, pair_weight "
@@ -2921,7 +2950,7 @@ def _bpe_oracle(n: int = N_BPE_STEPS) -> str:
         for k in range(1, n + 1)
     )
     return f"""
-WITH {_bpe_ctes(n)}
+WITH {_bpe_ctes(n, seed)}
 {unions}
 """
 
@@ -3337,10 +3366,12 @@ def _bpe_deep_chain(
     applies the whole batch in ONE map-only pass over ``t`` (a literal
     merge-list fold — no join, no window, no shuffle for unchanged
     words). The pc update shuffles only the +/- pair deltas of CHANGED
-    words. Per round-trip: 3 jobs (collect top-K, checkpoint merged,
-    checkpoint pc) amortized over len(batch) merges — r9 spent ~4-5
-    jobs per single merge; ``t`` is now a pure projection of the
-    checkpointed ``merged`` and needs no checkpoint of its own.
+    words. Per round-trip: ONE job — ``merged`` and ``pc`` are LAZY
+    localCheckpoints, so the next trip's top-K collect materializes
+    pc <- delta <- merged <- t in the same job while still cutting
+    lineage — amortized over len(batch) merges; r9 spent ~4-5 jobs
+    per single merge. ``t`` is a pure projection of the checkpointed
+    ``merged`` and needs no checkpoint of its own.
 
     Saturation: an empty collect means no mergeable pair remains —
     stop emitting merges, keep ``t`` at the last merged state (the r8
@@ -3391,7 +3422,7 @@ def _bpe_deep_chain(
         merged = t.select(
             "word", "wcount", "toks",
             _bpe_apply_merges_col(F.col("toks"), merges).alias("mtoks"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         changed = merged.filter(F.size("mtoks") < F.size("toks"))
         delta = (
             changed.select(
@@ -3426,7 +3457,7 @@ def _bpe_deep_chain(
             .groupBy("a", "b")
             .agg(F.sum("w").cast("bigint").alias("w"))
             .filter(F.col("w") > 0)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         t = merged.select(
             "word", "wcount", F.col("mtoks").alias("toks")
@@ -3523,6 +3554,75 @@ def bpe_learn_merges_64(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REG_BPE["bpe_learn_merges_64"].oracle = _bpe_oracle(N_BPE_64)
+
+
+N_BPE_WIDE = 256
+
+
+def _bpe_wide_seed(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Word-level chain seed: the unit is a document's first
+    WIDE_WORDS words (identical prefixes group, like word types in
+    the char chain) and its token sequence is the word list — same
+    state machine, ~8x more distinct pairs on the driver corpus,
+    which is what supports a 256-merge run (the char corpus caps at
+    107 mergeable pairs, the r9 verdict's item 4). The truncation
+    exists for the ORACLE's sake: 256 recount steps materialize the
+    token table 256 times in DuckDB, so the seed bounds it at
+    ~3.8k rows while keeping merge capacity ~3.3k >= 256."""
+    d = _spread(_docs(spark, sf_dir))
+    lcol = F.slice(
+        F.filter(_words(), lambda x: x != ""), 1, WIDE_WORDS
+    )
+    v = d.select(lcol.alias("l")).groupBy("l").agg(
+        F.count(F.lit(1)).cast("bigint").alias("wcount")
+    )
+    t = v.select(
+        F.concat_ws(" ", "l").alias("word"),
+        "wcount",
+        F.col("l").alias("toks"),
+    ).localCheckpoint()
+    pc = _bpe_pair_counts(t).localCheckpoint()
+    return t, pc
+
+
+@query(
+    "bpe_learn_merges_wide",
+    survey="north-star text analysis: the deep BPE chain past the char "
+    f"corpus's 107-pair ceiling (r9 verdict item 4) — {N_BPE_WIDE} "
+    "WORD-level merges (units are document texts, tokens are words, "
+    "pairs are word bigrams), batched driver round-trips via the "
+    "_safe_batch exactness rule, hash-gated against the recount CTE "
+    f"chain unrolled {N_BPE_WIDE} steps; timing record in the "
+    "_bpe_deep_chain docstring",
+    description=f"First {N_BPE_WIDE} word-level BPE merges via batched "
+    "delta pair-count maintenance: step, pair, merged token, count",
+    oracle=None,  # set below: the recount chain, word-level seed
+)
+def bpe_learn_merges_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical state machine to bpe_learn_merges_64 — only the seed
+    differs (word sequences per text instead of char sequences per
+    word type), which is the point: the engine is unit-agnostic, and
+    word-level merges are how a phrase/ngram vocabulary or a
+    SentencePiece-style pre-tokenized BPE build would run. Merged
+    tokens concatenate like char BPE (token identity is the string),
+    mirrored exactly by the oracle."""
+    seed = _bpe_wide_seed(spark, sf_dir)
+    tops, _ = _bpe_deep_chain(spark, sf_dir, N_BPE_WIDE, seed=seed)
+    return _learn_table(spark, tops)
+
+
+#: DuckDB 1.0 binds a ~80-step recount chain at the default
+#: max_expression_depth of 1000 (each step's 5 windowed/joined CTEs
+#: cost ~12 depth units, measured); the 256-step chain needs the
+#: limit raised, and SET is only legal as its own statement — duckdb
+#: execute()/sql()/query() all run the pair and return the SELECT's
+#: result (verified against all three APIs).
+_REG_BPE["bpe_learn_merges_wide"].oracle = (
+    "SET max_expression_depth TO 4000;\n"
+    + _bpe_oracle(N_BPE_WIDE, _BPE_WORD_SEED)
+)
 
 
 @query(
