@@ -4,6 +4,7 @@ on a crafted repetitive doc and stay off for a diverse one."""
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 import tradecat_spark.plans.q_text as Q
 
@@ -648,6 +649,92 @@ def test_frozen_apply_tokenizes_unseen_words(spark, monkeypatch):
     train_toks = {r["word"]: list(r["toks"]) for r in final_t.collect()}
     for w, toks in train_toks.items():
         assert got[w] == toks, w
+
+
+def _ref_bpe_units(units, steps):
+    """Word-level recount reference: like _ref_bpe but over arbitrary
+    (token list, weight) units instead of words-as-char-sequences."""
+    seqs = [list(t) for t, _ in units]
+    wcs = [w for _, w in units]
+    merges = []
+    for step in range(steps):
+        stats: dict = {}
+        for s, w in zip(seqs, wcs):
+            for i in range(len(s) - 1):
+                k = (s[i], s[i + 1])
+                stats[k] = stats.get(k, 0) + w
+        if not stats:
+            break
+        (a, b), wt = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, wt))
+        for idx, s in enumerate(seqs):
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[idx] = out
+    return merges
+
+
+def test_bpe_hist_loop_matches_recount_reference():
+    """The centralized incremental loop (pair counts + unit index
+    maintained by deltas) must reproduce the full-recount reference
+    merge-for-merge on seeded random word-level corpora, including
+    deep tie-heavy tails and saturation."""
+    import random
+
+    rng = random.Random(20260815)
+    vocab = [f"w{i}" for i in range(12)]
+    for trial in range(5):
+        units = [
+            ([rng.choice(vocab) for _ in range(rng.randint(1, 9))],
+             rng.randint(1, 4))
+            for _ in range(60)
+        ]
+        n = 300  # deliberately past saturation on some trials
+        got = Q._bpe_hist_loop([(list(t), w) for t, w in units], n)
+        want = _ref_bpe_units([(list(t), w) for t, w in units], n)
+        assert got == want, trial
+
+
+def test_bpe_hist_loop_equals_distributed_chain(spark, monkeypatch):
+    """Interchangeability law (r10): the histogram-collect loop and
+    the distributed delta chain must learn the identical merge
+    sequence on the same seeded corpus."""
+    import random
+
+    rng = random.Random(20260817)
+    vocab = [f"w{i}" for i in range(10)]
+    docs = pd.DataFrame(
+        [
+            dict(
+                doc_id=i + 1,
+                text=" ".join(
+                    rng.choice(vocab) for _ in range(rng.randint(2, 10))
+                ),
+                lang="en", source="s", n_chars=0,
+            )
+            for i in range(50)
+        ]
+    )
+    df = spark.createDataFrame(docs)
+    monkeypatch.setattr(Q, "_docs", lambda s, d: df)
+    n = 24
+    seed = Q._bpe_wide_seed(spark, "unused")
+    dist, _ = Q._bpe_deep_chain(spark, "unused", n, seed=seed)
+    hist = [
+        (r["step"], r["left_tok"], r["right_tok"], r["pair_weight"])
+        for r in Q.bpe_learn_merges_wide_hist(spark, "unused")
+        .filter(F.col("step") <= n).orderBy("step").collect()
+    ]
+    want = [
+        (k, a, b, w) for k, (a, b, w) in enumerate(dist, start=1)
+    ]
+    assert hist == want
 
 
 def test_bpe_deep_chain_saturates_on_pair_exhaustion(spark, monkeypatch):

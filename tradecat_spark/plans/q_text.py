@@ -3323,6 +3323,8 @@ def _safe_batch(rows: list, k: int, remaining: int) -> list:
     last = len(rows) if complete else len(rows) - 1
     batch = [rows[0]]
     used = {rows[0]["a"], rows[0]["b"]}
+    lefts = {rows[0]["a"]}   # a_i of accepted merges
+    rights = {rows[0]["b"]}  # b_i of accepted merges
     for j in range(1, min(last, remaining)):
         cj = rows[j]
         if cj["w"] <= floor and not complete:
@@ -3333,9 +3335,7 @@ def _safe_batch(rows: list, k: int, remaining: int) -> list:
         for q in rows:
             if q["w"] < cj["w"]:
                 break  # sorted desc: nothing below can outrank j
-            if q["b"] in {r["a"] for r in batch} or (
-                q["a"] in {r["b"] for r in batch}
-            ):
+            if q["b"] in lefts or q["a"] in rights:
                 threat = True
                 break
         if threat:
@@ -3343,6 +3343,8 @@ def _safe_batch(rows: list, k: int, remaining: int) -> list:
         batch.append(cj)
         used.add(cj["a"])
         used.add(cj["b"])
+        lefts.add(cj["a"])
+        rights.add(cj["b"])
     return batch
 
 
@@ -3366,27 +3368,45 @@ def _bpe_deep_chain(
     applies the whole batch in ONE map-only pass over ``t`` (a literal
     merge-list fold — no join, no window, no shuffle for unchanged
     words). The pc update shuffles only the +/- pair deltas of CHANGED
-    words. Per round-trip: ONE job — ``merged`` and ``pc`` are LAZY
-    localCheckpoints, so the next trip's top-K collect materializes
-    pc <- delta <- merged <- t in the same job while still cutting
-    lineage — amortized over len(batch) merges; r9 spent ~4-5 jobs
-    per single merge. ``t`` is a pure projection of the checkpointed
-    ``merged`` and needs no checkpoint of its own.
+    words. Per round-trip: 3 jobs (collect top-K, checkpoint merged,
+    checkpoint pc) amortized over len(batch) merges — r9 spent ~4-5
+    jobs per single merge. ``t`` is a pure projection of the
+    checkpointed ``merged`` and needs no checkpoint of its own. The
+    pair-count frame coalesces to ONE partition before each cut: it
+    is vocab-bounded (distinct pairs), so a 32-reducer micro-shuffle
+    per step is pure task-scheduling overhead at test scale; at a
+    real 32k-merge vocab the coalesce width is the tunable, not the
+    design. (Lazy localCheckpoints looked like a 1-job-per-trip win
+    but accumulate task-graph depth — a ~150-trip chain dies in
+    StackOverflowError at task deserialization — so the cuts stay
+    eager.)
 
     Saturation: an empty collect means no mergeable pair remains —
     stop emitting merges, keep ``t`` at the last merged state (the r8
     advice fix; the oracle's LEFT-JOIN step mirrors it).
 
-    Measured (sf0.1, local[8]): r9's one-merge-per-trip form ran 64
-    merges in 35.9 s (~0.47 s/step flat; the r7 recount form hit a
-    superlinear wall at step 13: 8.7/40.1/196.6 s for steps 13-15).
-    r10's batched form runs the same 64 merges in 11.7 s — 21
-    round-trips, mean batch 3.0, ~0.18 s/merge — and the wide
-    word-level lane's 256 merges in 31.7 s (75 trips, mean batch 3.4);
-    per-merge cost tracks changed-word occurrences and the batch
-    factor, not corpus size or merge index. ``seed`` lets callers
-    swap the unit table (the wide lane seeds word-SEQUENCES per doc
-    instead of char sequences per word type)."""
+    Measured (sf0.01, local[8], r10): r9's one-merge-per-trip form
+    ran 64 char merges in 35.9 s (~0.47 s/step flat; the r7 recount
+    form hit a superlinear wall at step 13: 8.7/40.1/196.6 s for
+    steps 13-15). The batched form runs the same 64 merges in
+    14.1 s — 41 round-trips, mean batch 1.56, ~0.33 s/trip — and the
+    wide word-level lane's 256 merges in ~101-112 s (213-223 trips,
+    mean batch 1.15-1.20, max 6). Sweeping the candidate window
+    K = 12/32/2048 moved trips only 223/215/213: on Zipfian word
+    bigrams the batch factor is bounded by token SHARING among top
+    candidates and tie floors, not by the window — an exactness-rule
+    property, not a tuning gap. Per-merge cost tracks changed-word
+    occurrences and the batch factor, not corpus size or merge index;
+    the per-TRIP floor is Spark job scheduling (3 jobs x ~0.1 s). The
+    32k-merge conclusion this measures: distributed per-merge
+    iteration cannot amortize driver round-trips below ~1 per merge
+    on real corpora — the production build is ONE distributed corpus
+    pass to the vocab histogram, then a centralized merge loop over
+    that corpus-size-independent state (bpe_learn_merges_wide_hist),
+    with this delta chain as the fallback when the histogram itself
+    exceeds one node. ``seed`` lets callers swap the unit table (the
+    wide lane seeds word-SEQUENCES per doc instead of char sequences
+    per word type)."""
     if seed is not None:
         t, pc = seed
     else:
@@ -3399,8 +3419,8 @@ def _bpe_deep_chain(
         )
         t = v.select(
             "word", "wcount", _char_toks().alias("toks")
-        ).localCheckpoint()
-        pc = _bpe_pair_counts(t).localCheckpoint()
+        ).coalesce(1).localCheckpoint()
+        pc = _bpe_pair_counts(t).coalesce(1).localCheckpoint()
     tops: list[tuple[str, str, int]] = []
     import time as _time
 
@@ -3422,7 +3442,7 @@ def _bpe_deep_chain(
         merged = t.select(
             "word", "wcount", "toks",
             _bpe_apply_merges_col(F.col("toks"), merges).alias("mtoks"),
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint()
         changed = merged.filter(F.size("mtoks") < F.size("toks"))
         delta = (
             changed.select(
@@ -3457,7 +3477,8 @@ def _bpe_deep_chain(
             .groupBy("a", "b")
             .agg(F.sum("w").cast("bigint").alias("w"))
             .filter(F.col("w") > 0)
-            .localCheckpoint(eager=False)
+            .coalesce(1)
+            .localCheckpoint()
         )
         t = merged.select(
             "word", "wcount", F.col("mtoks").alias("toks")
@@ -3582,8 +3603,8 @@ def _bpe_wide_seed(
         F.concat_ws(" ", "l").alias("word"),
         "wcount",
         F.col("l").alias("toks"),
-    ).localCheckpoint()
-    pc = _bpe_pair_counts(t).localCheckpoint()
+    ).coalesce(1).localCheckpoint()
+    pc = _bpe_pair_counts(t).coalesce(1).localCheckpoint()
     return t, pc
 
 
@@ -3620,6 +3641,106 @@ def bpe_learn_merges_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: execute()/sql()/query() all run the pair and return the SELECT's
 #: result (verified against all three APIs).
 _REG_BPE["bpe_learn_merges_wide"].oracle = (
+    "SET max_expression_depth TO 4000;\n"
+    + _bpe_oracle(N_BPE_WIDE, _BPE_WORD_SEED)
+)
+
+
+def _bpe_hist_loop(
+    units: list[tuple[list[str], int]], n: int
+) -> list[tuple[str, str, int]]:
+    """Centralized incremental BPE over a collected unit histogram:
+    pair counts and a pair->units index maintained by deltas, argmax
+    by (weight desc, pair asc), greedy left-to-right apply — the same
+    algebra as _bpe_deep_chain, executed on one node. This is the
+    loop every production tokenizer trainer runs (HuggingFace
+    tokenizers, SentencePiece): the corpus pass is distributed, the
+    merge loop is not, because its state is vocab-bounded and
+    corpus-size-independent."""
+    from collections import defaultdict
+
+    seqs = [list(t) for t, _ in units]
+    wc = [w for _, w in units]
+    pc: dict = defaultdict(int)
+    occ: dict = defaultdict(set)  # pair -> unit ids that ever had it
+    for i, s in enumerate(seqs):
+        for p in zip(s, s[1:]):
+            pc[p] += wc[i]
+            occ[p].add(i)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n):
+        if not pc:
+            break  # saturated
+        (a, b), w = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, w))
+        for i in sorted(occ.get((a, b), ())):
+            s = seqs[i]
+            out, k = [], 0
+            while k < len(s):
+                if k + 1 < len(s) and s[k] == a and s[k + 1] == b:
+                    out.append(a + b)
+                    k += 2
+                else:
+                    out.append(s[k])
+                    k += 1
+            if len(out) == len(s):
+                continue  # stale index entry: pair already gone here
+            for p in zip(s, s[1:]):
+                pc[p] -= wc[i]
+                if pc[p] <= 0:
+                    pc.pop(p, None)
+            for p in zip(out, out[1:]):
+                pc[p] += wc[i]
+                occ[p].add(i)
+            seqs[i] = out
+    return merges
+
+
+@query(
+    "bpe_learn_merges_wide_hist",
+    survey="north-star text analysis: the PRODUCTION 32k-merge shape "
+    "(r9 verdict item 4's bottleneck, answered by measurement) — one "
+    "distributed corpus pass builds the word-sequence histogram, then "
+    "the merge loop runs CENTRALIZED over that vocab-bounded, corpus-"
+    "size-independent state (what HF tokenizers / SentencePiece do). "
+    f"Must equal bpe_learn_merges_wide row-for-row (all {N_BPE_WIDE} "
+    "merges) and is hash-gated against the same recount-chain oracle, "
+    "so the distributed delta chain and the centralized loop are "
+    "proven interchangeable",
+    description=f"First {N_BPE_WIDE} word-level BPE merges via the "
+    "histogram-collect + centralized incremental loop: step, pair, "
+    "merged token, count",
+    oracle=None,  # set below: the same word-level recount chain
+)
+def bpe_learn_merges_wide_hist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Why a driver-side loop is the RIGHT 100 TB answer here, when
+    everywhere else it is the wrong one: after the (distributed,
+    map-side-combined) histogram pass, BPE state is |word types| +
+    |pairs| — independent of corpus size. The measured per-merge
+    driver floor of the distributed chain (~1 Spark round-trip per
+    merge; see _bpe_deep_chain — token sharing among top candidates
+    caps exact batching at ~1.2x on Zipfian bigrams) puts a 32k-merge
+    build at ~100k scheduled jobs, i.e. days of pure scheduling; the
+    centralized loop does the same 256 merges in well under a second
+    after a one-job collect of ~476 histogram rows. The delta chain
+    remains the fallback for vocabularies too large for one node."""
+    d = _spread(_docs(spark, sf_dir))
+    lcol = F.slice(F.filter(_words(), lambda x: x != ""), 1, WIDE_WORDS)
+    v = (
+        d.select(lcol.alias("l"))
+        .groupBy("l")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wcount"))
+    )
+    units = [
+        (list(r["l"]), int(r["wcount"])) for r in v.collect()
+    ]
+    merges = _bpe_hist_loop(units, N_BPE_WIDE)
+    return _learn_table(spark, merges)
+
+
+_REG_BPE["bpe_learn_merges_wide_hist"].oracle = (
     "SET max_expression_depth TO 4000;\n"
     + _bpe_oracle(N_BPE_WIDE, _BPE_WORD_SEED)
 )
