@@ -30,6 +30,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_PRIORITY = (
     # --- r10 front (gate cap = 50): the queries born this round,
     "bpe_learn_merges_wide", "bpe_learn_merges_wide_hist",
+    "bpe_encode_frozen_wide",
     # then this round's changed lanes — the 5-store pipeline pair
     # (ANN code store composed in) and every BPE lane (batched driver
     # round-trips; the oracle step CTE's saturation fix changed ALL
@@ -53,7 +54,7 @@ _GATE_PRIORITY = (
     "ind_cdl_triples_parity", "ind_chart_patterns_parity",
     "indicator_batch_150x7", "indicator_surface_1h",
     "instruments_asof_enrich", "mm_audio_windows", "ntile_value_quartiles",
-    "pack_context_windows", "quality_bigram_logprob",
+    "pack_context_windows",
     "range_bin_join_law", "rollup_region_revenue", "signal_rule_events",
     "signal_rule_pack_129", "skew_salted_join_law",
     "streaming_chained_stateful", "streaming_cvd_parity",
@@ -152,6 +153,7 @@ _GATE_PRIORITY = (
     "asof_direction_variants", "ai_context_assembly",
     "streaming_session_append", "instruments_scd2_dim",
     "tpch_q18_large_orders", "tpch_q8_market_share", "zorder_curve_layout", "pivot_event_matrix",
+    "quality_bigram_logprob",
 )
 
 #: Empty since round 5: the r4 overflow pair (tpch_q15/q17) rotated

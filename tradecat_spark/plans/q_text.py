@@ -3747,6 +3747,81 @@ _REG_BPE["bpe_learn_merges_wide_hist"].oracle = (
 
 
 @query(
+    "bpe_encode_frozen_wide",
+    survey="north-star text analysis: the frozen apply at REAL merge-"
+    f"list depth — all {N_BPE_WIDE} word-level merges inlined as ONE "
+    "literal array and folded over each document's word sequence "
+    "map-side (no vocab join, no shuffle); the oracle replays the "
+    f"{N_BPE_WIDE}-step learn chain, so the gate proves the "
+    "list-apply == learn-loop-application law holds at 16x the depth "
+    "the char lane exercises (and that Catalyst handles a 256-element "
+    "literal merge table inside an aggregate HOF)",
+    description=f"Per doc: prefix word count, BPE token count under "
+    f"the frozen {N_BPE_WIDE}-merge word-level list, 6dp fertility",
+    oracle=None,  # set below: the word-level recount chain + encode
+)
+def bpe_encode_frozen_wide(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The merge list comes from the centralized histogram loop
+    (deterministic, sub-second — bpe_learn_merges_wide_hist gates it
+    equal to the distributed chain), so the encode side is a pure
+    scan: every doc's truncated word sequence folds through the same
+    256 literal merges. This is the deployed-tokenizer shape at the
+    wide lane's scale: model = driver-side literals, corpus pass =
+    map-only."""
+    d = _spread(_docs(spark, sf_dir))
+    lcol = F.slice(F.filter(_words(), lambda x: x != ""), 1, WIDE_WORDS)
+    v = (
+        d.select(lcol.alias("l"))
+        .groupBy("l")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wcount"))
+    )
+    units = [(list(r["l"]), int(r["wcount"])) for r in v.collect()]
+    learned = _bpe_hist_loop(units, N_BPE_WIDE)
+    if learned:
+        merges = F.array(*[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b, _ in learned
+        ])
+    else:
+        merges = F.array().cast("array<struct<a:string,b:string>>")
+    return d.select("doc_id", lcol.alias("l")).select(
+        "doc_id",
+        F.size("l").cast("bigint").alias("n_words"),
+        F.size(_bpe_apply_merges_col(F.col("l"), merges))
+        .cast("bigint").alias("n_bpe_tokens"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "n_bpe_tokens",
+        ratio6(F.col("n_bpe_tokens"), F.col("n_words")).alias("fertility"),
+    )
+
+
+_REG_BPE["bpe_encode_frozen_wide"].oracle = f"""SET max_expression_depth TO 4000;
+WITH {_bpe_ctes(N_BPE_WIDE, _BPE_WORD_SEED)},
+per_unit AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_toks
+  FROM s{N_BPE_WIDE}next GROUP BY word
+),
+docu AS (
+  SELECT doc_id, array_to_string(l, ' ') AS word,
+         CAST(len(l) AS BIGINT) AS n_words
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '')[1:{WIDE_WORDS}]
+             AS l
+    FROM documents
+  )
+)
+SELECT d.doc_id, d.n_words, p.n_toks AS n_bpe_tokens,
+       {ratio6_sql('p.n_toks', 'd.n_words')} AS fertility
+FROM docu d JOIN per_unit p USING (word)
+"""
+
+
+@query(
     "bpe_encode_fertility_deep",
     survey="north-star text analysis: encode under the DEEP (16-merge) "
     "tokenizer — per-doc BPE token counts and fertility with the "
