@@ -1938,7 +1938,10 @@ def _pipeline_delta(spark, sf_dir, with_embedding=False):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
             F.col("vec_id").alias("doc_id"), "embedding"
         )
-        d = d.join(emb, "doc_id")
+        # LEFT: the stream may be wider than its embedding coverage
+        # (true at sf0.1) — the pipeline indexes only vector-carrying
+        # rows and every doc still reaches the other four stores
+        d = d.join(emb, "doc_id", "left")
     return d
 
 
@@ -2007,7 +2010,8 @@ def test_ingest_pipeline_five_stores_off_one_stream(
     want_codes = sorted(
         (r["vec_id"], r["cell_label"], tuple(r["codes"]), r["xs2"])
         for r in ann.encode_vectors(
-            delta.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            delta.filter(F.col("embedding").isNotNull())
+            .select(F.col("doc_id").alias("vec_id"), "embedding"),
             *model,
         ).collect()
     )
@@ -2132,7 +2136,8 @@ def test_ingest_pipeline_crash_seam_before_ann_update(
     want = sorted(
         (r["vec_id"], r["cell_label"], tuple(r["codes"]), r["xs2"])
         for r in ann.encode_vectors(
-            delta.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            delta.filter(F.col("embedding").isNotNull())
+            .select(F.col("doc_id").alias("vec_id"), "embedding"),
             *model,
         ).collect()
     )

@@ -890,7 +890,12 @@ def _pipeline_assets(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text", "source")
         .filter(F.col("doc_id") % 10 == 0)
-        .join(emb, "doc_id")
+        # LEFT join: at sf0.1 only a subset of docs has embeddings,
+        # and an inner join would silently shrink the STREAM — every
+        # doc must still reach bronze/dedup/HLL/CMS; the ANN updater
+        # encodes only rows that carry a vector (caught by the r10
+        # sf0.1 full-sweep: 2835 vs 3572 checksum rows)
+        .join(emb, "doc_id", "left")
     )
     delta.repartition(2).write.mode("append").parquet(src)
     delta.repartition(2).write.mode("append").parquet(src)  # redelivery

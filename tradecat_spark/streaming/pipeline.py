@@ -108,7 +108,9 @@ def pipeline_batch(
     if ann_model is not None and "embedding" in batch.columns:
         from tradecat_spark.streaming.ann import index_batch
 
-        vecs = batch.select(
+        # only rows that carry a vector are indexable — a document
+        # stream is allowed to be wider than its embedding coverage
+        vecs = batch.filter(F.col("embedding").isNotNull()).select(
             F.col("doc_id").alias("vec_id"), "embedding"
         )
         index_batch(spark, vecs, batch_id, ann_model, dirs["ann_store"])
