@@ -661,3 +661,19 @@ def test_ann_index_search_reads_store_not_reencode(spark, sf_dir, tmp_path):
         out._jdf.queryExecution().executedPlan().toString()
     rows = out.collect()
     assert len(rows) == 9  # 3 queries x top-3
+
+
+def test_frozen_wide_encode_is_map_only(spark, sf_dir):
+    """bpe_encode_frozen_wide is the deployed-tokenizer scan shape:
+    after the merge list is learned (driver-side literals), encoding
+    must be ONE map-side pass — the only Exchange in the plan is the
+    explicit round-robin spread, never a join or aggregation shuffle,
+    and the 256-merge table rides inside the fold expression, not a
+    join."""
+    from tradecat_spark.plans.registry import load_all
+
+    df = load_all()["bpe_encode_frozen_wide"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan  # the spread only
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "HashAggregate"):
+        assert op not in plan, op

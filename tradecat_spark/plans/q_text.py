@@ -3724,7 +3724,8 @@ def bpe_learn_merges_wide_hist(
     caps exact batching at ~1.2x on Zipfian bigrams) puts a 32k-merge
     build at ~100k scheduled jobs, i.e. days of pure scheduling; the
     centralized loop does the same 256 merges in well under a second
-    after a one-job collect of ~476 histogram rows. The delta chain
+    after a one-job collect of the histogram (~476 rows
+    at sf0.01, ~4.8k at sf0.1 — vocab-scaled, never corpus-scaled). The delta chain
     remains the fallback for vocabularies too large for one node."""
     d = _spread(_docs(spark, sf_dir))
     lcol = F.slice(F.filter(_words(), lambda x: x != ""), 1, WIDE_WORDS)
