@@ -777,3 +777,58 @@ def test_bpe_deep_chain_saturates_on_pair_exhaustion(spark, monkeypatch):
     assert (
         int(f.n_words[0]), int(f.n_char_tokens[0]), int(f.n_bpe_tokens[0])
     ) == (3, 6, 3)
+
+
+def _rows(*tups):
+    return [dict(a=a, b=b, w=w) for a, b, w in tups]
+
+
+def test_safe_batch_exactness_edges():
+    """Unit pins for the batch-selection rule's proof obligations."""
+    # disjoint candidates above the floor batch together
+    got = Q._safe_batch(
+        _rows(("a", "b", 9), ("c", "d", 8), ("e", "f", 7), ("g", "h", 1)),
+        k=12, remaining=10,
+    )
+    assert [(r["a"], r["b"]) for r in got] == [("a", "b"), ("c", "d"),
+                                              ("e", "f"), ("g", "h")]
+    # token sharing stops the prefix (b reused as left token)
+    got = Q._safe_batch(
+        _rows(("a", "b", 9), ("b", "c", 8), ("x", "y", 7)),
+        k=12, remaining=10,
+    )
+    assert len(got) == 1
+    # floor: with k rows collected, the last row's weight is the
+    # uncollected ceiling — a candidate tied with it must not batch
+    got = Q._safe_batch(
+        _rows(("a", "b", 9), ("c", "d", 5), ("e", "f", 5)),
+        k=3, remaining=10,
+    )
+    assert len(got) == 1
+    # threat: (x, a) carries weight >= candidate (c, d), so merging
+    # (a, b) could create (x, ab) with up to weight 8, outranking
+    # (c, d) at its turn — rows in exact (w desc, a, b) driver order
+    got = Q._safe_batch(
+        _rows(("a", "b", 9), ("c", "d", 8), ("x", "a", 8), ("z", "z", 1)),
+        k=12, remaining=10,
+    )
+    assert len(got) == 1
+    # no threat once (x, a) sorts strictly below the candidate: the
+    # new pair (x, ab) is bounded by 6 < 7, so (c, d) batches
+    got = Q._safe_batch(
+        _rows(("a", "b", 9), ("c", "d", 7), ("x", "a", 6), ("z", "z", 1)),
+        k=12, remaining=10,
+    )
+    assert [(r["a"], r["b"]) for r in got] == [("a", "b"), ("c", "d")]
+    # self-pair blocks successors through its own adjacency row
+    got = Q._safe_batch(
+        _rows(("a", "a", 9), ("c", "d", 8), ("e", "f", 7)),
+        k=12, remaining=10,
+    )
+    assert len(got) == 1
+    # remaining caps the batch
+    got = Q._safe_batch(
+        _rows(("a", "b", 9), ("c", "d", 8), ("e", "f", 7), ("g", "h", 6)),
+        k=12, remaining=2,
+    )
+    assert len(got) == 2
