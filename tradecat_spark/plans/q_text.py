@@ -3376,10 +3376,15 @@ def _bpe_deep_chain(
     is vocab-bounded (distinct pairs), so a 32-reducer micro-shuffle
     per step is pure task-scheduling overhead at test scale; at a
     real 32k-merge vocab the coalesce width is the tunable, not the
-    design. (Lazy localCheckpoints looked like a 1-job-per-trip win
+    design. Per-trip floor, profiled at sf0.01: collect 0.04 s +
+    merged cut 0.10 s + pc cut 0.22 s. Two tried-and-rejected
+    alternatives, recorded so they are not re-chased: lazy
+    localCheckpoints (eager=False) looked like a 1-job-per-trip win
     but accumulate task-graph depth — a ~150-trip chain dies in
-    StackOverflowError at task deserialization — so the cuts stay
-    eager.)
+    StackOverflowError at task deserialization; cutting pc only every
+    4th trip moves the cost into the collect (0.04 -> 0.30 s/trip,
+    re-executing the uncut union chain per argmax) for a NET loss
+    (0.37 -> 0.57 s/trip). The cuts stay eager and per-trip.
 
     Saturation: an empty collect means no mergeable pair remains —
     stop emitting merges, keep ``t`` at the last merged state (the r8
