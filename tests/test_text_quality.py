@@ -779,6 +779,47 @@ def test_bpe_deep_chain_saturates_on_pair_exhaustion(spark, monkeypatch):
     ) == (3, 6, 3)
 
 
+def test_frozen_wide_drops_wordless_docs_like_the_oracle(
+    spark, monkeypatch
+):
+    """A document with no words has no token rows in the oracle's
+    learn chain, so its per-unit join drops it — the Spark side must
+    drop it too instead of emitting an n_words=0 row (latent parity
+    gap found in r10 self-review; the driver corpus has no empty
+    docs, so only this test exercises it). Both engines run for real
+    on the same 3-doc corpus, saturation and all."""
+    import duckdb
+
+    docs = pd.DataFrame(
+        [
+            dict(doc_id=1, text="alpha beta alpha beta", lang="en",
+                 source="s", n_chars=0),
+            dict(doc_id=2, text="", lang="en", source="s", n_chars=0),
+            dict(doc_id=3, text="beta gamma", lang="en", source="s",
+                 n_chars=0),
+        ]
+    )
+    df = spark.createDataFrame(docs)
+    monkeypatch.setattr(Q, "_docs", lambda s, d: df)
+    got = (
+        Q.bpe_encode_frozen_wide(spark, "unused")
+        .orderBy("doc_id").toPandas()
+    )
+    assert list(got.doc_id) == [1, 3]
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    from tradecat_spark.plans.registry import REGISTRY
+
+    want = (
+        con.execute(REGISTRY["bpe_encode_frozen_wide"].oracle)
+        .df().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(want.doc_id) == [1, 3]
+    assert list(got.n_bpe_tokens) == list(want.n_bpe_tokens)
+    assert list(got.n_words) == list(want.n_words)
+
+
 def _rows(*tups):
     return [dict(a=a, b=b, w=w) for a, b, w in tups]
 

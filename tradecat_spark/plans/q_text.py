@@ -3792,7 +3792,12 @@ def bpe_encode_frozen_wide(
         ])
     else:
         merges = F.array().cast("array<struct<a:string,b:string>>")
-    return d.select("doc_id", lcol.alias("l")).select(
+    # wordless docs drop on BOTH engines: the oracle's per-unit join
+    # has no token rows for an empty unit, so keeping them here would
+    # be a silent parity gap on any corpus with an empty text
+    return d.select("doc_id", lcol.alias("l")).filter(
+        F.size("l") > 0
+    ).select(
         "doc_id",
         F.size("l").cast("bigint").alias("n_words"),
         F.size(_bpe_apply_merges_col(F.col("l"), merges))
