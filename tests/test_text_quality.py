@@ -861,6 +861,22 @@ def test_safe_batch_exactness_edges():
         k=12, remaining=10,
     )
     assert [(r["a"], r["b"]) for r in got] == [("a", "b"), ("c", "d")]
+    # TOKEN-STRING COLLISION: "ab" already exists as a token (the
+    # collected pair (x, ab) proves it), so merging (a, b) can GAIN
+    # count for (x, ab) — the one way an old pair grows; must solo
+    got = Q._safe_batch(
+        _rows(("a", "b", 9), ("x", "ab", 8), ("c", "d", 7)),
+        k=12, remaining=10,
+    )
+    assert len(got) == 1
+    # incomplete collection: a candidate above the floor but not
+    # above TWICE the floor can be outranked by an uncollected old
+    # pair gaining through an uncollected neighbor (floor + floor)
+    got = Q._safe_batch(
+        _rows(("a", "b", 9), ("c", "d", 7), ("e", "f", 4)),
+        k=3, remaining=10,
+    )
+    assert len(got) == 1
     # self-pair blocks successors through its own adjacency row
     got = Q._safe_batch(
         _rows(("a", "a", 9), ("c", "d", 8), ("e", "f", 7)),

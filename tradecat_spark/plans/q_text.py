@@ -3291,31 +3291,45 @@ def _safe_batch(rows: list, k: int, remaining: int) -> list:
     pytest on random corpora):
 
     * Applying merge (a, b) only DESTROYS adjacencies involving a or b
-      and only CREATES adjacencies involving the new token ab — so an
-      old pair sharing no token with any applied merge keeps its exact
-      count, and old pairs never gain count.
-    * A created pair's count is bounded by an OLD neighbor pair:
-      count(x, ab) <= count_old(x, a) and count(ab, y) <=
-      count_old(b, y) (each new adjacency maps 1:1 onto an old one).
-      Transitively the same bound holds for new-new pairs within the
-      batch, e.g. count(ab, cd) <= count_old(b, c).
+      and only CREATES adjacencies involving the token string ab — so
+      an old pair sharing no token with any applied merge and not
+      containing the string ab keeps its exact count.
+    * TOKEN-STRING COLLISIONS are the one way an OLD pair can GAIN
+      count: if ab already existed as a token (reachable by a
+      different merge split, e.g. "a"+"bc" vs "ab"+"c" both making
+      "abc"), pairs like (x, ab) pick up the new adjacencies. Guard:
+      if ANY collected pair contains the merged string of an accepted
+      candidate as a token, stop the batch — every collected pair has
+      weight >= floor, which is exactly enough for old + gain to
+      reach w_j under the bounds below, so none may exist.
+    * A created adjacency maps 1:1 onto an old neighbor pair:
+      gain(x, ab) <= count_old(x, a) and gain(ab, y) <=
+      count_old(b, y); transitively the same bound covers new-new
+      pairs within the batch, e.g. (ab, cd) <= count_old(b, c).
     * Uncollected pairs sort strictly after the k-th collected row, so
       their counts (and any bound routed through them) are <= floor.
 
     Candidate j is therefore still the true argmax at its turn if all
     accepted i < j are token-disjoint from it (its count is then
-    untouched), its weight strictly exceeds the floor (no uncollected
-    pair or bound can reach it), every earlier-sorted collected row is
-    an ACCEPTED, fully-consumed candidate (prefix rule — a rejected
-    row would still be sitting there outranking j), and no collected
-    pair q adjacent to an accepted merge (q.b == a_i or q.a == b_i —
-    the new-pair bounds above) has q.w >= w_j. Self-pairs (a, a) need
-    no special case: such a merge's own row is adjacent to itself, so
-    the threat check stops the batch right after it.
+    untouched), every earlier-sorted collected row is an ACCEPTED,
+    fully-consumed candidate (prefix rule — a rejected row would
+    still be sitting there outranking j), and no pair's post-batch
+    count can reach (w_j, key_j): w_j > 2*floor covers any
+    uncollected old pair gaining through an uncollected neighbor
+    (<= floor + floor); a collected neighbor q of an accepted merge
+    (q.b == a_i or q.a == b_i) caps a gain at q.w, and the gained
+    pair's own old count is <= floor (collected collision pairs
+    already stopped the batch), so q is a threat once
+    q.w >= w_j - floor; collected collision pairs are threats
+    outright. Self-pairs (a, a) need no special case: such a merge's
+    own row is adjacent to itself, so the threat check stops the
+    batch right after it.
 
     When fewer than ``k`` rows exist the collection is COMPLETE (pc
-    has no uncollected pairs): the floor drops away and the last row
-    is a real candidate — endgame batches can drain the tail fast."""
+    has no uncollected pairs): floor = 0, every bound above
+    tightens to the plain adjacency/collision checks, and the last
+    row is a real candidate — endgame batches can drain the tail
+    fast."""
     if not rows:
         return []
     complete = len(rows) < k
@@ -3325,19 +3339,27 @@ def _safe_batch(rows: list, k: int, remaining: int) -> list:
     used = {rows[0]["a"], rows[0]["b"]}
     lefts = {rows[0]["a"]}   # a_i of accepted merges
     rights = {rows[0]["b"]}  # b_i of accepted merges
+    merged_strs = {rows[0]["a"] + rows[0]["b"]}
     for j in range(1, min(last, remaining)):
         cj = rows[j]
-        if cj["w"] <= floor and not complete:
+        if cj["w"] <= 2 * floor:
             break
         if cj["a"] in used or cj["b"] in used:
             break
-        threat = False
-        for q in rows:
-            if q["w"] < cj["w"]:
-                break  # sorted desc: nothing below can outrank j
-            if q["b"] in lefts or q["a"] in rights:
-                threat = True
-                break
+        # collision scan covers EVERY collected row (all have
+        # weight >= floor, enough to gain past w_j); the adjacency
+        # scan only needs rows down to w_j - floor
+        threat = any(
+            q["a"] in merged_strs or q["b"] in merged_strs
+            for q in rows
+        )
+        if not threat:
+            for q in rows:
+                if q["w"] < cj["w"] - floor:
+                    break  # sorted desc: nothing below threatens j
+                if q["b"] in lefts or q["a"] in rights:
+                    threat = True
+                    break
         if threat:
             break
         batch.append(cj)
@@ -3345,6 +3367,7 @@ def _safe_batch(rows: list, k: int, remaining: int) -> list:
         used.add(cj["b"])
         lefts.add(cj["a"])
         rights.add(cj["b"])
+        merged_strs.add(cj["a"] + cj["b"])
     return batch
 
 
