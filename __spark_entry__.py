@@ -22,32 +22,79 @@ def entry(spark: SparkSession) -> DataFrame:
     return specs["flagship_rank_24h_change"].fn(spark, "/root/testdata/sf0.001")
 
 
-#: Names front-loaded in queries()/oracle_sql() iteration order. The
-#: driver's gate checks the first ~50, so the rotation policy is:
-#: queries added or changed THIS round first, then the oldest ledger
-#: cohort (tools/gate_ledger.py tracks vintages; test_gate_rotation
-#: enforces that nothing never-checked sits past the cap).
-_GATE_PRIORITY = (
-    # --- r10 front (gate cap = 50): the queries born this round,
+#: The r11 gate-front declaration, validated mechanically by
+#: ``tools/gate_ledger.py::composition`` (r10 verdict item 1: the
+#: hand-counted front prose was off by two in three places — counts are
+#: now generated). Categories: ``born`` = registered this round (no
+#: ledger row); ``changed`` = lanes whose code changed this round
+#: (standing r9 policy: a rows-only lane's checksum twin re-enters the
+#: front whenever its lane changes — the pipeline pair is here because
+#: r11 touches ``streaming/pipeline.py`` / ``_pipeline_assets``);
+#: ``stale_twins`` = checksum twins owed a re-pin by the staleness
+#: bound (r10 verdict item 5: last driver check >= 2 rounds behind —
+#: the four indicator/signal twins are r9-vintage). Every remaining
+#: slot is filled oldest-ledger-cohort-first; the composition line
+#: below is the tool's output, pinned by test_gate_rotation.
+#:
+#: front r11 = 2 changed-lane + 4 stale-twin + 11 r4 + 33 r5
+#: (50 slots); deferred 8 r5
+_GATE_FRONT = {
+    "round": 11,
+    "born": (),
+    "changed": ("streaming_pipeline_stores", "streaming_pipeline_checksum"),
+    "stale_twins": (
+        "indicator_batch_checksum", "indicator_surface_checksum",
+        "signal_pack_subset_checksum", "signal_rule_events_checksum",
+    ),
+}
+
+#: The 11 rows still at r4 vintage after the r10 front (all re-greened
+#: here in r11 → zero r4-vintage rows remain, closing verdict item 1).
+_R4_COHORT = (
+    "ai_context_assembly", "asof_direction_variants", "ind_cdl_wide_parity",
+    "instruments_scd2_dim", "pivot_event_matrix", "quality_bigram_logprob",
+    "sessionize_user_events", "streaming_session_append",
+    "tpch_q18_large_orders", "tpch_q8_market_share", "zorder_curve_layout",
+)
+
+#: 33 of the 41-row r5 cohort — the 8 deferred to r12
+#: (asof_purchase_context, bucketed_colocated_join,
+#: cdc_incremental_equivalence, cube_corpus_stats, gapfill_locf_1h,
+#: kmv_merge_law, pagerank_similarity_graph, quantile_error_eval) are
+#: exactly rows the r10 verdict independently re-checked MATCH itself —
+#: the lowest-risk tail.
+_R5_FRONT = (
+    "calendar_completeness", "chart_intraday_volatility",
+    "cms_frequency_law", "customers_without_orders", "daily_market_share",
+    "dedup_substring_spans", "embedding_random_projection",
+    "flagship_rank_24h_change", "ind_tail_runs", "latest_event_per_user",
+    "lead_gaps_10m", "meta_join_1h", "nation_revenue_share",
+    "ohlcv_cascade_1h", "ohlcv_rollup_5m", "orderbook_l1_stats",
+    "orders_with_discounted_lines", "priority_symbol_union",
+    "realtime_union_view", "rp_recall_eval", "top3_events_per_user",
+    "top_customers_by_spend", "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution", "tpch_q16_parts_supplier_counts",
+    "tpch_q17_small_qty_revenue", "tpch_q1_pricing_summary",
+    "tpch_q20_excess_shippers", "tpch_q21_suppliers_kept_waiting",
+    "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority",
+    "tpch_q5_region_revenue", "tpch_q9_product_type_profit",
+)
+
+_FRONT = (
+    *_GATE_FRONT["born"], *_GATE_FRONT["changed"],
+    *_GATE_FRONT["stale_twins"], *_R4_COHORT, *_R5_FRONT,
+)
+
+#: Previously green, unchanged code — behind the front, order
+#: irrelevant past the cap (duplicates of _FRONT are filtered out when
+#: _GATE_PRIORITY is assembled below).
+_GATE_TAIL = (
     "bpe_learn_merges_wide", "bpe_learn_merges_wide_hist",
     "bpe_encode_frozen_wide",
-    # then this round's changed lanes — the 5-store pipeline pair
-    # (ANN code store composed in) and every BPE lane (batched driver
-    # round-trips; the oracle step CTE's saturation fix changed ALL
-    # bpe oracles' SQL). Standing policy (r9 verdict item 6): a
-    # rows-only lane's checksum twin re-enters this front whenever
-    # its lane changes — streaming_pipeline_checksum is here for
-    # exactly that reason; the other four no_oracle twins
-    # (indicator_surface/batch, signal_rule_events,
-    # signal_pack_subset) had no lane change in r10 and were all
-    # re-pinned green in the r9 artifact.
     "streaming_pipeline_stores", "streaming_pipeline_checksum",
     "bpe_learn_merges_64", "bpe_learn_merges_deep", "bpe_encode_frozen",
     "bpe_encode_fertility_deep", "bpe_learn_merges",
     "bpe_compression_curve", "bpe_encode_fertility",
-    # then 40 of the 49-row r4 cohort (the oldest vintage post-r9;
-    # the 9 deferred to r11 are exactly ones the r9 verdict
-    # independently re-checked MATCH itself — lowest-risk tail)
     "approx_quantiles_sample", "bloom_prejoin_law", "cluster_assignments",
     "cohort_retention", "data_contract_expectations", "funnel_conversion",
     "ind_cdl_pairs_parity", "ind_cdl_singles_parity",
@@ -66,7 +113,6 @@ _GATE_PRIORITY = (
     "tpch_q22_global_sales_opportunity", "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
     "unpivot_daily_metrics",
-    # --- previously green, unchanged code -> behind the front
     "ann_ivfadc_search_frozen", "ann_ivfadc_search", "ann_ivfadc_recall",
     "ann_ivfadc_nprobe_curve", "streaming_ann_index", "ind_fib_vwma_bands",
     "ind_futures_gap_monitor", "ind_futures_risk_score",
@@ -154,6 +200,10 @@ _GATE_PRIORITY = (
     "streaming_session_append", "instruments_scd2_dim",
     "tpch_q18_large_orders", "tpch_q8_market_share", "zorder_curve_layout", "pivot_event_matrix",
     "quality_bigram_logprob",
+)
+
+_GATE_PRIORITY = _FRONT + tuple(
+    n for n in _GATE_TAIL if n not in set(_FRONT)
 )
 
 #: Empty since round 5: the r4 overflow pair (tpch_q15/q17) rotated

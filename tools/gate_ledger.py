@@ -28,6 +28,131 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 GATE_CAP = 50
 
+#: rows-only queries → the checksum twin that carries value evidence.
+#: Canonical here; tools/gen_query_index.py renders it into QUERIES.md.
+TWIN_OF = {
+    "indicator_surface_1h": "indicator_surface_checksum",
+    "indicator_batch_150x7": "indicator_batch_checksum",
+    "signal_rule_events": "signal_rule_events_checksum",
+    "signal_rule_pack_129": "signal_pack_subset_checksum",
+    "streaming_pipeline_stores": "streaming_pipeline_checksum",
+}
+
+#: Twin staleness bound (r10 verdict item 5): the standing policy
+#: re-pins a twin when its LANE changes, but nothing re-pinned one whose
+#: lane never changes — the four indicator/signal twins sat at
+#: r9-vintage while their rows-only lanes were re-run every round. A
+#: twin whose last driver check is >= this many rounds behind the next
+#: round MUST occupy a gate slot (tests/test_gate_rotation.py enforces
+#: it like the never-checked rule).
+TWIN_STALE_GAP = 2
+
+
+def next_round(ledger: dict[str, dict]) -> int:
+    """The round the CURRENT gate front is being composed for: one past
+    the newest CORRECTNESS artifact on disk."""
+    return max(r["last_checked_round"] for r in ledger.values()) + 1
+
+
+def stale_twins(ledger: dict[str, dict]) -> list[str]:
+    """Checksum twins owed a re-pin: never checked, or last checked
+    TWIN_STALE_GAP+ rounds before the upcoming one."""
+    n = next_round(ledger)
+    out = []
+    for twin in sorted(set(TWIN_OF.values())):
+        row = ledger.get(twin)
+        if row is None or n - row["last_checked_round"] >= TWIN_STALE_GAP:
+            out.append(twin)
+    return out
+
+
+def composition(ledger: dict[str, dict], slots: list[str], front: dict):
+    """Validate the declared front (``__spark_entry__._GATE_FRONT``)
+    against the ledger and the actual gate slots, and return the
+    human-readable composition line for README/_GATE_PRIORITY. The r10
+    verdict found hand-counted composition prose off by two in three
+    places — this makes the counts generated, not remembered.
+
+    Returns (line, errors). ``line`` is None when the declared round no
+    longer matches the ledger (a newer artifact landed — rotate first).
+    """
+    errors: list[str] = []
+    n = next_round(ledger)
+    if front.get("round") != n:
+        return None, [
+            f"_GATE_FRONT is for round {front.get('round')} but the newest "
+            f"artifact implies round {n} — rotate the front before "
+            f"composing prose"
+        ]
+    born = list(front.get("born", ()))
+    changed = list(front.get("changed", ()))
+    stale = list(front.get("stale_twins", ()))
+    for name in born:
+        if name in ledger:
+            errors.append(
+                f"'{name}' declared born-this-round but has a ledger row "
+                f"(last checked r{ledger[name]['last_checked_round']})"
+            )
+    slot_set = set(slots)
+    for cat, names in (("born", born), ("changed", changed),
+                       ("stale_twins", stale)):
+        for name in names:
+            if name not in slot_set:
+                errors.append(f"{cat} query '{name}' is not in the gate "
+                              f"window _GATE_PRIORITY[:{GATE_CAP}]")
+    for twin in stale_twins(ledger):
+        if twin not in slot_set:
+            errors.append(
+                f"stale twin '{twin}' (last check >= {TWIN_STALE_GAP} "
+                f"rounds old) must be re-pinned in the gate window"
+            )
+    categorized = set(born) | set(changed) | set(stale)
+    cohort_slots = [s for s in slots if s not in categorized]
+    vintages: dict[int, int] = {}
+    for s in cohort_slots:
+        row = ledger.get(s)
+        if row is None:
+            errors.append(f"slot '{s}' is uncategorized and has no ledger "
+                          f"row — declare it in _GATE_FRONT['born']")
+            continue
+        vintages[row["last_checked_round"]] = (
+            vintages.get(row["last_checked_round"], 0) + 1
+        )
+    # Oldest-cohort fill rule: a vintage may appear in the cohort slots
+    # only if every OLDER vintage is exhausted (fully in slots or
+    # categorized). The youngest vintage used may be partial — those
+    # leftovers are the round's deferred set.
+    used = sorted(vintages)
+    deferred: list[str] = []
+    if used:
+        youngest_used = used[-1]
+        for name, row in ledger.items():
+            v = row["last_checked_round"]
+            if name in slot_set or name in categorized:
+                continue
+            if v < youngest_used:
+                errors.append(
+                    f"'{name}' (r{v}-vintage) is deferred while younger "
+                    f"r{youngest_used} rows hold cohort slots — fill "
+                    f"oldest cohorts first"
+                )
+            elif v == youngest_used:
+                deferred.append(name)
+    parts = []
+    if born:
+        parts.append(f"{len(born)} born")
+    if changed:
+        parts.append(f"{len(changed)} changed-lane")
+    if stale:
+        parts.append(f"{len(stale)} stale-twin")
+    parts += [f"{vintages[v]} r{v}" for v in used]
+    defer_txt = (
+        f"deferred {len(deferred)} r{used[-1]}" if deferred else "deferred 0"
+    )
+    line = (f"front r{n} = " + " + ".join(parts)
+            + f" ({len(slots)} slots); {defer_txt}")
+    return line, errors
+
 
 def build_ledger() -> dict[str, dict]:
     ledger: dict[str, dict] = {}
@@ -131,7 +256,18 @@ def main() -> int:
         return 1
     print("rotation OK: all never-green queries are in the gate window "
           "or explicitly acknowledged for next round")
-    return 0
+    front = getattr(entry, "_GATE_FRONT", None)
+    if front is None:
+        print("no _GATE_FRONT declared — composition line unavailable")
+        return 1
+    line, errors = composition(ledger, slots, front)
+    for e in errors:
+        print(f"FRONT ERROR: {e}")
+    if line:
+        print(f"composition: {line}")
+        print("(paste that line verbatim into README.md and the "
+              "_GATE_PRIORITY comment — test_gate_rotation pins it)")
+    return 1 if errors else 0
 
 
 if __name__ == "__main__":
