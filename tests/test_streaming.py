@@ -2148,6 +2148,128 @@ def test_ingest_pipeline_crash_seam_before_ann_update(
     assert got == want
 
 
+def test_ingest_pipeline_crash_inside_ann_two_step_commit(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r10 verdict item 6: the seam INSIDE the ANN updater's two-step
+    body — after the re-publish screen has read the store but before
+    the code commit (``upsert_codes``) — driven through the COMPOSED
+    pipeline (the dedup store got exactly this treatment in r8). The
+    crashed batch RE-PUBLISHES part of an earlier batch's vectors, so
+    the screen is live (non-trivially filtering) at the crash point.
+    After the crash the code store must be byte-stable at the earlier
+    batch's rows while the four upstream stores already carry the
+    crashed batch (their commits precede the ANN step); the whole-body
+    replay must converge every store to the single-delivery state."""
+    from tradecat_spark.operators.cms import cms_counts
+    from tradecat_spark.operators.hll import registers
+    from tradecat_spark.streaming import ann
+    from tradecat_spark.streaming import pipeline as pl
+    from tradecat_spark.streaming import sketch as sk
+
+    base, _ = _dedup_fixtures(spark, sf_dir)
+    delta = _pipeline_delta(spark, sf_dir, with_embedding=True)
+    root = str(tmp_path / "pipe")
+    dirs = pl.pipeline_dirs(root)
+    _seed_base_store(spark, base, dirs["sig_store"])
+    model_dir = _pipeline_model(spark, sf_dir, tmp_path)
+    model = ann.load_ann_model(spark, model_dir)
+
+    b1 = delta.filter(F.col("doc_id") % 20 == 0)
+    b2 = delta  # includes every b1 doc: a recrawl re-publication
+    pl.pipeline_batch(spark, b1, 3, dirs, ann_model=model)
+    codes_b1 = sorted(
+        (r["vec_id"], r["cell_label"], tuple(r["codes"]), r["xs2"])
+        for r in ann.read_index(spark, dirs["ann_store"]).collect()
+    )
+    assert codes_b1  # the screen below must have rows to filter on
+
+    real = ann.upsert_codes
+    monkeypatch.setattr(
+        ann, "upsert_codes",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        pl.pipeline_batch(spark, b2, 4, dirs, ann_model=model)
+    # code store untouched: screen ran, commit never did
+    got_crash = sorted(
+        (r["vec_id"], r["cell_label"], tuple(r["codes"]), r["xs2"])
+        for r in ann.read_index(spark, dirs["ann_store"]).collect()
+    )
+    assert got_crash == codes_b1
+    # the four upstream stores already committed the crashed batch;
+    # verdicts are a PER-BATCH sink, so re-published b1 docs correctly
+    # hold a verdict under batch 3 AND batch 4 (a recrawl re-screens)
+    v_crash = _verdict_pdf(spark, dirs["verdicts"])
+    assert sorted(v_crash.doc_id) == sorted(
+        [r["doc_id"] for r in b1.select("doc_id").collect()]
+        + [r["doc_id"] for r in b2.select("doc_id").collect()]
+    )
+    regs_crash = sorted(map(tuple, sk.read_registers(
+        spark, dirs["hll_store"]).collect()))
+
+    monkeypatch.setattr(ann, "upsert_codes", real)
+    pl.pipeline_batch(spark, b2, 4, dirs, ann_model=model)
+
+    # earlier stores byte-stable across the replay
+    assert _verdict_pdf(spark, dirs["verdicts"]).equals(v_crash)
+    assert sorted(map(tuple, sk.read_registers(
+        spark, dirs["hll_store"]).collect())) == regs_crash
+    assert regs_crash == sorted(
+        map(tuple, registers(pl.events_view(delta)).collect())
+    )
+    # CMS: each batch's partial overwrote itself on replay — the grid
+    # equals the batch fold over b1-then-b2 delivery (re-delivery of
+    # b1 docs under batch 4 is real frequency signal, by design)
+    ev_both = pl.events_view(b1).unionByName(pl.events_view(b2))
+    assert sorted(map(tuple, sk.read_cms(
+        spark, dirs["cms_store"]).collect())) == \
+        sorted(map(tuple, cms_counts(ev_both).collect()))
+    # code store converges to exactly-once: one row per distinct
+    # vector, equal to the one-shot batch encode — the re-published
+    # b1 vectors kept their first-commit rows (deterministic codes)
+    want = sorted(
+        (r["vec_id"], r["cell_label"], tuple(r["codes"]), r["xs2"])
+        for r in ann.encode_vectors(
+            delta.filter(F.col("embedding").isNotNull())
+            .select(F.col("doc_id").alias("vec_id"), "embedding"),
+            *model,
+        ).collect()
+    )
+    got = sorted(
+        (r["vec_id"], r["cell_label"], tuple(r["codes"]), r["xs2"])
+        for r in ann.read_index(spark, dirs["ann_store"]).collect()
+    )
+    assert got == want
+
+
+def test_pipeline_ann_model_without_embedding_column_raises(
+    spark, sf_dir, tmp_path
+):
+    """r10 ADVICE: supplying a frozen model is an explicit request for
+    the ANN store — a stream that lacks the 'embedding' column (e.g. a
+    mis-named caller column) must fail loudly, in pipeline_batch AND at
+    start_ingest_pipeline start-up, not silently skip the 5th store."""
+    from tradecat_spark.streaming import ann
+    from tradecat_spark.streaming import pipeline as pl
+
+    delta = _pipeline_delta(spark, sf_dir)  # no embedding column
+    root = str(tmp_path / "pipe")
+    dirs = pl.pipeline_dirs(root)
+    model_dir = _pipeline_model(spark, sf_dir, tmp_path)
+    model = ann.load_ann_model(spark, model_dir)
+    with pytest.raises(ValueError, match="no 'embedding' column"):
+        pl.pipeline_batch(spark, delta, 0, dirs, ann_model=model)
+
+    src = str(tmp_path / "src")
+    delta.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(delta.schema).parquet(src)
+    with pytest.raises(ValueError, match="no 'embedding' column"):
+        pl.start_ingest_pipeline(
+            stream, root, available_now=True, ann_model_dir=model_dir
+        )
+
+
 def _ann_fixture(spark, sf_dir, tmp_path):
     from tradecat_spark.streaming import ann
 

@@ -886,6 +886,32 @@ def _pipeline_assets(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"), "embedding"
     )
+    # Domain assumption made EXPLICIT (r10 ADVICE): the Spark side
+    # indexes {doc_id%10==0 docs that have embeddings} while the
+    # oracle's frozen-split rows are {embeddings with vec_id%10==0};
+    # these coincide only because embeddings.vec_id ⊆ documents.doc_id
+    # on the driver tables. If a dataset ever carries an embedding
+    # without a document row, fail HERE with the assumption named
+    # instead of downstream with a confusing checksum-row mismatch.
+    orphan_vecs = (
+        emb.filter(F.col("doc_id") % 10 == 0)
+        .join(
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") % 10 == 0),
+            "doc_id",
+            "left_anti",
+        )
+        .count()
+    )
+    if orphan_vecs:
+        raise AssertionError(
+            f"{orphan_vecs} embeddings with vec_id%10==0 have no "
+            "documents row — the pipeline stream (built from documents) "
+            "would never index them, but the DuckDB oracle (built from "
+            "embeddings) expects them: the vec_id ⊆ doc_id domain "
+            "assumption no longer holds for this dataset"
+        )
     delta = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text", "source")

@@ -105,7 +105,16 @@ def pipeline_batch(
     ev = events_view(batch)
     update_registers(spark, ev, dirs["hll_store"])
     update_cms(spark, ev, batch_id, dirs["cms_store"])
-    if ann_model is not None and "embedding" in batch.columns:
+    if ann_model is not None:
+        # supplying a model is an explicit request for the 5th store;
+        # a stream without the vector column would otherwise skip it
+        # SILENTLY every trigger — empty index, no signal (r10 ADVICE)
+        if "embedding" not in batch.columns:
+            raise ValueError(
+                "pipeline_batch: ann_model supplied but the stream has "
+                f"no 'embedding' column (columns: {batch.columns}) — "
+                "the ANN code store would silently stay empty"
+            )
         from tradecat_spark.streaming.ann import index_batch
 
         # only rows that carry a vector are indexable — a document
@@ -133,6 +142,14 @@ def start_ingest_pipeline(
     dirs = pipeline_dirs(base_dir)
     model = None
     if ann_model_dir is not None:
+        if "embedding" not in stream.columns:
+            # fail at start, not per-trigger: the stream schema is
+            # known here, and a mis-named vector column must not cost
+            # a running query before it surfaces (r10 ADVICE)
+            raise ValueError(
+                "start_ingest_pipeline: ann_model_dir supplied but the "
+                f"stream has no 'embedding' column ({stream.columns})"
+            )
         from tradecat_spark.streaming.ann import load_ann_model
 
         model = load_ann_model(spark, ann_model_dir)
