@@ -36,11 +36,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: slot is filled oldest-ledger-cohort-first; the composition line
 #: below is the tool's output, pinned by test_gate_rotation.
 #:
-#: front r11 = 2 changed-lane + 4 stale-twin + 11 r4 + 33 r5
-#: (50 slots); deferred 8 r5
+#: front r11 = 2 born + 2 changed-lane + 4 stale-twin + 11 r4 + 31 r5
+#: (50 slots); deferred 10 r5
 _GATE_FRONT = {
     "round": 11,
-    "born": (),
+    "born": ("bpe_learn_merges_types_hist", "bpe_learn_merges_wide_2048"),
     "changed": ("streaming_pipeline_stores", "streaming_pipeline_checksum"),
     "stale_twins": (
         "indicator_batch_checksum", "indicator_surface_checksum",
@@ -57,12 +57,13 @@ _R4_COHORT = (
     "tpch_q18_large_orders", "tpch_q8_market_share", "zorder_curve_layout",
 )
 
-#: 33 of the 41-row r5 cohort — the 8 deferred to r12
+#: 31 of the 41-row r5 cohort — the 10 deferred to r12
 #: (asof_purchase_context, bucketed_colocated_join,
 #: cdc_incremental_equivalence, cube_corpus_stats, gapfill_locf_1h,
-#: kmv_merge_law, pagerank_similarity_graph, quantile_error_eval) are
-#: exactly rows the r10 verdict independently re-checked MATCH itself —
-#: the lowest-risk tail.
+#: kmv_merge_law, pagerank_similarity_graph, quantile_error_eval,
+#: realtime_union_view, tpch_q21_suppliers_kept_waiting) are exactly
+#: rows the r10 verdict independently re-checked MATCH itself — the
+#: lowest-risk tail.
 _R5_FRONT = (
     "calendar_completeness", "chart_intraday_volatility",
     "cms_frequency_law", "customers_without_orders", "daily_market_share",
@@ -71,11 +72,11 @@ _R5_FRONT = (
     "lead_gaps_10m", "meta_join_1h", "nation_revenue_share",
     "ohlcv_cascade_1h", "ohlcv_rollup_5m", "orderbook_l1_stats",
     "orders_with_discounted_lines", "priority_symbol_union",
-    "realtime_union_view", "rp_recall_eval", "top3_events_per_user",
+    "rp_recall_eval", "top3_events_per_user",
     "top_customers_by_spend", "tpch_q11_important_stock",
     "tpch_q13_customer_distribution", "tpch_q16_parts_supplier_counts",
     "tpch_q17_small_qty_revenue", "tpch_q1_pricing_summary",
-    "tpch_q20_excess_shippers", "tpch_q21_suppliers_kept_waiting",
+    "tpch_q20_excess_shippers",
     "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority",
     "tpch_q5_region_revenue", "tpch_q9_product_type_profit",
 )

@@ -701,10 +701,16 @@ def test_bpe_hist_loop_matches_recount_reference():
         assert got == want, trial
 
 
-def test_bpe_hist_loop_equals_distributed_chain(spark, monkeypatch):
-    """Interchangeability law (r10): the histogram-collect loop and
-    the distributed delta chain must learn the identical merge
-    sequence on the same seeded corpus."""
+def test_bpe_hist_loop_equals_distributed_chain_to_saturation(
+    spark, monkeypatch
+):
+    """Interchangeability law at FULL depth (r10 verdict item 4
+    extended the r10-born 24-merge pin): the histogram-collect loop
+    and the distributed delta chain must learn the identical merge
+    sequence on the same seeded corpus all the way to SATURATION
+    (157 merges here — every merge the corpus supports), not just a
+    shallow prefix. The n=200 ask exceeds saturation on both sides,
+    so the equality also pins that they stop at the same depth."""
     import random
 
     rng = random.Random(20260817)
@@ -723,18 +729,115 @@ def test_bpe_hist_loop_equals_distributed_chain(spark, monkeypatch):
     )
     df = spark.createDataFrame(docs)
     monkeypatch.setattr(Q, "_docs", lambda s, d: df)
-    n = 24
+    n = 200  # past saturation (157) on this corpus
     seed = Q._bpe_wide_seed(spark, "unused")
     dist, _ = Q._bpe_deep_chain(spark, "unused", n, seed=seed)
-    hist = [
+    assert 100 < len(dist) < n  # really saturated, really deep
+    lcol = F.slice(
+        F.filter(Q._words(), lambda x: x != ""), 1, Q.WIDE_WORDS
+    )
+    v = df.select(lcol.alias("l")).groupBy("l").agg(
+        F.count(F.lit(1)).cast("bigint").alias("wcount")
+    )
+    units = [(list(r["l"]), int(r["wcount"])) for r in v.collect()]
+    hist = Q._bpe_hist_loop(units, n)
+    assert hist == dist
+
+
+def test_bpe_hist_loop_seqs_match_frozen_reapply():
+    """return_seqs contract: the learn loop's final token table must
+    equal a sequential greedy reapply of the learned merge list to the
+    raw units — the driver-side half of the frozen-encode law the
+    bpe_learn_merges_wide_2048 lane gates in-engine."""
+    import random
+
+    rng = random.Random(20260819)
+    vocab = [f"w{i}" for i in range(8)]
+    units = [
+        ([rng.choice(vocab) for _ in range(rng.randint(1, 9))],
+         rng.randint(1, 4))
+        for _ in range(40)
+    ]
+    merges, seqs = Q._bpe_hist_loop(
+        [(list(t), w) for t, w in units], 10**9, return_seqs=True
+    )
+
+    def reapply(s):
+        for a, b, _w in merges:
+            out, k = [], 0
+            while k < len(s):
+                if k + 1 < len(s) and s[k] == a and s[k + 1] == b:
+                    out.append(a + b)
+                    k += 2
+                else:
+                    out.append(s[k])
+                    k += 1
+            s = out
+        return s
+
+    assert seqs == [reapply(list(t)) for t, _ in units]
+
+
+def test_bpe_wide_2048_lane_saturates_and_self_gates(spark, monkeypatch):
+    """The 2048-merge lane on a corpus that saturates early: emits
+    exactly the saturation-depth merge table (same rows as the hist
+    loop), and its in-lane frozen-encode law passes for real — the
+    lane collects, learns, folds the literal list in Spark, and
+    row-compares before returning."""
+    import random
+
+    rng = random.Random(20260821)
+    vocab = [f"w{i}" for i in range(9)]
+    docs = pd.DataFrame(
+        [
+            dict(
+                doc_id=i + 1,
+                text=" ".join(
+                    rng.choice(vocab) for _ in range(rng.randint(2, 9))
+                ),
+                lang="en", source="s", n_chars=0,
+            )
+            for i in range(40)
+        ]
+    )
+    df = spark.createDataFrame(docs)
+    monkeypatch.setattr(Q, "_docs", lambda s, d: df)
+    got = [
         (r["step"], r["left_tok"], r["right_tok"], r["pair_weight"])
-        for r in Q.bpe_learn_merges_wide_hist(spark, "unused")
-        .filter(F.col("step") <= n).orderBy("step").collect()
+        for r in Q.bpe_learn_merges_wide_2048(spark, "unused")
+        .orderBy("step").collect()
     ]
+    lcol = F.slice(
+        F.filter(Q._words(), lambda x: x != ""), 1, Q.WIDE_WORDS
+    )
+    v = df.select(lcol.alias("l")).groupBy("l").agg(
+        F.count(F.lit(1)).cast("bigint").alias("wcount")
+    )
+    units = [(list(r["l"]), int(r["wcount"])) for r in v.collect()]
+    want = Q._bpe_hist_loop(units, Q.N_BPE_2048)
+    assert 0 < len(want) < Q.N_BPE_2048  # saturated below the ask
+    assert got == [
+        (k, a, b, w) for k, (a, b, w) in enumerate(want, start=1)
+    ]
+
+
+def test_bpe_types_hist_equals_distributed_64(spark, sf_dir):
+    """Cross-substrate pin on the CHAR seed (r10 verdict item 2): the
+    word-type histogram loop must reproduce the distributed
+    bpe_learn_merges_64 table row-for-row on the real sf0.001 corpus
+    — the same one-oracle-two-substrates law the wide pair carries,
+    now on the seed whose histogram is genuinely vocab-bounded
+    (31 word types at every SF)."""
     want = [
-        (k, a, b, w) for k, (a, b, w) in enumerate(dist, start=1)
+        tuple(r) for r in
+        Q.bpe_learn_merges_64(spark, sf_dir).orderBy("step").collect()
     ]
-    assert hist == want
+    got = [
+        tuple(r) for r in
+        Q.bpe_learn_merges_types_hist(spark, sf_dir)
+        .orderBy("step").collect()
+    ]
+    assert got == want and len(got) == Q.N_BPE_64
 
 
 def test_bpe_deep_chain_saturates_on_pair_exhaustion(spark, monkeypatch):
