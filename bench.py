@@ -5,6 +5,18 @@ Runs the bench-flagged queries from the tradecat_spark registry against
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Calibration normalization (r10 verdict item 3): the
+``calibration_fixed`` row is a pinned CPU-only workload whose true
+cost cannot change round-over-round. Its idle-window reading of
+**0.188 s min** (measured r10, this box, in the quiet-window control
+run) is the normalization denominator of record: to compare a query
+row across rounds, divide it by (calibration_min_that_round / 0.188)
+first — r10's official artifact, for example, was taken in a ~19%
+slow window (calibration 0.224). Rows dominated by I/O or shuffle can
+legitimately move MORE than the CPU-only calibration ratio in a
+loaded window; calibration separates box drift from code drift, it
+does not bound it.
 """
 
 from __future__ import annotations
