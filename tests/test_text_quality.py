@@ -744,6 +744,49 @@ def test_bpe_hist_loop_equals_distributed_chain_to_saturation(
     assert hist == dist
 
 
+def test_bpe_heap_loop_equals_scan_loop_to_saturation():
+    """The max-heap + lazy-deletion argmax (_bpe_hist_loop_heap — the
+    escalation path for real 32k-merge vocabularies) must be
+    row-equal to the scan loop INCLUDING final sequences, at full
+    saturation, across seeded corpora with heavy ties — lazy deletion
+    is exactly where a stale-entry bug would reorder tie-broken
+    merges."""
+    import random
+
+    for seed in (1, 2, 3, 20260817, 99):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(rng.randint(5, 14))]
+        units = [
+            ([rng.choice(vocab) for _ in range(rng.randint(1, 10))],
+             rng.randint(1, 5))
+            for _ in range(80)
+        ]
+        a = Q._bpe_hist_loop(
+            [(list(t), c) for t, c in units], 10**9, return_seqs=True
+        )
+        b = Q._bpe_hist_loop_heap(
+            [(list(t), c) for t, c in units], 10**9, return_seqs=True
+        )
+        assert a == b, seed
+
+
+def test_bpe_heap_loop_equals_scan_on_real_units(duck):
+    """Same pin on the REAL sf0.001 wide-seed units, to saturation
+    (2,272 merges) — the corpus whose tie structure the gated lanes
+    actually face."""
+    rows = duck.execute(
+        "SELECT l, COUNT(*) FROM ("
+        "  SELECT list_filter(string_split(text,' '), x -> x <> '')"
+        f"    [1:{Q.WIDE_WORDS}] AS l FROM documents)"
+        " WHERE len(l) > 0 GROUP BY l"
+    ).fetchall()
+    units = [(list(l), int(c)) for l, c in rows]
+    a = Q._bpe_hist_loop([(list(t), c) for t, c in units], 10**9)
+    b = Q._bpe_hist_loop_heap([(list(t), c) for t, c in units], 10**9)
+    assert a == b
+    assert len(a) > 2000  # really saturated at real depth
+
+
 def test_bpe_hist_loop_seqs_match_frozen_reapply():
     """return_seqs contract: the learn loop's final token table must
     equal a sequential greedy reapply of the learned merge list to the
