@@ -38,6 +38,14 @@ TWIN_OF = {
     "streaming_pipeline_stores": "streaming_pipeline_checksum",
 }
 
+#: rows-only queries whose value evidence is an IN-LANE law (the query
+#: itself raises when the law is violated, so the driver's rows-only
+#: check cannot go green on wrong values) rather than a checksum twin.
+LAW_GATED = {
+    "bpe_learn_merges_wide_2048":
+        "frozen-encode law at full depth, raises on mismatch",
+}
+
 #: Twin staleness bound (r10 verdict item 5): the standing policy
 #: re-pins a twin when its LANE changes, but nothing re-pinned one whose
 #: lane never changes — the four indicator/signal twins sat at
