@@ -36,11 +36,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: slot is filled oldest-ledger-cohort-first; the composition line
 #: below is the tool's output, pinned by test_gate_rotation.
 #:
-#: front r11 = 2 born + 2 changed-lane + 4 stale-twin + 11 r4 + 31 r5
-#: (50 slots); deferred 10 r5
+#: front r11 = 3 born + 2 changed-lane + 4 stale-twin + 11 r4 + 30 r5
+#: (50 slots); deferred 11 r5
 _GATE_FRONT = {
     "round": 11,
-    "born": ("bpe_learn_merges_types_hist", "bpe_learn_merges_wide_2048"),
+    "born": ("bpe_learn_merges_types_hist", "bpe_learn_merges_wide_2048",
+             "bpe_learn_merges_saturated"),
     "changed": ("streaming_pipeline_stores", "streaming_pipeline_checksum"),
     "stale_twins": (
         "indicator_batch_checksum", "indicator_surface_checksum",
@@ -57,15 +58,17 @@ _R4_COHORT = (
     "tpch_q18_large_orders", "tpch_q8_market_share", "zorder_curve_layout",
 )
 
-#: 31 of the 41-row r5 cohort — the 10 deferred to r12
+#: 30 of the 41-row r5 cohort — 10 of the 11 deferred to r12
 #: (asof_purchase_context, bucketed_colocated_join,
 #: cdc_incremental_equivalence, cube_corpus_stats, gapfill_locf_1h,
 #: kmv_merge_law, pagerank_similarity_graph, quantile_error_eval,
 #: realtime_union_view, tpch_q21_suppliers_kept_waiting) are exactly
-#: rows the r10 verdict independently re-checked MATCH itself — the
-#: lowest-risk tail.
+#: rows the r10 verdict independently re-checked MATCH itself; the
+#: 11th (calendar_completeness, displaced when the third r11-born
+#: lane entered) was re-checked MATCH in this round's builder full
+#: sweep (276/276 at sf0.01).
 _R5_FRONT = (
-    "calendar_completeness", "chart_intraday_volatility",
+    "chart_intraday_volatility",
     "cms_frequency_law", "customers_without_orders", "daily_market_share",
     "dedup_substring_spans", "embedding_random_projection",
     "flagship_rank_24h_change", "ind_tail_runs", "latest_event_per_user",

@@ -3649,6 +3649,45 @@ def bpe_learn_merges_types_hist(
 _REG_BPE["bpe_learn_merges_types_hist"].oracle = _bpe_oracle(N_BPE_64)
 
 
+N_BPE_SAT = 96
+
+
+@query(
+    "bpe_learn_merges_saturated",
+    survey="north-star text analysis: cross-engine SATURATION parity "
+    "at REAL corpus depth — the char corpus supports only 89 merges, "
+    f"so asking both engines for {N_BPE_SAT} must stop them at the "
+    "identical 89-row table: the Spark chain's empty-collect guard "
+    "and the oracle's scalar-subquery step (r8 advice/r9 advice item "
+    "2, previously pinned only on a 2-merge toy corpus) are hereby "
+    "hash-gated against each other at full real depth every round",
+    description=f"ALL supported char-level BPE merges (ask {N_BPE_SAT}"
+    ", corpus saturates at 89): step, pair, merged token, weighted "
+    "count",
+    oracle=None,  # set below: the recount chain unrolled PAST depth
+)
+def bpe_learn_merges_saturated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Same state machine as bpe_learn_merges_64, asked past the
+    corpus's capacity. The value is the disagreement surface it
+    closes: a saturation bug on EITHER side (Spark emitting a
+    spurious merge from an empty pair table, or the oracle's
+    post-saturation steps corrupting the token table and yielding
+    phantom top rows) would hash-mismatch here, on the real corpus,
+    at the real saturation depth — not just on the toy corpus the
+    pytest pins."""
+    return _bpe_learn_out(spark, sf_dir, N_BPE_SAT)
+
+
+#: 96 char steps x ~12 depth units/step exceeds DuckDB's default
+#: max_expression_depth of 1000 — same prefix-statement treatment as
+#: the 256-step wide oracles below
+_REG_BPE["bpe_learn_merges_saturated"].oracle = (
+    "SET max_expression_depth TO 4000;\n" + _bpe_oracle(N_BPE_SAT)
+)
+
+
 N_BPE_WIDE = 256
 
 
