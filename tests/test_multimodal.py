@@ -75,3 +75,65 @@ def test_resize_fixed_output_contract(spark, sf_dir):
              for r in resize_images(media, w=8, h=4).collect()}
     for r in out:
         assert bytes(r["resized_bytes"]) == again[r["doc_id"]]
+
+
+def test_phash_stub_math():
+    """The aHash math DuckDB replays: pixel sums, cross-multiplied mean
+    compare, little-endian 16-bit band packing."""
+    from tradecat_spark.multimodal import _phash_bands, _resize
+
+    # All-equal bytes: every pixel equals the mean, p*64 > total is
+    # strictly false everywhere -> all four bands zero.
+    assert _phash_bands(b"AAAA") == (0, 0, 0, 0)
+    # Empty payload: _resize yields 192 zero bytes -> all-zero hash too
+    # (the lane drops empties before hashing; the stub stays total).
+    assert _phash_bands(b"") == (0, 0, 0, 0)
+    # Deterministic, and every band is a 16-bit value.
+    p = b"some pixels vary: 123 xyz!"
+    assert _phash_bands(p) == _phash_bands(p)
+    assert all(0 <= b < 65536 for b in _phash_bands(p))
+    # Hand-check bit 0 of band 0: pixel 0 vs mean over the cycled buffer.
+    buf = _resize(p, 8, 8)
+    px = [buf[3 * k] + buf[3 * k + 1] + buf[3 * k + 2] for k in range(64)]
+    expect_bit0 = 1 if px[0] * 64 > sum(px) else 0
+    assert _phash_bands(p)[0] & 1 == expect_bit0
+
+
+def test_phash_identical_payloads_pair_at_hamming_zero(spark):
+    """End-to-end on a constructed corpus: exact-duplicate payloads meet
+    in every band and verify at hamming 0; a distinct payload doesn't
+    pair with them inside the radius."""
+    from tradecat_spark.multimodal import attach_payload, phash_bands
+    from tradecat_spark.plans.q_text import minhash_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the very same caption bytes", "en"),
+            (2, "the very same caption bytes", "en"),
+            (3, "zzz 999 ??? utterly other !!! ###", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    wide = phash_bands(attach_payload(docs))
+    sig = wide.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).cast("int").alias("band"),
+                    F.col(f"b{j}").cast("string").alias("band_sig"),
+                )
+                for j in range(4)
+            ])
+        ).alias("s"),
+    ).select("doc_id", "s.band", "s.band_sig")
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in minhash_candidate_pairs(sig).collect()}
+    assert (1, 2) in pairs
+    rows = {r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+            for r in wide.collect()}
+    assert rows[1] == rows[2]
+    ham_13 = sum(
+        bin(rows[1][j] ^ rows[3][j]).count("1") for j in range(4)
+    )
+    assert ham_13 > 12  # the distinct doc stays outside the radius

@@ -225,3 +225,58 @@ def audio_windows(
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(batches, AUDIO_WINDOW_SCHEMA)
+
+
+PHASH_SCHEMA = "doc_id long, b0 int, b1 int, b2 int, b3 int"
+
+#: aHash geometry: 8x8 "pixels" over the w*h*3 resized buffer → 64 bits,
+#: emitted as four 16-bit band values (LSH bands AND sign-safe packing:
+#: no engine ever materializes a 64-bit value whose top bit could flip
+#: the sign of an int64 differently across engines).
+PHASH_W = 8
+PHASH_H = 8
+PHASH_BANDS = 4
+PHASH_BITS_PER_BAND = (PHASH_W * PHASH_H) // PHASH_BANDS
+
+
+def _phash_bands(payload: bytes) -> tuple[int, int, int, int]:
+    """Average-hash (aHash) over the decoded 8x8 image, as 4 x 16-bit
+    band values. A real deployment swaps ``_resize`` for a codec resize
+    and keeps EVERYTHING below the pixel array unchanged.
+
+    Integer-exact throughout: pixel k = sum of its 3 channel bytes;
+    bit k set iff pixel_k * 64 > sum(pixels) (cross-multiplied mean
+    compare — no float mean, so DuckDB replays it bit-for-bit);
+    band j packs bits 16j..16j+15 little-endian.
+    """
+    buf = _resize(payload, PHASH_W, PHASH_H)
+    px = [buf[3 * k] + buf[3 * k + 1] + buf[3 * k + 2] for k in range(64)]
+    total = sum(px)
+    bits = [1 if p * 64 > total else 0 for p in px]
+    return tuple(
+        sum(bits[16 * j + i] << i for i in range(16)) for j in range(4)
+    )
+
+
+def phash_bands(media: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual-hash stage over (doc_id, payload) rows:
+    one output row per document with the 4 band values. Same mapInPandas
+    shape as decode (per-batch codec amortization); output rows are 5
+    scalars, so downstream band-join shuffles move no payload bytes —
+    the property that makes LSH image dedup feasible at 100 TB (hash
+    once near the data, join tiny rows)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashed = [_phash_bands(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "b0": [h[0] for h in hashed],
+                    "b1": [h[1] for h in hashed],
+                    "b2": [h[2] for h in hashed],
+                    "b3": [h[3] for h in hashed],
+                }
+            )
+
+    return media.mapInPandas(batches, PHASH_SCHEMA)

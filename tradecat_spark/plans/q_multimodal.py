@@ -167,3 +167,161 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("energy") * 1.0 / F.col("n_samples")), 6
         ).alias("rms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup: the multimodal x dedup crossover a 100 TB
+# image/caption pipeline runs between ingest and training (reference has
+# no media path at all — beyond-reference brief surface, same family as
+# dedup_simhash but hashing DECODED PIXELS, not text tokens).
+# ---------------------------------------------------------------------------
+_PHASH_CTES = """
+d AS (
+  SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0
+),
+rep AS (
+  SELECT doc_id,
+         substr(repeat(text, CAST(192 // n + 1 AS INTEGER)), 1, 192) AS r
+  FROM d
+),
+px AS (
+  SELECT doc_id, CAST(k AS INTEGER) AS k,
+    ascii(substr(r, CAST(3 * k + 1 AS INTEGER), 1))
+    + ascii(substr(r, CAST(3 * k + 2 AS INTEGER), 1))
+    + ascii(substr(r, CAST(3 * k + 3 AS INTEGER), 1)) AS p
+  FROM rep, (SELECT unnest(range(0, 64)) AS k) ks
+),
+tot AS (SELECT doc_id, SUM(p) AS total FROM px GROUP BY doc_id),
+bits AS (
+  SELECT px.doc_id, k,
+    CASE WHEN p * 64 > total THEN 1 ELSE 0 END AS bit
+  FROM px JOIN tot USING (doc_id)
+),
+bands AS (
+  SELECT doc_id, CAST(k // 16 AS INTEGER) AS band,
+    CAST(SUM(bit * (1 << (k % 16))) AS INTEGER) AS band_val
+  FROM bits GROUP BY doc_id, k // 16
+),
+wide AS (
+  SELECT doc_id,
+    MAX(CASE WHEN band = 0 THEN band_val END) AS b0,
+    MAX(CASE WHEN band = 1 THEN band_val END) AS b1,
+    MAX(CASE WHEN band = 2 THEN band_val END) AS b2,
+    MAX(CASE WHEN band = 3 THEN band_val END) AS b3
+  FROM bands GROUP BY doc_id
+)"""
+
+#: hamming radius for "near-duplicate image": 12 of 64 aHash bits.
+PHASH_HAMMING_MAX = 12
+
+
+def _phash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, b0..b3) perceptual-hash table: decode+hash happens ONCE
+    per payload, map-side, before any shuffle. Zero-byte payloads are
+    corrupt media — dropped here, mirrored by the oracle's n > 0."""
+    from tradecat_spark.multimodal import attach_payload, phash_bands
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_payload(docs).filter(F.octet_length("payload") > 0)
+    return phash_bands(media)
+
+
+@query(
+    "mm_phash_hashes",
+    survey="beyond-reference multimodal dedup: perceptual average-hash "
+    "(aHash) per decoded image via mapInPandas, 4x16-bit sign-safe bands",
+    description="64-bit aHash per document as four 16-bit band values",
+    oracle=f"WITH {_PHASH_CTES}\nSELECT doc_id, b0, b1, b2, b3 FROM wide",
+)
+def mm_phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image perceptual hash surface. The decode stub is the cycled-
+    payload ``_resize`` (ASCII docs: DuckDB re-derives every pixel from
+    char codes); everything above the pixel array — mean-compare bits,
+    band packing, the LSH join downstream — is exactly what ships when a
+    codec replaces the stub. Integer-exact end to end: pixel sums,
+    cross-multiplied mean compare (``p*64 > total``), little-endian band
+    packing, so the hash gate pins all 64 bits of every hash."""
+    return _phash_wide(spark, sf_dir)
+
+
+@query(
+    "mm_phash_near_dup",
+    survey="beyond-reference multimodal dedup: near-duplicate image "
+    "pairs via 16-bit LSH band bucket join + hamming verify (star-capped "
+    "against degenerate buckets; no all-pairs anywhere)",
+    description=f"Image pairs within hamming {PHASH_HAMMING_MAX} of 64 "
+    "aHash bits, found via band-bucket LSH",
+    oracle=f"""
+WITH {_PHASH_CTES},
+sized AS (
+  SELECT doc_id, band, band_val,
+    COUNT(*) OVER (PARTITION BY band, band_val) AS bucket_n,
+    MIN(doc_id) OVER (PARTITION BY band, band_val) AS anchor
+  FROM bands
+),
+cand AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sized a JOIN sized b
+      ON a.band = b.band AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id AND a.bucket_n <= 64
+    UNION ALL
+    SELECT anchor AS doc_a, doc_id AS doc_b
+    FROM sized WHERE bucket_n > 64 AND doc_id <> anchor
+  )
+)
+SELECT c.doc_a, c.doc_b,
+  CAST(bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+     + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
+    AS INTEGER) AS hamming
+FROM cand c
+JOIN wide wa ON wa.doc_id = c.doc_a
+JOIN wide wb ON wb.doc_id = c.doc_b
+WHERE bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+    + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
+    <= {PHASH_HAMMING_MAX}
+""",
+)
+def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs, the LSH way: a 64-bit hash within
+    hamming r of another must share at least one of 4 contiguous 16-bit
+    bands whenever r < 4... strictly: pigeonhole guarantees a shared
+    band for r <= 3; wider radii trade recall for the same bounded cost,
+    the standard LSH deal (recall at r=12 is what the banding buys, not
+    a guarantee). Candidates come from the band bucket join — tiny
+    (doc_id, band, band_val) rows, payload bytes never shuffle — reusing
+    ``minhash_candidate_pairs``'s star-cap guard verbatim, so one
+    degenerate bucket (solid-color images: all-zero hash) emits O(n)
+    anchor pairs, never O(n^2). Verification is two joins back to the
+    4-column hash table and a JVM-side popcount fold; at 100 TB the
+    hash table is ~40 bytes/image and the verify join shuffles only
+    candidate ids."""
+    from tradecat_spark.plans.q_text import minhash_candidate_pairs
+
+    wide = _phash_wide(spark, sf_dir)
+    sig = wide.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).cast("int").alias("band"),
+                    F.col(f"b{j}").cast("string").alias("band_sig"),
+                )
+                for j in range(4)
+            ])
+        ).alias("s"),
+    ).select("doc_id", F.col("s.band").alias("band"),
+             F.col("s.band_sig").alias("band_sig"))
+    pairs = minhash_candidate_pairs(sig)
+    wa = wide.alias("wa")
+    wb = wide.alias("wb")
+    ham = sum(
+        F.bit_count(F.col(f"wa.b{j}").bitwiseXOR(F.col(f"wb.b{j}")))
+        for j in range(4)
+    ).cast("int")
+    return (
+        pairs.join(wa, F.col("wa.doc_id") == F.col("doc_a"))
+        .join(wb, F.col("wb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+    )
