@@ -218,12 +218,20 @@ PHASH_HAMMING_MAX = 12
 def _phash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, b0..b3) perceptual-hash table: decode+hash happens ONCE
     per payload, map-side, before any shuffle. Zero-byte payloads are
-    corrupt media — dropped here, mirrored by the oracle's n > 0."""
+    corrupt media — dropped here, mirrored by the oracle's n > 0.
+
+    ``localCheckpoint`` materializes the 5-scalar table so the near-dup
+    lane's five consumers (band explode, both self-join sides, both
+    verify sides) read it instead of re-running the decode stage —
+    without it the physical plan re-executed mapInPandas five times,
+    which with a real codec is 5x the pipeline's dominant cost. At
+    cluster scale this is a persisted hash-table write (the repo-wide
+    localCheckpoint caveat in q_cluster.py applies)."""
     from tradecat_spark.multimodal import attach_payload, phash_bands
 
     docs = load_table(spark, sf_dir, "documents")
     media = attach_payload(docs).filter(F.octet_length("payload") > 0)
-    return phash_bands(media)
+    return phash_bands(media).localCheckpoint()
 
 
 @query(
