@@ -257,6 +257,7 @@ def mm_phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="beyond-reference multimodal dedup: near-duplicate image "
     "pairs via 16-bit LSH band bucket join + hamming verify (star-capped "
     "against degenerate buckets; no all-pairs anywhere)",
+    bench=True,  # joined the headline set r11 — totals not comparable r10→r11
     description=f"Image pairs within hamming {PHASH_HAMMING_MAX} of 64 "
     "aHash bits, found via band-bucket LSH",
     oracle=f"""
