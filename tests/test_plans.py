@@ -677,3 +677,23 @@ def test_frozen_wide_encode_is_map_only(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan  # the spread only
     for op in ("SortMergeJoin", "BroadcastHashJoin", "HashAggregate"):
         assert op not in plan, op
+
+
+def test_phash_near_dup_decodes_once_and_never_all_pairs(spark, sf_dir):
+    """The phash image-dedup lane's two scale laws, pinned in the
+    physical plan: (1) decode-once — the mapInPandas hash stage is
+    materialized by localCheckpoint, so the executed plan contains ZERO
+    MapInPandas nodes (all five consumers read the 5-scalar table, none
+    re-runs the decode; with a real codec a re-run is 5x the dominant
+    cost); (2) no all-pairs — candidates come from the equi-keyed band
+    bucket join, so no cartesian/nested-loop join anywhere. The recall
+    EVAL lane is the deliberate exception: its brute-force truth join
+    is < on doc_id (BroadcastNestedLoopJoin), which is exactly why it
+    is eval-only."""
+    from tradecat_spark.plans.registry import load_all
+
+    df = load_all()["mm_phash_near_dup"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan, plan
+    for op in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, op
