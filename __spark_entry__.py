@@ -36,13 +36,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #: slot is filled oldest-ledger-cohort-first; the composition line
 #: below is the tool's output, pinned by test_gate_rotation.
 #:
-#: front r11 = 6 born + 2 changed-lane + 4 stale-twin + 11 r4 + 27 r5
-#: (50 slots); deferred 14 r5
+#: front r11 = 7 born + 2 changed-lane + 4 stale-twin + 11 r4 + 26 r5
+#: (50 slots); deferred 15 r5
 _GATE_FRONT = {
     "round": 11,
     "born": ("bpe_learn_merges_types_hist", "bpe_learn_merges_wide_2048",
              "bpe_learn_merges_saturated", "mm_phash_hashes",
-             "mm_phash_near_dup", "mm_phash_recall_eval"),
+             "mm_phash_near_dup", "mm_phash_recall_eval",
+             "mm_phash_multiprobe_pairs"),
     "changed": ("streaming_pipeline_stores", "streaming_pipeline_checksum"),
     "stale_twins": (
         "indicator_batch_checksum", "indicator_surface_checksum",
@@ -59,7 +60,7 @@ _R4_COHORT = (
     "tpch_q18_large_orders", "tpch_q8_market_share", "zorder_curve_layout",
 )
 
-#: 27 of the 41-row r5 cohort — 10 of the 14 deferred to r12
+#: 26 of the 41-row r5 cohort — 10 of the 15 deferred to r12
 #: (asof_purchase_context, bucketed_colocated_join,
 #: cdc_incremental_equivalence, cube_corpus_stats, gapfill_locf_1h,
 #: kmv_merge_law, pagerank_similarity_graph, quantile_error_eval,
@@ -69,10 +70,10 @@ _R4_COHORT = (
 #: entered) was re-checked MATCH in this round's builder full sweep
 #: (276/276 at sf0.01), and customers_without_orders +
 #: nation_revenue_share (displaced when the phash pair entered) +
-#: daily_market_share (displaced by the phash recall eval) were
+#: daily_market_share (displaced by the phash recall eval) +
+#: chart_intraday_volatility (displaced by the multiprobe lane) were
 #: re-checked MATCH by scoped driver-mimic runs the same session.
 _R5_FRONT = (
-    "chart_intraday_volatility",
     "cms_frequency_law",
     "dedup_substring_spans", "embedding_random_projection",
     "flagship_rank_24h_change", "ind_tail_runs", "latest_event_per_user",

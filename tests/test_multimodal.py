@@ -137,3 +137,49 @@ def test_phash_identical_payloads_pair_at_hamming_zero(spark):
         bin(rows[1][j] ^ rows[3][j]).count("1") for j in range(4)
     )
     assert ham_13 > 12  # the distinct doc stays outside the radius
+
+
+def test_phash_multiprobe_catches_two_bit_band_diff(spark):
+    """The multi-probe guarantee law on constructed hash tables: two
+    hashes differing by exactly 2 bits inside ONE band (and by nothing
+    elsewhere) must meet in a probe bucket (each side flips one of the
+    differing bits) but NOT in any exact band bucket; a pair differing
+    by 3 bits in every band escapes both generators."""
+    from tradecat_spark.plans.q_multimodal import _phash_cand
+
+    #      doc 1 vs 2: band 0 differs in bits 0 and 5, bands 1-3 equal
+    #      doc 3: differs from doc 1 by 3 bits in every band
+    rows = [
+        (1, 0b0000000000100001, 7, 7, 7),
+        (2, 0b0000000000000000, 7, 7, 7),
+        (3, 0b0000000000101110, 7 ^ 0b111000, 7 ^ 0b111000, 7 ^ 0b111000),
+    ]
+    wide = spark.createDataFrame(
+        rows, "doc_id long, b0 int, b1 int, b2 int, b3 int"
+    )
+    band_pairs = {(r["doc_a"], r["doc_b"])
+                  for r in _phash_cand(wide, probe=False).collect()}
+    probe_pairs = {(r["doc_a"], r["doc_b"])
+                   for r in _phash_cand(wide, probe=True).collect()}
+    # bands 1-3 are EQUAL for docs 1,2 -> the exact-band join catches
+    # them there; band 0's 2-bit diff alone would not.  Verify the
+    # probe-specific capability on a pair equal in NO band:
+    assert (1, 2) in band_pairs          # equal bands 1-3
+    assert (1, 2) in probe_pairs
+    # doc 3 shares no band and no <=2-bit band diff with doc 2:
+    # band 0 differs by 4 bits, bands 1-3 by 3 bits each
+    assert (2, 3) not in probe_pairs
+    assert (2, 3) not in band_pairs
+    # make a pair that is CAUGHT ONLY via probes: differ by 2 bits in
+    # every band
+    rows2 = [
+        (10, 5, 5, 5, 5),
+        (11, 5 ^ 0b11, 5 ^ 0b11, 5 ^ 0b11, 5 ^ 0b11),
+    ]
+    wide2 = spark.createDataFrame(
+        rows2, "doc_id long, b0 int, b1 int, b2 int, b3 int"
+    )
+    assert _phash_cand(wide2, probe=False).count() == 0
+    got = {(r["doc_a"], r["doc_b"])
+           for r in _phash_cand(wide2, probe=True).collect()}
+    assert got == {(10, 11)}

