@@ -36,15 +36,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #: slot is filled oldest-ledger-cohort-first; the composition line
 #: below is the tool's output, pinned by test_gate_rotation.
 #:
-#: front r11 = 7 born + 2 changed-lane + 4 stale-twin + 11 r4 + 26 r5
-#: (50 slots); deferred 15 r5
+#: front r11 = 8 born + 3 changed-lane + 4 stale-twin + 11 r4 + 24 r5
+#: (50 slots); deferred 17 r5
 _GATE_FRONT = {
     "round": 11,
     "born": ("bpe_learn_merges_types_hist", "bpe_learn_merges_wide_2048",
              "bpe_learn_merges_saturated", "mm_phash_hashes",
              "mm_phash_near_dup", "mm_phash_recall_eval",
-             "mm_phash_multiprobe_pairs"),
-    "changed": ("streaming_pipeline_stores", "streaming_pipeline_checksum"),
+             "mm_phash_multiprobe_pairs", "mm_phash_clusters"),
+    "changed": ("streaming_pipeline_stores", "streaming_pipeline_checksum",
+                # r11 factored its propagation loop into
+                # operators/components.py (behavior-identical; also
+                # re-checked MATCH at all 3 SFs by scoped mimic)
+                "dedup_clusters"),
     "stale_twins": (
         "indicator_batch_checksum", "indicator_surface_checksum",
         "signal_pack_subset_checksum", "signal_rule_events_checksum",
@@ -60,7 +64,7 @@ _R4_COHORT = (
     "tpch_q18_large_orders", "tpch_q8_market_share", "zorder_curve_layout",
 )
 
-#: 26 of the 41-row r5 cohort — 10 of the 15 deferred to r12
+#: 24 of the 41-row r5 cohort — 10 of the 17 deferred to r12
 #: (asof_purchase_context, bucketed_colocated_join,
 #: cdc_incremental_equivalence, cube_corpus_stats, gapfill_locf_1h,
 #: kmv_merge_law, pagerank_similarity_graph, quantile_error_eval,
@@ -71,11 +75,14 @@ _R4_COHORT = (
 #: (276/276 at sf0.01), and customers_without_orders +
 #: nation_revenue_share (displaced when the phash pair entered) +
 #: daily_market_share (displaced by the phash recall eval) +
-#: chart_intraday_volatility (displaced by the multiprobe lane) were
-#: re-checked MATCH by scoped driver-mimic runs the same session.
+#: chart_intraday_volatility (displaced by the multiprobe lane) +
+#: cms_frequency_law and dedup_substring_spans (displaced by the phash
+#: clusters lane and the dedup_clusters changed-lane re-entry) were
+#: re-checked MATCH by scoped driver-mimic runs the same session; ALL
+#: of the deferred also re-ran clean inside this session's two full
+#: 281/281 sweeps (sf0.01 AND sf0.1).
 _R5_FRONT = (
-    "cms_frequency_law",
-    "dedup_substring_spans", "embedding_random_projection",
+    "embedding_random_projection",
     "flagship_rank_24h_change", "ind_tail_runs", "latest_event_per_user",
     "lead_gaps_10m", "meta_join_1h",
     "ohlcv_cascade_1h", "ohlcv_rollup_5m", "orderbook_l1_stats",

@@ -601,3 +601,74 @@ FROM agg
 from tradecat_spark.plans.registry import REGISTRY as _REG  # noqa: E402
 
 _REG["mm_phash_recall_eval"].oracle = _phash_recall_oracle()
+
+
+@query(
+    "mm_phash_clusters",
+    survey="beyond-reference multimodal dedup: duplicate-image cluster "
+    "assignment — connected components (shared min-label-propagation "
+    "operator) over the VERIFIED multi-probe pairs, canonical = min "
+    "doc_id per component: the keep-one step that completes the image "
+    "pipeline hash -> candidates -> verify -> clusters -> keep",
+    description="Connected components over verified phash pairs: "
+    "cluster id, size, canonical flag per hashed image",
+    oracle=f"""
+WITH RECURSIVE {_PHASH_CTES},
+{_PHASH_PROBE_CTES},
+vp AS (
+  SELECT c.doc_a, c.doc_b
+  FROM pcand c
+  JOIN wide wa ON wa.doc_id = c.doc_a
+  JOIN wide wb ON wb.doc_id = c.doc_b
+  WHERE bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+      + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
+      <= {PHASH_HAMMING_MAX}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM vp
+  UNION ALL
+  SELECT doc_b, doc_a FROM vp
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+comp AS (
+  SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+)
+SELECT
+  doc_id,
+  cluster_id,
+  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+  doc_id = cluster_id AS is_canonical
+FROM comp
+""",
+)
+def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-cluster over images: transitive closure of the
+    VERIFIED pair set (multi-probe candidates within hamming 12 — the
+    recall-repaired generator, since missed candidate pairs become
+    missed merges and therefore duplicate clusters kept twice). Nodes
+    are every hashed image (zero-byte payloads were dropped at decode),
+    so singletons come out as their own canonical cluster. Runs the
+    SAME min-label-propagation operator as the text dedup lane
+    (operators/components.py) — one edge-join + min-aggregate per
+    round, lineage cut per round, edges only ever materialized inside
+    probe buckets. Oracle: DuckDB WITH RECURSIVE closure over the
+    identical verified pairs."""
+    from pyspark.sql import Window
+    from tradecat_spark.operators.components import min_label_components
+
+    wide = _phash_wide(spark, sf_dir)
+    pairs = _phash_verify(
+        _phash_cand(wide, probe=True), wide
+    ).select("doc_a", "doc_b")
+    labels = min_label_components(wide.select("doc_id"), pairs)
+    size = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(size).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )

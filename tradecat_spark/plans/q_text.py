@@ -263,36 +263,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB swap for checkpoint() on HDFS); the edge list is tiny relative
     to the corpus (pairs only materialize inside an LSH bucket).
     Canonical doc = min doc_id per component, the usual keep-one rule.
-    Oracle: DuckDB WITH RECURSIVE transitive closure."""
+    Oracle: DuckDB WITH RECURSIVE transitive closure. The propagation
+    loop itself is the shared ``operators/components.py`` operator
+    (factored out in r11 when the phash image-dedup lane needed the
+    identical step; behavior-identical, re-verified by scoped mimic)."""
+    from tradecat_spark.operators.components import min_label_components
+
     d = _docs(spark, sf_dir).select("doc_id")
     p = dedup_minhash_pairs(spark, sf_dir)
-    edges = (
-        p.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(p.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint()
-    )
-    labels = d.select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
-    ).localCheckpoint()
-    for _ in range(20):
-        prop = edges.join(
-            labels.withColumnRenamed("doc_id", "src"), "src"
-        ).select(F.col("dst").alias("doc_id"), "cluster_id")
-        new_labels = (
-            labels.unionByName(prop)
-            .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = min_label_components(d, p)
     size = Window.partitionBy("cluster_id")
     return labels.select(
         "doc_id",
