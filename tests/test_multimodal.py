@@ -183,3 +183,31 @@ def test_phash_multiprobe_catches_two_bit_band_diff(spark):
     got = {(r["doc_a"], r["doc_b"])
            for r in _phash_cand(wide2, probe=True).collect()}
     assert got == {(10, 11)}
+
+
+def test_documents_text_is_ascii_across_sfs():
+    """Pin the parity assumption the whole phash/multimodal oracle
+    family rides on (r11 ADVICE item 2): the Spark side hashes UTF-8
+    BYTES (encode + byte indexing in _resize/_phash_bands) while the
+    DuckDB oracles re-derive pixels from CHAR codepoints
+    (ascii(substr(..)), length(text)) — identical only while every
+    document text is pure ASCII (octet_length == char length and all
+    codepoints < 128). Enforced here over every driver SF present, so
+    a testdata regeneration that introduces non-ASCII text fails THIS
+    test by name instead of five phash lanes by hash mismatch."""
+    import os
+
+    import duckdb
+
+    checked = 0
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        bad = duckdb.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{path}') "
+            "WHERE strlen(text) <> length(text)"  # bytes vs chars
+        ).fetchone()[0]
+        assert bad == 0, f"{sf}: {bad} non-ASCII document texts"
+        checked += 1
+    assert checked > 0, "no driver testdata found to check"

@@ -3,6 +3,8 @@ on a crafted repetitive doc and stay off for a diverse one."""
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -1060,6 +1062,11 @@ def test_bpe_heap_loop_past_32k_merges():
     merges = Q._bpe_hist_loop_heap([(list(t), c) for t, c in units], 10**9)
     wall = time.time() - t0
     assert len(merges) > 32_000
-    assert wall < 30  # ~1 s measured; generous bound for loaded boxes
+    # r11 ADVICE item 3: wall-clock assertions flake on loaded boxes
+    # (full pytest has been observed at 28m47s under concurrent load),
+    # so the timing pin is opt-in; merge count + scan-prefix agreement
+    # remain the unconditional correctness pins
+    if os.environ.get("TC_TIMING_ASSERTS"):
+        assert wall < 30  # ~1 s measured on a quiet box
     scan = Q._bpe_hist_loop([(list(t), c) for t, c in units], 500)
     assert scan == merges[:500]
