@@ -4038,7 +4038,9 @@ N_BPE_2048 = 2048
     survey="north-star text analysis: the centralized merge loop one "
     "measured decade PAST the recount oracle's depth (r10 verdict "
     f"item 4) — {N_BPE_2048} word-level merges on the wide seed "
-    "(saturation 2,272 at sf0.01), LAW-gated in-lane because no SQL "
+    "(saturation 2,272 at sf0.01), run on the HEAP argmax (the "
+    "production escalation path, r11 item 5 — pytest-pinned row-equal "
+    "to the scan form), LAW-gated in-lane because no SQL "
     "engine unrolls a 2048-step recount: the frozen-encode law "
     "(ordered list-apply fold in Spark == the learn loop's final "
     "token table, row-compared over every unit at full depth) must "
@@ -4060,7 +4062,10 @@ def bpe_learn_merges_wide_2048(
     """Takes the 'a 32k-merge build is centralized-loop territory'
     claim from one measured point (256) to four (256/512/1024/2048)
     plus saturation, and GATES the deepest one by a law that needs no
-    SQL unrolling: after learning, every unit's final token sequence
+    SQL unrolling. Since r12 the lane executes the HEAP argmax
+    (_bpe_hist_loop_heap — the form a real 32k-merge trainer ships),
+    so the driver gate exercises the production escalation path, not
+    just its pytest twin: after learning, every unit's final token sequence
     from the loop must equal the Spark-side fold of the SAME ordered
     merge list over the raw unit (the deployed-tokenizer apply,
     _bpe_apply_merges_col with an arrays_zip literal — one py4j call
@@ -4099,7 +4104,12 @@ def bpe_learn_merges_wide_2048(
     )
     rows = v.collect()
     units = [(list(r["l"]), int(r["wcount"])) for r in rows]
-    merges, fin = _bpe_hist_loop(units, N_BPE_2048, return_seqs=True)
+    # the HEAP argmax (r11 verdict item 5): the production escalation
+    # path now sits in the gated lane itself, so the in-lane frozen-
+    # encode law below and the hash-green 256-prefix twin gate the
+    # heap form every round; heap==scan row-equality stays pinned in
+    # pytest as the cross-check (test_text_quality.py)
+    merges, fin = _bpe_hist_loop_heap(units, N_BPE_2048, return_seqs=True)
     if merges:
         marr = F.arrays_zip(
             F.lit([a for a, _b, _w in merges]).alias("a"),
