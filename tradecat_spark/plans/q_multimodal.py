@@ -475,7 +475,12 @@ def mm_phash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     radius 12 the measured recall is 0.52 at sf0.01 / 0.285 at sf0.1).
     Truth comes from the brute-force hamming join over the materialized
     5-scalar hash table (eval-only: quadratic in corpus size — run it
-    on a sample at 100 TB; the BANDED paths are the production shape).
+    on a sample at 100 TB via ``_phash_recall(..., sample_frac=f)``,
+    the executable form of that promise (r11 verdict item 6): a
+    deterministic hash-based doc sample bounds the truth join at
+    ~f^2 x pairs while the generators stay at full production shape,
+    and the sampled recall is pinned against the full recall by
+    test_multimodal.py. The BANDED paths are the production shape).
     BOTH generators are measured exactly as their lanes emit them —
     star cap included — so a capped bucket's dropped intra-bucket
     pairs count against recall even inside a generator's uncapped
@@ -483,11 +488,29 @@ def mm_phash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     components, not pairwise candidacy; measured at sf0.1 the probe
     generator reads ~0.81 within its r<=11 guarantee for exactly this
     reason, vs 1.0 uncapped)."""
+    return _phash_recall(spark, sf_dir)
+
+
+def _phash_recall(
+    spark: SparkSession, sf_dir: str, sample_frac: float = 1.0
+) -> DataFrame:
+    """Recall-eval body; ``sample_frac < 1`` restricts the quadratic
+    TRUTH join to a deterministic doc sample (abs(hash(doc_id)) mod
+    1e6 < frac*1e6 — stable across runs and partitionings), keeping
+    both generators untouched: the estimate degrades only in variance
+    (a Bernoulli doc sample keeps ~frac^2 of true pairs), never in
+    which candidate pairs the production path emits."""
     from tradecat_spark.plans.exact import ratio6
 
     wide = _phash_wide(spark, sf_dir)
-    wa = wide.alias("wa")
-    wb = wide.alias("wb")
+    truth_src = wide
+    if sample_frac < 1.0:
+        truth_src = wide.filter(
+            F.abs(F.hash("doc_id")) % 1_000_000
+            < int(sample_frac * 1_000_000)
+        )
+    wa = truth_src.alias("wa")
+    wb = truth_src.alias("wb")
     ham = sum(
         F.bit_count(F.col(f"wa.b{j}").bitwiseXOR(F.col(f"wb.b{j}")))
         for j in range(4)
