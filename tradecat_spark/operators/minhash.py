@@ -18,12 +18,52 @@ Signature-row schema (the silver store's data columns):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 N_SEEDS = 8          # minhash permutations
 BAND_ROWS = 2        # rows per LSH band -> 4 bands
 SHINGLE_WORDS = 5    # word-shingle width
+BAND_CAP = 64        # max bucket size for all-pairs; beyond → star pairs
+
+
+def minhash_candidate_pairs(sig: DataFrame, cap: int = BAND_CAP) -> DataFrame:
+    """Skew-proof LSH candidate pairs from (doc_id, band, band_sig) rows.
+
+    A degenerate bucket — one band_sig shared by millions of docs (all-
+    identical boilerplate, empty pages) — would make the all-pairs
+    self-join emit O(n²) rows on one shuffle key. Guard: buckets up to
+    ``cap`` docs emit all pairs (the near-dup candidate set); larger
+    buckets emit STAR pairs (bucket-min anchor ↔ every other member),
+    O(n) rows that preserve connected components exactly — so the
+    downstream cluster/keep-one step is unchanged, and a >cap bucket's
+    members are still all marked as duplicates of the anchor. The size
+    window and the join shuffle on the same (band, band_sig) key, so the
+    guard reuses the exchange rather than adding one.
+
+    Operator-level home (r12): shared by the batch MinHash lanes
+    (plans/q_text.py), the batch phash lanes (operators/phash.py →
+    plans/q_multimodal.py), and the streaming image-hash store
+    (streaming/phash.py) — one star-cap guard, three consumers.
+    """
+    w = Window.partitionBy("band", "band_sig")
+    sized = sig.select(
+        "doc_id", "band", "band_sig",
+        F.count(F.lit(1)).over(w).alias("bucket_n"),
+        F.min("doc_id").over(w).alias("anchor"),
+    )
+    a = sized.filter(F.col("bucket_n") <= cap).alias("a")
+    b = sized.filter(F.col("bucket_n") <= cap).alias("b")
+    all_pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_sig") == F.col("b.band_sig"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    star_pairs = sized.filter(
+        (F.col("bucket_n") > cap) & (F.col("doc_id") != F.col("anchor"))
+    ).select(F.col("anchor").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    return all_pairs.unionByName(star_pairs).distinct()
 
 
 def spread(d: DataFrame) -> DataFrame:

@@ -175,9 +175,15 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no media path at all — beyond-reference brief surface, same family as
 # dedup_simhash but hashing DECODED PIXELS, not text tokens).
 # ---------------------------------------------------------------------------
-_PHASH_CTES = """
+def phash_ctes_sql(pred: str = "TRUE") -> str:
+    """The DuckDB replay of the aHash stub, documents → (doc_id,
+    b0..b3) `wide`, with an optional extra doc predicate — the
+    streaming image-hash store's oracle reuses the chain restricted
+    to the pipeline's delta split (doc_id % 10 = 0)."""
+    return f"""
 d AS (
-  SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE length(text) > 0 AND ({pred})
 ),
 rep AS (
   SELECT doc_id,
@@ -211,8 +217,17 @@ wide AS (
   FROM bands GROUP BY doc_id
 )"""
 
-#: hamming radius for "near-duplicate image": 12 of 64 aHash bits.
-PHASH_HAMMING_MAX = 12
+
+_PHASH_CTES = phash_ctes_sql()
+
+# hash-join machinery promoted to operator level in r12
+# (operators/phash.py) so the streaming image-hash store shares it;
+# private aliases kept for this module's lanes and tests
+from tradecat_spark.operators.phash import (  # noqa: E402
+    PHASH_HAMMING_MAX,
+    phash_candidate_pairs as _phash_cand,
+    phash_verify_pairs as _phash_verify,
+)
 
 
 def _phash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,72 +323,6 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = _phash_wide(spark, sf_dir)
     pairs = _phash_cand(wide, probe=False)
     return _phash_verify(pairs, wide)
-
-
-def _phash_sig_rows(wide: DataFrame, probe: bool) -> DataFrame:
-    """(doc_id, band, band_sig) bucket rows from the 4-column hash
-    table. ``probe=False``: one row per band (exact value).
-    ``probe=True``: 17 rows per band — the exact value plus all 16
-    single-bit flips (symmetric 1-bit multi-probe: two hashes whose
-    band values differ by <= 2 bits meet in some probe bucket, since
-    each side flips one of the differing bits; pigeonhole over 4 bands
-    then covers total hamming <= 11)."""
-    sig = wide.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).cast("int").alias("band"),
-                    F.col(f"b{j}").alias("band_val"),
-                )
-                for j in range(4)
-            ])
-        ).alias("s"),
-    ).select("doc_id", F.col("s.band").alias("band"),
-             F.col("s.band_val").alias("band_val"))
-    if not probe:
-        return sig.select(
-            "doc_id", "band", F.col("band_val").cast("string").alias("band_sig")
-        )
-    flips = F.explode(
-        F.array(F.lit(-1), *[F.lit(i) for i in range(16)])
-    ).alias("flip")
-    return sig.select("doc_id", "band", "band_val", flips).select(
-        "doc_id",
-        "band",
-        F.when(F.col("flip") < 0, F.col("band_val"))
-        .otherwise(
-            # shiftleft's numBits arg is py-int-only; expr form takes a column
-            F.expr("band_val ^ shiftleft(1, flip)")
-        )
-        .cast("string")
-        .alias("band_sig"),
-    )
-
-
-def _phash_cand(wide: DataFrame, probe: bool) -> DataFrame:
-    """Star-capped candidate pairs from exact-band or multi-probe
-    bucket rows (reuses ``minhash_candidate_pairs`` verbatim)."""
-    from tradecat_spark.plans.q_text import minhash_candidate_pairs
-
-    return minhash_candidate_pairs(_phash_sig_rows(wide, probe))
-
-
-def _phash_verify(pairs: DataFrame, wide: DataFrame) -> DataFrame:
-    """Join candidates back to the hash table and keep pairs within
-    the hamming radius (JVM-side popcount fold)."""
-    wa = wide.alias("wa")
-    wb = wide.alias("wb")
-    ham = sum(
-        F.bit_count(F.col(f"wa.b{j}").bitwiseXOR(F.col(f"wb.b{j}")))
-        for j in range(4)
-    ).cast("int")
-    return (
-        pairs.join(wa, F.col("wa.doc_id") == F.col("doc_a"))
-        .join(wb, F.col("wb.doc_id") == F.col("doc_b"))
-        .select("doc_a", "doc_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
-    )
 
 
 #: multi-probe bucket-row CTE shared by the probe-pairs lane and the

@@ -30,6 +30,7 @@ _MEAN6_LP = mean6_sql("lp")
 # streaming screen); re-exported here because every LSH oracle
 # f-string renders them
 from tradecat_spark.operators.minhash import (  # noqa: E402
+    BAND_CAP,
     BAND_ROWS,
     N_SEEDS,
     SHINGLE_WORDS,
@@ -37,8 +38,6 @@ from tradecat_spark.operators.minhash import (  # noqa: E402
     bands_from_wide,
     minhash_wide,
 )
-
-BAND_CAP = 64        # max bucket size for all-pairs; beyond → star pairs
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,38 +177,12 @@ pairs AS (
 )"""
 
 
-def minhash_candidate_pairs(sig: DataFrame, cap: int = BAND_CAP) -> DataFrame:
-    """Skew-proof LSH candidate pairs from (doc_id, band, band_sig) rows.
-
-    A degenerate bucket — one band_sig shared by millions of docs (all-
-    identical boilerplate, empty pages) — would make the all-pairs
-    self-join emit O(n²) rows on one shuffle key. Guard: buckets up to
-    ``cap`` docs emit all pairs (the near-dup candidate set); larger
-    buckets emit STAR pairs (bucket-min anchor ↔ every other member),
-    O(n) rows that preserve connected components exactly — so the
-    downstream cluster/keep-one step is unchanged, and a >cap bucket's
-    members are still all marked as duplicates of the anchor. The size
-    window and the join shuffle on the same (band, band_sig) key, so the
-    guard reuses the exchange rather than adding one.
-    """
-    w = Window.partitionBy("band", "band_sig")
-    sized = sig.select(
-        "doc_id", "band", "band_sig",
-        F.count(F.lit(1)).over(w).alias("bucket_n"),
-        F.min("doc_id").over(w).alias("anchor"),
-    )
-    a = sized.filter(F.col("bucket_n") <= cap).alias("a")
-    b = sized.filter(F.col("bucket_n") <= cap).alias("b")
-    all_pairs = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.band_sig") == F.col("b.band_sig"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    star_pairs = sized.filter(
-        (F.col("bucket_n") > cap) & (F.col("doc_id") != F.col("anchor"))
-    ).select(F.col("anchor").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-    return all_pairs.unionByName(star_pairs).distinct()
+# star-capped candidate-pair generator: promoted to operator level in
+# r12 (operators/minhash.py) so the streaming image-hash store can use
+# it without a plans dependency; re-exported here for its many callers
+from tradecat_spark.operators.minhash import (  # noqa: E402
+    minhash_candidate_pairs,
+)
 
 
 @query(
