@@ -933,7 +933,7 @@ def _pipeline_assets(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     )
     q = start_ingest_pipeline(
         stream, f"{base}/stores", available_now=True,
-        ann_model_dir=model_dir,
+        ann_model_dir=model_dir, with_phash=True,
     )
     drained = q.awaitTermination(300)
     q.stop()
@@ -951,16 +951,18 @@ def _pipeline_assets(spark: SparkSession, sf_dir: str) -> dict[str, str]:
 @query(
     "streaming_pipeline_stores",
     survey="§2.11-adjacent: the COMPOSED ingest pipeline — bronze + "
-    "dedup screen + HLL + CMS + frozen-model ANN codes co-running off "
-    "ONE document stream (streaming/pipeline.py; r7 verdict item 7, "
-    "5th store per r9 item 5) — summarized per store after draining a "
-    "doubled multi-trigger source; every row is slicing-independent "
-    "(bronze/verdicts count delivered rows, sigs/screen/ANN count "
-    "distinct docs, sketch stores are idempotent or additive, codes "
-    "are deterministic under the frozen model), so the summary is "
-    "deterministic under any micro-batch slicing. Exact store "
-    "contents are gated by the streaming_pipeline_checksum twin",
-    description="Per-store row/key counts of the converged 5-store "
+    "dedup screen + HLL + CMS + frozen-model ANN codes + image "
+    "perceptual hashes co-running off ONE document stream "
+    "(streaming/pipeline.py; r7 verdict item 7, 5th store per r9 "
+    "item 5, 6th per r11 item 4) — summarized per store after "
+    "draining a doubled multi-trigger source; every row is "
+    "slicing-independent (bronze/verdicts count delivered rows, "
+    "sigs/screen/ANN/phash count distinct docs, sketch stores are "
+    "idempotent or additive, codes and hashes are deterministic), so "
+    "the summary is deterministic under any micro-batch slicing. "
+    "Exact store contents are gated by the streaming_pipeline_checksum "
+    "and streaming_pipeline_phash twins",
+    description="Per-store row/key counts of the converged 6-store "
     "pipeline over a twice-delivered delta stream",
     oracle=None,  # rows-only by design: six heterogeneous stores;
     # the SQL-expressible contents are exactly gated by the twin
@@ -986,12 +988,15 @@ def streaming_pipeline_stores(
             n_keys.cast("bigint").alias("n_keys"),
         )
 
+    from tradecat_spark.streaming.phash import read_hashes
+
     bronze = spark.read.parquet(dirs["bronze"])
     sigs = _read_sigs(spark, dirs["sig_store"])
     verdicts = spark.read.parquet(dirs["verdicts"])
     hll = read_registers(spark, dirs["hll_store"])
     cms = read_cms(spark, dirs["cms_store"])
     ann = read_index(spark, dirs["ann_store"])
+    ph = read_hashes(spark, dirs["phash_store"])
     rows = [
         _row("bronze", F.lit(bronze.count()),
              F.lit(bronze.select("doc_id").distinct().count())),
@@ -1005,6 +1010,8 @@ def streaming_pipeline_stores(
              F.lit(cms.select("d").distinct().count())),
         _row("ann", F.lit(ann.count()),
              F.lit(ann.select("vec_id").distinct().count())),
+        _row("phash", F.lit(ph.count()),
+             F.lit(ph.select("doc_id").distinct().count())),
     ]
     res = rows[0]
     for r in rows[1:]:
@@ -1164,6 +1171,92 @@ UNION ALL SELECT * FROM annxs2row
 
 
 _REG["streaming_pipeline_checksum"].oracle = _pipeline_checksum_oracle()
+
+
+@query(
+    "streaming_pipeline_phash",
+    survey="§2.11-adjacent + beyond-reference multimodal dedup: the "
+    "6th pipeline store (r11 verdict item 4) — image perceptual "
+    "hashes maintained ON the ingest path: the converged (doc_id, "
+    "b0..b3) hash store after the delta-doubled multi-trigger drain "
+    "(deterministic hashes + insert-if-absent + re-publish screen, "
+    "the ANN code store's discipline), PLUS the near-dup pairs the "
+    "stream emits against that store via the star-capped multi-probe "
+    "band join (operators/phash.py — the SAME joins the hash-green "
+    "batch lanes run); oracle replays both from the delta split of "
+    "documents, so hash-green means image dedup on ingest converges "
+    "to the batch sweep exactly",
+    description="(component, k1, k2, val) rows: every stored aHash "
+    "band + every verified near-dup pair of the pipeline's converged "
+    "image-hash store",
+    oracle=None,  # set below (needs q_multimodal's CTE builders)
+)
+def streaming_pipeline_phash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reads the image-hash store the composed pipeline run left
+    behind (shared memoized assets — the same run every other pipeline
+    lane reads) and renders (a) the full hash table as per-band rows
+    and (b) the verified near-dup pairs over the store, on the
+    pipeline twins' uniform (component, k1, k2, val) schema. Both are
+    slicing-independent: hashes are deterministic per payload and the
+    screen keeps exactly one row per doc, so the converged store — and
+    therefore the pair set — is a pure function of the delta corpus."""
+    from tradecat_spark.streaming.phash import near_dup_pairs, read_hashes
+
+    dirs = _pipeline_assets(spark, sf_dir)
+    wide = read_hashes(spark, dirs["phash_store"])
+    hashes = wide.select(
+        F.col("doc_id").cast("string").alias("k1"),
+        F.expr("stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (k2x, valx)"),
+    ).select(
+        F.lit("hash").alias("component"),
+        "k1",
+        F.col("k2x").cast("bigint").alias("k2"),
+        F.col("valx").cast("bigint").alias("val"),
+    )
+    pairs = near_dup_pairs(spark, dirs["phash_store"], probe=True).select(
+        F.lit("pair").alias("component"),
+        F.col("doc_a").cast("string").alias("k1"),
+        F.col("doc_b").cast("bigint").alias("k2"),
+        F.col("hamming").cast("bigint").alias("val"),
+    )
+    return hashes.unionByName(pairs)
+
+
+def _pipeline_phash_oracle() -> str:
+    from tradecat_spark.plans.q_multimodal import (
+        _PHASH_PROBE_CTES,
+        PHASH_HAMMING_MAX,
+        phash_ctes_sql,
+    )
+
+    return f"""
+WITH {phash_ctes_sql("doc_id % 10 = 0")},
+{_PHASH_PROBE_CTES},
+hashrow AS (
+  SELECT 'hash' AS component, CAST(doc_id AS VARCHAR) AS k1,
+    CAST(band AS BIGINT) AS k2, CAST(band_val AS BIGINT) AS val
+  FROM bands
+),
+pairrow AS (
+  SELECT 'pair' AS component, CAST(c.doc_a AS VARCHAR) AS k1,
+    CAST(c.doc_b AS BIGINT) AS k2,
+    CAST(bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+       + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
+      AS BIGINT) AS val
+  FROM pcand c
+  JOIN wide wa ON wa.doc_id = c.doc_a
+  JOIN wide wb ON wb.doc_id = c.doc_b
+  WHERE bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+      + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
+      <= {PHASH_HAMMING_MAX}
+)
+SELECT * FROM hashrow UNION ALL SELECT * FROM pairrow
+"""
+
+
+_REG["streaming_pipeline_phash"].oracle = _pipeline_phash_oracle()
 
 
 # ---------------------------------------------------------------------------

