@@ -2449,3 +2449,197 @@ def test_ann_index_intra_batch_duplicate_collapses(
     idx = ann.read_index(spark, store).toPandas()
     assert len(idx) == delta.count()
     assert idx.vec_id.is_unique
+
+
+# ---------------------------------------------------------------------------
+# 6th store: the streaming perceptual-hash (image dedup) store
+# (streaming/phash.py; r11 verdict item 4)
+# ---------------------------------------------------------------------------
+def _batch_hashes(spark, docs):
+    """One-shot batch hash of a (doc_id, text, ...) frame — the
+    convergence target every store state is compared against."""
+    from tradecat_spark.multimodal import attach_payload, phash_bands
+
+    media = attach_payload(
+        docs.select(
+            "doc_id", "text", F.lit(None).cast("string").alias("lang")
+        )
+    ).filter(F.octet_length("payload") > 0)
+    return sorted(
+        (r["doc_id"], r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in phash_bands(media).collect()
+    )
+
+
+def _store_hashes(spark, store):
+    from tradecat_spark.streaming import phash as sp
+
+    return sorted(
+        (r["doc_id"], r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in sp.read_hashes(spark, store).collect()
+    )
+
+
+def test_phash_store_replay_republish_and_compaction(
+    spark, sf_dir, tmp_path
+):
+    """The hash store must converge to one row per doc under BOTH
+    duplication shapes — replaying the SAME batch id (at-least-once)
+    and re-publishing the same docs under a LATER batch id (a
+    recrawl) — match the one-shot batch hash exactly, and survive
+    coverage-rule compaction byte-identically."""
+    from tradecat_spark.streaming import phash as sp
+
+    delta = _pipeline_delta(spark, sf_dir)
+    b1 = delta.filter(F.col("doc_id") % 20 == 0)
+    store = str(tmp_path / "hashes")
+
+    sp.hash_batch(spark, b1, 1, store)
+    n1 = sp.read_hashes(spark, store).count()
+    assert n1 == b1.count()
+    sp.hash_batch(spark, b1, 1, store)              # same-batch replay
+    assert sp.read_hashes(spark, store).count() == n1
+    sp.hash_batch(spark, delta, 2, store)           # recrawl superset
+    assert sp.read_hashes(spark, store).count() == delta.count()
+    assert _store_hashes(spark, store) == _batch_hashes(spark, delta)
+
+    sp.compact_hashes(spark, store, 2)
+    assert _store_hashes(spark, store) == _batch_hashes(spark, delta)
+    # compaction left exactly the base partition
+    from tradecat_spark.streaming.ingest import batch_partition_vals
+
+    assert batch_partition_vals(store) == ["c2"]
+
+
+def test_phash_store_pairs_match_batch_generators(spark, sf_dir, tmp_path):
+    """Pairs emitted against the persisted store must equal the batch
+    lanes' generator output over the same corpus — the no-drift law
+    the shared operators/phash.py home exists to enforce."""
+    from tradecat_spark.operators.phash import (
+        phash_candidate_pairs,
+        phash_verify_pairs,
+    )
+    from tradecat_spark.streaming import phash as sp
+
+    delta = _pipeline_delta(spark, sf_dir)
+    store = str(tmp_path / "hashes")
+    sp.hash_batch(spark, delta, 0, store)
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in sp.near_dup_pairs(spark, store).collect()
+    )
+    wide = sp.read_hashes(spark, store)
+    want = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in phash_verify_pairs(
+            phash_candidate_pairs(wide, probe=True), wide
+        ).collect()
+    )
+    assert got == want and got  # nonempty: the delta has near-dups
+
+
+def test_ingest_pipeline_crash_before_phash_store(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """6th-store seam: crash AFTER every earlier store committed but
+    BEFORE the image-hash update, then replay the whole batch body —
+    the earlier stores must be byte-stable under the replay and the
+    hash store must converge to the one-shot batch hash."""
+    from tradecat_spark.streaming import phash as sp
+    from tradecat_spark.streaming import pipeline as pl
+    from tradecat_spark.streaming import sketch as sk
+
+    base, _ = _dedup_fixtures(spark, sf_dir)
+    delta = _pipeline_delta(spark, sf_dir)
+    root = str(tmp_path / "pipe")
+    dirs = pl.pipeline_dirs(root)
+    _seed_base_store(spark, base, dirs["sig_store"])
+
+    real = sp.hash_batch
+    monkeypatch.setattr(
+        sp, "hash_batch",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        pl.pipeline_batch(spark, delta, 3, dirs, with_phash=True)
+    v_crash = _verdict_pdf(spark, dirs["verdicts"])
+    cms_crash = sorted(map(tuple, sk.read_cms(
+        spark, dirs["cms_store"]).collect()))
+    # the hash update never ran — empty store, not an error
+    assert sp.read_hashes(spark, dirs["phash_store"]).count() == 0
+
+    monkeypatch.setattr(sp, "hash_batch", real)
+    pl.pipeline_batch(spark, delta, 3, dirs, with_phash=True)
+
+    assert _verdict_pdf(spark, dirs["verdicts"]).equals(v_crash)
+    assert sorted(map(tuple, sk.read_cms(
+        spark, dirs["cms_store"]).collect())) == cms_crash
+    assert _store_hashes(spark, dirs["phash_store"]) == _batch_hashes(
+        spark, delta
+    )
+
+
+def test_ingest_pipeline_crash_inside_phash_two_step_commit(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The seam INSIDE the hash updater's two-step body — after the
+    re-publish screen has read the store but before the commit
+    (``upsert_hashes``) — driven through the COMPOSED pipeline, with
+    the crashed batch RE-PUBLISHING part of an earlier batch's docs so
+    the screen is live at the crash point (the ANN interior seam's
+    shape, r10 item 6, applied to the 6th store)."""
+    from tradecat_spark.streaming import phash as sp
+    from tradecat_spark.streaming import pipeline as pl
+
+    base, _ = _dedup_fixtures(spark, sf_dir)
+    delta = _pipeline_delta(spark, sf_dir)
+    root = str(tmp_path / "pipe")
+    dirs = pl.pipeline_dirs(root)
+    _seed_base_store(spark, base, dirs["sig_store"])
+
+    b1 = delta.filter(F.col("doc_id") % 20 == 0)
+    pl.pipeline_batch(spark, b1, 3, dirs, with_phash=True)
+    h_b1 = _store_hashes(spark, dirs["phash_store"])
+    assert h_b1  # the screen below must have rows to filter on
+
+    real = sp.upsert_hashes
+    monkeypatch.setattr(
+        sp, "upsert_hashes",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        pl.pipeline_batch(spark, delta, 4, dirs, with_phash=True)
+    # hash store untouched: screen ran, commit never did
+    assert _store_hashes(spark, dirs["phash_store"]) == h_b1
+
+    monkeypatch.setattr(sp, "upsert_hashes", real)
+    pl.pipeline_batch(spark, delta, 4, dirs, with_phash=True)
+    # converged: one row per distinct doc, equal to the batch hash;
+    # re-published b1 docs kept their first-commit rows
+    assert _store_hashes(spark, dirs["phash_store"]) == _batch_hashes(
+        spark, delta
+    )
+
+
+def test_pipeline_with_phash_without_text_column_raises(
+    spark, sf_dir, tmp_path
+):
+    """with_phash is an explicit request for the image-hash store — a
+    stream lacking the payload-bearing 'text' column must fail loudly,
+    in pipeline_batch AND at start_ingest_pipeline start-up, not
+    silently leave the store empty (the ANN store's r10 ADVICE rule)."""
+    from tradecat_spark.streaming import pipeline as pl
+
+    delta = _pipeline_delta(spark, sf_dir).drop("text")
+    root = str(tmp_path / "pipe")
+    dirs = pl.pipeline_dirs(root)
+    with pytest.raises(ValueError, match="no 'text' column"):
+        pl.pipeline_batch(spark, delta, 0, dirs, with_phash=True)
+
+    src = str(tmp_path / "src")
+    delta.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(delta.schema).parquet(src)
+    with pytest.raises(ValueError, match="no 'text' column"):
+        pl.start_ingest_pipeline(
+            stream, root, available_now=True, with_phash=True
+        )

@@ -99,6 +99,15 @@ def pipeline_batch(
     ANN updater keeps the family's idempotence discipline (codes are
     deterministic under the frozen model; insert-if-absent +
     re-publish screen), so replay convergence is unchanged."""
+    if with_phash and "text" not in batch.columns:
+        # precondition, checked before ANY store commits: the dedup
+        # screen would die on the missing column anyway, but with a
+        # generic AnalysisException instead of the named contract
+        raise ValueError(
+            "pipeline_batch: with_phash set but the stream has no "
+            f"'text' column (columns: {batch.columns}) — the "
+            "image-hash store would silently stay empty"
+        )
     batch = batch.localCheckpoint()
     batch.write.mode("overwrite").parquet(
         f"{dirs['bronze']}/batch_id={batch_id}"
@@ -133,15 +142,7 @@ def pipeline_batch(
     if with_phash:
         # the 6th store (r11 verdict item 4): perceptual hashes of
         # every ingested payload, so image dedup runs ON the ingest
-        # path; same loud-failure rule as the ANN store — a stream
-        # without the payload-bearing column must not silently leave
-        # the store empty every trigger
-        if "text" not in batch.columns:
-            raise ValueError(
-                "pipeline_batch: with_phash set but the stream has no "
-                f"'text' column (columns: {batch.columns}) — the "
-                "image-hash store would silently stay empty"
-            )
+        # path (missing-column contract checked at the body's top)
         from tradecat_spark.streaming.phash import hash_batch
 
         hash_batch(spark, batch, batch_id, dirs["phash_store"])
