@@ -22,89 +22,83 @@ def entry(spark: SparkSession) -> DataFrame:
     return specs["flagship_rank_24h_change"].fn(spark, "/root/testdata/sf0.001")
 
 
-#: The r11 gate-front declaration, validated mechanically by
-#: ``tools/gate_ledger.py::composition`` (r10 verdict item 1: the
-#: hand-counted front prose was off by two in three places — counts are
-#: now generated). Categories: ``born`` = registered this round (no
-#: ledger row); ``changed`` = lanes whose code changed this round
-#: (standing r9 policy: a rows-only lane's checksum twin re-enters the
-#: front whenever its lane changes — the pipeline pair is here because
-#: r11 touches ``streaming/pipeline.py`` / ``_pipeline_assets``);
-#: ``stale_twins`` = checksum twins owed a re-pin by the staleness
-#: bound (r10 verdict item 5: last driver check >= 2 rounds behind —
-#: the four indicator/signal twins are r9-vintage). Every remaining
-#: slot is filled oldest-ledger-cohort-first; the composition line
-#: below is the tool's output, pinned by test_gate_rotation.
+#: The r12 gate-front declaration, validated mechanically by
+#: ``tools/gate_ledger.py::composition``. Categories: ``born`` =
+#: registered this round (no ledger row); ``changed`` = lanes whose
+#: code or oracle changed this round (standing r9 policy — a rows-only
+#: lane's checksum twin re-enters the front whenever its lane
+#: changes); ``stale_twins`` = twins owed a re-pin by the staleness
+#: bound (empty this round: all five were re-pinned r11). Every
+#: remaining slot is filled oldest-ledger-cohort-first; the
+#: composition line below is the tool's output, pinned by
+#: test_gate_rotation.
 #:
-#: front r11 = 8 born + 3 changed-lane + 4 stale-twin + 11 r4 + 24 r5
-#: (50 slots); deferred 17 r5
+#: front r12 = 1 born + 11 changed-lane + 17 r5 + 21 r6 (50 slots);
+#: deferred 25 r6
 _GATE_FRONT = {
-    "round": 11,
-    "born": ("bpe_learn_merges_types_hist", "bpe_learn_merges_wide_2048",
-             "bpe_learn_merges_saturated", "mm_phash_hashes",
-             "mm_phash_near_dup", "mm_phash_recall_eval",
-             "mm_phash_multiprobe_pairs", "mm_phash_clusters"),
-    "changed": ("streaming_pipeline_stores", "streaming_pipeline_checksum",
-                # r11 factored its propagation loop into
-                # operators/components.py (behavior-identical; also
-                # re-checked MATCH at all 3 SFs by scoped mimic)
-                "dedup_clusters"),
-    "stale_twins": (
-        "indicator_batch_checksum", "indicator_surface_checksum",
-        "signal_pack_subset_checksum", "signal_rule_events_checksum",
+    "round": 12,
+    "born": ("streaming_pipeline_phash",),
+    "changed": (
+        # the pipeline run gained the 6th (image-hash) store
+        "streaming_pipeline_stores", "streaming_pipeline_checksum",
+        # all five phash lanes: candidate/verify helpers promoted to
+        # operators/phash.py and the oracle CTE chain parametrized
+        # (phash_ctes_sql); recall eval also grew the sample_frac path
+        "mm_phash_hashes", "mm_phash_near_dup",
+        "mm_phash_multiprobe_pairs", "mm_phash_recall_eval",
+        # components operator rebuilt with pointer doubling + raise on
+        # non-convergence (same fixed point, new plan) — both consumers
+        "mm_phash_clusters", "dedup_clusters",
+        # minhash_candidate_pairs moved to operators/minhash.py
+        "dedup_minhash_pairs",
+        # the 2048 lane now executes the heap argmax; its 256-prefix
+        # twin re-enters with it per the rows-only-twin policy
+        "bpe_learn_merges_wide_2048", "bpe_learn_merges_wide_hist",
     ),
+    "stale_twins": (),
 }
 
-#: The 11 rows still at r4 vintage after the r10 front (all re-greened
-#: here in r11 → zero r4-vintage rows remain, closing verdict item 1).
-_R4_COHORT = (
-    "ai_context_assembly", "asof_direction_variants", "ind_cdl_wide_parity",
-    "instruments_scd2_dim", "pivot_event_matrix", "quality_bigram_logprob",
-    "sessionize_user_events", "streaming_session_append",
-    "tpch_q18_large_orders", "tpch_q8_market_share", "zorder_curve_layout",
+#: ALL 17 rows still at r5 vintage after the r11 front (verdict item 2:
+#: zero r5-vintage rows may remain after the r12 artifact). 8 of these
+#: were independently re-checked MATCH by the r11 verdict itself
+#: (asof_purchase_context, realtime_union_view, cms_frequency_law,
+#: gapfill_locf_1h, kmv_merge_law, tpch_q21, customers_without_orders,
+#: daily_market_share).
+_R5_COHORT = (
+    "asof_purchase_context", "bucketed_colocated_join",
+    "calendar_completeness", "cdc_incremental_equivalence",
+    "chart_intraday_volatility", "cms_frequency_law", "cube_corpus_stats",
+    "customers_without_orders", "daily_market_share",
+    "dedup_substring_spans", "gapfill_locf_1h", "kmv_merge_law",
+    "nation_revenue_share", "pagerank_similarity_graph",
+    "quantile_error_eval", "realtime_union_view",
+    "tpch_q21_suppliers_kept_waiting",
 )
 
-#: 24 of the 41-row r5 cohort — 10 of the 17 deferred to r12
-#: (asof_purchase_context, bucketed_colocated_join,
-#: cdc_incremental_equivalence, cube_corpus_stats, gapfill_locf_1h,
-#: kmv_merge_law, pagerank_similarity_graph, quantile_error_eval,
-#: realtime_union_view, tpch_q21_suppliers_kept_waiting) are exactly
-#: rows the r10 verdict independently re-checked MATCH itself;
-#: calendar_completeness (displaced when the third r11-born lane
-#: entered) was re-checked MATCH in this round's builder full sweep
-#: (276/276 at sf0.01), and customers_without_orders +
-#: nation_revenue_share (displaced when the phash pair entered) +
-#: daily_market_share (displaced by the phash recall eval) +
-#: chart_intraday_volatility (displaced by the multiprobe lane) +
-#: cms_frequency_law and dedup_substring_spans (displaced by the phash
-#: clusters lane and the dedup_clusters changed-lane re-entry) were
-#: re-checked MATCH by scoped driver-mimic runs the same session; ALL
-#: of the deferred also re-ran clean inside this session's two full
-#: 281/281 sweeps (sf0.01 AND sf0.1).
-_R5_FRONT = (
-    "embedding_random_projection",
-    "flagship_rank_24h_change", "ind_tail_runs", "latest_event_per_user",
-    "lead_gaps_10m", "meta_join_1h",
-    "ohlcv_cascade_1h", "ohlcv_rollup_5m", "orderbook_l1_stats",
-    "orders_with_discounted_lines", "priority_symbol_union",
-    "rp_recall_eval", "top3_events_per_user",
-    "top_customers_by_spend", "tpch_q11_important_stock",
-    "tpch_q13_customer_distribution", "tpch_q16_parts_supplier_counts",
-    "tpch_q17_small_qty_revenue", "tpch_q1_pricing_summary",
-    "tpch_q20_excess_shippers",
-    "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority",
-    "tpch_q5_region_revenue", "tpch_q9_product_type_profit",
+#: 21 of the 46 uncategorized r6-cohort rows (alphabetical prefix;
+#: dedup_minhash_pairs is r6-vintage too but occupies a changed-lane
+#: slot above). The remaining 25 r6 rows are this round's deferred set.
+_R6_FRONT = (
+    "ann_cosine_topk", "ann_ivf_sq8_search", "ann_sq8_recall",
+    "backfill_plan_days", "bpe_pair_candidates", "chunk_compression_plan",
+    "corpus_exact_quantiles", "corpus_training_manifest",
+    "corpus_trim_stats", "dedup_exact_groups", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_span_trim_ranges",
+    "embedding_component_quantiles", "embedding_sq8_error",
+    "embedding_winsorized_stats", "heavy_hitters_exact",
+    "hll_register_law", "ind_bollinger", "ind_candle_patterns", "ind_cci",
 )
 
 _FRONT = (
     *_GATE_FRONT["born"], *_GATE_FRONT["changed"],
-    *_GATE_FRONT["stale_twins"], *_R4_COHORT, *_R5_FRONT,
+    *_GATE_FRONT["stale_twins"], *_R5_COHORT, *_R6_FRONT,
 )
 
 #: Previously green, unchanged code — behind the front, order
 #: irrelevant past the cap (duplicates of _FRONT are filtered out when
 #: _GATE_PRIORITY is assembled below).
 _GATE_TAIL = (
+    "bpe_learn_merges_saturated", "bpe_learn_merges_types_hist",
     "bpe_learn_merges_wide", "bpe_learn_merges_wide_hist",
     "bpe_encode_frozen_wide",
     "streaming_pipeline_stores", "streaming_pipeline_checksum",
