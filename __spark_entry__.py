@@ -33,11 +33,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: composition line below is the tool's output, pinned by
 #: test_gate_rotation.
 #:
-#: front r12 = 2 born + 11 changed-lane + 17 r5 + 20 r6 (50 slots);
-#: deferred 26 r6
+#: front r12 = 3 born + 11 changed-lane + 17 r5 + 19 r6 (50 slots);
+#: deferred 27 r6
 _GATE_FRONT = {
     "round": 12,
-    "born": ("streaming_pipeline_phash", "components_path_islands"),
+    "born": ("streaming_pipeline_phash", "streaming_pipeline_phash_delta",
+             "components_path_islands"),
     "changed": (
         # the pipeline run gained the 6th (image-hash) store
         "streaming_pipeline_stores", "streaming_pipeline_checksum",
@@ -75,9 +76,9 @@ _R5_COHORT = (
     "tpch_q21_suppliers_kept_waiting",
 )
 
-#: 20 of the 46 uncategorized r6-cohort rows (alphabetical prefix;
+#: 19 of the 46 uncategorized r6-cohort rows (alphabetical prefix;
 #: dedup_minhash_pairs is r6-vintage too but occupies a changed-lane
-#: slot above). The remaining 26 r6 rows are this round's deferred set.
+#: slot above). The remaining 27 r6 rows are this round's deferred set.
 _R6_FRONT = (
     "ann_cosine_topk", "ann_ivf_sq8_search", "ann_sq8_recall",
     "backfill_plan_days", "bpe_pair_candidates", "chunk_compression_plan",
@@ -86,7 +87,7 @@ _R6_FRONT = (
     "dedup_simhash", "dedup_span_trim_ranges",
     "embedding_component_quantiles", "embedding_sq8_error",
     "embedding_winsorized_stats", "heavy_hitters_exact",
-    "hll_register_law", "ind_bollinger", "ind_candle_patterns",
+    "hll_register_law", "ind_bollinger",
 )
 
 _FRONT = (

@@ -216,3 +216,45 @@ def test_quality_canonical_skew_free_on_identical_corpus(spark, tmp_path):
     assert got.cluster_id.nunique() == 1
     kept = got[got.is_kept]
     assert len(kept) == 1 and kept.doc_id.iloc[0] == 1
+
+
+def test_phash_delta_star_guard_bounds_and_preserves_components(spark):
+    """The delta-probe star guard (operators/phash.
+    phash_delta_candidate_pairs): a degenerate store bucket (every doc
+    the same hash) joined by a delta must emit ONE anchor row per
+    (new doc, band), never bucket-size rows — and the union of
+    per-delta emissions over an ingest history must keep the bucket's
+    members in one connected component even though pairwise candidacy
+    is sacrificed."""
+    from tradecat_spark.operators.components import min_label_components
+    from tradecat_spark.operators.phash import (
+        phash_delta_candidate_pairs,
+    )
+
+    def wide(ids):
+        return spark.createDataFrame(
+            [(i, 7, 7, 7, 7) for i in ids],
+            "doc_id long, b0 int, b1 int, b2 int, b3 int",
+        )
+
+    cap = 4
+    # ingest history: 3 deltas into one all-identical bucket
+    history = [list(range(0, 6)), list(range(6, 12)), list(range(12, 20))]
+    emitted = []
+    stored: list[int] = []
+    for ids in history:
+        cand = phash_delta_candidate_pairs(
+            wide(ids), wide(stored), probe=False, cap=cap
+        ).collect()
+        emitted += [(r["doc_a"], r["doc_b"]) for r in cand]
+        stored += ids
+        # bound: oversized store bucket -> one anchor per (new, band);
+        # within-delta stays star-capped too, so per-delta emissions
+        # are O(delta), never O(delta x bucket)
+        assert len(cand) <= len(ids) * 2
+    nodes = spark.createDataFrame([(i,) for i in stored], "doc_id long")
+    pairs = spark.createDataFrame(
+        sorted(set(emitted)), "doc_a long, doc_b long"
+    )
+    labels = min_label_components(nodes, pairs).collect()
+    assert {r["cluster_id"] for r in labels} == {0}  # one component

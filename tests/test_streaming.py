@@ -2643,3 +2643,33 @@ def test_pipeline_with_phash_without_text_column_raises(
         pl.start_ingest_pipeline(
             stream, root, available_now=True, with_phash=True
         )
+
+
+def test_phash_delta_pairs_union_equals_full(spark, sf_dir, tmp_path):
+    """The incremental == batch law for streaming image dedup: hash
+    the delta corpus in three sequential batches with pair emission
+    on; the union of per-batch emissions must equal the one-pass
+    full-store near-dup pair set exactly (no driver bucket exceeds
+    the cap), and a same-batch replay must not change it."""
+    from tradecat_spark.streaming import phash as sp
+
+    delta = _pipeline_delta(spark, sf_dir)
+    store = str(tmp_path / "hashes")
+    pairs_dir = str(tmp_path / "pairs")
+    parts = [
+        delta.filter(F.col("doc_id") % 30 == 0),
+        delta.filter((F.col("doc_id") % 30 != 0)
+                     & (F.col("doc_id") % 3 == 0)),
+        delta.filter(F.col("doc_id") % 3 != 0),
+    ]
+    for i, p in enumerate(parts):
+        sp.hash_batch(spark, p, i, store, pairs_dir=pairs_dir)
+    got = sorted(map(tuple, sp.read_pairs(spark, pairs_dir).collect()))
+    want = sorted(
+        map(tuple, sp.near_dup_pairs(spark, store).collect())
+    )
+    assert got == want and got  # nonempty at the driver SFs
+    # replay of the last batch: identical emissions, set unchanged
+    sp.hash_batch(spark, parts[-1], 2, store, pairs_dir=pairs_dir)
+    again = sorted(map(tuple, sp.read_pairs(spark, pairs_dir).collect()))
+    assert again == got

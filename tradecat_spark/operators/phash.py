@@ -73,6 +73,74 @@ def phash_candidate_pairs(wide: DataFrame, probe: bool) -> DataFrame:
     return minhash_candidate_pairs(phash_sig_rows(wide, probe))
 
 
+def phash_delta_candidate_pairs(
+    new_wide: DataFrame,
+    old_wide: DataFrame,
+    probe: bool = True,
+    cap: int = 64,
+) -> DataFrame:
+    """Candidate pairs INTRODUCED by a delta against an existing hash
+    table — the production trigger shape: a 100 TB ingest must not
+    re-join the whole store per batch, it probes the store's buckets
+    with the delta's (tiny) signature rows.
+
+    Two parts, one per pair provenance:
+
+    * within-delta: the ordinary star-capped self-join
+      (``phash_candidate_pairs`` over the new rows only);
+    * delta x store: the delta's bucket rows inner-join the store's on
+      (band, band_sig) — at scale the store side is bucket-partitioned
+      so this prunes to the delta's buckets. The star-cap guard
+      carries over: a matched STORE bucket larger than ``cap`` emits
+      only (new doc ↔ bucket-min anchor) star rows instead of all
+      members, O(delta) not O(delta x bucket). As with the batch
+      guard, stars sacrifice pairwise candidacy but preserve connected
+      components CUMULATIVELY (induction over ingest order): every
+      doc that enters an oversized bucket pairs with the bucket's
+      then-current min-id anchor — an already-ingested member — so
+      each arrival attaches to the bucket's existing connected
+      subgraph, and the union of per-delta emissions keeps every
+      bucket's members connected even as the min-id anchor shifts.
+
+    Pair ordering follows the batch convention (doc_a < doc_b), so
+    the union of per-delta emissions over an ingest history is
+    set-comparable with the full-table generator — EQUAL whenever no
+    bucket exceeds ``cap`` (pytest law), component-equal beyond it.
+    """
+    from pyspark.sql import Window
+
+    new_sig = phash_sig_rows(new_wide, probe)
+    old_sig = phash_sig_rows(old_wide, probe)
+    within = minhash_candidate_pairs(new_sig, cap=cap)
+    w = Window.partitionBy("band", "band_sig")
+    old_sized = old_sig.select(
+        F.col("doc_id").alias("old_id"), "band", "band_sig",
+        F.count(F.lit(1)).over(w).alias("bucket_n"),
+        F.min("doc_id").over(w).alias("anchor"),
+    )
+    # oversized buckets are REDUCED to their one anchor row before the
+    # join, so the guard bounds join output (O(delta) rows), not just
+    # the post-distinct set
+    small = old_sized.filter(F.col("bucket_n") <= cap).select(
+        "band", "band_sig", "old_id"
+    )
+    big = (
+        old_sized.filter(F.col("bucket_n") > cap)
+        .select("band", "band_sig", F.col("anchor").alias("old_id"))
+        .distinct()
+    )
+    cross = (
+        new_sig.withColumnRenamed("doc_id", "new_id")
+        .join(small.unionByName(big), ["band", "band_sig"])
+        .filter(F.col("new_id") != F.col("old_id"))
+        .select(
+            F.least("new_id", "old_id").alias("doc_a"),
+            F.greatest("new_id", "old_id").alias("doc_b"),
+        )
+    )
+    return within.unionByName(cross).distinct()
+
+
 def phash_verify_pairs(pairs: DataFrame, wide: DataFrame) -> DataFrame:
     """Join candidates back to the hash table and keep pairs within
     the hamming radius (JVM-side popcount fold)."""

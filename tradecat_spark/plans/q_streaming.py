@@ -1259,6 +1259,70 @@ SELECT * FROM hashrow UNION ALL SELECT * FROM pairrow
 _REG["streaming_pipeline_phash"].oracle = _pipeline_phash_oracle()
 
 
+@query(
+    "streaming_pipeline_phash_delta",
+    survey="§2.11-adjacent + beyond-reference multimodal dedup: "
+    "INCREMENTAL near-dup pair emission on the ingest path — each "
+    "trigger joins only the delta's bucket rows against the hash "
+    "store (cap-guarded bucket probe, operators/phash."
+    "phash_delta_candidate_pairs) and lands the pairs it INTRODUCES "
+    "in the batch's own partition (exactly-once: a pair lands when "
+    "its later endpoint ingests, replays overwrite, re-publications "
+    "are screened); the UNION of every batch's emissions over the "
+    "drained delta-doubled source must equal the full-table near-dup "
+    "pair set the oracle computes in one pass — the incremental == "
+    "batch law, per-pair hash-gated (the image twin of "
+    "dedup_incremental_delta)",
+    description="Union of per-batch delta-emitted near-dup image "
+    "pairs from the pipeline run: doc_a, doc_b, hamming",
+    oracle=None,  # set below: the full-table pair SQL over the delta
+)
+def streaming_pipeline_phash_delta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reads the per-batch pair partitions the composed pipeline run
+    emitted (shared memoized assets). Equality with the one-pass
+    full-table oracle holds because (a) every pair is emitted exactly
+    once, at its later endpoint's ingest trigger, and (b) no phash
+    bucket on the driver delta exceeds the star cap (measured max
+    probe-bucket 5 at sf0.01 / 42 at sf0.1 vs cap 64), so the guard's
+    pairwise-lossy branch never fires here — when it does fire, the
+    contract weakens to component-equality, pinned separately in
+    tests/test_streaming.py with a constructed degenerate bucket."""
+    from tradecat_spark.streaming.phash import read_pairs
+
+    dirs = _pipeline_assets(spark, sf_dir)
+    return read_pairs(spark, dirs["phash_pairs"])
+
+
+def _pipeline_phash_delta_oracle() -> str:
+    from tradecat_spark.plans.q_multimodal import (
+        _PHASH_PROBE_CTES,
+        PHASH_HAMMING_MAX,
+        phash_ctes_sql,
+    )
+
+    return f"""
+WITH {phash_ctes_sql("doc_id % 10 = 0")},
+{_PHASH_PROBE_CTES}
+SELECT c.doc_a, c.doc_b,
+  CAST(bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+     + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
+    AS INTEGER) AS hamming
+FROM pcand c
+JOIN wide wa ON wa.doc_id = c.doc_a
+JOIN wide wb ON wb.doc_id = c.doc_b
+WHERE bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+    + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
+    <= {PHASH_HAMMING_MAX}
+"""
+
+
+_REG["streaming_pipeline_phash_delta"].oracle = (
+    _pipeline_phash_delta_oracle()
+)
+
+
 # ---------------------------------------------------------------------------
 # Shared scaffolding for the stream-stream interval-join family
 # ---------------------------------------------------------------------------

@@ -159,19 +159,31 @@ def hash_batch(
     batch: DataFrame,
     batch_id: int,
     store_path: str,
+    pairs_dir: str | None = None,
 ) -> None:
     """The foreachBatch body, exposed for tests: decode+hash once
-    (mapInPandas, map-side), screen against the store, commit. The
-    hash table is materialized ONCE (localCheckpoint) so the screen,
-    the upsert's partition probe, and the staging write don't re-run
-    the decode stage — the same plan bug the batch lane fixed in
-    b9755a9, avoided here by construction.
+    (mapInPandas, map-side), screen against the store, commit — and,
+    with ``pairs_dir``, emit the near-dup pairs this delta INTRODUCES
+    (new x store via the cap-guarded bucket probe + new x new; see
+    ``operators/phash.phash_delta_candidate_pairs``) into the batch's
+    own partition. The hash table is materialized ONCE
+    (localCheckpoint) so the screen, the upsert's partition probe, the
+    pair join, and the staging write don't re-run the decode stage —
+    the same plan bug the batch lane fixed in b9755a9, avoided here by
+    construction.
 
     Intra-batch dedup first: an at-least-once source can redeliver a
     doc WITHIN one trigger; hashes are deterministic, so dropping
     duplicates is lossless. Zero-byte payloads are corrupt media —
     dropped before hashing, exactly as the batch lane and its oracle
-    (length(text) > 0) do."""
+    (length(text) > 0) do.
+
+    Pair-emission exactly-once: each pair lands when its LATER
+    endpoint ingests. A replayed batch id re-derives the identical
+    pair set (the screen self-excludes the batch's own partition, so
+    the "new" side is the same rows, and the "old" side explicitly
+    excludes them) and overwrites its own partition; a re-published
+    doc is screened out entirely, so its pairs are never re-emitted."""
     docs = batch.dropDuplicates(["doc_id"])
     if "lang" not in docs.columns:
         # attach_payload's meta struct carries a source_lang; a
@@ -185,14 +197,52 @@ def hash_batch(
     ).localCheckpoint()
     if hashed.isEmpty():
         return
+    old_wide = spark.createDataFrame([], _HASH_SCHEMA).select(
+        "doc_id", "b0", "b1", "b2", "b3"
+    )
     if store_has_data(store_path):
         prior = _read_live(spark, store_path).filter(
             F.col("batch_id") != F.lit(batch_id).cast("long")
-        ).select("doc_id")
-        hashed = hashed.join(prior, "doc_id", "left_anti").localCheckpoint()
+        ).localCheckpoint()
+        old_wide = prior.select("doc_id", "b0", "b1", "b2", "b3")
+        hashed = hashed.join(
+            prior.select("doc_id"), "doc_id", "left_anti"
+        ).localCheckpoint()
         if hashed.isEmpty():
             return
     upsert_hashes(spark, hashed, store_path)
+    if pairs_dir is not None:
+        from tradecat_spark.operators.phash import (
+            phash_delta_candidate_pairs,
+        )
+
+        new_wide = hashed.select("doc_id", "b0", "b1", "b2", "b3")
+        cand = phash_delta_candidate_pairs(new_wide, old_wide)
+        pairs = phash_verify_pairs(
+            cand, new_wide.unionByName(old_wide)
+        )
+        pairs.write.mode("overwrite").parquet(
+            f"{pairs_dir}/batch_id={batch_id}"
+        )
+
+
+def read_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
+    """(doc_a, doc_b, hamming) — the union of every batch's emitted
+    delta pairs: the streaming image-dedup product. Equals the
+    full-table near-dup pair set whenever no bucket exceeded the cap
+    over the ingest history; component-equal beyond it (the guard's
+    contract, pinned in tests)."""
+    import os
+
+    if not os.path.isdir(pairs_dir):
+        return spark.createDataFrame(
+            [], "doc_a bigint, doc_b bigint, hamming int"
+        )
+    return spark.read.parquet(pairs_dir).select(
+        F.col("doc_a").cast("bigint").alias("doc_a"),
+        F.col("doc_b").cast("bigint").alias("doc_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    ).distinct()
 
 
 def start_phash_maintenance(
@@ -201,14 +251,16 @@ def start_phash_maintenance(
     checkpoint: str,
     trigger_sec: int = 3,
     available_now: bool = False,
+    pairs_dir: str | None = None,
 ):
     """Start hash-store maintenance over a (doc_id, text) document
     stream; per-trigger work is the map-side decode+hash plus one
-    partition commit."""
+    partition commit (plus the bucket-probe pair join when
+    ``pairs_dir`` is given)."""
     spark = stream.sparkSession
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        hash_batch(spark, batch, batch_id, store_path)
+        hash_batch(spark, batch, batch_id, store_path, pairs_dir=pairs_dir)
 
     return start_foreach_batch(
         stream, _sink, checkpoint, trigger_sec, available_now

@@ -65,6 +65,7 @@ def pipeline_dirs(base_dir: str) -> dict[str, str]:
         "cms_store": f"{base_dir}/cms",
         "ann_store": f"{base_dir}/ann_codes",
         "phash_store": f"{base_dir}/phash",
+        "phash_pairs": f"{base_dir}/phash_pairs",
     }
 
 
@@ -145,7 +146,10 @@ def pipeline_batch(
         # path (missing-column contract checked at the body's top)
         from tradecat_spark.streaming.phash import hash_batch
 
-        hash_batch(spark, batch, batch_id, dirs["phash_store"])
+        hash_batch(
+            spark, batch, batch_id, dirs["phash_store"],
+            pairs_dir=dirs["phash_pairs"],
+        )
 
 
 def start_ingest_pipeline(
