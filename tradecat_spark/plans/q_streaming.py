@@ -963,7 +963,8 @@ def _pipeline_assets(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     "Exact store contents are gated by the streaming_pipeline_checksum "
     "and streaming_pipeline_phash twins",
     description="Per-store row/key counts of the converged 6-store "
-    "pipeline over a twice-delivered delta stream",
+    "pipeline (plus its emitted near-dup pair sink) over a "
+    "twice-delivered delta stream",
     oracle=None,  # rows-only by design: six heterogeneous stores;
     # the SQL-expressible contents are exactly gated by the twin
 )
@@ -988,7 +989,7 @@ def streaming_pipeline_stores(
             n_keys.cast("bigint").alias("n_keys"),
         )
 
-    from tradecat_spark.streaming.phash import read_hashes
+    from tradecat_spark.streaming.phash import read_hashes, read_pairs
 
     bronze = spark.read.parquet(dirs["bronze"])
     sigs = _read_sigs(spark, dirs["sig_store"])
@@ -997,6 +998,7 @@ def streaming_pipeline_stores(
     cms = read_cms(spark, dirs["cms_store"])
     ann = read_index(spark, dirs["ann_store"])
     ph = read_hashes(spark, dirs["phash_store"])
+    php = read_pairs(spark, dirs["phash_pairs"])
     rows = [
         _row("bronze", F.lit(bronze.count()),
              F.lit(bronze.select("doc_id").distinct().count())),
@@ -1012,6 +1014,8 @@ def streaming_pipeline_stores(
              F.lit(ann.select("vec_id").distinct().count())),
         _row("phash", F.lit(ph.count()),
              F.lit(ph.select("doc_id").distinct().count())),
+        _row("phash_pairs", F.lit(php.count()),
+             F.lit(php.select("doc_a").distinct().count())),
     ]
     res = rows[0]
     for r in rows[1:]:
