@@ -697,3 +697,43 @@ def test_phash_near_dup_decodes_once_and_never_all_pairs(spark, sf_dir):
     assert "MapInPandas" not in plan, plan
     for op in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert op not in plan, op
+
+
+def test_phash_delta_pairs_probe_shape(spark, sf_dir):
+    """The streaming delta-pair generator's scale laws, pinned in the
+    physical plan (r12): the delta x store probe and the within-delta
+    join are both equi-keyed bucket joins — no cartesian/nested-loop
+    join anywhere — and the pair columns are the only thing shuffled
+    (no payload, no hash bands wider than the 5-scalar table). Built
+    directly on hash frames so the law covers the operator itself,
+    independent of the streaming store plumbing."""
+    from tradecat_spark.operators.phash import (
+        phash_delta_candidate_pairs,
+        phash_verify_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    from tradecat_spark.plans.q_multimodal import _phash_wide
+
+    wide = _phash_wide(spark, sf_dir)
+    new = wide.filter(F.col("doc_id") % 7 == 0)
+    old = wide.filter(F.col("doc_id") % 7 != 0)
+    out = phash_verify_pairs(
+        phash_delta_candidate_pairs(new, old), new.unionByName(old)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for op in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, op
+    # sanity: the law run produces the same pairs the full generator
+    # finds among (new x old) + (new x new) on this split
+    got = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    from tradecat_spark.operators.phash import phash_candidate_pairs
+
+    full = phash_verify_pairs(phash_candidate_pairs(wide, True), wide)
+    both_old = {r["doc_id"] for r in old.select("doc_id").collect()}
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in full.collect()
+        if not (r["doc_a"] in both_old and r["doc_b"] in both_old)
+    }
+    assert got == want
