@@ -33,12 +33,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #: composition line below is the tool's output, pinned by
 #: test_gate_rotation.
 #:
-#: front r12 = 3 born + 11 changed-lane + 17 r5 + 19 r6 (50 slots);
-#: deferred 27 r6
+#: front r12 = 6 born + 11 changed-lane + 17 r5 + 16 r6 (50 slots);
+#: deferred 30 r6
 _GATE_FRONT = {
     "round": 12,
     "born": ("streaming_pipeline_phash", "streaming_pipeline_phash_delta",
-             "components_path_islands"),
+             "components_path_islands",
+             # hybrid retrieval family (BM25 + RRF fusion), late-r12
+             "text_bm25_topk", "hybrid_rrf_fusion", "retrieval_fusion_eval"),
     "changed": (
         # the pipeline run gained the 6th (image-hash) store
         "streaming_pipeline_stores", "streaming_pipeline_checksum",
@@ -76,9 +78,9 @@ _R5_COHORT = (
     "tpch_q21_suppliers_kept_waiting",
 )
 
-#: 19 of the 46 uncategorized r6-cohort rows (alphabetical prefix;
+#: 16 of the 46 uncategorized r6-cohort rows (alphabetical prefix;
 #: dedup_minhash_pairs is r6-vintage too but occupies a changed-lane
-#: slot above). The remaining 27 r6 rows are this round's deferred set.
+#: slot above). The remaining 30 r6 rows are this round's deferred set.
 _R6_FRONT = (
     "ann_cosine_topk", "ann_ivf_sq8_search", "ann_sq8_recall",
     "backfill_plan_days", "bpe_pair_candidates", "chunk_compression_plan",
@@ -86,8 +88,7 @@ _R6_FRONT = (
     "corpus_trim_stats", "dedup_exact_groups", "dedup_ngram_jaccard",
     "dedup_simhash", "dedup_span_trim_ranges",
     "embedding_component_quantiles", "embedding_sq8_error",
-    "embedding_winsorized_stats", "heavy_hitters_exact",
-    "hll_register_law", "ind_bollinger",
+    "embedding_winsorized_stats",
 )
 
 _FRONT = (
@@ -99,6 +100,7 @@ _FRONT = (
 #: irrelevant past the cap (duplicates of _FRONT are filtered out when
 #: _GATE_PRIORITY is assembled below).
 _GATE_TAIL = (
+    "text_bm25_topk", "hybrid_rrf_fusion", "retrieval_fusion_eval",
     "bpe_learn_merges_saturated", "bpe_learn_merges_types_hist",
     "bpe_learn_merges_wide", "bpe_learn_merges_wide_hist",
     "bpe_encode_frozen_wide",

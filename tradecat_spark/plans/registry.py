@@ -79,6 +79,7 @@ def load_all() -> dict[str, QuerySpec]:
         q_reshape,
         q_instruments,
         q_scale,
+        q_retrieval,
         q_checksums,
     )
 
