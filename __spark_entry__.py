@@ -33,14 +33,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #: composition line below is the tool's output, pinned by
 #: test_gate_rotation.
 #:
-#: front r12 = 6 born + 11 changed-lane + 17 r5 + 16 r6 (50 slots);
-#: deferred 30 r6
+#: front r12 = 7 born + 11 changed-lane + 17 r5 + 15 r6 (50 slots);
+#: deferred 31 r6
 _GATE_FRONT = {
     "round": 12,
     "born": ("streaming_pipeline_phash", "streaming_pipeline_phash_delta",
              "components_path_islands",
-             # hybrid retrieval family (BM25 + RRF fusion), late-r12
-             "text_bm25_topk", "hybrid_rrf_fusion", "retrieval_fusion_eval"),
+             # hybrid retrieval family (BM25 + RRF fusion), late-r12,
+             # plus the postings store it serves from on the ingest
+             # path (the pipeline's 7th store)
+             "text_bm25_topk", "hybrid_rrf_fusion", "retrieval_fusion_eval",
+             "streaming_pipeline_bm25"),
     "changed": (
         # the pipeline run gained the 6th (image-hash) store
         "streaming_pipeline_stores", "streaming_pipeline_checksum",
@@ -78,9 +81,9 @@ _R5_COHORT = (
     "tpch_q21_suppliers_kept_waiting",
 )
 
-#: 16 of the 46 uncategorized r6-cohort rows (alphabetical prefix;
+#: 15 of the 46 uncategorized r6-cohort rows (alphabetical prefix;
 #: dedup_minhash_pairs is r6-vintage too but occupies a changed-lane
-#: slot above). The remaining 30 r6 rows are this round's deferred set.
+#: slot above). The remaining 31 r6 rows are this round's deferred set.
 _R6_FRONT = (
     "ann_cosine_topk", "ann_ivf_sq8_search", "ann_sq8_recall",
     "backfill_plan_days", "bpe_pair_candidates", "chunk_compression_plan",
@@ -88,7 +91,6 @@ _R6_FRONT = (
     "corpus_trim_stats", "dedup_exact_groups", "dedup_ngram_jaccard",
     "dedup_simhash", "dedup_span_trim_ranges",
     "embedding_component_quantiles", "embedding_sq8_error",
-    "embedding_winsorized_stats",
 )
 
 _FRONT = (
@@ -101,6 +103,7 @@ _FRONT = (
 #: _GATE_PRIORITY is assembled below).
 _GATE_TAIL = (
     "text_bm25_topk", "hybrid_rrf_fusion", "retrieval_fusion_eval",
+    "streaming_pipeline_bm25",
     "bpe_learn_merges_saturated", "bpe_learn_merges_types_hist",
     "bpe_learn_merges_wide", "bpe_learn_merges_wide_hist",
     "bpe_encode_frozen_wide",

@@ -2673,3 +2673,195 @@ def test_phash_delta_pairs_union_equals_full(spark, sf_dir, tmp_path):
     sp.hash_batch(spark, parts[-1], 2, store, pairs_dir=pairs_dir)
     again = sorted(map(tuple, sp.read_pairs(spark, pairs_dir).collect()))
     assert again == got
+
+
+# ---------------------------------------------------------------------------
+# 7th store: inverted-index postings (streaming/postings.py, r12)
+# ---------------------------------------------------------------------------
+def _store_postings(spark, store):
+    from tradecat_spark.streaming import postings as pp
+
+    return sorted(
+        (r["doc_id"], r["word"], r["tf"])
+        for r in pp.read_postings(spark, store).collect()
+    )
+
+
+def _batch_postings(spark, docs):
+    from tradecat_spark.streaming.postings import postings_of
+
+    return sorted(
+        (r["doc_id"], r["word"], r["tf"])
+        for r in postings_of(docs).collect()
+    )
+
+
+def test_postings_store_replay_republish_and_compaction(
+    spark, sf_dir, tmp_path
+):
+    """The postings store must converge to one row set per doc under
+    BOTH duplication shapes — replaying the SAME batch id
+    (at-least-once) and re-publishing the same docs under a LATER
+    batch id — match the one-shot batch tokenization exactly, and
+    survive coverage-rule compaction byte-identically."""
+    from tradecat_spark.streaming import postings as pp
+    from tradecat_spark.streaming.ingest import batch_partition_vals
+
+    delta = _pipeline_delta(spark, sf_dir)
+    b1 = delta.filter(F.col("doc_id") % 20 == 0)
+    store = str(tmp_path / "postings")
+
+    pp.index_text_batch(spark, b1, 1, store)
+    got1 = _store_postings(spark, store)
+    assert got1 == _batch_postings(spark, b1)
+    pp.index_text_batch(spark, b1, 1, store)        # same-batch replay
+    assert _store_postings(spark, store) == got1
+    pp.index_text_batch(spark, delta, 2, store)     # recrawl superset
+    assert _store_postings(spark, store) == _batch_postings(spark, delta)
+
+    pp.compact_postings(spark, store, 2)
+    assert _store_postings(spark, store) == _batch_postings(spark, delta)
+    assert batch_partition_vals(store) == ["c2"]
+
+
+def test_postings_store_bm25_matches_batch_scorer(spark, sf_dir, tmp_path):
+    """Rankings served off the persisted store must equal the shared
+    operator's output over the same corpus postings — the no-drift law
+    operators/bm25.py exists to enforce (the retrieval twin of the
+    phash pairs-match-generators law)."""
+    from pyspark.sql import Window
+
+    from tradecat_spark.operators.bm25 import bm25_micro_scores
+    from tradecat_spark.streaming import postings as pp
+
+    delta = _pipeline_delta(spark, sf_dir)
+    store = str(tmp_path / "postings")
+    pp.index_text_batch(spark, delta, 0, store)
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["micros"], r["rk"])
+        for r in pp.bm25_topk_over_store(
+            spark, store, F.col("doc_id") < 80, k=10
+        ).collect()
+    )
+    tf = pp.postings_of(delta)
+    qt = (
+        tf.filter(F.col("doc_id") < 80)
+        .select(F.col("doc_id").alias("query_id"), "word")
+        .distinct()
+    )
+    bm = bm25_micro_scores(tf, qt)
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("micros"), F.asc("doc_id")
+    )
+    want = sorted(
+        (r["query_id"], r["doc_id"], r["micros"], r["rk"])
+        for r in bm.withColumn(
+            "rk", F.row_number().over(wk).cast("long")
+        ).filter(F.col("rk") <= 10).collect()
+    )
+    assert got == want and got  # nonempty: delta has docs < 80
+
+
+def test_ingest_pipeline_crash_before_postings_store(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """7th-store seam: crash AFTER every earlier store committed but
+    BEFORE the postings update, then replay the whole batch body — the
+    earlier stores must be byte-stable under the replay and the
+    postings store must converge to the one-shot batch tokenization."""
+    from tradecat_spark.streaming import pipeline as pl
+    from tradecat_spark.streaming import postings as pp
+    from tradecat_spark.streaming import sketch as sk
+
+    base, _ = _dedup_fixtures(spark, sf_dir)
+    delta = _pipeline_delta(spark, sf_dir)
+    root = str(tmp_path / "pipe")
+    dirs = pl.pipeline_dirs(root)
+    _seed_base_store(spark, base, dirs["sig_store"])
+
+    real = pp.index_text_batch
+    monkeypatch.setattr(
+        pp, "index_text_batch",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        pl.pipeline_batch(spark, delta, 3, dirs, with_postings=True)
+    v_crash = _verdict_pdf(spark, dirs["verdicts"])
+    cms_crash = sorted(map(tuple, sk.read_cms(
+        spark, dirs["cms_store"]).collect()))
+    # the postings update never ran — empty store, not an error
+    assert pp.read_postings(spark, dirs["postings_store"]).count() == 0
+
+    monkeypatch.setattr(pp, "index_text_batch", real)
+    pl.pipeline_batch(spark, delta, 3, dirs, with_postings=True)
+
+    assert _verdict_pdf(spark, dirs["verdicts"]).equals(v_crash)
+    assert sorted(map(tuple, sk.read_cms(
+        spark, dirs["cms_store"]).collect())) == cms_crash
+    assert _store_postings(spark, dirs["postings_store"]) == \
+        _batch_postings(spark, delta)
+
+
+def test_ingest_pipeline_crash_inside_postings_two_step_commit(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The seam INSIDE the postings updater's two-step body — after
+    the re-publish screen has read the store but before the commit
+    (``upsert_postings``) — driven through the COMPOSED pipeline, with
+    the crashed batch RE-PUBLISHING part of an earlier batch's docs so
+    the screen is live at the crash point (the ANN/phash interior
+    seam's shape, applied to the 7th store)."""
+    from tradecat_spark.streaming import pipeline as pl
+    from tradecat_spark.streaming import postings as pp
+
+    base, _ = _dedup_fixtures(spark, sf_dir)
+    delta = _pipeline_delta(spark, sf_dir)
+    root = str(tmp_path / "pipe")
+    dirs = pl.pipeline_dirs(root)
+    _seed_base_store(spark, base, dirs["sig_store"])
+
+    b1 = delta.filter(F.col("doc_id") % 20 == 0)
+    pl.pipeline_batch(spark, b1, 3, dirs, with_postings=True)
+    p_b1 = _store_postings(spark, dirs["postings_store"])
+    assert p_b1  # the screen below must have rows to filter on
+
+    real = pp.upsert_postings
+    monkeypatch.setattr(
+        pp, "upsert_postings",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        pl.pipeline_batch(spark, delta, 4, dirs, with_postings=True)
+    # postings store untouched: screen ran, commit never did
+    assert _store_postings(spark, dirs["postings_store"]) == p_b1
+
+    monkeypatch.setattr(pp, "upsert_postings", real)
+    pl.pipeline_batch(spark, delta, 4, dirs, with_postings=True)
+    # converged: one row set per distinct doc, equal to the batch
+    # tokenization; re-published b1 docs kept their first-commit rows
+    assert _store_postings(spark, dirs["postings_store"]) == \
+        _batch_postings(spark, delta)
+
+
+def test_pipeline_with_postings_without_text_column_raises(
+    spark, sf_dir, tmp_path
+):
+    """with_postings is an explicit request for the inverted-index
+    store — a stream lacking the 'text' column must fail loudly, in
+    pipeline_batch AND at start_ingest_pipeline start-up, not silently
+    leave the store empty (the family-wide loud-contract rule)."""
+    from tradecat_spark.streaming import pipeline as pl
+
+    delta = _pipeline_delta(spark, sf_dir).drop("text")
+    root = str(tmp_path / "pipe")
+    dirs = pl.pipeline_dirs(root)
+    with pytest.raises(ValueError, match="no 'text' column"):
+        pl.pipeline_batch(spark, delta, 0, dirs, with_postings=True)
+
+    src = str(tmp_path / "src")
+    delta.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(delta.schema).parquet(src)
+    with pytest.raises(ValueError, match="no 'text' column"):
+        pl.start_ingest_pipeline(
+            stream, root, available_now=True, with_postings=True
+        )

@@ -37,13 +37,12 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tradecat_spark.catalog import load_table
+from tradecat_spark.operators.bm25 import B, K1, bm25_micro_scores
 from tradecat_spark.plans.exact import ratio6, ratio6_sql
 from tradecat_spark.plans.q_similarity import _emb, cosine
 from tradecat_spark.plans.registry import query
 
 Q_DOCS = 8     # doc_id < 8 are the query documents
-K1 = 1.2       # BM25 term-frequency saturation
-B = 0.75       # BM25 length normalization
 POOL_K = 20    # per-list candidate pool fed into fusion
 FUSE_K = 10    # published fused/lexical top-k
 RRF_K = 60     # RRF rank offset (Cormack et al. default)
@@ -53,15 +52,21 @@ RRF_K = 60     # RRF rank offset (Cormack et al. default)
 # shared CTE builders (oracle side) / DataFrame builders (Spark side)
 # ---------------------------------------------------------------------------
 
-def _bm25_ctes_sql() -> str:
+def _bm25_ctes_sql(
+    doc_where: str = "TRUE", q_pred: str = f"doc_id < {Q_DOCS}"
+) -> str:
     """DuckDB CTE chain: postings → BM25 per-(query, doc) micro-score.
 
-    Mirrors ``_bm25_scores`` stage for stage; the micro-unit sum makes
-    the score order-insensitive and hashable."""
+    Mirrors ``operators/bm25.bm25_micro_scores`` stage for stage; the
+    micro-unit sum makes the score order-insensitive and hashable.
+    ``doc_where`` restricts the candidate corpus (the streaming
+    postings-store lane replays a delta split); ``q_pred`` selects the
+    query documents."""
     lr6 = ratio6_sql("dl.dl * n.n_docs", "n.sum_dl")
     return f"""w AS (
   SELECT doc_id, word FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE {doc_where}
   ) WHERE word <> ''
 ),
 dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM w GROUP BY 1),
@@ -80,7 +85,7 @@ idf AS (
     FROM w GROUP BY 1
   ) w CROSS JOIN n
 ),
-qt AS (SELECT DISTINCT doc_id AS query_id, word FROM w WHERE doc_id < {Q_DOCS}),
+qt AS (SELECT DISTINCT doc_id AS query_id, word FROM w WHERE {q_pred}),
 term AS (
   SELECT qt.query_id, tf.doc_id,
     ROUND(idf.idf6 * (tf.tf * {K1 + 1.0})
@@ -165,62 +170,19 @@ def _docs_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, doc_id, n_terms_hit, micros) — the BM25 score table.
-
-    Postings (tf) and document-frequency tables are hash aggregates
-    with map-side combine; query terms and the two scalar corpus stats
-    are broadcast; the score sum shuffles once on (query_id, doc_id)
-    in exact micro-units."""
+    """(query_id, doc_id, n_terms_hit, micros) — the BM25 score table,
+    through the shared operator (operators/bm25.py) so the batch lane
+    and the streaming postings store rank identically. dl inside the
+    operator is Σ tf per doc — exactly this lane's old direct token
+    count."""
     w = _docs_words(spark, sf_dir)
-    dl = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    n = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").cast("long").alias("sum_dl"),
-    )
     tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    idf = (
-        w.groupBy("word")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .join(F.broadcast(n))
-        .select(
-            "word",
-            F.round(
-                F.log(
-                    (F.col("n_docs") - F.col("df") + 0.5)
-                    / (F.col("df") + 0.5)
-                    + 1.0
-                ),
-                6,
-            ).alias("idf6"),
-        )
-    )
     qt = (
         w.filter(F.col("doc_id") < Q_DOCS)
         .select(F.col("doc_id").alias("query_id"), "word")
         .distinct()
     )
-    lr6 = ratio6(F.col("dl") * F.col("n_docs"), F.col("sum_dl"))
-    s6 = F.round(
-        F.col("idf6")
-        * (F.col("tf") * F.lit(K1 + 1.0))
-        / (F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * lr6)),
-        6,
-    )
-    term = (
-        tf.join(F.broadcast(qt), "word")
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .join(F.broadcast(idf), "word")
-        .join(dl.withColumnRenamed("doc_id", "cd"),
-              F.col("cd") == F.col("doc_id"))
-        .join(F.broadcast(n))
-        .select("query_id", "doc_id", s6.alias("s6"))
-    )
-    return term.groupBy("query_id", "doc_id").agg(
-        F.count(F.lit(1)).alias("n_terms_hit"),
-        F.sum(F.round(F.col("s6") * 1_000_000).cast("decimal(38,0)"))
-        .cast("long")
-        .alias("micros"),
-    )
+    return bm25_micro_scores(tf, qt)
 
 
 def _lex_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:

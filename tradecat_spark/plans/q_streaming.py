@@ -933,7 +933,7 @@ def _pipeline_assets(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     )
     q = start_ingest_pipeline(
         stream, f"{base}/stores", available_now=True,
-        ann_model_dir=model_dir, with_phash=True,
+        ann_model_dir=model_dir, with_phash=True, with_postings=True,
     )
     drained = q.awaitTermination(300)
     q.stop()
@@ -952,17 +952,18 @@ def _pipeline_assets(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     "streaming_pipeline_stores",
     survey="§2.11-adjacent: the COMPOSED ingest pipeline — bronze + "
     "dedup screen + HLL + CMS + frozen-model ANN codes + image "
-    "perceptual hashes co-running off ONE document stream "
-    "(streaming/pipeline.py; r7 verdict item 7, 5th store per r9 "
-    "item 5, 6th per r11 item 4) — summarized per store after "
-    "draining a doubled multi-trigger source; every row is "
-    "slicing-independent (bronze/verdicts count delivered rows, "
-    "sigs/screen/ANN/phash count distinct docs, sketch stores are "
-    "idempotent or additive, codes and hashes are deterministic), so "
-    "the summary is deterministic under any micro-batch slicing. "
-    "Exact store contents are gated by the streaming_pipeline_checksum "
-    "and streaming_pipeline_phash twins",
-    description="Per-store row/key counts of the converged 6-store "
+    "perceptual hashes + inverted-index postings co-running off ONE "
+    "document stream (streaming/pipeline.py; r7 verdict item 7, 5th "
+    "store per r9 item 5, 6th per r11 item 4, 7th in r12) — "
+    "summarized per store after draining a doubled multi-trigger "
+    "source; every row is slicing-independent (bronze/verdicts count "
+    "delivered rows, sigs/screen/ANN/phash/postings count distinct "
+    "docs, sketch stores are idempotent or additive, codes/hashes/"
+    "postings are deterministic), so the summary is deterministic "
+    "under any micro-batch slicing. Exact store contents are gated by "
+    "the streaming_pipeline_checksum, streaming_pipeline_phash and "
+    "streaming_pipeline_bm25 twins",
+    description="Per-store row/key counts of the converged 7-store "
     "pipeline (plus its emitted near-dup pair sink) over a "
     "twice-delivered delta stream",
     oracle=None,  # rows-only by design: six heterogeneous stores;
@@ -999,6 +1000,9 @@ def streaming_pipeline_stores(
     ann = read_index(spark, dirs["ann_store"])
     ph = read_hashes(spark, dirs["phash_store"])
     php = read_pairs(spark, dirs["phash_pairs"])
+    from tradecat_spark.streaming.postings import read_postings
+
+    post = read_postings(spark, dirs["postings_store"])
     rows = [
         _row("bronze", F.lit(bronze.count()),
              F.lit(bronze.select("doc_id").distinct().count())),
@@ -1016,6 +1020,8 @@ def streaming_pipeline_stores(
              F.lit(ph.select("doc_id").distinct().count())),
         _row("phash_pairs", F.lit(php.count()),
              F.lit(php.select("doc_a").distinct().count())),
+        _row("postings", F.lit(post.count()),
+             F.lit(post.select("doc_id").distinct().count())),
     ]
     res = rows[0]
     for r in rows[1:]:
@@ -1325,6 +1331,96 @@ WHERE bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
 _REG["streaming_pipeline_phash_delta"].oracle = (
     _pipeline_phash_delta_oracle()
 )
+
+
+#: query documents for the pipeline BM25 lane: the first 8 delta docs
+#: (the delta split is doc_id % 10 = 0, so these are 0, 10, ..., 70)
+_PIPE_BM25_QMAX = 80
+_PIPE_BM25_K = 10
+
+
+@query(
+    "streaming_pipeline_bm25",
+    survey="§2.11-adjacent + beyond-reference retrieval: the 7th "
+    "pipeline store (r12) — an inverted-index postings store "
+    "maintained ON the ingest path (deterministic per-doc (word, tf) "
+    "rows + insert-if-absent + re-publish screen, the image-hash "
+    "store's discipline), with BM25 ranking served OFF the store "
+    "through the SAME shared operator the batch lane uses "
+    "(operators/bm25.py); the lane checksums every stored posting AND "
+    "the served top-k micro-scores against a DuckDB replay of the "
+    "delta split, so hash-green means lexical retrieval on ingest "
+    "equals the batch sweep exactly",
+    description="(component, k1, k2, val) rows: every stored posting "
+    "+ the BM25 top-k micro-scores served off the pipeline's "
+    "converged inverted-index store",
+    oracle=None,  # set below (reuses q_retrieval's CTE builder)
+)
+def streaming_pipeline_bm25(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reads the postings store the composed pipeline run left behind
+    (shared memoized assets) and renders (a) the full inverted index
+    as (doc, word, tf) rows and (b) the BM25 top-k it serves for the
+    first 8 delta docs, on the pipeline twins' uniform (component,
+    k1, k2, val) schema. Both are slicing-independent: postings are a
+    deterministic function of the payload and the screen keeps
+    exactly one row set per doc, so the converged store — and
+    therefore the ranking — is a pure function of the delta corpus."""
+    from tradecat_spark.streaming.postings import (
+        bm25_topk_over_store,
+        read_postings,
+    )
+
+    dirs = _pipeline_assets(spark, sf_dir)
+    postings = read_postings(spark, dirs["postings_store"]).select(
+        F.lit("posting").alias("component"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.col("word").alias("k2"),
+        F.col("tf").cast("bigint").alias("val"),
+    )
+    topk = bm25_topk_over_store(
+        spark, dirs["postings_store"],
+        F.col("doc_id") < _PIPE_BM25_QMAX, k=_PIPE_BM25_K,
+    ).select(
+        F.lit("bm25").alias("component"),
+        F.col("query_id").cast("string").alias("k1"),
+        F.col("doc_id").cast("string").alias("k2"),
+        F.col("micros").cast("bigint").alias("val"),
+    )
+    return postings.unionByName(topk)
+
+
+def _pipeline_bm25_oracle() -> str:
+    from tradecat_spark.plans.q_retrieval import _bm25_ctes_sql
+
+    ctes = _bm25_ctes_sql(
+        doc_where="doc_id % 10 = 0",
+        q_pred=f"doc_id < {_PIPE_BM25_QMAX}",
+    )
+    return f"""
+WITH {ctes},
+postrow AS (
+  SELECT 'posting' AS component, CAST(doc_id AS VARCHAR) AS k1,
+    word AS k2, tf AS val
+  FROM tf
+),
+bmrow AS (
+  -- SUM(BIGINT) is HUGEINT in DuckDB: cast back for the hash gate
+  SELECT 'bm25' AS component, CAST(query_id AS VARCHAR) AS k1,
+    CAST(doc_id AS VARCHAR) AS k2, CAST(micros AS BIGINT) AS val
+  FROM (
+    SELECT query_id, doc_id, micros,
+      ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY micros DESC, doc_id ASC) AS rk
+    FROM bm
+  ) WHERE rk <= {_PIPE_BM25_K}
+)
+SELECT * FROM postrow UNION ALL SELECT * FROM bmrow
+"""
+
+
+_REG["streaming_pipeline_bm25"].oracle = _pipeline_bm25_oracle()
 
 
 # ---------------------------------------------------------------------------

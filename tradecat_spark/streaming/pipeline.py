@@ -7,7 +7,7 @@ ANN code store (`streaming/ann.py`) — plus a bronze landing zone into
 ONE foreachBatch body over a single document stream, closing the
 r7 verdict's "demonstrate the stores co-running off one source" item
 (and r9's "the ANN code store should be the 5th store").
-One trigger = one read of the micro-batch, up to six store updates:
+One trigger = one read of the micro-batch, up to seven store updates:
 
 1. **Bronze**: the raw rows land in the batch's own directory
    (``batch_id=N``) — replay overwrites, never appends.
@@ -28,6 +28,10 @@ One trigger = one read of the micro-batch, up to six store updates:
    on the ingest path; deterministic hashes, so the same
    insert-if-absent + re-publish-screen discipline as the ANN store
    (r11 verdict item 4).
+7. **Postings** (``with_postings``): the document's (word, tf)
+   postings into the inverted-index store (`postings.
+   index_text_batch`) — lexical/BM25 retrieval on the ingest path,
+   same deterministic-derivation discipline (r12).
 
 Crash/replay story: every updater is idempotent under at-least-once
 redelivery (overwrite-own-partition for bronze/verdicts/CMS,
@@ -66,6 +70,7 @@ def pipeline_dirs(base_dir: str) -> dict[str, str]:
         "ann_store": f"{base_dir}/ann_codes",
         "phash_store": f"{base_dir}/phash",
         "phash_pairs": f"{base_dir}/phash_pairs",
+        "postings_store": f"{base_dir}/postings",
     }
 
 
@@ -85,6 +90,7 @@ def pipeline_batch(
     dirs: dict[str, str],
     ann_model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
     with_phash: bool = False,
+    with_postings: bool = False,
 ) -> None:
     """The foreachBatch body, exposed for the crash-seam test. The
     batch is cut ONCE (the r7 one-materialization discipline): bronze,
@@ -108,6 +114,13 @@ def pipeline_batch(
             "pipeline_batch: with_phash set but the stream has no "
             f"'text' column (columns: {batch.columns}) — the "
             "image-hash store would silently stay empty"
+        )
+    if with_postings and "text" not in batch.columns:
+        # same loud-contract rule as the image-hash store
+        raise ValueError(
+            "pipeline_batch: with_postings set but the stream has no "
+            f"'text' column (columns: {batch.columns}) — the "
+            "inverted-index store would silently stay empty"
         )
     batch = batch.localCheckpoint()
     batch.write.mode("overwrite").parquet(
@@ -150,6 +163,12 @@ def pipeline_batch(
             spark, batch, batch_id, dirs["phash_store"],
             pairs_dir=dirs["phash_pairs"],
         )
+    if with_postings:
+        # the 7th store (r12): the document's inverted-index postings,
+        # so lexical/BM25 retrieval runs ON the ingest path
+        from tradecat_spark.streaming.postings import index_text_batch
+
+        index_text_batch(spark, batch, batch_id, dirs["postings_store"])
 
 
 def start_ingest_pipeline(
@@ -159,6 +178,7 @@ def start_ingest_pipeline(
     available_now: bool = False,
     ann_model_dir: str | None = None,
     with_phash: bool = False,
+    with_postings: bool = False,
 ):
     """Start the composed pipeline over a (doc_id, text, source
     [, embedding]) stream; returns the StreamingQuery. Store paths:
@@ -187,11 +207,16 @@ def start_ingest_pipeline(
             "start_ingest_pipeline: with_phash set but the stream has "
             f"no 'text' column ({stream.columns})"
         )
+    if with_postings and "text" not in stream.columns:
+        raise ValueError(
+            "start_ingest_pipeline: with_postings set but the stream "
+            f"has no 'text' column ({stream.columns})"
+        )
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         pipeline_batch(
             spark, batch, batch_id, dirs, ann_model=model,
-            with_phash=with_phash,
+            with_phash=with_phash, with_postings=with_postings,
         )
 
     return start_foreach_batch(
