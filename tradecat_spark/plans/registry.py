@@ -80,6 +80,7 @@ def load_all() -> dict[str, QuerySpec]:
         q_instruments,
         q_scale,
         q_retrieval,
+        q_anomaly,
         q_checksums,
     )
 
