@@ -226,3 +226,43 @@ def test_iterative_ops_reliable_checkpoint_parity(spark, sf_dir, tmp_path):
     # lloyd cuts at i=0,1; committing cent_1 GCs cent_0
     assert (tmp_path / "km" / "lloyd_cent_1").is_dir()
     assert not (tmp_path / "km" / "lloyd_cent_0").exists()
+
+
+def test_join_advice_est_out_is_exact_and_broadcast_matches_catalyst(
+    spark, sf_dir
+):
+    """Two laws for the advisor (r12): (1) est_out_rows is the EXACT
+    join cardinality — check it against a real join's count for every
+    advised pair; (2) where the advisor says 'broadcast', Catalyst's
+    executed plan for that equi-join under default thresholds is
+    indeed a BroadcastHashJoin (the advisor and the engine agree on
+    the obvious cases at test scale)."""
+    from pyspark.sql import functions as F
+
+    from tradecat_spark.catalog import load_table
+    from tradecat_spark.plans.q_scale import _ADVISED_JOINS
+    from tradecat_spark.plans.registry import load_all
+
+    advice = {
+        r["join_name"]: r
+        for r in load_all()["join_strategy_advice"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(advice) == {j[0] for j in _ADVISED_JOINS}
+    for name, lt, lk, rt, rk in _ADVISED_JOINS:
+        left = load_table(spark, sf_dir, lt).select(lk).filter(
+            F.col(lk).isNotNull()
+        )
+        right = load_table(spark, sf_dir, rt).select(rk).filter(
+            F.col(rk).isNotNull()
+        )
+        joined = left.join(right, F.col(lk) == F.col(rk))
+        assert joined.count() == advice[name]["est_out_rows"], name
+        if advice[name]["decision"] == "broadcast":
+            plan = (
+                joined._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "BroadcastHashJoin" in plan, (name, plan)
+        # skew factor is max/avg frequency: never below 1 by definition
+        assert advice[name]["skew6"] >= 1.0, name

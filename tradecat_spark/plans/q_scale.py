@@ -503,3 +503,165 @@ def chunk_compression_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("compaction_group").cast("bigint")
         .alias("compaction_group"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stats-driven join planning (r12)
+# ---------------------------------------------------------------------------
+#: rows below which the right side broadcasts (~10 MB at ~100 B/row —
+#: the spark.sql.autoBroadcastJoinThreshold default, expressed in rows
+#: so the decision is oracle-checkable; at 100 TB the same rule reads
+#: the catalog's row counts instead of counting)
+BROADCAST_MAX_ROWS = 100_000
+#: key-frequency skew factor above which a shuffled join gets salted
+#: (AQE's skewedPartitionFactor idea applied at key granularity)
+SKEW_FACTOR = 4.0
+
+#: (join_name, left_table, left_key, right_table, right_key) — the
+#: repo's recurring fact⋈dim / fact⋈fact shapes
+_ADVISED_JOINS = (
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events_customer", "events", "user_id", "customer", "c_custkey"),
+)
+
+
+def _advice_sql(name: str, lt: str, lk: str, rt: str, rk: str) -> str:
+    skew = ratio6_sql("s.max_left_freq * s.left_ndv", "s.left_rows")
+    return f"""
+SELECT join_name, left_rows, right_rows, left_ndv, right_ndv,
+  max_left_freq, skew6, match6, est_out_rows,
+  CASE WHEN right_rows <= {BROADCAST_MAX_ROWS} THEN 'broadcast'
+       WHEN skew6 > {SKEW_FACTOR} THEN 'shuffle_salted'
+       ELSE 'shuffle_hash' END AS decision
+FROM (
+  SELECT '{name}' AS join_name,
+    s.left_rows, r.n AS right_rows, s.left_ndv, r.ndv AS right_ndv,
+    s.max_left_freq,
+    {skew} AS skew6,
+    {ratio6_sql('m.matched', 's.left_rows')} AS match6,
+    m.est_out AS est_out_rows
+  FROM (
+    SELECT CAST(SUM(c) AS BIGINT) AS left_rows,
+      CAST(COUNT(*) AS BIGINT) AS left_ndv,
+      CAST(MAX(c) AS BIGINT) AS max_left_freq
+    FROM (SELECT {lk} AS k, COUNT(*) AS c FROM {lt}
+          WHERE {lk} IS NOT NULL GROUP BY 1)
+  ) s
+  CROSS JOIN (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(COUNT(DISTINCT {rk}) AS BIGINT) AS ndv
+    FROM {rt}
+  ) r
+  CROSS JOIN (
+    SELECT CAST(COALESCE(SUM(lf.c * rf.c), 0) AS BIGINT) AS est_out,
+      CAST(COALESCE(SUM(lf.c), 0) AS BIGINT) AS matched
+    FROM (SELECT {lk} AS k, COUNT(*) AS c FROM {lt}
+          WHERE {lk} IS NOT NULL GROUP BY 1) lf
+    JOIN (SELECT {rk} AS k, COUNT(*) AS c FROM {rt}
+          WHERE {rk} IS NOT NULL GROUP BY 1) rf
+    ON lf.k = rf.k
+  ) m
+)
+"""
+
+
+@query(
+    "join_strategy_advice",
+    survey="beyond §2 (100 TB planning): stats-driven join-strategy "
+    "advisor — per configured join, exact left/right cardinalities, "
+    "key NDV, max key frequency, key-level skew factor, semi-join "
+    "match fraction (the bloom-prejoin benefit measure) and the EXACT "
+    "join output cardinality, folded into a "
+    "broadcast/salted/shuffle decision with "
+    "autoBroadcastJoinThreshold-shaped constants",
+    description="Per join: cardinality/NDV/skew/selectivity stats + "
+    "the broadcast-vs-shuffle-vs-salt decision",
+    oracle="\nUNION ALL\n".join(
+        _advice_sql(*j) for j in _ADVISED_JOINS
+    ),
+)
+def join_strategy_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planner's input, made a first-class gated query: per join,
+    two per-key frequency aggregates (map-side-combining; the right
+    side additionally keyed for the exact output-cardinality product
+    sum), three 1-row stat frames broadcast together, and a CASE
+    decision. est_out_rows is EXACT — Σ freq_L(k)·freq_R(k) over
+    matched keys — the quantity a cost-based optimizer estimates and
+    the reason fact⋈fact joins get pre-aggregated. The driver's
+    synthetic keys are deliberately uniform, so the salted branch
+    stays dormant at gate SFs (its operator law is gated separately
+    by skew_salted_join_law); the broadcast/shuffle flip IS exercised:
+    orders crosses BROADCAST_MAX_ROWS between sf0.01 and sf0.1. At
+    100 TB the same decision logic reads catalog statistics (or the
+    KMV/CMS sketch lanes) instead of recounting — the thresholds and
+    the algebra are unchanged."""
+    out = None
+    for name, lt, lk, rt, rk in _ADVISED_JOINS:
+        left = load_table(spark, sf_dir, lt).filter(
+            F.col(lk).isNotNull()
+        )
+        right = load_table(spark, sf_dir, rt).filter(
+            F.col(rk).isNotNull()
+        )
+        lf = left.groupBy(F.col(lk).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        rf = right.groupBy(F.col(rk).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        s = lf.agg(
+            F.sum("c").cast("long").alias("left_rows"),
+            F.count(F.lit(1)).cast("long").alias("left_ndv"),
+            F.max("c").cast("long").alias("max_left_freq"),
+        )
+        r = right.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_distinct(F.col(rk)).cast("long").alias("ndv"),
+        )
+        m = (
+            lf.join(rf.withColumnRenamed("c", "rc"), "k")
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("c") * F.col("rc")), F.lit(0)
+                ).cast("long").alias("est_out"),
+                F.coalesce(F.sum("c"), F.lit(0)).cast("long")
+                .alias("matched"),
+            )
+        )
+        skew6 = ratio6(
+            F.col("max_left_freq") * F.col("left_ndv"), F.col("left_rows")
+        )
+        row = (
+            s.crossJoin(F.broadcast(r))
+            .crossJoin(F.broadcast(m))
+            .select(
+                F.lit(name).alias("join_name"),
+                "left_rows",
+                F.col("n").alias("right_rows"),
+                "left_ndv",
+                F.col("ndv").alias("right_ndv"),
+                "max_left_freq",
+                skew6.alias("skew6"),
+                ratio6(F.col("matched"), F.col("left_rows"))
+                .alias("match6"),
+                F.col("est_out").alias("est_out_rows"),
+            )
+            .select(
+                "*",
+                F.when(
+                    F.col("right_rows") <= BROADCAST_MAX_ROWS,
+                    F.lit("broadcast"),
+                )
+                .when(
+                    F.col("skew6") > SKEW_FACTOR, F.lit("shuffle_salted")
+                )
+                .otherwise(F.lit("shuffle_hash"))
+                .alias("decision"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
