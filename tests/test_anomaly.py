@@ -4,7 +4,7 @@ The sf0.001 oracle parity sweep covers value equality with DuckDB;
 these pin the algorithmic laws: the closed-form CUSUM equals the
 textbook recursion, the AMOC argmax equals a brute-force scan, the
 seasonal counts are internally consistent, and the family's
-positive-value assumption (which makes its integer divisions
+non-negative-value assumption (which makes its integer divisions
 engine-identical) actually holds on every driver SF.
 """
 
@@ -159,3 +159,20 @@ def test_events_value_is_non_negative(sf):
         f"SELECT MIN(value) FROM '{path}'"
     ).fetchone()[0]
     assert lo is not None and lo >= 0
+
+
+def test_anomaly_plans_stay_on_the_symbol_key(spark, sf_dir):
+    """Plan laws for the family: the per-symbol stats sides join back
+    by BROADCAST (never a sort-merge join — the stats frames are
+    symbol-cardinality small by construction), and nothing in any of
+    the three lanes goes all-pairs."""
+    for name in (
+        "ts_cusum_drift", "ts_level_shift", "ts_seasonal_hour_profile"
+    ):
+        plan = (
+            SPECS[name].fn(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

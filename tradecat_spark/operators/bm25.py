@@ -42,7 +42,17 @@ def bm25_micro_scores(tf: DataFrame, qt: DataFrame) -> DataFrame:
     broadcast, candidate generation as the term-keyed equi-join, and
     ONE wide shuffle on (query_id, doc_id) for the micro-unit score
     sum. No cross join; the postings join is how a search engine
-    scales (term-partitioned at 100 TB)."""
+    scales (term-partitioned at 100 TB).
+
+    The postings frame is materialized ONCE (localCheckpoint — the
+    decode-once precedent from the phash lane, b9755a9): dl, df and
+    the term join would otherwise each re-run the producing lineage
+    (a tokenize+aggregate over the corpus in the batch lane — its
+    dominant cost). At 100 TB this materialization is a persisted
+    postings table (exactly what streaming/postings.py maintains);
+    localCheckpoint is the single-process stand-in, caveat documented
+    repo-wide via q_cluster."""
+    tf = tf.localCheckpoint()
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     n = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -177,8 +177,17 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     count."""
     w = _docs_words(spark, sf_dir)
     tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    # the query-term side tokenizes ONLY the query docs — the doc_id
+    # filter pushes to the parquet scan, so this lineage reads 8 rows
+    # instead of re-running the corpus tokenize (the operator
+    # materializes the corpus postings once; this keeps the tiny
+    # broadcast side tiny too)
+    q = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < Q_DOCS
+    )
     qt = (
-        w.filter(F.col("doc_id") < Q_DOCS)
+        q.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
         .select(F.col("doc_id").alias("query_id"), "word")
         .distinct()
     )
@@ -263,6 +272,7 @@ def _fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     "over an inverted-index join — the lexical half of the hybrid RAG "
     "retrieval stack (k1=1.2, b=0.75; Robertson/Spärck Jones)",
     description=f"BM25 top-{FUSE_K} documents per query doc (doc_id < {Q_DOCS})",
+    bench=True,
     oracle=f"""
 WITH {_bm25_ctes_sql()}
 SELECT query_id, doc_id, n_terms_hit, bm25, lex_rank AS rk

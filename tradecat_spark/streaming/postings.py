@@ -181,15 +181,13 @@ def bm25_topk_over_store(
     the stored docs satisfying ``query_pred`` (a Column predicate over
     doc_id). Scoring runs through the shared operator — identical
     joins and micro-unit arithmetic to the batch lane — so the served
-    ranking equals the batch sweep's over the same corpus. The store
-    is materialized once (localCheckpoint): the scorer derives dl, df
-    and the corpus scalars from it, and re-running the partition read
-    per consumer would rescan the store four times."""
-    tf = read_postings(spark, store_path).localCheckpoint()
-    qt = (
-        tf.filter(query_pred)
-        .select(F.col("doc_id").alias("query_id"), "word")
-        .distinct()
+    ranking equals the batch sweep's over the same corpus. The scorer
+    materializes the postings once internally (the operator's
+    localCheckpoint), so the store partitions are scanned a single
+    time however many aggregates consume them."""
+    tf = read_postings(spark, store_path)
+    qt = tf.filter(query_pred).select(
+        F.col("doc_id").alias("query_id"), "word"
     )
     bm = bm25_micro_scores(tf, qt)
     wk = Window.partitionBy("query_id").orderBy(
