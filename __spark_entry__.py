@@ -33,8 +33,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: composition line below is the tool's output, pinned by
 #: test_gate_rotation.
 #:
-#: front r12 = 11 born + 11 changed-lane + 17 r5 + 11 r6 (50 slots);
-#: deferred 35 r6
+#: front r12 = 12 born + 11 changed-lane + 17 r5 + 10 r6 (50 slots);
+#: deferred 36 r6
 _GATE_FRONT = {
     "round": 12,
     "born": ("streaming_pipeline_phash", "streaming_pipeline_phash_delta",
@@ -48,7 +48,9 @@ _GATE_FRONT = {
              "ts_cusum_drift", "ts_level_shift",
              "ts_seasonal_hour_profile",
              # stats-driven join planning, late-r12
-             "join_strategy_advice"),
+             "join_strategy_advice",
+             # retrieval eval vs exact-cosine truth, late-r12
+             "retrieval_rank_quality"),
     "changed": (
         # the pipeline run gained the 6th (image-hash) store
         "streaming_pipeline_stores", "streaming_pipeline_checksum",
@@ -86,14 +88,14 @@ _R5_COHORT = (
     "tpch_q21_suppliers_kept_waiting",
 )
 
-#: 11 of the 46 uncategorized r6-cohort rows (alphabetical prefix;
+#: 10 of the 46 uncategorized r6-cohort rows (alphabetical prefix;
 #: dedup_minhash_pairs is r6-vintage too but occupies a changed-lane
-#: slot above). The remaining 35 r6 rows are this round's deferred set.
+#: slot above). The remaining 36 r6 rows are this round's deferred set.
 _R6_FRONT = (
     "ann_cosine_topk", "ann_ivf_sq8_search", "ann_sq8_recall",
     "backfill_plan_days", "bpe_pair_candidates", "chunk_compression_plan",
     "corpus_exact_quantiles", "corpus_training_manifest",
-    "corpus_trim_stats", "dedup_exact_groups", "dedup_ngram_jaccard",
+    "corpus_trim_stats", "dedup_exact_groups",
 )
 
 _FRONT = (
@@ -108,6 +110,7 @@ _GATE_TAIL = (
     "text_bm25_topk", "hybrid_rrf_fusion", "retrieval_fusion_eval",
     "streaming_pipeline_bm25", "ts_cusum_drift", "ts_level_shift",
     "ts_seasonal_hour_profile", "join_strategy_advice",
+    "retrieval_rank_quality",
     "bpe_learn_merges_saturated", "bpe_learn_merges_types_hist",
     "bpe_learn_merges_wide", "bpe_learn_merges_wide_hist",
     "bpe_encode_frozen_wide",

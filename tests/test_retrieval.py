@@ -145,3 +145,38 @@ def test_bm25_length_normalization_direction(spark, sf_dir):
     # identical profiles at different lengths must actually occur —
     # otherwise this law tested nothing and should fail loudly
     assert groups_checked > 0
+
+
+def test_rank_quality_consistent_with_published_lists(spark, sf_dir):
+    """The eval lane's hit counts must be reproducible from the
+    published top-k lists themselves: recompute lexical and fused
+    recall against the semantic truth from text_bm25_topk /
+    hybrid_rrf_fusion output and compare exactly."""
+    truth = {
+        (r["query_id"], r["doc_id"])
+        for r in SPECS["hybrid_rrf_fusion"].fn(spark, sf_dir).collect()
+        if 0 < r["sem_rank"] <= FUSE_K
+    }  # not the full truth (only fused-listed docs) — lower bound only
+    lex = {
+        (r["query_id"], r["doc_id"])
+        for r in SPECS["text_bm25_topk"].fn(spark, sf_dir).collect()
+    }
+    out = SPECS["retrieval_rank_quality"].fn(spark, sf_dir).toPandas()
+    assert (out["n_truth"] <= FUSE_K).all()
+    assert (out["n_lex_hits"] <= out["n_truth"]).all()
+    assert (out["n_fused_hits"] <= out["n_truth"]).all()
+    # exact cross-check of the lexical hits using the full truth
+    full_truth = {
+        (r["query_id"], r["doc_id"])
+        for r in _fused(spark, sf_dir)
+        .filter((F.col("sem_rank") > 0) & (F.col("sem_rank") <= FUSE_K))
+        .collect()
+    }
+    for _, row in out.iterrows():
+        qid = row["query_id"]
+        t = {d for q, d in full_truth if q == qid}
+        assert row["n_truth"] == len(t), qid
+        assert row["n_lex_hits"] == len(
+            t & {d for q, d in lex if q == qid}
+        ), qid
+    assert truth <= full_truth

@@ -391,3 +391,73 @@ def retrieval_fusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k_lex_only",
         "k_sem_only",
     )
+
+
+@query(
+    "retrieval_rank_quality",
+    survey="beyond §2 (north-star retrieval): recall@k of the lexical "
+    "and fused top-k lists against the exact-cosine truth — the "
+    "label-free eval a hybrid stack runs per index build (semantic "
+    "top-k IS the truth by construction, so the informative rows are "
+    "how much BM25 alone misses and how much RRF fusion recovers)",
+    description=f"Per-query recall@{FUSE_K}: lexical-only vs RRF-fused "
+    "against the exact cosine truth",
+    oracle=f"""
+WITH {_fused_ctes_sql()},
+truth AS (SELECT query_id, doc_id FROM sem WHERE sem_rank <= {FUSE_K}),
+lexq AS (SELECT query_id, doc_id FROM lex WHERE lex_rank <= {FUSE_K}),
+fusq AS (SELECT query_id, doc_id FROM fused WHERE fused_rank <= {FUSE_K}),
+agg AS (
+  SELECT t.query_id,
+    CAST(COUNT(*) AS BIGINT) AS n_truth,
+    CAST(SUM(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_lex_hits,
+    CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_fused_hits
+  FROM truth t
+  LEFT JOIN lexq l ON l.query_id = t.query_id AND l.doc_id = t.doc_id
+  LEFT JOIN fusq f ON f.query_id = t.query_id AND f.doc_id = t.doc_id
+  GROUP BY 1
+)
+SELECT query_id, n_truth, n_lex_hits, n_fused_hits,
+  {ratio6_sql('n_lex_hits', 'n_truth')} AS lex_recall6,
+  {ratio6_sql('n_fused_hits', 'n_truth')} AS fused_recall6
+FROM agg
+""",
+)
+def retrieval_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three bounded rank lists (each |Q|·k rows) and two left joins —
+    driver-sized work however large the corpus. fused_recall >=
+    overlap-with-truth of any single list containing the truth's
+    head is NOT guaranteed (RRF can push a truth doc past rank k when
+    the lexical list disagrees), which is exactly why the eval exists:
+    the gated values record how the fusion trade-off lands on this
+    corpus, per query."""
+    truth = _sem_ranks(spark, sf_dir).filter(
+        F.col("sem_rank") <= FUSE_K
+    ).select("query_id", "doc_id")
+    lexq = _lex_ranks(spark, sf_dir).filter(
+        F.col("lex_rank") <= FUSE_K
+    ).select("query_id", "doc_id", F.lit(1).alias("lex_hit"))
+    fusq = _fused(spark, sf_dir).filter(
+        F.col("fused_rank") <= FUSE_K
+    ).select("query_id", "doc_id", F.lit(1).alias("fused_hit"))
+    agg = (
+        truth.join(lexq, ["query_id", "doc_id"], "left")
+        .join(fusq, ["query_id", "doc_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_truth"),
+            F.sum(F.coalesce("lex_hit", F.lit(0))).cast("long")
+            .alias("n_lex_hits"),
+            F.sum(F.coalesce("fused_hit", F.lit(0))).cast("long")
+            .alias("n_fused_hits"),
+        )
+    )
+    return agg.select(
+        "query_id", "n_truth", "n_lex_hits", "n_fused_hits",
+        ratio6(F.col("n_lex_hits"), F.col("n_truth"))
+        .alias("lex_recall6"),
+        ratio6(F.col("n_fused_hits"), F.col("n_truth"))
+        .alias("fused_recall6"),
+    )
