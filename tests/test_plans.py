@@ -737,3 +737,40 @@ def test_phash_delta_pairs_probe_shape(spark, sf_dir):
         if not (r["doc_a"] in both_old and r["doc_b"] in both_old)
     }
     assert got == want
+
+
+def _subtree_lines(plan: str, needle: str) -> list[str]:
+    """Lines of the plan subtree rooted at the first line containing
+    ``needle`` (ancestry by tree-glyph indentation depth)."""
+    lines = plan.splitlines()
+    def depth(ln: str) -> int:
+        return len(re.match(r"^[\s:+|-]*", ln).group(0))
+    for i, ln in enumerate(lines):
+        if needle in ln:
+            d0 = depth(ln)
+            out = []
+            for nxt in lines[i + 1:]:
+                if nxt.strip() and depth(nxt) <= d0:
+                    break
+                out.append(nxt)
+            return out
+    raise AssertionError(f"plan has no line containing {needle!r}")
+
+
+def test_bm25_idf_broadcast_is_query_bounded(spark, sf_dir):
+    """The idf table is broadcast, so its cardinality must be bounded
+    by the QUERY vocabulary, never the corpus vocabulary: at 100 TB of
+    web text distinct terms run 10^8-10^9 and a vocab-sized broadcast
+    OOMs the driver (r12 verdict weak item). The pin: the df aggregate
+    (count(distinct doc_id) keyed on word) must consume postings that
+    already passed a word-keyed broadcast semi-join against the query
+    terms — asserted by ancestry in the executed plan, not by
+    substring adjacency."""
+    df = SPECS["text_bm25_topk"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    sub = _subtree_lines(plan, "partial_count(distinct doc_id")
+    assert any("BroadcastHashJoin [word" in ln for ln in sub), (
+        "df aggregate input is not query-word-restricted:\n"
+        + "\n".join(sub[:20])
+    )

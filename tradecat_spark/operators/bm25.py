@@ -37,9 +37,11 @@ def bm25_micro_scores(tf: DataFrame, qt: DataFrame) -> DataFrame:
     ``qt``: query term sets — (query_id, word), distinct rows; a
     query_id that is also a doc_id never matches itself.
 
-    Plan shape: two hash aggregates over the postings (dl, df — both
-    map-side-combining), the tiny query/idf/corpus-stat sides
-    broadcast, candidate generation as the term-keyed equi-join, and
+    Plan shape: two hash aggregates over the postings (dl over the full
+    frame, df over the query-word semi-joined slice — both
+    map-side-combining), the query/idf/corpus-stat sides broadcast
+    (idf deliberately query-bounded, never vocab-sized — see inline
+    comment), candidate generation as the term-keyed equi-join, and
     ONE wide shuffle on (query_id, doc_id) for the micro-unit score
     sum. No cross join; the postings join is how a search engine
     scales (term-partitioned at 100 TB).
@@ -58,8 +60,17 @@ def bm25_micro_scores(tf: DataFrame, qt: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
     )
+    # idf is broadcast below, so its cardinality must be QUERY-bounded,
+    # never vocabulary-bounded: at 100 TB of web text the distinct-term
+    # count is 10^8-10^9 (typos, numbers, ids — Heaps' law does not
+    # flatten it), a multi-GB broadcast. Restricting the postings to
+    # query words FIRST leaves df per kept word bit-identical (every
+    # posting of a kept word survives the semi-join) while the
+    # aggregate's output — and the broadcast — shrinks to |query vocab|.
+    qwords = qt.select("word").distinct()
     idf = (
-        tf.groupBy("word")
+        tf.join(F.broadcast(qwords), "word")
+        .groupBy("word")
         .agg(F.count_distinct("doc_id").alias("df"))
         .join(F.broadcast(n))
         .select(
