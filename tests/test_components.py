@@ -107,3 +107,12 @@ def test_random_graph_matches_union_find(spark):
     labels = min_label_components(nodes, pairs).toPandas()
     got = dict(zip(labels.doc_id, labels.cluster_id))
     assert got == want
+
+
+def test_zero_round_budget_raises_up_front(spark):
+    # max_rounds=0 used to skip the loop entirely (changed starts at 0)
+    # and return identity labels without raising — the silent-split
+    # failure mode through the front door (r12 ADVICE item 3)
+    nodes, pairs = _path_graph(spark, 4)
+    with pytest.raises(ValueError, match="max_rounds"):
+        min_label_components(nodes, pairs, max_rounds=0)

@@ -48,6 +48,11 @@ def min_label_components(
     that means diameter > ~2^max_rounds, i.e. never on real data, but
     silent wrong labels are not an acceptable fallback.
     """
+    if max_rounds < 1:
+        # changed starts at 0, so a zero/negative budget would skip the
+        # loop and return identity labels without raising — the exact
+        # silent-split failure the RuntimeError below exists to prevent
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(

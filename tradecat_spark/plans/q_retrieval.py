@@ -232,9 +232,13 @@ def _sem_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _rrf_micros(rank: Column) -> Column:
     """Integer micro-units of 1/(RRF_K + rank); 0 when absent (rank
-    NULL). No 1e6/(60+r) value sits on a .5 midpoint for any r ≥ 1
-    (60+r would have to divide 2·10^6 with an odd quotient — none do),
-    so the double round is engine-stable."""
+    NULL). Engine-stable ONLY because fused inputs are capped at
+    POOL_K=20 ranks: for 1 ≤ r ≤ POOL_K, 60+r ≤ 80 < 128, and no
+    divisor of 2·10^6 below 128 yields an odd quotient at 60+r, so no
+    1e6/(60+r) value sits on a .5 midpoint. The bound is NOT general:
+    r=68 gives 1e6/128 = 7812.5 exactly (2e6/128 = 15625, odd) — do
+    not feed uncapped ranks (e.g. lex ranks beyond POOL_K) through
+    this without revisiting the rounding."""
     return F.coalesce(
         F.round(F.lit(1_000_000.0) / (F.lit(RRF_K) + rank)).cast("long"),
         F.lit(0),

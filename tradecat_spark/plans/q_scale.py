@@ -554,7 +554,7 @@ FROM (
   CROSS JOIN (
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
       CAST(COUNT(DISTINCT {rk}) AS BIGINT) AS ndv
-    FROM {rt}
+    FROM {rt} WHERE {rk} IS NOT NULL
   ) r
   CROSS JOIN (
     SELECT CAST(COALESCE(SUM(lf.c * rf.c), 0) AS BIGINT) AS est_out,
