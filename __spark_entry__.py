@@ -22,91 +22,76 @@ def entry(spark: SparkSession) -> DataFrame:
     return specs["flagship_rank_24h_change"].fn(spark, "/root/testdata/sf0.001")
 
 
-#: The r12 gate-front declaration, validated mechanically by
+#: The r13 gate-front declaration, validated mechanically by
 #: ``tools/gate_ledger.py::composition``. Categories: ``born`` =
 #: registered this round (no ledger row); ``changed`` = lanes whose
 #: code or oracle changed this round (standing r9 policy — a rows-only
 #: lane's checksum twin re-enters the front whenever its lane
 #: changes); ``stale_twins`` = twins owed a re-pin by the staleness
-#: bound (empty this round: all five were re-pinned r11). Every
-#: remaining slot is filled oldest-ledger-cohort-first; the
-#: composition line below is the tool's output, pinned by
-#: test_gate_rotation.
+#: bound (the 4 indicator/signal twins, last checked r11 — the set
+#: test_stale_twins_are_repinned demanded). Every remaining slot is
+#: filled oldest-ledger-cohort-first; the composition line below is
+#: the tool's output, pinned by test_gate_rotation.
 #:
-#: front r12 = 12 born + 11 changed-lane + 17 r5 + 10 r6 (50 slots);
-#: deferred 36 r6
+#: front r13 = 1 born + 9 changed-lane + 4 stale-twin + 36 r6 (50 slots); deferred 0
 _GATE_FRONT = {
-    "round": 12,
-    "born": ("streaming_pipeline_phash", "streaming_pipeline_phash_delta",
-             "components_path_islands",
-             # hybrid retrieval family (BM25 + RRF fusion), late-r12,
-             # plus the postings store it serves from on the ingest
-             # path (the pipeline's 7th store)
-             "text_bm25_topk", "hybrid_rrf_fusion", "retrieval_fusion_eval",
-             "streaming_pipeline_bm25",
-             # structural time-series monitoring family, late-r12
-             "ts_cusum_drift", "ts_level_shift",
-             "ts_seasonal_hour_profile",
-             # stats-driven join planning, late-r12
-             "join_strategy_advice",
-             # retrieval eval vs exact-cosine truth, late-r12
-             "retrieval_rank_quality"),
-    "changed": (
-        # the pipeline run gained the 6th (image-hash) store
-        "streaming_pipeline_stores", "streaming_pipeline_checksum",
-        # all five phash lanes: candidate/verify helpers promoted to
-        # operators/phash.py and the oracle CTE chain parametrized
-        # (phash_ctes_sql); recall eval also grew the sample_frac path
-        "mm_phash_hashes", "mm_phash_near_dup",
-        "mm_phash_multiprobe_pairs", "mm_phash_recall_eval",
-        # components operator rebuilt with pointer doubling + raise on
-        # non-convergence (same fixed point, new plan) — both consumers
-        "mm_phash_clusters", "dedup_clusters",
-        # minhash_candidate_pairs moved to operators/minhash.py
-        "dedup_minhash_pairs",
-        # the 2048 lane now executes the heap argmax; its 256-prefix
-        # twin re-enters with it per the rows-only-twin policy
-        "bpe_learn_merges_wide_2048", "bpe_learn_merges_wide_hist",
+    "round": 13,
+    "born": (
+        # the pipeline's 8th store: cluster labels maintained
+        # incrementally from the delta near-dup pairs (r12 verdict
+        # "What's missing" #1 / Next #5)
+        "streaming_pipeline_labels",
     ),
-    "stale_twins": (),
+    "changed": (
+        # operators/bm25.py: idf broadcast bounded to query vocabulary
+        # (the r12 weak item) — all five consumer lanes re-enter
+        "text_bm25_topk", "hybrid_rrf_fusion", "retrieval_fusion_eval",
+        "retrieval_rank_quality", "streaming_pipeline_bm25",
+        # oracle changed: right-side NULL-parity filter (r12 ADVICE 1)
+        "join_strategy_advice",
+        # streaming/phash.py hash_batch now returns the delta frames
+        # for the label-store composition — same stores, new code path
+        "streaming_pipeline_phash", "streaming_pipeline_phash_delta",
+        # gained the labels row (8-store summary)
+        "streaming_pipeline_stores",
+    ),
+    "stale_twins": (
+        "indicator_batch_checksum", "indicator_surface_checksum",
+        "signal_pack_subset_checksum", "signal_rule_events_checksum",
+    ),
 }
 
-#: ALL 17 rows still at r5 vintage after the r11 front (verdict item 2:
-#: zero r5-vintage rows may remain after the r12 artifact). 8 of these
-#: were independently re-checked MATCH by the r11 verdict itself
-#: (asof_purchase_context, realtime_union_view, cms_frequency_law,
-#: gapfill_locf_1h, kmv_merge_law, tpch_q21, customers_without_orders,
-#: daily_market_share).
-_R5_COHORT = (
-    "asof_purchase_context", "bucketed_colocated_join",
-    "calendar_completeness", "cdc_incremental_equivalence",
-    "chart_intraday_volatility", "cms_frequency_law", "cube_corpus_stats",
-    "customers_without_orders", "daily_market_share",
-    "dedup_substring_spans", "gapfill_locf_1h", "kmv_merge_law",
-    "nation_revenue_share", "pagerank_similarity_graph",
-    "quantile_error_eval", "realtime_union_view",
-    "tpch_q21_suppliers_kept_waiting",
-)
-
-#: 10 of the 46 uncategorized r6-cohort rows (alphabetical prefix;
-#: dedup_minhash_pairs is r6-vintage too but occupies a changed-lane
-#: slot above). The remaining 36 r6 rows are this round's deferred set.
-_R6_FRONT = (
-    "ann_cosine_topk", "ann_ivf_sq8_search", "ann_sq8_recall",
-    "backfill_plan_days", "bpe_pair_candidates", "chunk_compression_plan",
-    "corpus_exact_quantiles", "corpus_training_manifest",
-    "corpus_trim_stats", "dedup_exact_groups",
+#: ALL 36 rows still at r6 vintage after the r12 front (r12 verdict
+#: item 2: zero r6-vintage rows may remain after the r13 artifact).
+_R6_COHORT = (
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_span_trim_ranges",
+    "embedding_component_quantiles", "embedding_sq8_error",
+    "embedding_winsorized_stats", "heavy_hitters_exact",
+    "hll_register_law", "ind_bollinger", "ind_candle_patterns",
+    "ind_cci", "ind_ema20_fold", "ind_ichimoku", "ind_kdj_fold",
+    "ind_keltner_fold", "ind_mfi", "ind_obv_cvd", "ind_pivot_points",
+    "ind_regr_slope", "ind_sma_cross_signals", "ind_vpvr_profile",
+    "ind_vwap_bands", "ind_zscore_percentile",
+    "metrics_weighted_ratio_1h", "mix_epoch_plan", "partial_bar_merge",
+    "quality_unigram_logprob", "sample_dsir_importance",
+    "sample_per_group_reservoir", "source_overlap_matrix",
+    "text_fingerprint", "text_lang_id", "text_quality_score",
+    "text_token_stats", "token_decile_tiers", "tpch_q15_top_supplier",
 )
 
 _FRONT = (
     *_GATE_FRONT["born"], *_GATE_FRONT["changed"],
-    *_GATE_FRONT["stale_twins"], *_R5_COHORT, *_R6_FRONT,
+    *_GATE_FRONT["stale_twins"], *_R6_COHORT,
 )
 
 #: Previously green, unchanged code — behind the front, order
 #: irrelevant past the cap (duplicates of _FRONT are filtered out when
 #: _GATE_PRIORITY is assembled below).
 _GATE_TAIL = (
+    "streaming_pipeline_labels",
+    "components_path_islands", "bpe_learn_merges_wide_2048",
+    "mm_phash_hashes", "mm_phash_near_dup", "mm_phash_multiprobe_pairs",
+    "mm_phash_recall_eval", "mm_phash_clusters",
     "text_bm25_topk", "hybrid_rrf_fusion", "retrieval_fusion_eval",
     "streaming_pipeline_bm25", "ts_cusum_drift", "ts_level_shift",
     "ts_seasonal_hour_profile", "join_strategy_advice",

@@ -2865,3 +2865,282 @@ def test_pipeline_with_postings_without_text_column_raises(
         pl.start_ingest_pipeline(
             stream, root, available_now=True, with_postings=True
         )
+
+
+# ---------------------------------------------------------------------------
+# 8th store: incremental cluster labels (streaming/labels.py, r13)
+# ---------------------------------------------------------------------------
+def _store_labels(spark, store):
+    from tradecat_spark.streaming import labels as sl
+
+    return sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in sl.read_labels(spark, store).collect()
+    )
+
+
+def _batch_labels(spark, hash_store, pairs_dir):
+    """The batch truth the stream must converge to: components over
+    (every hashed doc, the union of every emitted delta pair)."""
+    from tradecat_spark.operators.components import min_label_components
+    from tradecat_spark.streaming import phash as sp
+
+    nodes = sp.read_hashes(spark, hash_store).select("doc_id")
+    pairs = sp.read_pairs(spark, pairs_dir).select("doc_a", "doc_b")
+    return sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in min_label_components(nodes, pairs).collect()
+    )
+
+
+def test_labels_store_streamed_equals_batch_components(
+    spark, sf_dir, tmp_path
+):
+    """The core incremental-labels law: fold the delta corpus through
+    three sequential (hash_batch -> update_labels) triggers — the
+    composed pipeline's per-trigger body — and the converged label
+    store must equal the one-pass batch min_label_components over the
+    full hash store + emitted pair union. Then a replay of the last
+    trigger must change nothing."""
+    from tradecat_spark.streaming import labels as sl
+    from tradecat_spark.streaming import phash as sp
+
+    delta = _pipeline_delta(spark, sf_dir)
+    store = str(tmp_path / "hashes")
+    pairs_dir = str(tmp_path / "pairs")
+    lbl_store = str(tmp_path / "labels")
+    parts = [
+        delta.filter(F.col("doc_id") % 30 == 0),
+        delta.filter((F.col("doc_id") % 30 != 0)
+                     & (F.col("doc_id") % 3 == 0)),
+        delta.filter(F.col("doc_id") % 3 != 0),
+    ]
+
+    def _trigger(p, i):
+        ret = sp.hash_batch(spark, p, i, store, pairs_dir=pairs_dir)
+        if ret is not None:
+            new_wide, prs = ret
+            sl.update_labels(
+                spark, lbl_store, i, new_wide.select("doc_id"),
+                prs.select("doc_a", "doc_b"),
+            )
+
+    for i, p in enumerate(parts):
+        _trigger(p, i)
+    got = _store_labels(spark, lbl_store)
+    want = _batch_labels(spark, store, pairs_dir)
+    assert got == want and got
+    # every hashed doc is labeled; merges exist at the driver SFs
+    assert len(got) == sp.read_hashes(spark, store).count()
+    assert any(d != c for d, c in got)
+    # at-least-once: replay the last trigger with the same batch id
+    _trigger(parts[-1], 2)
+    assert _store_labels(spark, lbl_store) == got
+
+
+def test_labels_cross_trigger_merge_rewrites_only_losing_sets(spark):
+    """Two clusters stored by earlier triggers, merged by a later doc
+    that pairs into both (the union-find hard path), driven at the
+    updater's own contract level so the scenario is deterministic:
+    the winning cluster's rows must NOT be rewritten (their stored
+    batch_id is unchanged), the losing set and the new doc must be."""
+    import pandas as pd
+    import tempfile
+    from tradecat_spark.streaming import labels as sl
+
+    store = tempfile.mkdtemp(prefix="tc_lblmerge_") + "/labels"
+
+    def df(pdf):
+        return spark.createDataFrame(pdf)
+
+    sl.update_labels(
+        spark, store, 0, df(pd.DataFrame({"doc_id": [10, 11]})),
+        df(pd.DataFrame({"doc_a": [10], "doc_b": [11]})),
+    )
+    sl.update_labels(
+        spark, store, 1, df(pd.DataFrame({"doc_id": [30, 31]})),
+        df(pd.DataFrame({"doc_a": [30], "doc_b": [31]})),
+    )
+    sl.update_labels(
+        spark, store, 2, df(pd.DataFrame({"doc_id": [20]})),
+        df(pd.DataFrame({"doc_a": [10, 20], "doc_b": [20, 30]})),
+    )
+    assert _store_labels(spark, store) == [
+        (10, 10), (11, 10), (20, 10), (30, 10), (31, 10),
+    ]
+    raw = {
+        r["doc_id"]: r["batch_id"]
+        for r in sl._read_live(spark, store)
+        .groupBy("doc_id").agg(F.max("batch_id").alias("batch_id"))
+        .collect()
+    }
+    # winners untouched (still their batch-0 rows); losers + the
+    # bridging doc rewritten by the merging trigger
+    assert raw[10] == 0 and raw[11] == 0
+    assert raw[20] == 2 and raw[30] == 2 and raw[31] == 2
+
+
+def test_labels_compaction_coverage_and_post_base_merge(spark):
+    """Latest-wins fold across a compaction boundary: compact the
+    first triggers into a base, read_labels must be unchanged; then a
+    later merge must rewrite rows WHOSE WINNERS SIT IN THE BASE and
+    the reader must prefer the newer partial rows."""
+    import pandas as pd
+    import tempfile
+    from tradecat_spark.streaming import labels as sl
+
+    store = tempfile.mkdtemp(prefix="tc_lblcomp_") + "/labels"
+
+    def df(pdf):
+        return spark.createDataFrame(pdf)
+
+    sl.update_labels(
+        spark, store, 0, df(pd.DataFrame({"doc_id": [10, 11, 40]})),
+        df(pd.DataFrame({"doc_a": [10], "doc_b": [11]})),
+    )
+    sl.update_labels(
+        spark, store, 1, df(pd.DataFrame({"doc_id": [5]})),
+        df(pd.DataFrame({"doc_a": [5], "doc_b": [10]})),
+    )
+    before = _store_labels(spark, store)
+    sl.compact_labels(spark, store, 1)
+    assert _store_labels(spark, store) == before
+    # re-compaction (idempotent replace)
+    sl.compact_labels(spark, store, 1)
+    assert _store_labels(spark, store) == before
+    # merge into the compacted base: doc 3 bridges {5,10,11} and {40}
+    sl.update_labels(
+        spark, store, 2, df(pd.DataFrame({"doc_id": [3]})),
+        df(pd.DataFrame({"doc_a": [3, 3], "doc_b": [10, 40]})),
+    )
+    assert _store_labels(spark, store) == [
+        (3, 3), (5, 3), (10, 3), (11, 3), (40, 3),
+    ]
+
+
+def test_labels_unlabeled_pair_endpoint_raises(spark):
+    """A delta pair whose endpoint is neither stored nor in the delta
+    means the pair producer and the label store diverged — must fail
+    loudly, not drop the edge and ship a missed merge."""
+    import pandas as pd
+    import tempfile
+    from tradecat_spark.streaming import labels as sl
+
+    store = tempfile.mkdtemp(prefix="tc_lblbad_") + "/labels"
+
+    def df(pdf):
+        return spark.createDataFrame(pdf)
+
+    with pytest.raises(AssertionError, match="no label"):
+        sl.update_labels(
+            spark, store, 0, df(pd.DataFrame({"doc_id": [1]})),
+            df(pd.DataFrame({"doc_a": [1], "doc_b": [999]})),
+        )
+
+
+def test_ingest_pipeline_crash_before_labels_store(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """8th-store seam: crash AFTER the hash store committed (and its
+    pairs were emitted) but BEFORE the label update, then replay the
+    whole batch body — earlier stores byte-stable, and the label
+    store must converge to the batch components truth."""
+    from tradecat_spark.streaming import labels as sl
+    from tradecat_spark.streaming import pipeline as pl
+
+    base, _ = _dedup_fixtures(spark, sf_dir)
+    delta = _pipeline_delta(spark, sf_dir)
+    root = str(tmp_path / "pipe")
+    dirs = pl.pipeline_dirs(root)
+    _seed_base_store(spark, base, dirs["sig_store"])
+
+    real = sl.update_labels
+    monkeypatch.setattr(
+        sl, "update_labels",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        pl.pipeline_batch(
+            spark, delta, 3, dirs, with_phash=True, with_labels=True
+        )
+    v_crash = _verdict_pdf(spark, dirs["verdicts"])
+    h_crash = _store_hashes(spark, dirs["phash_store"])
+    assert h_crash  # the hash store DID commit before the seam
+    assert sl.read_labels(spark, dirs["labels_store"]).count() == 0
+
+    monkeypatch.setattr(sl, "update_labels", real)
+    pl.pipeline_batch(
+        spark, delta, 3, dirs, with_phash=True, with_labels=True
+    )
+    assert _verdict_pdf(spark, dirs["verdicts"]).equals(v_crash)
+    assert _store_hashes(spark, dirs["phash_store"]) == h_crash
+    assert _store_labels(spark, dirs["labels_store"]) == _batch_labels(
+        spark, dirs["phash_store"], dirs["phash_pairs"]
+    )
+
+
+def test_ingest_pipeline_crash_inside_labels_commit(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The seam INSIDE the label updater — after the bounded cluster
+    graph resolved but before the partition commit — driven through
+    the composed pipeline across TWO triggers so the crashed trigger
+    must relabel rows the first trigger stored."""
+    from tradecat_spark.streaming import labels as sl
+    from tradecat_spark.streaming import pipeline as pl
+
+    base, _ = _dedup_fixtures(spark, sf_dir)
+    delta = _pipeline_delta(spark, sf_dir)
+    root = str(tmp_path / "pipe")
+    dirs = pl.pipeline_dirs(root)
+    _seed_base_store(spark, base, dirs["sig_store"])
+
+    b1 = delta.filter(F.col("doc_id") % 20 == 0)
+    pl.pipeline_batch(
+        spark, b1, 3, dirs, with_phash=True, with_labels=True
+    )
+    l_b1 = _store_labels(spark, dirs["labels_store"])
+    assert l_b1
+
+    real = sl.upsert_partitions
+    monkeypatch.setattr(
+        sl, "upsert_partitions",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        pl.pipeline_batch(
+            spark, delta, 4, dirs, with_phash=True, with_labels=True
+        )
+    # label store untouched: the resolve ran, the commit never did
+    assert _store_labels(spark, dirs["labels_store"]) == l_b1
+
+    monkeypatch.setattr(sl, "upsert_partitions", real)
+    pl.pipeline_batch(
+        spark, delta, 4, dirs, with_phash=True, with_labels=True
+    )
+    assert _store_labels(spark, dirs["labels_store"]) == _batch_labels(
+        spark, dirs["phash_store"], dirs["phash_pairs"]
+    )
+
+
+def test_pipeline_with_labels_without_phash_raises(
+    spark, sf_dir, tmp_path
+):
+    """with_labels consumes the hash store's delta pairs — requesting
+    it without with_phash must fail loudly in pipeline_batch AND at
+    start_ingest_pipeline start-up, not leave the store empty."""
+    from tradecat_spark.streaming import pipeline as pl
+
+    delta = _pipeline_delta(spark, sf_dir)
+    root = str(tmp_path / "pipe")
+    dirs = pl.pipeline_dirs(root)
+    with pytest.raises(ValueError, match="requires with_phash"):
+        pl.pipeline_batch(spark, delta, 0, dirs, with_labels=True)
+
+    src = str(tmp_path / "src")
+    delta.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(delta.schema).parquet(src)
+    with pytest.raises(ValueError, match="requires with_phash"):
+        pl.start_ingest_pipeline(
+            stream, root, available_now=True, with_labels=True
+        )

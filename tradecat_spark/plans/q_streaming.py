@@ -934,6 +934,7 @@ def _pipeline_assets(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     q = start_ingest_pipeline(
         stream, f"{base}/stores", available_now=True,
         ann_model_dir=model_dir, with_phash=True, with_postings=True,
+        with_labels=True,
     )
     drained = q.awaitTermination(300)
     q.stop()
@@ -944,7 +945,24 @@ def _pipeline_assets(spark: SparkSession, sf_dir: str) -> dict[str, str]:
             "ingest pipeline did not drain within 300s; stores at "
             f"{base}/stores are partial and were not cached"
         )
-    _PIPE_ASSETS[sf_dir] = pipeline_dirs(f"{base}/stores")
+    dirs = pipeline_dirs(f"{base}/stores")
+    # compact the label store up to its SECOND-newest committed batch
+    # before caching: the gated lanes then read a base + a newer
+    # partial through the latest-wins fold, so the compactor and the
+    # coverage rule sit IN the gated path, not just in pytest (every
+    # batch id here is drained-committed, satisfying compact_labels'
+    # contract)
+    from tradecat_spark.streaming.ingest import batch_partition_vals
+    from tradecat_spark.streaming.labels import compact_labels
+
+    bvals = sorted(
+        int(v[1:])
+        for v in batch_partition_vals(dirs["labels_store"])
+        if v.startswith("b")
+    )
+    if len(bvals) > 1:
+        compact_labels(spark, dirs["labels_store"], bvals[-2])
+    _PIPE_ASSETS[sf_dir] = dirs
     return _PIPE_ASSETS[sf_dir]
 
 
@@ -952,18 +970,20 @@ def _pipeline_assets(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     "streaming_pipeline_stores",
     survey="§2.11-adjacent: the COMPOSED ingest pipeline — bronze + "
     "dedup screen + HLL + CMS + frozen-model ANN codes + image "
-    "perceptual hashes + inverted-index postings co-running off ONE "
-    "document stream (streaming/pipeline.py; r7 verdict item 7, 5th "
-    "store per r9 item 5, 6th per r11 item 4, 7th in r12) — "
-    "summarized per store after draining a doubled multi-trigger "
-    "source; every row is slicing-independent (bronze/verdicts count "
-    "delivered rows, sigs/screen/ANN/phash/postings count distinct "
-    "docs, sketch stores are idempotent or additive, codes/hashes/"
-    "postings are deterministic), so the summary is deterministic "
-    "under any micro-batch slicing. Exact store contents are gated by "
-    "the streaming_pipeline_checksum, streaming_pipeline_phash and "
-    "streaming_pipeline_bm25 twins",
-    description="Per-store row/key counts of the converged 7-store "
+    "perceptual hashes + inverted-index postings + cluster labels "
+    "co-running off ONE document stream (streaming/pipeline.py; r7 "
+    "verdict item 7, 5th store per r9 item 5, 6th per r11 item 4, "
+    "7th in r12, 8th in r13) — summarized per store after draining a "
+    "doubled multi-trigger source; every row is slicing-independent "
+    "(bronze/verdicts count delivered rows, sigs/screen/ANN/phash/"
+    "postings count distinct docs, sketch stores are idempotent or "
+    "additive, codes/hashes/postings are deterministic, converged "
+    "labels are a pure function of the final pair graph), so the "
+    "summary is deterministic under any micro-batch slicing. Exact "
+    "store contents are gated by the streaming_pipeline_checksum, "
+    "streaming_pipeline_phash, streaming_pipeline_bm25 and "
+    "streaming_pipeline_labels twins",
+    description="Per-store row/key counts of the converged 8-store "
     "pipeline (plus its emitted near-dup pair sink) over a "
     "twice-delivered delta stream",
     oracle=None,  # rows-only by design: six heterogeneous stores;
@@ -1003,6 +1023,9 @@ def streaming_pipeline_stores(
     from tradecat_spark.streaming.postings import read_postings
 
     post = read_postings(spark, dirs["postings_store"])
+    from tradecat_spark.streaming.labels import read_labels
+
+    lbl = read_labels(spark, dirs["labels_store"])
     rows = [
         _row("bronze", F.lit(bronze.count()),
              F.lit(bronze.select("doc_id").distinct().count())),
@@ -1022,6 +1045,8 @@ def streaming_pipeline_stores(
              F.lit(php.select("doc_a").distinct().count())),
         _row("postings", F.lit(post.count()),
              F.lit(post.select("doc_id").distinct().count())),
+        _row("labels", F.lit(lbl.count()),
+             F.lit(lbl.select("cluster_id").distinct().count())),
     ]
     res = rows[0]
     for r in rows[1:]:
@@ -1421,6 +1446,106 @@ SELECT * FROM postrow UNION ALL SELECT * FROM bmrow
 
 
 _REG["streaming_pipeline_bm25"].oracle = _pipeline_bm25_oracle()
+
+
+@query(
+    "streaming_pipeline_labels",
+    survey="§2.11-adjacent + beyond-reference dedup: the 8th pipeline "
+    "store (r13; r12 verdict 'What's missing' #1) — cluster labels "
+    "maintained INCREMENTALLY on the ingest path: each trigger "
+    "contracts the delta pairs' endpoints to their current labels, "
+    "resolves the BOUNDED cluster graph with the shared "
+    "pointer-doubling components operator, and rewrites only the "
+    "losing label sets via one broadcast join "
+    "(streaming/labels.py, union-find-over-stream); the lane reads "
+    "the store AFTER a base+partial compaction and checks stream-"
+    "maintained labels AND the keep-one cluster sizes against a "
+    "DuckDB recursive-closure replay of the full final pair graph — "
+    "hash-green means the last batch-only step in the ingest dedup "
+    "story (batch min_label_components) is no longer needed for "
+    "keep-one decisions",
+    description="(component, k1, k2) rows: every stream-maintained "
+    "(doc, cluster) label + per-cluster member counts of the "
+    "pipeline's converged label store",
+    oracle=None,  # set below (reuses q_multimodal's CTE builders)
+)
+def streaming_pipeline_labels(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reads the label store the composed pipeline run left behind
+    (shared memoized assets; the asset builder compacts the store to
+    a base + one newer partial first, so the latest-wins fold across
+    a compaction boundary is what's checksummed). Slicing-independent:
+    converged labels are the connected components of the final pair
+    graph — contraction preserves components and component minima
+    whatever the micro-batch slicing (the induction in
+    streaming/labels.py) — and the emitted pair union equals the
+    one-pass capped pair set on this delta (no bucket exceeds the
+    star cap; the delta lane's measured contract). Every hashed doc
+    has a label row (singletons label themselves), so missed merges
+    AND spurious merges both flip the hash."""
+    from tradecat_spark.streaming.labels import read_labels
+
+    dirs = _pipeline_assets(spark, sf_dir)
+    labels = read_labels(spark, dirs["labels_store"]).localCheckpoint()
+    lab = labels.select(
+        F.lit("label").alias("component"),
+        F.col("doc_id").cast("bigint").alias("k1"),
+        F.col("cluster_id").cast("bigint").alias("k2"),
+    )
+    clus = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        F.lit("cluster").alias("component"),
+        F.col("cluster_id").cast("bigint").alias("k1"),
+        F.col("n").cast("bigint").alias("k2"),
+    )
+    return lab.unionByName(clus)
+
+
+def _pipeline_labels_oracle() -> str:
+    from tradecat_spark.plans.q_multimodal import (
+        _PHASH_PROBE_CTES,
+        PHASH_HAMMING_MAX,
+        phash_ctes_sql,
+    )
+
+    return f"""
+WITH RECURSIVE {phash_ctes_sql("doc_id % 10 = 0")},
+{_PHASH_PROBE_CTES},
+vp AS (
+  SELECT c.doc_a, c.doc_b
+  FROM pcand c
+  JOIN wide wa ON wa.doc_id = c.doc_a
+  JOIN wide wb ON wb.doc_id = c.doc_b
+  WHERE bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+      + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
+      <= {PHASH_HAMMING_MAX}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM vp
+  UNION ALL
+  SELECT doc_b, doc_a FROM vp
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+comp AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CAST(MIN(r) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY doc_id
+)
+SELECT 'label' AS component, doc_id AS k1, cluster_id AS k2 FROM comp
+UNION ALL
+SELECT 'cluster' AS component, cluster_id AS k1,
+  CAST(COUNT(*) AS BIGINT) AS k2
+FROM comp GROUP BY cluster_id
+"""
+
+
+_REG["streaming_pipeline_labels"].oracle = _pipeline_labels_oracle()
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,242 @@
+"""Streaming cluster-label store: incremental connected components.
+
+The delta-pair lane (streaming/phash.py) emits near-dup edges per
+micro-batch, but keep-one/canonical decisions need cluster LABELS, and
+until r13 those only existed via the batch ``min_label_components``
+pass — the last batch-only step in the ingest dedup story (r12 verdict
+"What's missing" #1). This module maintains a persisted
+(doc_id, cluster_id) label store updated per trigger: the
+union-find-over-stream shape, as the composed pipeline's 8th store.
+
+Update algebra (per trigger, with delta docs D and delta pairs P):
+
+* every doc in D starts as its own singleton (label = doc_id);
+* P's endpoints are CONTRACTED to their current labels — a label is
+  always the min doc_id of its cluster, so the graph whose nodes are
+  {current labels of P's endpoints} and whose edges are
+  {(label(a), label(b)) : (a,b) in P} has exactly the components the
+  full graph's touched clusters merge into, and each component's min
+  node is the full component's min doc_id;
+* ``min_label_components`` (the SAME pointer-doubling operator the
+  batch lanes run) resolves that BOUNDED cluster graph — O(|P|)
+  nodes, never corpus-sized — into a remap old_label -> new_label;
+* the remap (tiny, broadcast) rewrites exactly the docs whose cluster
+  was merged away: new docs via their singleton label, stored docs via
+  one map-side broadcast join against the label column. Docs already
+  holding the winning min label are NOT rewritten — merging clusters
+  rewrites only the losing label sets.
+
+Store discipline (the family's, with one twist): rows are
+(doc_id, cluster_id, batch_id) in per-batch partitions through the
+crash-safe symlink-swap commit, BUT labels mutate — a doc relabeled by
+a later merge gets a NEWER row — so the reader is latest-wins (max
+batch_id per doc) rather than insert-if-absent, and a batch's commit
+REPLACES its own partition on replay. Replay determinism: the updater
+reads current labels excluding the batch's own partition (the
+re-publish screen's self-exclusion, shared with the hash store), and
+its inputs (D, P) are re-derived bit-identically by the hash store's
+screen, so a replayed trigger rewrites identical rows. Compaction
+folds covered partitions into a latest-wins base under the
+publish-base-first coverage rule, keeping each winning row's original
+batch_id (self-exclusion keeps working against compacted rows; only
+checkpoint-committed batches may be compacted, so a replayed batch's
+rows are never in a base).
+
+Invariant (the gated law): after every trigger — and therefore after
+the drain — ``read_labels`` equals ``min_label_components`` over (all
+docs in the hash store, the union of all emitted delta pairs).
+Induction: contraction preserves components and component minima, new
+docs enter as themselves, untouched clusters keep their labels.
+
+Scale posture: per-trigger work is the bounded cluster-graph loop
+(delta-sized, never corpus-sized) plus ONE map-side broadcast pass of
+the label store for the rewrite and one partition commit; the store
+never self-joins and payloads never shuffle. At 100 TB the label
+store is a bucketed table and the rewrite is a broadcast-hash-join
+update — the same shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tradecat_spark.operators.components import min_label_components
+from tradecat_spark.streaming.ingest import (
+    batch_partition_vals,
+    drop_batch_partition,
+    live_batch_vals,
+    read_batch_partitions,
+    store_has_data,
+    upsert_partitions,
+)
+
+LABEL_KEYS = ["doc_id"]
+
+_LABEL_SCHEMA = "doc_id bigint, cluster_id bigint, batch_id bigint"
+
+
+def _latest(rows: DataFrame) -> DataFrame:
+    """Latest-wins fold: per doc, the row with the greatest batch_id
+    (struct max orders by batch_id first; each batch writes at most one
+    row per doc, so the max is unique)."""
+    return rows.groupBy("doc_id").agg(
+        F.max(F.struct("batch_id", "cluster_id")).alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.cluster_id").alias("cluster_id"),
+        F.col("s.batch_id").alias("batch_id"),
+    )
+
+
+def _read_live(spark: SparkSession, store_path: str) -> DataFrame:
+    live = live_batch_vals(batch_partition_vals(store_path))
+    if not live:
+        return spark.createDataFrame([], _LABEL_SCHEMA)
+    return read_batch_partitions(spark, store_path, live).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.col("batch_id").cast("bigint").alias("batch_id"),
+    )
+
+
+def read_labels(spark: SparkSession, store_path: str) -> DataFrame:
+    """(doc_id, cluster_id) as currently maintained — cluster_id is the
+    min doc_id of the doc's near-dup component over everything ingested
+    so far; the keep-one decision is ``doc_id == cluster_id``."""
+    return _latest(_read_live(spark, store_path)).select(
+        "doc_id", "cluster_id"
+    )
+
+
+def update_labels(
+    spark: SparkSession,
+    store_path: str,
+    batch_id: int,
+    new_docs: DataFrame,
+    pairs: DataFrame,
+    max_rounds: int = 20,
+) -> None:
+    """Fold one trigger's delta into the label store.
+
+    ``new_docs``: (doc_id) docs newly inserted into the hash store this
+    trigger (post-screen — re-publications must NOT reach here, their
+    labels are already maintained). ``pairs``: (doc_a, doc_b) near-dup
+    edges this delta introduced. Endpoints of ``pairs`` must be hashed
+    docs (store or delta) — enforced loudly below, because an inner
+    join silently dropping an unlabeled endpoint would ship a missed
+    merge as a plausible label table."""
+    new_lbl = new_docs.select("doc_id").withColumn(
+        "cluster_id", F.col("doc_id").cast("bigint")
+    ).localCheckpoint()
+    cur = None
+    if store_has_data(store_path):
+        # self-exclusion: a replayed trigger must not see its own
+        # prior partial commit as "current labels"
+        cur = _latest(
+            _read_live(spark, store_path).filter(
+                F.col("batch_id") != F.lit(batch_id).cast("long")
+            )
+        ).localCheckpoint()
+    known = new_lbl.select("doc_id", "cluster_id")
+    if cur is not None:
+        known = known.unionByName(cur.select("doc_id", "cluster_id"))
+    p = pairs.select("doc_a", "doc_b").localCheckpoint()
+    n_pairs = p.count()
+    rows = new_lbl.select("doc_id", "cluster_id")
+    if n_pairs:
+        la = known.select(
+            F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("ca")
+        )
+        lb = known.select(
+            F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("cb")
+        )
+        lbl_edges = p.join(la, "doc_a").join(lb, "doc_b").select(
+            F.col("ca").alias("doc_a"), F.col("cb").alias("doc_b")
+        ).localCheckpoint()
+        n_labeled = lbl_edges.count()
+        if n_labeled != n_pairs:
+            raise AssertionError(
+                f"update_labels batch {batch_id}: {n_pairs - n_labeled} "
+                f"of {n_pairs} delta pairs have an endpoint with no "
+                "label (not in the store and not in this delta) — the "
+                "pair producer and the label store have diverged"
+            )
+        live_edges = lbl_edges.filter(F.col("doc_a") != F.col("doc_b"))
+        nodes = (
+            live_edges.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(live_edges.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        # the bounded cluster graph: O(|pairs|) label-nodes, resolved
+        # by the same operator the batch sweep uses
+        comp = min_label_components(nodes, live_edges, max_rounds)
+        remap = comp.filter(F.col("doc_id") != F.col("cluster_id")).select(
+            F.col("doc_id").alias("old_label"),
+            F.col("cluster_id").alias("new_label"),
+        ).localCheckpoint()
+        rows = new_lbl.join(
+            F.broadcast(remap),
+            new_lbl["cluster_id"] == F.col("old_label"),
+            "left",
+        ).select(
+            "doc_id",
+            F.coalesce("new_label", "cluster_id").alias("cluster_id"),
+        )
+        if cur is not None:
+            # rewrite ONLY the losing label sets: one map-side
+            # broadcast join against the label column
+            relabeled = cur.join(
+                F.broadcast(remap),
+                cur["cluster_id"] == F.col("old_label"),
+            ).select("doc_id", F.col("new_label").alias("cluster_id"))
+            rows = rows.unionByName(relabeled)
+    out = rows.withColumn(
+        "batch_id", F.lit(batch_id).cast("long")
+    ).localCheckpoint()
+    if out.isEmpty():
+        return
+
+    def _merge(existing: DataFrame | None, f: DataFrame) -> DataFrame:
+        # a replayed trigger re-derives identical rows from the
+        # self-excluded store state: REPLACE, never merge
+        return f
+
+    upsert_partitions(
+        spark, spark.range(1), out, store_path, LABEL_KEYS, _merge,
+        part_expr=F.lit(f"b{batch_id}"),
+    )
+
+
+def compact_labels(
+    spark: SparkSession, store_path: str, upto_batch: int
+) -> None:
+    """Fold live partitions with index <= ``upto_batch`` into one
+    latest-wins ``c<upto_batch>`` base, then drop what it covers — the
+    publish-base-first protocol shared with the hash/CMS/ANN stores.
+    The fold keeps each winning row's ORIGINAL batch_id: latest-wins
+    against newer partials and the updater's self-exclusion both keep
+    working against compacted rows. Only pass batch ids the stream's
+    checkpoint has committed."""
+    vals = live_batch_vals(batch_partition_vals(store_path))
+    src = [v for v in vals if int(v[1:]) <= upto_batch]
+    if not src:
+        return
+    base = _latest(
+        read_batch_partitions(spark, store_path, src).select(
+            "doc_id", "cluster_id", "batch_id"
+        )
+    )
+
+    def _merge(existing: DataFrame | None, f: DataFrame) -> DataFrame:
+        # re-compaction recomputes the identical base: REPLACE
+        return f
+
+    upsert_partitions(
+        spark, spark.range(1), base, store_path, LABEL_KEYS, _merge,
+        part_expr=F.lit(f"c{upto_batch}"),
+    )
+    for v in batch_partition_vals(store_path):
+        if v == f"c{upto_batch}" or int(v[1:]) > upto_batch:
+            continue
+        drop_batch_partition(store_path, v)

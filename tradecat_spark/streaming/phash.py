@@ -160,7 +160,7 @@ def hash_batch(
     batch_id: int,
     store_path: str,
     pairs_dir: str | None = None,
-) -> None:
+) -> tuple[DataFrame, DataFrame | None] | None:
     """The foreachBatch body, exposed for tests: decode+hash once
     (mapInPandas, map-side), screen against the store, commit — and,
     with ``pairs_dir``, emit the near-dup pairs this delta INTRODUCES
@@ -183,7 +183,13 @@ def hash_batch(
     pair set (the screen self-excludes the batch's own partition, so
     the "new" side is the same rows, and the "old" side explicitly
     excludes them) and overwrites its own partition; a re-published
-    doc is screened out entirely, so its pairs are never re-emitted."""
+    doc is screened out entirely, so its pairs are never re-emitted.
+
+    Returns the delta this trigger actually introduced — (new_wide,
+    pairs) with ``pairs`` None unless ``pairs_dir`` was given — so a
+    composing caller (the pipeline's label store, r13) consumes the
+    SAME materialized frames the store commits instead of re-deriving
+    them; None when the screen leaves nothing new."""
     docs = batch.dropDuplicates(["doc_id"])
     if "lang" not in docs.columns:
         # attach_payload's meta struct carries a source_lang; a
@@ -196,7 +202,7 @@ def hash_batch(
         "batch_id", F.lit(batch_id).cast("long")
     ).localCheckpoint()
     if hashed.isEmpty():
-        return
+        return None
     old_wide = spark.createDataFrame([], _HASH_SCHEMA).select(
         "doc_id", "b0", "b1", "b2", "b3"
     )
@@ -209,21 +215,25 @@ def hash_batch(
             prior.select("doc_id"), "doc_id", "left_anti"
         ).localCheckpoint()
         if hashed.isEmpty():
-            return
+            return None
     upsert_hashes(spark, hashed, store_path)
+    new_wide = hashed.select("doc_id", "b0", "b1", "b2", "b3")
+    pairs = None
     if pairs_dir is not None:
         from tradecat_spark.operators.phash import (
             phash_delta_candidate_pairs,
         )
 
-        new_wide = hashed.select("doc_id", "b0", "b1", "b2", "b3")
         cand = phash_delta_candidate_pairs(new_wide, old_wide)
+        # materialized ONCE: the sink write below and any composing
+        # consumer (the label store) read the cut, not the band joins
         pairs = phash_verify_pairs(
             cand, new_wide.unionByName(old_wide)
-        )
+        ).localCheckpoint()
         pairs.write.mode("overwrite").parquet(
             f"{pairs_dir}/batch_id={batch_id}"
         )
+    return new_wide, pairs
 
 
 def read_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:

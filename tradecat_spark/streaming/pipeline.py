@@ -7,7 +7,7 @@ ANN code store (`streaming/ann.py`) — plus a bronze landing zone into
 ONE foreachBatch body over a single document stream, closing the
 r7 verdict's "demonstrate the stores co-running off one source" item
 (and r9's "the ANN code store should be the 5th store").
-One trigger = one read of the micro-batch, up to seven store updates:
+One trigger = one read of the micro-batch, up to eight store updates:
 
 1. **Bronze**: the raw rows land in the batch's own directory
    (``batch_id=N``) — replay overwrites, never appends.
@@ -32,6 +32,13 @@ One trigger = one read of the micro-batch, up to seven store updates:
    postings into the inverted-index store (`postings.
    index_text_batch`) — lexical/BM25 retrieval on the ingest path,
    same deterministic-derivation discipline (r12).
+8. **Cluster labels** (``with_labels``, requires ``with_phash``): the
+   (doc_id, cluster_id) store folded incrementally from the hash
+   store's delta-emitted near-dup pairs (`labels.update_labels`) —
+   keep-one/canonical decisions on the ingest path, closing the last
+   batch-only step in the ingest dedup story (r13; r12 verdict
+   "What's missing" #1). Latest-wins rows rather than
+   insert-if-absent: labels MUTATE when a later doc merges clusters.
 
 Crash/replay story: every updater is idempotent under at-least-once
 redelivery (overwrite-own-partition for bronze/verdicts/CMS,
@@ -71,6 +78,7 @@ def pipeline_dirs(base_dir: str) -> dict[str, str]:
         "phash_store": f"{base_dir}/phash",
         "phash_pairs": f"{base_dir}/phash_pairs",
         "postings_store": f"{base_dir}/postings",
+        "labels_store": f"{base_dir}/labels",
     }
 
 
@@ -91,6 +99,7 @@ def pipeline_batch(
     ann_model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
     with_phash: bool = False,
     with_postings: bool = False,
+    with_labels: bool = False,
 ) -> None:
     """The foreachBatch body, exposed for the crash-seam test. The
     batch is cut ONCE (the r7 one-materialization discipline): bronze,
@@ -121,6 +130,14 @@ def pipeline_batch(
             "pipeline_batch: with_postings set but the stream has no "
             f"'text' column (columns: {batch.columns}) — the "
             "inverted-index store would silently stay empty"
+        )
+    if with_labels and not with_phash:
+        # the label store consumes the hash store's delta pairs; on
+        # its own it would silently stay empty every trigger
+        raise ValueError(
+            "pipeline_batch: with_labels requires with_phash — cluster "
+            "labels are maintained from the image-hash store's "
+            "delta-emitted near-dup pairs"
         )
     batch = batch.localCheckpoint()
     batch.write.mode("overwrite").parquet(
@@ -159,10 +176,26 @@ def pipeline_batch(
         # path (missing-column contract checked at the body's top)
         from tradecat_spark.streaming.phash import hash_batch
 
-        hash_batch(
+        delta = hash_batch(
             spark, batch, batch_id, dirs["phash_store"],
             pairs_dir=dirs["phash_pairs"],
         )
+        if with_labels and delta is not None:
+            # the 8th store (r13): cluster labels folded incrementally
+            # from the delta the hash store just committed — keep-one
+            # decisions live on the ingest path, no batch components
+            # pass needed (streaming/labels.py). A None delta means
+            # the screen kept nothing new: no pairs were emitted and
+            # no labels can change, so skipping is exact (and replay-
+            # consistent — the screen decides identically on replay).
+            from tradecat_spark.streaming.labels import update_labels
+
+            new_wide, pairs = delta
+            update_labels(
+                spark, dirs["labels_store"], batch_id,
+                new_wide.select("doc_id"),
+                pairs.select("doc_a", "doc_b"),
+            )
     if with_postings:
         # the 7th store (r12): the document's inverted-index postings,
         # so lexical/BM25 retrieval runs ON the ingest path
@@ -179,6 +212,7 @@ def start_ingest_pipeline(
     ann_model_dir: str | None = None,
     with_phash: bool = False,
     with_postings: bool = False,
+    with_labels: bool = False,
 ):
     """Start the composed pipeline over a (doc_id, text, source
     [, embedding]) stream; returns the StreamingQuery. Store paths:
@@ -212,11 +246,18 @@ def start_ingest_pipeline(
             "start_ingest_pipeline: with_postings set but the stream "
             f"has no 'text' column ({stream.columns})"
         )
+    if with_labels and not with_phash:
+        # fail at start, not per-trigger (same rule as the other stores)
+        raise ValueError(
+            "start_ingest_pipeline: with_labels requires with_phash — "
+            "labels are maintained from the hash store's delta pairs"
+        )
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         pipeline_batch(
             spark, batch, batch_id, dirs, ann_model=model,
             with_phash=with_phash, with_postings=with_postings,
+            with_labels=with_labels,
         )
 
     return start_foreach_batch(
