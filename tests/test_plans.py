@@ -774,3 +774,39 @@ def test_bm25_idf_broadcast_is_query_bounded(spark, sf_dir):
         "df aggregate input is not query-word-restricted:\n"
         + "\n".join(sub[:20])
     )
+
+
+def test_labels_rewrite_is_broadcast_remap(spark, tmp_path):
+    """The label store's merge rewrite must consume the (tiny,
+    delta-bounded) remap via broadcast hash joins against the label
+    column — a shuffled store join here would turn every trigger into
+    a corpus shuffle at 100 TB. Pinned on the executed plan of the
+    REAL per-trigger fold (streaming/labels.fold_trigger) over a state
+    that exercises the rewrite path: a stored two-doc cluster merged
+    by a new bridging doc."""
+    import pandas as pd
+    from tradecat_spark.streaming import labels as sl
+
+    store = str(tmp_path / "labels")
+
+    def df(pdf):
+        return spark.createDataFrame(pdf)
+
+    sl.update_labels(
+        spark, store, 0, df(pd.DataFrame({"doc_id": [10, 11, 30]})),
+        df(pd.DataFrame({"doc_a": [10], "doc_b": [11]})),
+    )
+    cur = sl._latest(sl._read_live(spark, store)).localCheckpoint()
+    out = sl.fold_trigger(
+        cur,
+        df(pd.DataFrame({"doc_id": [5]})),
+        df(pd.DataFrame({"doc_a": [5], "doc_b": [10]})),
+    )
+    got = sorted(map(tuple, out.collect()))
+    assert got == [(5, 5), (10, 5), (11, 5)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # both remap consumers (new-doc relabel + store rewrite) broadcast
+    # the remap; nothing label-keyed is ever shuffled or sort-merged
+    assert plan.count("BroadcastHashJoin [cluster_id") >= 2, plan[:800]
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(cluster_id" not in plan

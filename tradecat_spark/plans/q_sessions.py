@@ -236,14 +236,16 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     days) joined on user_id, then the triangle count. Counts are exact
     BIGINTs; the single ratio is one ROUND over an integer quotient, so
     the cross-engine hash has no float path to diverge on. At 100 TB
-    the firsts table is |users| rows — the small, broadcastable side of
-    the activity join."""
+    the firsts table is |users| rows — an UNBOUNDED domain (the r13
+    broadcast-cardinality audit), so the activity join stays an
+    unhinted user-keyed equi-join: the planner broadcasts it when
+    stats say it fits and shuffles when they don't."""
     e = load_table(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("date").alias("day")
     )
     firsts = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     activity = e.distinct()
-    joined = activity.join(F.broadcast(firsts), "user_id").select(
+    joined = activity.join(firsts, "user_id").select(
         "cohort_day",
         F.datediff("day", "cohort_day").alias("day_offset"),
         "user_id",
@@ -315,8 +317,11 @@ FROM (
 )
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each stage is a conditional-min aggregate over events joined to
-    the previous stage's |users|-row table (broadcast); no event list
-    ever collects. Counts and the total time-to-convert are exact
+    the previous stage's |users|-row table; no event list ever
+    collects. The stage tables are user-cardinality — unbounded at
+    100 TB — so the joins stay unhinted user-keyed equi-joins (r13
+    broadcast-cardinality audit; stage N+1 reuses stage N's shuffle
+    partitioning). Counts and the total time-to-convert are exact
     BIGINTs; the two conversion ratios are single ROUNDs over integer
     quotients."""
     e = load_table(spark, sf_dir, "events").select(
@@ -327,7 +332,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("vts")
     )
     u2 = (
-        e.join(F.broadcast(u1), "user_id")
+        e.join(u1, "user_id")
         .groupBy("user_id")
         .agg(
             F.any_value("vts").alias("vts"),
@@ -341,7 +346,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     u3 = (
-        e.join(F.broadcast(u2), "user_id")
+        e.join(u2, "user_id")
         .groupBy("user_id")
         .agg(
             F.any_value("vts").alias("vts"),

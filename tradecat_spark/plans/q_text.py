@@ -421,10 +421,16 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     true_j = ratio6(
         F.col("n_common"), F.col("na") + F.col("nb") - F.col("n_common")
     ).alias("true_jaccard")
+    # per-doc shingle counts are CORPUS-cardinality (one row per doc)
+    # and the pair set is corpus-scaled too at 100 TB — both joins stay
+    # unhinted shuffle equi-joins on doc id so the planner picks the
+    # strategy from stats instead of being forced into a corpus-sized
+    # broadcast (the r13 idf-broadcast audit; at gate SFs AQE still
+    # broadcasts the tiny side on its own)
     t = (
         inter.join(sm, ["doc_a", "doc_b"])
-        .join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb2), "doc_b")
+        .join(sa, "doc_a")
+        .join(sb2, "doc_b")
         .select("doc_a", "doc_b", est, true_j)
     )
     return t.select(
@@ -504,9 +510,10 @@ def minhash_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    # unhinted: sizes is corpus-cardinality (see the calibration lane)
     truth = (
-        tru0.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        tru0.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(F.lit(3) * F.col("n_common") >= F.col("na") + F.col("nb"))
         .select("doc_a", "doc_b")
     )
@@ -592,9 +599,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    # unhinted: sizes is corpus-cardinality (see the calibration lane)
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -3099,14 +3107,19 @@ def _char_toks(word: str = "word") -> Column:
 
 def _fertility_tail(d: DataFrame, per_word: DataFrame) -> DataFrame:
     """Per-doc fertility from a (word, n_toks, n_chars_w) tokenizer
-    summary: (doc, word) instances broadcast-joined to the summary,
-    then one per-doc aggregate — ONE rendering for all three encode
-    queries, which share one oracle shape."""
+    summary: (doc, word) instances equi-joined to the summary on the
+    word key, then one per-doc aggregate — ONE rendering for all three
+    encode queries, which share one oracle shape."""
     inst = d.select(
         "doc_id",
         F.explode(F.filter(_words(), lambda x: x != "")).alias("word"),
     )
-    j = inst.join(F.broadcast(per_word), "word")
+    # per_word is one row per distinct corpus word — VOCAB-cardinality,
+    # the same unbounded domain as the BM25 idf table (r12 weak item):
+    # at 100 TB of web text a forced broadcast OOMs. Unhinted, the
+    # word-keyed equi-join shuffles (term-partitioned, the layout a
+    # tokenizer-encode pass wants) and AQE still broadcasts at gate SFs.
+    j = inst.join(per_word, "word")
     return j.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_words"),
         F.sum("n_chars_w").cast("bigint").alias("n_char_tokens"),

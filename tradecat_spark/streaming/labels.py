@@ -126,9 +126,6 @@ def update_labels(
     docs (store or delta) — enforced loudly below, because an inner
     join silently dropping an unlabeled endpoint would ship a missed
     merge as a plausible label table."""
-    new_lbl = new_docs.select("doc_id").withColumn(
-        "cluster_id", F.col("doc_id").cast("bigint")
-    ).localCheckpoint()
     cur = None
     if store_has_data(store_path):
         # self-exclusion: a replayed trigger must not see its own
@@ -138,6 +135,36 @@ def update_labels(
                 F.col("batch_id") != F.lit(batch_id).cast("long")
             )
         ).localCheckpoint()
+    out = fold_trigger(cur, new_docs, pairs, max_rounds).withColumn(
+        "batch_id", F.lit(batch_id).cast("long")
+    ).localCheckpoint()
+    if out.isEmpty():
+        return
+
+    def _merge(existing: DataFrame | None, f: DataFrame) -> DataFrame:
+        # a replayed trigger re-derives identical rows from the
+        # self-excluded store state: REPLACE, never merge
+        return f
+
+    upsert_partitions(
+        spark, spark.range(1), out, store_path, LABEL_KEYS, _merge,
+        part_expr=F.lit(f"b{batch_id}"),
+    )
+
+
+def fold_trigger(
+    cur: DataFrame | None,
+    new_docs: DataFrame,
+    pairs: DataFrame,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """The pure per-trigger fold: (current labels or None, delta docs,
+    delta pairs) -> the (doc_id, cluster_id) rows this trigger must
+    write. Exposed separately from the store I/O so the physical plan
+    of the rewrite path is pinnable in tests exactly as executed."""
+    new_lbl = new_docs.select("doc_id").withColumn(
+        "cluster_id", F.col("doc_id").cast("bigint")
+    ).localCheckpoint()
     known = new_lbl.select("doc_id", "cluster_id")
     if cur is not None:
         known = known.unionByName(cur.select("doc_id", "cluster_id"))
@@ -157,10 +184,10 @@ def update_labels(
         n_labeled = lbl_edges.count()
         if n_labeled != n_pairs:
             raise AssertionError(
-                f"update_labels batch {batch_id}: {n_pairs - n_labeled} "
-                f"of {n_pairs} delta pairs have an endpoint with no "
-                "label (not in the store and not in this delta) — the "
-                "pair producer and the label store have diverged"
+                f"fold_trigger: {n_pairs - n_labeled} of {n_pairs} "
+                "delta pairs have an endpoint with no label (not in "
+                "the store and not in this delta) — the pair producer "
+                "and the label store have diverged"
             )
         live_edges = lbl_edges.filter(F.col("doc_a") != F.col("doc_b"))
         nodes = (
@@ -191,21 +218,7 @@ def update_labels(
                 cur["cluster_id"] == F.col("old_label"),
             ).select("doc_id", F.col("new_label").alias("cluster_id"))
             rows = rows.unionByName(relabeled)
-    out = rows.withColumn(
-        "batch_id", F.lit(batch_id).cast("long")
-    ).localCheckpoint()
-    if out.isEmpty():
-        return
-
-    def _merge(existing: DataFrame | None, f: DataFrame) -> DataFrame:
-        # a replayed trigger re-derives identical rows from the
-        # self-excluded store state: REPLACE, never merge
-        return f
-
-    upsert_partitions(
-        spark, spark.range(1), out, store_path, LABEL_KEYS, _merge,
-        part_expr=F.lit(f"b{batch_id}"),
-    )
+    return rows
 
 
 def compact_labels(
