@@ -986,8 +986,9 @@ def _pipeline_assets(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     description="Per-store row/key counts of the converged 8-store "
     "pipeline (plus its emitted near-dup pair sink) over a "
     "twice-delivered delta stream",
-    oracle=None,  # rows-only by design: six heterogeneous stores;
-    # the SQL-expressible contents are exactly gated by the twin
+    oracle=None,  # rows-only by design: ten heterogeneous store/sink
+    # summaries; the SQL-expressible contents are exactly gated by the
+    # checksum/phash/bm25/labels twins
 )
 def streaming_pipeline_stores(
     spark: SparkSession, sf_dir: str
