@@ -52,7 +52,12 @@ _GATE_FRONT = {
         # streaming/phash.py hash_batch now returns the delta frames
         # for the label-store composition — same stores, new code path
         "streaming_pipeline_phash", "streaming_pipeline_phash_delta",
-        # gained the labels row (8-store summary)
+        # gained the labels row (8-store summary). Its exact-content
+        # twin streaming_pipeline_checksum lost the 50-slot tiebreak
+        # to the demanded rotation debt (4 stale twins + all 36 r6):
+        # covered this round by a scoped mimic MATCH + the full
+        # 295/295 sweeps at both SFs, within its r12-vintage staleness
+        # grace, and OWED an r14 front slot (README round-13 notes)
         "streaming_pipeline_stores",
     ),
     "stale_twins": (

@@ -30,8 +30,9 @@ def sliced_graphs(draw):
     n = draw(st.integers(min_value=2, max_value=14))
     nodes = list(range(n))
     n_batches = draw(st.integers(min_value=2, max_value=4))
-    # batch index per node (every batch may be empty except that batch
-    # indices are relabeled to be dense, so ids stay meaningful)
+    # batch index per node, drawn freely: any batch (including leading
+    # ones) may come out empty — update_labels must treat an empty
+    # trigger as a no-op, so empty batches are part of the law
     assign = {v: draw(st.integers(min_value=0, max_value=n_batches - 1))
               for v in nodes}
     edges = draw(

@@ -353,6 +353,32 @@ pcand AS (
 )"""
 
 
+#: verified-pair transitive closure over the probe candidates (the
+#: keep-one component algebra in SQL) — shared by the batch cluster
+#: oracle (mm_phash_clusters) and the streaming label-store oracle
+#: (q_streaming._pipeline_labels_oracle), so the verify cut and the
+#: closure shape can never drift between the two lanes
+_PHASH_CLOSURE_CTES = f"""vp AS (
+  SELECT c.doc_a, c.doc_b
+  FROM pcand c
+  JOIN wide wa ON wa.doc_id = c.doc_a
+  JOIN wide wb ON wb.doc_id = c.doc_b
+  WHERE bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+      + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
+      <= {PHASH_HAMMING_MAX}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM vp
+  UNION ALL
+  SELECT doc_b, doc_a FROM vp
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)"""
+
+
 @query(
     "mm_phash_multiprobe_pairs",
     survey="beyond-reference multimodal dedup: multi-probe near-dup "
@@ -587,25 +613,7 @@ _REG["mm_phash_recall_eval"].oracle = _phash_recall_oracle()
     oracle=f"""
 WITH RECURSIVE {_PHASH_CTES},
 {_PHASH_PROBE_CTES},
-vp AS (
-  SELECT c.doc_a, c.doc_b
-  FROM pcand c
-  JOIN wide wa ON wa.doc_id = c.doc_a
-  JOIN wide wb ON wb.doc_id = c.doc_b
-  WHERE bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
-      + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
-      <= {PHASH_HAMMING_MAX}
-),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM vp
-  UNION ALL
-  SELECT doc_b, doc_a FROM vp
-),
-reach(doc_id, r) AS (
-  SELECT doc_id, doc_id FROM d
-  UNION
-  SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON reach.r = e.src
-),
+{_PHASH_CLOSURE_CTES},
 comp AS (
   SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
 )

@@ -1506,33 +1506,15 @@ def streaming_pipeline_labels(
 
 def _pipeline_labels_oracle() -> str:
     from tradecat_spark.plans.q_multimodal import (
+        _PHASH_CLOSURE_CTES,
         _PHASH_PROBE_CTES,
-        PHASH_HAMMING_MAX,
         phash_ctes_sql,
     )
 
     return f"""
 WITH RECURSIVE {phash_ctes_sql("doc_id % 10 = 0")},
 {_PHASH_PROBE_CTES},
-vp AS (
-  SELECT c.doc_a, c.doc_b
-  FROM pcand c
-  JOIN wide wa ON wa.doc_id = c.doc_a
-  JOIN wide wb ON wb.doc_id = c.doc_b
-  WHERE bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
-      + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3))
-      <= {PHASH_HAMMING_MAX}
-),
-edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM vp
-  UNION ALL
-  SELECT doc_b, doc_a FROM vp
-),
-reach(doc_id, r) AS (
-  SELECT doc_id, doc_id FROM d
-  UNION
-  SELECT reach.doc_id, e.dst FROM reach JOIN edges e ON reach.r = e.src
-),
+{_PHASH_CLOSURE_CTES},
 comp AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
     CAST(MIN(r) AS BIGINT) AS cluster_id
