@@ -22,78 +22,89 @@ def entry(spark: SparkSession) -> DataFrame:
     return specs["flagship_rank_24h_change"].fn(spark, "/root/testdata/sf0.001")
 
 
-#: The r13 gate-front declaration, validated mechanically by
+#: The r14 gate-front declaration, validated mechanically by
 #: ``tools/gate_ledger.py::composition``. Categories: ``born`` =
 #: registered this round (no ledger row); ``changed`` = lanes whose
 #: code or oracle changed this round (standing r9 policy — a rows-only
 #: lane's checksum twin re-enters the front whenever its lane
-#: changes); ``stale_twins`` = twins owed a re-pin by the staleness
-#: bound (the 4 indicator/signal twins, last checked r11 — the set
-#: test_stale_twins_are_repinned demanded). Every remaining slot is
-#: filled oldest-ledger-cohort-first; the composition line below is
-#: the tool's output, pinned by test_gate_rotation.
+#: changes), INCLUDING carried changed-lane debt: the five r13
+#: post-artifact broadcast-audit lanes pre-declared FIRST IN LINE by
+#: the README round-13 notes (the r13 gate window was already
+#: committed when they changed); ``stale_twins`` = twins owed a
+#: re-pin by the staleness bound (streaming_pipeline_checksum, last
+#: checked r12 — exactly what tools/gate_ledger.stale_twins computes,
+#: and the second half of the 8-lane r13 pre-declaration). Every
+#: remaining slot is filled oldest-ledger-cohort-first — the ENTIRE
+#: 40-row r7 cohort (which includes the two pre-declared minhash eval
+#: lanes) plus one r8 row; the composition line below is the tool's
+#: output, pinned by test_gate_rotation.
 #:
-#: front r13 = 1 born + 9 changed-lane + 4 stale-twin + 36 r6 (50 slots); deferred 0
+#: front r14 = 1 born + 7 changed-lane + 1 stale-twin + 40 r7 + 1 r8 (50 slots); deferred 39 r8
 _GATE_FRONT = {
-    "round": 13,
+    "round": 14,
     "born": (
-        # the pipeline's 8th store: cluster labels maintained
-        # incrementally from the delta near-dup pairs (r12 verdict
-        # "What's missing" #1 / Next #5)
-        "streaming_pipeline_labels",
+        # canonical-corpus serving off the streamed label store:
+        # pairs -> labels -> keep-one serving, the ingest dedup story
+        # end-to-end (r13 verdict Next #4); also exercises the r14
+        # delta-bounded label-store read across a compaction boundary
+        "streaming_canonical_corpus",
     ),
     "changed": (
-        # operators/bm25.py: idf broadcast bounded to query vocabulary
-        # (the r12 weak item) — all five consumer lanes re-enter
-        "text_bm25_topk", "hybrid_rrf_fusion", "retrieval_fusion_eval",
-        "retrieval_rank_quality", "streaming_pipeline_bm25",
-        # oracle changed: right-side NULL-parity filter (r12 ADVICE 1)
-        "join_strategy_advice",
-        # streaming/phash.py hash_batch now returns the delta frames
-        # for the label-store composition — same stores, new code path
-        "streaming_pipeline_phash", "streaming_pipeline_phash_delta",
-        # gained the labels row (8-store summary). Its exact-content
-        # twin streaming_pipeline_checksum lost the 50-slot tiebreak
-        # to the demanded rotation debt (4 stale twins + all 36 r6):
-        # covered this round by a scoped mimic MATCH + the full
-        # 295/295 sweeps at both SFs, within its r12-vintage staleness
-        # grace, and OWED an r14 front slot (README round-13 notes)
-        "streaming_pipeline_stores",
+        # streaming/labels.py read path rebuilt delta-bounded (the
+        # r13 weak item): latest-wins = base ANTI-JOIN broadcast
+        # (partial keys) ∪ latest-of-partials; both label-store
+        # consumers re-enter
+        "streaming_pipeline_labels", "streaming_pipeline_stores",
+        # carried from r13 (post-artifact broadcast-audit un-hinting;
+        # pre-declared FIRST IN LINE in the README round-13 notes):
+        "bpe_encode_fertility", "bpe_encode_fertility_deep",
+        "bpe_encode_frozen", "cohort_retention", "funnel_conversion",
     ),
     "stale_twins": (
-        "indicator_batch_checksum", "indicator_surface_checksum",
-        "signal_pack_subset_checksum", "signal_rule_events_checksum",
+        # last driver-checked r12; its rows-only lane changed in r13
+        # AND changes again this round — the deferred twin re-entry
+        # the r13 ADVICE demanded be fronted here
+        "streaming_pipeline_checksum",
     ),
 }
 
-#: ALL 36 rows still at r6 vintage after the r12 front (r12 verdict
-#: item 2: zero r6-vintage rows may remain after the r13 artifact).
-_R6_COHORT = (
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_span_trim_ranges",
-    "embedding_component_quantiles", "embedding_sq8_error",
-    "embedding_winsorized_stats", "heavy_hitters_exact",
-    "hll_register_law", "ind_bollinger", "ind_candle_patterns",
-    "ind_cci", "ind_ema20_fold", "ind_ichimoku", "ind_kdj_fold",
-    "ind_keltner_fold", "ind_mfi", "ind_obv_cvd", "ind_pivot_points",
-    "ind_regr_slope", "ind_sma_cross_signals", "ind_vpvr_profile",
-    "ind_vwap_bands", "ind_zscore_percentile",
-    "metrics_weighted_ratio_1h", "mix_epoch_plan", "partial_bar_merge",
-    "quality_unigram_logprob", "sample_dsir_importance",
-    "sample_per_group_reservoir", "source_overlap_matrix",
-    "text_fingerprint", "text_lang_id", "text_quality_score",
-    "text_token_stats", "token_decile_tiers", "tpch_q15_top_supplier",
+#: The entire r7-vintage cohort (40 rows — oldest remaining after r13
+#: cleared r6) + the first r8 row for the last slot. Includes the two
+#: pre-declared minhash eval lanes (r7-vintage, due here anyway).
+_R7_COHORT = (
+    "ai_context_snapshot", "ann_ivf_search", "ann_label_centroids",
+    "ann_lsh_buckets", "ann_multiprobe_search", "ann_recall_eval",
+    "approx_distinct_kmv", "chart_bb_zone_strip", "chart_cvd_cumulative",
+    "chart_equity_drawdown", "chart_intraday_volume_heatmap",
+    "chart_kline_ma_volume", "chart_long_short_ratio",
+    "chart_macd_series", "chart_oi_change", "chart_taker_ratio_heatmap",
+    "chart_vpvr_ridge", "dedup_canonical_corpus",
+    "dedup_embedding_cosine", "dedup_incremental_delta",
+    "dedup_minhash_bands", "dedup_minhash_est_jaccard",
+    "freshness_gate", "global_totals_latest", "hll_error_eval",
+    "hll_estimate", "ind_atr_wilder_fold", "ind_donchian_williams",
+    "kmv_jaccard_error_eval", "kmv_source_jaccard", "lang_id_confusion",
+    "metrics_cascade_1d", "minhash_jaccard_calibration",
+    "minhash_lsh_quality", "mix_epoch_manifest", "mm_decode_features",
+    "mm_frame_sample", "source_containment_matrix",
+    "streaming_cms_counters", "streaming_hll_registers",
+    # first r8 row (youngest-used vintage, partial by design — the
+    # remaining 39 r8 rows are this round's deferred set)
+    "ann_ivf_pq_search",
 )
 
 _FRONT = (
     *_GATE_FRONT["born"], *_GATE_FRONT["changed"],
-    *_GATE_FRONT["stale_twins"], *_R6_COHORT,
+    *_GATE_FRONT["stale_twins"], *_R7_COHORT,
 )
 
 #: Previously green, unchanged code — behind the front, order
 #: irrelevant past the cap (duplicates of _FRONT are filtered out when
 #: _GATE_PRIORITY is assembled below).
 _GATE_TAIL = (
+    "streaming_canonical_corpus",
     "streaming_pipeline_labels",
+    "streaming_pipeline_phash", "streaming_pipeline_phash_delta",
     "components_path_islands", "bpe_learn_merges_wide_2048",
     "mm_phash_hashes", "mm_phash_near_dup", "mm_phash_multiprobe_pairs",
     "mm_phash_recall_eval", "mm_phash_clusters",

@@ -29,6 +29,13 @@ import time
 
 
 def main() -> None:
+    # argv guard (r13 ADVICE): this tool spins up 32-core sessions —
+    # fail with usage, not a bare IndexError/ValueError traceback
+    if len(sys.argv) != 3 or not sys.argv[2].isdigit():
+        sys.exit(
+            "usage: python tools/rollup_worktree_control.py "
+            "<tree_root> <repeats:int>"
+        )
     tree, repeats = sys.argv[1], int(sys.argv[2])
     sys.path.insert(0, tree)
     spec = importlib.util.spec_from_file_location("treebench", f"{tree}/bench.py")
@@ -40,30 +47,33 @@ def main() -> None:
     spark = get_spark(
         "tradecat-rollup-control", cpus=32, shuffle_partitions=32
     )
-    spark.range(0, 1_000_000).selectExpr("sum(id)").collect()
-    bench._warm_python_workers(spark)
+    try:
+        spark.range(0, 1_000_000).selectExpr("sum(id)").collect()
+        bench._warm_python_workers(spark)
 
-    out: dict = {"tree": tree, "repeats": repeats}
-    cal = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        spark.range(0, 400_000_000, 1, 64).selectExpr(
-            "sum((id * 2654435761) % 1000003) AS s"
-        ).collect()
-        cal.append(time.perf_counter() - t0)
-    out["calibration_fixed"] = {
-        "min": round(min(cal), 3),
-        "median": round(statistics.median(cal), 3),
-    }
-    runs = [bench._bench_streaming(spark) for _ in range(repeats)]
-    for k in runs[0]:
-        vals = [r[k] for r in runs]
-        out[k] = {
-            "min": round(min(vals), 3),
-            "median": round(statistics.median(vals), 3),
-            "runs": [round(v, 3) for v in vals],
+        out: dict = {"tree": tree, "repeats": repeats}
+        cal = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            spark.range(0, 400_000_000, 1, 64).selectExpr(
+                "sum((id * 2654435761) % 1000003) AS s"
+            ).collect()
+            cal.append(time.perf_counter() - t0)
+        out["calibration_fixed"] = {
+            "min": round(min(cal), 3),
+            "median": round(statistics.median(cal), 3),
         }
-    print(json.dumps(out))
+        runs = [bench._bench_streaming(spark) for _ in range(repeats)]
+        for k in runs[0]:
+            vals = [r[k] for r in runs]
+            out[k] = {
+                "min": round(min(vals), 3),
+                "median": round(statistics.median(vals), 3),
+                "runs": [round(v, 3) for v in vals],
+            }
+        print(json.dumps(out))
+    finally:
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -1531,6 +1531,92 @@ FROM comp GROUP BY cluster_id
 _REG["streaming_pipeline_labels"].oracle = _pipeline_labels_oracle()
 
 
+@query(
+    "streaming_canonical_corpus",
+    survey="§2.11-adjacent + beyond-reference dedup (r14): canonical-"
+    "corpus SERVING off the streamed label store — the keep-one "
+    "decision (doc_id == cluster_id, streaming/labels.py read path) "
+    "applied directly to the incrementally-maintained labels, joined "
+    "back to the corpus: pairs → labels → canonical serving, the "
+    "ingest dedup story end-to-end with no batch component pass "
+    "anywhere. Exercises the r14 delta-bounded reader (base ANTI-JOIN "
+    "broadcast(partial keys) ∪ latest-of-partials) in the gated path "
+    "across a compaction boundary, and asserts the served corpus "
+    "equals the batch dedup_canonical_corpus shape over the same "
+    "slice via a DuckDB recursive-closure replay of the final pair "
+    "graph",
+    description="Canonical docs served from the streamed label store "
+    "with cluster size, dups dropped, and chars kept — the "
+    "dedup_canonical_corpus shape off the incremental store",
+    oracle=None,  # set below (reuses q_multimodal's CTE builders)
+)
+def streaming_canonical_corpus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Keep-one applied to the streamed store: a doc is canonical iff
+    it labels its own cluster (cluster ids are component-min doc ids,
+    so exactly one per cluster). cluster_size rides a cluster-keyed
+    count over the label rows; the corpus join is doc_id-equi against
+    the pipeline's delta slice. Scale shape: the store read is the
+    delta-bounded latest-wins composition (no corpus exchange — the
+    r13 weak fix), the size aggregate and corpus join shuffle on the
+    keys they group/join by, exactly once each."""
+    from tradecat_spark.streaming.labels import read_labels
+
+    dirs = _pipeline_assets(spark, sf_dir)
+    labels = read_labels(spark, dirs["labels_store"]).localCheckpoint()
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    canon = labels.filter(
+        F.col("doc_id") == F.col("cluster_id")
+    ).join(sizes, "cluster_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    return canon.join(docs, "doc_id").select(
+        "doc_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        (F.col("cluster_size") - 1).cast("long").alias("n_dups_dropped"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def _canonical_corpus_oracle() -> str:
+    from tradecat_spark.plans.q_multimodal import (
+        _PHASH_CLOSURE_CTES,
+        _PHASH_PROBE_CTES,
+        phash_ctes_sql,
+    )
+
+    return f"""
+WITH RECURSIVE {phash_ctes_sql("doc_id % 10 = 0")},
+{_PHASH_PROBE_CTES},
+{_PHASH_CLOSURE_CTES},
+comp AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CAST(MIN(r) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY doc_id
+),
+csized AS (
+  SELECT doc_id, cluster_id,
+    CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+      AS cluster_size
+  FROM comp
+)
+SELECT s.doc_id, s.cluster_size,
+  CAST(s.cluster_size - 1 AS BIGINT) AS n_dups_dropped,
+  CAST(length(dd.text) AS BIGINT) AS n_chars
+FROM csized s JOIN documents dd ON s.doc_id = dd.doc_id
+WHERE s.doc_id = s.cluster_id
+"""
+
+
+_REG["streaming_canonical_corpus"].oracle = _canonical_corpus_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Shared scaffolding for the stream-stream interval-join family
 # ---------------------------------------------------------------------------

@@ -54,6 +54,25 @@ the label store for the rewrite and one partition commit; the store
 never self-joins and payloads never shuffle. At 100 TB the label
 store is a bucketed table and the rewrite is a broadcast-hash-join
 update — the same shape.
+
+Read posture (r14 — closes the r13 ``weak`` item): latest-wins is
+NOT a corpus ``groupBy(doc_id)``. Compaction makes the base unique
+per doc, and every live partial's batch_id exceeds every base row's
+(partials above the base are ``b<j>`` with j > k = the base index;
+base rows keep original winning batch ids <= k), so
+
+    latest(all) == latest(partials) UNION (base ANTI-JOIN partial-keys)
+
+with the partial-key set broadcast — the base side is a map-only
+parquet scan, never exchanged. The anti-join broadcast is bounded by
+the delta volume since the last compaction (the compaction cadence
+is the knob), never by the corpus — it passes the repo's
+broadcast-cardinality rule. The per-trigger contraction likewise
+never materializes the corpus: only the PAIR-ENDPOINT labels leave
+the store scan, via a broadcast semi-join on the delta's endpoint
+set (delta-sized output). Pinned on executed plans in
+``tests/test_plans.py`` (``test_labels_read_is_delta_bounded``,
+``test_labels_rewrite_is_broadcast_remap``).
 """
 
 from __future__ import annotations
@@ -89,22 +108,91 @@ def _latest(rows: DataFrame) -> DataFrame:
     )
 
 
-def _read_live(spark: SparkSession, store_path: str) -> DataFrame:
-    live = live_batch_vals(batch_partition_vals(store_path))
-    if not live:
-        return spark.createDataFrame([], _LABEL_SCHEMA)
-    return read_batch_partitions(spark, store_path, live).select(
+def _cast(rows: DataFrame) -> DataFrame:
+    return rows.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("cluster_id").cast("bigint").alias("cluster_id"),
         F.col("batch_id").cast("bigint").alias("batch_id"),
     )
 
 
+def _read_live(spark: SparkSession, store_path: str) -> DataFrame:
+    live = live_batch_vals(batch_partition_vals(store_path))
+    if not live:
+        return spark.createDataFrame([], _LABEL_SCHEMA)
+    return _cast(read_batch_partitions(spark, store_path, live))
+
+
+def _live_frames(
+    spark: SparkSession, store_path: str
+) -> tuple[DataFrame | None, DataFrame | None]:
+    """The live set split by kind: (compacted base | None, partials
+    above it | None). The base is unique per doc (compaction's
+    latest-wins fold) and every partial row's batch_id exceeds every
+    base row's — the two invariants the delta-bounded reader rides."""
+    vals = live_batch_vals(batch_partition_vals(store_path))
+    base_vals = [v for v in vals if v.startswith("c")]
+    part_vals = [v for v in vals if v.startswith("b")]
+    base = (
+        _cast(read_batch_partitions(spark, store_path, base_vals))
+        if base_vals
+        else None
+    )
+    parts = (
+        _cast(read_batch_partitions(spark, store_path, part_vals))
+        if part_vals
+        else None
+    )
+    return base, parts
+
+
+def _compose_latest(
+    spark: SparkSession,
+    base: DataFrame | None,
+    parts: DataFrame | None,
+) -> DataFrame:
+    """Latest-wins without a corpus exchange: fold ONLY the partials
+    (delta-bounded shuffle), then base ANTI-JOIN broadcast(partial
+    keys) ∪ that fold. Valid because the base is unique per doc and
+    strictly older (per row) than any partial — see the module
+    docstring. The broadcast key set is bounded by delta volume since
+    the last compaction, never the corpus."""
+    if parts is None:
+        if base is None:
+            return spark.createDataFrame([], _LABEL_SCHEMA)
+        return base
+    ps = _latest(parts).localCheckpoint()
+    if base is None:
+        return ps
+    return base.join(
+        F.broadcast(ps.select("doc_id")), "doc_id", "left_anti"
+    ).unionByName(ps)
+
+
+def current_labels(
+    spark: SparkSession,
+    store_path: str,
+    exclude_batch: int | None = None,
+) -> DataFrame:
+    """(doc_id, cluster_id, batch_id) latest-wins view of the store,
+    delta-bounded (no corpus-cardinality exchange — the base side is a
+    map-only scan). ``exclude_batch`` is the updater's replay
+    self-exclusion: drop that batch's rows before folding (a replayed
+    batch is never in a base, but the filter is map-side and applied
+    to both kinds for defense in depth)."""
+    base, parts = _live_frames(spark, store_path)
+    if exclude_batch is not None:
+        scr = F.col("batch_id") != F.lit(exclude_batch).cast("long")
+        base = base.filter(scr) if base is not None else None
+        parts = parts.filter(scr) if parts is not None else None
+    return _compose_latest(spark, base, parts)
+
+
 def read_labels(spark: SparkSession, store_path: str) -> DataFrame:
     """(doc_id, cluster_id) as currently maintained — cluster_id is the
     min doc_id of the doc's near-dup component over everything ingested
     so far; the keep-one decision is ``doc_id == cluster_id``."""
-    return _latest(_read_live(spark, store_path)).select(
+    return current_labels(spark, store_path).select(
         "doc_id", "cluster_id"
     )
 
@@ -129,12 +217,11 @@ def update_labels(
     cur = None
     if store_has_data(store_path):
         # self-exclusion: a replayed trigger must not see its own
-        # prior partial commit as "current labels"
-        cur = _latest(
-            _read_live(spark, store_path).filter(
-                F.col("batch_id") != F.lit(batch_id).cast("long")
-            )
-        ).localCheckpoint()
+        # prior partial commit as "current labels". Delta-bounded
+        # view — NOT materialized: both fold consumers (endpoint
+        # semi-join, losing-set rewrite) are map-side passes over the
+        # base scan, so re-scanning beats checkpointing the corpus.
+        cur = current_labels(spark, store_path, exclude_batch=batch_id)
     out = fold_trigger(cur, new_docs, pairs, max_rounds).withColumn(
         "batch_id", F.lit(batch_id).cast("long")
     ).localCheckpoint()
@@ -157,11 +244,15 @@ def fold_trigger(
     new_docs: DataFrame,
     pairs: DataFrame,
     max_rounds: int = 20,
+    plan_probe: dict | None = None,
 ) -> DataFrame:
     """The pure per-trigger fold: (current labels or None, delta docs,
     delta pairs) -> the (doc_id, cluster_id) rows this trigger must
     write. Exposed separately from the store I/O so the physical plan
-    of the rewrite path is pinnable in tests exactly as executed."""
+    of the rewrite path is pinnable in tests exactly as executed.
+    ``plan_probe``: test hook — a dict that receives the EXECUTED
+    plans of the eager (checkpointed) intermediates, which otherwise
+    vanish behind their RDD scans in the output's plan."""
     new_lbl = new_docs.select("doc_id").withColumn(
         "cluster_id", F.col("doc_id").cast("bigint")
     ).localCheckpoint()
@@ -172,17 +263,44 @@ def fold_trigger(
     n_pairs = p.count()
     rows = new_lbl.select("doc_id", "cluster_id")
     if n_pairs:
-        la = known.select(
-            F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("ca")
+        # key-pruned contraction: only the pair-ENDPOINT labels leave
+        # the store scan — a broadcast semi-join on the (delta-sized)
+        # endpoint set, so the corpus never feeds a join build side
+        endpoints = (
+            p.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(p.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
         )
-        lb = known.select(
-            F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("cb")
+        ep0 = known.join(F.broadcast(endpoints), "doc_id", "semi")
+        ep = ep0.localCheckpoint()
+        if plan_probe is not None:
+            plan_probe["endpoint_semi"] = (
+                ep0._jdf.queryExecution().executedPlan().toString()
+            )
+        la = F.broadcast(
+            ep.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("cluster_id").alias("ca"),
+            )
+        )
+        lb = F.broadcast(
+            ep.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("cluster_id").alias("cb"),
+            )
         )
         lbl_edges = p.join(la, "doc_a").join(lb, "doc_b").select(
             F.col("ca").alias("doc_a"), F.col("cb").alias("doc_b")
         ).localCheckpoint()
         n_labeled = lbl_edges.count()
-        if n_labeled != n_pairs:
+        if n_labeled > n_pairs:
+            raise AssertionError(
+                f"fold_trigger: {n_labeled - n_pairs} surplus labeled "
+                f"edges over {n_pairs} delta pairs — some endpoint "
+                "holds DUPLICATE label rows (a doc in both new_docs "
+                "and the store, violating the post-screen contract)"
+            )
+        if n_labeled < n_pairs:
             raise AssertionError(
                 f"fold_trigger: {n_pairs - n_labeled} of {n_pairs} "
                 "delta pairs have an endpoint with no label (not in "
@@ -235,10 +353,18 @@ def compact_labels(
     src = [v for v in vals if int(v[1:]) <= upto_batch]
     if not src:
         return
-    base = _latest(
-        read_batch_partitions(spark, store_path, src).select(
-            "doc_id", "cluster_id", "batch_id"
-        )
+    # same delta-bounded composition as the reader: the prior base is
+    # already unique per doc, so only the covered PARTIALS are folded
+    src_c = [v for v in src if v.startswith("c")]
+    src_b = [v for v in src if v.startswith("b")]
+    base = _compose_latest(
+        spark,
+        _cast(read_batch_partitions(spark, store_path, src_c))
+        if src_c
+        else None,
+        _cast(read_batch_partitions(spark, store_path, src_b))
+        if src_b
+        else None,
     )
 
     def _merge(existing: DataFrame | None, f: DataFrame) -> DataFrame:
