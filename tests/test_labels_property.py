@@ -53,17 +53,39 @@ def sliced_graphs(draw):
             if max(assign[a], assign[c]) == b
         ]
         batches.append((new_docs, prs))
-    return batches
+    # random compaction boundaries (up to 2, so base-over-base
+    # re-compaction is drawn too): since r14 the reader COMPOSES
+    # latest-wins from (unique base) ∪ (strictly-newer partials)
+    # instead of folding everything, so the base/partial invariant is
+    # correctness-load-bearing and must hold under any compaction
+    # placement, not just the gated lane's single boundary
+    compact_at = draw(
+        st.sets(
+            st.integers(min_value=0, max_value=n_batches - 2), max_size=2
+        )
+    )
+    return batches, compact_at
 
 
-@given(batches=sliced_graphs())
+@given(batches_and_compactions=sliced_graphs())
 @settings(
     max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
-def test_streamed_labels_equal_batch_components(spark, batches):
+def test_streamed_labels_equal_batch_components(
+    spark, batches_and_compactions
+):
+    batches, compact_at = batches_and_compactions
     store = tempfile.mkdtemp(prefix="tc_lblprop_") + "/labels"
+    # compaction's contract: only checkpoint-committed batches may be
+    # compacted (a replayed batch's rows are never in a base). In this
+    # harness the replayed trigger is the LAST non-empty one, so only
+    # boundaries strictly before it are contract-valid draws.
+    last_nonempty = max(
+        (i for i, (nd, prs) in enumerate(batches) if nd or prs),
+        default=-1,
+    )
     all_docs, all_pairs = [], []
     replay = None
     for i, (new_docs, prs) in enumerate(batches):
@@ -78,6 +100,10 @@ def test_streamed_labels_equal_batch_components(spark, batches):
         update_labels(spark, store, i, nd, pr)
         if new_docs or prs:
             replay = (i, nd, pr)
+        if i in compact_at and i < last_nonempty:
+            from tradecat_spark.streaming.labels import compact_labels
+
+            compact_labels(spark, store, i)
     got = sorted(
         (r["doc_id"], r["cluster_id"])
         for r in read_labels(spark, store).collect()
