@@ -162,9 +162,21 @@ fused AS (
 
 
 def _docs_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tradecat_spark.operators.minhash import spread
+
+    # spread() before the tokenize (r14): the corpus parquet is one
+    # small file = ONE scan partition, so the CPU-heavy explode +
+    # partial tf aggregation ran serialized on a single core
+    # (plans/r14/text_bm25_topk_before.txt nodes 3-8: Scan -> Generate
+    # -> HashAggregate with no exchange in between). The round-robin
+    # repartition — the q_text/minhash idiom for exactly this shape —
+    # costs one tiny exchange of the raw text and unlocks n-way
+    # parallel tokenization; downstream tf counts are key-grouped
+    # aggregates, so row placement cannot change any result.
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        spread(d)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
     )
 

@@ -1818,10 +1818,23 @@ def _ivfadc_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _emb(spark, sf_dir)
-    cent = _ivf_centroids(e)
-    er = _residuals(e, cent)
-    rbrow = _pq_codebook_row(_pq_train(er))
-    cellinfo = _ivf_cellinfo(cent, rbrow)
+    # Materialize the shared training intermediates ONCE (r14): the
+    # model chain fans out — cent feeds residuals/cellinfo/probes, er
+    # feeds both Lloyd iterations and the encode — and without a
+    # barrier every consumer re-executed the producing lineage (the
+    # corpus centroid aggregate and the interpreted nearest-cell fold
+    # re-ran per consumer; the executed plan carried 88 scans of the
+    # embeddings parquet and 284 Exchange nodes, plans/r14/
+    # ann_ivfadc_search_before.txt). cent/rbrow/cellinfo are
+    # |cells|-row model artifacts; er is the residual frame a real
+    # index build materializes exactly once before encoding (guide §8:
+    # one full read, decisions off small tables — localCheckpoint is
+    # the single-process stand-in for that persisted intermediate,
+    # same caveat as q_cluster).
+    cent = _ivf_centroids(e).localCheckpoint()
+    er = _residuals(e, cent).localCheckpoint()
+    rbrow = _pq_codebook_row(_pq_train(er)).localCheckpoint()
+    cellinfo = _ivf_cellinfo(cent, rbrow).localCheckpoint()
     cand = encode_residual_codes(er, rbrow, cellinfo)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qv")

@@ -248,29 +248,30 @@ LEFT JOIN metrics m
     ),
 )
 def meta_join_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both sides aggregate from the same (key, bucket) grouping, so with
-    co-partitioned silver tables this join is shuffle-free; the derived
-    columns mirror 006's amplitude_ratio and vwap exactly."""
+    """The reference VIEW is a LEFT JOIN of two 1h aggregates (the
+    oracle keeps that form verbatim), but both sides group the SAME
+    events scan by the SAME (event_type, bucket) keys — identical
+    grouping sets, so every candle group joins exactly one metrics
+    group and the join is row-for-row a single combined aggregation.
+    Computing all eight aggregates in ONE groupBy (guide §2.4: two
+    operations keyed the same way share one exchange — here they
+    collapse outright) replaces 2 scans + 3 shuffles (two partial-agg
+    exchanges + the join's) with 1 scan + 1 shuffle and no join; the
+    derived columns mirror 006's amplitude_ratio and vwap exactly."""
     e = _events(spark, sf_dir)
     kdec = _k().cast("decimal(18,2)")
-    candles = e.groupBy(
-        "event_type", bucket_ts("ts", 3600).alias("bucket_ts")
-    ).agg(
-        F.min_by("value", "ts").alias("open"),
-        F.max("value").alias("high"),
-        F.min("value").alias("low"),
-        F.max_by("value", "ts").alias("close"),
-        F.count(F.lit(1)).alias("trade_count"),
-    )
-    metrics = e.groupBy(
-        "event_type", bucket_ts("ts", 3600).alias("bucket_ts")
-    ).agg(
-        F.round(F.sum(F.col("value").cast("decimal(18,4)") * kdec).cast("double"), 6).alias("flow_k"),
-        F.round(F.sum(kdec).cast("double"), 6).alias("size_k"),
-        F.max_by(_k(), "ts").alias("last_k"),
-    )
     return (
-        candles.join(metrics, ["event_type", "bucket_ts"], "left")
+        e.groupBy("event_type", bucket_ts("ts", 3600).alias("bucket_ts"))
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count(F.lit(1)).alias("trade_count"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)") * kdec).cast("double"), 6).alias("flow_k"),
+            F.round(F.sum(kdec).cast("double"), 6).alias("size_k"),
+            F.max_by(_k(), "ts").alias("last_k"),
+        )
         .withColumn(
             "amplitude_ratio",
             ratio6(
