@@ -28,7 +28,7 @@ def _plan(spark, name, sf_dir) -> str:
 @pytest.mark.parametrize(
     "name",
     ["tpch_q3_shipping_priority", "tpch_q5_region_revenue", "ranking_card_1h",
-     "meta_join_1h", "tpch_q14_promo_effect", "tpch_q10_returned_items"],
+     "tpch_q14_promo_effect", "tpch_q10_returned_items"],
 )
 def test_dimension_joins_broadcast(spark, sf_dir, name):
     """Dim/base-data joins must broadcast — a sort-merge join here means
@@ -36,6 +36,19 @@ def test_dimension_joins_broadcast(spark, sf_dir, name):
     plan = _plan(spark, name, sf_dir)
     assert "BroadcastHashJoin" in plan, name
     assert "SortMergeJoin" not in plan, name
+
+
+def test_meta_join_is_single_aggregation(spark, sf_dir):
+    """meta_join_1h (r14): both reference-view sides group the same
+    scan by the same keys, so the lane computes them as ONE combined
+    aggregation — the plan must carry no join at all and exactly one
+    shuffle (the aggregate's), the strictly stronger form of the old
+    broadcast-join pin it replaced."""
+    plan = _plan(spark, "meta_join_1h", sf_dir)
+    assert "Join" not in plan, plan[:400]
+    # one numbered Exchange operator (each shows once in the tree and
+    # once as a "(n) Exchange" detail header)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:400]
 
 
 @pytest.mark.parametrize(

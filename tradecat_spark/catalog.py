@@ -50,6 +50,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_if_narrow(df: DataFrame) -> DataFrame:
+    """Round-robin repartition IFF the frame's scan under-parallelizes
+    (guide §2.5 "input skew: one huge unsplittable file … repartition
+    immediately after the read").
+
+    The driver's test tables are single-row-group parquet files, so a
+    scan is irreducibly ONE task and every map-side chain above it —
+    decimal partial aggregation, broadcast-join probes — serializes on
+    one core however many are idle. The branch is data-adaptive, not a
+    local-mode constant: it fires only when the scan yields fewer
+    partitions than ``defaultParallelism`` (the _gram carve-out
+    precedent), so at corpus scale — where inputs already carry ≥
+    cores splits — it never moves a byte. Callers must be
+    placement-insensitive above it (keyed joins/aggregates, decimal or
+    integer sums); order-sensitive double folds keep the raw scan.
+    2n+1 partitions: AQE-coalesce-exempt, never equal to
+    spark.sql.shuffle.partitions (the engine.py collision note)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(2 * sc.defaultParallelism + 1)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

@@ -76,7 +76,6 @@ def compute_all(
                 row.update({c: None for c in cols})
         return pd.DataFrame([row])
 
-    tail_bars = topn_per_group(bars, keys, ts, tail)
     # Explicit hash-repartition by the grouping keys with a pinned partition
     # count: the bar tails are tiny (groups × tail rows), so AQE would
     # coalesce the shuffle to 1-2 partitions and serialize the EXPENSIVE
@@ -86,8 +85,15 @@ def compute_all(
     # is deliberately 2n+1: if it EQUALS spark.sql.shuffle.partitions,
     # Catalyst elides the repartition as redundant with the upstream window
     # exchange, and that ENSURE_REQUIREMENTS exchange IS coalescible.
+    #
+    # Placed BEFORE the tail window (r14): hash(keys, 2n+1) also satisfies
+    # the window's ClusteredDistribution(keys), so the tail's
+    # ENSURE_REQUIREMENTS exchange is elided and ONE AQE-exempt shuffle
+    # serves window + applyInPandas (guide §2.4: operations keyed the same
+    # way share one exchange). Row placement is keyed either way — the
+    # window's per-key ordering and the group contents are unchanged.
     nparts = 2 * bars.sparkSession.sparkContext.defaultParallelism + 1
-    tail_bars = tail_bars.repartition(nparts, *keys)
+    tail_bars = topn_per_group(bars.repartition(nparts, *keys), keys, ts, tail)
     return tail_bars.groupBy(*keys).applyInPandas(_compute_group, schema_str)
 
 

@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tradecat_spark.catalog import load_table
+from tradecat_spark.operators.minhash import spread as _spread_rows
 from tradecat_spark.plans.exact import mean6, mean6_sql
 from tradecat_spark.plans.registry import query
 
@@ -1832,7 +1833,15 @@ def _ivfadc_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the single-process stand-in for that persisted intermediate,
     # same caveat as q_cluster).
     cent = _ivf_centroids(e).localCheckpoint()
-    er = _residuals(e, cent).localCheckpoint()
+    # spread() before the residual fold (r14): the corpus parquet is
+    # one file = one scan partition, so the interpreted nearest-cell
+    # and PQ-encode folds ran on a single core. Round-robin
+    # repartition parallelizes them; every er consumer is placement-
+    # insensitive (pq_train's recompute means are decimal-exact sums,
+    # its argmin is per-(sub, vec_id); the encode is row-wise). cent
+    # deliberately keeps the UNspread e: its double avg is the one
+    # order-sensitive fold in the chain.
+    er = _residuals(_spread_rows(e), cent).localCheckpoint()
     rbrow = _pq_codebook_row(_pq_train(er)).localCheckpoint()
     cellinfo = _ivf_cellinfo(cent, rbrow).localCheckpoint()
     cand = encode_residual_codes(er, rbrow, cellinfo)
@@ -2010,7 +2019,14 @@ def embedding_pq_residual_codes(
     less energy than raw vectors, so the same m x ks budget quantizes
     finer; ann_ivfadc_recall measures the payoff."""
     e = _emb(spark, sf_dir)
-    er = _residuals(e, _ivf_centroids(e))
+    # same materialization as _ivfadc_sims (r14): er feeds both Lloyd
+    # iterations AND the encode; without the cut each consumer re-ran
+    # the centroid aggregate + nearest-cell fold over the corpus
+    # (spread parallelizes the single-partition fold; cent keeps the
+    # unspread e — see _ivfadc_sims)
+    er = _residuals(
+        _spread_rows(e), _ivf_centroids(e).localCheckpoint()
+    ).localCheckpoint()
     rbrow = _pq_codebook_row(_pq_train(er))
     return (
         er.crossJoin(F.broadcast(rbrow))

@@ -207,9 +207,17 @@ def hash_batch(
         "doc_id", "b0", "b1", "b2", "b3"
     )
     if store_has_data(store_path):
+        # NOT materialized (r14, the labels-store precedent): prior is
+        # the ENTIRE live hash store, and localCheckpoint'ing it here
+        # re-wrote the corpus to block storage every trigger — O(store)
+        # write amplification per micro-batch at 100 TB. Its consumers
+        # (the screen's anti-join, the delta pair probe, the verify
+        # union) are map-side passes over the committed parquet, so
+        # re-scanning the pruned store partitions beats checkpointing
+        # the corpus; the delta frames below keep their cuts.
         prior = _read_live(spark, store_path).filter(
             F.col("batch_id") != F.lit(batch_id).cast("long")
-        ).localCheckpoint()
+        )
         old_wide = prior.select("doc_id", "b0", "b1", "b2", "b3")
         hashed = hashed.join(
             prior.select("doc_id"), "doc_id", "left_anti"
