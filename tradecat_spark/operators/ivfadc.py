@@ -141,16 +141,37 @@ def pq_train(e: DataFrame) -> DataFrame:
         F.col("vec_id").cast("bigint").alias("cid"),
         F.col("sv").alias("cv"),
     )
-    w = Window.partitionBy("sub", "vec_id").orderBy(
-        F.asc("d2r"), F.asc("cid")
-    )
     for _ in range(PQ_ITERS):
+        # argmin as a hash aggregate (r14): min over (d2r, cid, sv)
+        # structs picks exactly the window's ROW_NUMBER ... ORDER BY
+        # d2r ASC, cid ASC winner (cid is distinct per group, so the
+        # sv field is never compared — it just rides along so the
+        # winner's subvector survives without a rejoin). Same rounded
+        # distance, same tie-break, bit-identical codebooks; but the
+        # aggregate partial-combines MAP-SIDE, so the per-iteration
+        # exchange carries |sub x vec_id| rows instead of the x KS
+        # join output, and the window's sort disappears (guide §2.3
+        # "aggregate before you shuffle"). Still the codegen'd
+        # broadcast-join shape the r9 measurement kept — only the
+        # argmin operator changed.
         asg = (
             sv.join(F.broadcast(cent), "sub")
-            .withColumn("d2r", F.round(d2_fold(F.col("sv"), F.col("cv")), 6))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("sub", "cid", "sv")
+            .select(
+                "sub",
+                "vec_id",
+                F.struct(
+                    F.round(d2_fold(F.col("sv"), F.col("cv")), 6).alias("d"),
+                    F.col("cid").alias("cid"),
+                    F.col("sv").alias("sv"),
+                ).alias("z"),
+            )
+            .groupBy("sub", "vec_id")
+            .agg(F.min("z").alias("z"))
+            .select(
+                "sub",
+                F.col("z.cid").alias("cid"),
+                F.col("z.sv").alias("sv"),
+            )
         )
         cent = (
             asg.select("sub", "cid", F.posexplode("sv").alias("pos", "x"))

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tradecat_spark.catalog import load_table, spread_if_narrow
+from tradecat_spark.catalog import load_table
 from tradecat_spark.plans.exact import cents, cents_sql, ratio6, ratio6_sql
 from tradecat_spark.plans.registry import query
 
@@ -71,16 +71,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     charge = disc_price * (1 + _rate("l_tax"))
     cnt = F.count(F.lit(1))
     return (
-        # spread_if_narrow (r14): the single-row-group test file makes
-        # the scan one task, serializing the decimal partial
-        # aggregation on one core; all aggregates here are decimal
-        # sums / counts, so placement cannot change a value
-        spread_if_narrow(
-            li.filter(
-                F.col("l_shipdate")
-                <= F.lit("1998-09-02 00:00:00").cast("timestamp")
-            )
-        )
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum(_money("l_quantity")).cast("double"), 6).alias("sum_qty"),
@@ -127,13 +118,8 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("2000-03-15 00:00:00").cast("timestamp")
     )
-    # spread_if_narrow (r14): parallelize the single-task scan's join
-    # probe + decimal partial agg; keyed joins and decimal sums are
-    # placement-insensitive, and the top-K tie-breaks on o_orderkey
-    l = spread_if_narrow(
-        load_table(spark, sf_dir, "lineitem").filter(
-            F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp")
-        )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp")
     )
     revenue = F.sum(_money("l_extendedprice") * (1 - _rate("l_discount")))
     return (
@@ -174,11 +160,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts; the only shuffle is lineitem⋈orders on orderkey plus the
     final small aggregation. This is the 100 TB-safe plan — the fact
     table is touched once, everything else rides along map-side."""
-    # spread_if_narrow (r14): with every dimension broadcast, the
-    # whole probe chain + decimal partial agg ran inside the single
-    # scan task; round-robin spreads it across cores (keyed star join
-    # + decimal sum/count — placement-insensitive)
-    l = spread_if_narrow(load_table(spark, sf_dir, "lineitem"))
+    l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))

@@ -223,7 +223,14 @@ def _sem_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < Q_DOCS).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qv")
     )
-    c = e.select(F.col("vec_id").alias("doc_id"), F.col("vec").alias("cv"))
+    # conditional spread (r14, the ann_cosine_topk fix): parallelize
+    # the single-task corpus scan's cosine folds; row-wise probe +
+    # re-keyed window are placement-free
+    from tradecat_spark.catalog import spread_if_narrow
+
+    c = spread_if_narrow(
+        e.select(F.col("vec_id").alias("doc_id"), F.col("vec").alias("cv"))
+    )
     sims = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("doc_id"))

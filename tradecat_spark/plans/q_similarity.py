@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tradecat_spark.catalog import load_table
-from tradecat_spark.operators.minhash import spread as _spread_rows
+from tradecat_spark.catalog import spread_if_narrow as _spread_rows
 from tradecat_spark.plans.exact import mean6, mean6_sql
 from tradecat_spark.plans.registry import query
 
@@ -133,7 +133,12 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qv")
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("cv"))
+    # spread (r14): the corpus side is the single-row-group scan = one
+    # task, so every cosine fold ran on one core; the probe is row-wise
+    # and the top-k window re-keys by query_id — placement-free
+    c = _spread_rows(
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("cv"))
+    )
     sims = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
