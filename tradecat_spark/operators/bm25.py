@@ -54,6 +54,12 @@ def bm25_micro_scores(tf: DataFrame, qt: DataFrame) -> DataFrame:
     postings table (exactly what streaming/postings.py maintains);
     localCheckpoint is the single-process stand-in, caveat documented
     repo-wide via q_cluster."""
+    # (r14 note: re-spreading + re-materializing the checkpointed
+    # postings to undo AQE's partition coalescing was tried and
+    # MEASURED SLOWER — official-format bench 2.669 -> 3.611 s at
+    # equal calibration: the extra exchange + second materialization
+    # cost more than the scoring passes' restored parallelism saves.
+    # Reverted; the coalesced layout stands.)
     tf = tf.localCheckpoint()
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     n = dl.agg(

@@ -126,7 +126,15 @@ def pq_train(e: DataFrame) -> DataFrame:
     and a SAMPLE-bounded training input (the contract the frozen lane
     gates) keeps the window's shuffle bounded anyway. So training
     keeps the codegen'd window; the serving encode keeps the fold
-    (there the corpus-sized shuffle is real)."""
+    (there the corpus-sized shuffle is real).
+
+    r14 re-measurement: an argmin-as-hash-aggregate variant
+    (min over (d2r, cid, sv) structs — bit-identical winner, map-side
+    partial combine, no sort) was tried and benched FLAT against the
+    window (interleaved A/B medians 5.53 vs 5.67 s on the inline
+    IVFADC composite; official-format runs read 0.3-1 s WORSE for the
+    aggregate). The x16 join output per group is too small for the
+    partial-combine to pay here, so the measured r9 choice stands."""
     sv = e.select(
         "vec_id",
         F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s"),
@@ -141,37 +149,16 @@ def pq_train(e: DataFrame) -> DataFrame:
         F.col("vec_id").cast("bigint").alias("cid"),
         F.col("sv").alias("cv"),
     )
+    w = Window.partitionBy("sub", "vec_id").orderBy(
+        F.asc("d2r"), F.asc("cid")
+    )
     for _ in range(PQ_ITERS):
-        # argmin as a hash aggregate (r14): min over (d2r, cid, sv)
-        # structs picks exactly the window's ROW_NUMBER ... ORDER BY
-        # d2r ASC, cid ASC winner (cid is distinct per group, so the
-        # sv field is never compared — it just rides along so the
-        # winner's subvector survives without a rejoin). Same rounded
-        # distance, same tie-break, bit-identical codebooks; but the
-        # aggregate partial-combines MAP-SIDE, so the per-iteration
-        # exchange carries |sub x vec_id| rows instead of the x KS
-        # join output, and the window's sort disappears (guide §2.3
-        # "aggregate before you shuffle"). Still the codegen'd
-        # broadcast-join shape the r9 measurement kept — only the
-        # argmin operator changed.
         asg = (
             sv.join(F.broadcast(cent), "sub")
-            .select(
-                "sub",
-                "vec_id",
-                F.struct(
-                    F.round(d2_fold(F.col("sv"), F.col("cv")), 6).alias("d"),
-                    F.col("cid").alias("cid"),
-                    F.col("sv").alias("sv"),
-                ).alias("z"),
-            )
-            .groupBy("sub", "vec_id")
-            .agg(F.min("z").alias("z"))
-            .select(
-                "sub",
-                F.col("z.cid").alias("cid"),
-                F.col("z.sv").alias("sv"),
-            )
+            .withColumn("d2r", F.round(d2_fold(F.col("sv"), F.col("cv")), 6))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("sub", "cid", "sv")
         )
         cent = (
             asg.select("sub", "cid", F.posexplode("sv").alias("pos", "x"))
