@@ -574,9 +574,12 @@ def test_gram_keeps_projection_collapse_barrier(spark, sf_dir):
     df = SPECS["embedding_gram_matrix"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     # the explode input must reference the materialized column, not an
-    # inlined transform(...) of the raw embedding
-    gen = [ln for ln in plan.splitlines() if "Generate explode" in ln]
-    assert gen and all("transform(vec" not in ln for ln in gen)
+    # inlined transform(...) of the raw embedding. r14: the pair
+    # expansion is two chained posexplode Generates (codegen'd) instead
+    # of one interpreted nested-transform explode — same invariant, two
+    # Generate nodes.
+    gen = [ln for ln in plan.splitlines() if "Generate posexplode" in ln]
+    assert len(gen) == 2 and all("transform(vec" not in ln for ln in gen)
     # barrier is a lineage cut (scan of checkpointed rows), not a shuffle
     assert "RoundRobinPartitioning" not in plan
     assert "Scan ExistingRDD" in plan
@@ -588,7 +591,7 @@ def test_gram_keeps_projection_collapse_barrier(spark, sf_dir):
     # drift can't fail this spuriously.
     lines = plan.splitlines()
     gen_idx = min(
-        i for i, ln in enumerate(lines) if "Generate explode" in ln
+        i for i, ln in enumerate(lines) if "Generate posexplode" in ln
     )
     scan_idx = max(
         i for i, ln in enumerate(lines) if "Scan ExistingRDD" in ln

@@ -2423,9 +2423,12 @@ def _gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the localCheckpoint is a projection-collapse BARRIER, not a
     # lineage choice: without it Catalyst inlines the mv transform into
-    # every element_at of the pair lambda, turning each O(1) array
-    # access into an O(d) re-evaluation (measured 88 s -> ~2 s at
-    # sf0.01). r7 shipped this barrier as a repartition(), which holds
+    # every consumer of mv — under the pre-r14 nested-transform pair
+    # lambda that turned each O(1) element_at into an O(d)
+    # re-evaluation (measured 88 s -> ~2 s at sf0.01); under the r14
+    # chained-posexplode form the transform would still be duplicated
+    # into both Generate inputs. r7 shipped this barrier as a
+    # repartition(), which holds
     # the same plan cut but pays a full corpus-width Exchange — every
     # (vec_id, 64 x int64) row through the shuffle service — purely to
     # defeat the inlining; the eager localCheckpoint (the idiom the
@@ -2445,26 +2448,21 @@ def _gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     if em.rdd.getNumPartitions() < dp:
         em = em.repartition(dp)
     em = em.localCheckpoint()
-    d = F.size(F.col("mv"))
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), d),
-            lambda i: F.transform(
-                F.sequence(F.lit(1), d),
-                lambda j: F.struct(
-                    i.cast("int").alias("i"),
-                    j.cast("int").alias("j"),
-                    (
-                        F.element_at(F.col("mv"), i)
-                        * F.element_at(F.col("mv"), j)
-                    ).alias("prod"),
-                ),
-            ),
-        )
-    )
+    # r14: the pair expansion is two chained posexplode Generates
+    # instead of one interpreted nested transform that built all d^2
+    # (i, j, prod) structs per row before a single explode — Generate
+    # is whole-stage-codegen'd, the higher-order transform lambda is a
+    # CodegenFallback (guide §4.1). Identical (i, j, prod) multiset
+    # into the same key-grouped exact DECIMAL(38) sum, so the grouped
+    # results are bit-identical (integer adds, order-free).
     p = (
-        em.select(F.explode(pairs).alias("x"))
-        .select("x.i", "x.j", "x.prod")
+        em.select("mv", F.posexplode("mv").alias("pi", "vi"))
+        .select("pi", "vi", F.posexplode("mv").alias("pj", "vj"))
+        .select(
+            (F.col("pi") + 1).cast("int").alias("i"),
+            (F.col("pj") + 1).cast("int").alias("j"),
+            (F.col("vi") * F.col("vj")).alias("prod"),
+        )
         .groupBy("i", "j")
         .agg(F.sum(_dec(F.col("prod"))).alias("s"))
     )
