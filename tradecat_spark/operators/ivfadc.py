@@ -20,25 +20,9 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column, n: int | None = None) -> Column:
+def dot(a: Column, b: Column) -> Column:
     """Sequential fold dot-product (matches DuckDB's list_dot_product
-    evaluation order, so results are comparable without tolerance).
-
-    With ``n`` (statically known length) the fold is UNROLLED into a
-    plain left-associative arithmetic chain
-    ``((0.0 + a1*b1) + a2*b2) + ...`` — bit-identical IEEE doubles in
-    the same order, but whole-stage-codegen'd instead of the
-    interpreted CodegenFallback every higher-order function pays
-    (guide §4.1: prefer built-ins/codegen; r14 measurement in
-    OPTIMIZATION_r14.md). ``try_element_at`` keeps the fold's null
-    parity: a NULL array or short array yields a NULL sum either way."""
-    if n is not None:
-        acc = F.lit(0.0)
-        for i in range(1, n + 1):
-            acc = acc + F.try_element_at(a, F.lit(i)) * F.try_element_at(
-                b, F.lit(i)
-            )
-        return acc
+    evaluation order, so results are comparable without tolerance)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -70,39 +54,14 @@ def lsum(arr: Column) -> Column:
         arr, F.lit(0).cast("long"), lambda acc, v: acc + v
     )
 
-def ldot(a: Column, b: Column, n: int) -> Column:
-    """Unrolled int64 dot over two long arrays of statically known
-    length ``n`` — replaces ``lsum(zip_with(a, b, *))`` /
-    ``lsum(transform(a, v*v))`` where the length is fixed: identical
-    exact-integer terms added in the same order, but codegen'd with no
-    intermediate array (same rationale as ``dot(n=...)``)."""
-    acc = F.lit(0).cast("long")
-    for i in range(1, n + 1):
-        acc = acc + F.try_element_at(a, F.lit(i)) * F.try_element_at(
-            b, F.lit(i)
-        )
-    return acc
-
 PQ_M = 8       # subspaces
 PQ_DSUB = 8    # dims per subspace (embeddings are 64-d)
 PQ_KS = 16     # centroids per subspace codebook
 PQ_ITERS = 2   # Lloyd iterations per codebook
-EMB_DIM = PQ_M * PQ_DSUB  # full embedding dimensionality (64)
 
-def d2_fold(a: Column, b: Column, n: int | None = None) -> Column:
+def d2_fold(a: Column, b: Column) -> Column:
     """Squared L2 as a sequential fold (mirrors the oracle's
-    list_reduce order; same idiom as q_cluster._d2). With ``n``
-    (statically known length) the fold is unrolled exactly like
-    ``dot(n=...)`` — same terms, same left-associative add order,
-    same null propagation, whole-stage-codegen'd."""
-    if n is not None:
-        acc = F.lit(0.0)
-        for i in range(1, n + 1):
-            d = F.try_element_at(a, F.lit(i)) - F.try_element_at(
-                b, F.lit(i)
-            )
-            acc = acc + d * d
-        return acc
+    list_reduce order; same idiom as q_cluster._d2)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -124,7 +83,7 @@ def _argmin_code(sv: Column, sub: Column, cb: Column) -> Column:
 
     def step(acc: Column, cid: Column) -> Column:
         cv = F.try_element_at(cb, (sub * PQ_KS + cid).cast("bigint"))
-        d2r = F.round(d2_fold(sv, cv, PQ_DSUB), 6)
+        d2r = F.round(d2_fold(sv, cv), 6)
         better = cv.isNotNull() & (
             acc["d"].isNull() | (d2r < acc["d"])
         )
@@ -196,9 +155,7 @@ def pq_train(e: DataFrame) -> DataFrame:
     for _ in range(PQ_ITERS):
         asg = (
             sv.join(F.broadcast(cent), "sub")
-            .withColumn(
-                "d2r", F.round(d2_fold(F.col("sv"), F.col("cv"), PQ_DSUB), 6)
-            )
+            .withColumn("d2r", F.round(d2_fold(F.col("sv"), F.col("cv")), 6))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("sub", "cid", "sv")
@@ -236,7 +193,7 @@ def pq_codebook_row(cent: DataFrame) -> DataFrame:
             "cv", lambda x: F.round(x * 1_000_000).cast("long")
         ).alias("cvm"),
     ).withColumn(
-        "c2", ldot(F.col("cvm"), F.col("cvm"), PQ_DSUB)
+        "c2", lsum(F.transform("cvm", lambda v: v * v))
     )
     return ent.agg(
         F.map_from_entries(F.collect_list(F.struct("idx", "cv"))).alias("cb"),
@@ -278,7 +235,7 @@ def adc_query_rows(q: DataFrame, brow: DataFrame) -> DataFrame:
         qsub = F.slice(F.col("qm"), sub * PQ_DSUB + 1, PQ_DSUB)
         return F.when(
             cvm.isNotNull(),
-            ldot(qsub, cvm, PQ_DSUB),
+            lsum(F.zip_with(qsub, cvm, lambda a, b: a * b)),
         ).otherwise(F.lit(None).cast("long"))
 
     return (
@@ -290,7 +247,9 @@ def adc_query_rows(q: DataFrame, brow: DataFrame) -> DataFrame:
             F.transform(
                 F.sequence(F.lit(0), F.lit(PQ_M * PQ_KS - 1)), lut_entry
             ).alias("lut"),
-            ldot(F.col("qm"), F.col("qm"), EMB_DIM).alias("qs2"),
+            lsum(
+                F.transform(F.col("qm"), lambda v: v * v)
+            ).alias("qs2"),
         )
     )
 
@@ -376,7 +335,9 @@ def adc_probe_rows(
         )
         .select(
             "query_id", "cell_label", "probe_rank", "lut", "qs2",
-            ldot(F.col("qm"), F.col("cm"), EMB_DIM).alias("qcd"),
+            lsum(
+                F.zip_with("qm", "cm", lambda a, b: a * b)
+            ).alias("qcd"),
         )
     )
 
@@ -386,19 +347,14 @@ def residual_adc_scores(cand: DataFrame, prow: DataFrame) -> DataFrame:
     lookups, normalized by the exact |q| and reconstruction norms.
     One broadcast equi-join on cell_label — at scale the code store is
     partitioned BY CELL, so nprobe cells = nprobe partitions read."""
-    # unrolled over the PQ_M code slots (codes is always length-m):
-    # identical exact-int64 terms in the same order as the fold over
-    # transform(codes), but codegen'd with no intermediate array
-    adc_dot = F.col("qcd")
-    for s in range(PQ_M):
-        adc_dot = adc_dot + F.element_at(
-            F.col("lut"),
-            (
-                F.lit(s).cast("bigint") * PQ_KS
-                + F.try_element_at(F.col("codes"), F.lit(s + 1))
-                + 1
-            ).cast("int"),
+    adc_dot = F.col("qcd") + lsum(
+        F.transform(
+            F.col("codes"),
+            lambda c, s: F.element_at(
+                F.col("lut"), (s.cast("bigint") * PQ_KS + c + 1).cast("int")
+            ),
         )
+    )
     sim = F.round(
         adc_dot.cast("double")
         / F.nullif(
@@ -436,7 +392,7 @@ def nearest_cell_col(v: Column) -> Column:
     oracle's ROW_NUMBER ... ORDER BY d2r, label)."""
 
     def step(acc: Column, cell: Column) -> Column:
-        d2r = F.round(d2_fold(v, cell["cv"], EMB_DIM), 6)
+        d2r = F.round(d2_fold(v, cell["cv"]), 6)
         better = acc["d"].isNull() | (d2r < acc["d"])
         return F.when(
             better,
@@ -483,7 +439,7 @@ def ivf_probe_cells(
     lanes keeps the expanded form — those lanes bucket the corpus by
     data label, not by geometric assignment, so no parity is at stake.
     Returns (query_id, cell_label, probe_rank 1..nprobe)."""
-    dist2 = F.round(d2_fold(F.col("qv"), F.col("cv"), EMB_DIM), 6)
+    dist2 = F.round(d2_fold(F.col("qv"), F.col("cv")), 6)
     aw = Window.partitionBy("query_id").orderBy(
         F.asc("d2"), F.asc("label")
     )
@@ -518,7 +474,7 @@ def ivf_cellinfo(cent: DataFrame, rbrow: DataFrame) -> DataFrame:
         cs = F.slice(F.col("cm"), sub * PQ_DSUB + 1, PQ_DSUB)
         return F.when(
             cvm.isNotNull(),
-            ldot(cs, cvm, PQ_DSUB),
+            lsum(F.zip_with(cs, cvm, lambda a, b: a * b)),
         ).otherwise(F.lit(None).cast("long"))
 
     return (
@@ -527,7 +483,7 @@ def ivf_cellinfo(cent: DataFrame, rbrow: DataFrame) -> DataFrame:
         .select(
             "label",
             "cm",
-            ldot(F.col("cm"), F.col("cm"), EMB_DIM).alias("c2"),
+            lsum(F.transform(F.col("cm"), lambda v: v * v)).alias("c2"),
             F.transform(
                 F.sequence(F.lit(0), F.lit(PQ_M * PQ_KS - 1)), ccr_entry
             ).alias("ccr"),

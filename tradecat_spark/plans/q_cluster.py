@@ -48,8 +48,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tradecat_spark.catalog import load_table
-from tradecat_spark.operators.ivfadc import EMB_DIM
-from tradecat_spark.operators.ivfadc import d2_fold as _d2_unrolled
 from tradecat_spark.plans.registry import query
 from tradecat_spark.plans.q_similarity import cosine, dot
 
@@ -108,11 +106,14 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _d2(v, cv):
-    """Squared L2 distance, unrolled over the fixed embedding dims
-    (bit-identical to the oracle's list_reduce: init 0.0 + x == x for
-    the non-negative squares, then the same left-to-right adds — the
-    unroll keeps that order; see operators.ivfadc.d2_fold)."""
-    return _d2_unrolled(v, cv, EMB_DIM)
+    """Squared L2 distance as a sequential fold (bit-identical to the
+    oracle's list_reduce: init 0.0 + x == x for the non-negative
+    squares, then the same left-to-right adds)."""
+    return F.aggregate(
+        F.zip_with(v, cv, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def _assign(e: DataFrame, cent: DataFrame) -> DataFrame:
@@ -246,7 +247,7 @@ def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cent.select(
         F.col("cid").alias("cluster_id"),
         "n_members",
-        F.round(F.sqrt(dot(F.col("cv"), F.col("cv"), EMB_DIM)), 6)
+        F.round(F.sqrt(dot(F.col("cv"), F.col("cv"))), 6)
         .alias("centroid_norm"),
         F.round(F.element_at("cv", 1), 6).alias("c0"),
     )
@@ -301,7 +302,7 @@ def cluster_semdedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("keeper_id") < F.col("dropped_id"))
         .select(
             "cid", "dropped_id", "keeper_id",
-            F.round(cosine(F.col("va"), F.col("vb"), EMB_DIM), 6).alias("cos_sim"),
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
         )
     )
     w_best = Window.partitionBy("dropped_id").orderBy(

@@ -39,7 +39,6 @@ from pyspark.sql import functions as F
 from tradecat_spark.catalog import load_table
 from tradecat_spark.operators.bm25 import B, K1, bm25_micro_scores
 from tradecat_spark.plans.exact import ratio6, ratio6_sql
-from tradecat_spark.operators.ivfadc import EMB_DIM
 from tradecat_spark.plans.q_similarity import _emb, cosine
 from tradecat_spark.plans.registry import query
 
@@ -238,7 +237,7 @@ def _sem_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "doc_id",
-            F.round(cosine(F.col("qv"), F.col("cv"), EMB_DIM), 6).alias("cos_sim"),
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
         )
     )
     wk = Window.partitionBy("query_id").orderBy(

@@ -26,7 +26,6 @@ from tradecat_spark.plans.registry import query
 # streaming ANN index maintenance) — aliased back to the historical
 # private names so the query lanes and their tests read unchanged
 from tradecat_spark.operators.ivfadc import (  # noqa: E402
-    EMB_DIM,
     PQ_DSUB,
     PQ_ITERS,
     PQ_KS,
@@ -64,16 +63,8 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def cosine(a: Column, b: Column, n: int | None = None) -> Column:
-    """With ``n`` (statically known vector length) the dots are
-    unrolled — codegen'd, bit-identical per-term IEEE order, see
-    operators.ivfadc.dot; without it, the dynamic-length fold form.
-    Callers MUST pass the true length: the unroll reads exactly n
-    elements (r14: rp_recall_eval's projected vectors are _RP_K-d,
-    which the mimic caught when this was briefly hard-coded)."""
-    return dot(a, b, n) / F.nullif(
-        F.sqrt(dot(a, a, n)) * F.sqrt(dot(b, b, n)), F.lit(0)
-    )
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.nullif(F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)), F.lit(0))
 
 
 
@@ -84,9 +75,9 @@ def _ivf_nearest_cell(q: DataFrame, cent: DataFrame) -> DataFrame:
     the rounded |q|² − 2q·c + |c|² fold — identical on both engines so
     the argmin is stable. Returns q's columns + ``cell_label``."""
     dist2 = F.round(
-        dot(F.col("qv"), F.col("qv"), EMB_DIM)
-        - 2 * dot(F.col("qv"), F.col("cv"), EMB_DIM)
-        + dot(F.col("cv"), F.col("cv"), EMB_DIM),
+        dot(F.col("qv"), F.col("qv"))
+        - 2 * dot(F.col("qv"), F.col("cv"))
+        + dot(F.col("cv"), F.col("cv")),
         6,
     )
     aw = Window.partitionBy("query_id").orderBy(
@@ -154,7 +145,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv"), EMB_DIM), 6).alias("cos_sim"),
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -203,7 +194,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         bucket.alias("bucket"),
-        F.sqrt(dot(F.col("vec"), F.col("vec"), EMB_DIM)).alias("norm"),
+        F.sqrt(dot(F.col("vec"), F.col("vec"))).alias("norm"),
     )
     return withb.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_vectors"),
@@ -269,7 +260,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.select(F.col("vec_id").alias("id_b"), "label", F.col("vec").alias("vb"))
     pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b")).select(
         "id_a", "id_b", "label",
-        F.round(cosine(F.col("va"), F.col("vb"), EMB_DIM), 6).alias("cos_sim"),
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
     )
     return pairs.orderBy(F.desc("cos_sim"), "id_a", "id_b").limit(20)
 
@@ -344,7 +335,7 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "cell_label", "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv"), EMB_DIM), 6).alias("cos_sim"),
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
         )
     )
     sw = Window.partitionBy("query_id").orderBy(
@@ -572,7 +563,7 @@ def ann_multiprobe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sims = cand.select(
         "query_id", "neighbor_id", "bucket",
-        F.round(cosine(F.col("qv"), F.col("vec"), EMB_DIM), 6).alias("cos_sim"),
+        F.round(cosine(F.col("qv"), F.col("vec")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -799,7 +790,7 @@ def rp_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def topk(df, col, n):
+    def topk(df, col):
         q = df.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"), F.col(col).alias("qv")
         )
@@ -810,7 +801,7 @@ def rp_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .select(
                 "query_id", "neighbor_id",
-                F.round(cosine(F.col("qv"), F.col("cv"), n), 6).alias("s"),
+                F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("s"),
             )
         )
         w = Window.partitionBy("query_id").orderBy(
@@ -822,8 +813,8 @@ def rp_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "neighbor_id")
         )
 
-    exact_top = topk(e.withColumnRenamed("vec", "v"), "v", EMB_DIM)
-    rp_top = topk(pv, "p", _RP_K)
+    exact_top = topk(e.withColumnRenamed("vec", "v"), "v")
+    rp_top = topk(pv, "p")
     hit = exact_top.join(
         rp_top.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"],
         "left",
