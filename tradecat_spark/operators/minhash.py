@@ -87,18 +87,32 @@ def minhash_wide(d: DataFrame, carry: list[str] | tuple = ()) -> DataFrame:
     columns must be constant per doc (they join the group key)."""
     w = F.split(F.col("text"), " ")
     n = F.size(w)
-    idx = F.sequence(F.lit(0), n - SHINGLE_WORDS)
-    sh = spread(d.filter(n >= SHINGLE_WORDS)).select(
-        "doc_id",
-        *carry,
-        F.explode(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ", F.slice(w, i + 1, SHINGLE_WORDS)
-                ),
-            )
-        ).alias("shingle"),
+    # r14: shingle expansion as a posexplode-style Generate over the
+    # start indices with the 5-gram concat in a codegen'd projection,
+    # instead of an interpreted transform lambda that re-embedded the
+    # split(text) inside its body (CodegenFallback, and the split
+    # re-evaluated per element). The (doc_id, carry, shingle) row
+    # multiset is identical; min() aggregation is order-free.
+    sh = (
+        spread(d.filter(n >= SHINGLE_WORDS))
+        .select("doc_id", *carry, w.alias("wrds"))
+        .select(
+            "doc_id",
+            *carry,
+            "wrds",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.size("wrds") - SHINGLE_WORDS
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            *carry,
+            F.concat_ws(
+                " ", F.slice("wrds", F.col("i") + 1, SHINGLE_WORDS)
+            ).alias("shingle"),
+        )
     )
     return sh.groupBy("doc_id", *carry).agg(
         *[

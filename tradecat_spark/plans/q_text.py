@@ -88,13 +88,23 @@ def _shingles(d: DataFrame) -> DataFrame:
     """Word 5-gram shingles per doc (docs shorter than 5 words drop out)."""
     w = _words()
     n = F.size(w)
-    idx = F.sequence(F.lit(0), n - SHINGLE_WORDS)
+    # r14: Generate + codegen'd concat instead of an interpreted
+    # transform lambda (same rewrite as operators.minhash.minhash_wide;
+    # identical shingle multiset, distinct() is order-free)
     return (
         _spread(d.filter(n >= SHINGLE_WORDS))
+        .select("doc_id", w.alias("wrds"))
         .select(
             "doc_id",
+            "wrds",
             F.explode(
-                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, SHINGLE_WORDS)))
+                F.sequence(F.lit(0), F.size("wrds") - SHINGLE_WORDS)
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.slice("wrds", F.col("i") + 1, SHINGLE_WORDS)
             ).alias("shingle"),
         )
         .distinct()
@@ -571,15 +581,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     w = _words()
     n = F.size(w)
+    # r14: Generate + codegen'd concat instead of an interpreted
+    # transform lambda (same rewrite as _shingles; identical multiset)
     sh = (
         d.filter(n >= 3)
+        .select("doc_id", w.alias("wrds"))
         .select(
             "doc_id",
+            "wrds",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), n - 3),
-                    lambda i: F.concat_ws(" ", F.slice(w, i + 1, 3)),
-                )
+                F.sequence(F.lit(0), F.size("wrds") - 3)
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.slice("wrds", F.col("i") + 1, 3)
             ).alias("shingle"),
         )
         .distinct()
