@@ -327,8 +327,14 @@ def adc_probe_rows(
     qrows = adc_query_rows(
         q.select("query_id", F.col("qv").alias("vec")), rbrow
     )
+    # broadcast the |queries|-row LUT side (r14): size estimates over
+    # the fold-built LUT column read large, so the planner picked a
+    # sort-merge join of two query-bounded frames — two extra
+    # exchange+sort stages in every probe build (batch, frozen and
+    # streaming consumers all pass bounded query sets; prow itself is
+    # broadcast downstream, so this never exceeds the existing bound)
     return (
-        probes.join(qrows, "query_id")
+        probes.join(F.broadcast(qrows), "query_id")
         .join(
             cellinfo.select(F.col("label").alias("cell_label"), "cm"),
             "cell_label",

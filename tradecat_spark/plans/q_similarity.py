@@ -1848,7 +1848,11 @@ def _ivfadc_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order-sensitive fold in the chain.
     er = _residuals(_spread_rows(e), cent).localCheckpoint()
     rbrow = _pq_codebook_row(_pq_train(er)).localCheckpoint()
-    cellinfo = _ivf_cellinfo(cent, rbrow).localCheckpoint()
+    # cellinfo stays LAZY (r14 second pass): it is |cells| rows of pure
+    # column algebra over the two checkpointed model frames, consumed
+    # only as broadcast build sides — recomputing it inside the final
+    # job is cheaper than paying a fourth sequential checkpoint barrier
+    cellinfo = _ivf_cellinfo(cent, rbrow)
     cand = encode_residual_codes(er, rbrow, cellinfo)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qv")
