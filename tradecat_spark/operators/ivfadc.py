@@ -128,13 +128,30 @@ def pq_train(e: DataFrame) -> DataFrame:
     keeps the codegen'd window; the serving encode keeps the fold
     (there the corpus-sized shuffle is real).
 
-    r14 re-measurement: an argmin-as-hash-aggregate variant
+    r14 re-measurement history: an argmin-as-hash-aggregate variant
     (min over (d2r, cid, sv) structs — bit-identical winner, map-side
     partial combine, no sort) was tried and benched FLAT against the
     window (interleaved A/B medians 5.53 vs 5.67 s on the inline
     IVFADC composite; official-format runs read 0.3-1 s WORSE for the
-    aggregate). The x16 join output per group is too small for the
-    partial-combine to pay here, so the measured r9 choice stands."""
+    aggregate) — the x16 join output per group was too small for the
+    partial-combine to pay. The shape that DID pay (r14 optimization
+    round, interleaved A/B: rbrow build 1.99/1.75 s -> 1.51/1.33 s
+    min across paired sessions, codebooks verified bit-identical) is
+    the one below, which removes both per-iteration shuffles of the
+    x16 candidate frame rather than re-arranging them:
+
+    - assignment is MAP-SIDE: the per-sub candidate list is a
+      broadcast |sub|-row table (a model artifact), and the winner is
+      ``array_min`` over (rounded d2, cid) structs — struct ordering
+      is lexicographic, so min == the window's ORDER BY d2r, cid
+      pick-first, bit for bit. No per-(sub, vec_id) exchange, no
+      sorts; at 100 TB the training frame is never shuffled for
+      assignment at all.
+    - the mean recompute is ONE hash aggregate with map-side partial
+      combine: per-position decimal(25,14) sums as PQ_DSUB columns
+      (decimal addition is exact, so placement/order cannot change
+      the result), re-assembled into the centroid array — the
+      posexplode + second (sub, cid) exchange are gone."""
     sv = e.select(
         "vec_id",
         F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s"),
@@ -149,32 +166,39 @@ def pq_train(e: DataFrame) -> DataFrame:
         F.col("vec_id").cast("bigint").alias("cid"),
         F.col("sv").alias("cv"),
     )
-    w = Window.partitionBy("sub", "vec_id").orderBy(
-        F.asc("d2r"), F.asc("cid")
-    )
+    best = F.array_min(
+        F.transform(
+            F.col("cands"),
+            lambda c: F.struct(
+                F.round(d2_fold(F.col("sv"), c["cv"]), 6).alias("d"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )["cid"]
+    psums = [
+        F.sum(F.element_at("sv", i).cast("decimal(25,14)")).alias(f"s{i}")
+        for i in range(1, PQ_DSUB + 1)
+    ]
     for _ in range(PQ_ITERS):
+        cands = cent.groupBy("sub").agg(
+            F.collect_list(F.struct("cid", "cv")).alias("cands")
+        )
         asg = (
-            sv.join(F.broadcast(cent), "sub")
-            .withColumn("d2r", F.round(d2_fold(F.col("sv"), F.col("cv")), 6))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("sub", "cid", "sv")
+            sv.join(F.broadcast(cands), "sub")
+            .select("sub", best.alias("cid"), "sv")
         )
         cent = (
-            asg.select("sub", "cid", F.posexplode("sv").alias("pos", "x"))
-            .groupBy("sub", "cid", "pos")
-            .agg(
-                (
-                    F.sum(F.col("x").cast("decimal(25,14)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("m")
-            )
-            .groupBy("sub", "cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda st: st["m"],
-                ).alias("cv")
+            asg.groupBy("sub", "cid")
+            .agg(*psums, F.count(F.lit(1)).alias("n"))
+            .select(
+                "sub",
+                "cid",
+                F.array(
+                    *[
+                        F.col(f"s{i}").cast("double") / F.col("n")
+                        for i in range(1, PQ_DSUB + 1)
+                    ]
+                ).alias("cv"),
             )
         )
     return cent
