@@ -28,6 +28,14 @@ import time
 
 
 def main() -> None:
+    # argv hygiene (the r13 ADVICE standard set on the rollup sibling):
+    # this tool repeatedly launches 32-core sessions, so fail with usage
+    # text, not a bare IndexError/ValueError traceback
+    if len(sys.argv) < 4 or not sys.argv[2].isdigit():
+        sys.exit(
+            "usage: bench_worktree_control.py <tree_root> <repeats:int>"
+            " <query...>"
+        )
     tree, repeats, names = sys.argv[1], int(sys.argv[2]), sys.argv[3:]
     sys.path.insert(0, tree)
     from tradecat_spark.plans.registry import load_all
@@ -39,44 +47,47 @@ def main() -> None:
         "tradecat-bench-control", cpus=cpus,
         shuffle_partitions=max(cpus, 16),
     )
-    # identical warm-up to bench.py: JVM + the Python worker pool
-    spark.range(0, 1_000_000).selectExpr("sum(id)").collect()
-    nparts = 2 * spark.sparkContext.defaultParallelism
+    try:
+        # identical warm-up to bench.py: JVM + the Python worker pool
+        spark.range(0, 1_000_000).selectExpr("sum(id)").collect()
+        nparts = 2 * spark.sparkContext.defaultParallelism
 
-    def _touch(it):
-        import tradecat_spark.indicators.library  # noqa: F401
+        def _touch(it):
+            import tradecat_spark.indicators.library  # noqa: F401
 
-        yield from it
+            yield from it
 
-    spark.range(0, nparts, 1, nparts).mapInPandas(_touch, "id long").count()
+        spark.range(0, nparts, 1, nparts).mapInPandas(_touch, "id long").count()
 
-    out: dict = {"tree": tree, "repeats": repeats}
-    cal = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        spark.range(0, 400_000_000, 1, 64).selectExpr(
-            "sum((id * 2654435761) % 1000003) AS s"
-        ).collect()
-        cal.append(time.perf_counter() - t0)
-    out["calibration_fixed"] = {
-        "min": round(min(cal), 3),
-        "median": round(statistics.median(cal), 3),
-    }
-    specs = load_all()
-    for n in names:
-        runs = []
+        out: dict = {"tree": tree, "repeats": repeats}
+        cal = []
         for _ in range(repeats):
             t0 = time.perf_counter()
-            specs[n].fn(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            runs.append(time.perf_counter() - t0)
-        out[n] = {
-            "min": round(min(runs), 3),
-            "median": round(statistics.median(runs), 3),
-            "runs": [round(r, 3) for r in runs],
+            spark.range(0, 400_000_000, 1, 64).selectExpr(
+                "sum((id * 2654435761) % 1000003) AS s"
+            ).collect()
+            cal.append(time.perf_counter() - t0)
+        out["calibration_fixed"] = {
+            "min": round(min(cal), 3),
+            "median": round(statistics.median(cal), 3),
         }
-    print(json.dumps(out))
+        specs = load_all()
+        for n in names:
+            runs = []
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                specs[n].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.perf_counter() - t0)
+            out[n] = {
+                "min": round(min(runs), 3),
+                "median": round(statistics.median(runs), 3),
+                "runs": [round(r, 3) for r in runs],
+            }
+        print(json.dumps(out))
+    finally:
+        spark.stop()
 
 
 if __name__ == "__main__":
