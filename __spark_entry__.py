@@ -22,80 +22,74 @@ def entry(spark: SparkSession) -> DataFrame:
     return specs["flagship_rank_24h_change"].fn(spark, "/root/testdata/sf0.001")
 
 
-#: The r14 gate-front declaration, validated mechanically by
-#: ``tools/gate_ledger.py::composition``. Categories: ``born`` =
-#: registered this round (no ledger row); ``changed`` = lanes whose
-#: code or oracle changed this round (standing r9 policy — a rows-only
-#: lane's checksum twin re-enters the front whenever its lane
-#: changes), INCLUDING carried changed-lane debt: the five r13
-#: post-artifact broadcast-audit lanes pre-declared FIRST IN LINE by
-#: the README round-13 notes (the r13 gate window was already
-#: committed when they changed); ``stale_twins`` = twins owed a
-#: re-pin by the staleness bound (streaming_pipeline_checksum, last
-#: checked r12 — exactly what tools/gate_ledger.stale_twins computes,
-#: and the second half of the 8-lane r13 pre-declaration). Every
-#: remaining slot is filled oldest-ledger-cohort-first — the ENTIRE
-#: 40-row r7 cohort (which includes the two pre-declared minhash eval
-#: lanes) plus one r8 row; the composition line below is the tool's
-#: output, pinned by test_gate_rotation.
+#: The r15 gate-front declaration, validated mechanically by
+#: ``tools/gate_ledger.py::composition``. This is the r14 verdict's
+#: Next #1: the r14 gate window was composed at round start and the
+#: optimizer then rewrote lanes OUTSIDE it, so every r14-rewritten
+#: lane is carried changed-lane debt owed a driver re-check here —
+#: the meta_join single-aggregation rewrite, the window-dedup pair,
+#: the bm25 tokenize-spread consumers, the full ann_ivfadc chain
+#: (materialization + probe broadcast + pq_train rework), the
+#: cosine/gram/pq embedding rewrites, the streaming phash
+#: checkpoint drop, and the shingle-expansion consumers. Lanes whose
+#: code changes again THIS round (indicator engine/library
+#: vectorization → the four checksum twins; bm25 postings store →
+#: streaming_pipeline_bm25) are in the same categories.
+#: ``stale_twins`` = what tools/gate_ledger.stale_twins computes: the
+#: four indicator/signal twins, last driver-checked r13. Every
+#: remaining slot is filled oldest-ledger-cohort-first from the r8
+#: cohort (oldest after r14 cleared r7); the composition line below
+#: is the tool's output, pinned by test_gate_rotation.
 #:
-#: front r14 = 1 born + 7 changed-lane + 1 stale-twin + 40 r7 + 1 r8 (50 slots); deferred 39 r8
+#: front r15 = 24 changed-lane + 4 stale-twin + 22 r8 (50 slots); deferred 11 r8
 _GATE_FRONT = {
-    "round": 14,
-    "born": (
-        # canonical-corpus serving off the streamed label store:
-        # pairs -> labels -> keep-one serving, the ingest dedup story
-        # end-to-end (r13 verdict Next #4); also exercises the r14
-        # delta-bounded label-store read across a compaction boundary
-        "streaming_canonical_corpus",
-    ),
+    "round": 15,
+    "born": (),
     "changed": (
-        # streaming/labels.py read path rebuilt delta-bounded (the
-        # r13 weak item): latest-wins = base ANTI-JOIN broadcast
-        # (partial keys) ∪ latest-of-partials; both label-store
-        # consumers re-enter
-        "streaming_pipeline_labels", "streaming_pipeline_stores",
-        # carried from r13 (post-artifact broadcast-audit un-hinting;
-        # pre-declared FIRST IN LINE in the README round-13 notes):
-        "bpe_encode_fertility", "bpe_encode_fertility_deep",
-        "bpe_encode_frozen", "cohort_retention", "funnel_conversion",
+        # r14 rewrites outside the r14 window (carried debt, verdict
+        # Next #1 list) + this round's bm25-store consumers:
+        "meta_join_1h", "ind_bollinger", "ind_vwap_bands",
+        "text_bm25_topk", "hybrid_rrf_fusion", "retrieval_fusion_eval",
+        "retrieval_rank_quality", "streaming_pipeline_bm25",
+        "ann_ivfadc_search", "ann_ivfadc_search_frozen",
+        "ann_ivfadc_recall", "ann_ivfadc_nprobe_curve",
+        "ann_cosine_topk", "embedding_gram_matrix",
+        "embedding_top_pc_power", "embedding_anisotropy",
+        "embedding_pq_residual_codes", "embedding_pq_codes",
+        "ann_pq_recall", "streaming_pipeline_phash",
+        "streaming_pipeline_phash_delta", "dedup_ngram_jaccard",
+        "streaming_dedup_ingest", "streaming_ann_index",
     ),
     "stale_twins": (
-        # last driver-checked r12; its rows-only lane changed in r13
-        # AND changes again this round — the deferred twin re-entry
-        # the r13 ADVICE demanded be fronted here
-        "streaming_pipeline_checksum",
+        # last driver-checked r13 (gap = 2 = TWIN_STALE_GAP); their
+        # rows-only lanes are also rewritten this round (indicator
+        # library vectorization), so they re-enter on both policies
+        "indicator_batch_checksum", "indicator_surface_checksum",
+        "signal_pack_subset_checksum", "signal_rule_events_checksum",
     ),
 }
 
-#: The entire r7-vintage cohort (40 rows — oldest remaining after r13
-#: cleared r6) + the first r8 row for the last slot. Includes the two
-#: pre-declared minhash eval lanes (r7-vintage, due here anyway).
-_R7_COHORT = (
-    "ai_context_snapshot", "ann_ivf_search", "ann_label_centroids",
-    "ann_lsh_buckets", "ann_multiprobe_search", "ann_recall_eval",
-    "approx_distinct_kmv", "chart_bb_zone_strip", "chart_cvd_cumulative",
-    "chart_equity_drawdown", "chart_intraday_volume_heatmap",
-    "chart_kline_ma_volume", "chart_long_short_ratio",
-    "chart_macd_series", "chart_oi_change", "chart_taker_ratio_heatmap",
-    "chart_vpvr_ridge", "dedup_canonical_corpus",
-    "dedup_embedding_cosine", "dedup_incremental_delta",
-    "dedup_minhash_bands", "dedup_minhash_est_jaccard",
-    "freshness_gate", "global_totals_latest", "hll_error_eval",
-    "hll_estimate", "ind_atr_wilder_fold", "ind_donchian_williams",
-    "kmv_jaccard_error_eval", "kmv_source_jaccard", "lang_id_confusion",
-    "metrics_cascade_1d", "minhash_jaccard_calibration",
-    "minhash_lsh_quality", "mix_epoch_manifest", "mm_decode_features",
-    "mm_frame_sample", "source_containment_matrix",
-    "streaming_cms_counters", "streaming_hll_registers",
-    # first r8 row (youngest-used vintage, partial by design — the
-    # remaining 39 r8 rows are this round's deferred set)
-    "ann_ivf_pq_search",
+#: 22 of the 33 uncategorized r8-vintage rows (oldest cohort after the
+#: r14 artifact cleared r7); the remaining 11 r8 rows are this round's
+#: deferred set. The picks prioritize lanes adjacent to this round's
+#: optimization targets (the ind_* monitor lanes, streaming_rollup_5m,
+#: signal_threshold_cross_sql) and then fill alphabetically.
+_R8_COHORT = (
+    "ind_adx_di", "ind_base_data", "ind_buy_sell_ratio",
+    "ind_data_monitor", "ind_ema_gc_regime", "streaming_rollup_5m",
+    "signal_threshold_cross_sql",
+    "chart_kline_envelope", "chart_market_vpvr_heat",
+    "chart_vpvr_zone_strip", "cluster_kmeans_lloyd",
+    "cluster_semdedup_candidates", "cms_error_eval",
+    "corpus_source_stats", "decontaminate_ngram_overlap",
+    "dedup_quality_canonical", "dedup_quality_keep_rank",
+    "embedding_norms_quality", "mm_resize_images", "ohlcv_cascade_1M",
+    "orderbook_depth_bands", "orderbook_depth_hourly",
 )
 
 _FRONT = (
     *_GATE_FRONT["born"], *_GATE_FRONT["changed"],
-    *_GATE_FRONT["stale_twins"], *_R7_COHORT,
+    *_GATE_FRONT["stale_twins"], *_R8_COHORT,
 )
 
 #: Previously green, unchanged code — behind the front, order
