@@ -109,6 +109,42 @@ def test_compute_all_full_surface(spark, bars_pdf):
     assert thin_row["rsi14"] is None
 
 
+def test_compute_all_groups_never_split_across_partitions(spark):
+    """The r14 ADVICE contract pin: compute_all's mapInPandas stage is
+    only correct because its explicit hash(keys) repartition lands every
+    group's rows WHOLE in one partition (topn_per_group preserves that
+    clustering — see its docstring). If a future edit broke the
+    clustering (round-robin repartition, differently-keyed exchange),
+    groups would split across partitions and each fragment would emit
+    its own row — duplicate keys with partial tails instead of an
+    error. Shape chosen to expose exactly that: far more partitions
+    (2*parallelism+1) than groups, many input slices per group."""
+    rng = np.random.default_rng(11)
+    n, keys = 120, [f"S{i}" for i in range(7)]
+    pdf = pd.concat(
+        [
+            pd.DataFrame({
+                "open": 1.0, "high": 2.0, "low": 0.5,
+                "close": 100 + np.cumsum(rng.normal(0, 1, n)),
+                "volume": rng.uniform(1, 10, n),
+                "bucket_ts": pd.date_range("2024-01-01", periods=n, freq="h"),
+                "sym": k,
+            })
+            for k in keys
+        ]
+    )
+    # scatter the input so every group starts spread over many partitions
+    sdf = spark.createDataFrame(pdf).repartition(16)
+    out = compute_all(sdf, ["sym"], ts="bucket_ts", tail=500).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["sym"], []).append(r)
+    assert sorted(by_key) == sorted(keys)
+    for k, rows in by_key.items():
+        assert len(rows) == 1, f"group {k} split across partitions"
+        assert rows[0]["n_bars"] == n
+
+
 def test_madrid_ribbon_matches_pandas_ewm(bars_pdf):
     """i_ribbon's vectorized 18-EMA loop vs the reference formula
     (batch/tv_volume_signal.py:9-39) written with per-period ewm."""

@@ -31,10 +31,11 @@ def main() -> None:
     # argv hygiene (the r13 ADVICE standard set on the rollup sibling):
     # this tool repeatedly launches 32-core sessions, so fail with usage
     # text, not a bare IndexError/ValueError traceback
-    if len(sys.argv) < 4 or not sys.argv[2].isdigit():
+    if (len(sys.argv) < 4 or not sys.argv[2].isdigit()
+            or int(sys.argv[2]) < 1):
         sys.exit(
-            "usage: bench_worktree_control.py <tree_root> <repeats:int>"
-            " <query...>"
+            "usage: bench_worktree_control.py <tree_root> "
+            "<repeats: int >= 1> <query...>"
         )
     tree, repeats, names = sys.argv[1], int(sys.argv[2]), sys.argv[3:]
     sys.path.insert(0, tree)

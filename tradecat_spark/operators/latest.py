@@ -32,7 +32,19 @@ def latest_per_group(df: DataFrame, keys: list[str], ts: str) -> DataFrame:
 def topn_per_group(
     df: DataFrame, keys: list[str], ts: str, n: int, desc: bool = True
 ) -> DataFrame:
-    """Last/first N rows per key (the ≤500-bar window cache scan)."""
+    """Last/first N rows per key (the ≤500-bar window cache scan).
+
+    Clustering contract (load-bearing for ``indicators.engine``):
+    the row_number Window requires ClusteredDistribution(keys), so the
+    OUTPUT stays hash-clustered by ``keys`` — when the input is already
+    an explicit ``repartition(m, *keys)``, that single exchange serves
+    both this window and any downstream per-key stage.
+    ``engine.compute_all`` relies on exactly that: its ``mapInPandas``
+    stage is only correct because every group's rows land whole in one
+    partition. Do NOT add a round-robin repartition, coalesce, or
+    differently-keyed exchange between this operator and such a
+    consumer (tests/test_indicators.py::
+    test_compute_all_groups_never_split_across_partitions pins it)."""
     order = F.col(ts).desc() if desc else F.col(ts).asc()
     w = Window.partitionBy(*keys).orderBy(order)
     return (
