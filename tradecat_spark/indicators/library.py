@@ -1,10 +1,31 @@
-"""The registered indicator surface — pandas re-derivations of the
+"""The registered indicator surface — re-derivations of the
 reference's 38 indicator classes (SURVEY.md §2.9).
 
 Each ``@register`` mirrors one reference class (citation in the meta);
-the math lives in :mod:`tradecat_spark.functions.ta`. All compute
-functions return the latest-bar snapshot, matching the reference's
+the series math lives in :mod:`tradecat_spark.functions.ta` (pandas
+forms, still the cross-check target of tests/test_indicators.py) and
+:mod:`tradecat_spark.functions.ta_np` (the same compiled pandas window
+kernels invoked directly on ndarrays). All compute functions return
+the latest-bar snapshot, matching the reference's
 1-row-per-(symbol, interval) output contract (indicators/base.py:64-75).
+
+Differences from the reference are deliberate Spark-first choices:
+- compute functions are pure pandas-in/dict-out (no DB handles), so one
+  Arrow batch can evaluate the whole surface per group;
+- every indicator declares its output schema up front (the reference
+  infers SQLite columns from the first written DataFrame,
+  db/reader.py:262-279 — implicit schemas don't survive a cluster).
+
+r15 vectorization (guide §4.1/§4.2 — less per-row Python at the same
+Arrow boundary): the class bodies run on raw ndarrays pulled once per
+group; rolling/ewm math goes through ``ta_np``'s direct kernel calls
+(bit-identical to the Series forms by construction — same compiled
+code); shared primitives (true range, ATR(n), ±2-bar pivots) are
+computed once per group in a frame-local cache. Every output value is
+pinned bit-identical to the pre-rewrite implementation by
+tools/indicator_equivalence.py across all three test SFs plus
+randomized frames, and the four checksum twins re-enter the r15
+driver gate.
 """
 
 from __future__ import annotations
@@ -14,16 +35,147 @@ import math
 import numpy as np
 import pandas as pd
 
-from tradecat_spark.functions import ta
+from tradecat_spark.functions import ta, ta_np
 from tradecat_spark.indicators.base import register
 
 D = "double"
 S = "string"
 
+NAN = float("nan")
+
 
 def _last(s: pd.Series) -> float:
     v = s.iloc[-1]
     return float(v) if pd.notna(v) else float("nan")
+
+
+# ---------------------------------------------------------------------------
+# per-group shared primitives (cached on the frame the engine passes to
+# every indicator of one group; DataFrame.attrs is per-object, so direct
+# test calls on fresh frames get fresh caches)
+# ---------------------------------------------------------------------------
+def _ctx(b: pd.DataFrame) -> dict:
+    ctx = b.attrs.get("_ta_ctx")
+    if ctx is None:
+        ctx = {}
+        b.attrs["_ta_ctx"] = ctx
+    return ctx
+
+
+def _ohlcv(b: pd.DataFrame):
+    """(open, high, low, close, volume) as float64 ndarrays, once.
+
+    A column the frame lacks comes back None — the engine always passes
+    all five (BAR_COLS), but tests call single indicators on partial
+    frames, and the pre-rewrite code only raised when it actually
+    touched a missing column."""
+    ctx = _ctx(b)
+    a = ctx.get("ohlcv")
+    if a is None:
+        cols = set(b.columns)
+        a = tuple(
+            b[c].to_numpy(dtype=np.float64) if c in cols else None
+            for c in ("open", "high", "low", "close", "volume")
+        )
+        ctx["ohlcv"] = a
+    return a
+
+
+def _tr(b: pd.DataFrame) -> np.ndarray:
+    """True range (ta.true_range), once per group."""
+    ctx = _ctx(b)
+    tr = ctx.get("tr")
+    if tr is None:
+        _, h, l, c, _ = _ohlcv(b)
+        pc = np.roll(c, 1)
+        pc[0] = np.nan
+        tr = np.fmax(h - l, np.fmax(np.abs(h - pc), np.abs(l - pc)))
+        ctx["tr"] = tr
+    return tr
+
+
+def _atr(b: pd.DataFrame, n: int) -> np.ndarray:
+    """Wilder ATR(n) = rma(TR) — shared by adx/smart_rsi/atr_scan (14),
+    supertrend/keltner (10), zero_lag/precision_trend (70)."""
+    ctx = _ctx(b)
+    key = ("atr", n)
+    a = ctx.get(key)
+    if a is None:
+        a = ta_np.ewm_mean(_tr(b), alpha=1.0 / n)
+        ctx[key] = a
+    return a
+
+
+def _pivots2(b: pd.DataFrame):
+    """Strict ±2-bar pivot highs/lows (value arrays, time order) —
+    shared by support_resistance and smc."""
+    ctx = _ctx(b)
+    p = ctx.get("piv2")
+    if p is None:
+        _, h, l, _, _ = _ohlcv(b)
+        n = len(h)
+        if n >= 5:
+            ch = h[2 : n - 2]
+            mh = (
+                (h[: n - 4] < ch) & (h[1 : n - 3] < ch)
+                & (h[3 : n - 1] < ch) & (h[4:] < ch)
+            )
+            cl = l[2 : n - 2]
+            ml = (
+                (l[: n - 4] > cl) & (l[1 : n - 3] > cl)
+                & (l[3 : n - 1] > cl) & (l[4:] > cl)
+            )
+            p = (ch[mh], cl[ml])
+        else:
+            p = (h[:0], l[:0])
+        ctx["piv2"] = p
+    return p
+
+
+def _zl_band(b: pd.DataFrame):
+    """(zlema70, 1.2 * 210-bar rolling max of ATR(70)) — shared by
+    zero_lag_trend and precision_trend."""
+    ctx = _ctx(b)
+    zb = ctx.get("zl_band")
+    if zb is None:
+        _, _, _, c, _ = _ohlcv(b)
+        n = len(c)
+        lag = (70 - 1) // 2
+        dl = np.full(n, np.nan)
+        if n > lag:
+            dl[lag:] = 2 * c[lag:] - c[:-lag]
+        z = ta_np.ewm_mean(dl, span=70)
+        band = ta_np.roll_max(_atr(b, 70), 210) * 1.2
+        zb = (z, band)
+        ctx["zl_band"] = zb
+    return zb
+
+
+def _rsi_arr(b: pd.DataFrame, n: int) -> np.ndarray:
+    """Wilder RSI over the close array — exact ta.rsi op sequence."""
+    ctx = _ctx(b)
+    key = ("rsi", n)
+    r = ctx.get(key)
+    if r is None:
+        _, _, _, c, _ = _ohlcv(b)
+        d = np.diff(c, prepend=np.nan)
+        gain = np.where(d > 0, d, 0.0)
+        loss = np.where(d < 0, -d, 0.0)
+        gain[np.isnan(d)] = 0.0
+        loss[np.isnan(d)] = 0.0
+        g = ta_np.ewm_mean(gain, alpha=1.0 / n)
+        lo = ta_np.ewm_mean(loss, alpha=1.0 / n)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = 100.0 - 100.0 / (1.0 + g / np.where(lo == 0, np.nan, lo))
+        out = np.where(lo == 0, 100.0, out)
+        out = np.where(g + lo == 0, 50.0, out)
+        ctx[key] = r = out
+    return r
+
+
+def _repl0(x):
+    """Series.replace(0, nan) on an array (also matches -0.0)."""
+    return np.where(x == 0, np.nan, x)
 
 
 # ---------------------------------------------------------------------------
@@ -35,9 +187,26 @@ def _last(s: pd.Series) -> float:
     "rules/trend/__init__.py:7-34)",
 )
 def i_supertrend(b: pd.DataFrame):
-    line, direction = ta.supertrend(b.high, b.low, b.close, 10, 3.0)
-    d = _last(direction)
-    return {"st_line": _last(line), "st_dir": d,
+    _, h, l, c, _ = _ohlcv(b)
+    a = _atr(b, 10)
+    mid = (h + l) / 2
+    upper = (mid + 3.0 * a).tolist()
+    lower = (mid - 3.0 * a).tolist()
+    cv = c.tolist()
+    n_rows = len(cv)
+    fu = list(upper)
+    fl = list(lower)
+    d = 1.0
+    line = NAN
+    for i in range(1, n_rows):
+        fu[i] = upper[i] if upper[i] < fu[i - 1] or cv[i - 1] > fu[i - 1] else fu[i - 1]
+        fl[i] = lower[i] if lower[i] > fl[i - 1] or cv[i - 1] < fl[i - 1] else fl[i - 1]
+        if cv[i] > fu[i]:
+            d = 1.0
+        elif cv[i] < fl[i]:
+            d = -1.0
+        line = fl[i] if d == 1.0 else fu[i]
+    return {"st_line": line, "st_dir": d,
             "st_state": "up" if d > 0 else "down"}
 
 
@@ -46,18 +215,43 @@ def i_supertrend(b: pd.DataFrame):
     citation="batch/lean_indicators.py:88-130",
 )
 def i_adx(b: pd.DataFrame):
-    a, p, m = ta.adx(b.high, b.low, b.close, 14)
-    return {"adx": _last(a), "plus_di": _last(p), "minus_di": _last(m)}
+    _, h, l, c, _ = _ohlcv(b)
+    up = np.diff(h, prepend=np.nan)
+    dn = -np.diff(l, prepend=np.nan)
+    with np.errstate(invalid="ignore"):
+        plus_dm = np.where((up > dn) & (up > 0), up, 0.0)
+        minus_dm = np.where((dn > up) & (dn > 0), dn, 0.0)
+    a = _atr(b, 14)
+    ar = _repl0(a)
+    plus_di = 100 * ta_np.ewm_mean(plus_dm, alpha=1.0 / 14) / ar
+    minus_di = 100 * ta_np.ewm_mean(minus_dm, alpha=1.0 / 14) / ar
+    s = _repl0(plus_di + minus_di)
+    with np.errstate(invalid="ignore"):
+        dx = 100 * np.abs(plus_di - minus_di) / s
+    adx = ta_np.ewm_mean(np.where(np.isnan(dx), 0.0, dx), alpha=1.0 / 14)
+    return {"adx": float(adx[-1]), "plus_di": float(plus_di[-1]),
+            "minus_di": float(minus_di[-1])}
 
 
 @register("cci", [("cci", D)], citation="batch/lean_indicators.py:134-159")
 def i_cci(b: pd.DataFrame):
-    return {"cci": _last(ta.cci(b.high, b.low, b.close, 20))}
+    _, h, l, c, _ = _ohlcv(b)
+    tp = (h + l + c) / 3
+    ma_last = float(ta_np.roll_mean(tp, 20)[-1])
+    k = min(20, len(tp))
+    mad_last = float(np.abs(tp[-k:] - ma_last).mean()) if k else NAN
+    den = 0.015 * (mad_last if mad_last != 0 else NAN)
+    return {"cci": float((tp[-1] - ma_last) / den)}
 
 
 @register("williams_r", [("wr", D)], citation="batch/lean_indicators.py:163-184")
 def i_wr(b: pd.DataFrame):
-    return {"wr": _last(ta.williams_r(b.high, b.low, b.close, 14))}
+    _, h, l, c, _ = _ohlcv(b)
+    k = min(14, len(c))
+    hi = float(h[-k:].max())
+    lo = float(l[-k:].min())
+    d = hi - lo
+    return {"wr": float((hi - c[-1]) / (d if d != 0 else NAN) * -100)}
 
 
 @register(
@@ -65,13 +259,11 @@ def i_wr(b: pd.DataFrame):
     citation="batch/lean_indicators.py:188-204",
 )
 def i_donchian(b: pd.DataFrame):
-    hi = b.high.rolling(20, min_periods=1).max()
-    lo = b.low.rolling(20, min_periods=1).min()
-    return {
-        "don_high": _last(hi),
-        "don_low": _last(lo),
-        "don_mid": _last((hi + lo) / 2),
-    }
+    _, h, l, _, _ = _ohlcv(b)
+    k = min(20, len(h))
+    hi = float(h[-k:].max())
+    lo = float(l[-k:].min())
+    return {"don_high": hi, "don_low": lo, "don_mid": (hi + lo) / 2}
 
 
 @register(
@@ -79,13 +271,10 @@ def i_donchian(b: pd.DataFrame):
     citation="batch/lean_indicators.py:208-233",
 )
 def i_keltner(b: pd.DataFrame):
-    mid = ta.ema(b.close, 20)
-    band = 2 * ta.atr(b.high, b.low, b.close, 10)
-    return {
-        "kc_mid": _last(mid),
-        "kc_upper": _last(mid + band),
-        "kc_lower": _last(mid - band),
-    }
+    _, _, _, c, _ = _ohlcv(b)
+    mid = float(ta_np.ewm_mean(c, span=20)[-1])
+    band = 2 * float(_atr(b, 10)[-1])
+    return {"kc_mid": mid, "kc_upper": mid + band, "kc_lower": mid - band}
 
 
 @register(
@@ -95,26 +284,30 @@ def i_keltner(b: pd.DataFrame):
     citation="batch/lean_indicators.py:237-281",
 )
 def i_ichimoku(b: pd.DataFrame):
-    def mid(n):
-        return (b.high.rolling(n, min_periods=1).max()
-                + b.low.rolling(n, min_periods=1).min()) / 2
+    _, h, l, c, _ = _ohlcv(b)
+    n = len(c)
+
+    def mid(k):
+        k = min(k, n)
+        return (float(h[-k:].max()) + float(l[-k:].min())) / 2
+
     tenkan, kijun = mid(9), mid(26)
     span_a = (tenkan + kijun) / 2
     span_b = mid(52)
-    c = _last(b.close)
-    hi, lo = max(_last(span_a), _last(span_b)), min(_last(span_a), _last(span_b))
-    signal = "above_cloud" if c > hi else ("below_cloud" if c < lo else "in_cloud")
+    cv = float(c[-1])
+    hi, lo = max(span_a, span_b), min(span_a, span_b)
+    signal = "above_cloud" if cv > hi else ("below_cloud" if cv < lo else "in_cloud")
     # 信号 buy/sell/neutral: cloud side + tenkan/kijun agreement (the
     # composite label rules/trend/__init__.py:78-105 transitions on)
-    if c > hi and _last(tenkan) > _last(kijun):
+    if cv > hi and tenkan > kijun:
         ichi = "buy"
-    elif c < lo and _last(tenkan) < _last(kijun):
+    elif cv < lo and tenkan < kijun:
         ichi = "sell"
     else:
         ichi = "neutral"
     return {
-        "tenkan": _last(tenkan), "kijun": _last(kijun),
-        "span_a": _last(span_a), "span_b": _last(span_b),
+        "tenkan": tenkan, "kijun": kijun,
+        "span_a": span_a, "span_b": span_b,
         "cloud_signal": signal, "ichi_signal": ichi,
     }
 
@@ -181,9 +374,7 @@ def i_trend_line(b: pd.DataFrame):
     a support line holds, range otherwise; distance% is current close
     vs the line extrapolated to the latest bar."""
     prd, n_keep = 20, 3
-    highs = b.high.to_numpy(dtype=float)
-    lows = b.low.to_numpy(dtype=float)
-    closes = b.close.to_numpy(dtype=float)
+    _, highs, lows, closes, _ = _ohlcv(b)
     slope = ta.linreg_slope(closes[-50:])
     tvals, tposs = _recent_pivots(highs, prd, n_keep, is_high=True)
     bvals, bposs = _recent_pivots(lows, prd, n_keep, is_high=False)
@@ -218,15 +409,14 @@ def i_trend_line(b: pd.DataFrame):
     min_data=80,
 )
 def i_zero_lag(b: pd.DataFrame):
-    z = ta.zlema(b.close, 70)
-    band = ta.atr(b.high, b.low, b.close, 70).rolling(210, min_periods=1).max() * 1.2
-    upper, lower = z + band, z - band
-    c = _last(b.close)
-    state = "bull" if c > _last(upper) else ("bear" if c < _last(lower) else "range")
-    return {
-        "zlema": _last(z), "zl_upper": _last(upper),
-        "zl_lower": _last(lower), "zl_state": state,
-    }
+    _, _, _, c, _ = _ohlcv(b)
+    z, band = _zl_band(b)
+    zl, bl = float(z[-1]), float(band[-1])
+    upper, lower = zl + bl, zl - bl
+    cv = float(c[-1])
+    state = "bull" if cv > upper else ("bear" if cv < lower else "range")
+    return {"zlema": zl, "zl_upper": upper, "zl_lower": lower,
+            "zl_state": state}
 
 
 @register(
@@ -234,10 +424,11 @@ def i_zero_lag(b: pd.DataFrame):
     citation="batch/tv_trend_cloud.py", min_data=50,
 )
 def i_trend_cloud(b: pd.DataFrame):
-    s = ta.rma(b.close, 200)
+    _, _, _, c, _ = _ohlcv(b)
+    s = float(ta_np.ewm_mean(c, alpha=1.0 / 200)[-1])
     return {
-        "smma200": _last(s),
-        "cloud_side": "above" if _last(b.close) >= _last(s) else "below",
+        "smma200": s,
+        "cloud_side": "above" if float(c[-1]) >= s else "below",
     }
 
 
@@ -261,7 +452,7 @@ def i_ribbon(b: pd.DataFrame):
     vectorized time loop (length-18 alpha vector per bar) — only the
     final value and final step's diff are needed, so no per-period
     pandas ewm chains."""
-    x = b.close.to_numpy(dtype=np.float64)
+    x = _ohlcv(b)[3]
     if len(x) < int(MADRID_PERIODS[-1]):
         return {"ribbon_signal": "watch", "ribbon_state": "mixed",
                 "ribbon_strength": 0.0, "bull_ratio": 0.0,
@@ -302,30 +493,34 @@ def i_ribbon(b: pd.DataFrame):
     min_data=50,
 )
 def i_fib_sniper(b: pd.DataFrame):
-    base = ta.vwma(b.close, b.volume, 200)
-    dev = (b.close - base).rolling(200, min_periods=1).std() * 3.0
-    pos = (b.close - base) / dev.replace(0, np.nan)
-    p = _last(pos)
-    return {"vwma200": _last(base), "fib_pos": p,
+    _, _, _, c, v = _ohlcv(b)
+    num = ta_np.roll_sum(c * v, 200)
+    den = _repl0(ta_np.roll_sum(v, 200))
+    base = num / den
+    dev_last = float(ta_np.roll_std(c - base, 200)[-1]) * 3.0
+    diff_last = float(c[-1]) - float(base[-1])
+    p = diff_last / (dev_last if dev_last != 0 else NAN)
+    return {"vwma200": float(base[-1]), "fib_pos": p,
             "fib_state": "up" if p >= 0 else "down"}
 
 
 # ---------------------------------------------------------------------------
 # oscillator / momentum family
 # ---------------------------------------------------------------------------
-def _rsi_divergence(b: pd.DataFrame, rsi: pd.Series, lookback: int = 50):
+def _rsi_divergence_np(h: np.ndarray, l: np.ndarray, rsi: np.ndarray,
+                       lookback: int = 50):
     """Pivot-based divergence scan (batch/tv_rsi.py:28-53): ±5-bar price
     pivots over the last `lookback` bars; bearish = higher price high on
     a lower RSI high, bullish = lower price low on a higher RSI low.
     Returns (label, strength%)."""
-    if len(b) < lookback or rsi.isna().sum() > len(rsi) * 0.1:
+    if len(h) < lookback or np.isnan(rsi).sum() > len(rsi) * 0.1:
         return "none", 0.0
     # vectorized centered ±5-bar pivot scan: a bar is a pivot when it
     # equals its 11-bar window extreme (same tie behavior as the
     # per-index scan it replaces; ~10× faster, the batch's hot spot)
-    hi = b["high"].tail(lookback).to_numpy(dtype=float)
-    lo = b["low"].tail(lookback).to_numpy(dtype=float)
-    rr = rsi.tail(lookback).to_numpy(dtype=float)
+    hi = h[-lookback:]
+    lo = l[-lookback:]
+    rr = rsi[-lookback:]
     win_h = np.lib.stride_tricks.sliding_window_view(hi, 11)
     win_l = np.lib.stride_tricks.sliding_window_view(lo, 11)
     core = slice(5, len(hi) - 5)
@@ -357,18 +552,21 @@ def i_smart_rsi(b: pd.DataFrame):
     adaptive overbought/oversold levels, EMA(34) trend gating, a 2-of-3
     zone vote for the position label, pivot divergence, and a divergence-
     boosted final signal."""
-    r7, r14, r21 = (ta.rsi(b.close, n) for n in (7, 14, 21))
+    _, h, l, c, _ = _ohlcv(b)
+    r7a, r14a, r21a = (_rsi_arr(b, n) for n in (7, 14, 21))
+    r7, r14, r21 = float(r7a[-1]), float(r14a[-1]), float(r21a[-1])
     # ATR-normalized adaptive thresholds (tv_rsi.py:20-25,126-136)
-    atr = ta.atr(b.high, b.low, b.close, 14)
-    rng = atr.max() - atr.min()
-    atr_norm = float((atr.iloc[-1] - atr.min()) / (rng + 1e-10)) if len(atr) else 0.5
+    atr = _atr(b, 14)
+    amin = float(atr.min()) if len(atr) else NAN
+    rng = (float(atr.max()) - amin) if len(atr) else NAN
+    atr_norm = float((atr[-1] - amin) / (rng + 1e-10)) if len(atr) else 0.5
     if math.isnan(atr_norm):
         atr_norm = 0.5
     vol_factor = 1.0 + (atr_norm - 0.5) * 0.2
     overbought = min(80.0, 70.0 * vol_factor)
     oversold = max(20.0, 30.0 / vol_factor)
 
-    vals = [v for v in (_last(r7), _last(r14), _last(r21)) if not math.isnan(v)]
+    vals = [v for v in (r7, r14, r21) if not math.isnan(v)]
     if not vals:
         return {"rsi7": float("nan"), "rsi14": float("nan"),
                 "rsi21": float("nan"), "rsi_avg": float("nan"),
@@ -378,8 +576,8 @@ def i_smart_rsi(b: pd.DataFrame):
                 "os_threshold": oversold}
     rsi_avg = float(np.mean(vals))
     # EMA(34) trend gate (tv_rsi.py:68-70)
-    ema34 = b.close.ewm(span=34, adjust=False).mean()
-    trend = "bullish" if _last(b.close) > _last(ema34) else "bearish"
+    ema34 = float(ta_np.ewm_mean(c, span=34)[-1])
+    trend = "bullish" if float(c[-1]) > ema34 else "bearish"
     n_os = sum(1 for v in vals if v < oversold)
     n_ob = sum(1 for v in vals if v > overbought)
     if trend == "bullish":
@@ -404,14 +602,14 @@ def i_smart_rsi(b: pd.DataFrame):
         strength = abs(50 - rsi_avg) / 50 * 100
     strength = max(0.0, min(100.0, abs(strength)))
     # divergence boost (tv_rsi.py:146-157)
-    div, div_strength = _rsi_divergence(b, r14, 50)
+    div, div_strength = _rsi_divergence_np(h, l, r14a, 50)
     if div == "bullish_div" and trend == "bullish" and n_os >= 2:
         signal = "buy"
         strength = min(100.0, strength + div_strength * 0.5)
     elif div == "bearish_div" and trend == "bearish" and n_ob >= 2:
         signal = "sell"
         strength = min(100.0, strength + div_strength * 0.5)
-    return {"rsi7": _last(r7), "rsi14": _last(r14), "rsi21": _last(r21),
+    return {"rsi7": r7, "rsi14": r14, "rsi21": r21,
             "rsi_avg": rsi_avg, "rsi_state": state, "rsi_divergence": div,
             "rsi_signal": signal, "rsi_trend": trend,
             "rsi_strength": strength, "ob_threshold": overbought,
@@ -424,13 +622,15 @@ def i_smart_rsi(b: pd.DataFrame):
     citation="incremental/macd.py:6-50",
 )
 def i_macd(b: pd.DataFrame):
-    line, sig, hist = ta.macd(b.close)
+    _, _, _, c, _ = _ohlcv(b)
+    line = ta_np.ewm_mean(c, span=12) - ta_np.ewm_mean(c, span=26)
+    sig = ta_np.ewm_mean(line, span=9)
     cross = "none"
     if len(line) >= 2:
-        p, c = line.iloc[-2] - sig.iloc[-2], line.iloc[-1] - sig.iloc[-1]
-        cross = "golden" if p <= 0 < c else ("death" if p >= 0 > c else "none")
-    return {"macd_line": _last(line), "macd_signal": _last(sig),
-            "macd_hist": _last(hist), "macd_cross": cross}
+        p, cu = line[-2] - sig[-2], line[-1] - sig[-1]
+        cross = "golden" if p <= 0 < cu else ("death" if p >= 0 > cu else "none")
+    return {"macd_line": float(line[-1]), "macd_signal": float(sig[-1]),
+            "macd_hist": float(line[-1] - sig[-1]), "macd_cross": cross}
 
 
 @register(
@@ -441,8 +641,17 @@ def i_macd(b: pd.DataFrame):
     "continue — rules/momentum/kdj.py conditions fire on transitions)",
 )
 def i_kdj(b: pd.DataFrame):
-    k, d, j = ta.kdj(b.high, b.low, b.close)
-    kv, jv = _last(k), _last(j)
+    _, h, l, c, _ = _ohlcv(b)
+    lo = ta_np.roll_min(l, 9)
+    hi = ta_np.roll_max(h, 9)
+    with np.errstate(invalid="ignore"):
+        rsv = (c - lo) / _repl0(hi - lo) * 100
+    rsv = np.where(np.isnan(rsv), 50.0, rsv)
+    k = ta_np.ewm_mean(rsv, alpha=1.0 / 3)
+    d = ta_np.ewm_mean(k, alpha=1.0 / 3)
+    kv = float(k[-1])
+    dv = float(d[-1])
+    jv = float(3 * k[-1] - 2 * d[-1])
     state = "overbought" if kv >= 80 else ("oversold" if kv <= 20 else "neutral")
     # 信号概述: J extremes take precedence, then fresh K/D crosses,
     # else "continue" — the label vocabulary the rule pack transitions on
@@ -452,12 +661,12 @@ def i_kdj(b: pd.DataFrame):
     elif jv > 100:
         signal = "j_overbought"
     elif len(k) >= 2:
-        pk, pd_ = float(k.iloc[-2]), float(d.iloc[-2])
-        if pk <= pd_ and kv > _last(d):
+        pk, pd_ = float(k[-2]), float(d[-2])
+        if pk <= pd_ and kv > dv:
             signal = "golden_cross"
-        elif pk >= pd_ and kv < _last(d):
+        elif pk >= pd_ and kv < dv:
             signal = "death_cross"
-    return {"kdj_k": kv, "kdj_d": _last(d), "kdj_j": jv,
+    return {"kdj_k": kv, "kdj_d": dv, "kdj_j": jv,
             "kdj_state": state, "kdj_signal": signal}
 
 
@@ -476,9 +685,11 @@ def i_harmonic(b: pd.DataFrame):
     citation="batch/scalping.py", min_data=20,
 )
 def i_scalping(b: pd.DataFrame):
-    fast, slow = ta.ema(b.close, 5), ta.ema(b.close, 13)
-    sig = "long" if _last(fast) > _last(slow) else "short"
-    return {"scalp_fast": _last(fast), "scalp_slow": _last(slow), "scalp_signal": sig}
+    _, _, _, c, _ = _ohlcv(b)
+    fast = float(ta_np.ewm_mean(c, span=5)[-1])
+    slow = float(ta_np.ewm_mean(c, span=13)[-1])
+    sig = "long" if fast > slow else "short"
+    return {"scalp_fast": fast, "scalp_slow": slow, "scalp_signal": sig}
 
 
 # ---------------------------------------------------------------------------
@@ -490,13 +701,15 @@ def i_scalping(b: pd.DataFrame):
     citation="batch/bollinger.py:10-47",
 )
 def i_bollinger(b: pd.DataFrame):
-    mid = b.close.rolling(20, min_periods=1).mean()
-    sd = b.close.rolling(20, min_periods=1).std()
+    _, _, _, c, _ = _ohlcv(b)
+    mid = float(ta_np.roll_mean(c, 20)[-1])
+    sd = float(ta_np.roll_std(c, 20)[-1])
     upper, lower = mid + 2 * sd, mid - 2 * sd
-    width = (upper - lower) / mid.replace(0, np.nan)
-    pct = (b.close - lower) / (upper - lower).replace(0, np.nan)
-    return {"bb_mid": _last(mid), "bb_upper": _last(upper), "bb_lower": _last(lower),
-            "bb_width": _last(width), "bb_pct": _last(pct)}
+    spread = upper - lower
+    width = spread / (mid if mid != 0 else NAN)
+    pct = (float(c[-1]) - lower) / (spread if spread != 0 else NAN)
+    return {"bb_mid": mid, "bb_upper": upper, "bb_lower": lower,
+            "bb_width": width, "bb_pct": pct}
 
 
 @register(
@@ -507,11 +720,13 @@ def i_bollinger(b: pd.DataFrame):
     "consumed by rules/volatility/__init__.py:83-114)",
 )
 def i_atr_scan(b: pd.DataFrame):
-    a = ta.atr(b.high, b.low, b.close, 14)
-    c = _last(b.close)
-    med = a.rolling(30, min_periods=1).median()
-    state = "heating" if _last(a) > _last(med) else "cooling"
-    pct = _last(a) / c * 100 if c else float("nan")
+    _, _, _, cl, _ = _ohlcv(b)
+    a = _atr(b, 14)
+    av = float(a[-1])
+    c = float(cl[-1])
+    med = float(ta_np.roll_median(a, 30)[-1])
+    state = "heating" if av > med else "cooling"
+    pct = av / c * 100 if c else float("nan")
     if math.isnan(pct):
         vol_class = "low"
     elif pct < 1.0:
@@ -522,8 +737,8 @@ def i_atr_scan(b: pd.DataFrame):
         vol_class = "high"
     else:
         vol_class = "extreme"
-    return {"atr14": _last(a), "atr_pct": pct,
-            "atr_upper": c + 2 * _last(a), "atr_lower": c - 2 * _last(a),
+    return {"atr14": av, "atr_pct": pct,
+            "atr_upper": c + 2 * av, "atr_lower": c - 2 * av,
             "atr_state": state, "vol_class": vol_class}
 
 
@@ -532,17 +747,23 @@ def i_atr_scan(b: pd.DataFrame):
 # ---------------------------------------------------------------------------
 @register("obv", [("obv", D), ("obv_chg30", D)], citation="incremental/obv.py")
 def i_obv(b: pd.DataFrame):
-    sign = np.sign(b.close.diff().fillna(0))
-    obv = (sign * b.volume).cumsum()
-    chg = obv.diff(30)
-    return {"obv": _last(obv), "obv_chg30": _last(chg)}
+    _, _, _, c, v = _ohlcv(b)
+    sign = np.sign(np.diff(c, prepend=c[:1]))
+    obv = np.cumsum(sign * v)
+    n = len(obv)
+    chg = float(obv[-1] - obv[-31]) if n > 30 else NAN
+    return {"obv": float(obv[-1]), "obv_chg30": chg}
 
 
 @register("cvd", [("cvd", D), ("cvd_chg", D)], citation="incremental/cvd.py")
 def i_cvd(b: pd.DataFrame):
-    delta = b.volume.where(b.close >= b.open, -b.volume)
-    cvd = delta.cumsum()
-    return {"cvd": _last(cvd), "cvd_chg": _last(cvd.diff(min(360, max(len(b) - 1, 1))))}
+    o, _, _, c, v = _ohlcv(b)
+    delta = np.where(c >= o, v, -v)
+    cvd = np.cumsum(delta)
+    n = len(cvd)
+    k = min(360, max(n - 1, 1))
+    chg = float(cvd[-1] - cvd[-1 - k]) if n > k else NAN
+    return {"cvd": float(cvd[-1]), "cvd_chg": chg}
 
 
 @register(
@@ -550,8 +771,9 @@ def i_cvd(b: pd.DataFrame):
     citation="batch/volume_ratio.py:7-37",
 )
 def i_volume_ratio(b: pd.DataFrame):
-    ratio = b.volume / b.volume.rolling(20, min_periods=1).mean().replace(0, np.nan)
-    r = _last(ratio)
+    v = _ohlcv(b)[4]
+    m = float(ta_np.roll_mean(v, 20)[-1])
+    r = float(v[-1]) / (m if m != 0 else NAN)
     state = "surge" if r >= 2 else ("elevated" if r >= 1.2 else ("shrink" if r <= 0.6 else "normal"))
     return {"vol_ratio": r, "vol_state": state}
 
@@ -562,13 +784,14 @@ def i_volume_ratio(b: pd.DataFrame):
     citation="batch/vwap.py:9-53 (300-bar VWAP ± 1σ)",
 )
 def i_vwap(b: pd.DataFrame):
-    t = b.tail(300)
-    den = t.volume.sum()
-    vwap = float((t.close * t.volume).sum() / den) if den else float("nan")
-    sd = float(t.close.std()) if len(t) > 1 else 0.0
-    c = _last(b.close)
+    _, _, _, c, v = _ohlcv(b)
+    tc, tv = c[-300:], v[-300:]
+    den = float(tv.sum())
+    vwap = float((tc * tv).sum() / den) if den else float("nan")
+    sd = ta_np.nanstd(tc) if len(tc) > 1 else 0.0
+    cv = float(c[-1])
     return {"vwap": vwap, "vwap_upper": vwap + sd, "vwap_lower": vwap - sd,
-            "vwap_dev_pct": (c - vwap) / vwap * 100 if vwap else float("nan")}
+            "vwap_dev_pct": (cv - vwap) / vwap * 100 if vwap else float("nan")}
 
 
 @register(
@@ -577,7 +800,7 @@ def i_vwap(b: pd.DataFrame):
 )
 def i_vpvr(b: pd.DataFrame):
     poc, lo, hi = ta.volume_profile(b.close, b.volume, 48)
-    c = _last(b.close)
+    c = float(_ohlcv(b)[3][-1])
     pos = "above_va" if c > hi else ("below_va" if c < lo else "in_va")
     return {"poc": poc, "va_low": lo, "va_high": hi, "price_pos": pos}
 
@@ -591,8 +814,8 @@ def i_vpvr(b: pd.DataFrame):
     citation="incremental/ema_gc.py:9-59",
 )
 def i_ema_gc(b: pd.DataFrame):
-    e7, e25, e99 = (ta.ema(b.close, n) for n in (7, 25, 99))
-    a, m, s = _last(e7), _last(e25), _last(e99)
+    c = _ohlcv(b)[3]
+    a, m, s = (float(ta_np.ewm_mean(c, span=n)[-1]) for n in (7, 25, 99))
     if a > m > s:
         regime = "bull_stack"  # 多头排列
     elif a < m < s:
@@ -609,9 +832,20 @@ def i_ema_gc(b: pd.DataFrame):
     citation="batch/tv_long_short.py (smoothed Heikin-Ashi 10/10)",
 )
 def i_long_short(b: pd.DataFrame):
-    ho, hc = ta.heikin_ashi(b.open, b.high, b.low, b.close, 10, 10)
-    return {"ha_open": _last(ho), "ha_close": _last(hc),
-            "ls_signal": "long" if _last(hc) >= _last(ho) else "short"}
+    o, h, l, c, _ = _ohlcv(b)
+    o2, h2, l2, c2 = (ta_np.ewm_mean(s, span=10) for s in (o, h, l, c))
+    ha_c = (o2 + h2 + l2 + c2) / 4
+    cc = ha_c.tolist()
+    o2l, c2l = o2.tolist(), c2.tolist()
+    oc = [0.0] * len(cc)
+    if cc:
+        oc[0] = (o2l[0] + c2l[0]) / 2
+        for i in range(1, len(oc)):
+            oc[i] = (oc[i - 1] + cc[i - 1]) / 2
+    ho = float(ta_np.ewm_mean(np.asarray(oc), span=10)[-1]) if cc else NAN
+    hc = float(ta_np.ewm_mean(ha_c, span=10)[-1]) if cc else NAN
+    return {"ha_open": ho, "ha_close": hc,
+            "ls_signal": "long" if hc >= ho else "short"}
 
 
 # ---------------------------------------------------------------------------
@@ -625,14 +859,17 @@ def i_long_short(b: pd.DataFrame):
     "rules/misc/__init__.py:7-34)",
 )
 def i_liquidity(b: pd.DataFrame):
-    ret = b.close.pct_change().abs()
-    dollar = (b.close * b.volume).replace(0, np.nan)
+    _, _, _, c, v = _ohlcv(b)
+    pch = np.full(len(c), np.nan)
+    if len(c) > 1:
+        pch[1:] = c[1:] / c[:-1] - 1
+    ret = np.abs(pch)
+    dollar = _repl0(c * v)
     amihud = (ret / dollar) * 1e6
-    mu, sd = amihud.mean(), amihud.std()
-    z = (amihud.iloc[-1] - mu) / sd if sd and not math.isnan(sd) else 0.0
-    signed_flow = np.sign(b.close.diff().fillna(0)) * dollar
-    lam = ta.linreg_slope(b.close.to_numpy()) / (dollar.mean() or np.nan)
-    vol = b.close.pct_change().std()
+    mu, sd = ta_np.nanmean(amihud), ta_np.nanstd(amihud)
+    z = (amihud[-1] - mu) / sd if sd and not math.isnan(sd) else 0.0
+    lam = ta.linreg_slope(c) / (ta_np.nanmean(dollar) or np.nan)
+    vol = ta_np.nanstd(pch)
     score = float(1 / (1 + math.exp(-(0.5 * (0 if math.isnan(z) else -z) + (0 if vol is None or math.isnan(vol) else -vol))))) * 100
     if score >= 75:
         level = "excellent"
@@ -656,14 +893,14 @@ def i_liquidity(b: pd.DataFrame):
     "rules/core/__init__.py:473-524)", min_data=12,
 )
 def i_support_resistance(b: pd.DataFrame):
-    h, l = b.high, b.low
-    ph = h[(h.shift(2) < h) & (h.shift(1) < h) & (h.shift(-1) < h) & (h.shift(-2) < h)]
-    pl = l[(l.shift(2) > l) & (l.shift(1) > l) & (l.shift(-1) > l) & (l.shift(-2) > l)]
-    c = _last(b.close)
+    _, h, l, cl, _ = _ohlcv(b)
+    ph, pl = _pivots2(b)
+    c = float(cl[-1])
     res = ph[ph >= c]
     sup = pl[pl <= c]
-    support = float(sup.iloc[-1]) if len(sup) else _last(l.rolling(20, min_periods=1).min())
-    resistance = float(res.iloc[-1]) if len(res) else _last(h.rolling(20, min_periods=1).max())
+    k = min(20, len(h))
+    support = float(sup[-1]) if len(sup) else float(l[-k:].min())
+    resistance = float(res[-1]) if len(res) else float(h[-k:].max())
     return {
         "support": support,
         "resistance": resistance,
@@ -681,17 +918,16 @@ def i_support_resistance(b: pd.DataFrame):
     min_data=12,
 )
 def i_smc(b: pd.DataFrame):
-    h, l, c = b.high, b.low, b.close
-    ph = h[(h.shift(2) < h) & (h.shift(1) < h) & (h.shift(-1) < h) & (h.shift(-2) < h)]
-    pl = l[(l.shift(2) > l) & (l.shift(1) > l) & (l.shift(-1) > l) & (l.shift(-2) > l)]
-    last_ph = float(ph.iloc[-1]) if len(ph) else float("inf")
-    last_pl = float(pl.iloc[-1]) if len(pl) else float("-inf")
-    cv = _last(c)
+    _, _, _, cl, _ = _ohlcv(b)
+    ph, pl = _pivots2(b)
+    last_ph = float(ph[-1]) if len(ph) else float("inf")
+    last_pl = float(pl[-1]) if len(pl) else float("-inf")
+    cv = float(cl[-1])
     bos = "bullish" if cv > last_ph else ("bearish" if cv < last_pl else "none")
     ob = last_pl if bos == "bullish" else (last_ph if bos == "bearish" else float("nan"))
     # structure-event string: a break against the prevailing swing trend
     # is a change-of-character (CHoCH), with it a break-of-structure (BOS)
-    prior_trend = "up" if len(ph) >= 2 and last_ph >= float(ph.iloc[-2]) else "down"
+    prior_trend = "up" if len(ph) >= 2 and last_ph >= float(ph[-2]) else "down"
     if bos == "bullish":
         event = "BOS_up" if prior_trend == "up" else "CHoCH_up"
         bias = "bullish"
@@ -718,7 +954,7 @@ def i_smc(b: pd.DataFrame):
     citation="batch/futures_aggregate.py:18-81,84-259",
 )
 def i_stats_agg(b: pd.DataFrame):
-    c = b.close.to_numpy()
+    c = _ohlcv(b)[3]
     slope = ta.linreg_slope(c[-48:])
     mu, sd = c.mean(), c.std()
     z = (c[-1] - mu) / sd if sd else 0.0
@@ -747,15 +983,17 @@ def i_data_monitor(b: pd.DataFrame):
     "taker_ratio column in the wide surface)", min_data=2,
 )
 def i_base_data(b: pd.DataFrame):
-    c, pc = _last(b.close), float(b.close.iloc[-2]) if len(b) >= 2 else float("nan")
-    amp = (_last(b.high) - _last(b.low)) / c if c else float("nan")
-    turnover = c * _last(b.volume)
+    o, h, l, cl, v = _ohlcv(b)
+    c = float(cl[-1])
+    pc = float(cl[-2]) if len(cl) >= 2 else float("nan")
+    amp = (float(h[-1]) - float(l[-1])) / c if c else float("nan")
+    turnover = c * float(v[-1])
     # signed turnover as the money-flow proxy (up bar = inflow)
-    money_flow = turnover if c >= _last(b.open) else -turnover
+    money_flow = turnover if c >= float(o[-1]) else -turnover
     return {
-        "last_open": _last(b.open), "last_high": _last(b.high),
-        "last_low": _last(b.low), "last_close": c,
-        "last_volume": _last(b.volume),
+        "last_open": float(o[-1]), "last_high": float(h[-1]),
+        "last_low": float(l[-1]), "last_close": c,
+        "last_volume": float(v[-1]),
         "amplitude": amp,
         "amplitude_pct": amp * 100 if not math.isnan(amp) else float("nan"),
         "change_pct": (c - pc) / pc * 100 if pc else float("nan"),
@@ -772,9 +1010,10 @@ def i_base_data(b: pd.DataFrame):
     min_data=2,
 )
 def i_buy_sell_ratio(b: pd.DataFrame):
-    t = b.tail(20)
-    buy = t.volume.where(t.close >= t.open, 0.0).sum()
-    tot = t.volume.sum()
+    o, _, _, c, v = _ohlcv(b)
+    to, tc, tv = o[-20:], c[-20:], v[-20:]
+    buy = float(np.where(tc >= to, tv, 0.0).sum())
+    tot = float(tv.sum())
     sell = tot - buy
     return {"taker_ratio": float(buy / sell) if sell else float("nan"),
             "taker_share": float(buy / tot) if tot else float("nan")}
@@ -785,7 +1024,16 @@ def i_buy_sell_ratio(b: pd.DataFrame):
     citation="batch/mfi.py:8-26", min_data=15,
 )
 def i_mfi(b: pd.DataFrame):
-    m = _last(ta.mfi(b.high, b.low, b.close, b.volume, 14))
+    _, h, l, c, v = _ohlcv(b)
+    tp = (h + l + c) / 3
+    mf = tp * v
+    up_mask = np.concatenate(([False], tp[1:] > tp[:-1]))
+    dn_mask = np.concatenate(([False], tp[1:] < tp[:-1]))
+    up = np.where(up_mask, mf, 0.0)
+    dn = np.where(dn_mask, mf, 0.0)
+    dn_sum = float(ta_np.roll_sum(dn, 14)[-1])
+    ratio = float(ta_np.roll_sum(up, 14)[-1]) / (dn_sum if dn_sum != 0 else NAN)
+    m = float(100 - 100 / (1 + ratio))
     state = "overbought" if m >= 80 else ("oversold" if m <= 20 else "neutral")
     return {"mfi14": m, "mfi_state": state}
 
@@ -805,7 +1053,7 @@ def _chart_pattern(b: pd.DataFrame):
     narrowing pivot envelope (< 90% of the prior width) is a wedge,
     otherwise a channel — the converging-trendline rule both libraries
     apply."""
-    h, l = b.high.to_numpy(), b.low.to_numpy()  # noqa: E741
+    _, h, l, c_arr, _ = _ohlcv(b)  # noqa: E741
 
     def _pivots(a: np.ndarray, is_high: bool) -> np.ndarray:
         # strict 3-radius local extremum; edges (first/last 3 bars)
@@ -822,34 +1070,34 @@ def _chart_pattern(b: pd.DataFrame):
                 m &= (a[3 - k : n - 3 - k] > ctr) & (a[3 + k : n - 3 + k] > ctr)
         return ctr[m]
 
-    ph, pl = pd.Series(_pivots(h, True)), pd.Series(_pivots(l, False))
-    c = float(b.close.iloc[-1])
+    ph, pl = _pivots(h, True), _pivots(l, False)
+    c = float(c_arr[-1])
     out = []
     if len(ph) >= 3:
-        a, m, z = float(ph.iloc[-3]), float(ph.iloc[-2]), float(ph.iloc[-1])
+        a, m, z = float(ph[-3]), float(ph[-2]), float(ph[-1])
         if m > a and m > z and abs(a - z) / m < 0.02:
             out.append(("head_shoulders_top", "bear"))
     if len(pl) >= 3:
-        a, m, z = float(pl.iloc[-3]), float(pl.iloc[-2]), float(pl.iloc[-1])
+        a, m, z = float(pl[-3]), float(pl[-2]), float(pl[-1])
         if m < a and m < z and abs(a - z) / (m or 1) < 0.02:
             out.append(("head_shoulders_bottom", "bull"))
     if not out and len(ph) >= 2:
-        a, z = float(ph.iloc[-2]), float(ph.iloc[-1])
+        a, z = float(ph[-2]), float(ph[-1])
         # neckline = the reaction low between the tops; the pattern only
         # completes on a break below it (keeps flat-top consolidations
         # classifiable as triangles/channels instead)
-        neck = float(pl.iloc[-1]) if len(pl) else min(a, z)
+        neck = float(pl[-1]) if len(pl) else min(a, z)
         if abs(a - z) / max(a, z) < 0.015 and c < min(a, z) and c < neck:
             out.append(("double_top", "bear"))
     if not out and len(pl) >= 2:
-        a, z = float(pl.iloc[-2]), float(pl.iloc[-1])
-        neck = float(ph.iloc[-1]) if len(ph) else max(a, z)
+        a, z = float(pl[-2]), float(pl[-1])
+        neck = float(ph[-1]) if len(ph) else max(a, z)
         if (abs(a - z) / max(a, z, 1e-12) < 0.015 and c > max(a, z)
                 and c > neck):
             out.append(("double_bottom", "bull"))
     if not out and len(ph) >= 2 and len(pl) >= 2:
-        a_h, z_h = float(ph.iloc[-2]), float(ph.iloc[-1])
-        a_l, z_l = float(pl.iloc[-2]), float(pl.iloc[-1])
+        a_h, z_h = float(ph[-2]), float(ph[-1])
+        a_l, z_l = float(pl[-2]), float(pl[-1])
         flat = 0.015
         hi_flat = abs(a_h - z_h) / max(a_h, z_h, 1e-12) < flat
         lo_flat = abs(a_l - z_l) / max(a_l, z_l, 1e-12) < flat
@@ -897,7 +1145,7 @@ def i_k_pattern(b: pd.DataFrame):
     first non-neutral direction in that precedence order."""
     from tradecat_spark.indicators.candles import Candles
 
-    o, h, l, c = (x.to_numpy() for x in (b.open, b.high, b.low, b.close))
+    o, h, l, c, _ = _ohlcv(b)
     i = len(c) - 1
     cd = Candles(o, h, l, c)
     candles = cd.detect(i)
@@ -950,20 +1198,23 @@ def i_futures_sentiment(b: pd.DataFrame):
     """Latest-snapshot metrics proxy over the bar tail: last volume as
     OI stand-in, 30-bar change, up/down-volume ratio as L/S ratio, plus
     the derived sentiment fields the rule pack transitions on."""
-    v = b.volume
-    oi = _last(v)
-    base = float(v.iloc[-31]) if len(v) >= 31 else float(v.iloc[0])
-    up = v.where(b.close >= b.open, 0.0).tail(30).sum()
-    dn = v.where(b.close < b.open, 0.0).tail(30).sum()
+    o, _, _, c, v = _ohlcv(b)
+    n = len(v)
+    oi = float(v[-1])
+    base = float(v[-31]) if n >= 31 else float(v[0])
+    upv = np.where(c >= o, v, 0.0)
+    dnv = np.where(c < o, v, 0.0)
+    up = float(upv[-30:].sum())
+    dn = float(dnv[-30:].sum())
     ls = float(up / dn) if dn else float("nan")
     # taker L/S over a faster window (主动成交多空比)
-    up10 = v.where(b.close >= b.open, 0.0).tail(10).sum()
-    dn10 = v.where(b.close < b.open, 0.0).tail(10).sum()
+    up10 = float(upv[-10:].sum())
+    dn10 = float(dnv[-10:].sum())
     taker_ls = float(up10 / dn10) if dn10 else float("nan")
     # signed consecutive OI-delta streak (OI连续根数)
-    d = v.diff().dropna()
+    d = np.diff(v)
     streak = 0
-    for x in reversed(d.to_numpy()):
+    for x in reversed(d.tolist()):
         s = 1 if x > 0 else (-1 if x < 0 else 0)
         if streak == 0:
             streak = s
@@ -972,17 +1223,18 @@ def i_futures_sentiment(b: pd.DataFrame):
         else:
             break
     # OI z-score over the 30-bar tail (持仓Z分数)
-    t30 = v.tail(30)
-    sd = t30.std()
-    z = float((oi - t30.mean()) / sd) if sd and not math.isnan(sd) else 0.0
+    t30 = v[-30:]
+    sd = ta_np.nanstd(t30)
+    z = float((oi - ta_np.nanmean(t30)) / sd) if sd and not math.isnan(sd) else 0.0
     # sentiment diff (情绪差值): log of L/S imbalance
     sent = float(math.log(ls)) if ls and ls > 0 and not math.isnan(ls) else 0.0
     # risk score (风险分): extremity of L/S + OI z + streak length
     imb = abs(sent)
     risk = float(min(100.0, imb * 40 + abs(z) * 20 + abs(streak) * 4))
     # flip signal (情绪翻转信号): sentiment sign change vs 10 bars ago
-    up_prev = v.where(b.close >= b.open, 0.0).tail(40).head(30).sum()
-    dn_prev = v.where(b.close < b.open, 0.0).tail(40).head(30).sum()
+    start = max(0, n - 40)
+    up_prev = float(upv[start : start + 30].sum())
+    dn_prev = float(dnv[start : start + 30].sum())
     ls_prev = float(up_prev / dn_prev) if dn_prev else float("nan")
     if not math.isnan(ls_prev) and not math.isnan(ls):
         if ls_prev <= 1.0 < ls:
@@ -1017,10 +1269,11 @@ def i_futures_sentiment(b: pd.DataFrame):
 def i_precision_trend(b: pd.DataFrame):
     """The stateful variant of zero_lag_trend: tracks band-flip history
     (state machine over the whole tail), not just the latest side."""
-    z = ta.zlema(b.close, 70)
-    band = ta.atr(b.high, b.low, b.close, 70).rolling(210, min_periods=1).max() * 1.2
-    upper, lower = (z + band).to_numpy(), (z - band).to_numpy()
-    cv = b.close.to_numpy()
+    _, _, _, c, _ = _ohlcv(b)
+    z, band = _zl_band(b)
+    upper = (z + band).tolist()
+    lower = (z - band).tolist()
+    cv = c.tolist()
     state = 0  # -1 bear, 0 range, +1 bull
     flips = 0
     start = max(0, len(cv) - 50)
@@ -1032,11 +1285,11 @@ def i_precision_trend(b: pd.DataFrame):
     label = {1: "bull", 0: "range", -1: "bear"}[state]
     # trend strength 0-100: distance of close from the ZLEMA line as a
     # share of the band width (100 = a full band beyond the line)
-    bw = float(band.iloc[-1]) if len(band) else float("nan")
+    bw = float(band[-1]) if len(band) else float("nan")
     strength = (
-        min(100.0, abs(cv[-1] - float(z.iloc[-1])) / bw * 100.0)
+        min(100.0, abs(cv[-1] - float(z[-1])) / bw * 100.0)
         if bw and not math.isnan(bw)
         else 0.0
     )
-    return {"pt_line": _last(pd.Series(z)), "pt_state": label,
+    return {"pt_line": float(z[-1]) if len(z) else NAN, "pt_state": label,
             "pt_flips_50": flips, "pt_strength": float(strength)}
