@@ -30,7 +30,9 @@ K1 = 1.2   # term-frequency saturation
 B = 0.75   # length normalization
 
 
-def bm25_micro_scores(tf: DataFrame, qt: DataFrame) -> DataFrame:
+def bm25_micro_scores(
+    tf: DataFrame, qt: DataFrame, materialize: bool = True
+) -> DataFrame:
     """(query_id, doc_id, n_terms_hit, micros) BM25 scores.
 
     ``tf``: postings over the candidate corpus — (doc_id, word, tf).
@@ -60,7 +62,16 @@ def bm25_micro_scores(tf: DataFrame, qt: DataFrame) -> DataFrame:
     # equal calibration: the extra exchange + second materialization
     # cost more than the scoring passes' restored parallelism saves.
     # Reverted; the coalesced layout stands.)
-    tf = tf.localCheckpoint()
+    #
+    # ``materialize=False`` is for callers whose postings frame is
+    # ALREADY persisted storage — e.g. a doc_id-bucketed catalog table
+    # (streaming/postings.py::publish_bucketed_postings). A
+    # localCheckpoint here would erase the scan's bucket partitioning
+    # (ExistingRDD reports unknown partitioning), putting the doc_id
+    # exchanges back — the exact shuffles bucketing removes (guide §6:
+    # bucketed tables persist a partitioning across jobs).
+    if materialize:
+        tf = tf.localCheckpoint()
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     n = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -199,6 +199,75 @@ def bm25_topk_over_store(
     )
 
 
+def publish_bucketed_postings(
+    spark: SparkSession,
+    store_path: str,
+    table: str,
+    buckets: int = 64,
+) -> None:
+    """Publish the CURRENT live postings as a doc_id-bucketed,
+    doc_id-sorted parquet catalog table — the 100 TB serving-layout
+    decision (r14 verdict Next #4, guide §6/§2.4: bucketed tables
+    persist a partitioning across jobs so repeated joins/aggregations
+    on the bucket key skip the shuffle entirely).
+
+    Why doc_id: every corpus-scaled shuffle in the scorer is keyed by
+    it — the ``dl`` per-doc length aggregate, the dl↔term-hits join,
+    and the final (query_id, doc_id) score sum (HashPartitioning on a
+    SUBSET of the grouping keys satisfies the clustering requirement).
+    The remaining exchanges are query-bounded (idf's per-word
+    aggregate, the top-k window) or scalar (corpus stats). Scoring off
+    the published table therefore never shuffles the corpus — pinned
+    by tests/test_streaming.py::test_bucketed_postings_scoring.
+
+    Bucket-count sizing at 100 TB: buckets ≈ corpus postings bytes /
+    target file size (guide §6, 128 MB-1 GB/file) — a layout constant
+    of the PUBLISHED table, deliberately not derived from the
+    publishing session's core count. The default suits test corpora;
+    production publishes pass it explicitly.
+
+    Bucketed writes must go through ``saveAsTable`` (the bucket spec
+    lives in the catalog, not the files), which is why this is a
+    separate publish step rather than the store's own layout: the
+    ingest store's crash-safe partition-swap protocol needs bare-path
+    atomic renames. Publish-after-compaction is the intended cadence.
+    """
+    (
+        read_postings(spark, store_path)
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable(table)
+    )
+
+
+def bm25_topk_over_bucketed(
+    spark: SparkSession,
+    table: str,
+    query_pred,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 top-``k`` per query over a published bucketed postings
+    table (``publish_bucketed_postings``). Identical joins and exact
+    micro-unit arithmetic to ``bm25_topk_over_store`` — same results,
+    value for value — but ``materialize=False`` keeps the scan's
+    bucket partitioning visible to the planner, so the corpus is never
+    shuffled: no exchange carries doc_id anywhere in the plan."""
+    tf = spark.table(table)
+    qt = tf.filter(query_pred).select(
+        F.col("doc_id").alias("query_id"), "word"
+    )
+    bm = bm25_micro_scores(tf, qt, materialize=False)
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("micros"), F.asc("doc_id")
+    )
+    return (
+        bm.withColumn("rk", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def start_postings_maintenance(
     stream: DataFrame,
     store_path: str,
