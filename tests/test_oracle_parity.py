@@ -24,7 +24,26 @@ def test_oracle_parity(name, spark, duck, sf_dir):
 
 
 def test_all_queries_return_rows(spark, sf_dir):
-    """Rows-only smoke for every registered query (incl. oracle-less)."""
-    for name, spec in SPECS.items():
-        n = spec.fn(spark, sf_dir).count()
-        assert n >= 0, name
+    """Rows-only smoke for every registered query (incl. oracle-less).
+
+    The 296 plans are independent, so they run from a small driver
+    thread pool (guide §2.6): Spark schedules concurrent jobs FIFO and
+    back-fills executors from the next query while the current one
+    drains its tail. Sequentially this test was 698 s — 29% of the
+    whole suite — and the driver's capture window truncated the run
+    (VERIFY_r14 tests_ok=false by timeout); the pool form does the
+    identical checks. Failures are collected with their lane names so
+    one bad query doesn't mask the rest."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _smoke(item):
+        name, spec = item
+        try:
+            n = spec.fn(spark, sf_dir).count()
+            return None if n >= 0 else f"{name}: count {n}"
+        except Exception as e:  # noqa: BLE001 — reported per lane
+            return f"{name}: {type(e).__name__}: {e}"
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        failures = [f for f in pool.map(_smoke, SPECS.items()) if f]
+    assert not failures, failures
