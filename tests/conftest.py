@@ -14,7 +14,21 @@ TABLES = (
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tradecat-tests", cpus=4, shuffle_partitions=8)
+    # Core count: half the box up to 16 (was a pinned 4 — measured the
+    # suite leaving 28 of 32 cores idle while its CPU-bound rows ran:
+    # the bpe_encode_frozen_wide parity test alone was 334 s of
+    # interpreted 256-merge folds on 4 cores; r15 verdict item 2 needs
+    # the whole suite inside the driver's capture window).
+    # shuffle_partitions stays 8: plan-pin tests count Exchange nodes
+    # and AQE-coalesced layouts, which must not drift with the box.
+    import os
+
+    ncpu = os.cpu_count() or 4
+    s = get_spark(
+        "tradecat-tests",
+        cpus=max(4, min(16, ncpu // 2)),
+        shuffle_partitions=8,
+    )
     yield s
     s.stop()
 

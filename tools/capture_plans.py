@@ -1,12 +1,12 @@
 """Capture ``.explain("formatted")`` for bench queries (or a named
-list) into plans/r14/<name>_<tag>.txt — the optimization round's
-before/after plan evidence.
+list) into plans/$PLANS_DIR/<name>_<tag>.txt (default plans/r15) —
+the optimization round's before/after plan evidence.
 
 Usage::
 
     python tools/capture_plans.py before            # all bench queries
     python tools/capture_plans.py after name1 ...   # scoped
-    SF_DIR=/root/testdata/sf0.1 python tools/capture_plans.py before
+    SF_DIR=/root/testdata/sf0.1 PLANS_DIR=r15 python tools/capture_plans.py before
 """
 
 from __future__ import annotations
@@ -23,7 +23,7 @@ def main() -> int:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:]
     sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.1")
-    out_dir = REPO / "plans" / "r14"
+    out_dir = REPO / "plans" / os.environ.get("PLANS_DIR", "r15")
     out_dir.mkdir(parents=True, exist_ok=True)
 
     from tradecat_spark.plans.registry import load_all
