@@ -80,6 +80,60 @@ def test_streaming_rollup_matches_batch(spark, events_subset, tmp_path):
     assert g == w and len(g) > 0
 
 
+def test_rollup_state_partitions_track_volume(spark, events_subset, tmp_path):
+    """r15 verdict Next #5: the rollup's state-store partition count
+    derives from stream volume (expected_keys), not the session's
+    core-derived shuffle setting — each HDFSBackedStateStore instance
+    pays a fixed per-commit cost every micro-batch, so at low key
+    counts stores-per-query IS the cycle time (measured 32 stores =
+    3.0-3.2 s/cycle vs 4 stores = 1.2-1.3 s for the same 600-symbol
+    batch). Pins the policy values and that a started query's state
+    operator actually uses the derived count, with results identical
+    to the batch rollup."""
+    from tradecat_spark.streaming.rollup import state_partitions_for
+
+    # policy: ~50k keys/store, floor 4 (commit parallelism), cap 2048
+    assert state_partitions_for(600) == 4
+    assert state_partitions_for(50_000) == 4
+    assert state_partitions_for(200_001) == 5
+    assert state_partitions_for(10_000_000) == 200
+    assert state_partitions_for(10**9) == 2048
+
+    src, df = events_subset
+    schema = spark.read.parquet(src).schema
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        rolled = streaming_ohlcv(
+            spark.readStream.schema(schema).parquet(src),
+            ["event_type"], "ts", "value", interval="5 minutes",
+            watermark="1 minute", expected_keys=600,
+        )
+        name = f"rollvol_{uuid.uuid4().hex[:8]}"
+        q = _run_stream(rolled, name)
+        ops = [
+            so
+            for p in q.recentProgress
+            for so in p.get("stateOperators", [])
+        ]
+        assert ops, "stream reported no stateful operators"
+        assert all(
+            so["numShufflePartitions"] == state_partitions_for(600)
+            for so in ops
+        )
+        got = spark.sql(f"SELECT * FROM {name}")
+        want = ohlcv_rollup(
+            spark.read.parquet(src), ["event_type"], "ts", "value",
+            interval_sec=300,
+        )
+        cols = ["event_type", "bucket_ts", "open", "high", "low",
+                "close", "trade_count"]
+        g = sorted(map(tuple, got.select(cols).collect()))
+        w = sorted(map(tuple, want.select(cols).collect()))
+        assert g == w and len(g) > 0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def test_ingest_merge_law(spark, tmp_path):
     """Partial bar then closing bar through the foreachBatch upsert."""
     store = str(tmp_path / "bars")
